@@ -1,0 +1,859 @@
+"""Typed, axis-labelled, mesh-shardable data containers.
+
+Native re-design of the reference's distributed container system
+(reference ``draco/core/containers.py`` — 74 container classes on top of
+``caput.containers.ContainerPrototype``).  The structure is preserved —
+every container declares named axes and a ``_dataset_spec`` describing per
+dataset axes/dtype/distribution — but the storage is a global array
+(``jax.Array`` or ``numpy.ndarray``) and ``distributed_axis`` maps onto a
+``jax.sharding`` mesh axis rather than an MPI communicator rank split.
+
+``redistribute(axis)`` is a resharding ``device_put`` (an ICI all-to-all
+under XLA) instead of an MPI all-to-all (see SURVEY.md section 2.5).
+
+HDF5 round-trips (``save``/``from_file``) keep layout compatibility with the
+reference: datasets at the root with an ``axis`` attribute, ``index_map/``
+and ``reverse_map/`` groups, and pipeline provenance in ``history``.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, ClassVar
+
+import numpy as np
+
+from ..parallel import mesh as pmesh
+
+import jax
+import jax.numpy as jnp
+
+# Storage compression defaults, mirroring the reference container chunk
+# specs (reference draco/core/containers.py:500-513).
+COMPRESSION = "gzip"
+COMPRESSION_OPTS = 4
+
+_UNSET = object()
+
+
+def _is_jax(arr) -> bool:
+    return isinstance(arr, jax.Array)
+
+
+class Dataset:
+    """A named array with labelled axes and attributes.
+
+    The array may be a numpy array (host data: index-like, small) or a
+    ``jax.Array`` (device data: the compute path).  Assignment through
+    ``ds[sel] = value`` is supported for both (functional ``.at[].set``
+    under the hood for jax arrays).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        data,
+        axes: tuple[str, ...],
+        attrs: dict | None = None,
+        distributed: bool = False,
+        distributed_axis: str | None = None,
+        spec: dict | None = None,
+    ):
+        self.name = name
+        self._data = data
+        self.attrs = dict(attrs or {})
+        self.attrs.setdefault("axis", tuple(axes))
+        self.distributed = distributed
+        self.distributed_axis = distributed_axis
+        self.spec = dict(spec or {})
+
+    # -- array access -----------------------------------------------------
+    @property
+    def data(self):
+        return self._data
+
+    @data.setter
+    def data(self, value):
+        if tuple(np.shape(value)) != tuple(self._data.shape):
+            raise ValueError(
+                f"Dataset {self.name!r}: shape {np.shape(value)} != "
+                f"{self._data.shape}"
+            )
+        self._data = value
+
+    @property
+    def axes(self) -> tuple[str, ...]:
+        return tuple(self.attrs["axis"])
+
+    @property
+    def shape(self):
+        return self._data.shape
+
+    @property
+    def dtype(self):
+        return self._data.dtype
+
+    @property
+    def ndim(self):
+        return self._data.ndim
+
+    # Reference-compat alias: the global array (no per-rank locality here).
+    @property
+    def local_array(self):
+        return self._data
+
+    def __getitem__(self, sel):
+        if sel is Ellipsis or (isinstance(sel, slice) and sel == slice(None)):
+            return self._data
+        return self._data[sel]
+
+    def __setitem__(self, sel, value):
+        full = sel is Ellipsis or (isinstance(sel, slice) and sel == slice(None))
+        if _is_jax(self._data):
+            value = jnp.asarray(value, dtype=self._data.dtype)
+            if full and value.shape == self._data.shape:
+                self._data = value
+            elif full:
+                self._data = jnp.broadcast_to(value, self._data.shape)
+            else:
+                self._data = self._data.at[sel].set(value)
+        else:
+            self._data[sel] = np.asarray(value) if _is_jax(value) else value
+
+    def __array__(self, dtype=None):
+        arr = np.asarray(self._data)
+        return arr.astype(dtype) if dtype is not None else arr
+
+    def __len__(self):
+        return len(self._data)
+
+    def __repr__(self):
+        return (
+            f"<Dataset {self.name!r} axes={self.axes} shape={self.shape} "
+            f"dtype={self.dtype}>"
+        )
+
+    # -- device/sharding ----------------------------------------------------
+    def to_device(self) -> "Dataset":
+        """Move the array onto device (respecting its distributed axis)."""
+        axis_idx = None
+        if self.distributed and self.distributed_axis in self.axes:
+            axis_idx = self.axes.index(self.distributed_axis)
+        self._data = pmesh.shard_array(jnp.asarray(self._data), axis_idx)
+        return self
+
+    def redistribute(self, axis_name: str | None) -> "Dataset":
+        """Reshard along ``axis_name`` (None to replicate)."""
+        if not self.distributed:
+            return self
+        if axis_name is not None and axis_name not in self.axes:
+            return self
+        axis_idx = None if axis_name is None else self.axes.index(axis_name)
+        self._data = pmesh.shard_array(jnp.asarray(self._data), axis_idx)
+        self.distributed_axis = axis_name
+        return self
+
+
+def dataset_property(name: str, doc: str = ""):
+    """Class property returning the named dataset."""
+
+    def fget(self):
+        return self.datasets[name]
+
+    return property(fget, doc=doc or f"The {name!r} dataset.")
+
+
+def make_freq_map(freq) -> np.ndarray:
+    """Build a structured frequency index map (centre/width in MHz)."""
+    freq = np.asarray(freq)
+    if freq.dtype.names and "centre" in freq.dtype.names:
+        return freq
+    freq = np.atleast_1d(freq)
+    out = np.zeros(len(freq), dtype=[("centre", np.float64), ("width", np.float64)])
+    out["centre"] = freq
+    out["width"] = np.abs(np.median(np.diff(freq))) if len(freq) > 1 else 1.0
+    return out
+
+
+def make_prod_map(prod) -> np.ndarray:
+    prod = np.asarray(prod)
+    if prod.dtype.names:
+        return prod
+    out = np.zeros(len(prod), dtype=[("input_a", np.int64), ("input_b", np.int64)])
+    out["input_a"] = prod[:, 0]
+    out["input_b"] = prod[:, 1]
+    return out
+
+
+def default_stack_maps(nprod: int):
+    """Identity stack index/reverse maps (each product its own stack)."""
+    fwd = np.zeros(nprod, dtype=[("prod", "<u4"), ("conjugate", "u1")])
+    fwd["prod"] = np.arange(nprod)
+    rev = np.zeros(nprod, dtype=[("stack", "<u4"), ("conjugate", "u1")])
+    rev["stack"] = np.arange(nprod)
+    return fwd, rev
+
+
+class ContainerBase:
+    """Base for all typed containers.
+
+    Subclasses declare ``_axes`` (named axes) and ``_dataset_spec``
+    (datasets over those axes).  Constructor keyword args give axis
+    definitions (array, or int for a default integer/uniform axis);
+    ``axes_from=`` copies missing axes from another container and
+    ``attrs_from=`` copies attributes (matching the reference container
+    construction protocol, reference test/test_containers.py:25-39).
+    """
+
+    _axes: ClassVar[tuple[str, ...]] = ()
+    _dataset_spec: ClassVar[dict[str, dict]] = {}
+
+    def __init__(
+        self,
+        *,
+        axes_from: "ContainerBase | None" = None,
+        attrs_from: "ContainerBase | None" = None,
+        skip_datasets: bool = False,
+        distributed: bool = True,
+        comm: Any = None,  # accepted for API parity; unused (no MPI)
+        **kwargs,
+    ):
+        self.index_map: dict[str, np.ndarray] = {}
+        self.reverse_map: dict[str, np.ndarray] = {}
+        self.attrs: dict[str, Any] = {}
+        self.datasets: dict[str, Dataset] = {}
+        self.distributed = distributed
+        self.comm = comm
+        self.history: dict[str, Any] = {}
+
+        # Stage 1: axes from explicit kwargs, falling back to axes_from.
+        for ax in self.axes_spec():
+            if ax in kwargs:
+                val = kwargs.pop(ax)
+                if val is not None and val is not _UNSET:
+                    self.create_index_map(ax, self._convert_axis(ax, val))
+                elif val is None:
+                    # explicit None: suppress inheritance, let subclass derive
+                    kwargs[ax] = None
+                    continue
+            elif axes_from is not None and ax in axes_from.index_map:
+                self.create_index_map(ax, axes_from.index_map[ax])
+        self._extra_kwargs = kwargs
+
+        if axes_from is not None:
+            for name, rmap in axes_from.reverse_map.items():
+                if name in self.index_map and name not in kwargs:
+                    self.reverse_map[name] = np.asarray(rmap).copy()
+
+        # Stage 2: subclass hook for derived axes (stack from prod, ...).
+        self._finalise_axes(axes_from)
+
+        # Stage 3: attributes.
+        if attrs_from is not None:
+            for k, v in attrs_from.attrs.items():
+                self.attrs.setdefault(k, v)
+            self.history.update(getattr(attrs_from, "history", {}))
+
+        # Stage 4: datasets.
+        if not skip_datasets:
+            for name, spec in self.dataset_spec().items():
+                if spec.get("initialise", False):
+                    self.add_dataset(name)
+
+    # -- subclass hooks -----------------------------------------------------
+    def _finalise_axes(self, axes_from: "ContainerBase | None") -> None:
+        """Derive axes that depend on other axes; override in subclasses."""
+
+    # -- class-level spec assembly -------------------------------------------
+    @classmethod
+    def axes_spec(cls) -> tuple[str, ...]:
+        axes: list[str] = []
+        for klass in reversed(cls.__mro__):
+            for ax in vars(klass).get("_axes", ()):
+                if ax not in axes:
+                    axes.append(ax)
+        return tuple(axes)
+
+    @classmethod
+    def dataset_spec(cls) -> dict[str, dict]:
+        spec: dict[str, dict] = {}
+        for klass in reversed(cls.__mro__):
+            for name, ds in vars(klass).get("_dataset_spec", {}).items():
+                spec[name] = ds
+        return spec
+
+    # -- axis handling --------------------------------------------------------
+    def _convert_axis(self, name: str, value):
+        """Convert an axis constructor argument into an index map array."""
+        if isinstance(value, ContainerBase):
+            return value.index_map[name]
+        if np.isscalar(value) and np.issubdtype(type(value), np.integer):
+            n = int(value)
+            if name == "ra":
+                return np.linspace(0.0, 360.0, n, endpoint=False)
+            return np.arange(n)
+        value = np.asarray(value)
+        if name == "freq":
+            return make_freq_map(value)
+        if name == "prod":
+            return make_prod_map(value)
+        return value
+
+    def create_index_map(self, name: str, imap) -> None:
+        self.index_map[name] = np.asarray(imap)
+
+    def create_reverse_map(self, name: str, rmap) -> None:
+        self.reverse_map[name] = np.asarray(rmap)
+
+    # -- datasets ----------------------------------------------------------
+    def add_dataset(self, name: str, data=None) -> Dataset:
+        spec = self.dataset_spec()[name]
+        axes = tuple(spec["axes"])
+        missing = [ax for ax in axes if ax not in self.index_map]
+        if missing:
+            raise ValueError(
+                f"Cannot create dataset {name!r}: axes {missing} undefined on "
+                f"{type(self).__name__} (define via constructor or axes_from)"
+            )
+        shape = tuple(len(self.index_map[ax]) for ax in axes)
+        dtype = spec.get("dtype", np.float64)
+        if data is None:
+            data = np.zeros(shape, dtype=dtype)
+        elif not _is_jax(data):
+            data = np.asarray(data)
+        if tuple(data.shape) != shape:
+            raise ValueError(
+                f"Dataset {name!r}: supplied shape {data.shape} != "
+                f"axis shape {shape}"
+            )
+        ds = Dataset(
+            name,
+            data,
+            axes,
+            distributed=spec.get("distributed", False) and self.distributed,
+            distributed_axis=spec.get("distributed_axis"),
+            spec=spec,
+        )
+        self.datasets[name] = ds
+        return ds
+
+    def __getitem__(self, name: str) -> Dataset:
+        return self.datasets[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.datasets
+
+    # -- distribution -----------------------------------------------------
+    def redistribute(self, axis_name: str | None) -> "ContainerBase":
+        """Reshard every distributed dataset along ``axis_name``.
+
+        Mirrors ``MPIArray.redistribute``: datasets not carrying the axis
+        are left unchanged (reference draco/analysis/transform.py:592).
+        """
+        for ds in self.datasets.values():
+            ds.redistribute(axis_name)
+        return self
+
+    def to_device(self) -> "ContainerBase":
+        for ds in self.datasets.values():
+            ds.to_device()
+        return self
+
+    # -- copying ------------------------------------------------------------
+    def copy(self, shared: tuple[str, ...] = ()) -> "ContainerBase":
+        """Deep copy; datasets named in ``shared`` share storage."""
+        new = self.__class__.__new__(self.__class__)
+        new.index_map = {k: np.asarray(v).copy() for k, v in self.index_map.items()}
+        new.reverse_map = {k: np.asarray(v).copy() for k, v in self.reverse_map.items()}
+        new.attrs = dict(self.attrs)
+        new.history = dict(self.history)
+        new.distributed = self.distributed
+        new.comm = self.comm
+        new._extra_kwargs = {}
+        new.datasets = {}
+        for name, ds in self.datasets.items():
+            if name in shared or _is_jax(ds._data):
+                data = ds._data  # jax arrays are immutable: safe to share
+            else:
+                data = ds._data.copy()
+            new.datasets[name] = Dataset(
+                name,
+                data,
+                ds.axes,
+                attrs=dict(ds.attrs),
+                distributed=ds.distributed,
+                distributed_axis=ds.distributed_axis,
+                spec=ds.spec,
+            )
+        return new
+
+    # -- IO ------------------------------------------------------------------
+    def save(self, path: str, mode: str = "w") -> None:
+        """Write to HDF5 (layout mirrors the reference on-disk format)."""
+        import h5py
+
+        with h5py.File(path, mode) as f:
+            f.attrs["__draco_tpu_container__"] = type(self).__name__
+            for k, v in self.attrs.items():
+                try:
+                    f.attrs[k] = v
+                except TypeError:
+                    f.attrs[k] = json.dumps(v)
+            im = f.create_group("index_map")
+            for name, arr in self.index_map.items():
+                im.create_dataset(name, data=_h5_safe(arr))
+            if self.reverse_map:
+                rm = f.create_group("reverse_map")
+                for name, arr in self.reverse_map.items():
+                    rm.create_dataset(name, data=_h5_safe(arr))
+            for name, ds in self.datasets.items():
+                arr = _h5_safe(np.asarray(ds._data))
+                kwargs = {}
+                chunks = ds.spec.get("chunks")
+                if chunks is not None and arr.size:
+                    chunks = tuple(
+                        max(1, min(c, s)) for c, s in zip(chunks, arr.shape)
+                    )
+                    kwargs = {
+                        "chunks": chunks,
+                        "compression": ds.spec.get("compression", COMPRESSION),
+                        "compression_opts": ds.spec.get(
+                            "compression_opts", COMPRESSION_OPTS
+                        ),
+                    }
+                d = f.create_dataset(name, data=arr, **kwargs)
+                d.attrs["axis"] = np.array([a.encode() for a in ds.axes])
+            hist = f.create_group("history")
+            for k, v in self.history.items():
+                hist.attrs[k] = v if isinstance(v, str) else json.dumps(v)
+
+    @classmethod
+    def from_file(
+        cls,
+        path: str,
+        *,
+        distributed: bool = True,
+        comm=None,
+        sel: dict | None = None,
+        **kwargs,
+    ):
+        """Read a container back from HDF5.
+
+        ``sel`` optionally maps axis name -> slice/index-array for partial
+        reads (the reference's fsel/isel/tsel selections, reference
+        test/test_selections.py:33-60).
+        """
+        import h5py
+
+        sel = dict(sel or {})
+        with h5py.File(path, "r") as f:
+            clsname = f.attrs.get("__draco_tpu_container__")
+            klass = cls
+            if clsname and (cls is ContainerBase or str(clsname) != cls.__name__):
+                klass = _container_registry().get(str(clsname), cls)
+            self = klass.__new__(klass)
+            self.index_map = {}
+            self.reverse_map = {}
+            self.attrs = {}
+            self.datasets = {}
+            self.history = {}
+            self.distributed = distributed
+            self.comm = comm
+            self._extra_kwargs = {}
+            for k, v in f.attrs.items():
+                if not str(k).startswith("__"):
+                    self.attrs[k] = v
+            for name, d in f["index_map"].items():
+                arr = d[:]
+                if name in sel:
+                    arr = arr[sel[name]]
+                self.index_map[name] = arr
+            if "reverse_map" in f:
+                for name, d in f["reverse_map"].items():
+                    self.reverse_map[name] = d[:]
+            spec = klass.dataset_spec()
+            for name, d in f.items():
+                if name in ("index_map", "reverse_map", "history"):
+                    continue
+                axes = tuple(a.decode() for a in d.attrs["axis"])
+                arr = d[:]
+                for i, ax in enumerate(axes):
+                    if ax in sel:
+                        arr = np.take(arr, _sel_to_indices(sel[ax], arr.shape[i]), axis=i)
+                dspec = spec.get(name, {})
+                self.datasets[name] = Dataset(
+                    name,
+                    arr,
+                    axes,
+                    distributed=dspec.get("distributed", False) and distributed,
+                    distributed_axis=dspec.get("distributed_axis"),
+                    spec=dspec,
+                )
+            if "history" in f:
+                for k, v in f["history"].attrs.items():
+                    self.history[k] = v
+        return self
+
+    def __repr__(self):
+        dss = ", ".join(f"{n}{list(d.shape)}" for n, d in self.datasets.items())
+        return f"<{type(self).__name__} {dss}>"
+
+
+def _h5_safe(arr: np.ndarray) -> np.ndarray:
+    """Convert unicode string dtypes to bytes for HDF5 storage."""
+    arr = np.asarray(arr)
+    if arr.dtype.kind == "U":
+        return arr.astype(f"S{arr.dtype.itemsize // 4 or 1}")
+    if arr.dtype.names:
+        new_dtype = []
+        needs_convert = False
+        for name in arr.dtype.names:
+            dt = arr.dtype[name]
+            if dt.kind == "U":
+                new_dtype.append((name, f"S{dt.itemsize // 4 or 1}"))
+                needs_convert = True
+            else:
+                new_dtype.append((name, dt))
+        if needs_convert:
+            out = np.zeros(arr.shape, dtype=new_dtype)
+            for name in arr.dtype.names:
+                out[name] = arr[name]
+            return out
+    return arr
+
+
+def _sel_to_indices(s, n):
+    if isinstance(s, slice):
+        return np.arange(n)[s]
+    return np.asarray(s)
+
+
+def _container_registry() -> dict[str, type]:
+    # Make sure the full class zoo is imported before resolving names.
+    from ..core import containers_spec  # noqa: F401
+
+    reg = {}
+    stack = [ContainerBase]
+    while stack:
+        klass = stack.pop()
+        reg[klass.__name__] = klass
+        stack.extend(klass.__subclasses__())
+    return reg
+
+
+def empty_like(cont: ContainerBase, **kwargs) -> ContainerBase:
+    """New zeroed container with the same axes/attrs as ``cont``."""
+    return cont.__class__(axes_from=cont, attrs_from=cont, **kwargs)
+
+
+def copy_datasets_filter(
+    source: ContainerBase,
+    dest: ContainerBase,
+    axis: str | tuple[str, ...] = (),
+    selection: dict | None = None,
+    exclude_axes: tuple[str, ...] | None = None,
+) -> None:
+    """Copy datasets from source to dest applying per-axis selections.
+
+    Mirrors the reference helper used to down-select containers
+    (reference test/test_containers.py:87-142).
+    """
+    selection = dict(selection or {})
+    exclude_axes = tuple(exclude_axes or ())
+    for name, ds in source.datasets.items():
+        if name not in dest.dataset_spec():
+            continue
+        if any(ax in ds.axes for ax in exclude_axes):
+            continue
+        arr = np.asarray(ds._data)
+        for i, ax in enumerate(ds.axes):
+            if ax in selection:
+                arr = np.take(arr, _sel_to_indices(selection[ax], arr.shape[i]), axis=i)
+        if name not in dest.datasets:
+            dest.add_dataset(name, data=arr)
+        else:
+            dest.datasets[name][:] = arr
+
+
+# ---------------------------------------------------------------------------
+# Structural base containers (reference draco/core/containers.py:83-467)
+# ---------------------------------------------------------------------------
+
+
+class TODContainer(ContainerBase):
+    """A container with a time axis (reference containers.py:83)."""
+
+    _axes = ("time",)
+
+    @property
+    def time(self):
+        t = self.index_map["time"]
+        if t.dtype.names and "ctime" in t.dtype.names:
+            return t["ctime"]
+        return t
+
+
+class FreqContainer(ContainerBase):
+    """A container with a frequency axis (reference containers.py:362)."""
+
+    _axes = ("freq",)
+
+    def _convert_axis(self, name, value):
+        if name == "freq" and np.isscalar(value) and np.issubdtype(type(value), np.integer):
+            return make_freq_map(np.linspace(800.0, 400.0, int(value), endpoint=False))
+        return super()._convert_axis(name, value)
+
+    @property
+    def freq(self):
+        f = self.index_map["freq"]
+        if f.dtype.names and "centre" in f.dtype.names:
+            return f["centre"]
+        return f
+
+
+class SiderealContainer(ContainerBase):
+    """A container with a right-ascension axis (reference containers.py:386)."""
+
+    _axes = ("ra",)
+
+    @property
+    def ra(self):
+        return self.index_map["ra"]
+
+
+class MContainer(ContainerBase):
+    """A container with harmonic m and msign axes (reference containers.py:422)."""
+
+    _axes = ("m", "msign")
+
+    def __init__(self, mmax: int | None = None, oddra: bool | None = None, **kwargs):
+        if mmax is not None:
+            kwargs["m"] = np.arange(mmax + 1)
+        kwargs.setdefault("msign", np.array(["+", "-"]))
+        super().__init__(**kwargs)
+        if oddra is not None:
+            self.attrs["oddra"] = bool(oddra)
+
+    def _finalise_axes(self, axes_from):
+        # Derive oddra/m from a sidereal container when transforming.
+        if "m" not in self.index_map and axes_from is not None:
+            if "ra" in axes_from.index_map:
+                nra = len(axes_from.index_map["ra"])
+                self.create_index_map("m", np.arange(nra // 2 + 1))
+                self.attrs["oddra"] = bool(nra % 2)
+
+    @property
+    def mmax(self) -> int:
+        return len(self.index_map["m"]) - 1
+
+    @property
+    def oddra(self) -> bool:
+        return bool(self.attrs.get("oddra", False))
+
+
+class DataWeightContainer(ContainerBase):
+    """Base for containers with a primary data + weight pair."""
+
+    _data_dset_name: ClassVar[str] = "data"
+    _weight_dset_name: ClassVar[str] = "weight"
+
+    @property
+    def data(self):
+        return self.datasets[self._data_dset_name]
+
+    @property
+    def weight(self):
+        return self.datasets[self._weight_dset_name]
+
+
+class VisBase(DataWeightContainer):
+    """Base for visibility containers (reference containers.py:94)."""
+
+    _data_dset_name = "vis"
+    _weight_dset_name = "vis_weight"
+
+    @property
+    def vis(self):
+        return self.datasets["vis"]
+
+    @property
+    def weight(self):
+        return self.datasets["vis_weight"]
+
+
+class VisContainer(VisBase):
+    """Visibilities with input/prod/stack index maps (reference containers.py:109).
+
+    ``stack=None`` suppresses inheritance and builds identity stack maps
+    from ``prod`` (the ExpandProducts convention, reference
+    draco/synthesis/stream.py:216-230).
+    """
+
+    _axes = ("input", "prod", "stack")
+
+    def __init__(self, *args, reverse_map_stack=None, **kwargs):
+        self._reverse_map_stack = reverse_map_stack
+        super().__init__(*args, **kwargs)
+
+    def _convert_axis(self, name, value):
+        if name == "input" and np.isscalar(value) and np.issubdtype(
+            type(value), np.integer
+        ):
+            return np.arange(int(value))
+        return super()._convert_axis(name, value)
+
+    def _finalise_axes(self, axes_from):
+        super()._finalise_axes(axes_from)
+        # Auto-construct full-triangle prod map from inputs if missing
+        # (reference containers.py:156-161).
+        if "prod" not in self.index_map and "input" in self.index_map:
+            nfeed = len(self.index_map["input"])
+            self.create_index_map(
+                "prod",
+                make_prod_map(
+                    np.array(
+                        [[fi, fj] for fi in range(nfeed) for fj in range(fi, nfeed)]
+                    )
+                ),
+            )
+        stack_arg = self._extra_kwargs.pop("stack", _UNSET)
+        if "prod" in self.index_map and (
+            stack_arg is None or "stack" not in self.index_map
+        ):
+            nprod = len(self.index_map["prod"])
+            fwd, rev = default_stack_maps(nprod)
+            self.create_index_map("stack", fwd)
+            self.create_reverse_map("stack", rev)
+        if self._reverse_map_stack is not None:
+            self.create_reverse_map("stack", np.asarray(self._reverse_map_stack))
+        # Default input axis from prod if missing.
+        if "input" not in self.index_map and "prod" in self.index_map:
+            prod = self.index_map["prod"]
+            ninput = int(max(prod["input_a"].max(), prod["input_b"].max())) + 1
+            self.create_index_map("input", np.arange(ninput))
+
+    @property
+    def prod(self):
+        return self.index_map["prod"]
+
+    @property
+    def stack(self):
+        return self.index_map["stack"]
+
+    @property
+    def is_stacked(self) -> bool:
+        return len(self.stack) != len(self.prod)
+
+    @property
+    def prodstack(self):
+        """Input-pairs representative of each stack entry (conjugation applied)."""
+        if not self.is_stacked:
+            return self.prod
+        t = self.prod[self.index_map["stack"]["prod"]]
+        conj = self.stack["conjugate"]
+        out = t.copy()
+        out["input_a"] = np.where(conj, t["input_b"], t["input_a"])
+        out["input_b"] = np.where(conj, t["input_a"], t["input_b"])
+        return out
+
+    @property
+    def input(self):
+        return self.index_map["input"]
+
+    @property
+    def nstack(self) -> int:
+        return len(self.index_map["stack"])
+
+
+class SampleVarianceContainer(ContainerBase):
+    """Base adding sample mean/variance over a component axis.
+
+    The component axis holds the upper triangle of the real/imag
+    covariance: [(real,real), (real,imag), (imag,imag)]
+    (reference containers.py:236-360).
+    """
+
+    _axes = ("component",)
+
+    def _finalise_axes(self, axes_from):
+        super()._finalise_axes(axes_from)
+        if "component" not in self.index_map:
+            self.create_index_map(
+                "component",
+                np.array(
+                    [("real", "real"), ("real", "imag"), ("imag", "imag")],
+                    dtype=[("component_a", "<U8"), ("component_b", "<U8")],
+                ),
+            )
+
+    @property
+    def component(self):
+        return self.index_map["component"]
+
+    @property
+    def sample_variance(self):
+        if "sample_variance" in self.datasets:
+            return self.datasets["sample_variance"]
+        raise KeyError("Dataset 'sample_variance' not initialised.")
+
+    @property
+    def nsample(self):
+        if "nsample" in self.datasets:
+            return self.datasets["nsample"]
+        raise KeyError("Dataset 'nsample' not initialised.")
+
+    @property
+    def sample_variance_iq(self):
+        """Sample variance rotated to the in-phase/quadrature basis."""
+        C = np.asarray(self.sample_variance[:])
+        phi = np.angle(np.asarray(self._mean[:]))
+        cc, cs, ss = np.cos(phi) ** 2, np.cos(phi) * np.sin(phi), np.sin(phi) ** 2
+        Cphi = np.zeros_like(C)
+        Cphi[0] = cc * C[0] + 2 * cs * C[1] + ss * C[2]
+        Cphi[1] = -cs * C[0] + (cc - ss) * C[1] + cs * C[2]
+        Cphi[2] = ss * C[0] - 2 * cs * C[1] + cc * C[2]
+        return Cphi
+
+    @property
+    def sample_variance_amp_phase(self):
+        """Amplitude/phase covariance (valid for small fractional variation)."""
+        amp2 = np.abs(np.asarray(self._mean[:])[np.newaxis, ...]) ** 2
+        out = self.sample_variance_iq.copy()
+        np.divide(out, amp2, out=out, where=amp2 != 0)
+        out[..., :] = np.where(amp2 == 0, 0.0, out)
+        return out
+
+    @property
+    def sample_weight(self):
+        """Inverse variance of the mean estimated from the sample variance."""
+        C = np.asarray(self.sample_variance[:])
+        nsample = np.asarray(self.nsample[:])
+        tot = C[0] + C[2]
+        out = np.zeros_like(tot)
+        np.divide(nsample, tot, out=out, where=tot != 0)
+        return out
+
+
+# Import the concrete container zoo into this namespace so that
+# ``draco_tpu.core.containers`` exposes the full class inventory, mirroring
+# the reference's single-module layout (reference draco/core/containers.py).
+from .containers_spec import *  # noqa: E402,F401,F403
+from .containers_spec import __all__ as _spec_all  # noqa: E402
+
+__all__ = [
+    "ContainerBase",
+    "Dataset",
+    "TODContainer",
+    "FreqContainer",
+    "SiderealContainer",
+    "MContainer",
+    "DataWeightContainer",
+    "VisBase",
+    "VisContainer",
+    "SampleVarianceContainer",
+    "empty_like",
+    "copy_datasets_filter",
+    "COMPRESSION",
+    "COMPRESSION_OPTS",
+    *_spec_all,
+]

@@ -1,0 +1,410 @@
+"""IO tasks: loading maps, catalogs, telescope products, generic containers.
+
+Re-provides reference ``draco/core/io.py`` (LoadMaps:10, LoadFITSCatalog:76,
+LoadBeamTransfer:175, LoadProductManager:215, get_telescope:251,
+get_beamtransfer:265) plus the ``caput.pipeline.tasklib.io`` helpers draco
+relies on (``list_of_filegroups``, ``list_or_glob``, ``LoadFilesFromParams``,
+``SelectionsMixin`` — reference test/test_io.py:48-75) and the
+``tasklib.debug`` provenance tasks (``SaveModuleVersions``, ``SaveConfig`` —
+reference test/test_write_metadata.py:49-52).
+"""
+
+from __future__ import annotations
+
+import glob as glob_mod
+import os
+
+import numpy as np
+
+from . import config
+from .containers import ContainerBase, Map, SpectroscopicCatalog
+from .task import ContainerTask, MPILoggedTask, PipelineStopIteration
+
+# 21cm line rest frequency in MHz (caput.astro.constants.nu21 equivalent).
+NU21 = 1420.405751768
+
+
+# ---------------------------------------------------------------------------
+# File group config helpers (caput tasklib.io equivalents)
+# ---------------------------------------------------------------------------
+
+
+def list_or_glob(files):
+    """Expand a string glob or list of globs into a flat file list."""
+    if files is None:
+        return None
+    if isinstance(files, str):
+        matches = sorted(glob_mod.glob(files))
+        return matches if matches else [files]
+    if isinstance(files, (list, tuple)):
+        out = []
+        for f in files:
+            out.extend(list_or_glob(f))
+        return out
+    raise config.ConfigError(f"Cannot interpret file list {files!r}")
+
+
+def list_of_filelists(files):
+    """A list of lists of files (glob-expanded)."""
+    if not isinstance(files, (list, tuple)):
+        raise config.ConfigError("Expected a list of file lists")
+    return [list_or_glob(f) for f in files]
+
+
+def list_of_filegroups(groups):
+    """Normalise a file-group config into [{'tag':..., 'files': [...]}, ...].
+
+    A file group is a dict with ``files`` (glob or list) and optional
+    ``tag``; a bare string/list is promoted into a single anonymous group
+    (reference caput usage in draco/core/io.py:23).
+    """
+    if isinstance(groups, dict):
+        groups = [groups]
+    if isinstance(groups, str):
+        groups = [{"files": groups}]
+    if not isinstance(groups, (list, tuple)):
+        raise config.ConfigError(f"Cannot interpret file groups {groups!r}")
+    out = []
+    for gi, group in enumerate(groups):
+        if isinstance(group, str):
+            group = {"files": group}
+        if "files" not in group:
+            raise config.ConfigError(f"File group {group!r} has no 'files'")
+        files = list_or_glob(group["files"])
+        tag = group.get("tag", f"group_{gi}")
+        out.append({"tag": tag, "files": files})
+    return out
+
+
+class SelectionsMixin:
+    """Mixin adding axis-selection config for file loading tasks.
+
+    Selections are given as ``<axis>_range: [start, stop, (step)]`` or
+    ``<axis>_index: [...]`` entries in the ``selections`` dict param
+    (reference caput tasklib.io.SelectionsMixin; usage in
+    draco/analysis/transform.py:1848).
+    """
+
+    selections = config.Property(proptype=dict, default=None)
+
+    def _resolve_sel(self) -> dict:
+        sel = {}
+        if not self.selections:
+            return sel
+        for key, value in self.selections.items():
+            if key.endswith("_range"):
+                axis = key[: -len("_range")]
+                sel[axis] = slice(*value)
+            elif key.endswith("_index"):
+                axis = key[: -len("_index")]
+                sel[axis] = np.asarray(value)
+            else:
+                raise config.ConfigError(f"Unknown selection key {key!r}")
+        return sel
+
+
+# ---------------------------------------------------------------------------
+# Generic container loading
+# ---------------------------------------------------------------------------
+
+
+class LoadFilesFromParams(SelectionsMixin, ContainerTask):
+    """Load containers from a list of files given in the task params.
+
+    (caput tasklib.io.LoadFilesFromParams; reference usage in
+    examples/test.yaml:9-12)
+    """
+
+    files = config.Property(proptype=list_or_glob)
+    distributed = config.Property(proptype=bool, default=True)
+
+    def process(self):
+        if not self.files:
+            raise PipelineStopIteration()
+        fname = self.files.pop(0)
+        self.log.info("Loading file %s", fname)
+        cont = ContainerBase.from_file(
+            fname, distributed=self.distributed, sel=self._resolve_sel()
+        )
+        cont.attrs.setdefault(
+            "tag", os.path.splitext(os.path.basename(fname))[0]
+        )
+        return cont
+
+
+# Reference-compat alias
+LoadBasicCont = LoadFilesFromParams
+
+
+class Save(ContainerTask):
+    """Explicitly save the incoming container to disk and pass it through."""
+
+    root = config.Property(proptype=str, default="")
+
+    def process(self, data):
+        tag = data.attrs.get("tag", self._count)
+        fname = f"{self.root}{tag}.h5"
+        self.log.info("Saving %s", fname)
+        data.save(fname)
+        return data
+
+
+class Print(ContainerTask):
+    """Print incoming containers (debug task)."""
+
+    def process(self, data):
+        print(data)
+        return data
+
+
+class PassOn(ContainerTask):
+    """Pass the input on unchanged (useful for fan-out wiring)."""
+
+    def process(self, data):
+        return data
+
+
+# ---------------------------------------------------------------------------
+# Map / catalog loading (reference draco/core/io.py:10-172)
+# ---------------------------------------------------------------------------
+
+
+class LoadMaps(ContainerTask):
+    """Load a series of HEALPix maps, summing maps within each file group.
+
+    (reference draco/core/io.py:10-73)
+    """
+
+    maps = config.Property(proptype=list_of_filegroups)
+
+    def process(self):
+        if not self.maps:
+            raise PipelineStopIteration()
+        group = self.maps.pop(0)
+        map_stack = None
+        for mfile in group["files"]:
+            self.log.debug("Loading file %s", mfile)
+            current = Map.from_file(mfile)
+            if map_stack is None:
+                map_stack = current
+            else:
+                if not np.array_equal(current.freq, map_stack.freq):
+                    raise RuntimeError("Maps do not have consistent frequencies.")
+                if len(current.index_map["pol"]) != len(map_stack.index_map["pol"]):
+                    raise RuntimeError("Maps do not have the same polarisations.")
+                if len(current.index_map["pixel"]) != len(
+                    map_stack.index_map["pixel"]
+                ):
+                    raise RuntimeError("Maps do not have the same pixelisation.")
+                map_stack.map[:] = (
+                    np.asarray(map_stack.map[:]) + np.asarray(current.map[:])
+                )
+        map_stack.attrs["tag"] = group["tag"]
+        return map_stack
+
+
+class LoadFITSCatalog(ContainerTask):
+    """Load an SDSS-style FITS source catalog (reference draco/core/io.py:76).
+
+    Requires a FITS reader; since astropy is not a framework dependency the
+    task also accepts ``.h5``/``.npy`` catalogs with RA/DEC/Z columns.
+    """
+
+    catalogs = config.Property(proptype=list_of_filegroups)
+    z_range = config.list_type(type_=float, length=2, default=None)
+    freq_range = config.list_type(type_=float, length=2, default=None)
+
+    def process(self):
+        if not self.catalogs:
+            raise PipelineStopIteration()
+        group = self.catalogs.pop(0)
+
+        if self.freq_range:
+            zl = NU21 / self.freq_range[1] - 1
+            zh = NU21 / self.freq_range[0] - 1
+            self.z_range = [zl, zh]
+        if self.z_range:
+            zl, zh = self.z_range
+            self.log.info("Applying redshift selection %.2f <= z <= %.2f", zl, zh)
+
+        stack = []
+        for cfile in group["files"]:
+            self.log.debug("Loading file %s", cfile)
+            pos = self._read_catalog(cfile)
+            if self.z_range:
+                zsel = (pos[2] >= self.z_range[0]) & (pos[2] <= self.z_range[1])
+                pos = pos[:, zsel]
+            stack.append(pos)
+        cat_array = np.ascontiguousarray(
+            np.concatenate(stack, axis=-1).astype(np.float64)
+        )
+        num_objects = cat_array.shape[-1]
+        self.log.debug("Constructing catalog with %i objects.", num_objects)
+
+        catalog = SpectroscopicCatalog(object_id=np.arange(num_objects))
+        catalog["position"][:]["ra"] = cat_array[0]
+        catalog["position"][:]["dec"] = cat_array[1]
+        catalog["redshift"][:]["z"] = cat_array[2]
+        catalog["redshift"][:]["z_error"] = 0
+        catalog.attrs["tag"] = group["tag"]
+        return catalog
+
+    @staticmethod
+    def _read_catalog(cfile: str) -> np.ndarray:
+        if cfile.endswith((".fits", ".fits.gz")):
+            try:
+                from astropy.io import fits
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError(
+                    "astropy is required to read FITS catalogs"
+                ) from e
+            with fits.open(cfile, mode="readonly") as cat:
+                return np.array(
+                    [cat[1].data[col] for col in ["RA", "DEC", "Z"]]
+                )
+        if cfile.endswith(".npy"):
+            return np.load(cfile)
+        if cfile.endswith((".h5", ".hdf5")):
+            import h5py
+
+            with h5py.File(cfile, "r") as f:
+                return np.array([f["RA"][:], f["DEC"][:], f["Z"][:]])
+        raise RuntimeError(f"Unknown catalog format: {cfile}")
+
+
+# ---------------------------------------------------------------------------
+# Telescope products (reference draco/core/io.py:175-276)
+# ---------------------------------------------------------------------------
+
+
+class LoadBeamTransfer(MPILoggedTask):
+    """Load a beam transfer manager from disk (reference draco/core/io.py:175)."""
+
+    product_directory = config.Property(proptype=str)
+
+    def setup(self):
+        from ..telescope import beamtransfer
+
+        if not os.path.exists(self.product_directory):
+            raise RuntimeError("BeamTransfers do not exist.")
+        bt = beamtransfer.BeamTransfer(self.product_directory)
+        tel = bt.telescope
+        feeds = getattr(tel, "feeds", None)
+        if feeds is not None:
+            return tel, bt, feeds
+        return tel, bt
+
+    def process(self):
+        raise PipelineStopIteration()
+
+
+class LoadProductManager(MPILoggedTask):
+    """Load a telescope product manager from disk (reference draco/core/io.py:215)."""
+
+    product_directory = config.Property(proptype=str)
+
+    def setup(self):
+        from ..telescope import manager
+
+        if not os.path.exists(self.product_directory):
+            raise RuntimeError("Products do not exist.")
+        return manager.ProductManager.from_config(self.product_directory)
+
+    def process(self):
+        raise PipelineStopIteration()
+
+
+def get_beamtransfer(obj):
+    """Coerce a BeamTransfer or ProductManager into a BeamTransfer.
+
+    (reference draco/core/io.py:265)
+    """
+    from ..telescope.beamtransfer import BeamTransfer
+    from ..telescope.manager import ProductManager
+
+    if isinstance(obj, BeamTransfer):
+        return obj
+    if isinstance(obj, ProductManager):
+        return obj.beamtransfer
+    raise RuntimeError(f"Could not get BeamTransfer instance out of {obj!r}")
+
+
+def get_telescope(obj):
+    """Coerce a ProductManager/BeamTransfer/TransitTelescope into a telescope.
+
+    (reference draco/core/io.py:251)
+    """
+    from ..telescope.core import TransitTelescope
+
+    try:
+        return get_beamtransfer(obj).telescope
+    except RuntimeError:
+        if isinstance(obj, TransitTelescope):
+            return obj
+    raise RuntimeError(f"Could not get telescope instance out of {obj!r}")
+
+
+# Types accepted where a telescope/beamtransfer is required
+TelescopeConvertible = object
+BeamTransferConvertible = object
+
+
+# ---------------------------------------------------------------------------
+# Provenance debug tasks (caput tasklib.debug equivalents)
+# ---------------------------------------------------------------------------
+
+
+class SaveModuleVersions(ContainerTask):
+    """Write a YAML dump of module versions (caput tasklib.debug equivalent).
+
+    (reference test/test_write_metadata.py:49)
+    """
+
+    root = config.Property(proptype=str, default="versions")
+
+    done = False
+
+    def process(self):
+        if self.done:
+            raise PipelineStopIteration()
+        import yaml
+
+        versions = self._manager.versions if self._manager else {}
+        fname = f"{self.root}_versions.yml"
+        with open(fname, "w") as f:
+            yaml.safe_dump(versions, f)
+        self.done = True
+        raise PipelineStopIteration()
+
+
+class SaveConfig(ContainerTask):
+    """Write a YAML dump of the pipeline config (caput tasklib.debug equivalent).
+
+    (reference test/test_write_metadata.py:52)
+    """
+
+    root = config.Property(proptype=str, default="config")
+
+    done = False
+
+    def process(self):
+        if self.done:
+            raise PipelineStopIteration()
+        fname = f"{self.root}_config.yml"
+        with open(fname, "w") as f:
+            f.write(self._manager.config_yaml if self._manager else "")
+        self.done = True
+        raise PipelineStopIteration()
+
+
+class SetMPILogging(MPILoggedTask):
+    """Configure global logging levels (historical reference task name)."""
+
+    level_rank0 = config.Property(proptype=str, default="INFO")
+    level_all = config.Property(proptype=str, default="WARNING")
+
+    def __init__(self):
+        super().__init__()
+        import logging
+
+        logging.getLogger().setLevel(self.level_rank0.upper())

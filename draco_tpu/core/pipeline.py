@@ -1,0 +1,364 @@
+"""YAML-driven pipeline manager.
+
+Native replacement for ``caput.pipeline.Manager`` (reference usage:
+``caput-pipeline run config.yaml``, reference doc/tutorial.rst:166-168 and
+test/test_write_metadata.py:27-28).  The YAML schema is preserved:
+
+.. code-block:: yaml
+
+    pipeline:
+      tasks:
+        - type: draco_tpu.synthesis.stream.SimulateSidereal
+          requires: beamtransfer
+          out: sstream
+          params: {...}
+        - type: draco_tpu.analysis.transform.MModeTransform
+          in: sstream
+          out: mmodes
+
+``requires`` wires one-shot setup inputs, ``in``/``out`` wire per-cycle
+dataflow by label, ``params`` bind onto the task's config Properties
+(reference doc/tutorial.rst:108-145).  Scheduling is the same round-robin
+task cycling with :class:`PipelineStopIteration` retiring tasks.
+"""
+
+from __future__ import annotations
+
+import importlib
+import logging
+from collections import deque
+from typing import Any
+
+import yaml
+
+from . import config as config_mod
+from .task import (
+    ContainerTask,
+    MPILoggedTask,
+    PipelineRuntimeError,
+    PipelineStopIteration,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def _as_list(val) -> list:
+    if val is None:
+        return []
+    if isinstance(val, (list, tuple)):
+        return list(val)
+    return [val]
+
+
+def _resolve_task_class(path: str):
+    """Import a task class from its dotted path.
+
+    Also translates reference-style ``draco.*`` paths onto ``draco_tpu.*``
+    so existing configs run unmodified.
+    """
+    candidates = [path]
+    if path.startswith("draco."):
+        candidates.append("draco_tpu." + path[len("draco.") :])
+    err = None
+    for cand in candidates:
+        mod_name, _, cls_name = cand.rpartition(".")
+        try:
+            mod = importlib.import_module(mod_name)
+            return getattr(mod, cls_name)
+        except (ImportError, AttributeError) as e:
+            err = e
+    raise PipelineRuntimeError(f"Cannot import task {path!r}: {err}")
+
+
+class _TaskRunner:
+    """Book-keeping wrapper around one task instance in the pipeline."""
+
+    def __init__(self, spec: dict, index: int):
+        self.spec = spec
+        self.index = index
+        self.type_path = spec["type"]
+        self.cls = _resolve_task_class(self.type_path)
+        self.requires = _as_list(spec.get("requires"))
+        self.in_labels = _as_list(spec.get("in"))
+        self.out_labels = _as_list(spec.get("out"))
+        self.params = spec.get("params") or {}
+
+        self.task = self.cls()
+        self.task.read_config(self.params)
+
+        self.queues: list[deque] = [deque() for _ in self.in_labels]
+        self.requires_values: list[Any] = [None] * len(self.requires)
+        self.requires_filled: list[bool] = [False] * len(self.requires)
+        self.setup_done = False
+        self.done = False
+        self.finished = False
+
+    @property
+    def name(self) -> str:
+        return f"{self.type_path}[{self.index}]"
+
+    def ready_for_setup(self) -> bool:
+        return not self.setup_done and all(self.requires_filled)
+
+    def can_process(self) -> bool:
+        return self.setup_done and all(len(q) > 0 for q in self.queues)
+
+    def is_source(self) -> bool:
+        return len(self.in_labels) == 0
+
+
+class Manager(config_mod.Reader):
+    """Round-robin task scheduler driven by a YAML config."""
+
+    def __init__(self, config_dict: dict, config_yaml: str | None = None):
+        self.config_dict = config_dict
+        self.config_yaml = (
+            config_yaml
+            if config_yaml is not None
+            else yaml.safe_dump(config_dict, sort_keys=False)
+        )
+        pipeline_cfg = config_dict.get("pipeline")
+        if pipeline_cfg is None:
+            raise config_mod.ConfigError("Config has no 'pipeline' section")
+        task_specs = pipeline_cfg.get("tasks")
+        if not task_specs:
+            raise config_mod.ConfigError("Pipeline has no tasks")
+        self.task_specs = task_specs
+        self.versions = self._collect_versions(
+            pipeline_cfg.get("save_versions", [])
+        )
+        self._configure_logging(pipeline_cfg.get("logging"))
+        self.products: dict[str, list] = {}
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def from_yaml_str(cls, yaml_str: str) -> "Manager":
+        return cls(yaml.safe_load(yaml_str), config_yaml=yaml_str)
+
+    @classmethod
+    def from_yaml_file(cls, path: str) -> "Manager":
+        with open(path) as f:
+            text = f.read()
+        return cls(yaml.safe_load(text), config_yaml=text)
+
+    # -- helpers ---------------------------------------------------------------
+    @staticmethod
+    def _collect_versions(modules) -> dict[str, str]:
+        versions = {}
+        for mod_name in _as_list(modules):
+            try:
+                mod = importlib.import_module(mod_name)
+                versions[mod_name] = getattr(mod, "__version__", "unknown")
+            except ImportError:
+                versions[mod_name] = "unavailable"
+        return versions
+
+    @staticmethod
+    def _configure_logging(log_cfg):
+        if log_cfg is None:
+            return
+        if isinstance(log_cfg, str):
+            log_cfg = {"root": log_cfg}
+        root = log_cfg.get("root")
+        if root:
+            logging.basicConfig(level=root.upper())
+        for name, level in log_cfg.items():
+            if name != "root":
+                logging.getLogger(name).setLevel(level.upper())
+
+    # -- validation ------------------------------------------------------------
+    def lint(self) -> list[str]:
+        """Statically validate the pipeline config; returns problem list.
+
+        The equivalent of ``caput-pipeline lint`` (reference CI,
+        .github/workflows/main.yaml:90-92).
+        """
+        problems = []
+        produced = set()
+        for i, spec in enumerate(self.task_specs):
+            if "type" not in spec:
+                problems.append(f"task #{i} has no 'type'")
+                continue
+            try:
+                runner = _TaskRunner(spec, i)
+            except (PipelineRuntimeError, config_mod.ConfigError) as e:
+                problems.append(str(e))
+                continue
+            try:
+                runner.task.read_config(runner.params, compare_keys=True)
+            except config_mod.ConfigError as e:
+                problems.append(f"{runner.name}: {e}")
+            produced.update(runner.out_labels)
+        for i, spec in enumerate(self.task_specs):
+            for label in _as_list(spec.get("requires")) + _as_list(spec.get("in")):
+                if label not in produced:
+                    problems.append(
+                        f"task #{i} consumes label {label!r} which no task produces"
+                    )
+        return problems
+
+    # -- execution ---------------------------------------------------------------
+    def run(self) -> dict[str, list]:
+        """Execute the pipeline; returns the products routed by label."""
+        runners = [_TaskRunner(spec, i) for i, spec in enumerate(self.task_specs)]
+
+        # index consumers by label
+        consumers_req: dict[str, list[tuple[_TaskRunner, int]]] = {}
+        consumers_in: dict[str, list[tuple[_TaskRunner, int]]] = {}
+        for r in runners:
+            for j, label in enumerate(r.requires):
+                consumers_req.setdefault(label, []).append((r, j))
+            for j, label in enumerate(r.in_labels):
+                consumers_in.setdefault(label, []).append((r, j))
+            if isinstance(r.task, (ContainerTask, MPILoggedTask)):
+                r.task._manager = self
+
+        producers: dict[str, list[_TaskRunner]] = {}
+        for r in runners:
+            for label in r.out_labels:
+                producers.setdefault(label, []).append(r)
+
+        def route(runner: _TaskRunner, output):
+            if output is None:
+                return
+            outs = (
+                output
+                if isinstance(output, tuple) and len(runner.out_labels) > 1
+                else (output,)
+            )
+            if len(runner.out_labels) not in (0, len(outs)):
+                raise PipelineRuntimeError(
+                    f"{runner.name} produced {len(outs)} outputs for "
+                    f"{len(runner.out_labels)} labels"
+                )
+            for label, out in zip(runner.out_labels, outs):
+                self.products.setdefault(label, []).append(out)
+                for cons, j in consumers_req.get(label, []):
+                    if not cons.requires_filled[j]:
+                        cons.requires_values[j] = out
+                        cons.requires_filled[j] = True
+                for cons, j in consumers_in.get(label, []):
+                    cons.queues[j].append(out)
+
+        def upstream_done(runner: _TaskRunner) -> bool:
+            for label in runner.in_labels:
+                for p in producers.get(label, []):
+                    if not p.finished:
+                        return False
+            return True
+
+        def retire(runner: _TaskRunner):
+            if runner.finished:
+                return
+            runner.done = True
+            try:
+                out = runner.task.finish()
+                route(runner, out)
+            finally:
+                runner.finished = True
+
+        # Main round-robin loop
+        while not all(r.finished for r in runners):
+            progress = False
+            for r in runners:
+                if r.finished:
+                    continue
+                # Setup when requires are satisfied.  A non-None setup
+                # return is routed to the out labels (the LoadBeamTransfer
+                # convention: `out: [tel, bt]` wired from setup,
+                # reference test/pipe_config.yaml:16-19).
+                if r.ready_for_setup():
+                    setup_ret = r.task.setup(*r.requires_values)
+                    r.setup_done = True
+                    if setup_ret is not None:
+                        route(r, setup_ret)
+                    progress = True
+                if not r.setup_done:
+                    # Sources with unmet requires wait; but if their
+                    # producers are all finished and still unfilled -> error
+                    unmet = [
+                        lab
+                        for j, lab in enumerate(r.requires)
+                        if not r.requires_filled[j]
+                    ]
+                    if unmet and all(
+                        p.finished
+                        for lab in unmet
+                        for p in producers.get(lab, [])
+                    ):
+                        raise PipelineRuntimeError(
+                            f"{r.name}: requires {unmet} never produced"
+                        )
+                    continue
+                # Process
+                if r.is_source():
+                    try:
+                        out = r.task.next()
+                        route(r, out)
+                        progress = True
+                    except PipelineStopIteration:
+                        retire(r)
+                        progress = True
+                else:
+                    while r.can_process():
+                        items = [q.popleft() for q in r.queues]
+                        try:
+                            out = r.task.next(*items)
+                            route(r, out)
+                            progress = True
+                        except PipelineStopIteration:
+                            retire(r)
+                            progress = True
+                            break
+                    if (
+                        not r.finished
+                        and upstream_done(r)
+                        and not r.can_process()
+                    ):
+                        retire(r)
+                        progress = True
+            if not progress:
+                stuck = [r.name for r in runners if not r.finished]
+                raise PipelineRuntimeError(
+                    f"Pipeline deadlocked; unfinished tasks: {stuck}"
+                )
+        return self.products
+
+
+def run(config_path: str) -> dict[str, list]:
+    """Run a pipeline YAML file (CLI entry: ``draco-tpu run``)."""
+    return Manager.from_yaml_file(config_path).run()
+
+
+def lint(config_path: str) -> list[str]:
+    """Lint a pipeline YAML file (CLI entry: ``draco-tpu lint``)."""
+    return Manager.from_yaml_file(config_path).lint()
+
+
+def main(argv=None):
+    """Command line interface: ``draco-tpu {run,lint} config.yaml``."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="draco-tpu", description="Run or lint a draco-tpu pipeline config"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+    p_run = sub.add_parser("run", help="run a pipeline config")
+    p_run.add_argument("configfile")
+    p_lint = sub.add_parser("lint", help="validate a pipeline config")
+    p_lint.add_argument("configfile", nargs="+")
+    args = parser.parse_args(argv)
+
+    if args.command == "run":
+        run(args.configfile)
+        return 0
+    problems = []
+    for f in args.configfile:
+        problems.extend(lint(f))
+    for p in problems:
+        print(f"LINT: {p}")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

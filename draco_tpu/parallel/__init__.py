@@ -1,0 +1,19 @@
+"""Parallelism layer: device mesh, named-axis sharding, collectives.
+
+Replaces the reference stack's MPI backbone (caput.mpiarray.MPIArray and
+mpi4py collectives; see SURVEY.md section 2.5) with a JAX device mesh.  A
+container dataset's ``distributed_axis`` maps onto the mesh axis, and
+``redistribute`` is a resharding ``device_put`` (an ICI all-to-all under
+XLA) instead of an MPI all-to-all.
+"""
+
+from .mesh import (  # noqa: F401
+    SHARD_AXIS,
+    get_mesh,
+    make_mesh,
+    set_mesh,
+    sharding_for_axis,
+    shard_array,
+    unshard,
+    use_mesh,
+)

@@ -1,0 +1,42 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with x64 enabled.
+
+Mirrors the reference's CI strategy of testing distributed behaviour on one
+node (reference .github/workflows/main.yaml:84-87, `mpirun -np 4`): here the
+"ranks" are 8 virtual XLA CPU devices and distribution is NamedSharding.
+"""
+
+import os
+
+# Force the CPU platform: the session environment pins JAX_PLATFORMS to the
+# real TPU tunnel, which must not be touched by unit tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# jax may already be imported by the interpreter's sitecustomize (which
+# registers the real-TPU PJRT plugin), so the env var alone is latched too
+# late — force the platform through the config as well.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def mesh8():
+    """An installed 8-device mesh for sharding tests."""
+    from draco_tpu.parallel import make_mesh, use_mesh
+
+    with use_mesh(make_mesh()) as m:
+        yield m
+
+
+@pytest.fixture
+def rng():
+    return np.random.Generator(np.random.SFC64(1234))

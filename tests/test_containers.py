@@ -1,0 +1,232 @@
+"""Container semantics tests.
+
+Modelled on the reference's container tests (reference
+test/test_containers.py): axes_from/attrs_from copying, shared-dataset copy,
+redistribute invariants, dataset selection on copy, HDF5 round trips.
+"""
+
+import numpy as np
+import pytest
+
+from draco_tpu.core import containers
+
+
+def make_stream(nfreq=4, nfeed=4, nra=16):
+    freq = np.linspace(800.0, 750.0, nfreq)
+    ss = containers.SiderealStream(freq=freq, input=nfeed, ra=nra)
+    nstack = len(ss.index_map["stack"])
+    ss.vis[:] = np.arange(nfreq * nstack * nra, dtype=np.float32).reshape(
+        nfreq, nstack, nra
+    )
+    ss.weight[:] = 1.0
+    return ss
+
+
+def test_basic_shapes():
+    ss = make_stream()
+    nprod = 4 * 5 // 2
+    assert ss.vis.shape == (4, nprod, 16)
+    assert ss.weight.shape == (4, nprod, 16)
+    assert ss.vis.dtype == np.complex64
+    assert ss.weight.dtype == np.float32
+    assert list(ss.vis.axes) == ["freq", "stack", "ra"]
+    assert len(ss.input) == 4
+    assert not ss.is_stacked
+
+
+def test_axes_from_and_attrs_from():
+    ss = make_stream()
+    ss.attrs["tag"] = "orig"
+    new = containers.SiderealStream(axes_from=ss, attrs_from=ss)
+    assert np.array_equal(new.freq, ss.freq)
+    assert np.array_equal(new.ra, ss.ra)
+    assert new.attrs["tag"] == "orig"
+    assert new.vis.shape == ss.vis.shape
+
+
+def test_copy_shared_and_deep():
+    ss = make_stream()
+    c1 = ss.copy()
+    c1.vis[:] = 0.0
+    assert not np.allclose(np.asarray(ss.vis[:]), 0.0)
+    c2 = ss.copy(shared=("vis",))
+    assert c2.vis.shape == ss.vis.shape
+
+
+def test_mmodes_basic():
+    mm = containers.MModes(mmax=8, freq=np.array([400.0, 500.0]), input=3, oddra=True)
+    assert mm.mmax == 8
+    assert mm.oddra
+    assert mm.vis.shape == (9, 2, 2, 6)
+    assert mm.vis.dtype == np.complex128
+
+
+def test_map_container():
+    m = containers.Map(nside=8, polarisation=True, freq=np.array([400.0]))
+    assert m.map.shape == (1, 4, 12 * 64)
+    assert m.nside == 8
+    m2 = containers.Map(nside=8, polarisation=False, freq=np.array([400.0]))
+    assert m2.map.shape == (1, 1, 12 * 64)
+
+
+def test_stack_none_builds_identity():
+    ss = make_stream()
+    prod = np.array([[0, 1], [0, 2]])
+    new = containers.SiderealStream(prod=prod, stack=None, axes_from=ss)
+    assert len(new.index_map["stack"]) == 2
+    assert np.array_equal(new.index_map["stack"]["prod"], [0, 1])
+    assert np.array_equal(new.reverse_map["stack"]["stack"], [0, 1])
+
+
+def test_hdf5_roundtrip(tmp_path):
+    ss = make_stream()
+    ss.attrs["tag"] = "round"
+    ss.history["config"] = "yaml: true"
+    path = str(tmp_path / "ss.h5")
+    ss.save(path)
+
+    loaded = containers.ContainerBase.from_file(path)
+    assert isinstance(loaded, containers.SiderealStream)
+    assert np.allclose(np.asarray(loaded.vis[:]), np.asarray(ss.vis[:]))
+    assert loaded.attrs["tag"] == "round"
+    assert loaded.history["config"] == "yaml: true"
+    assert np.array_equal(loaded.freq, ss.freq)
+
+
+def test_hdf5_selection(tmp_path):
+    """Partial reads, mirroring reference test_selections.py."""
+    ss = make_stream(nfreq=6)
+    path = str(tmp_path / "sel.h5")
+    ss.save(path)
+    sel = {"freq": slice(1, 4)}
+    loaded = containers.ContainerBase.from_file(path, sel=sel)
+    assert loaded.vis.shape[0] == 3
+    assert np.allclose(
+        np.asarray(loaded.vis[:]), np.asarray(ss.vis[:])[1:4]
+    )
+    assert np.array_equal(loaded.freq, ss.freq[1:4])
+
+
+def test_redistribute_on_mesh(mesh8):
+    import jax
+
+    ss = make_stream(nfreq=8, nfeed=4, nra=16)
+    ss.to_device()
+    ss.redistribute("freq")
+    vis = ss.vis[:]
+    assert isinstance(vis, jax.Array)
+    # freq axis sharded over the 8 devices
+    assert vis.sharding.spec[0] is not None
+    ss.redistribute("ra")
+    assert ss.vis[:].sharding.spec[2] is not None
+    assert ss.vis[:].sharding.spec[0] is None
+    # Data unchanged by redistribution
+    assert np.allclose(
+        np.asarray(ss.vis[:]).real,
+        np.arange(8 * 10 * 16, dtype=np.float32).reshape(8, 10, 16),
+    )
+
+
+def test_copy_datasets_filter():
+    ss = make_stream(nfreq=6)
+    dest = containers.SiderealStream(
+        freq=ss.freq[2:5], input=4, ra=16
+    )
+    containers.copy_datasets_filter(
+        ss, dest, selection={"freq": slice(2, 5)}
+    )
+    assert np.allclose(
+        np.asarray(dest.vis[:]), np.asarray(ss.vis[:])[2:5]
+    )
+
+
+def test_container_zoo_instantiable():
+    """Every container in the inventory can be constructed with dummy axes."""
+    freq = np.array([400.0, 500.0])
+    n = 4
+    cases = [
+        (containers.TimeStream, {"freq": freq, "input": 3, "time": np.arange(n)}),
+        (containers.SystemSensitivity, {"freq": freq, "pol": np.array(["XX"]), "time": np.arange(n)}),
+        (containers.RFIMask, {"freq": freq, "time": np.arange(n)}),
+        (containers.RFIMaskByPol, {"freq": freq, "pol": np.array(["XX"]), "time": np.arange(n)}),
+        (containers.SiderealRFIMask, {"freq": freq, "ra": 8}),
+        (containers.BaselineMask, {"freq": freq, "stack": np.arange(3), "time": np.arange(n)}),
+        (containers.SVDModes, {"mmax": 4, "mode": np.arange(6)}),
+        (containers.KLModes, {"mmax": 4, "mode": np.arange(6)}),
+        (containers.VisGridStream, {"freq": freq, "pol": np.array(["XX"]), "ew": np.arange(2), "ns": np.arange(3), "ra": 8}),
+        (containers.HybridVisStream, {"freq": freq, "pol": np.array(["XX"]), "ew": np.arange(2), "el": np.arange(3), "ra": 8}),
+        (containers.HybridVisMModes, {"mmax": 3, "freq": freq, "pol": np.array(["XX"]), "ew": np.arange(2), "el": np.arange(3)}),
+        (containers.RingMap, {"freq": freq, "beam": np.arange(1), "pol": np.array(["XX"]), "ra": 8, "el": np.arange(3)}),
+        (containers.RingMapMask, {"freq": freq, "pol": np.array(["XX"]), "ra": 8, "el": np.arange(3)}),
+        (containers.GainData, {"freq": freq, "input": 3, "time": np.arange(n)}),
+        (containers.SiderealGainData, {"freq": freq, "input": 3, "ra": 8}),
+        (containers.StaticGainData, {"freq": freq, "input": 3}),
+        (containers.CommonModeGainData, {"freq": freq, "time": np.arange(n)}),
+        (containers.DelaySpectrum, {"baseline": np.arange(3), "delay": np.linspace(-1, 1, 5)}),
+        (containers.DelayTransform, {"baseline": np.arange(3), "sample": np.arange(2), "delay": np.linspace(-1, 1, 5)}),
+        (containers.DelayCutoff, {"pol": np.array(["XX"]), "el": np.arange(3)}),
+        (containers.FrequencyStack, {"freq": freq}),
+        (containers.FrequencyStackByPol, {"freq": freq, "pol": np.array(["XX"])}),
+        (containers.MockFrequencyStack, {"freq": freq, "mock": np.arange(2)}),
+        (containers.Stack3D, {"freq": freq, "pol": np.array(["XX"]), "delta_ra": np.arange(3), "delta_dec": np.arange(3)}),
+        (containers.SourceCatalog, {"object_id": np.arange(5)}),
+        (containers.SpectroscopicCatalog, {"object_id": np.arange(5)}),
+        (containers.FormedBeam, {"freq": freq, "object_id": np.arange(5), "pol": np.array(["XX"])}),
+        (containers.FormedBeamHA, {"freq": freq, "object_id": np.arange(5), "pol": np.array(["XX"]), "ha": np.arange(3)}),
+        (containers.FormedBeamMask, {"freq": freq, "object_id": np.arange(5), "pol": np.array(["XX"])}),
+        (containers.GridBeam, {"freq": freq, "pol": np.array(["XX"]), "input": 2, "theta": np.arange(3), "phi": np.arange(4)}),
+        (containers.HEALPixBeam, {"freq": freq, "pol": np.array(["XX"]), "input": 2, "nside": 4}),
+        (containers.TrackBeam, {"freq": freq, "pol": np.array(["XX"]), "input": 2, "theta": np.arange(3.0), "phi": np.arange(3.0)}),
+        (containers.Powerspectrum2D, {"kperp_edges": np.linspace(0, 1, 4), "kpar_edges": np.linspace(0, 1, 5)}),
+        (containers.SVDSpectrum, {"m": np.arange(4), "singularvalue": np.arange(3)}),
+        (containers.WaveletSpectrum, {"freq": freq, "baseline": np.arange(3), "delay": np.linspace(-1, 1, 5)}),
+        (containers.DelayCrossSpectrum, {"baseline": np.arange(3), "delay": np.linspace(-1, 1, 5), "dataset": np.arange(2)}),
+        (containers.LocalizedRFIMask, {"freq": freq, "el": np.arange(3), "time": np.arange(n)}),
+        (containers.LocalizedSiderealRFIMask, {"freq": freq, "ra": 8, "el": np.arange(3)}),
+        (containers.VisBandpassWindow, {"freq": freq, "pol": np.array(["XX"])}),
+        (containers.VisBandpassCompensate, {"freq": freq, "pol": np.array(["XX"])}),
+        (containers.HorizonLimit, {"azimuth": np.arange(8.0)}),
+        (containers.PowerSpectrum2D, {"pol": np.array(["XX"]), "delay": np.arange(3.0), "uv_dist": np.arange(4.0)}),
+        (containers.PowerSpectrum1D, {"pol": np.array(["XX"]), "k": np.arange(4.0)}),
+        (containers.SpatialDelayCube, {"pol": np.array(["XX"]), "delay": np.arange(3.0), "u": np.arange(4), "v": np.arange(4)}),
+        (containers.FreqNoiseModel, {"freq": freq, "pol": np.array(["XX"]), "ew": np.arange(2), "ns": np.arange(3), "ra": 8}),
+    ]
+    for cls, kwargs in cases:
+        cont = cls(**kwargs)
+        spec = cls.dataset_spec()
+        for name, dspec in spec.items():
+            if dspec.get("initialise"):
+                assert name in cont.datasets, f"{cls.__name__}.{name}"
+
+
+def test_dataset_setitem_jax():
+    import jax.numpy as jnp
+
+    ss = make_stream()
+    ss.to_device()
+    ss.vis[0, 0] = jnp.ones(16, dtype=jnp.complex64) * 5.0
+    assert np.allclose(np.asarray(ss.vis[0, 0]).real, 5.0)
+
+
+def test_freq_container_int_axis():
+    c = containers.Map(nside=4, polarisation=False, freq=4)
+    assert len(c.freq) == 4
+
+
+def test_empty_like():
+    ss = make_stream()
+    e = containers.empty_like(ss)
+    assert e.vis.shape == ss.vis.shape
+    assert np.allclose(np.asarray(e.vis[:]), 0)
+
+
+def test_hybrid_weight_exclusivity():
+    hv = containers.HybridVisStream(
+        freq=np.array([400.0]),
+        pol=np.array(["XX"]),
+        ew=np.arange(2),
+        el=np.arange(3),
+        ra=8,
+    )
+    with pytest.raises(RuntimeError):
+        hv.add_dataset("elevation_vis_weight")

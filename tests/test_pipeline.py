@@ -1,0 +1,177 @@
+"""Pipeline manager tests.
+
+Modelled on the reference's pipeline test (reference
+test/test_write_metadata.py): YAML-driven runs, requires/in/out wiring,
+PipelineStopIteration, process_finish, config provenance in saved output.
+"""
+
+import numpy as np
+
+import draco_tpu  # noqa: F401
+from draco_tpu.core import config, containers
+from draco_tpu.core.pipeline import Manager
+from draco_tpu.core.task import (
+    ContainerTask,
+    PipelineStopIteration,
+    RandomTask,
+    group_tasks,
+)
+
+
+class EmitNumbers(ContainerTask):
+    """Source task emitting a few small containers."""
+
+    n_emit = config.Property(proptype=int, default=3)
+
+    def process(self):
+        if self._count >= self.n_emit:
+            raise PipelineStopIteration()
+        c = containers.FrequencyStack(freq=np.array([400.0, 500.0]))
+        c.stack[:] = float(self._count)
+        c.attrs["tag"] = f"item{self._count}"
+        return c
+
+
+class AddOffset(ContainerTask):
+    offset = config.Property(proptype=float, default=0.0)
+
+    def setup(self, base):
+        self.base = np.asarray(base.stack[:]).copy()
+
+    def process(self, item):
+        out = item.copy()
+        out.stack[:] = np.asarray(item.stack[:]) + self.offset + self.base
+        return out
+
+
+class Accumulate(ContainerTask):
+    def __init__(self):
+        super().__init__()
+        self.total = 0.0
+        self.count = 0
+
+    def process(self, item):
+        self.total += float(np.asarray(item.stack[:])[0])
+        self.count += 1
+
+    def process_finish(self):
+        c = containers.FrequencyStack(freq=np.array([400.0, 500.0]))
+        c.stack[:] = self.total
+        c.attrs["tag"] = "sum"
+        return c
+
+
+def test_pipeline_run_wiring():
+    cfg = """
+pipeline:
+  tasks:
+    - type: tests.test_pipeline.EmitNumbers
+      out: nums
+      params:
+        n_emit: 4
+    - type: tests.test_pipeline.EmitNumbers
+      out: base
+      params:
+        n_emit: 1
+    - type: tests.test_pipeline.AddOffset
+      requires: base
+      in: nums
+      out: shifted
+      params:
+        offset: 10.0
+    - type: tests.test_pipeline.Accumulate
+      in: shifted
+      out: total
+"""
+    products = Manager.from_yaml_str(cfg).run()
+    assert len(products["nums"]) == 4
+    assert len(products["shifted"]) == 4
+    # base emits value 0; shifted values are 10,11,12,13 -> total 46
+    total = products["total"][0]
+    assert float(np.asarray(total.stack[:])[0]) == 46.0
+
+
+def test_pipeline_save_and_history(tmp_path):
+    cfg = f"""
+pipeline:
+  save_versions:
+    - numpy
+  tasks:
+    - type: tests.test_pipeline.EmitNumbers
+      out: nums
+      params:
+        n_emit: 1
+        save: true
+        output_name: "{tmp_path}/out_{{tag}}.h5"
+"""
+    Manager.from_yaml_str(cfg).run()
+    loaded = containers.ContainerBase.from_file(str(tmp_path / "out_item0.h5"))
+    # Config and versions are persisted in history
+    # (reference test_write_metadata.py:30-34)
+    assert "EmitNumbers" in loaded.history["config"]
+    assert "numpy" in loaded.history["versions"]
+
+
+def test_lint_catches_bad_labels_and_params():
+    cfg = """
+pipeline:
+  tasks:
+    - type: tests.test_pipeline.AddOffset
+      in: missing_label
+      params:
+        bogus_param: 1
+"""
+    problems = Manager.from_yaml_str(cfg).lint()
+    assert any("missing_label" in p for p in problems)
+    assert any("bogus_param" in p for p in problems)
+
+
+def test_draco_path_translation():
+    from draco_tpu.core.pipeline import _resolve_task_class
+
+    cls = _resolve_task_class("draco.core.io.LoadMaps")
+    assert cls.__name__ == "LoadMaps"
+
+
+class _Doubler(ContainerTask):
+    def process(self, item):
+        out = item.copy()
+        out.stack[:] = 2 * np.asarray(item.stack[:])
+        return out
+
+
+class _AddOne(ContainerTask):
+    def process(self, item):
+        out = item.copy()
+        out.stack[:] = np.asarray(item.stack[:]) + 1
+        return out
+
+
+def test_group_tasks_chains_process():
+    Chained = group_tasks(_Doubler, _AddOne)
+    t = Chained()
+    t.read_config({})
+    c = containers.FrequencyStack(freq=np.array([400.0]))
+    c.stack[:] = 3.0
+    out = t.process(c)
+    assert float(np.asarray(out.stack[:])[0]) == 7.0
+
+
+class _RandomUser(RandomTask, ContainerTask):
+    pass
+
+
+def test_random_task_reproducible():
+    t1 = _RandomUser()
+    t1.read_config({"seed": 42})
+    t2 = _RandomUser()
+    t2.read_config({"seed": 42})
+    a = t1.rng.standard_normal(5)
+    b = t2.rng.standard_normal(5)
+    assert np.allclose(a, b)
+    k1, k2 = t1.next_key(), t1.next_key()
+    import jax
+
+    assert not np.array_equal(
+        jax.random.key_data(k1), jax.random.key_data(k2)
+    )
