@@ -1,0 +1,365 @@
+"""Native spherical-harmonic transforms on HEALPix grids.
+
+Replaces ``cora.util.hputil.sphtrans_sky`` / ``sphtrans_inv_sky`` (healpy
+SHTs consumed at reference draco/synthesis/stream.py:85 and
+draco/analysis/mapmaker.py:112) with a TPU-first design:
+
+* per-ring Fourier analysis = batched FFTs over iso-latitude rings
+  (grouped by ring length, with m-aliasing for the short polar-cap rings),
+* the Legendre (theta) transform = an l-recurrence with libsharp-style
+  dynamic power-of-two rescaling (stable in float32 on TPU), producing
+  chunked Legendre tensors that contract against the data as batched MXU
+  matmuls.
+
+Conventions match healpy: fully-normalised spherical harmonics with the
+Condon-Shortley phase; for real fields only m >= 0 coefficients are stored
+(``alm[..., l, m]`` as a dense [lmax+1, mmax+1] array).  Analysis uses the
+equal-area quadrature weight 4*pi/npix with optional Jacobi iterations to
+sharpen the round trip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import healpix
+
+__all__ = ["SHT", "alm2map", "map2alm", "sphtrans_sky", "sphtrans_inv_sky"]
+
+# Power-of-two block for the dynamic rescaling of the Legendre recurrence.
+_SCALE_BITS = 60
+_LN2 = float(np.log(2.0))
+
+
+def _seed_log_coeff(mmax: int) -> np.ndarray:
+    """ln of the m-dependent part of Lambda_mm (host, float64).
+
+    Lambda_mm(theta) = (-1)^m * sqrt((2m+1)!!/(4 pi (2m)!!)) * sin^m(theta);
+    this returns C_m = 0.5*ln((2m+1)!!/(4 pi (2m)!!)).
+    """
+    m = np.arange(1, mmax + 1)
+    terms = np.log((2 * m + 1) / (2 * m))
+    return 0.5 * (np.concatenate([[0.0], np.cumsum(terms)]) - np.log(4 * np.pi))
+
+
+def _recurrence_tables(lmax: int, mmax: int):
+    """Upward l-recurrence coefficients a[l,m], b[l,m] (host, float64).
+
+    Lambda_{l,m} = a_{l,m} * cos(theta) * Lambda_{l-1,m} + b_{l,m} * Lambda_{l-2,m}
+    valid for l > m (with Lambda_{m-1,m} := 0).
+    """
+    l = np.arange(lmax + 1)[:, None].astype(np.float64)
+    m = np.arange(mmax + 1)[None, :].astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a = np.sqrt((4 * l**2 - 1) / (l**2 - m**2))
+        b = -np.sqrt(
+            ((2 * l + 1) * (l - 1 + m) * (l - 1 - m)) / ((2 * l - 3) * (l**2 - m**2))
+        )
+    bad = (l.astype(int) <= m.astype(int)) | ~np.isfinite(a)
+    a = np.where(bad, 0.0, a)
+    b = np.where(bad | ~np.isfinite(b), 0.0, b)
+    return a, b
+
+
+class SHT:
+    """Spherical harmonic transform operator for one (nside, lmax) pair.
+
+    Parameters
+    ----------
+    nside
+        HEALPix resolution of the maps.
+    lmax, mmax
+        Band limits (default lmax = 3*nside - 1, mmax = lmax).
+    chunk_m
+        How many m values to process per Legendre block; larger blocks use
+        more memory but bigger MXU matmuls.
+    """
+
+    def __init__(
+        self,
+        nside: int,
+        lmax: int | None = None,
+        mmax: int | None = None,
+        chunk_m: int = 64,
+    ):
+        self.nside = nside
+        self.lmax = int(lmax) if lmax is not None else 3 * nside - 1
+        self.mmax = int(mmax) if mmax is not None else self.lmax
+        if self.mmax > self.lmax:
+            raise ValueError("mmax cannot exceed lmax")
+        self.chunk_m = int(min(chunk_m, self.mmax + 1))
+        self.npix = healpix.npix_of(nside)
+        self.info = healpix.ring_info(nside)
+
+        info = self.info
+        self._theta = info.theta
+        self._x = np.cos(info.theta)
+        self._lnsin = np.log(np.sin(info.theta))
+        self._w = info.weight  # per-ring quadrature weight (4 pi / npix)
+        self._cm = _seed_log_coeff(self.mmax)
+        self._a_tab, self._b_tab = _recurrence_tables(self.lmax, self.mmax)
+
+        # Ring groups: equal-nphi cap pairs + the equatorial belt.
+        # Each entry: (nphi, [(ring_index, pixel_offset), ...]).
+        self._groups = self._build_groups()
+
+        self._m = np.arange(self.mmax + 1)
+        # Phase factors exp(-i m phi0_r) per ring  [nring, mmax+1]
+        self._phase = np.exp(
+            -1j * info.phi0[:, None] * self._m[None, :]
+        )
+
+        self._analysis_j = jax.jit(self._analysis_impl)
+        self._synthesis_j = jax.jit(self._synthesis_impl)
+
+    # ------------------------------------------------------------------
+    def _build_groups(self):
+        info = self.info
+        nside = self.nside
+        groups = []
+        # cap pairs (i = 1 .. nside-1): north ring i-1, south ring nring-i
+        for i in range(1, nside):
+            rn = i - 1
+            rs = info.nring - i
+            groups.append(
+                (int(info.nphi[rn]), [(rn, int(info.offset[rn])), (rs, int(info.offset[rs]))])
+            )
+        # belt: rings nside-1 .. 3*nside-1 (contiguous, same nphi)
+        belt_rings = list(range(nside - 1, 3 * nside))
+        groups.append(
+            (4 * nside, [(r, int(info.offset[r])) for r in belt_rings])
+        )
+        return groups
+
+    # ------------------------------------------------------------------
+    # Ring Fourier steps
+    # ------------------------------------------------------------------
+    def _ring_analysis(self, maps):
+        """Per-ring Fourier coefficients F[..., nring, mmax+1].
+
+        F_m(r) = sum_j map[r, j] * exp(-i m phi_rj), via native-length ring
+        FFTs and the aliasing F_m = fft_bin(m mod nphi) * exp(-i m phi0).
+        """
+        cdtype = jnp.result_type(maps.dtype, jnp.complex64)
+        parts = {}
+        for nphi, rings in self._groups:
+            segs = [
+                jax.lax.dynamic_slice_in_dim(maps, off, nphi, axis=-1)
+                for (_, off) in rings
+            ]
+            seg = jnp.stack(segs, axis=-2)  # [..., ngr, nphi]
+            fft = jnp.fft.fft(seg.astype(cdtype), axis=-1)
+            idx = self._m % nphi
+            fg = fft[..., idx]  # [..., ngr, mmax+1]
+            for k, (r, _) in enumerate(rings):
+                parts[r] = fg[..., k, :] * jnp.asarray(
+                    self._phase[r], dtype=cdtype
+                )
+        return jnp.stack([parts[r] for r in range(self.info.nring)], axis=-2)
+
+    def _ring_synthesis(self, G):
+        """Real maps from per-ring Fourier coefficients G[..., nring, m].
+
+        f(r, j) = Re sum_{m=-mmax}^{mmax} G_m(r) e^{i m phi_rj} with
+        G_{-m} = conj(G_m) (real field).
+        """
+        out_parts = []
+        cdtype = G.dtype
+        for nphi, rings in self._groups:
+            ring_idx = [r for (r, _) in rings]
+            g = G[..., ring_idx, :] * jnp.asarray(
+                np.conj(self._phase[ring_idx]), dtype=cdtype
+            )  # remove phi0 phase: coefficients wrt local pixel grid
+            # Positive m into bin m % nphi; negative m into (-m) % nphi.
+            idx_pos = jnp.asarray(self._m % nphi)
+            idx_neg = jnp.asarray((-self._m) % nphi)
+            bins = jnp.zeros(g.shape[:-1] + (nphi,), dtype=cdtype)
+            bins = bins.at[..., idx_pos].add(g)
+            bins = bins.at[..., idx_neg].add(
+                jnp.conj(g) * jnp.asarray((self._m > 0), dtype=g.real.dtype)
+            )
+            f = jnp.fft.ifft(bins, axis=-1).real * nphi  # [..., ngr, nphi]
+            out_parts.append((rings, f))
+        # Assemble pixel vector in ring order.
+        chunks = [None] * self.info.nring
+        for rings, f in out_parts:
+            for k, (r, _) in enumerate(rings):
+                chunks[r] = f[..., k, :]
+        return jnp.concatenate(chunks, axis=-1)
+
+    # ------------------------------------------------------------------
+    # Legendre blocks
+    # ------------------------------------------------------------------
+    def _legendre_block(self, m_vals: np.ndarray, dtype):
+        """Lambda[l, c, r] for the m values in this chunk.
+
+        Stable in float32 via a shared power-of-two exponent carried through
+        the upward l-recurrence (rescaled whenever the mantissa exceeds
+        2**_SCALE_BITS, libsharp-style).
+        """
+        C = len(m_vals)
+        x = jnp.asarray(self._x, dtype=dtype)  # [R]
+        lnsin = jnp.asarray(self._lnsin, dtype=jnp.float64 if dtype == jnp.float64 else jnp.float32)
+        mv = jnp.asarray(m_vals)  # [C]
+        # Seed: ln |Lambda_mm| = C_m + m ln sin(theta)
+        ln_seed = (
+            jnp.asarray(self._cm[m_vals], dtype=lnsin.dtype)[:, None]
+            + mv[:, None].astype(lnsin.dtype) * lnsin[None, :]
+        )  # [C, R]
+        sign = jnp.where(mv % 2 == 0, 1.0, -1.0).astype(dtype)[:, None]
+        e0 = jnp.floor(ln_seed / (_SCALE_BITS * _LN2)).astype(jnp.int32)
+        p_seed = (
+            jnp.exp(ln_seed - e0.astype(ln_seed.dtype) * (_SCALE_BITS * _LN2))
+        ).astype(dtype) * sign
+
+        a_tab = jnp.asarray(self._a_tab[:, m_vals], dtype=dtype)  # [L+1, C]
+        b_tab = jnp.asarray(self._b_tab[:, m_vals], dtype=dtype)
+        two_B = jnp.asarray(2.0 ** _SCALE_BITS, dtype=dtype)
+        inv_two_B = jnp.asarray(2.0 ** -_SCALE_BITS, dtype=dtype)
+
+        def step(carry, l):
+            p_prev, p_curr, e = carry
+            is_seed = (l == mv)[:, None]  # [C, 1]
+            a_l = a_tab[l][:, None]
+            b_l = b_tab[l][:, None]
+            p_new = jnp.where(
+                is_seed, p_seed, a_l * x[None, :] * p_curr + b_l * p_prev
+            )
+            e_new = jnp.where(is_seed, e0, e)
+            p_base = jnp.where(is_seed, jnp.zeros_like(p_curr), p_curr)
+            # Rescale when the mantissa grows past 2^B.
+            big = jnp.abs(p_new) > two_B
+            scale = jnp.where(big, inv_two_B, jnp.ones_like(p_new))
+            p_new = p_new * scale
+            p_base = p_base * scale
+            e_new = e_new + big.astype(jnp.int32)
+            # Emit the true value: mantissa * 2^(e*B).  exp2 underflows to
+            # zero in the deep-polar regime where Lambda is genuinely below
+            # the floating-point floor.
+            lam = p_new * jnp.exp2(e_new.astype(dtype) * _SCALE_BITS)
+            lam = jnp.where(l >= mv[:, None], lam, jnp.zeros_like(lam))
+            return (p_base, p_new, e_new), lam
+
+        zeros = jnp.zeros((C, len(self._x)), dtype=dtype)
+        (_, _, _), lam = jax.lax.scan(
+            step,
+            (zeros, zeros, jnp.zeros_like(zeros, dtype=jnp.int32)),
+            jnp.arange(self.lmax + 1),
+        )
+        return lam  # [L+1, C, R]
+
+    def _m_chunks(self):
+        for m0 in range(0, self.mmax + 1, self.chunk_m):
+            yield np.arange(m0, min(m0 + self.chunk_m, self.mmax + 1))
+
+    # ------------------------------------------------------------------
+    # Public transforms
+    # ------------------------------------------------------------------
+    def _analysis_impl(self, maps):
+        """alm[..., lmax+1, mmax+1] of (real or complex) maps [..., npix]."""
+        F = self._ring_analysis(maps)  # [..., R, M+1]
+        rdtype = F.real.dtype
+        w = jnp.asarray(self._w, dtype=rdtype)
+        Fw = F * w[:, None]
+        out = []
+        for m_vals in self._m_chunks():
+            lam = self._legendre_block(m_vals, rdtype)  # [L+1, C, R]
+            lam_t = jnp.transpose(lam, (1, 2, 0))  # [C, R, L+1]
+            Fc = jnp.moveaxis(Fw[..., m_vals], -1, -2)  # [..., C, R]
+            # alm_c[..., C, L+1]: batched over C, contraction over rings (MXU)
+            alm_c = jnp.einsum("...cr,crl->...cl", Fc, lam_t.astype(Fc.dtype))
+            out.append(jnp.moveaxis(alm_c, -2, -1))  # [..., L+1, C]
+        return jnp.concatenate(out, axis=-1)  # [..., L+1, M+1]
+
+    def _synthesis_impl(self, alm):
+        """Real maps [..., npix] from alm[..., lmax+1, mmax+1]."""
+        rdtype = alm.real.dtype
+        Gs = []
+        for m_vals in self._m_chunks():
+            lam = self._legendre_block(m_vals, rdtype)  # [L+1, C, R]
+            lam_t = jnp.transpose(lam, (1, 0, 2))  # [C, L+1, R]
+            alm_c = jnp.moveaxis(alm[..., m_vals], -1, -2)  # [..., C, L+1]
+            G_c = jnp.einsum("...cl,clr->...cr", alm_c, lam_t.astype(alm.dtype))
+            Gs.append(jnp.moveaxis(G_c, -2, -1))  # [..., R, C]
+        G = jnp.concatenate(Gs, axis=-1)  # [..., R, M+1]
+        # _ring_synthesis folds in the exp(+i m phi0) pixel phase itself.
+        return self._ring_synthesis(G)
+
+    def analysis(self, maps, iter: int = 0):
+        """map2alm with optional Jacobi iterations (healpy-style)."""
+        maps = jnp.asarray(maps)
+        alm = self._analysis_j(maps)
+        for _ in range(iter):
+            resid = maps - self._synthesis_j(alm)
+            alm = alm + self._analysis_j(resid)
+        return alm
+
+    def synthesis(self, alm):
+        """alm2map for a real field (m >= 0 coefficients)."""
+        return self._synthesis_j(jnp.asarray(alm))
+
+    def analysis_complex(self, maps):
+        """Full SHT of complex maps: (alm_pos, alm_neg).
+
+        alm_pos[..., l, m] = f_{l m} for m >= 0 and
+        alm_neg[..., l, m] = f_{l, -m}, computed via
+        f_{l,-m} = (-1)^m conj((f*)_{l m}).
+        """
+        maps = jnp.asarray(maps)
+        alm_pos = self._analysis_j(maps)
+        alm_conj = self._analysis_j(jnp.conj(maps))
+        msign = jnp.asarray((-1.0) ** self._m, dtype=alm_pos.real.dtype)
+        alm_neg = msign * jnp.conj(alm_conj)
+        return alm_pos, alm_neg
+
+
+_sht_cache: dict = {}
+
+
+def get_sht(nside: int, lmax: int | None = None, mmax: int | None = None) -> SHT:
+    key = (nside, lmax, mmax)
+    if key not in _sht_cache:
+        _sht_cache[key] = SHT(nside, lmax, mmax)
+    return _sht_cache[key]
+
+
+def map2alm(maps, lmax: int | None = None, iter: int = 3):
+    """healpy-compatible scalar map2alm (dense [l, m] output)."""
+    maps = jnp.asarray(maps)
+    nside = healpix.nside_of(maps.shape[-1])
+    sht = get_sht(nside, lmax)
+    return sht.analysis(maps, iter=iter)
+
+
+def alm2map(alm, nside: int):
+    """healpy-compatible scalar alm2map from dense [l, m] coefficients."""
+    alm = jnp.asarray(alm)
+    sht = get_sht(nside, alm.shape[-2] - 1, alm.shape[-1] - 1)
+    return sht.synthesis(alm)
+
+
+def sphtrans_sky(sky_map, lmax: int | None = None):
+    """SHT every (freq, pol) map: [freq, pol, npix] -> [freq, pol, l, m].
+
+    Equivalent of ``cora.util.hputil.sphtrans_sky`` (reference
+    draco/synthesis/stream.py:85): scalar transforms per Stokes component.
+    """
+    sky_map = jnp.asarray(sky_map)
+    nside = healpix.nside_of(sky_map.shape[-1])
+    if lmax is None:
+        lmax = 3 * nside - 1
+    sht = get_sht(nside, lmax)
+    return sht.analysis(sky_map, iter=0)
+
+
+def sphtrans_inv_sky(alm, nside: int):
+    """Inverse of :func:`sphtrans_sky`: [freq, pol, l, m] -> [freq, pol, npix].
+
+    Equivalent of ``cora.util.hputil.sphtrans_inv_sky`` (reference
+    draco/analysis/mapmaker.py:112).
+    """
+    return alm2map(jnp.asarray(alm), nside)
