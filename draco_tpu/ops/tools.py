@@ -1,0 +1,351 @@
+"""Miscellaneous numeric tools (device-first).
+
+Re-provides reference ``draco/util/tools.py`` (and the pieces of
+``caput.algorithms`` draco uses): triangle index maps, gain application,
+redundancy counting, apodisation windows, phase wrapping.  Hot paths are
+vectorised jnp kernels (gathers + segment sums) instead of the reference's
+Cython loops (reference draco/util/_fast_tools.pyx:134, tools.py:210).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "invert_no_zero",
+    "cmap",
+    "icmap",
+    "unique_pair_indices",
+    "find_key",
+    "find_keys",
+    "find_inputs",
+    "broadcast_weights",
+    "apply_gain",
+    "extract_diagonal",
+    "calculate_redundancy",
+    "window_generalised",
+    "correct_phase_wrap",
+    "taper_mask",
+    "find_contiguous_slices",
+    "unpack_product_array",
+]
+
+
+def invert_no_zero(x, out=None):
+    """Reciprocal returning exactly zero where the input is (near) zero.
+
+    Equivalent of ``caput.algorithms.invert_no_zero`` (used throughout the
+    reference, e.g. draco/analysis/transform.py:600).  Works on numpy or jax
+    arrays; tiny values (below ~1/max_float) are treated as zero.
+    """
+    if isinstance(x, np.ndarray) or np.isscalar(x):
+        x = np.asarray(x)
+        rdt = np.finfo(
+            x.dtype if np.issubdtype(x.dtype, np.inexact) else np.float64
+        )
+        thresh = 2.0 / rdt.max
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            res = np.where(np.abs(x) < thresh, 0.0, 1.0 / x)
+        if out is not None:
+            out[:] = res
+            return out
+        return res
+    x = jnp.asarray(x)
+    # Use the smallest *normal* number as the cut: XLA flushes subnormals to
+    # zero, so a subnormal threshold like 1/max would compare as 0.
+    thresh = jnp.finfo(x.real.dtype).tiny
+    small = jnp.abs(x) < thresh
+    return jnp.where(small, jnp.zeros_like(x), 1.0 / jnp.where(small, jnp.ones_like(x), x))
+
+
+def cmap(i, j, n):
+    """Pair index of feeds (i, j) in upper-triangle order (tools.py:21)."""
+    i, j = np.minimum(i, j), np.maximum(i, j)
+    return (n * (n + 1) // 2) - ((n - i) * (n - i + 1) // 2) + (j - i)
+
+
+def icmap(ix, n):
+    """Feed indices (i, j) for pair index ix (tools.py:42). Vectorised."""
+    ix = np.asarray(ix)
+    # Solve i: largest i with cmap(i, i, n) <= ix
+    # cmap(i,i,n) = n(n+1)/2 - (n-i)(n-i+1)/2
+    t = n * (n + 1) // 2 - ix
+    # (n-i)(n-i+1)/2 >= t  ->  n-i >= (sqrt(8t+1)-1)/2
+    k = np.ceil((np.sqrt(8 * t.astype(np.float64) + 1) - 1) / 2).astype(np.int64)
+    i = n - k
+    j = ix - cmap(i, i, n) + i
+    if np.ndim(ix) == 0:
+        return int(i), int(j)
+    return i, j
+
+
+def unique_pair_indices(n: int, autos: bool = True) -> np.ndarray:
+    """All upper-triangle feed pairs [(i, j)] for n feeds."""
+    i, j = np.triu_indices(n, k=0 if autos else 1)
+    return np.stack([i, j], axis=-1)
+
+
+def find_key(key_list, key):
+    """Index of ``key`` in ``key_list`` or None (tools.py:66)."""
+    try:
+        return [tuple(x) for x in key_list].index(tuple(key))
+    except TypeError:
+        try:
+            return list(key_list).index(key)
+        except ValueError:
+            return None
+    except ValueError:
+        return None
+
+
+def find_keys(key_list, keys, require_match: bool = False):
+    """Indices of ``keys`` in ``key_list`` (tools.py:95)."""
+    try:
+        dct = {tuple(kk): ii for ii, kk in enumerate(key_list)}
+        index = [dct.get(tuple(key)) for key in keys]
+    except TypeError:
+        dct = {kk: ii for ii, kk in enumerate(key_list)}
+        index = [dct.get(key) for key in keys]
+    if require_match and any(ind is None for ind in index):
+        raise ValueError("Could not find all of the keys.")
+    return index
+
+
+def find_inputs(input_index, inputs, require_match: bool = False):
+    """Indices of ``inputs`` in ``input_index`` keyed on channel id.
+
+    (tools.py:130)
+    """
+    names = input_index.dtype.names or ()
+    if "correlator_input" in names:
+        field = "correlator_input"
+    elif "chan_id" in names:
+        field = "chan_id"
+    else:
+        return find_keys(input_index, inputs, require_match=require_match)
+    if inputs.dtype.names and field not in inputs.dtype.names:
+        raise ValueError(f"`inputs` array does not have a `{field}` field.")
+    return find_keys(
+        input_index[field], inputs[field], require_match=require_match
+    )
+
+
+def broadcast_weights(waxis_names, daxis_names):
+    """Slice tuple broadcasting a weight array onto a data array.
+
+    (tools.py:173)
+    """
+    if not set(waxis_names).issubset(daxis_names):
+        extra = set(waxis_names) - set(daxis_names)
+        raise ValueError(f"Weight has axes not found in data: {extra}")
+    filtered = [ax for ax in daxis_names if ax in waxis_names]
+    if list(filtered) != list(waxis_names):
+        raise ValueError(
+            f"Weight axes {waxis_names} do not appear in data axes "
+            f"{daxis_names} in the correct order."
+        )
+    return tuple(slice(None) if ax in waxis_names else None for ax in daxis_names)
+
+
+def apply_gain(vis, gain, axis: int = 1, out=None, prod_map=None):
+    """Apply per-input gains to products: out_p = vis_p * g_i * conj(g_j).
+
+    Vectorised gather version of the reference per-product loop
+    (tools.py:210-272).  ``prod_map`` gives (input_a, input_b) per product;
+    if omitted the upper-triangle ordering is assumed.
+    """
+    vis = jnp.asarray(vis)
+    gain = jnp.asarray(gain)
+    nprod = vis.shape[axis]
+    ninput = gain.shape[axis]
+
+    if prod_map is None:
+        if nprod != ninput * (ninput + 1) // 2:
+            raise ValueError("Number of inputs does not match number of products.")
+        pm = unique_pair_indices(ninput)
+        ia, ib = pm[:, 0], pm[:, 1]
+    else:
+        if len(prod_map) != nprod:
+            raise ValueError(
+                "Length of *prod_map* does not match number of input products."
+            )
+        pm = np.asarray(prod_map)
+        if pm.dtype.names:
+            ia, ib = pm["input_a"], pm["input_b"]
+        else:
+            ia, ib = pm[:, 0], pm[:, 1]
+
+    ga = jnp.take(gain, jnp.asarray(ia), axis=axis)
+    gb = jnp.conj(jnp.take(gain, jnp.asarray(ib), axis=axis))
+    result = vis * ga * gb
+    if out is not None:
+        out[:] = np.asarray(result)
+        return out
+    return result
+
+
+def extract_diagonal(utmat, axis: int = 1):
+    """Extract the autocorrelations from an upper-triangle product axis.
+
+    (tools.py:275)
+    """
+    utmat = jnp.asarray(utmat)
+    nside = int((2 * utmat.shape[axis]) ** 0.5)
+    if utmat.shape[axis] != nside * (nside + 1) // 2:
+        raise RuntimeError(
+            f"Array length ({utmat.shape[axis]}) of axis {axis} does not "
+            "correspond to upper triangle of a square matrix"
+        )
+    diag_ind = jnp.asarray([cmap(ii, ii, nside) for ii in range(nside)])
+    return jnp.take(utmat, diag_ind, axis=axis)
+
+
+def unpack_product_array(utmat, axis: int = 1, nside: int | None = None):
+    """Expand an upper-triangle product axis into a Hermitian [n, n] pair.
+
+    Device equivalent of the Cython ``_unpack_product_array_fast``
+    (reference draco/util/_fast_tools.pyx:91): a gather + conjugate mask
+    instead of a scatter loop.
+    """
+    utmat = jnp.asarray(utmat)
+    nprod = utmat.shape[axis]
+    if nside is None:
+        nside = int((2 * nprod) ** 0.5)
+    ii, jj = np.meshgrid(np.arange(nside), np.arange(nside), indexing="ij")
+    pidx = cmap(ii, jj, nside)  # [n, n] product index (upper-tri symmetric)
+    conj = (ii > jj)
+    gathered = jnp.take(utmat, jnp.asarray(pidx.ravel()), axis=axis)
+    # reshape the product axis into (n, n)
+    new_shape = (
+        utmat.shape[:axis] + (nside, nside) + utmat.shape[axis + 1 :]
+    )
+    gathered = gathered.reshape(new_shape)
+    cmask = jnp.asarray(conj).reshape(
+        (1,) * axis + (nside, nside) + (1,) * (utmat.ndim - axis - 1)
+    )
+    return jnp.where(cmask, jnp.conj(gathered), gathered)
+
+
+def calculate_redundancy(input_flags, prod_map, stack_index, nstack: int):
+    """Per-stack redundancy counts from per-input flags.
+
+    Device segment-sum formulation of the Cython ``_calc_redundancy``
+    (reference draco/util/_fast_tools.pyx:134, tools.py:313):
+    redundancy[s, t] = sum over products p in stack s of
+    flag[input_a(p), t] * flag[input_b(p), t].
+    """
+    input_flags = np.asarray(input_flags)
+    if not input_flags.any():
+        input_flags = np.ones_like(input_flags)
+    flags = jnp.asarray(input_flags, dtype=jnp.float32)
+
+    pm = np.asarray(prod_map)
+    if pm.dtype.names:
+        ia, ib = pm["input_a"].astype(int), pm["input_b"].astype(int)
+    else:
+        ia, ib = pm[:, 0], pm[:, 1]
+    stack_index = np.asarray(stack_index).astype(int)
+    valid = (stack_index >= 0) & (stack_index < nstack)
+    seg = np.where(valid, stack_index, nstack)  # invalid -> overflow bucket
+
+    pair_flags = flags[jnp.asarray(ia)] * flags[jnp.asarray(ib)]  # [nprod, nt]
+    red = jax.ops.segment_sum(
+        pair_flags, jnp.asarray(seg), num_segments=nstack + 1
+    )[:nstack]
+    return red.astype(jnp.float32)
+
+
+def window_generalised(x, window: str = "nuttall"):
+    """High-order apodisation windows at arbitrary locations in [0, 1].
+
+    (tools.py:547; same window table.)
+    """
+    x = jnp.asarray(x)
+    if window == "triangular":
+        w = 1.0 - 2.0 * jnp.abs(x - 0.5)
+    elif window.startswith("tukey"):
+        r = float(window.split("-")[1])
+        alpha = 0.5 * r
+        w = jnp.ones_like(x)
+        w = jnp.where(
+            x < alpha, 0.5 * (1.0 + jnp.cos(jnp.pi * (x - alpha) / alpha)), w
+        )
+        w = jnp.where(
+            x >= (1.0 - alpha),
+            0.5 * (1.0 + jnp.cos(jnp.pi * (x - (1.0 - alpha)) / alpha)),
+            w,
+        )
+    else:
+        a_table = {
+            "uniform": np.array([1, 0, 0, 0]),
+            "hann": np.array([0.5, -0.5, 0, 0]),
+            "hanning": np.array([0.5, -0.5, 0, 0]),
+            "hamming": np.array([0.53836, -0.46164, 0, 0]),
+            "blackman": np.array([0.42, -0.5, 0.08, 0]),
+            "nuttall": np.array([0.355768, -0.487396, 0.144232, -0.012604]),
+            "blackman_nuttall": np.array(
+                [0.3635819, -0.4891775, 0.1365995, -0.0106411]
+            ),
+            "blackman_harris": np.array([0.35875, -0.48829, 0.14128, -0.01168]),
+        }
+        a = jnp.asarray(a_table[window], dtype=x.dtype)
+        t = 2 * jnp.pi * jnp.arange(4)[:, None] * x.reshape(-1)[None, :]
+        w = (a[:, None] * jnp.cos(t)).sum(axis=0).reshape(x.shape)
+    return jnp.where((x >= 0) & (x <= 1), w, jnp.zeros_like(w))
+
+
+def correct_phase_wrap(phi, deg: bool = False):
+    """Wrap phase into (-pi, pi] or (-180, 180] (tools.py:894)."""
+    period = 180.0 if deg else np.pi
+    phi = jnp.asarray(phi)
+    return ((phi + period) % (2 * period)) - period
+
+
+def taper_mask(mask, nwidth: int, outer: bool = False):
+    """Taper a 2D mask along the last axis with a Hann kernel.
+
+    (tools.py:844)
+    """
+    mask = jnp.atleast_2d(jnp.asarray(mask))
+    width = 2 * nwidth - 1
+    kernel = jnp.asarray(np.hanning(width))
+    kernel = kernel / kernel.sum()
+
+    tapered = jnp.zeros(
+        (mask.shape[0], mask.shape[-1] + 2 * width), dtype=jnp.float64
+    )
+    tapered = tapered.at[:, width:-width].set(mask.astype(jnp.float64))
+    tapered = tapered.at[:, :width].set(tapered[:, width][:, None])
+    tapered = tapered.at[:, -width:].set(tapered[:, -width - 1][:, None])
+    if outer:
+        tapered = 1.0 - tapered
+
+    def conv(x):
+        return jax.vmap(
+            lambda row: jnp.convolve(row, kernel, mode="same")
+        )(x)
+
+    tapered = jnp.isclose(conv(tapered), 1.0).astype(jnp.float64)
+    tapered = conv(tapered)
+    if outer:
+        tapered = 1.0 - tapered
+    return tapered[:, width:-width]
+
+
+def find_contiguous_slices(index):
+    """Convert indices into contiguous slices (tools.py:916)."""
+    index = list(index)
+    slices = []
+    if not index:
+        return slices
+    start = prev = index[0]
+    for x in index[1:]:
+        if x == prev + 1:
+            prev = x
+            continue
+        slices.append(slice(start, prev + 1))
+        start = prev = x
+    slices.append(slice(start, prev + 1))
+    return slices

@@ -1,0 +1,206 @@
+"""Tests for mmode/tools/random ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from draco_tpu.ops import mmode, random as drandom, tools
+
+
+# ---------------------------------------------------------------------------
+# m-mode transforms
+# ---------------------------------------------------------------------------
+
+
+def _reference_make_marray(ts, mmax):
+    """Independent numpy implementation of the packing semantics."""
+    N = ts.shape[-1]
+    mlim = min(N // 2, mmax)
+    mlim_neg = N // 2 - 1 + N % 2 if mmax >= N // 2 else mmax
+    m_fft = np.fft.fft(ts, axis=-1) / N
+    m_fft = np.moveaxis(m_fft, -1, 0)
+    out = np.zeros((mmax + 1, 2, *ts.shape[:-1]), dtype=complex)
+    out[: mlim + 1, 0] = m_fft[: mlim + 1]
+    out[1 : mlim_neg + 1, 1] = m_fft[-1 : -(mlim_neg + 1) : -1].conj()
+    return out
+
+
+def test_make_marray_even_odd(rng):
+    for nra in [16, 17]:
+        ts = rng.standard_normal((3, 5, nra)) + 1j * rng.standard_normal((3, 5, nra))
+        for mmax in [nra // 2, 4]:
+            ours = np.asarray(mmode.make_marray(ts, mmax))
+            ref = _reference_make_marray(ts, mmax)
+            assert np.allclose(ours, ref), (nra, mmax)
+
+
+def test_mmode_roundtrip_real(rng):
+    """sidereal -> m-modes -> sidereal is the identity at Nyquist sampling."""
+    for nra in [16, 17]:
+        ts = rng.standard_normal((2, 3, nra))  # real input
+        mm = mmode.make_marray(ts, mmax=nra // 2)
+        back = np.asarray(mmode.mmodes_to_sidereal(mm, n=nra))
+        assert np.allclose(back.real, ts, atol=1e-10), nra
+        assert np.allclose(back.imag, 0.0, atol=1e-10), nra
+
+
+def test_mmode_roundtrip_downsample(rng):
+    """Resampling to fewer RA bins keeps the low-m content."""
+    nra, n_out = 32, 16
+    m_true = 3
+    phi = np.linspace(0, 2 * np.pi, nra, endpoint=False)
+    ts = np.cos(m_true * phi)[None]
+    mm = mmode.make_marray(ts, mmax=nra // 2)
+    back = np.asarray(mmode.mmodes_to_sidereal(mm, n=n_out)).real
+    phi_out = np.linspace(0, 2 * np.pi, n_out, endpoint=False)
+    assert np.allclose(back[0], np.cos(m_true * phi_out), atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# tools
+# ---------------------------------------------------------------------------
+
+
+def test_invert_no_zero():
+    x = np.array([0.0, 2.0, -4.0, 1e-320])
+    out = tools.invert_no_zero(x)
+    assert np.allclose(out, [0.0, 0.5, -0.25, 0.0])
+    xj = jnp.asarray([0.0, 2.0])
+    assert np.allclose(np.asarray(tools.invert_no_zero(xj)), [0.0, 0.5])
+
+
+def test_cmap_icmap_roundtrip():
+    n = 7
+    for i in range(n):
+        for j in range(i, n):
+            p = tools.cmap(i, j, n)
+            i2, j2 = tools.icmap(p, n)
+            assert (i2, j2) == (i, j)
+
+
+def test_apply_gain(rng):
+    nfreq, ninput, ntime = 3, 4, 5
+    nprod = ninput * (ninput + 1) // 2
+    vis = rng.standard_normal((nfreq, nprod, ntime)) + 1j * rng.standard_normal(
+        (nfreq, nprod, ntime)
+    )
+    gain = rng.standard_normal((nfreq, ninput, ntime)) + 1j * rng.standard_normal(
+        (nfreq, ninput, ntime)
+    )
+    out = np.asarray(tools.apply_gain(vis, gain))
+    # check a couple of entries against the definition
+    pm = tools.unique_pair_indices(ninput)
+    for p in [0, 3, nprod - 1]:
+        ia, ib = pm[p]
+        assert np.allclose(out[:, p], vis[:, p] * gain[:, ia] * gain[:, ib].conj())
+
+
+def test_extract_diagonal(rng):
+    ninput = 5
+    nprod = ninput * (ninput + 1) // 2
+    vis = rng.standard_normal((2, nprod, 3))
+    diag = np.asarray(tools.extract_diagonal(vis))
+    assert diag.shape == (2, ninput, 3)
+    assert np.allclose(diag[:, 0], vis[:, 0])
+
+
+def test_unpack_product_array(rng):
+    n = 4
+    nprod = n * (n + 1) // 2
+    ut = rng.standard_normal(nprod) + 1j * rng.standard_normal(nprod)
+    # make autos real so the unpacked matrix is exactly Hermitian
+    for i in range(n):
+        ut[tools.cmap(i, i, n)] = ut[tools.cmap(i, i, n)].real
+    full = np.asarray(tools.unpack_product_array(ut, axis=0))
+    assert full.shape == (n, n)
+    # Hermitian with upper triangle matching input
+    assert np.allclose(full, full.conj().T)
+    for i in range(n):
+        for j in range(i, n):
+            assert np.isclose(full[i, j], ut[tools.cmap(i, j, n)])
+
+
+def test_calculate_redundancy():
+    ninput, ntime = 3, 4
+    pm = tools.unique_pair_indices(ninput)  # 6 products
+    flags = np.ones((ninput, ntime), dtype=np.float32)
+    flags[2, 2:] = 0.0  # input 2 bad for later half
+    # stack everything into 2 stacks: autos -> 0, cross -> 1
+    stack_index = np.array([0, 1, 1, 0, 1, 0])
+    red = np.asarray(tools.calculate_redundancy(flags, pm, stack_index, 2))
+    # early times: stack0 = 3 autos, stack1 = 3 cross
+    assert np.allclose(red[:, 0], [3, 3])
+    # later: input 2 drops out: stack0 keeps autos (0,0),(1,1); stack1 keeps (0,1)
+    assert np.allclose(red[:, 3], [2, 1])
+
+
+def test_window_generalised():
+    x = np.linspace(0, 1, 101)
+    w = np.asarray(tools.window_generalised(x, "hann"))
+    assert np.isclose(w[50], 1.0)
+    assert np.isclose(w[0], 0.0, atol=1e-12)
+    wt = np.asarray(tools.window_generalised(x, "tukey-0.4"))
+    assert np.isclose(wt[50], 1.0)
+    # outside range -> 0
+    assert tools.window_generalised(np.array([-0.1, 1.1]), "hann").sum() == 0
+
+
+def test_correct_phase_wrap():
+    assert np.isclose(float(tools.correct_phase_wrap(np.pi + 0.1)), -np.pi + 0.1)
+    assert np.isclose(float(tools.correct_phase_wrap(190.0, deg=True)), -170.0)
+
+
+def test_find_contiguous_slices():
+    sl = tools.find_contiguous_slices([1, 2, 3, 7, 8, 11])
+    assert sl == [slice(1, 4), slice(7, 9), slice(11, 12)]
+
+
+# ---------------------------------------------------------------------------
+# random
+# ---------------------------------------------------------------------------
+
+
+def test_complex_normal_stats():
+    key = jax.random.key(0)
+    z = np.asarray(
+        drandom.complex_normal(key, size=(200_000,), scale=2.0, dtype=jnp.complex128)
+    )
+    # E|z|^2 = scale^2
+    assert np.isclose(np.mean(np.abs(z) ** 2), 4.0, rtol=0.02)
+    assert np.isclose(np.mean(z).real, 0.0, atol=0.02)
+
+
+def test_standard_wishart_mean():
+    """E[W] = n * I for the standard complex Wishart."""
+    key = jax.random.key(1)
+    m, n = 4, 10
+    W = np.asarray(
+        drandom.standard_complex_wishart(
+            key, m, n, batch_shape=(3000,), dtype=jnp.complex128
+        )
+    )
+    mean = W.mean(axis=0)
+    assert np.allclose(mean, n * np.eye(m), atol=0.5)
+    # Hermitian positive definite
+    assert np.allclose(W, np.conj(np.swapaxes(W, -1, -2)))
+    evs = np.linalg.eigvalsh(W)
+    assert evs.min() > 0
+
+
+def test_complex_wishart_mean(rng):
+    key = jax.random.key(2)
+    m, n = 3, 8
+    A = rng.standard_normal((m, m)) + 1j * rng.standard_normal((m, m))
+    C = A @ A.conj().T + m * np.eye(m)
+    W = np.asarray(
+        drandom.complex_wishart(key, C, n, batch_shape=(4000,))
+    )
+    assert np.allclose(W.mean(axis=0) / n, C, rtol=0.15, atol=0.5)
+
+
+def test_numpy_twins_match_semantics(rng):
+    W = drandom.standard_complex_wishart_np(4, 9, rng=rng)
+    assert np.allclose(W, W.conj().T)
+    C = np.eye(3) * 2.0
+    Wc = drandom.complex_wishart_np(C, 7, rng=rng)
+    assert Wc.shape == (3, 3)
