@@ -226,6 +226,11 @@ class Manager(config_mod.Reader):
                 if isinstance(output, tuple) and len(runner.out_labels) > 1
                 else (output,)
             )
+            # Extra outputs beyond the labelled ones are dropped (the
+            # LoadBeamTransfer convention: setup returns (tel, bt, feeds)
+            # against `out: [tel, bt]`).
+            if len(runner.out_labels) > 0 and len(outs) > len(runner.out_labels):
+                outs = outs[: len(runner.out_labels)]
             if len(runner.out_labels) not in (0, len(outs)):
                 raise PipelineRuntimeError(
                     f"{runner.name} produced {len(outs)} outputs for "

@@ -69,6 +69,12 @@ class MPILoggedTask(config.Reader):
     def setup(self, *args):  # pragma: no cover - trivial default
         """One-shot initialisation with `requires` resources."""
 
+    def next(self, *inputs):
+        """One process cycle (simple tasks: delegate to process)."""
+        if hasattr(self, "process"):
+            return self.process(*inputs)
+        raise PipelineStopIteration()
+
     def finish(self):  # pragma: no cover - trivial default
         """Hook run when the pipeline retires the task."""
 
@@ -107,6 +113,13 @@ class ContainerTask(MPILoggedTask):
             raise PipelineRuntimeError(
                 f"Task {self.name} has no process() method"
             )
+        # Remember the input tag so untagged outputs inherit it (the
+        # reference base-task behaviour used for output file naming).
+        self._input_tag = None
+        for inp in inputs:
+            if isinstance(inp, ContainerBase) and "tag" in inp.attrs:
+                self._input_tag = inp.attrs["tag"]
+                break
         output = self.process(*inputs)
         self._count += 1
         return self._process_output(output)
@@ -127,6 +140,8 @@ class ContainerTask(MPILoggedTask):
                 self._annotate(out)
                 if self.tag is not None:
                     out.attrs["tag"] = self.tag
+                elif "tag" not in out.attrs and getattr(self, "_input_tag", None):
+                    out.attrs["tag"] = self._input_tag
                 if self.save:
                     self._save_output(out)
         return output

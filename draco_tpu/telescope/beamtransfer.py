@@ -170,6 +170,10 @@ class BeamTransfer:
             bm_f.append(jnp.conj(alm_pos) * scale)
         self._bp = jnp.stack(bp_f).astype(jnp.complex64)
         self._bm = jnp.stack(bm_f).astype(jnp.complex64)
+        # The m = 0 negative block duplicates conj(V_0); the m-mode
+        # containers leave [m=0, msign=1] empty (reference
+        # transform.py:701-703), so zero it here for a consistent operator.
+        self._bm = self._bm.at[..., 0].set(0.0)
         return self
 
     # -- projection API (reference parity) --------------------------------------

@@ -165,8 +165,9 @@ def test_real_sky_gives_hermitian_visibilities(dish_tel, rng):
     bl = np.linalg.norm(tel.baselines, axis=1)
     auto = int(np.argmin(bl))
     assert bl[auto] < 1e-9
-    # auto beam is real -> V_m == conj(V_-m) (stored directly as msign=1)
-    assert np.allclose(vis[:, 0, :, auto], vis[:, 1, :, auto], atol=1e-6)
+    # auto beam is real -> V_m == conj(V_-m) (stored directly as msign=1).
+    # m = 0 is excluded: its msign=1 slot is left empty by convention.
+    assert np.allclose(vis[1:, 0, :, auto], vis[1:, 1, :, auto], atol=1e-6)
 
 
 def test_polarised_cylinder_builds():
