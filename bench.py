@@ -1,0 +1,191 @@
+"""Benchmark: simulate -> map round trip (nside=256, ~2k baselines).
+
+The driver metric (BASELINE.json): round-trip wall-clock at nside=256 with
+2k baselines, and m-modes/sec.  The workload is the full m-mode spine on a
+64-feed non-redundant array (2080 unique pairs):
+
+  sky map --SHT--> alm --beam projection--> V_m --iFFT--> sidereal stream
+  --FFT--> m-modes --weighted adjoint--> dirty alm --inverse SHT--> map
+
+Beam-transfer tensors at this scale (2 x 2080 x 768 x 768 complex64 ~ 20 GB)
+exceed single-chip HBM, so they are (re)generated on the fly per baseline
+chunk — the same streaming structure that shards baselines across a pod.
+Generation is *included* in the timed region (the reference precomputes its
+products on disk; including it here is conservative).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = 60s (the BASELINE.json north-star wall-clock) / our seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+NSIDE = int(os.environ.get("BENCH_NSIDE", 256))
+NFEED_SIDE = int(os.environ.get("BENCH_NFEED_SIDE", 8))  # 64 feeds
+CHUNK = int(os.environ.get("BENCH_CHUNK", 64))
+NRUN = int(os.environ.get("BENCH_NRUN", 2))
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    # The interpreter's sitecustomize pins the platform to the TPU tunnel;
+    # honour an explicit override for local smoke tests.
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    import jax.numpy as jnp
+
+    from draco_tpu.ops import healpix, mmode, sht
+
+    lmax = 3 * NSIDE - 1
+    npix = healpix.npix_of(NSIDE)
+    nfeed = NFEED_SIDE * NFEED_SIDE
+
+    log(f"devices: {jax.devices()}")
+    log(f"nside={NSIDE} lmax=mmax={lmax} nfeed={nfeed}")
+
+    # Non-redundant 64-feed array: jittered grid -> all 2080 pairs unique.
+    rng = np.random.Generator(np.random.SFC64(1))
+    base = np.stack(
+        np.meshgrid(
+            np.arange(NFEED_SIDE) * 7.0, np.arange(NFEED_SIDE) * 7.0, indexing="ij"
+        ),
+        axis=-1,
+    ).reshape(-1, 2)
+    pos = base + rng.uniform(-1.0, 1.0, base.shape)
+    ii, jj = np.triu_indices(nfeed, k=0)
+    bl = pos[ii] - pos[jj]  # [npairs, 2]
+    npairs = len(bl)
+    log(f"npairs={npairs}")
+
+    # Geometry on device
+    lam = 0.6  # ~500 MHz
+    colat = np.pi / 2 - np.radians(45.0)
+    east = np.array([0.0, 1.0, 0.0])
+    north = np.array([-np.cos(colat), 0.0, np.sin(colat)])
+    zenith = np.array([np.sin(colat), 0.0, np.cos(colat)])
+    bl3 = (bl[:, :1] * east[None] + bl[:, 1:] * north[None]) / lam  # wavelengths
+
+    vec = healpix.pix2vec(NSIDE).astype(np.float32)  # [npix, 3]
+    cos_sep = np.clip(vec @ zenith, -1.0, 1.0)
+    sigma2 = (0.12 / 2.355) ** 2
+    beam_pow = (
+        np.exp(-(np.arccos(cos_sep) ** 2) / (2 * sigma2)) * (cos_sep > 0)
+    ).astype(np.float32)  # A_i A_j for identical feeds
+
+    s = sht.get_sht(NSIDE, lmax)
+    omega = 4 * np.pi / npix
+
+    vec_d = jnp.asarray(vec)
+    beam_d = jnp.asarray(beam_pow * omega)
+    bl3_d = jnp.asarray(bl3.astype(np.float32))
+
+    nchunk = (npairs + CHUNK - 1) // CHUNK
+    pad = nchunk * CHUNK - npairs
+    bl3_pad = jnp.concatenate([bl3_d, jnp.zeros((pad, 3), jnp.float32)], axis=0)
+
+    scale = 1.0 / omega
+
+    @jax.jit
+    def beam_transfer_chunk(bl_chunk):
+        """B tensors for one baseline chunk: (Bp, Bm) [C, L+1, M+1]."""
+        phase = 2 * jnp.pi * (bl_chunk @ vec_d.T)  # [C, npix]
+        bmap = beam_d[None, :] * jnp.exp(1j * phase)
+        alm_pos = s._analysis_impl(bmap)
+        alm_conj = s._analysis_impl(jnp.conj(bmap))
+        return jnp.conj(alm_conj) * scale, jnp.conj(alm_pos) * scale
+
+    @jax.jit
+    def project_chunk(bl_chunk, alm):
+        bp, bm = beam_transfer_chunk(bl_chunk)
+        vp = jnp.einsum("blm,lm->mb", bp, alm.astype(bp.dtype))
+        vm = jnp.einsum("blm,lm->mb", bm, alm.astype(bm.dtype))
+        return jnp.stack([vp, vm], axis=1)  # [M+1, 2, C]
+
+    @jax.jit
+    def adjoint_chunk(bl_chunk, vis_m):
+        bp, bm = beam_transfer_chunk(bl_chunk)
+        a = jnp.einsum("blm,mb->lm", jnp.conj(bp), vis_m[:, 0])
+        a = a + jnp.einsum("blm,mb->lm", jnp.conj(bm), vis_m[:, 1])
+        return a
+
+    @jax.jit
+    def sky_to_alm(sky):
+        return s._analysis_impl(sky)
+
+    @jax.jit
+    def alm_to_map(alm):
+        return s._synthesis_impl(alm.astype(jnp.complex64))
+
+    @jax.jit
+    def ra_roundtrip(vis_m):
+        ntime = 2 * lmax + 1
+        stream = mmode.mmodes_to_sidereal(vis_m, n=ntime, oddra=True)
+        return mmode.make_marray(stream, mmax=lmax)
+
+    # Input sky
+    sky = jnp.asarray(rng.standard_normal(npix).astype(np.float32))
+
+    def round_trip():
+        alm = sky_to_alm(sky)
+        vis_parts = []
+        for c in range(nchunk):
+            blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
+            vis_parts.append(project_chunk(blc, alm))
+        vis_m = jnp.concatenate(vis_parts, axis=-1)[..., :npairs]
+        # RA round trip (simulate -> sidereal -> m-modes)
+        vis_m2 = ra_roundtrip(vis_m)
+        vis_pad = jnp.concatenate(
+            [vis_m2, jnp.zeros((lmax + 1, 2, pad), vis_m2.dtype)], axis=-1
+        )
+        a_dirty = jnp.zeros((lmax + 1, lmax + 1), jnp.complex64)
+        for c in range(nchunk):
+            blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
+            a_dirty = a_dirty + adjoint_chunk(
+                blc, jax.lax.dynamic_slice_in_dim(vis_pad, c * CHUNK, CHUNK, 2)
+            )
+        return alm_to_map(a_dirty)
+
+    log("compiling + warmup ...")
+    t0 = time.time()
+    out = round_trip()
+    out.block_until_ready()
+    log(f"warmup (incl. compile): {time.time() - t0:.1f}s")
+
+    times = []
+    for i in range(NRUN):
+        t0 = time.time()
+        out = round_trip()
+        out.block_until_ready()
+        times.append(time.time() - t0)
+        log(f"run {i}: {times[-1]:.2f}s")
+
+    wall = min(times)
+    n_mmodes = (lmax + 1) * 2 * npairs
+    log(f"m-modes/sec: {n_mmodes / wall:.3g}")
+    assert np.isfinite(np.asarray(out)).all()
+
+    print(
+        json.dumps(
+            {
+                "metric": "simulate_to_map_roundtrip_nside256_2080baselines",
+                "value": round(wall, 3),
+                "unit": "s",
+                "vs_baseline": round(60.0 / wall, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
