@@ -1,0 +1,321 @@
+"""Add instrumental noise effects into simulations.
+
+Re-provides reference ``draco/synthesis/noise.py`` (ReceiverTemperature:21,
+GaussianNoiseDataset:48, MultipleNoiseRealizationsMixin:127, GaussianNoise:178,
+SampleNoise:287, FreqCorrelatedNoise:377).
+
+TPU design: the SampleNoise per-(freq, time) complex-Wishart loop
+(reference noise.py:344-372) becomes one batched Bartlett-decomposition
+draw on the TPU PRNG; FreqCorrelatedNoise's per-(pol, ew) Cholesky
+colouring loops become batched matmuls.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import config, containers, io
+from ..core.task import ContainerTask, PipelineStopIteration, RandomTask
+from ..ops import random as drandom
+from ..ops import tools
+
+# Ratio of an SI second to a sidereal second (caput STELLAR_S equivalent).
+STELLAR_S = 86164.0905 / 86400.0
+
+
+def _auto_mask(prodstack) -> np.ndarray:
+    """Boolean mask of the auto-correlation entries of a prodstack."""
+    return np.array([p[0] == p[1] for p in prodstack], dtype=bool)
+
+
+def _time_interval(data) -> tuple[float, int]:
+    if isinstance(data, containers.SiderealStream):
+        ra = data.ra
+        return 240 * (ra[1] - ra[0]) * STELLAR_S, len(ra)
+    t = data.time
+    return t[1] - t[0], len(t)
+
+
+class ReceiverTemperature(ContainerTask):
+    """Add a receiver temperature offset to the autos (reference noise.py:21)."""
+
+    recv_temp = config.Property(proptype=float, default=0.0)
+
+    def process(self, data):
+        autos = _auto_mask(data.prodstack)
+        vis = jnp.asarray(np.asarray(data.vis[:]))
+        vis = vis + self.recv_temp * jnp.asarray(autos)[None, :, None]
+        data.vis[:] = np.asarray(vis).astype(data.vis.dtype)
+        return data
+
+
+class GaussianNoiseDataset(ContainerTask, RandomTask):
+    """Replace a dataset with noise drawn from its weights.
+
+    (reference noise.py:48)
+    """
+
+    dataset = config.Property(proptype=str, default=None)
+    in_place = config.Property(proptype=bool, default=True)
+
+    def process(self, data):
+        if self.dataset is None:
+            if isinstance(data, containers.DataWeightContainer):
+                dataset_name = data._data_dset_name
+            else:
+                raise ValueError(
+                    f"No default dataset known for {type(data)} container."
+                )
+        else:
+            dataset_name = self.dataset
+        if dataset_name not in data:
+            raise config.ConfigError(
+                f"Dataset {dataset_name!r} does not exist in container "
+                f"{type(data)}."
+            )
+        data.redistribute("freq")
+        out = data if self.in_place else data.copy()
+
+        dset = np.asarray(out[dataset_name][:])
+        weight = jnp.asarray(np.asarray(data.weight[:]))
+        std = tools.invert_no_zero(weight) ** 0.5
+        key = self.next_key()
+        if np.iscomplexobj(dset):
+            noise = drandom.complex_normal(
+                key, size=dset.shape, scale=1.0, dtype=jnp.complex64
+            ) * std.astype(jnp.complex64)
+        else:
+            noise = jax.random.normal(key, dset.shape, dtype=jnp.float32) * std
+
+        noise = np.asarray(noise).astype(dset.dtype)
+        # Autos are real with doubled variance (reference noise.py:117-122)
+        if dataset_name == "vis":
+            autos = _auto_mask(data.prodstack)
+            noise[:, autos] = (np.sqrt(2) * noise[:, autos].real).astype(
+                noise.dtype
+            )
+        out[dataset_name][:] = noise
+        return out
+
+
+class MultipleNoiseRealizationsMixin:
+    """Generate multiple noise realizations (reference noise.py:127)."""
+
+    niter = config.Property(proptype=int, default=1)
+    in_place = False
+
+    def setup(self, data1, data2=None):
+        self.data = [data1]
+        if data2 is not None:
+            self.data.append(data2)
+
+    def process(self):
+        if self._count == self.niter:
+            raise PipelineStopIteration()
+        return super().process(self.data[self._count % len(self.data)])
+
+
+class MultipleGaussianNoiseDatasets(
+    MultipleNoiseRealizationsMixin, GaussianNoiseDataset
+):
+    """Multiple Gaussian noise datasets (reference noise.py:172)."""
+
+
+class GaussianNoise(ContainerTask, RandomTask):
+    """Add radiometer-equation Gaussian noise (reference noise.py:178).
+
+    Attributes
+    ----------
+    recv_temp, ndays, set_weights, add_noise
+        As in the reference: nsamp = ndays * dt * df * redundancy and
+        std = recv_temp / sqrt(nsamp) (reference noise.py:260-261).
+    """
+
+    recv_temp = config.Property(proptype=float, default=50.0)
+    ndays = config.Property(proptype=float, default=733.0)
+    set_weights = config.Property(proptype=bool, default=True)
+    add_noise = config.Property(proptype=bool, default=True)
+
+    def setup(self, manager=None):
+        self.telescope = io.get_telescope(manager) if manager is not None else None
+
+    def process(self, data):
+        data.redistribute("freq")
+        dt, ntime = _time_interval(data)
+        df = data.index_map["freq"]["width"][0] * 1e6
+        nfreq = data.vis.shape[0]
+        prodstack = data.prodstack
+        nprod = len(prodstack)
+        ninput = len(data.index_map["input"])
+
+        if (self.telescope is not None) and (nprod == self.telescope.nbase):
+            redundancy = self.telescope.redundancy
+        elif nprod == ninput * (ninput + 1) // 2:
+            redundancy = np.ones(nprod)
+        else:
+            raise ValueError("Unexpected number of products")
+
+        nsamp = int(self.ndays * dt * df) * redundancy
+        std = self.recv_temp / np.sqrt(nsamp)
+
+        if self.add_noise:
+            key = self.next_key()
+            noise = drandom.complex_normal(
+                key, size=(nfreq, nprod, ntime), dtype=jnp.complex64
+            ) * jnp.asarray(std[np.newaxis, :, np.newaxis], dtype=jnp.float32)
+            autos = jnp.asarray(_auto_mask(prodstack))[None, :, None]
+            vis = jnp.asarray(np.asarray(data.vis[:]))
+            # autos: add sqrt(2) * real part only (reference noise.py:271-277)
+            vis = jnp.where(
+                autos, vis + np.sqrt(2) * noise.real, vis + noise
+            )
+            data.vis[:] = np.asarray(vis).astype(data.vis.dtype)
+
+        if self.set_weights:
+            w = (1.0 / std**2)[np.newaxis, :, np.newaxis]
+            data.weight[:] = np.broadcast_to(
+                w, data.weight.shape
+            ).astype(data.weight.dtype)
+        return data
+
+
+class SampleNoise(ContainerTask, RandomTask):
+    """Draw complex-Wishart distributed visibility samples.
+
+    (reference noise.py:287-374): the expectation visibilities (full
+    triangle) are unpacked into Hermitian matrices, a Wishart sample with
+    nsamp degrees of freedom is drawn around each, and the triangle is
+    repacked.  All (freq, time) draws happen in one batched Bartlett kernel
+    on device.
+
+    Attributes
+    ----------
+    sample_frac : float
+        Multiplies the number of samples in each measurement.
+    set_weights : bool
+        Set the weights appropriately afterwards.
+    """
+
+    sample_frac = config.Property(proptype=float, default=1.0)
+    set_weights = config.Property(proptype=bool, default=True)
+
+    def process(self, data_exp):
+        data_exp.redistribute("freq")
+        nfeed = len(data_exp.index_map["input"])
+        vis = jnp.asarray(np.asarray(data_exp.vis[:]))  # [nfreq, nprod, ntime]
+        nfreq, nprod, ntime = vis.shape
+        if nprod != nfeed * (nfeed + 1) // 2:
+            raise ValueError("SampleNoise requires full-triangle visibilities.")
+
+        dt, _ = _time_interval(data_exp)
+        df = data_exp.index_map["freq"]["width"] * 1e6  # [nfreq]
+        nsamp = (self.sample_frac * dt * df).astype(int)  # [nfreq]
+
+        # Unpack UT -> Hermitian [nfreq, ntime, nfeed, nfeed]
+        vis_mat = tools.unpack_product_array(vis, axis=1, nside=nfeed)
+        vis_mat = jnp.moveaxis(vis_mat, 3, 1)  # [f, t, nfeed, nfeed]
+
+        # Regularise: the Cholesky needs strictly positive-definite inputs
+        key = self.next_key()
+        n_dof = jnp.asarray(nsamp)[:, None]  # broadcast over time
+        L = jnp.linalg.cholesky(vis_mat)
+        A = drandom.standard_complex_wishart(
+            key, nfeed, n_dof, batch_shape=(nfreq, ntime), dtype=vis.dtype
+        )
+        samp = L @ A @ jnp.conj(jnp.swapaxes(L, -1, -2))
+        samp = samp / n_dof[..., None, None].astype(vis.real.dtype)
+
+        # Repack the upper triangle
+        iu = np.triu_indices(nfeed)
+        samp_ut = samp[..., iu[0], iu[1]]  # [f, t, nprod]
+        vis_new = jnp.moveaxis(samp_ut, 1, 2)
+        data_exp.vis[:] = np.asarray(vis_new).astype(data_exp.vis.dtype)
+
+        if self.set_weights:
+            autos = tools.extract_diagonal(vis_new, axis=1).real
+            weight_fac = jnp.asarray(nsamp)[:, None, None] ** 0.5 * tools.invert_no_zero(
+                autos
+            )
+            w = tools.apply_gain(
+                jnp.asarray(np.asarray(data_exp.weight[:])),
+                weight_fac,
+                axis=1,
+            )
+            data_exp.weight[:] = np.asarray(w.real).astype(data_exp.weight.dtype)
+        return data_exp
+
+
+class FreqCorrelatedNoise(ContainerTask, RandomTask):
+    """Frequency-correlated noise from Cholesky factors.
+
+    (reference noise.py:377-470): colour unit normals with the stored
+    freq-freq Cholesky factors; batched matmul over (pol, ew, ra).
+
+    Attributes
+    ----------
+    save_redundancy : bool
+        Save the redundancy of each visibility.
+    """
+
+    save_redundancy = config.Property(proptype=bool, default=False)
+
+    def process(self, noise_model: containers.FreqNoiseModel):
+        noise_model.redistribute("ra")
+        out = containers.VisGridStream(
+            axes_from=noise_model, attrs_from=noise_model
+        )
+
+        redundancy = np.asarray(noise_model.redundancy[:])  # [pol, ew, ns]
+        inv_sqrt_red = tools.invert_no_zero(np.sqrt(redundancy))
+
+        if self.save_redundancy:
+            out.add_dataset("redundancy")
+            out.datasets["redundancy"][:] = np.broadcast_to(
+                redundancy[..., np.newaxis], out.datasets["redundancy"].shape
+            ).astype(np.int32)
+
+        L = jnp.asarray(np.asarray(noise_model.freq_cov[:]))  # [p,e,ra,f,f]
+        weight = np.asarray(noise_model.weight[:])  # [p, f, e, ra]
+
+        npol, nfreq, new, nns, nra = out.vis.shape
+        key = self.next_key()
+        z = drandom.complex_normal(
+            key, size=(npol, new, nra, nfreq, nns), dtype=jnp.complex64
+        )
+        sz = L.astype(z.dtype) @ z  # [p, e, ra, f, ns]
+        # divide by sqrt(redundancy) per NS baseline
+        sz = sz * jnp.asarray(
+            inv_sqrt_red[:, :, None, None, :], dtype=jnp.float32
+        )
+        ovis = jnp.transpose(sz, (0, 3, 1, 4, 2))  # [p, f, e, ns, ra]
+
+        # Hermitian fixup for the EW=0 plane (reference noise.py:456-468)
+        nyp = nns // 2 + 1
+        pol_names = [
+            p.decode() if isinstance(p, bytes) else str(p)
+            for p in out.index_map["pol"]
+        ]
+        pconjmap = np.unique(
+            [p[1] + p[0] for p in pol_names], return_inverse=True
+        )[1]
+        ovis_np = np.asarray(ovis)
+        for pi, po in enumerate(pconjmap):
+            ovis_np[po, :, 0, -1 : -nyp : -1, :] = ovis_np[
+                pi, :, 0, 1:nyp, :
+            ].conj()
+            if pi == po:
+                ovis_np[po, :, 0, 0, :] = ovis_np[pi, :, 0, 0, :].real * 2**0.5
+
+        out.vis[:] = ovis_np.astype(out.vis.dtype)
+        oweight = (
+            weight[:, :, :, np.newaxis, :]
+            * redundancy[:, np.newaxis, :, :, np.newaxis]
+        )
+        out.weight[:] = oweight.astype(out.weight.dtype)
+        return out
+
+
+class MultipleFreqCorrelatedNoise(MultipleNoiseRealizationsMixin, FreqCorrelatedNoise):
+    """Multiple frequency-correlated noise realizations (reference noise.py:473)."""

@@ -1,0 +1,165 @@
+"""Tests for noise/gain synthesis and gain calibration."""
+
+import numpy as np
+import pytest
+
+from draco_tpu.analysis.calibration import ApplyGain
+from draco_tpu.core import containers
+from draco_tpu.synthesis import gain as gain_mod
+from draco_tpu.synthesis import noise as noise_mod
+
+
+def make_full_stream(nfreq=2, nfeed=4, nra=16, seed=0):
+    """Full-triangle sidereal stream with PSD-safe visibilities."""
+    rng = np.random.Generator(np.random.SFC64(seed))
+    freq = np.linspace(800.0, 780.0, nfreq)
+    ss = containers.SiderealStream(freq=freq, input=nfeed, ra=nra)
+    # Build a guaranteed PSD visibility matrix: V = X X^H + diag boost
+    nprod = nfeed * (nfeed + 1) // 2
+    iu = np.triu_indices(nfeed)
+    vis = np.zeros((nfreq, nprod, nra), dtype=np.complex64)
+    for fi in range(nfreq):
+        for ti in range(nra):
+            X = rng.standard_normal((nfeed, 2 * nfeed)) + 1j * rng.standard_normal(
+                (nfeed, 2 * nfeed)
+            )
+            V = X @ X.conj().T / (2 * nfeed) + 10 * np.eye(nfeed)
+            vis[fi, :, ti] = V[iu]
+    ss.vis[:] = vis
+    ss.weight[:] = 1.0
+    return ss
+
+
+def test_receiver_temperature():
+    ss = make_full_stream()
+    autos_before = np.asarray(ss.vis[:])[:, 0, :].copy()
+    t = noise_mod.ReceiverTemperature()
+    t.read_config({"recv_temp": 50.0})
+    out = t.process(ss)
+    autos_after = np.asarray(out.vis[:])[:, 0, :]
+    assert np.allclose(autos_after, autos_before + 50.0, atol=1e-4)
+    # cross-correlations unchanged
+    cross = np.asarray(out.vis[:])[:, 1, :]
+    assert np.isfinite(cross).all()
+
+
+def test_gaussian_noise_statistics():
+    ss = make_full_stream(nfreq=1, nfeed=3, nra=512)
+    ss.vis[:] = 0.0
+    t = noise_mod.GaussianNoise()
+    t.read_config({"recv_temp": 40.0, "ndays": 1.0, "seed": 1})
+    t.setup()
+    out = t.process(ss)
+    vis = np.asarray(out.vis[:])
+    w = np.asarray(out.weight[:])
+    # expected std per sample
+    dt = 240 * (ss.ra[1] - ss.ra[0]) * noise_mod.STELLAR_S
+    df = ss.index_map["freq"]["width"][0] * 1e6
+    nsamp = int(1.0 * dt * df)
+    std = 40.0 / np.sqrt(nsamp)
+    # cross-correlation: E|v|^2 = std^2
+    cross = vis[:, 1]
+    assert np.isclose(np.mean(np.abs(cross) ** 2), std**2, rtol=0.2)
+    # autos are real; adding sqrt(2) x the real part of a complex normal
+    # with E|z|^2 = std^2 gives variance std^2 (reference noise.py:271-274)
+    auto = vis[:, 0]
+    assert np.allclose(auto.imag, 0.0)
+    assert np.isclose(np.var(auto.real), std**2, rtol=0.3)
+    assert np.allclose(w, 1.0 / std**2, rtol=1e-5)
+
+
+def test_gaussian_noise_dataset():
+    ss = make_full_stream(nfreq=1, nfeed=3, nra=256)
+    ss.weight[:] = 4.0  # variance 0.25
+    t = noise_mod.GaussianNoiseDataset()
+    t.read_config({"seed": 2})
+    out = t.process(ss)
+    vis = np.asarray(out.vis[:])
+    cross = vis[:, 1]
+    assert np.isclose(np.mean(np.abs(cross) ** 2), 0.25, rtol=0.2)
+    auto = vis[:, 0]
+    assert np.allclose(auto.imag, 0.0)
+
+
+def test_sample_noise_wishart():
+    """SampleNoise keeps the expectation and produces Hermitian-valid data."""
+    ss = make_full_stream(nfreq=1, nfeed=3, nra=128, seed=3)
+    expect = np.asarray(ss.vis[:]).copy()
+    t = noise_mod.SampleNoise()
+    t.read_config({"sample_frac": 1.0, "seed": 4})
+    out = t.process(ss)
+    vis = np.asarray(out.vis[:])
+    assert np.isfinite(vis).all()
+    # autos stay real and positive
+    from draco_tpu.ops import tools
+
+    autos = np.asarray(tools.extract_diagonal(vis, axis=1))
+    assert np.allclose(autos.imag, 0.0, atol=1e-3)
+    assert (autos.real > 0).all()
+    # sample mean over time approaches expectation (same expectation each t)
+    assert np.allclose(
+        vis.mean(axis=-1), expect.mean(axis=-1), rtol=0.1, atol=0.5
+    )
+
+
+def test_random_gains_statistics():
+    ss = make_full_stream(nfreq=2, nfeed=4, nra=64)
+    # give the stream a time axis via attrs? BaseGains needs .time: use
+    # TimeStream instead
+    ts = containers.TimeStream(
+        freq=ss.freq, input=4, time=np.arange(64.0) * 10.0
+    )
+    ts.vis[:] = 1.0
+    ts.weight[:] = 1.0
+    t = gain_mod.RandomGains()
+    t.read_config({"seed": 5, "sigma_amp": 0.05, "sigma_phase": 0.02})
+    g = t.process(ts)
+    assert isinstance(g, containers.GainData)
+    garr = np.asarray(g.gain[:])
+    assert garr.shape == (2, 4, 64)
+    # amplitude fluctuates around 1 with ~sigma_amp
+    assert np.isclose(np.abs(garr).mean(), 1.0, atol=0.05)
+    assert 0.005 < np.abs(garr).std() < 0.3
+
+    # continuation is consistent (constrained realisation runs)
+    ts2 = containers.TimeStream(
+        freq=ss.freq, input=4, time=640.0 + np.arange(64.0) * 10.0
+    )
+    g2 = t.process(ts2)
+    assert np.isfinite(np.asarray(g2.gain[:])).all()
+
+
+def test_apply_gain_roundtrip():
+    ss = make_full_stream(nfreq=2, nfeed=4, nra=16)
+    vis0 = np.asarray(ss.vis[:]).copy()
+    rng = np.random.Generator(np.random.SFC64(7))
+    g = containers.SiderealGainData(freq=ss.freq, input=4, ra=16)
+    garr = 1.0 + 0.1 * (
+        rng.standard_normal((2, 4, 16)) + 1j * rng.standard_normal((2, 4, 16))
+    )
+    g.gain[:] = garr
+
+    # apply gains then the inverse: recovers the original
+    t_fwd = ApplyGain()
+    t_fwd.read_config({"inverse": False})
+    ss = t_fwd.process(ss, g)
+    t_inv = ApplyGain()
+    t_inv.read_config({"inverse": True})
+    ss = t_inv.process(ss, g)
+    assert np.allclose(np.asarray(ss.vis[:]), vis0, rtol=1e-4, atol=1e-5)
+
+
+def test_gain_stacker():
+    ss = make_full_stream(nfreq=1, nfeed=3, nra=8)
+    t = gain_mod.GainStacker()
+    t.read_config({"only_gains": True})
+    t.setup(ss)
+    for day in range(3):
+        g = containers.SiderealGainData(freq=ss.freq, input=3, ra=8)
+        g.gain[:] = np.ones((1, 3, 8)) * (1.0 + 0.1 * day)
+        g.attrs["lsd"] = day
+        t.process(g)
+    out = t.process_finish()
+    gs = np.asarray(out.vis[:])
+    expect = np.mean([(1 + 0.1 * d) ** 2 for d in range(3)])
+    assert np.allclose(gs[:, 0], expect, rtol=1e-5)
