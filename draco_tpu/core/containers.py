@@ -343,6 +343,9 @@ class ContainerBase:
     def __contains__(self, name: str) -> bool:
         return name in self.datasets
 
+    def __delitem__(self, name: str) -> None:
+        del self.datasets[name]
+
     # -- distribution -----------------------------------------------------
     def redistribute(self, axis_name: str | None) -> "ContainerBase":
         """Reshard every distributed dataset along ``axis_name``.
@@ -544,6 +547,35 @@ def _container_registry() -> dict[str, type]:
 def empty_like(cont: ContainerBase, **kwargs) -> ContainerBase:
     """New zeroed container with the same axes/attrs as ``cont``."""
     return cont.__class__(axes_from=cont, attrs_from=cont, **kwargs)
+
+
+def concatenate_tod(containers_list):
+    """Concatenate containers along their time-like axis.
+
+    Equivalent of ``caput.containers.tod.concatenate`` (used by the
+    reference SiderealGrouper, draco/analysis/sidereal.py:148).
+    """
+    first = containers_list[0]
+    if len(containers_list) == 1:
+        return first.copy()
+    taxis = "time" if "time" in first.index_map else "ra"
+    new_time = np.concatenate([np.asarray(c.index_map[taxis]) for c in containers_list])
+    new = first.__class__(
+        axes_from=first, attrs_from=first, **{taxis: new_time}
+    )
+    for name, ds in first.datasets.items():
+        if taxis in ds.axes:
+            ax = list(ds.axes).index(taxis)
+            arr = np.concatenate(
+                [np.asarray(c.datasets[name][:]) for c in containers_list],
+                axis=ax,
+            )
+        else:
+            arr = np.asarray(ds[:])
+        if name not in new.datasets:
+            new.add_dataset(name)
+        new.datasets[name][:] = arr
+    return new
 
 
 def copy_datasets_filter(

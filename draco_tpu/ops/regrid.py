@@ -66,7 +66,7 @@ def band_wiener(R, Ni, Si, y, bw: int):
 
     import jax
 
-    xh, nw = jax.vmap(one)(Ni, xh_dirty.astype(R.dtype))
+    xh, nw = jax.vmap(one)(Ni, xh_dirty)
     return xh, nw
 
 
