@@ -96,7 +96,6 @@ def main():
 
     scale = 1.0 / omega
 
-    @jax.jit
     def beam_transfer_chunk(bl_chunk):
         """B tensors for one baseline chunk: (Bp, Bm) [C, L+1, M+1]."""
         phase = 2 * jnp.pi * (bl_chunk @ vec_d.T)  # [C, npix]
@@ -105,67 +104,59 @@ def main():
         alm_conj = s._analysis_impl(jnp.conj(bmap))
         return jnp.conj(alm_conj) * scale, jnp.conj(alm_pos) * scale
 
+    # The ENTIRE round trip is one compiled executable: the remote-compile
+    # latency of the TPU tunnel makes every separate dispatch expensive, and
+    # the baseline-chunk streaming loops become on-device fori_loops.
     @jax.jit
-    def project_chunk(bl_chunk, alm):
-        bp, bm = beam_transfer_chunk(bl_chunk)
-        vp = jnp.einsum("blm,lm->mb", bp, alm.astype(bp.dtype))
-        vm = jnp.einsum("blm,lm->mb", bm, alm.astype(bm.dtype))
-        return jnp.stack([vp, vm], axis=1)  # [M+1, 2, C]
+    def round_trip(sky):
+        alm = s._analysis_impl(sky)  # [L+1, M+1]
 
-    @jax.jit
-    def adjoint_chunk(bl_chunk, vis_m):
-        bp, bm = beam_transfer_chunk(bl_chunk)
-        a = jnp.einsum("blm,mb->lm", jnp.conj(bp), vis_m[:, 0])
-        a = a + jnp.einsum("blm,mb->lm", jnp.conj(bm), vis_m[:, 1])
-        return a
+        def fwd_body(c, vis_acc):
+            blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
+            bp, bm = beam_transfer_chunk(blc)
+            vp = jnp.einsum("blm,lm->mb", bp, alm.astype(bp.dtype))
+            vm = jnp.einsum("blm,lm->mb", bm, alm.astype(bm.dtype))
+            chunk = jnp.stack([vp, vm], axis=1)  # [M+1, 2, C]
+            return jax.lax.dynamic_update_slice_in_dim(
+                vis_acc, chunk, c * CHUNK, axis=2
+            )
 
-    @jax.jit
-    def sky_to_alm(sky):
-        return s._analysis_impl(sky)
+        vis0 = jnp.zeros((lmax + 1, 2, nchunk * CHUNK), jnp.complex64)
+        vis_m = jax.lax.fori_loop(0, nchunk, fwd_body, vis0)
+        # zero the padded baselines
+        bmask = (jnp.arange(nchunk * CHUNK) < npairs).astype(jnp.float32)
+        vis_m = vis_m * bmask[None, None, :]
 
-    @jax.jit
-    def alm_to_map(alm):
-        return s._synthesis_impl(alm.astype(jnp.complex64))
-
-    @jax.jit
-    def ra_roundtrip(vis_m):
+        # RA round trip (simulate -> sidereal -> m-modes)
         ntime = 2 * lmax + 1
         stream = mmode.mmodes_to_sidereal(vis_m, n=ntime, oddra=True)
-        return mmode.make_marray(stream, mmax=lmax)
+        vis_m2 = mmode.make_marray(stream, mmax=lmax).astype(jnp.complex64)
+
+        def adj_body(c, a_acc):
+            blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
+            vc = jax.lax.dynamic_slice_in_dim(vis_m2, c * CHUNK, CHUNK, 2)
+            bp, bm = beam_transfer_chunk(blc)
+            a = jnp.einsum("blm,mb->lm", jnp.conj(bp), vc[:, 0])
+            a = a + jnp.einsum("blm,mb->lm", jnp.conj(bm), vc[:, 1])
+            return a_acc + a
+
+        a0 = jnp.zeros((lmax + 1, lmax + 1), jnp.complex64)
+        a_dirty = jax.lax.fori_loop(0, nchunk, adj_body, a0)
+        return s._synthesis_impl(a_dirty)
 
     # Input sky
     sky = jnp.asarray(rng.standard_normal(npix).astype(np.float32))
 
-    def round_trip():
-        alm = sky_to_alm(sky)
-        vis_parts = []
-        for c in range(nchunk):
-            blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
-            vis_parts.append(project_chunk(blc, alm))
-        vis_m = jnp.concatenate(vis_parts, axis=-1)[..., :npairs]
-        # RA round trip (simulate -> sidereal -> m-modes)
-        vis_m2 = ra_roundtrip(vis_m)
-        vis_pad = jnp.concatenate(
-            [vis_m2, jnp.zeros((lmax + 1, 2, pad), vis_m2.dtype)], axis=-1
-        )
-        a_dirty = jnp.zeros((lmax + 1, lmax + 1), jnp.complex64)
-        for c in range(nchunk):
-            blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
-            a_dirty = a_dirty + adjoint_chunk(
-                blc, jax.lax.dynamic_slice_in_dim(vis_pad, c * CHUNK, CHUNK, 2)
-            )
-        return alm_to_map(a_dirty)
-
     log("compiling + warmup ...")
     t0 = time.time()
-    out = round_trip()
+    out = round_trip(sky)
     out.block_until_ready()
     log(f"warmup (incl. compile): {time.time() - t0:.1f}s")
 
     times = []
     for i in range(NRUN):
         t0 = time.time()
-        out = round_trip()
+        out = round_trip(sky)
         out.block_until_ready()
         times.append(time.time() - t0)
         log(f"run {i}: {times[-1]:.2f}s")

@@ -1,0 +1,215 @@
+"""Delay power spectrum estimation via ML/MAP optimisation.
+
+Re-provides reference ``draco/analysis/delayopt.py`` (OptFunc:12,
+LogLikePS:61, GaussianProcessPrior:239, AddFunctions:358,
+delay_power_spectrum_maxpost:424): a Newton-CG maximisation of the delay
+power spectrum likelihood (NRML), with a Gaussian-process smoothness prior.
+
+The negative log-likelihood for the data covariance X with model
+C = F S F^H + N is nsamp * (ln det C + tr(C^-1 X)); gradients and
+(Fisher or exact) Hessians are computed analytically in the delay basis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg as la
+from scipy.optimize import minimize
+
+from ..ops import kernels, tools
+
+
+class OptFunc:
+    """Protocol for a function with value/gradient/hessian."""
+
+    def value(self, x: np.ndarray) -> float:
+        raise NotImplementedError()
+
+    def gradient(self, x: np.ndarray) -> np.ndarray:
+        raise NotImplementedError()
+
+    def hessian(self, x: np.ndarray) -> np.ndarray:
+        raise NotImplementedError()
+
+
+class LogLikePS(OptFunc):
+    """Negative log-likelihood of a delay power spectrum.
+
+    (reference delayopt.py:61): parameters are log(S); cached per-x
+    factorisations make value/gradient/hessian cheap within one iteration.
+    """
+
+    def __init__(
+        self,
+        X: np.ndarray,
+        MF: np.ndarray,
+        N: np.ndarray,
+        nsamp: int,
+        fsel=None,
+        exact_hessian: bool = True,
+        bounds: tuple = (1e-10, 1e10),
+    ):
+        if fsel is None:
+            fsel = (MF != 0).any(axis=1)
+        self.X = X[fsel][:, fsel]
+        self.N = np.asarray(N)[fsel]
+        self.MF = MF[fsel]
+        self.MFT = self.MF.T.conj()
+        self.nsamp = nsamp
+        self.exact_hessian = exact_hessian
+        self._logbounds = tuple(sorted(np.log(x) for x in bounds))
+        self._s_a = None
+
+    def _precompute(self, x: np.ndarray) -> None:
+        if self._s_a is not None and np.array_equal(x, self._s_a):
+            return
+        x = np.clip(x, *self._logbounds)
+        s = np.exp(x)
+        # C = F S F^H + N
+        C = (self.MF * s[np.newaxis, :]) @ self.MFT + np.diag(self.N)
+        Cf = la.cho_factor(C, check_finite=True)
+        CiF = la.cho_solve(Cf, self.MF, check_finite=False)  # C^-1 F
+        CiX = la.cho_solve(Cf, self.X, check_finite=False)  # C^-1 X
+        self._s = s
+        self._A = self.MFT @ CiF  # F^H C^-1 F
+        self._G = self.MFT @ (CiX @ CiF)  # F^H C^-1 X C^-1 F
+        self._logdet = 2 * np.sum(np.log(np.diag(Cf[0]).real))
+        self._trCiX = np.trace(CiX).real
+        self._s_a = x.copy()
+
+    def value(self, x: np.ndarray) -> float:
+        self._precompute(x)
+        return self.nsamp * (self._logdet + self._trCiX)
+
+    def gradient(self, x: np.ndarray) -> np.ndarray:
+        self._precompute(x)
+        Adiag = np.diag(self._A).real
+        Gdiag = np.diag(self._G).real
+        return self.nsamp * self._s * (Adiag - Gdiag)
+
+    def hessian(self, x: np.ndarray) -> np.ndarray:
+        self._precompute(x)
+        ss = np.outer(self._s, self._s)
+        fisher = self.nsamp * ss * np.abs(self._A) ** 2
+        if not self.exact_hessian:
+            return fisher
+        extra = self.nsamp * ss * (
+            -np.abs(self._A) ** 2 + 2 * (self._A * self._G.T).real
+        )
+        return np.diag(self.gradient(x)) + extra
+
+
+class GaussianProcessPrior(OptFunc):
+    """Smoothness prior on log S: 0.5 x^T K^-1 x with a GP kernel.
+
+    (reference delayopt.py:239)
+    """
+
+    def __init__(
+        self,
+        N: int,
+        width: float = 5.0,
+        alpha: float = 1.0,
+        kernel: str = "matern",
+        nu: float = 1.5,
+    ):
+        idx = np.arange(N, dtype=np.float64)
+        kw = {"width": width, "alpha": alpha, "epsilon": 1e-8}
+        if kernel == "matern":
+            kw["nu"] = nu
+        K = kernels.get_kernel({"name": kernel, **kw})(idx)
+        # Periodic wrap of the delay axis: include the circulant images
+        self.Ki = la.inv(K)
+
+    def value(self, x: np.ndarray) -> float:
+        xm = x - x.mean()
+        return 0.5 * float(xm @ self.Ki @ xm)
+
+    def gradient(self, x: np.ndarray) -> np.ndarray:
+        xm = x - x.mean()
+        g = self.Ki @ xm
+        return g - g.mean()
+
+    def hessian(self, x: np.ndarray) -> np.ndarray:
+        return self.Ki
+
+
+class AddFunctions(OptFunc):
+    """Sum of several OptFuncs (reference delayopt.py:358)."""
+
+    def __init__(self, funcs):
+        self.funcs = list(funcs)
+
+    def value(self, x):
+        return sum(f.value(x) for f in self.funcs)
+
+    def gradient(self, x):
+        return sum(f.gradient(x) for f in self.funcs)
+
+    def hessian(self, x):
+        return sum(f.hessian(x) for f in self.funcs)
+
+
+def delay_power_spectrum_maxpost(
+    data,
+    N,
+    Ni,
+    initial_S=None,
+    window: str = "nuttall",
+    fsel=None,
+    maxiter: int = 100,
+    tol: float = 1e-3,
+    bounds: tuple = (1e-15, 1e10),
+):
+    """Maximum-likelihood delay power spectrum (reference delayopt.py:424).
+
+    Returns (list of samples including the initial guess, success flag).
+    """
+    from ..ops.delay import fourier_matrix
+
+    nsamp, Nf = data.shape
+    if fsel is None:
+        fsel = np.arange(Nf)
+    elif len(fsel) != Nf:
+        raise ValueError(
+            "Length of frequency selection must match frequencies passed. "
+            f"{len(fsel)} != {data.shape[-1]}"
+        )
+
+    F = fourier_matrix(N, fsel).astype(np.complex128, copy=False)
+    data = data.astype(F.dtype, copy=True)
+
+    if window is not None:
+        w = np.asarray(tools.window_generalised(fsel / N, window=window))
+        F = F * w[:, np.newaxis]
+        data = data * w[np.newaxis, :]
+
+    X = (data.T @ data.conj()) / nsamp
+    Nm = np.asarray(tools.invert_no_zero(Ni))
+    F[Ni == 0] = 0.0
+
+    if initial_S is None:
+        initial_S = (data @ la.pinv(F.T, rtol=1e-3)).var(axis=0)
+    initial_S = np.maximum(np.abs(initial_S), bounds[0])
+
+    samples = [initial_S]
+    optfunc = AddFunctions(
+        [
+            LogLikePS(X, F, Nm, nsamp, exact_hessian=True, bounds=bounds),
+            GaussianProcessPrior(N, width=5, alpha=1.0, kernel="matern", nu=1.5),
+        ]
+    )
+    try:
+        res = minimize(
+            optfunc.value,
+            x0=np.log(initial_S),
+            jac=optfunc.gradient,
+            hess=optfunc.hessian,
+            method="Newton-CG",
+            options={"maxiter": maxiter, "xtol": tol},
+            callback=lambda xk: samples.append(np.exp(xk)),
+        )
+        success = res.success
+    except (la.LinAlgError, ValueError):
+        success = False
+    return samples, success

@@ -1,0 +1,506 @@
+"""Delay-spectrum estimation kernels.
+
+Re-provides the estimator functions of reference ``draco/analysis/delay.py``
+(fourier matrices :1480-1613, delay_power_spectrum_gibbs:1713,
+delay_spectrum_gibbs_cross:1907, delay_spectrum_fft:2102,
+delay_spectrum_wiener_filter:2132).
+
+TPU design: alongside the faithful numpy implementations, the Gibbs sampler
+is provided as a fully batched jax kernel — all baselines' chains advance
+in lockstep with on-device batched Cholesky solves and TPU PRNG draws
+(:func:`delay_power_spectrum_gibbs_batched`), replacing the reference's
+per-baseline Python loop (the SURVEY.md section 3.5 hot loop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import tools
+
+__all__ = [
+    "fourier_matrix_r2c",
+    "fourier_matrix_c2r",
+    "fourier_matrix_c2c",
+    "fourier_matrix",
+    "delay_spectrum_fft",
+    "delay_spectrum_wiener_filter",
+    "delay_power_spectrum_gibbs",
+    "delay_power_spectrum_gibbs_batched",
+    "delay_spectrum_gibbs_cross",
+    "match_axes",
+    "flatten_axes",
+]
+
+
+# ---------------------------------------------------------------------------
+# Fourier matrices (reference delay.py:1480-1613)
+# ---------------------------------------------------------------------------
+
+
+def fourier_matrix_r2c(N: int, fsel=None) -> np.ndarray:
+    """Real-to-complex FFT matrix, alternating re/im rows (delay.py:1480)."""
+    fa = np.arange(N // 2 + 1) if fsel is None else np.array(fsel)
+    fa = fa[:, np.newaxis]
+    ta = np.arange(N)[np.newaxis, :]
+    Fr = np.zeros((2 * fa.shape[0], N), dtype=np.float64)
+    Fr[0::2] = np.cos(2 * np.pi * ta * fa / N)
+    Fr[1::2] = -np.sin(2 * np.pi * ta * fa / N)
+    return Fr
+
+
+def fourier_matrix_c2r(N: int, fsel=None) -> np.ndarray:
+    """Complex-to-real inverse FFT matrix (delay.py:1513)."""
+    fa = np.arange(N // 2 + 1) if fsel is None else np.array(fsel)
+    fa = fa[np.newaxis, :]
+    mul = np.where((fa == 0) | (fa == N // 2), 1.0, 2.0) / N
+    ta = np.arange(N)[:, np.newaxis]
+    Fr = np.zeros((N, 2 * fa.shape[1]), dtype=np.float64)
+    Fr[:, 0::2] = np.cos(2 * np.pi * ta * fa / N) * mul
+    Fr[:, 1::2] = -np.sin(2 * np.pi * ta * fa / N) * mul
+    return Fr
+
+
+def fourier_matrix_c2c(N: int, fsel=None) -> np.ndarray:
+    """Complex-to-complex FFT as a real matrix over alternating re/im.
+
+    (delay.py:1549)
+    """
+    fa = np.arange(N) if fsel is None else np.array(fsel)
+    fa = fa[:, np.newaxis]
+    ta = np.arange(N)[np.newaxis, :]
+    F = np.zeros((2 * fa.shape[0], 2 * N), dtype=np.float64)
+    arg = 2 * np.pi * ta * fa / N
+    F[0::2, 0::2] = np.cos(arg)
+    F[0::2, 1::2] = np.sin(arg)
+    F[1::2, 0::2] = -np.sin(arg)
+    F[1::2, 1::2] = np.cos(arg)
+    return F
+
+
+def fourier_matrix(N: int, fsel=None) -> np.ndarray:
+    """Complex Fourier matrix exp(-2 pi i t f / N) (delay.py:1588)."""
+    fa = np.arange(N) if fsel is None else np.array(fsel)
+    return np.exp(-2.0j * np.pi * np.arange(N)[np.newaxis, :] * fa[:, np.newaxis] / N)
+
+
+def _complex_to_alternating_real(array):
+    return array.astype(np.complex128, order="C").view(np.float64)
+
+
+def _alternating_real_to_complex(array):
+    return np.ascontiguousarray(array.astype(np.float64)).view(np.complex128)
+
+
+# ---------------------------------------------------------------------------
+# Shared input preparation (reference delay.py:1657-1710)
+# ---------------------------------------------------------------------------
+
+
+def _compute_delay_spectrum_inputs(data, N, Ni, fsel, window, complex_timedomain):
+    """Pre-whitened alternating-real data + noise-weighted Fourier matrices."""
+    total_freq = N if complex_timedomain else N // 2 + 1
+    if fsel is None:
+        fsel = np.arange(total_freq)
+    else:
+        fsel = np.asarray(fsel)
+
+    F = fourier_matrix_c2c(N, fsel) if complex_timedomain else fourier_matrix_r2c(N, fsel)
+    data = _complex_to_alternating_real(data).T.copy()
+
+    if window is not None:
+        x = fsel / total_freq
+        w = np.asarray(tools.window_generalised(x, window=window))
+        w = np.repeat(w, 2)
+        F = F * w[:, np.newaxis]
+        data = data * w[:, np.newaxis]
+
+    if complex_timedomain:
+        is_real_freq = np.zeros(fsel.shape, dtype=bool)
+    else:
+        is_real_freq = (fsel == 0) | (fsel == N // 2)
+
+    Ni_r = np.zeros(2 * Ni.shape[0])
+    Ni_r[0::2] = np.where(is_real_freq, Ni, Ni * 2)
+    Ni_r[1::2] = np.where(is_real_freq, 0.0, Ni * 2)
+
+    FTNih = F.T * Ni_r[np.newaxis, :] ** 0.5
+    FTNiF = FTNih @ FTNih.T
+    data = data * Ni_r[:, np.newaxis] ** 0.5
+    return data, FTNih, FTNiF, fsel
+
+
+# ---------------------------------------------------------------------------
+# Estimators
+# ---------------------------------------------------------------------------
+
+
+def delay_spectrum_fft(data, N: int, window="nuttall"):
+    """Delay transform by inverse FFT (reference delay.py:2102)."""
+    import jax.numpy as jnp
+
+    data = jnp.asarray(data)
+    if window is not None:
+        wx = np.arange(N) / N
+        w = np.asarray(tools.window_generalised(wx, window=window))
+        data = data * jnp.asarray(w)[np.newaxis]
+    return np.asarray(jnp.fft.ifft(data, axis=-1))
+
+
+def delay_spectrum_wiener_filter(
+    delay_PS, data, N, Ni, window="nuttall", fsel=None, complex_timedomain=False
+):
+    """Wiener-filtered delay spectrum (reference delay.py:2132).
+
+    See arXiv:2202.01242 Eq. A6.
+    """
+    import scipy.linalg as la
+
+    data, FTNih, FTNiF, fsel = _compute_delay_spectrum_inputs(
+        data, N, Ni, fsel, window, complex_timedomain
+    )
+    y = FTNih @ data
+    Si = np.asarray(tools.invert_no_zero(np.asarray(delay_PS)))
+    if complex_timedomain:
+        Si = 2.0 * np.repeat(Si, 2)
+    Ci = FTNiF.copy()
+    np.einsum("ii->i", Ci)[:] += Si
+    CiL = la.cho_factor(Ci, check_finite=False, lower=False, overwrite_a=True)
+    y_spec = la.cho_solve(CiL, y, check_finite=False, overwrite_b=True).T
+    if complex_timedomain:
+        y_spec = _alternating_real_to_complex(y_spec)
+    return y_spec
+
+
+def delay_power_spectrum_gibbs(
+    data,
+    N,
+    Ni,
+    initial_S,
+    window="nuttall",
+    fsel=None,
+    niter=20,
+    rng=None,
+    complex_timedomain=False,
+):
+    """Gibbs-sample the delay power spectrum (reference delay.py:1713).
+
+    Alternates a perturbed-Wiener signal draw (frequency- or time-basis
+    form depending on dimensions, delay.py:1884-1886) with an inverse-chi^2
+    power spectrum draw.  Returns (list of samples, success flag).
+    """
+    import scipy.linalg as la
+
+    if rng is None:
+        rng = np.random.default_rng()
+
+    spec = []
+    data, FTNih, FTNiF, fsel = _compute_delay_spectrum_inputs(
+        data, N, Ni, fsel, window, complex_timedomain
+    )
+    S_samp = initial_S
+
+    def _draw_signal_sample_f(S):
+        Si = np.asarray(tools.invert_no_zero(S))
+        if complex_timedomain:
+            Si = 2.0 * np.repeat(Si, 2)
+        Ci = FTNiF.copy()
+        np.einsum("ii->i", Ci)[:] += Si
+        CiL = la.cho_factor(Ci, check_finite=False, lower=False, overwrite_a=True)
+        nd = 2 * N if complex_timedomain else N
+        w1 = rng.standard_normal((nd, data.shape[1]))
+        w2 = rng.standard_normal(data.shape)
+        w2d = data + w2
+        y = w1 * (Si**0.5)[:, np.newaxis] + (FTNih @ w2d)
+        return la.cho_solve(CiL, y, check_finite=False, overwrite_b=True)
+
+    def _draw_signal_sample_t(S):
+        Sh = S**0.5
+        if complex_timedomain:
+            Sh = (0.5**0.5) * np.repeat(Sh, 2)
+        nd = 2 * N if complex_timedomain else N
+        w1 = rng.standard_normal((nd, data.shape[1]))
+        w2 = rng.standard_normal(data.shape)
+        Rt = FTNih * Sh[:, np.newaxis]
+        R = Rt.T.conj()
+        y = w2 - R @ w1 + data
+        Ci = R @ Rt
+        np.einsum("ii->i", Ci)[:] += 1.0
+        CiL = la.cho_factor(Ci, check_finite=False, lower=False, overwrite_a=True)
+        x = la.cho_solve(CiL, y, check_finite=False, overwrite_b=True)
+        return Sh[:, np.newaxis] * ((Rt @ x) + w1)
+
+    def _draw_ps_sample(d):
+        S_hat = d.var(axis=-1)
+        if complex_timedomain:
+            S_hat = S_hat[::2] + S_hat[1::2]
+        df = d.shape[1]
+        chi2 = rng.chisquare(df, size=S_hat.shape[0])
+        return S_hat * df / chi2
+
+    _draw_signal_sample = (
+        _draw_signal_sample_f if (len(fsel) > 0.25 * N) else _draw_signal_sample_t
+    )
+
+    for _ in range(niter):
+        try:
+            d_samp = _draw_signal_sample(S_samp)
+        except np.linalg.LinAlgError:
+            return spec, False
+        S_samp = _draw_ps_sample(d_samp)
+        spec.append(S_samp)
+    return spec, True
+
+
+def delay_power_spectrum_gibbs_batched(
+    data,
+    N,
+    Ni,
+    initial_S,
+    window="nuttall",
+    fsel=None,
+    niter=20,
+    key=None,
+    complex_timedomain=False,
+):
+    """Batched Gibbs sampler: every baseline's chain advances on device.
+
+    The TPU-native replacement of the reference's per-baseline loop
+    (reference delay.py:905-931): frequency-basis perturbed-Wiener draws
+    with batched Cholesky solves under vmap over the baseline axis, and
+    inverse-chi^2 power spectrum draws from the TPU PRNG.
+
+    Parameters
+    ----------
+    data : np.ndarray[nbase, nsample, nfreq] (complex)
+    N : int
+        Number of delays.
+    Ni : np.ndarray[nbase, nfreq]
+        Inverse noise variance per baseline.
+    initial_S : np.ndarray[nbase, ndelay(S)]
+    window, fsel, complex_timedomain
+        As in the reference estimator.
+    niter : int
+        Number of Gibbs iterations.
+    key
+        jax PRNG key.
+
+    Returns
+    -------
+    samples : np.ndarray[niter, nbase, ndelay(S)]
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if key is None:
+        key = jax.random.key(0)
+
+    nbase = data.shape[0]
+    prepped = [
+        _compute_delay_spectrum_inputs(
+            data[b], N, Ni[b], fsel, window, complex_timedomain
+        )
+        for b in range(nbase)
+    ]
+    d_all = jnp.asarray(np.stack([p[0] for p in prepped]))  # [b, 2F, nsamp]
+    FTNih_all = jnp.asarray(np.stack([p[1] for p in prepped]))  # [b, nd, 2F]
+    FTNiF_all = jnp.asarray(np.stack([p[2] for p in prepped]))  # [b, nd, nd]
+
+    nd = FTNiF_all.shape[-1]
+    nsamp = d_all.shape[-1]
+    rep = 2 if complex_timedomain else 1
+
+    def step(carry, key_i):
+        S = carry  # [b, nS]
+        k1, k2, k3 = jax.random.split(key_i, 3)
+        Si = jnp.where(S > 0, 1.0 / jnp.where(S > 0, S, 1.0), 0.0)
+        if complex_timedomain:
+            Si_e = 2.0 * jnp.repeat(Si, 2, axis=-1)
+        else:
+            Si_e = Si
+        Ci = FTNiF_all + jax.vmap(jnp.diag)(Si_e)
+        L = jnp.linalg.cholesky(Ci)
+        w1 = jax.random.normal(k1, (nbase, nd, nsamp))
+        w2 = jax.random.normal(k2, d_all.shape)
+        y = w1 * jnp.sqrt(Si_e)[:, :, None] + FTNih_all @ (d_all + w2)
+        dsamp = jax.scipy.linalg.cho_solve((L, True), y)
+        S_hat = dsamp.var(axis=-1)
+        if complex_timedomain:
+            S_hat = S_hat[:, ::2] + S_hat[:, 1::2]
+        df = nsamp
+        chi2 = 2.0 * jax.random.gamma(k3, df / 2.0, shape=S_hat.shape)
+        S_new = S_hat * df / chi2
+        return S_new, S_new
+
+    keys = jax.random.split(key, niter)
+    _, samples = jax.lax.scan(step, jnp.asarray(initial_S), keys)
+    return np.asarray(samples)
+
+
+def delay_spectrum_gibbs_cross(
+    data,
+    N,
+    Ni,
+    initial_S,
+    window="nuttall",
+    fsel=None,
+    niter=20,
+    rng=None,
+):
+    """Gibbs sampling of the delay *cross*-power spectrum.
+
+    (reference delay.py:1907-2099): multi-dataset joint signal draw with a
+    per-delay inverse-Wishart power spectrum draw.
+    """
+    import scipy.linalg as la
+
+    from . import random as drandom
+
+    if rng is None:
+        rng = np.random.default_rng()
+
+    spec = []
+    nd, nsamp, Nf = data.shape
+    if fsel is None:
+        fsel = np.arange(Nf)
+    elif len(fsel) != Nf:
+        raise ValueError(
+            "Length of frequency selection must match frequencies passed. "
+            f"{len(fsel)} != {data.shape[-1]}"
+        )
+
+    F = fourier_matrix(N, fsel)
+    if nd == 0:
+        raise ValueError("Need at least one set of data")
+
+    data = data.transpose(0, 2, 1)
+    if window is not None:
+        x = fsel * 1.0 / N
+        w = np.asarray(tools.window_generalised(x, window=window))
+        F = F * w[:, np.newaxis]
+        data = data * w[:, np.newaxis]
+
+    FTNih = F.T[np.newaxis, :, :] * Ni[:, np.newaxis, :] ** 0.5
+    FTNiF = np.zeros((nd, N, nd, N), dtype=np.complex128)
+    for ii in range(nd):
+        FTNiF[ii, :, ii] = FTNih[ii] @ FTNih[ii].T.conj()
+    data = data * Ni[:, :, np.newaxis] ** 0.5
+
+    S_samp = initial_S
+
+    def _draw_signal_sample_f(S):
+        Si = np.empty_like(S)
+        Sh = np.empty((N, nd, nd), dtype=S.dtype)
+        for ii in range(N):
+            Si[:, :, ii] = la.inv(S[:, :, ii])
+            Sh[ii] = la.cholesky(S[:, :, ii], lower=False)
+        Ci = FTNiF.copy()
+        for ii in range(nd):
+            for jj in range(nd):
+                Ci[ii, :, jj] += np.diag(Si[ii, jj])
+        w1 = drandom.complex_normal_np(size=(N, nd, nsamp), rng=rng)
+        w2 = drandom.complex_normal_np(size=data.shape, rng=rng)
+        y = FTNih @ (data + w2)
+        for ii in range(N):
+            w1s = la.solve_triangular(
+                Sh[ii], w1[ii], overwrite_b=True, lower=False, check_finite=False
+            )
+            y[:, ii] += w1s
+        cf = la.cho_factor(
+            Ci.reshape(nd * N, nd * N), overwrite_a=True, check_finite=False
+        )
+        return la.cho_solve(
+            cf, y.reshape(nd * N, nsamp), overwrite_b=True, check_finite=False
+        ).reshape(nd, N, nsamp)
+
+    def _draw_ps_sample(d):
+        S = np.empty((nd, nd, N), dtype=np.complex128)
+        for ii in range(N):
+            S[:, :, ii] = np.cov(d[:, ii], bias=True)
+        for ii in range(N):
+            Si = la.inv(S[:, :, ii])
+            Si_samp = drandom.complex_wishart_np(Si, nsamp, rng=rng) / nsamp
+            S[:, :, ii] = la.inv(Si_samp)
+        return S
+
+    try:
+        for _ in range(niter):
+            d_samp = _draw_signal_sample_f(S_samp)
+            S_samp = _draw_ps_sample(d_samp)
+            spec.append(S_samp)
+    except la.LinAlgError as e:
+        raise RuntimeError("Exiting earlier as singular") from e
+    return spec
+
+
+# ---------------------------------------------------------------------------
+# Array manipulation helpers (reference delay.py:2209-2324)
+# ---------------------------------------------------------------------------
+
+
+def match_axes(dset1, dset2):
+    """View of dset2 broadcastable against dset1 (reference delay.py:2209)."""
+    axes1 = dset1.attrs["axis"]
+    axes2 = dset2.attrs["axis"]
+    bcast_slice = tuple(
+        slice(None) if ax in tuple(axes2) else np.newaxis for ax in axes1
+    )
+    return np.asarray(dset2[:])[bcast_slice]
+
+
+def flatten_axes(dset, axes_to_keep, match_dset=None):
+    """Move named axes to the back and flatten the rest.
+
+    (reference delay.py:2238-2302).  Returns (array, flattened axis names).
+    In the mesh model the flattened axis is the natural shard axis
+    (SURVEY.md section 2.5 'flatten-and-shard').
+    """
+    data_axes = list(dset.attrs["axis"])
+    for axis in axes_to_keep:
+        if axis not in data_axes:
+            raise ValueError(f"Specified {axis=} not present in dataset.")
+
+    arr = np.asarray(dset[:])
+    if match_dset is not None and tuple(data_axes) != tuple(
+        match_dset.attrs["axis"]
+    ):
+        full = np.empty(match_dset.shape, dtype=arr.dtype)
+        full[:] = match_axes(match_dset, dset)
+        arr = full
+        data_axes = list(match_dset.attrs["axis"])
+
+    axes_ind = [data_axes.index(axis) for axis in axes_to_keep]
+    other_axes = [ax for ax in range(len(data_axes)) if ax not in axes_ind]
+    arr = arr.transpose(other_axes + axes_ind)
+    kept_shape = arr.shape[len(other_axes):]
+    arr = arr.reshape((-1, *kept_shape))
+    other_axes_names = [data_axes[ax] for ax in other_axes]
+    return arr, other_axes_names
+
+
+def _move_front(arr: np.ndarray, axis, shape: tuple) -> np.ndarray:
+    """Move axis (or axes) to the front and flatten to 2D (delay.py:2305)."""
+    if isinstance(axis, tuple):
+        new_arr = np.moveaxis(arr, axis, range(len(axis)))
+        lead = int(np.prod([shape[a] for a in axis]))
+        return new_arr.reshape(lead, -1)
+    new_arr = np.moveaxis(arr, axis, 0)
+    return new_arr.reshape(shape[axis], -1)
+
+
+def _inv_move_front(arr: np.ndarray, axis, shape: tuple) -> np.ndarray:
+    """Inverse of :func:`_move_front` (delay.py:2311)."""
+    if isinstance(axis, tuple):
+        lead = tuple(shape[a] for a in axis)
+        rest = tuple(s for i, s in enumerate(shape) if i not in [a % len(shape) for a in axis])
+        new_arr = arr.reshape((*lead, *rest))
+        return np.moveaxis(new_arr, range(len(axis)), axis).reshape(shape)
+    rshape = (shape[axis], *shape[:axis], *shape[axis + 1:])
+    new_arr = arr.reshape(rshape)
+    new_arr = np.moveaxis(new_arr, 0, axis)
+    return new_arr.reshape(shape)
+
+
+def _take_view(arr: np.ndarray, ind: int, axis: int) -> np.ndarray:
+    sl = (slice(None),) * axis
+    return arr[(*sl, ind)]

@@ -1,0 +1,240 @@
+"""Delay spectrum estimation tests.
+
+Uses synthetic delay-limited spectra with known cutoffs (the reference's
+mock_freq_data strategy, reference draco/util/testing.py:47) to verify the
+FFT / Wiener / Gibbs / NRML estimators and the delay filters.
+"""
+
+import numpy as np
+import pytest
+
+from draco_tpu.core import containers
+from draco_tpu.ops import delay as dops
+from draco_tpu.analysis import delay as dtasks
+
+
+def mock_freq_data(freq, ntime, delaycut, nbase=1, noise=0.0, rng=None):
+    """Synthetic flat-delay-spectrum data band-limited below delaycut.
+
+    Returns (data [nbase, ntime, nfreq], weight [nbase, nfreq]).
+    """
+    if rng is None:
+        rng = np.random.Generator(np.random.SFC64(0))
+    nfreq = len(freq)
+    df = freq[1] - freq[0]
+    ndelay = nfreq
+    delays = np.fft.fftfreq(ndelay, d=df)
+    S = (np.abs(delays) < delaycut).astype(float)
+    data = np.zeros((nbase, ntime, nfreq), dtype=np.complex128)
+    for b in range(nbase):
+        amp = (
+            rng.standard_normal((ntime, ndelay))
+            + 1j * rng.standard_normal((ntime, ndelay))
+        ) * np.sqrt(S / 2)
+        data[b] = np.fft.fft(amp, axis=-1)
+    if noise:
+        data += noise * (
+            rng.standard_normal(data.shape) + 1j * rng.standard_normal(data.shape)
+        )
+    weight = np.ones((nbase, nfreq)) / max(2 * noise**2, 1e-4)
+    return data, weight
+
+
+def test_fourier_matrices_consistency():
+    N = 16
+    # c2c matrix applied to alternating-real view == numpy fft
+    rng = np.random.Generator(np.random.SFC64(1))
+    x = rng.standard_normal(N) + 1j * rng.standard_normal(N)
+    F = dops.fourier_matrix_c2c(N)
+    xa = dops._complex_to_alternating_real(x[np.newaxis])[0]
+    ya = F @ xa
+    y = ya[0::2] + 1j * ya[1::2]
+    assert np.allclose(y, np.fft.fft(x))
+    # r2c matrix
+    xr = rng.standard_normal(N)
+    Fr = dops.fourier_matrix_r2c(N)
+    ya = Fr @ xr
+    y = ya[0::2] + 1j * ya[1::2]
+    assert np.allclose(y, np.fft.rfft(xr))
+    # c2r inverts r2c
+    Fc = dops.fourier_matrix_c2r(N)
+    assert np.allclose(Fc @ (Fr @ xr), xr)
+    # complex fourier_matrix == dft
+    Fm = dops.fourier_matrix(N)
+    assert np.allclose(Fm @ x, np.fft.fft(x))
+
+
+def test_gibbs_recovers_delay_cut(rng):
+    """The Gibbs PS should be high below the delay cut and low above."""
+    freq = np.linspace(400.0, 432.0, 33)  # 33 channels -> N = 64 delays
+    data, weight = mock_freq_data(freq, ntime=64, delaycut=0.3, noise=0.01)
+    N = 2 * (len(freq) - 1)
+    S0 = np.ones(N) * 10.0
+    samples, success = dops.delay_power_spectrum_gibbs(
+        data[0], N, weight[0], S0, niter=40, rng=np.random.default_rng(3)
+    )
+    assert success
+    spec = np.median(samples[-20:], axis=0)
+    delays = np.fft.fftfreq(N, d=freq[1] - freq[0])
+    inband = np.abs(delays) < 0.2
+    outband = np.abs(delays) > 0.45
+    assert np.median(spec[inband]) > 30 * np.median(spec[outband])
+
+
+def test_gibbs_batched_matches_reference_stats(rng):
+    freq = np.linspace(400.0, 416.0, 17)
+    data, weight = mock_freq_data(freq, ntime=32, delaycut=0.4, nbase=3, noise=0.01)
+    N = 2 * (len(freq) - 1)
+    S0 = np.ones((3, N)) * 10.0
+    samples = dops.delay_power_spectrum_gibbs_batched(
+        data, N, weight, S0, niter=30
+    )
+    assert samples.shape == (30, 3, N)
+    spec = np.median(samples[-15:], axis=0)
+    delays = np.fft.fftfreq(N, d=freq[1] - freq[0])
+    inband = np.abs(delays) < 0.25
+    outband = np.abs(delays) > 0.45
+    for b in range(3):
+        assert np.median(spec[b][inband]) > 20 * np.median(spec[b][outband])
+
+
+def test_wiener_filter_denoises(rng):
+    freq = np.linspace(400.0, 416.0, 17)
+    data, weight = mock_freq_data(freq, ntime=16, delaycut=0.3, noise=0.05)
+    N = 2 * (len(freq) - 1)
+    delays = np.fft.fftfreq(N, d=freq[1] - freq[0])
+    S = np.where(np.abs(delays) < 0.3, 1.0, 1e-6)
+    y = dops.delay_spectrum_wiener_filter(S, data[0], N, weight[0])
+    assert y.shape == (16, N)
+    # power concentrates in the signal band
+    p = np.abs(y) ** 2
+    assert p[:, np.abs(delays) < 0.3].mean() > 10 * p[:, np.abs(delays) > 0.4].mean()
+
+
+def test_maxpost_estimator(rng):
+    freq = np.linspace(400.0, 416.0, 17)
+    data, weight = mock_freq_data(freq, ntime=64, delaycut=0.3, noise=0.02)
+    N = 2 * (len(freq) - 1)
+    from draco_tpu.analysis.delayopt import delay_power_spectrum_maxpost
+
+    samples, success = delay_power_spectrum_maxpost(
+        data[0], N, weight[0], maxiter=60
+    )
+    spec = samples[-1]
+    delays = np.fft.fftfreq(N, d=freq[1] - freq[0])
+    assert np.median(spec[np.abs(delays) < 0.2]) > 10 * np.median(
+        spec[np.abs(delays) > 0.45]
+    )
+
+
+def make_sstream(freq, ntime, delaycut, nstack=3, noise=0.01):
+    data, weight = mock_freq_data(freq, ntime, delaycut, nbase=nstack, noise=noise)
+    ss = containers.SiderealStream(freq=freq, input=2, ra=ntime, stack=None,
+                                   prod=np.array([[0, 0], [0, 1], [1, 1]])[:nstack])
+    # vis axes [freq, stack, ra]; data is [stack, ra, freq]
+    ss.vis[:] = data.transpose(2, 0, 1).astype(np.complex64)
+    ss.weight[:] = np.broadcast_to(
+        weight.T[:, :, None], ss.weight.shape
+    ).astype(np.float32)
+    return ss
+
+
+def test_delay_power_spectrum_gibbs_task(rng):
+    freq = np.linspace(400.0, 416.0, 17)
+    ss = make_sstream(freq, ntime=32, delaycut=0.3)
+    task = dtasks.DelayPowerSpectrumGibbs()
+    task.read_config(
+        {"nsamp": 20, "sample_axis": "ra", "seed": 11, "save_spectrum_mask": True}
+    )
+    out = task.process(ss)
+    assert isinstance(out, containers.DelaySpectrum)
+    spec = np.asarray(out.spectrum[:])
+    assert spec.shape[0] == 3
+    delays = out.delay
+    inband = np.abs(delays) < 0.2
+    outband = np.abs(delays) > 0.45
+    for b in range(3):
+        assert np.median(spec[b][inband]) > 10 * np.median(spec[b][outband])
+
+
+def test_delay_power_spectrum_gibbs_batched_task(rng):
+    freq = np.linspace(400.0, 416.0, 17)
+    ss = make_sstream(freq, ntime=32, delaycut=0.3)
+    task = dtasks.DelayPowerSpectrumGibbsBatched()
+    task.read_config({"nsamp": 20, "sample_axis": "ra", "seed": 11})
+    out = task.process(ss)
+    spec = np.asarray(out.spectrum[:])
+    delays = out.delay
+    for b in range(3):
+        assert np.median(spec[b][np.abs(delays) < 0.2]) > 10 * np.median(
+            spec[b][np.abs(delays) > 0.45]
+        )
+
+
+def test_delay_spectrum_fft_task(rng):
+    freq = np.linspace(400.0, 416.0, 17)
+    ss = make_sstream(freq, ntime=8, delaycut=0.3, noise=0.001)
+    # the FFT estimator only supports complex-to-complex (nfreq == ndelay)
+    task = dtasks.DelaySpectrumFFT()
+    task.read_config({"sample_axis": "ra", "complex_timedomain": True})
+    out = task.process(ss)
+    assert isinstance(out, containers.DelayTransform)
+    spec = np.asarray(out.spectrum[:])
+    assert spec.shape[:2] == (3, 8)
+    p = np.abs(spec) ** 2
+    delays = out.delay
+    assert p[..., np.abs(delays) < 0.25].mean() > 5 * p[
+        ..., np.abs(delays) > 0.45
+    ].mean()
+
+
+def test_delay_filter(rng):
+    """DelayFilter removes low-delay structure."""
+    from draco_tpu.telescope import UnpolarisedDishArray
+
+    tel = UnpolarisedDishArray(
+        grid_ew=2, grid_ns=1, spacing_ew=5.0, num_freq=2, force_lmax=8,
+        force_mmax=8, auto_correlations=True,
+    )
+    freq = np.linspace(400.0, 432.0, 64)
+    nstack = tel.npairs
+    ss = containers.SiderealStream(
+        freq=freq, input=2, ra=16,
+        prod=np.array([[int(a), int(b)] for a, b in tel.uniquepairs]),
+    )
+    # Smooth (low-delay) spectrum: constant across frequency
+    ss.vis[:] = np.ones(ss.vis.shape, dtype=np.complex64)
+    ss.weight[:] = 1.0
+    task = dtasks.DelayFilter()
+    task.read_config({"delay_cut": 0.2, "za_cut": 0.0})
+    task.setup(tel)
+    out = task.process(ss)
+    vis = np.asarray(out.vis[:])
+    # constant-in-frequency signal lives at delay 0 -> removed
+    assert np.abs(vis).max() < 0.05
+
+
+def test_delay_spectrum_to_power_spectrum(rng):
+    freq = np.linspace(400.0, 416.0, 17)
+    ss = make_sstream(freq, ntime=32, delaycut=0.3)
+    t1 = dtasks.DelaySpectrumFFT()
+    t1.read_config({"sample_axis": "ra", "complex_timedomain": True})
+    dt = t1.process(ss)
+    t2 = dtasks.DelaySpectrumToPowerSpectrum()
+    t2.read_config({})
+    ps = t2.process(dt)
+    assert isinstance(ps, containers.DelaySpectrum)
+    assert np.asarray(ps.spectrum[:]).shape == (3, len(dt.delay))
+
+
+def test_cross_power_spectrum(rng):
+    freq = np.linspace(400.0, 408.0, 9)
+    ss1 = make_sstream(freq, ntime=32, delaycut=0.5, nstack=2)
+    ss2 = make_sstream(freq, ntime=32, delaycut=0.5, nstack=2)
+    task = dtasks.DelayCrossPowerSpectrumEstimator()
+    task.read_config({"nsamp": 8, "sample_axis": "ra", "seed": 21})
+    out = task.process(ss1, ss2)
+    assert isinstance(out, containers.DelayCrossSpectrum)
+    spec = np.asarray(out.spectrum[:])
+    assert spec.shape[:2] == (2, 2)
+    assert np.isfinite(spec).all()
