@@ -118,22 +118,51 @@ class SHT:
 
     # ------------------------------------------------------------------
     def _build_groups(self):
+        """Precompute cap/belt decomposition.
+
+        The pixel layout is [north cap | equatorial belt | south cap], each
+        contiguous.  The belt's 2*nside+1 rings share nphi = 4*nside (and
+        4*nside > mmax, so no aliasing): one batched FFT covers them.  The
+        ragged cap rings are handled as m-chunked dense DFT matmuls (MXU)
+        rather than per-ring FFTs — a handful of einsums instead of
+        hundreds of tiny FFT ops (compile time and runtime both win).
+        """
         info = self.info
         nside = self.nside
-        groups = []
-        # cap pairs (i = 1 .. nside-1): north ring i-1, south ring nring-i
-        for i in range(1, nside):
-            rn = i - 1
-            rs = info.nring - i
-            groups.append(
-                (int(info.nphi[rn]), [(rn, int(info.offset[rn])), (rs, int(info.offset[rs]))])
-            )
-        # belt: rings nside-1 .. 3*nside-1 (contiguous, same nphi)
-        belt_rings = list(range(nside - 1, 3 * nside))
-        groups.append(
-            (4 * nside, [(r, int(info.offset[r])) for r in belt_rings])
+        ncap = nside - 1  # rings per polar cap
+        self._belt_rings = list(range(ncap, 3 * nside))
+        self._belt_off = int(info.offset[ncap]) if ncap < info.nring else 0
+        self._belt_nphi = 4 * nside
+        self._belt_len = len(self._belt_rings) * self._belt_nphi
+
+        # cap rings in ring order: north 0..ncap-1, south nring-ncap..nring-1
+        self._cap_rings = list(range(ncap)) + list(
+            range(info.nring - ncap, info.nring)
         )
-        return groups
+        self._ncap = len(self._cap_rings)
+        if self._ncap:
+            width = int(max(info.nphi[r] for r in self._cap_rings))
+            self._cap_width = width
+            idx = np.zeros((self._ncap, width), dtype=np.int64)
+            mask = np.zeros((self._ncap, width), dtype=np.float64)
+            phi = np.zeros((self._ncap, width), dtype=np.float64)
+            for k, r in enumerate(self._cap_rings):
+                n = int(info.nphi[r])
+                idx[k, :n] = info.offset[r] + np.arange(n)
+                mask[k, :n] = 1.0
+                phi[k, :n] = info.phi0[r] + 2 * np.pi * np.arange(n) / n
+            self._cap_idx = idx
+            self._cap_mask = mask
+            self._cap_phi = phi
+        else:
+            self._cap_width = 0
+
+    def _cap_dft_matrix(self, m_vals: np.ndarray, dtype) -> jnp.ndarray:
+        """P[r, j, m] = mask * exp(-i m phi_rj) for a chunk of m values."""
+        P = np.exp(
+            -1j * self._cap_phi[:, :, None] * m_vals[None, None, :]
+        ) * self._cap_mask[:, :, None]
+        return jnp.asarray(P, dtype=dtype)
 
     # ------------------------------------------------------------------
     # Ring Fourier steps
@@ -141,25 +170,36 @@ class SHT:
     def _ring_analysis(self, maps):
         """Per-ring Fourier coefficients F[..., nring, mmax+1].
 
-        F_m(r) = sum_j map[r, j] * exp(-i m phi_rj), via native-length ring
-        FFTs and the aliasing F_m = fft_bin(m mod nphi) * exp(-i m phi0).
+        F_m(r) = sum_j map[r, j] * exp(-i m phi_rj).
         """
         cdtype = jnp.result_type(maps.dtype, jnp.complex64)
-        parts = {}
-        for nphi, rings in self._groups:
-            segs = [
-                jax.lax.dynamic_slice_in_dim(maps, off, nphi, axis=-1)
-                for (_, off) in rings
-            ]
-            seg = jnp.stack(segs, axis=-2)  # [..., ngr, nphi]
-            fft = jnp.fft.fft(seg.astype(cdtype), axis=-1)
-            idx = self._m % nphi
-            fg = fft[..., idx]  # [..., ngr, mmax+1]
-            for k, (r, _) in enumerate(rings):
-                parts[r] = fg[..., k, :] * jnp.asarray(
-                    self._phase[r], dtype=cdtype
-                )
-        return jnp.stack([parts[r] for r in range(self.info.nring)], axis=-2)
+        nring = self.info.nring
+        ncap_n = self.nside - 1  # north cap ring count
+
+        # Belt: one batched FFT (no aliasing as 4*nside > mmax)
+        belt = jax.lax.dynamic_slice_in_dim(
+            maps, self._belt_off, self._belt_len, axis=-1
+        ).reshape(maps.shape[:-1] + (len(self._belt_rings), self._belt_nphi))
+        fft = jnp.fft.fft(belt.astype(cdtype), axis=-1)
+        F_belt = fft[..., : self.mmax + 1] * jnp.asarray(
+            self._phase[self._belt_rings], dtype=cdtype
+        )
+
+        if not self._ncap:
+            return F_belt
+
+        # Caps: m-chunked dense DFT matmuls
+        cap = maps[..., jnp.asarray(self._cap_idx)]  # [..., ncap, width]
+        cap = cap.astype(cdtype)
+        F_cap_parts = []
+        for m_vals in self._m_chunks():
+            P = self._cap_dft_matrix(m_vals, cdtype)  # [ncap, width, C]
+            F_cap_parts.append(jnp.einsum("...rj,rjm->...rm", cap, P))
+        F_cap = jnp.concatenate(F_cap_parts, axis=-1)  # [..., ncap, M+1]
+
+        return jnp.concatenate(
+            [F_cap[..., :ncap_n, :], F_belt, F_cap[..., ncap_n:, :]], axis=-2
+        )
 
     def _ring_synthesis(self, G):
         """Real maps from per-ring Fourier coefficients G[..., nring, m].
@@ -167,29 +207,54 @@ class SHT:
         f(r, j) = Re sum_{m=-mmax}^{mmax} G_m(r) e^{i m phi_rj} with
         G_{-m} = conj(G_m) (real field).
         """
-        out_parts = []
         cdtype = G.dtype
-        for nphi, rings in self._groups:
-            ring_idx = [r for (r, _) in rings]
-            g = G[..., ring_idx, :] * jnp.asarray(
-                np.conj(self._phase[ring_idx]), dtype=cdtype
-            )  # remove phi0 phase: coefficients wrt local pixel grid
-            # Positive m into bin m % nphi; negative m into (-m) % nphi.
-            idx_pos = jnp.asarray(self._m % nphi)
-            idx_neg = jnp.asarray((-self._m) % nphi)
-            bins = jnp.zeros(g.shape[:-1] + (nphi,), dtype=cdtype)
-            bins = bins.at[..., idx_pos].add(g)
-            bins = bins.at[..., idx_neg].add(
-                jnp.conj(g) * jnp.asarray((self._m > 0), dtype=g.real.dtype)
+        ncap_n = self.nside - 1
+        nbelt = len(self._belt_rings)
+
+        # Belt: fill FFT bins and inverse transform
+        g_belt = G[..., ncap_n : ncap_n + nbelt, :] * jnp.asarray(
+            np.conj(self._phase[self._belt_rings]), dtype=cdtype
+        )
+        nphi = self._belt_nphi
+        bins = jnp.zeros(g_belt.shape[:-1] + (nphi,), dtype=cdtype)
+        # add (not set): at m = nphi/2 the +m and -m contributions alias
+        # into the same bin and must sum (2 Re of the coefficient)
+        bins = bins.at[..., : self.mmax + 1].add(g_belt)
+        neg = jnp.conj(g_belt[..., 1:])[..., ::-1]  # m = mmax .. 1
+        bins = bins.at[..., nphi - self.mmax :].add(neg)
+        f_belt = jnp.fft.ifft(bins, axis=-1).real * nphi
+        f_belt = f_belt.reshape(f_belt.shape[:-2] + (self._belt_len,))
+
+        if not self._ncap:
+            return f_belt
+
+        # Caps: dense inverse DFT with the m>0 doubling for a real field
+        cap_ring_sel = self._cap_rings
+        g_cap = G[..., jnp.asarray(cap_ring_sel), :]
+        cm = np.ones(self.mmax + 1)
+        cm[1:] = 2.0
+        f_cap_parts = []
+        for m_vals in self._m_chunks():
+            P = self._cap_dft_matrix(m_vals, cdtype)  # exp(-i m phi)
+            coeff = jnp.asarray(cm[m_vals], dtype=cdtype)
+            # Re(sum_m c_m G_m conj(P)) ; conj(P) = exp(+i m phi)
+            f_cap_parts.append(
+                jnp.einsum(
+                    "...rm,rjm->...rj", g_cap[..., m_vals] * coeff, jnp.conj(P)
+                ).real
             )
-            f = jnp.fft.ifft(bins, axis=-1).real * nphi  # [..., ngr, nphi]
-            out_parts.append((rings, f))
-        # Assemble pixel vector in ring order.
-        chunks = [None] * self.info.nring
-        for rings, f in out_parts:
-            for k, (r, _) in enumerate(rings):
-                chunks[r] = f[..., k, :]
-        return jnp.concatenate(chunks, axis=-1)
+        f_cap = sum(f_cap_parts)  # [..., ncap, width]
+
+        # Scatter cap rings back into the pixel vector
+        north = [
+            f_cap[..., k, : int(self.info.nphi[r])]
+            for k, r in enumerate(cap_ring_sel[: ncap_n])
+        ]
+        south = [
+            f_cap[..., k + ncap_n, : int(self.info.nphi[r])]
+            for k, r in enumerate(cap_ring_sel[ncap_n:])
+        ]
+        return jnp.concatenate([*north, f_belt, *south], axis=-1)
 
     # ------------------------------------------------------------------
     # Legendre blocks
