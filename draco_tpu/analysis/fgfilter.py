@@ -1,0 +1,181 @@
+"""Foreground filtering via SVD/KL mode projection.
+
+Re-provides reference ``draco/analysis/fgfilter.py`` (_ProjectFilterBase:10,
+SVDModeProject:53, KLModeProject:145): forward/backward/filter projections
+between m-modes, the telescope SVD basis, and the KL basis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import config, containers, io
+from ..core.task import ContainerTask
+
+
+class _ProjectFilterBase(ContainerTask):
+    """Project data to/from a basis (reference fgfilter.py:10).
+
+    Attributes
+    ----------
+    mode : 'forward' | 'backward' | 'filter'
+    """
+
+    mode = config.enum(["forward", "backward", "filter"], default="forward")
+
+    def process(self, inp):
+        if self.mode == "forward":
+            return self._forward(inp)
+        if self.mode == "backward":
+            return self._backward(inp)
+        if self.mode == "filter":
+            return self._backward(self._forward(inp))
+        return None
+
+    def _forward(self, inp):
+        pass
+
+    def _backward(self, inp):
+        pass
+
+
+class SVDModeProject(_ProjectFilterBase):
+    """Project between raw m-modes and the telescope SVD basis.
+
+    (reference fgfilter.py:53-142): packed SVD modes concatenate each
+    frequency's modes.
+    """
+
+    def setup(self, bt):
+        self.beamtransfer = io.get_beamtransfer(bt)
+
+    def _forward(self, mmodes):
+        bt = self.beamtransfer
+        bt._ensure_svd()
+        tel = bt.telescope
+        k = bt.svd_len()
+
+        svdmodes = containers.SVDModes(
+            mode=np.arange(tel.nfreq * k), axes_from=mmodes, attrs_from=mmodes
+        )
+        vis = np.asarray(mmodes.vis[:])
+        svis = np.zeros(svdmodes.vis.shape, dtype=np.complex128)
+        nmode = np.zeros(len(svdmodes.index_map["m"]), dtype=np.int32)
+        for mi in range(vis.shape[0]):
+            tm = vis[mi].transpose(1, 0, 2).reshape(tel.nfreq, 2 * tel.npairs)
+            svdm = bt.project_vector_telescope_to_svd(mi, tm)  # [f, k]
+            flat = svdm.reshape(-1)
+            nmode[mi] = len(flat)
+            svis[mi, : len(flat)] = flat
+        svdmodes.vis[:] = svis
+        svdmodes.nmode[:] = nmode
+        w = np.asarray(mmodes.weight[:])
+        svdmodes.weight[:] = np.median(
+            w.reshape(w.shape[0], -1), axis=1
+        )[:, np.newaxis] * np.ones_like(svis.real)
+        return svdmodes
+
+    def _backward(self, svdmodes):
+        bt = self.beamtransfer
+        bt._ensure_svd()
+        tel = bt.telescope
+        k = bt.svd_len()
+
+        feed_index = tel.input_index
+        freqmap = containers.make_freq_map(tel.frequencies)
+
+        mmodes = containers.MModes(
+            freq=freqmap,
+            prod=tel.uniquepairs,
+            input=feed_index,
+            attrs_from=svdmodes,
+            axes_from=svdmodes,
+        )
+        svis = np.asarray(svdmodes.vis[:])
+        vis = np.zeros(mmodes.vis.shape, dtype=np.complex128)
+        for mi in range(svis.shape[0]):
+            svdm = svis[mi, : tel.nfreq * k].reshape(tel.nfreq, k)
+            tm = bt.project_vector_svd_to_telescope(mi, svdm)  # [f, ntel]
+            vis[mi] = tm.reshape(tel.nfreq, 2, tel.npairs).transpose(1, 0, 2)
+        mmodes.vis[:] = vis
+        w = np.asarray(svdmodes.weight[:])
+        mmodes.weight[:] = np.median(w.reshape(w.shape[0], -1), axis=1)[
+            :, np.newaxis, np.newaxis, np.newaxis
+        ] * np.ones(mmodes.weight.shape)
+        return mmodes
+
+
+class KLModeProject(_ProjectFilterBase):
+    """Project between the SVD and KL bases (reference fgfilter.py:145).
+
+    Attributes
+    ----------
+    threshold : float
+        KL eigenvalue threshold.
+    klname : str
+        Name of the KL transform in the product manager.
+    """
+
+    threshold = config.Property(proptype=float, default=None)
+    klname = config.Property(proptype=str, default="kl")
+
+    def setup(self, manager):
+        self.product_manager = manager
+
+    def _get_kl(self):
+        if self.klname not in self.product_manager.kltransforms:
+            raise RuntimeError(
+                f"Requested KL basis {self.klname} not available (options "
+                f"are {list(self.product_manager.kltransforms.keys())!r})"
+            )
+        return self.product_manager.kltransforms[self.klname]
+
+    def _forward(self, svdmodes):
+        bt = self.product_manager.beamtransfer
+        kl = self._get_kl()
+
+        nmode_in = np.asarray(svdmodes.nmode[:])
+        klmodes = containers.KLModes(
+            mode=np.arange(svdmodes.vis.shape[1]),
+            axes_from=svdmodes,
+            attrs_from=svdmodes,
+        )
+        svis = np.asarray(svdmodes.vis[:])
+        kvis = np.zeros(klmodes.vis.shape, dtype=np.complex128)
+        nmode = np.zeros(len(klmodes.index_map["m"]), dtype=np.int32)
+        for mi in range(svis.shape[0]):
+            sm = svis[mi, : nmode_in[mi]]
+            klm = kl.project_vector_svd_to_kl(mi, sm, threshold=self.threshold)
+            nmode[mi] = len(klm)
+            kvis[mi, : len(klm)] = klm
+        klmodes.vis[:] = kvis
+        klmodes.nmode[:] = nmode
+        w = np.asarray(svdmodes.weight[:])
+        klmodes.weight[:] = np.median(w.reshape(w.shape[0], -1), axis=1)[
+            :, np.newaxis
+        ] * np.ones_like(kvis.real)
+        return klmodes
+
+    def _backward(self, klmodes):
+        kl = self._get_kl()
+        nmode_in = np.asarray(klmodes.nmode[:])
+        svdmodes = containers.SVDModes(
+            mode=np.arange(klmodes.vis.shape[1]),
+            axes_from=klmodes,
+            attrs_from=klmodes,
+        )
+        kvis = np.asarray(klmodes.vis[:])
+        svis = np.zeros(svdmodes.vis.shape, dtype=np.complex128)
+        nmode = np.zeros(len(svdmodes.index_map["m"]), dtype=np.int32)
+        for mi in range(kvis.shape[0]):
+            klm = kvis[mi, : nmode_in[mi]]
+            sm = kl.project_vector_kl_to_svd(mi, klm, threshold=self.threshold)
+            nmode[mi] = len(sm)
+            svis[mi, : len(sm)] = sm
+        svdmodes.vis[:] = svis
+        svdmodes.nmode[:] = nmode
+        w = np.asarray(klmodes.weight[:])
+        svdmodes.weight[:] = np.median(w.reshape(w.shape[0], -1), axis=1)[
+            :, np.newaxis
+        ] * np.ones_like(svis.real)
+        return svdmodes
