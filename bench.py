@@ -43,6 +43,14 @@ def main():
     # honour an explicit override for local smoke tests.
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+    # Compiles over the remote-TPU tunnel are slow; cache them persistently.
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from draco_tpu.ops import healpix, mmode, sht
