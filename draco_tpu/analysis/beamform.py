@@ -1,0 +1,696 @@
+"""Beamform visibilities at source locations.
+
+Re-provides reference ``draco/analysis/beamform.py`` (BeamFormBase:32,
+BeamForm:668, BeamFormCat:710, BeamFormExternal(Mixin):752-908,
+RingMapBeamForm:915, RingMapStack2D:1097, HealpixBeamForm:1676,
+icrs_to_cirs:1773).
+
+The fringestop + weighted product sum hot loop (the Cython ``beamform``
+kernel, reference draco/util/_fast_tools.pyx:211) runs as a batched device
+einsum (:func:`draco_tpu.ops.interferometry.beamform_kernel`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import config, containers, io
+from ..core.task import ContainerTask
+from ..ops import healpix
+from ..ops.interferometry import beamform_kernel
+from ..ops.tools import calculate_redundancy, invert_no_zero
+
+C = 299792458.0
+NU21 = 1420.405751768
+SIDEREAL_S = 86164.0905 / 86400.0
+
+
+def icrs_to_cirs(ra, dec, epoch, apparent=True):
+    """Convert ICRS to CIRS coordinates at the given epoch.
+
+    (reference beamform.py:1773) — implemented as rigid precession of the
+    equatorial pole (sufficient for beam-pointing accuracy; the reference
+    uses skyfield, unavailable here).
+    """
+    # Julian years since J2000
+    T = (np.asarray(epoch, dtype=np.float64) - 946728000.0) / (365.25 * 86400.0)
+    # General precession in RA/Dec (first order, arcsec/yr -> deg)
+    ra = np.asarray(ra, dtype=np.float64)
+    dec = np.asarray(dec, dtype=np.float64)
+    m = 3.075 * 15 / 3600.0  # deg per year
+    n = 20.043 / 3600.0  # deg per year
+    ra_c = ra + T * (m + n * np.sin(np.radians(ra)) * np.tan(np.radians(dec)))
+    dec_c = dec + T * n * np.cos(np.radians(ra))
+    return ra_c % 360.0, dec_c
+
+
+class BeamFormBase(ContainerTask):
+    """Base class for beamforming tasks (reference beamform.py:32).
+
+    See the reference docstring for the attribute list (collapse_ha,
+    polarization, weight, no_beam_model, timetrack, variable_timetrack,
+    freqside); semantics are preserved.
+    """
+
+    collapse_ha = config.Property(proptype=bool, default=True)
+    polarization = config.enum(["I", "full", "copol", "stokes"], default="full")
+    weight = config.enum(
+        ["natural", "uniform", "inverse_variance"], default="natural"
+    )
+    no_beam_model = config.Property(proptype=bool, default=False)
+    timetrack = config.Property(proptype=float, default=900.0)
+    variable_timetrack = config.Property(proptype=bool, default=False)
+    freqside = config.Property(proptype=int, default=None)
+    data_available = True
+
+    def setup(self, manager):
+        self.telescope = io.get_telescope(manager)
+        self.latitude = np.deg2rad(self.telescope.latitude)
+
+        if self.polarization == "I":
+            self.process_pol = ["XX", "YY"]
+            self.return_pol = ["I"]
+        elif self.polarization == "full":
+            self.process_pol = ["XX", "XY", "YX", "YY"]
+            self.return_pol = self.process_pol
+        elif self.polarization == "copol":
+            self.process_pol = ["XX", "YY"]
+            self.return_pol = self.process_pol
+        else:
+            raise RuntimeError("Stokes parameters are not implemented")
+        self.npol = len(self.process_pol)
+
+        pol_list = list(np.asarray(self.telescope.polarisation))
+        self.map_pol_feed = {
+            pstr: pol_list.index(pstr) for pstr in ["X", "Y"] if pstr in pol_list
+        }
+
+        if self.variable_timetrack and not self.collapse_ha:
+            raise NotImplementedError(
+                "Must collapse over hour angle if tracking sources for "
+                "declination dependent amount of time."
+            )
+
+    # -- data/catalog parsing (reference beamform.py:515-665) -----------------
+    def _process_data(self, data):
+        self.tag_data = data.attrs.get("tag")
+        if "ra" in data.index_map:
+            self.is_sstream = True
+            self.ra = data.ra
+            lsd = np.mean(data.attrs.get("lsd", 0))
+            self.epoch = self.telescope.lsd_to_unix(lsd)
+            dt = 240.0 * SIDEREAL_S * np.median(np.abs(np.diff(self.ra)))
+        else:
+            self.is_sstream = False
+            self.ra = self.telescope.unix_to_lsa(data.time)
+            self.epoch = data.time.mean()
+            dt = np.median(np.abs(np.diff(data.time)))
+
+        self.freq = data.index_map["freq"]
+        self.nfreq = len(self.freq)
+        self.freq_local = self.freq["centre"]
+        self.ls = self.nfreq
+
+        self.ha_side = self.timetrack / dt
+        self.nha = 2 * int(self.ha_side) + 1
+
+        # polarisation of each stack entry
+        tel = self.telescope
+        ps = data.prodstack
+        pol_names = np.asarray(tel.polarisation)
+        pol_a = pol_names[ps["input_a"].astype(int)]
+        pol_b = pol_names[ps["input_b"].astype(int)]
+        polpair = np.char.add(pol_a, pol_b)
+        fullpol = ["XX", "XY", "YX", "YY"]
+        polmap = np.array(
+            [fullpol.index(p) if p in fullpol else -1 for p in polpair]
+        )
+
+        # baseline vectors in metres per stack entry
+        bvec_m = (
+            tel.feedpositions[ps["input_a"].astype(int)]
+            - tel.feedpositions[ps["input_b"].astype(int)]
+        ).T  # [2, nstack]
+
+        self.vis, self.visweight, self.bvec, self.sumweight = [], [], [], []
+        vis_all = np.asarray(data.vis[:])
+        weight_all = np.asarray(data.weight[:]).astype(np.float64)
+        for pol in self.process_pol:
+            pmask = polmap == fullpol.index(pol)
+            # [freq, ra, nprod]
+            self.vis.append(np.moveaxis(vis_all[:, pmask, :], 1, 2))
+            vw = np.moveaxis(weight_all[:, pmask, :], 1, 2)
+            self.visweight.append(vw)
+            self.bvec.append(
+                bvec_m[:, np.newaxis, pmask]
+                * self.freq_local[np.newaxis, :, np.newaxis]
+                * 1e6
+                / C
+            )
+            if self.weight == "inverse_variance":
+                self.sumweight.append(vw)
+            else:
+                sw = (vw > 0.0).astype(np.float64)
+                redundancy = np.moveaxis(
+                    np.asarray(
+                        calculate_redundancy(
+                            np.asarray(data.input_flags[:]),
+                            data.index_map["prod"][:],
+                            data.reverse_map["stack"]["stack"][:],
+                            data.vis.shape[1],
+                        )
+                    )[pmask].astype(np.float64),
+                    0,
+                    1,
+                )[np.newaxis, :, :]
+                sw = sw * redundancy
+                if self.weight == "uniform":
+                    sw = (sw > 0.0).astype(np.float64)
+                self.sumweight.append(sw)
+
+    def _process_catalog(self, catalog):
+        if "position" not in catalog:
+            raise ValueError("Input is missing a position table.")
+        if not hasattr(self, "epoch"):
+            self.log.warning("Epoch not set. Was the requested data not available?")
+            self.data_available = False
+            return
+        coord = catalog.attrs.get("coordinates", None)
+        pos = np.asarray(catalog["position"][:])
+        if coord == "CIRS":
+            self.sra, self.sdec = pos["ra"], pos["dec"]
+        else:
+            self.sra, self.sdec = icrs_to_cirs(pos["ra"], pos["dec"], self.epoch)
+        if self.freqside is not None:
+            if "redshift" not in catalog:
+                raise ValueError("Input is missing a required redshift table.")
+            self.sfreq = NU21 / (np.asarray(catalog["redshift"][:]["z"]) + 1.0)
+        self.source_cat = catalog
+        self.nsource = len(self.sra)
+        self.tag_catalog = catalog.attrs.get("tag")
+
+    # -- beam model ------------------------------------------------------------
+    def _initialize_beam_with_data(self):
+        if not self.no_beam_model:
+            self.freq_local_telescope_index = np.array(
+                [
+                    np.argmin(np.abs(nu - self.telescope.frequencies))
+                    for nu in self.freq_local
+                ]
+            )
+
+    def _beamfunc(self, pol, dec, ha):
+        """Primary beam power vs (freq, ha) at the source declination.
+
+        (reference beamform.py:473-513)
+        """
+        nfreq = self.freq_local.size
+        if self.no_beam_model:
+            return np.ones((nfreq, ha.size), dtype=np.float64)
+
+        angpos = np.stack(
+            [(0.5 * np.pi - dec) * np.ones_like(ha), ha], axis=-1
+        )
+        primary_beam = np.zeros((nfreq, ha.size), dtype=np.float64)
+        tel = self.telescope
+        fa = self.map_pol_feed.get(pol[0], 0)
+        fb = self.map_pol_feed.get(pol[1], 0)
+        # find a representative feed of each polarisation class
+        feeds_a = np.where(tel.beamclass == fa)[0]
+        feeds_b = np.where(tel.beamclass == fb)[0]
+        fa_ind = int(feeds_a[0]) if len(feeds_a) else 0
+        fb_ind = int(feeds_b[0]) if len(feeds_b) else 0
+        for ff, fi in enumerate(self.freq_local_telescope_index):
+            bii = np.atleast_2d(tel.beam_at(fa_ind, fi, angpos))
+            bjj = (
+                np.atleast_2d(tel.beam_at(fb_ind, fi, angpos))
+                if pol[0] != pol[1]
+                else bii
+            )
+            if bii.ndim == 2 and bii.shape[-1] == 2:
+                primary_beam[ff] = np.sum(bii * bjj.conj(), axis=-1).real
+            else:
+                primary_beam[ff] = (bii * bjj.conj()).real.reshape(-1)
+        return primary_beam
+
+    def _ha_array(self, ra, source_ra_index, source_ra, ha_side, is_sstream=True):
+        """HA array + RA indices for one source (reference beamform.py:399)."""
+        ra_index_range = np.arange(
+            source_ra_index - ha_side, source_ra_index + ha_side + 1, dtype=np.int32
+        )
+        nra = len(ra)
+        if is_sstream:
+            ra_index_range = ra_index_range % nra
+            ha_array = np.deg2rad(ra[ra_index_range] - source_ra)
+            ha_array = (ha_array + np.pi) % (2.0 * np.pi) - np.pi
+            ha_mask = np.ones(len(ra_index_range), dtype=bool)
+        else:
+            ha_mask = (ra_index_range >= 0) & (ra_index_range < nra)
+            ra_index_range = ra_index_range[ha_mask]
+            ha_array = np.deg2rad(ra[ra_index_range] - source_ra)
+            ha_array = (ha_array + np.pi) % (2.0 * np.pi) - np.pi
+        return ha_array, ra_index_range, ha_mask
+
+    # -- main loop -----------------------------------------------------------
+    def process(self):
+        """Beamform every catalog source (reference beamform.py:139-385)."""
+        self._initialize_beam_with_data()
+
+        if self.collapse_ha:
+            formed_beam = containers.FormedBeam(
+                freq=self.freq,
+                object_id=self.source_cat.index_map["object_id"],
+                pol=np.array(self.return_pol),
+            )
+        else:
+            formed_beam = containers.FormedBeamHA(
+                freq=self.freq,
+                ha=np.arange(self.nha, dtype=np.int64),
+                object_id=self.source_cat.index_map["object_id"],
+                pol=np.array(self.return_pol),
+            )
+        formed_beam.attrs["tag"] = "_".join(
+            [t for t in [self.tag_data, self.tag_catalog] if t is not None]
+        )
+        formed_beam["position"][:] = self.source_cat["position"][:]
+        if "redshift" in self.source_cat:
+            formed_beam.add_dataset("redshift")
+            formed_beam["redshift"][:] = self.source_cat["redshift"][:]
+
+        fbb = np.zeros(formed_beam.beam.shape)
+        fbw = np.zeros(formed_beam.weight.shape)
+        fbha = (
+            np.zeros(formed_beam.datasets["object_ha"].shape)
+            if not self.collapse_ha
+            else None
+        )
+
+        f_all = np.arange(self.ls, dtype=np.int32)
+        for src in range(self.nsource):
+            if src % 1000 == 0:
+                self.log.info(f"Source {src}/{self.nsource}")
+            dec = np.radians(self.sdec[src])
+
+            f_mask = np.zeros(self.ls, dtype=bool)
+            if self.freqside is not None:
+                freq_diff = abs(self.freq["centre"] - self.sfreq[src])
+                sfreq_index = np.argmin(freq_diff)
+                idx0 = max(0, sfreq_index - self.freqside)
+                idx1 = min(self.nfreq, sfreq_index + self.freqside + 1)
+                f_mask = np.ones(self.nfreq, dtype=bool)
+                f_mask[idx0:idx1] = False
+                if f_mask.all():
+                    continue
+
+            if self.is_sstream:
+                sra_index = np.searchsorted(self.ra, self.sra[src]) % len(self.ra)
+            else:
+                transit_diff = abs(self.ra - self.sra[src])
+                sra_index = np.argmin(transit_diff)
+                ra_cadence = self.ra[1] - self.ra[0]
+                if transit_diff[sra_index] > 1.5 * abs(ra_cadence):
+                    continue
+
+            ha_side = (
+                int(self.ha_side / np.cos(dec))
+                if self.variable_timetrack
+                else int(self.ha_side)
+            )
+            ha_array, ra_index_range, ha_mask = self._ha_array(
+                self.ra, sra_index, self.sra[src], ha_side, self.is_sstream
+            )
+
+            shape = (
+                (self.npol, self.ls)
+                if self.collapse_ha
+                else (self.npol, self.ls, self.nha)
+            )
+            formed_beam_full = np.zeros(shape)
+            weight_full = np.zeros(shape)
+
+            for pol, pol_str in enumerate(self.process_pol):
+                primary_beam = self._beamfunc(pol_str, dec, ha_array)
+
+                vis_sel = self.vis[pol][:, ra_index_range, :]
+                sw_sel = self.sumweight[pol][:, ra_index_range, :]
+                vw_sel = self.visweight[pol][:, ra_index_range, :]
+
+                this_formed_beam = np.asarray(
+                    beamform_kernel(
+                        vis_sel,
+                        sw_sel,
+                        dec,
+                        self.latitude,
+                        np.cos(ha_array),
+                        np.sin(ha_array),
+                        self.bvec[pol][0],
+                        self.bvec[pol][1],
+                    )
+                )
+
+                if self.collapse_ha:
+                    this_sumweight = np.sum(
+                        np.sum(sw_sel, axis=-1) * primary_beam**2, axis=1
+                    )
+                    formed_beam_full[pol] = np.sum(
+                        this_formed_beam * primary_beam, axis=1
+                    ) * np.asarray(invert_no_zero(this_sumweight))
+                    if self.weight != "inverse_variance":
+                        this_weight2 = np.sum(
+                            np.sum(
+                                sw_sel**2 * np.asarray(invert_no_zero(vw_sel)),
+                                axis=-1,
+                            )
+                            * primary_beam**2,
+                            axis=1,
+                        )
+                        weight_full[pol] = this_sumweight**2 * np.asarray(
+                            invert_no_zero(this_weight2)
+                        )
+                    else:
+                        weight_full[pol] = this_sumweight
+                else:
+                    this_sumweight = np.sum(sw_sel, axis=-1)
+                    formed_beam_full[pol][:, ha_mask] = this_formed_beam * np.asarray(
+                        invert_no_zero(this_sumweight)
+                    )
+                    if self.weight != "inverse_variance":
+                        this_weight2 = np.sum(
+                            sw_sel**2 * np.asarray(invert_no_zero(vw_sel)), axis=-1
+                        )
+                        weight_full[pol][:, ha_mask] = this_sumweight**2 * np.asarray(
+                            invert_no_zero(this_weight2)
+                        )
+                    else:
+                        weight_full[pol][:, ha_mask] = this_sumweight
+                weight_full[pol][f_mask] = 0.0
+
+            if self.polarization == "I":
+                fsum = np.sum(formed_beam_full * weight_full, axis=0) * np.asarray(
+                    invert_no_zero(np.sum(weight_full, axis=0))
+                )
+                weight_full = np.sum(weight_full, axis=0, keepdims=True)
+                formed_beam_full = fsum[np.newaxis]
+
+            fbb[src] = formed_beam_full
+            # Factor 2: the real component has half the complex variance
+            fbw[src] = 2.0 * weight_full
+            if fbha is not None:
+                if self.is_sstream:
+                    fbha[src, :] = ha_array
+                else:
+                    fbha[src, ha_mask] = ha_array
+
+        formed_beam.beam[:] = fbb
+        formed_beam.weight[:] = fbw
+        if fbha is not None:
+            formed_beam.datasets["object_ha"][:] = fbha
+        return formed_beam
+
+    def process_finish(self):
+        """Release the large cached data arrays."""
+        for attr in ["vis", "visweight", "bvec", "sumweight"]:
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return None
+
+
+class BeamForm(BeamFormBase):
+    """Single catalog, multiple datasets (reference beamform.py:668)."""
+
+    def setup(self, manager, source_cat):
+        super().setup(manager)
+        self.catalog = source_cat
+
+    def process(self, data):
+        self._process_data(data)
+        self._process_catalog(self.catalog)
+        if not self.data_available:
+            return None
+        return super().process()
+
+
+class BeamFormCat(BeamFormBase):
+    """Multiple catalogs, single dataset (reference beamform.py:710)."""
+
+    def setup(self, manager, data):
+        super().setup(manager)
+        self._process_data(data)
+
+    def process(self, source_cat):
+        self._process_catalog(source_cat)
+        if not self.data_available:
+            return None
+        return super().process()
+
+
+class BeamFormExternalMixin:
+    """Use an external GridBeam model (reference beamform.py:752)."""
+
+    def setup(self, beam, *args):
+        super().setup(*args)
+        self._initialize_beam(beam)
+
+    def _initialize_beam(self, beam):
+        if not isinstance(beam, containers.GridBeam):
+            raise ValueError(f"Do not recognize beam container: {beam.__class__}")
+        self._initialize_grid_beam(beam)
+        self._beamfunc = self._grid_beam
+
+    def _initialize_beam_with_data(self):
+        if not np.array_equal(self.freq_local, self._beam_freq):
+            raise RuntimeError("Beam and visibility frequency axes do not match.")
+
+    def _initialize_grid_beam(self, gbeam):
+        import scipy.interpolate
+
+        if gbeam.coords != "celestial":
+            raise RuntimeError(
+                "GridBeam must be converted to celestial coordinates for "
+                "beamforming."
+            )
+        if len(gbeam.input) > 1:
+            raise NotImplementedError(
+                "Do not support input-dependent beams at the moment."
+            )
+        self._beam_freq = gbeam.freq
+        process_pol = getattr(self, "process_pol", list(gbeam.pol))
+        pol_list = [
+            p.decode() if isinstance(p, bytes) else str(p) for p in gbeam.pol
+        ]
+        ipol = np.array([pol_list.index(p) for p in process_pol])
+        self._beam_pol = [pol_list[ip] for ip in ipol]
+
+        weight = np.asarray(gbeam.weight[:])[:, ipol, 0]
+        flag = weight > 0.0
+        beam = np.where(flag, np.asarray(gbeam.beam[:])[:, ipol, 0].real, 0.0)
+
+        ha = (np.asarray(gbeam.phi) + 180.0) % 360.0 - 180.0
+        isort = np.argsort(ha)
+        ha = np.radians(ha[isort])
+        dec = np.radians(np.asarray(gbeam.theta))
+
+        nfreq = len(self._beam_freq)
+        npol = len(ipol)
+        self._beam = [
+            [
+                scipy.interpolate.RectBivariateSpline(
+                    dec, ha, beam[ff, pp][:, isort]
+                )
+                for pp in range(npol)
+            ]
+            for ff in range(nfreq)
+        ]
+        self._beam_flag = [
+            [
+                scipy.interpolate.RectBivariateSpline(
+                    dec, ha, flag[ff, pp][:, isort].astype(np.float32)
+                )
+                for pp in range(npol)
+            ]
+            for ff in range(nfreq)
+        ]
+        self.log.info("Grid beam initialized.")
+
+    def _grid_beam(self, pol, dec, ha):
+        pp = self._beam_pol.index(pol)
+        nf = len(self._beam_freq)
+        pb = np.array([self._beam[ff][pp](dec, ha)[0] for ff in range(nf)])
+        flag = np.array(
+            [
+                np.abs(self._beam_flag[ff][pp](dec, ha)[0] - 1.0) < 0.01
+                for ff in range(nf)
+            ]
+        )
+        return np.where(flag, pb, 0.0)
+
+
+class BeamFormExternal(BeamFormExternalMixin, BeamForm):
+    """External beam + single catalog (reference beamform.py:901)."""
+
+
+class BeamFormExternalCat(BeamFormExternalMixin, BeamFormCat):
+    """External beam + multiple catalogs (reference beamform.py:908)."""
+
+
+class RingMapBeamForm(ContainerTask):
+    """Extract source pixels from a RingMap (reference beamform.py:915)."""
+
+    def setup(self, telescope, ringmap: containers.RingMap):
+        self.telescope = io.get_telescope(telescope)
+        self.ringmap = ringmap
+
+    def process(self, catalog: containers.SourceCatalog) -> containers.FormedBeam:
+        ringmap = self.ringmap
+        tel = self.telescope
+
+        if "lsd" in ringmap.attrs:
+            epoch = tel.lsd_to_unix(np.mean(ringmap.attrs["lsd"]))
+            pos = np.asarray(catalog["position"][:])
+            src_ra, src_dec = icrs_to_cirs(pos["ra"], pos["dec"], epoch)
+        else:
+            pos = np.asarray(catalog["position"][:])
+            src_ra, src_dec = pos["ra"], pos["dec"]
+
+        ra = ringmap.ra
+        el = np.asarray(ringmap.index_map["el"])
+
+        ra_ind = np.array([np.argmin(np.abs((ra - r + 180) % 360 - 180)) for r in src_ra])
+        src_el = np.sin(np.radians(src_dec - tel.latitude))
+        el_ind = np.array([np.argmin(np.abs(el - e)) for e in src_el])
+
+        fb = containers.FormedBeam(
+            freq=ringmap.index_map["freq"],
+            object_id=catalog.index_map["object_id"],
+            pol=ringmap.index_map["pol"],
+        )
+        fb["position"][:] = catalog["position"][:]
+        if "redshift" in catalog:
+            fb.add_dataset("redshift")
+            fb["redshift"][:] = catalog["redshift"][:]
+
+        rm_map = np.asarray(ringmap.map[:])[0]  # beam 0: [pol, freq, ra, el]
+        rm_w = np.asarray(ringmap.datasets["weight"][:])
+        # paired fancy indices select the (ra, el) pixel of each source
+        beam = rm_map[:, :, ra_ind, el_ind]  # [pol, freq, nsrc]
+        weight = rm_w[:, :, ra_ind, el_ind]
+        fb.beam[:] = np.moveaxis(beam, -1, 0)
+        fb.weight[:] = np.moveaxis(weight, -1, 0)
+        return fb
+
+
+class RingMapStack2D(RingMapBeamForm):
+    """Stack RingMap patches around sources (reference beamform.py:1097).
+
+    Attributes
+    ----------
+    num_ra, num_dec : int
+        Half-widths of the extracted patch in RA/Dec pixels.
+    num_freq : int
+        Half-width in frequency bins around each source's 21cm frequency.
+    freq_width : float
+        Width in MHz for the output frequency offset axis.
+    weight : 'patch' | 'dec' | 'enemble'
+        Weighting scheme for the stack.
+    """
+
+    num_ra = config.Property(proptype=int, default=10)
+    num_dec = config.Property(proptype=int, default=10)
+    num_freq = config.Property(proptype=int, default=256)
+    freq_width = config.Property(proptype=float, default=100.0)
+    weight = config.enum(["patch", "dec", "enemble"], default="dec")
+
+    def process(self, catalog: containers.SourceCatalog) -> containers.Stack3D:
+        ringmap = self.ringmap
+        tel = self.telescope
+        pos = np.asarray(catalog["position"][:])
+        if "redshift" not in catalog:
+            raise ValueError("Catalog must have redshifts for 3D stacking.")
+        zs = np.asarray(catalog["redshift"][:]["z"])
+        src_freq = NU21 / (1 + zs)
+
+        freq = ringmap.freq
+        ra = ringmap.ra
+        el = np.asarray(ringmap.index_map["el"])
+        rm = np.asarray(ringmap.map[:])[0]  # [pol, freq, ra, el]
+        rw = np.asarray(ringmap.datasets["weight"][:])
+
+        df = np.median(np.abs(np.diff(freq)))
+        nf_out = 2 * self.num_freq + 1
+        freq_offset = (np.arange(nf_out) - self.num_freq) * df
+
+        npol = rm.shape[0]
+        out = containers.Stack3D(
+            freq=containers.make_freq_map(freq_offset),
+            pol=ringmap.index_map["pol"],
+            delta_ra=np.arange(-self.num_ra, self.num_ra + 1),
+            delta_dec=np.arange(-self.num_dec, self.num_dec + 1),
+        )
+        stack = np.zeros(out.stack.shape)
+        wsum = np.zeros(out.stack.shape)
+
+        for si in range(len(pos)):
+            fi0 = np.argmin(np.abs(freq - src_freq[si]))
+            ri0 = np.argmin(np.abs((ra - pos["ra"][si] + 180) % 360 - 180))
+            e0 = np.sin(np.radians(pos["dec"][si] - tel.latitude))
+            ei0 = np.argmin(np.abs(el - e0))
+
+            fsl = np.arange(fi0 - self.num_freq, fi0 + self.num_freq + 1)
+            rsl = (np.arange(ri0 - self.num_ra, ri0 + self.num_ra + 1)) % len(ra)
+            esl = np.arange(ei0 - self.num_dec, ei0 + self.num_dec + 1)
+            valid_f = (fsl >= 0) & (fsl < len(freq))
+            valid_e = (esl >= 0) & (esl < len(el))
+            if not valid_f.any() or not valid_e.any():
+                continue
+            fs = fsl[valid_f]
+            es = esl[valid_e]
+            patch = rm[:, fs][:, :, rsl][:, :, :, es]
+            wpatch = rw[:, fs][:, :, rsl][:, :, :, es]
+            # accumulate into [pol, dra, ddec, freq_offset]
+            block = np.moveaxis(patch * wpatch, 1, -1)
+            wblock = np.moveaxis(wpatch, 1, -1)
+            ixf = np.ix_(
+                range(npol),
+                range(len(rsl)),
+                np.nonzero(valid_e)[0],
+                np.nonzero(valid_f)[0],
+            )
+            stack[ixf] += block
+            wsum[ixf] += wblock
+
+        out.stack[:] = stack * np.asarray(invert_no_zero(wsum))
+        out.weight[:] = wsum
+        return out
+
+
+class HealpixBeamForm(ContainerTask):
+    """Beamform from a HEALPix map by extracting source pixels.
+
+    (reference beamform.py:1676)
+    """
+
+    fwhm = config.Property(proptype=float, default=0.0)
+
+    def setup(self, hpmap: containers.Map):
+        self.map = hpmap
+
+    def process(self, catalog: containers.SourceCatalog) -> containers.FormedBeam:
+        pos = np.asarray(catalog["position"][:])
+        nside = self.map.nside
+        theta = np.radians(90.0 - pos["dec"])
+        phi = np.radians(pos["ra"])
+        pix = healpix.ang2pix(nside, theta, phi)
+
+        fb = containers.FormedBeam(
+            freq=self.map.index_map["freq"],
+            object_id=catalog.index_map["object_id"],
+            pol=self.map.index_map["pol"],
+        )
+        fb["position"][:] = catalog["position"][:]
+        if "redshift" in catalog:
+            fb.add_dataset("redshift")
+            fb["redshift"][:] = catalog["redshift"][:]
+        m = np.asarray(self.map.map[:])  # [freq, pol, pixel]
+        fb.beam[:] = m[:, :, pix].transpose(2, 1, 0)
+        fb.weight[:] = np.ones(fb.weight.shape)
+        return fb

@@ -122,6 +122,11 @@ class TransitTelescope(config.Reader):
         """Number of sky polarisation components (1 = T, 4 = T,Q,U,V)."""
         return 1
 
+    @property
+    def polarisation(self) -> np.ndarray:
+        """Polarisation label of each feed (single-pol default: 'X')."""
+        return np.where(self.beamclass % 2 == 0, "X", "Y")
+
     # -- band limits --------------------------------------------------------
     @property
     def u_max(self) -> float:
@@ -330,6 +335,15 @@ class TransitTelescope(config.Reader):
         return (vec @ self.zenith > 0).astype(np.float64)
 
     # -- beams (subclass responsibility) --------------------------------------
+    def beam_at(self, feed: int, freq_ind: int, angpos: np.ndarray) -> np.ndarray:
+        """Evaluate the primary beam at sky positions [n, 2] = (theta, phi).
+
+        Theta is the celestial colatitude (pi/2 - dec), phi the hour angle
+        relative to the meridian.  Default implementation samples the beam
+        amplitude formula directly (subclasses may override).
+        """
+        raise NotImplementedError
+
     def beam(self, feed: int, freq_ind: int, nside: int) -> np.ndarray:
         """Primary beam of ``feed`` at channel ``freq_ind``.
 
@@ -365,6 +379,27 @@ def _sphere_basis(nside: int):
     return n, theta_hat, phi_hat
 
 
+def _angpos_to_vec(angpos: np.ndarray) -> np.ndarray:
+    """Convert (theta, phi) sky positions to unit vectors [n, 3]."""
+    angpos = np.atleast_2d(angpos)
+    st = np.sin(angpos[:, 0])
+    return np.stack(
+        [st * np.cos(angpos[:, 1]), st * np.sin(angpos[:, 1]), np.cos(angpos[:, 0])],
+        axis=-1,
+    )
+
+
+def gaussian_beam_amplitude_vec(
+    tel: TransitTelescope, vec: np.ndarray, fwhm: float
+) -> np.ndarray:
+    """Gaussian amplitude beam evaluated at unit vectors, horizon-masked."""
+    cos_sep = np.clip(vec @ tel.zenith, -1.0, 1.0)
+    sep = np.arccos(cos_sep)
+    sigma2 = (fwhm / (2 * np.sqrt(2 * np.log(2)))) ** 2
+    amp = np.exp(-(sep**2) / (4 * sigma2))
+    return amp * (vec @ tel.zenith > 0)
+
+
 def gaussian_beam_amplitude(
     tel: TransitTelescope, nside: int, fwhm: float
 ) -> np.ndarray:
@@ -372,13 +407,7 @@ def gaussian_beam_amplitude(
 
     ``fwhm`` in radians is the FWHM of the *power* beam |A|^2.
     """
-    vec = healpix.pix2vec(nside)
-    cos_sep = np.clip(vec @ tel.zenith, -1.0, 1.0)
-    sep = np.arccos(cos_sep)
-    sigma2 = (fwhm / (2 * np.sqrt(2 * np.log(2)))) ** 2
-    # amplitude beam: sqrt of the Gaussian power pattern
-    amp = np.exp(-(sep**2) / (4 * sigma2))
-    return amp * tel.horizon_mask(nside)
+    return gaussian_beam_amplitude_vec(tel, healpix.pix2vec(nside), fwhm)
 
 
 class SimpleUnpolarisedTelescope(TransitTelescope):
@@ -399,6 +428,11 @@ class SimpleUnpolarisedTelescope(TransitTelescope):
         lam = self.wavelengths[freq_ind]
         fwhm = self.fwhm_factor * lam / self.dish_width
         return gaussian_beam_amplitude(self, nside, fwhm)
+
+    def beam_at(self, feed: int, freq_ind: int, angpos: np.ndarray) -> np.ndarray:
+        lam = self.wavelengths[freq_ind]
+        fwhm = self.fwhm_factor * lam / self.dish_width
+        return gaussian_beam_amplitude_vec(self, _angpos_to_vec(angpos), fwhm)
 
 
 class SimplePolarisedTelescope(TransitTelescope):
@@ -428,6 +462,23 @@ class SimplePolarisedTelescope(TransitTelescope):
         Et = amp * (theta_hat @ pol_vec)
         Ep = amp * (phi_hat @ pol_vec)
         return np.stack([Et, Ep], axis=-1)
+
+    def beam_at(self, feed: int, freq_ind: int, angpos: np.ndarray) -> np.ndarray:
+        lam = self.wavelengths[freq_ind]
+        fwhm = self.fwhm_factor * lam / self.dish_width
+        angpos = np.atleast_2d(angpos)
+        vec = _angpos_to_vec(angpos)
+        amp = gaussian_beam_amplitude_vec(self, vec, fwhm)
+        theta, phi = angpos[:, 0], angpos[:, 1]
+        st, ct = np.sin(theta), np.cos(theta)
+        sp, cp = np.sin(phi), np.cos(phi)
+        theta_hat = np.stack([ct * cp, ct * sp, -st], axis=-1)
+        phi_hat = np.stack([-sp, cp, np.zeros_like(sp)], axis=-1)
+        east, north = self._local_frame
+        pol_vec = east if self.beamclass[feed] == 0 else north
+        return np.stack(
+            [amp * (theta_hat @ pol_vec), amp * (phi_hat @ pol_vec)], axis=-1
+        )
 
 
 class UnpolarisedDishArray(SimpleUnpolarisedTelescope):
