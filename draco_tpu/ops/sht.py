@@ -157,12 +157,30 @@ class SHT:
         else:
             self._cap_width = 0
 
+    def _ring_phase(self, ring_sel, dtype, conj: bool = False) -> jnp.ndarray:
+        """exp(-+i m phi0_r) for the selected rings, built on device."""
+        rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+        phi0 = jnp.asarray(self.info.phi0[ring_sel], dtype=rdt)
+        mv = jnp.asarray(self._m, dtype=rdt)
+        arg = phi0[:, None] * mv[None, :]
+        sign = 1.0 if conj else -1.0
+        return jax.lax.complex(jnp.cos(arg), sign * jnp.sin(arg)).astype(dtype)
+
     def _cap_dft_matrix(self, m_vals: np.ndarray, dtype) -> jnp.ndarray:
-        """P[r, j, m] = mask * exp(-i m phi_rj) for a chunk of m values."""
-        P = np.exp(
-            -1j * self._cap_phi[:, :, None] * m_vals[None, None, :]
-        ) * self._cap_mask[:, :, None]
-        return jnp.asarray(P, dtype=dtype)
+        """P[r, j, m] = mask * exp(-i m phi_rj) for a chunk of m values.
+
+        Built on device from the small [ncap, width] phase table — a large
+        host-side constant here would be serialised into the HLO and make
+        compiles over the remote-TPU tunnel pathologically slow.
+        """
+        rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+        phi = jnp.asarray(self._cap_phi, dtype=rdt)
+        mask = jnp.asarray(self._cap_mask, dtype=rdt)
+        mv = jnp.asarray(m_vals, dtype=rdt)
+        arg = phi[:, :, None] * mv[None, None, :]
+        return (
+            jax.lax.complex(jnp.cos(arg), -jnp.sin(arg)) * mask[:, :, None]
+        ).astype(dtype)
 
     # ------------------------------------------------------------------
     # Ring Fourier steps
@@ -181,8 +199,8 @@ class SHT:
             maps, self._belt_off, self._belt_len, axis=-1
         ).reshape(maps.shape[:-1] + (len(self._belt_rings), self._belt_nphi))
         fft = jnp.fft.fft(belt.astype(cdtype), axis=-1)
-        F_belt = fft[..., : self.mmax + 1] * jnp.asarray(
-            self._phase[self._belt_rings], dtype=cdtype
+        F_belt = fft[..., : self.mmax + 1] * self._ring_phase(
+            self._belt_rings, cdtype
         )
 
         if not self._ncap:
@@ -212,8 +230,8 @@ class SHT:
         nbelt = len(self._belt_rings)
 
         # Belt: fill FFT bins and inverse transform
-        g_belt = G[..., ncap_n : ncap_n + nbelt, :] * jnp.asarray(
-            np.conj(self._phase[self._belt_rings]), dtype=cdtype
+        g_belt = G[..., ncap_n : ncap_n + nbelt, :] * self._ring_phase(
+            self._belt_rings, cdtype, conj=True
         )
         nphi = self._belt_nphi
         bins = jnp.zeros(g_belt.shape[:-1] + (nphi,), dtype=cdtype)
