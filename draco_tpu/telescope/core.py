@@ -87,6 +87,16 @@ class TransitTelescope(config.Reader):
     def wavelengths(self) -> np.ndarray:
         return C_LIGHT / self.frequencies
 
+    @property
+    def freq_start(self) -> float:
+        """Band start: the highest frequency in MHz (driftscan convention)."""
+        return max(self.freq_lower, self.freq_upper)
+
+    @property
+    def freq_end(self) -> float:
+        """Band end: the lowest frequency in MHz."""
+        return min(self.freq_lower, self.freq_upper)
+
     # -- feeds (subclass responsibility) ----------------------------------
     @property
     def feedpositions(self) -> np.ndarray:  # pragma: no cover - abstract
