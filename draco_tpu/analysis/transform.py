@@ -11,6 +11,7 @@ runs as one batched device FFT via :mod:`draco_tpu.ops.mmode`.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -387,3 +388,257 @@ class LanczosRegridder(ContainerTask):
 
 # Alias for compatibility
 Regridder = LanczosRegridder
+
+
+class ReduceBase(ContainerTask):
+    """Weighted reduction across named axes (reference transform.py:1904).
+
+    Non-functional without overriding :meth:`reduction`.  At least one axis
+    must be excluded from the reduction.
+
+    Attributes
+    ----------
+    axes : list
+        Axis names to reduce over.
+    dataset : str
+        Dataset name to reduce.
+    weighting : "none" | "masked" | "weighted"
+    """
+
+    axes = config.Property(proptype=list)
+    dataset = config.Property(proptype=str)
+    weighting = config.enum(["none", "masked", "weighted"], default="none")
+
+    _op = None
+
+    def process(self, data):
+        """Apply the reduction; reduced axes collapse to length 1."""
+        out = self._make_output_container(data)
+        out.add_dataset(self.dataset)
+
+        ds = data.datasets[self.dataset]
+        ds_axes = list(ds.attrs["axis"])
+
+        weight, w_axes = self._get_weights(data)
+        if weight is not None:
+            wslc = tuple(slice(None) if ax in w_axes else None for ax in ds_axes)
+            weight = np.asarray(weight)[wslc]
+        else:
+            weight = np.ones(ds.shape, dtype=np.float32)
+            wslc = None
+        weight = np.broadcast_to(weight, ds.shape)
+
+        apply_over = tuple(ds_axes.index(ax) for ax in self.axes if ax in ds_axes)
+
+        reduced, reduced_weight = self.reduction(
+            np.asarray(ds[:]), weight, apply_over
+        )
+
+        out[self.dataset][:] = np.asarray(reduced).astype(
+            out[self.dataset].dtype
+        )
+
+        if hasattr(out, "weight"):
+            rw = np.asarray(reduced_weight)
+            if wslc is not None:
+                owslc = tuple(0 if ws is None else ws for ws in wslc)
+                rw = rw[owslc]
+            out.weight[:] = rw.astype(out.weight.dtype)
+
+        return out
+
+    def _get_weights(self, data):
+        """Weights for the reduction (reference transform.py:2016)."""
+        if not hasattr(data, "weight") and self.weighting != "none":
+            raise RuntimeError(
+                "No weights available. Cannot use weighted or masked weighting."
+            )
+        if hasattr(data, "weight"):
+            return data.weight[:], list(data.weight.attrs["axis"])
+        return None, None
+
+    def _make_output_container(self, data):
+        """Same container type with the reduced axes collapsed to one entry."""
+        output_axes = {
+            ax: np.array([data.index_map[ax][0]]) for ax in self.axes
+        }
+        out = data.__class__(
+            axes_from=data, attrs_from=data, skip_datasets=True, **output_axes
+        )
+        out.attrs["reduced"] = True
+        out.attrs["reduction_axes"] = np.array(self.axes)
+        out.attrs["reduced_dataset"] = self.dataset
+        out.attrs["reduction_op"] = self._op
+
+        if "weight" in data.datasets:
+            out.add_dataset("weight")
+        elif "vis_weight" in data.datasets:
+            out.add_dataset("vis_weight")
+
+        return out
+
+    def reduction(self, arr, weight, axis):
+        """Override to implement the reduction operation."""
+        raise NotImplementedError
+
+    def _weighted_mean(self, arr, weight, axis):
+        """Weighted mean + summed weight, on device."""
+        arr = jnp.asarray(arr)
+        weight = jnp.asarray(weight)
+        ws = jnp.sum(weight, axis=axis, keepdims=True)
+        mu = jnp.sum(weight * arr, axis=axis, keepdims=True) * invert_no_zero(ws)
+        return arr, weight, ws, mu
+
+
+class ReduceVar(ReduceBase):
+    """Weighted variance over the given axes (reference transform.py:2065)."""
+
+    _op = "variance"
+
+    def reduction(self, arr, weight, axis):
+        if self.weighting == "none":
+            v = jnp.var(jnp.asarray(arr), axis=axis, keepdims=True)
+            return v, jnp.ones_like(v)
+
+        if self.weighting == "masked":
+            weight = (np.asarray(weight) > 0).astype(np.float32)
+
+        arr, weight, ws, mu = self._weighted_mean(arr, weight, axis)
+        v = jnp.sum(
+            weight * jnp.abs(arr - mu) ** 2, axis=axis, keepdims=True
+        ) * invert_no_zero(ws)
+        return v, ws
+
+
+class ReduceChisq(ReduceBase):
+    """Chi-squared per dof assuming weights are inverse noise variance.
+
+    (reference transform.py:2092)
+    """
+
+    _op = "chisq_per_dof"
+
+    def reduction(self, arr, weight, axis):
+        arr = jnp.asarray(arr)
+        weight = jnp.asarray(weight)
+        num = jnp.maximum(
+            jnp.sum(weight > 0, axis=axis, keepdims=True) - 1, 0
+        ).astype(arr.real.dtype)
+        iws = invert_no_zero(jnp.sum(weight, axis=axis, keepdims=True))
+        mu = jnp.sum(weight * arr, axis=axis, keepdims=True) * iws
+        v = jnp.sum(
+            weight * jnp.abs(arr - mu) ** 2, axis=axis, keepdims=True
+        ) * invert_no_zero(num)
+        return v, num
+
+
+class _InverseStackRedundancyWeights(ReduceBase):
+    """Weights that undo redundancy averaging (reference transform.py:2120)."""
+
+    def _get_weights(self, data):
+        if "stack" not in data.index_map:
+            raise RuntimeError(
+                "No 'stack' axis in index map. Cannot calculate weights."
+            )
+        from ..ops import tools as _tools
+
+        redundancy = _tools.calculate_redundancy(
+            np.asarray(data.input_flags[:]),
+            np.asarray(data.index_map["prod"][:]),
+            np.asarray(data.reverse_map["stack"]["stack"][:]),
+            len(data.index_map["stack"]),
+        )
+        weight = np.asarray(data.weight[:]) * np.asarray(
+            invert_no_zero(redundancy**2)
+        )[np.newaxis]
+        return weight, list(data.weight.attrs["axis"])
+
+
+class ReduceChisqInverseRedundancy(ReduceChisq, _InverseStackRedundancyWeights):
+    """Chi-squared per dof, undoing redundancy averaging."""
+
+
+class HPFTimeStream(ContainerTask):
+    """High-pass filter a timestream (reference transform.py:2146).
+
+    Solves for a low-pass model in a truncated Fourier basis and subtracts
+    it.  The per-row Wiener solves (reference transform.py:2230-2251) run as
+    one batched device solve.
+
+    Attributes
+    ----------
+    tau : float
+        Timescale in seconds below which fluctuations are kept (i.e.
+        fluctuations slower than tau are removed).
+    pad : float
+        Implicit zero-padding in multiples of tau (edge-effect mitigation).
+    window : bool
+        Apply a Blackman window to the basis.
+    prior : float
+        Expected scale of the slow fluctuations (regulariser).
+    """
+
+    tau = config.Property(proptype=float)
+    pad = config.Property(proptype=float, default=2)
+    window = config.Property(proptype=bool, default=True)
+    prior = config.Property(proptype=float, default=1e2)
+
+    def process(self, tstream):
+        if "time" != tuple(tstream.data.attrs["axis"])[-1]:
+            raise TypeError("'time' is not the last axis of the dataset.")
+        if tuple(tstream.data.shape) != tuple(tstream.weight.shape):
+            raise ValueError("Data and weights must have the same shape.")
+
+        tau = 2 * self.tau if self.window else self.tau
+
+        times = np.asarray(tstream.time)
+        dt = np.diff(times)
+        if not np.allclose(dt, dt[0], atol=1e-4):
+            self.log.warning(
+                "Samples are not regularly spaced. This might not work super well."
+            )
+
+        total_T = times[-1] - times[0] + 2 * tau
+        nmodes = int(np.ceil(total_T / tau))
+        t_freq = np.arange(-nmodes, nmodes) / total_T
+
+        F = np.exp(2.0j * np.pi * times[:, np.newaxis] * t_freq[np.newaxis, :])
+        if self.window:
+            F *= np.blackman(2 * nmodes)[np.newaxis, :]
+
+        d = np.asarray(tstream.data[:])
+        w = np.asarray(tstream.weight[:])
+        dflat = d.reshape(-1, len(times))
+        wflat = w.reshape(-1, len(times))
+
+        filtered = np.asarray(
+            _hpf_rows(
+                jnp.asarray(dflat),
+                jnp.asarray(wflat.astype(np.float64)),
+                jnp.asarray(F),
+                self.prior,
+            )
+        )
+        tstream.data[:] = filtered.reshape(d.shape).astype(tstream.data.dtype)
+        return tstream
+
+
+@jax.jit
+def _hpf_rows(d, w, F, prior):
+    """Batched low-pass solve + subtract for :class:`HPFTimeStream`."""
+    Fh = F.conj().T
+    wsum = jnp.sum(w, axis=-1, keepdims=True)
+    mu = jnp.sum(d * w, axis=-1, keepdims=True) * invert_no_zero(wsum)
+    dd = d - mu
+
+    dirty = jnp.einsum("mt,rt->rm", Fh, dd * w)
+    Ci = jnp.einsum("mt,rt,tn->rmn", Fh, w.astype(F.dtype), F)
+    Ci = Ci + jnp.eye(F.shape[1], dtype=F.dtype) / prior**2
+
+    f_lpf = jnp.linalg.solve(Ci, dirty[..., None])[..., 0]
+    t_lpf = jnp.einsum(
+        "tm,rm->rt", F.real, f_lpf.real
+    ) - jnp.einsum("tm,rm->rt", F.imag, f_lpf.imag)
+    out = dd - t_lpf
+    # Rows with no valid data are left unchanged (minus nothing)
+    return jnp.where(wsum > 0, out, d)
