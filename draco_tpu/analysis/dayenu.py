@@ -72,7 +72,7 @@ def _grouped_highpass_filters(freq, cuts, masks, epsilon):
         mask2 = np.outer(m, m)
         ucov[g] = cov * mask2
 
-    pinv = np.asarray(dayenu_ops.hermitian_pinv_batched(ucov))
+    pinv = np.array(dayenu_ops.hermitian_pinv_batched(ucov))
     for g, (_, m) in enumerate(uniq):
         pinv[g] *= np.outer(m, m)
 

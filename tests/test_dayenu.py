@@ -97,8 +97,11 @@ def tel():
 def _stream_with_foreground(rng, nra=8):
     """SiderealStream whose spectra are smooth (low delay) + noise floor."""
     nstack = 3
+    prod = np.zeros(nstack, dtype=[("input_a", int), ("input_b", int)])
+    prod["input_a"] = [0, 0, 1]
+    prod["input_b"] = [1, 2, 2]
     ss = containers.SiderealStream(
-        freq=FREQ, stack=nstack, input=4, prod=nstack, ra=nra
+        freq=FREQ, stack=nstack, input=4, prod=prod, ra=nra
     )
     smooth = _tone(0.01)[:, None, None]  # low-delay foreground
     ss.vis[:] = (10.0 * smooth * np.ones((NFREQ, nstack, nra))).astype(
