@@ -20,6 +20,8 @@ from ..core.task import ContainerTask, group_tasks
 from ..ops import mmode
 from ..ops.tools import invert_no_zero
 
+C_LIGHT = 299792458.0
+
 
 class FrequencyRebin(ContainerTask):
     """Rebin neighbouring frequency channels (reference transform.py:20).
@@ -388,6 +390,815 @@ class LanczosRegridder(ContainerTask):
 
 # Alias for compatibility
 Regridder = LanczosRegridder
+
+
+class TelescopeStreamMixIn:
+    """Mixin computing telescope-defined prod/stack index maps.
+
+    (reference transform.py:91-139).  Provides ``bt_prod``, ``bt_stack``
+    and ``bt_rev`` for building streams compatible with a telescope's
+    baseline configuration.
+    """
+
+    def setup(self, tel):
+        """Set the telescope instance and precompute index maps."""
+        from ..ops import tools
+
+        self.telescope = io.get_telescope(tel)
+
+        nfeed = self.telescope.nfeed
+        self.bt_stack = np.array(
+            [
+                (
+                    (tools.cmap(upp[0], upp[1], nfeed), 0)
+                    if upp[0] <= upp[1]
+                    else (tools.cmap(upp[1], upp[0], nfeed), 1)
+                )
+                for upp in self.telescope.uniquepairs
+            ],
+            dtype=[("prod", "<u4"), ("conjugate", "u1")],
+        )
+
+        triu = np.triu_indices(nfeed)
+        dt_prod = np.dtype([("input_a", "<u2"), ("input_b", "<u2")])
+        self.bt_prod = (
+            np.array(triu).astype("<u2").T.copy().view(dt_prod).reshape(-1)
+        )
+
+        feedmask = self.telescope.feedmask[triu]
+        self.bt_rev = np.empty(
+            feedmask.size, dtype=[("stack", "<u4"), ("conjugate", "u1")]
+        )
+        self.bt_rev["stack"] = np.where(
+            feedmask, self.telescope.feedmap[triu], self.telescope.npairs
+        )
+        self.bt_rev["conjugate"] = np.where(
+            feedmask, self.telescope.feedconj[triu], 0
+        )
+
+
+class CollateProducts(TelescopeStreamMixIn, ContainerTask):
+    """Extract and order the correlation products for map-making.
+
+    (reference transform.py:142-330).  The per-product accumulation loop
+    becomes a device segment-sum: gather (source product, destination
+    stack, conjugation) index arrays on the host, then one batched
+    ``jax.ops.segment_sum`` per dataset.
+
+    Attributes
+    ----------
+    weight : "natural" | "uniform" | "inverse_variance"
+        Redundant-baseline weighting for the stack.
+    """
+
+    weight = config.enum(
+        ["natural", "uniform", "inverse_variance"], default="natural"
+    )
+
+    def process(self, ss):
+        """Select and reorder products to match the telescope config."""
+        from ..ops import tools
+
+        input_ind = tools.find_inputs(
+            self.telescope.input_index, ss.input, require_match=False
+        )
+        rev_input_ind = tools.find_inputs(
+            ss.input, self.telescope.input_index, require_match=True
+        )
+        freq_ind = tools.find_keys(
+            np.asarray(ss.freq), self.telescope.frequencies, require_match=True
+        )
+        bt_freq = ss.index_map["freq"][freq_ind]
+
+        if ss.is_stacked:
+            stack_new, stack_flag = tools.redefine_stack_index_map(
+                self.telescope,
+                ss.input,
+                ss.prod,
+                ss.stack,
+                ss.reverse_map["stack"],
+            )
+            if not np.all(stack_flag):
+                self.log.warning(
+                    f"There are {np.sum(~stack_flag):0.0f} stacked baselines "
+                    "that are masked in the telescope instance."
+                )
+            ss_prod = ss.prod[stack_new["prod"]]
+            ss_conj = stack_new["conjugate"].astype(bool)
+        else:
+            ss_prod = ss.prod
+            ss_conj = np.zeros(ss_prod.size, dtype=bool)
+
+        sp = ss.__class__(
+            freq=bt_freq,
+            input=self.telescope.input_index,
+            prod=self.bt_prod,
+            stack=self.bt_stack,
+            reverse_map_stack=self.bt_rev,
+            axes_from=ss,
+            attrs_from=ss,
+        )
+
+        if "input_flags" in sp.datasets or "input_flags" in sp.dataset_spec():
+            if "input_flags" not in sp.datasets:
+                sp.add_dataset("input_flags")
+            sp.datasets["input_flags"][:] = np.asarray(ss.input_flags[:])[
+                rev_input_ind, :
+            ]
+
+        # Redundancy-style weights per input stack
+        if self.weight != "inverse_variance":
+            nprod_in_stack = tools.calculate_redundancy(
+                np.asarray(ss.input_flags[:]),
+                np.asarray(ss.index_map["prod"][:]),
+                np.asarray(ss.reverse_map["stack"]["stack"][:]),
+                ss.vis.shape[1],
+            )
+            if self.weight == "uniform":
+                nprod_in_stack = (nprod_in_stack > 0).astype(np.float32)
+        else:
+            nprod_in_stack = None
+
+        # Build gather/scatter indices on the host
+        src, dst, conj = [], [], []
+        for ss_pi, ((ii, ij), cj) in enumerate(
+            zip(
+                np.stack([ss_prod["input_a"], ss_prod["input_b"]], axis=-1),
+                ss_conj,
+            )
+        ):
+            bi, bj = input_ind[ii], input_ind[ij]
+            if bi is None or bj is None:
+                continue
+            sp_pi = self.telescope.feedmap[bi, bj]
+            if sp_pi < 0:
+                continue
+            feedconj = self.telescope.feedconj[bi, bj]
+            src.append(ss_pi)
+            dst.append(sp_pi)
+            conj.append(feedconj != cj)
+
+        src = np.asarray(src, dtype=int)
+        dst = np.asarray(dst, dtype=int)
+        conj = np.asarray(conj, dtype=bool)
+        nstack_out = len(self.bt_stack)
+
+        ssv = jnp.asarray(np.asarray(ss.vis[:])[freq_ind])
+        ssw = jnp.asarray(np.asarray(ss.weight[:])[freq_ind])
+
+        vis_sel = ssv[:, src]
+        w_sel = ssw[:, src]
+        if self.weight == "inverse_variance":
+            wss = w_sel
+        else:
+            wss = (w_sel > 0.0).astype(jnp.float32) * jnp.asarray(
+                nprod_in_stack
+            )[None, src]
+
+        vis_c = jnp.where(
+            jnp.asarray(conj)[None, :, None], vis_sel.conj(), vis_sel
+        )
+
+        # Segment-sum over the destination stack (device scatter-add)
+        def seg(x):
+            return jax.ops.segment_sum(
+                jnp.moveaxis(x, 1, 0), jnp.asarray(dst), num_segments=nstack_out
+            )
+
+        acc_vis = jnp.moveaxis(seg(wss * vis_c), 0, 1)
+        acc_var = jnp.moveaxis(seg(wss**2 * invert_no_zero(w_sel)), 0, 1)
+        counter = jnp.moveaxis(seg(wss), 0, 1)
+
+        sp.vis[:] = np.asarray(acc_vis * invert_no_zero(counter)).astype(
+            sp.vis.dtype
+        )
+        sp.weight[:] = np.asarray(
+            counter**2 * invert_no_zero(acc_var)
+        ).astype(sp.weight.dtype)
+
+        # Copy over any additional frequency-filtered datasets (those on
+        # input/prod/stack axes are handled above)
+        containers.copy_datasets_filter(
+            ss,
+            sp,
+            selection={"freq": freq_ind},
+            exclude_axes=("input", "prod", "stack"),
+        )
+
+        return sp
+
+
+class GenerateSubBands(SelectFreq):
+    """Generate multiple frequency sub-bands from one container.
+
+    (reference transform.py:436-497)
+
+    Attributes
+    ----------
+    sub_band_spec : dict
+        ``{tag: {<SelectFreq property>: value, ...}, ...}`` — one output
+        per entry.
+    """
+
+    sub_band_spec = config.Property(proptype=dict)
+
+    def setup(self, data):
+        """Cache the container to sub-divide."""
+        self.default_parameters = {
+            key: val._default_value()
+            for key, val in vars(SelectFreq).items()
+            if isinstance(val, config.Property)
+        }
+        self.data = data
+        self.base_tag = self.data.attrs.get("tag", None)
+        self.sub_bands = list(self.sub_band_spec.keys())[::-1]
+
+    def process(self):
+        """Emit the next sub-band."""
+        from ..core.task import PipelineStopIteration
+
+        if len(self.sub_bands) == 0:
+            raise PipelineStopIteration
+
+        tag = self.sub_bands.pop()
+        self._set_freq_selection(**self.sub_band_spec[tag])
+
+        if self.base_tag is not None:
+            self.data.attrs["tag"] = f"{self.base_tag}_{tag}"
+        else:
+            self.data.attrs["tag"] = tag
+
+        return super().process(self.data)
+
+    def _set_freq_selection(self, **kwargs):
+        for key, default in self.default_parameters.items():
+            setattr(self, key, kwargs.get(key, default))
+
+
+class ElevationDependentHybridVisWeight(ContainerTask):
+    """Broadcast hybrid-vis weights over the elevation axis.
+
+    (reference transform.py:500-532)
+    """
+
+    def process(self, data):
+        if "elevation_vis_weight" in data:
+            self.log.debug("Container already has the required dataset.")
+        else:
+            weights = np.asarray(data["vis_weight"][:])
+            del data["vis_weight"]
+            data.add_dataset("elevation_vis_weight")
+            data.weight[:] = np.broadcast_to(
+                weights[..., np.newaxis, :], data.weight.shape
+            ).astype(data.weight.dtype)
+        return data
+
+
+class SelectPol(ContainerTask):
+    """Extract Stokes parameters from beamformed data.
+
+    (reference transform.py:1068-1231).  Supports I, Q, U, V from linear
+    polarisations XX, YY, reXY, imXY.
+
+    Attributes
+    ----------
+    pol : list
+        Subset of ["I", "Q", "U", "V"].
+    """
+
+    pol = config.Property(proptype=list)
+
+    P = {
+        "I": {"XX": 1, "YY": 1},
+        "Q": {"XX": 1, "YY": -1},
+        "U": {"reXY": 1},
+        "V": {"imXY": 1},
+    }
+
+    def setup(self):
+        """Validate the requested polarisations."""
+        missing_pol = [p for p in self.pol if p not in self.P]
+        if missing_pol:
+            raise ValueError(
+                f"Do not support the selection of {missing_pol}.  "
+                f"Available options include {list(self.P.keys())}."
+            )
+        if len(set(self.pol)) != len(self.pol):
+            raise ValueError("Duplicate Stokes parameters requested in `pol`.")
+
+    def process(self, polcont):
+        """Extract the requested Stokes parameters."""
+        if "pol" not in polcont.index_map:
+            raise ValueError(
+                f"Container of type {type(polcont)} does not have a pol axis."
+            )
+        input_pol = [
+            p.decode() if isinstance(p, bytes) else str(p)
+            for p in polcont.index_map["pol"]
+        ]
+
+        required_pol = [pol for pstr in self.pol for pol in self.P[pstr]]
+        missing_pol = [
+            p for p in np.unique(required_pol) if p not in input_pol
+        ]
+        if len(missing_pol) > 0:
+            raise ValueError(
+                f"Missing the following polarisations {missing_pol}, "
+                f"which are needed to construct {self.pol}."
+            )
+
+        data_dset_name = getattr(polcont, "_data_dset_name", None)
+        weight_dset_name = getattr(polcont, "_weight_dset_name", None)
+
+        outcont = containers.empty_like(polcont, pol=np.array(self.pol))
+        for name in polcont.datasets.keys():
+            if name not in outcont.datasets and name in outcont.dataset_spec():
+                outcont.add_dataset(name)
+
+        def make_slice(index, axis_pos):
+            return (slice(None),) * axis_pos + (index,)
+
+        for name, dset in polcont.datasets.items():
+            if name not in outcont.datasets:
+                continue
+            out_dset = outcont.datasets[name]
+            if "pol" not in dset.attrs["axis"]:
+                out_dset[:] = dset[:]
+                continue
+
+            arr = np.asarray(dset[:])
+            out = np.zeros(out_dset.shape, dtype=arr.dtype)
+            pax = list(dset.attrs["axis"]).index("pol")
+
+            if name == weight_dset_name:
+                flag = np.ones(out_dset.shape, dtype=bool)
+
+            for oo, po in enumerate(self.pol):
+                oslc = make_slice(oo, pax)
+                pol_to_sum = self.P[po]
+                nsum = len(pol_to_sum)
+
+                for pi, sign in pol_to_sum.items():
+                    islc = make_slice(input_pol.index(pi), pax)
+                    if name == data_dset_name:
+                        out[oslc] += sign * arr[islc]
+                    elif name == weight_dset_name:
+                        flag[oslc] &= arr[islc] > 0.0
+                        out[oslc] += np.asarray(invert_no_zero(arr[islc]))
+                    elif np.issubdtype(out.dtype, np.bool_):
+                        out[oslc] |= arr[islc]
+                    else:
+                        out[oslc] += arr[islc]
+
+                if name == weight_dset_name:
+                    out[oslc] = flag[oslc] * nsum**2 * np.asarray(
+                        invert_no_zero(out[oslc])
+                    )
+                elif np.issubdtype(out.dtype, np.integer):
+                    out[oslc] //= nsum
+                elif np.issubdtype(out.dtype, np.bool_):
+                    pass
+                elif "freq_cov" in name:
+                    out[oslc] /= nsum**2
+                else:
+                    out[oslc] /= nsum
+
+            out_dset[:] = out.astype(out_dset.dtype)
+
+        return outcont
+
+
+class PolWeightedAverage(ContainerTask):
+    """Optimally weighted pseudo-Stokes I from XX and YY.
+
+    (reference transform.py:1234-1330)
+    """
+
+    def process(self, polcont):
+        """Compute the weighted average over the XX/YY pol axis."""
+        from ..ops import tools
+
+        if not hasattr(polcont, "_weight_dset_name"):
+            raise TypeError(
+                "Input must be a subclass of DataWeightContainer."
+            )
+        if "pol" not in polcont.index_map:
+            raise ValueError(
+                f"Input container of type {type(polcont)} has no 'pol' axis."
+            )
+
+        input_pol = [
+            p.decode() if isinstance(p, bytes) else str(p)
+            for p in polcont.index_map["pol"]
+        ]
+        if "XX" not in input_pol or "YY" not in input_pol:
+            raise ValueError(
+                "Input must contain both 'XX' and 'YY' polarisations."
+            )
+
+        ixx, iyy = input_pol.index("XX"), input_pol.index("YY")
+        start, stride = min(ixx, iyy), abs(iyy - ixx)
+        pol_slice = slice(start, start + stride + 1, stride)
+
+        def make_pol_slice(axis_names):
+            axis = list(axis_names).index("pol")
+            return axis, (slice(None),) * axis + (pol_slice,)
+
+        outcont = containers.empty_like(polcont, pol=np.array(["I"]))
+        for name in polcont.datasets.keys():
+            if name not in outcont.datasets and name in outcont.dataset_spec():
+                outcont.add_dataset(name)
+
+        waxis = polcont.weight.attrs["axis"]
+        wpax, wslc = make_pol_slice(waxis)
+
+        weight = np.asarray(polcont.weight[:])[wslc]
+        wsum = np.sum(weight, axis=wpax, keepdims=True)
+        outcont.weight[:] = wsum.astype(outcont.weight.dtype)
+        norm = np.asarray(invert_no_zero(wsum))
+
+        for name, dset in polcont.datasets.items():
+            if name == polcont._weight_dset_name or name not in outcont.datasets:
+                continue
+            if "pol" not in dset.attrs["axis"]:
+                outcont.datasets[name][:] = dset[:]
+                continue
+            pax, dslc = make_pol_slice(dset.attrs["axis"])
+            wexp = tools.broadcast_weights(waxis, dset.attrs["axis"])
+            outcont.datasets[name][:] = (
+                np.sum(
+                    weight[wexp] * np.asarray(dset[:])[dslc],
+                    axis=pax,
+                    keepdims=True,
+                )
+                * norm[wexp]
+            ).astype(outcont.datasets[name].dtype)
+
+        return outcont
+
+
+class StokesIVis(ContainerTask):
+    """Extract instrumental Stokes I from visibilities.
+
+    (reference transform.py:1333-1448)
+    """
+
+    def setup(self, telescope):
+        """Set the telescope object."""
+        self.telescope = io.get_telescope(telescope)
+
+    def process(self, data):
+        """Combine co-pol baselines into Stokes I (shrinks the stack axis)."""
+        vis, weight, baselines = stokes_I(data, self.telescope)
+        out = containers.empty_like(data, stack=baselines)
+        out.vis[:] = np.asarray(vis).astype(out.vis.dtype)
+        out.weight[:] = np.asarray(weight).astype(out.weight.dtype)
+        return out
+
+
+def stokes_I(sstream, tel):
+    """Extract instrumental Stokes I from a time/sidereal stream.
+
+    (reference transform.py:1382-1448).  The per-product accumulation is a
+    device segment-sum over unique baseline vectors.
+
+    Returns (vis_I [freq, nbase, time], weight_I, ubase [nbase, 2]).
+    """
+    bl_round = np.around(tel.baselines[:, 0] + 1.0j * tel.baselines[:, 1], 4)
+    ubase, uinv, ucount = np.unique(
+        bl_round, return_inverse=True, return_counts=True
+    )
+    ubase = ubase.astype(np.complex128, copy=False).view(np.float64).reshape(-1, 2)
+    nbase = ubase.shape[0]
+
+    pairs = tel.uniquepairs
+    pols = tel.polarisation[pairs]
+    is_copol = pols[:, 0] == pols[:, 1]
+    good = (
+        is_copol
+        & (ucount[uinv] >= 4)
+        & (tel.feedmap[pairs[:, 0], pairs[:, 1]] != -1)
+    )
+
+    src = np.flatnonzero(good)
+    dst = uinv[src]
+
+    ssv = jnp.asarray(np.asarray(sstream.vis[:]))
+    ssw = jnp.asarray(np.asarray(sstream.weight[:]))
+
+    def seg(x):
+        return jnp.moveaxis(
+            jax.ops.segment_sum(
+                jnp.moveaxis(x[:, src], 1, 0),
+                jnp.asarray(dst),
+                num_segments=nbase,
+            ),
+            0,
+            1,
+        )
+
+    return seg(ssv), seg(ssw), ubase
+
+
+class TransformJanskyToKelvin(ContainerTask):
+    """Convert visibilities between Jy and Kelvin units.
+
+    (reference transform.py:1451-1603).  Integrates the primary beam solid
+    angle from the telescope model.
+
+    Attributes
+    ----------
+    convert_Jy_to_K : bool
+        Direction of the conversion.
+    reference_declination : float
+        Flux reference declination in degrees (default: zenith).
+    share : "none" | "all"
+        Whether to copy the container before modifying.
+    nside : int
+        Healpix resolution for the beam-area integral.
+    """
+
+    convert_Jy_to_K = config.Property(proptype=bool, default=True)
+    reference_declination = config.Property(proptype=float, default=None)
+    share = config.enum(["none", "all"], default="all")
+    nside = config.Property(proptype=int, default=256)
+
+    def setup(self, telescope):
+        """Set the telescope object."""
+        self.telescope = io.get_telescope(telescope)
+        if self.reference_declination is None:
+            self.reference_declination = self.telescope.latitude
+        self._omega_cache = {}
+
+    def _beam_area(self, feed, freq_ind):
+        """Primary beam solid angle normalised at the reference declination."""
+        from ..ops import healpix
+
+        beam = np.asarray(self.telescope.beam(feed, freq_ind, self.nside))
+        horizon = self.telescope.horizon_mask(self.nside)
+        if beam.ndim == 2:
+            beam_pow = np.sum(np.abs(beam) ** 2, axis=-1) * horizon
+        else:
+            beam_pow = np.abs(beam) ** 2 * horizon
+
+        pxarea = 4 * np.pi / beam_pow.shape[0]
+        omega = beam_pow.sum() * pxarea
+
+        ref_pix = healpix.ang2pix(
+            self.nside,
+            np.radians(90.0 - self.reference_declination),
+            0.0,
+        )
+        omega *= float(np.asarray(invert_no_zero(beam_pow[ref_pix])))
+        return float(omega)
+
+    def process(self, sstream):
+        """Apply the conversion to the data and weights."""
+        kB = 1.380649e-23
+
+        local_freq = np.asarray(sstream.freq)
+        local_freq_inds = [
+            int(np.argmin(np.abs(self.telescope.frequencies - f)))
+            for f in local_freq
+        ]
+
+        ps = sstream.prodstack
+        feedpairs = np.stack([ps["input_a"], ps["input_b"]], axis=-1)
+        beamclass_pairs = self.telescope.beamclass[feedpairs]
+
+        unique_beamclass, bc_index = np.unique(
+            beamclass_pairs, return_index=True
+        )
+        for beamclass, bc_ind in zip(unique_beamclass, bc_index):
+            feed_ind = feedpairs.ravel()[bc_ind]
+            for freq, freq_ind in zip(local_freq, local_freq_inds):
+                key = (beamclass, freq)
+                if key not in self._omega_cache:
+                    self._omega_cache[key] = self._beam_area(feed_ind, freq_ind)
+
+        om_ij = np.zeros((len(local_freq), sstream.vis.shape[1]))
+        for fi, freq in enumerate(local_freq):
+            for bi, (bci, bcj) in enumerate(beamclass_pairs):
+                om_i = self._omega_cache[(bci, freq)]
+                om_j = self._omega_cache[(bcj, freq)]
+                om_ij[fi, bi] = (om_i * om_j) ** 0.5
+
+        wavelength = (C_LIGHT / (local_freq * 1e6))[:, np.newaxis, np.newaxis]
+        K_to_Jy = 2 * 1e26 * kB * om_ij[:, :, np.newaxis] / wavelength**2
+        Jy_to_K = np.asarray(invert_no_zero(K_to_Jy))
+
+        new_stream = sstream if self.share == "all" else sstream.copy()
+
+        vis = np.asarray(new_stream.vis[:])
+        weight = np.asarray(new_stream.weight[:])
+        if self.convert_Jy_to_K:
+            vis = vis * Jy_to_K
+            weight = weight * K_to_Jy**2
+        else:
+            vis = vis * K_to_Jy
+            weight = weight * Jy_to_K**2
+        new_stream.vis[:] = vis.astype(new_stream.vis.dtype)
+        new_stream.weight[:] = weight.astype(new_stream.weight.dtype)
+
+        return new_stream
+
+
+class MixData(ContainerTask):
+    """Mix containers with specified linear coefficients.
+
+    (reference transform.py:1606-1797).  Useful for signal injection,
+    jackknives, weight replacement, etc.  No normalisation is applied.
+
+    Attributes
+    ----------
+    data_coeff, weight_coeff : list
+        Per-input coefficients for the data / weight datasets.
+    tag_coeff : list
+        Which input tags contribute to the output tag.
+    aux_coeff : dict
+        ``{dataset_name: [coefficients]}`` for auxiliary datasets.
+    invert_weight : bool
+        Mix variances instead of inverse variances.
+    require_nonzero_weight : bool
+        Zero the output weight wherever any input weight was zero.
+    """
+
+    data_coeff = config.list_type(type_=float)
+    weight_coeff = config.list_type(type_=float)
+    tag_coeff = config.list_type(type_=bool)
+    aux_coeff = config.Property(proptype=dict, default={})
+    invert_weight = config.Property(proptype=bool, default=False)
+    require_nonzero_weight = config.Property(proptype=bool, default=False)
+
+    mixed_data = None
+
+    def setup(self):
+        """Validate coefficient lists."""
+        if len(self.data_coeff) != len(self.weight_coeff):
+            raise config.ConfigError(
+                "data and weight coefficient lists must be the same length"
+            )
+        self._data_ind = 0
+        self._tags = []
+        self._wfunc = invert_no_zero if self.invert_weight else (lambda x: x)
+
+    def process(self, data):
+        """Add one container into the mix."""
+        if self._data_ind >= len(self.data_coeff):
+            raise RuntimeError(
+                "This task cannot accept more items than there are "
+                "coefficients set."
+            )
+
+        if self.mixed_data is None:
+            self.mixed_data = containers.empty_like(data)
+            for key in self.aux_coeff.keys():
+                if key not in self.mixed_data.datasets:
+                    self.mixed_data.add_dataset(key)
+                self.mixed_data.datasets[key][:] = np.zeros(
+                    self.mixed_data.datasets[key].shape,
+                    dtype=self.mixed_data.datasets[key].dtype,
+                )
+            self.mixed_data.data[:] = np.zeros(
+                self.mixed_data.data.shape, dtype=self.mixed_data.data.dtype
+            )
+            self.mixed_data.weight[:] = np.zeros(
+                self.mixed_data.weight.shape,
+                dtype=self.mixed_data.weight.dtype,
+            )
+            if self.require_nonzero_weight:
+                self._flag = np.ones(self.mixed_data.weight.shape, dtype=bool)
+
+        if type(self.mixed_data) is not type(data):
+            raise TypeError(
+                f"type(data) (={type(data)}) must match "
+                f"type(data_stack) (={type(self.mixed_data)})"
+            )
+        if tuple(self.mixed_data.data.shape) != tuple(data.data.shape):
+            raise ValueError(
+                f"Size of data ({data.data.shape}) must match "
+                f"data_stack ({self.mixed_data.data.shape})"
+            )
+
+        dco = self.data_coeff[self._data_ind]
+        if dco != 0.0:
+            self.mixed_data.data[:] = np.asarray(
+                self.mixed_data.data[:]
+            ) + dco * np.asarray(data.data[:])
+
+        wco = self.weight_coeff[self._data_ind]
+        if wco != 0.0:
+            self.mixed_data.weight[:] = np.asarray(
+                self.mixed_data.weight[:]
+            ) + wco * np.asarray(self._wfunc(np.asarray(data.weight[:])))
+            if self.require_nonzero_weight:
+                self._flag &= np.asarray(data.weight[:]) > 0.0
+
+        for key, aux_coeff in self.aux_coeff.items():
+            aco = aux_coeff[self._data_ind]
+            if aco != 0.0:
+                self.mixed_data.datasets[key][:] = np.asarray(
+                    self.mixed_data.datasets[key][:]
+                ) + aco * np.asarray(data.datasets[key][:])
+
+        if "tag" in data.attrs and (
+            self.tag_coeff is None or self.tag_coeff[self._data_ind]
+        ):
+            self._tags.append(data.attrs["tag"])
+
+        self._data_ind += 1
+
+    def _make_output(self):
+        if self._data_ind != len(self.data_coeff):
+            raise RuntimeError(
+                "Did not receive enough inputs. "
+                f"Got {self._data_ind}, expected {len(self.data_coeff)}."
+            )
+        data = self.mixed_data
+        self.mixed_data = None
+
+        if self.require_nonzero_weight:
+            data.weight[:] = np.asarray(data.weight[:]) * self._flag.astype(
+                data.weight.dtype
+            )
+            self._flag = None
+
+        data.weight[:] = np.asarray(
+            self._wfunc(np.asarray(data.weight[:]))
+        ).astype(data.weight.dtype)
+        data.attrs["tag"] = "_".join(self._tags)
+        return data
+
+    def process_finish(self):
+        """Return the mixed container."""
+        return self._make_output()
+
+
+class Jackknife(MixData):
+    """Half-difference jackknife of two datasets (reference transform.py:1800)."""
+
+    data_coeff = config.list_type(type_=float, default=[0.5, -0.5])
+    weight_coeff = config.list_type(type_=float, default=[0.25, 0.25])
+    tag_coeff = config.list_type(type_=bool, default=[True, True])
+    invert_weight = config.Property(proptype=bool, default=True)
+    require_nonzero_weight = config.Property(proptype=bool, default=True)
+
+
+class MixTwoDatasets(MixData):
+    """Mix exactly two datasets per iteration (reference transform.py:1814)."""
+
+    data_coeff = config.list_type(type_=float, length=2)
+    weight_coeff = config.list_type(type_=float, length=2)
+    tag_coeff = config.list_type(type_=bool, length=2)
+
+    def process(self, data1, data2):
+        """Combine the two inputs and emit the result immediately."""
+        super().process(data1)
+        super().process(data2)
+        out = self._make_output()
+        self._data_ind = 0
+        self._tags = []
+        return out
+
+    def process_finish(self):
+        """No-op: outputs are emitted per iteration."""
+        return None
+
+
+class Downselect(io.SelectionsMixin, ContainerTask):
+    """Apply axis selections to every dataset of a container.
+
+    (reference transform.py:1848-1901).  Selections use the SelectionsMixin
+    syntax (``<axis>_range`` / ``<axis>_index``) plus ``<axis>_map`` for
+    selection by index-map value.
+    """
+
+    def process(self, data):
+        """Apply the downselections."""
+        sel = self._resolve_sel()
+
+        # Also support selection by index-map entry
+        if self.selections:
+            for k, v in self.selections.items():
+                if k.endswith("_map"):
+                    axis_name = k[: -len("_map")]
+                    imap = list(data.index_map[axis_name])
+                    sel[axis_name] = [imap.index(x) for x in v]
+
+        output_axes = {}
+        for ax, ax_sel in sel.items():
+            imap = np.asarray(data.index_map[ax])
+            output_axes[ax] = (
+                imap[ax_sel]
+                if isinstance(ax_sel, slice)
+                else imap[np.asarray(ax_sel)]
+            )
+
+        out = data.__class__(
+            axes_from=data, attrs_from=data, skip_datasets=True, **output_axes
+        )
+        containers.copy_datasets_filter(data, out, selection=sel)
+        return out
 
 
 class ReduceBase(ContainerTask):

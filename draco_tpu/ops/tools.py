@@ -132,6 +132,40 @@ def find_inputs(input_index, inputs, require_match: bool = False):
     )
 
 
+def redefine_stack_index_map(telescope, inputs, prod, stack, reverse_stack):
+    """Re-pick stack representatives using only unmasked telescope inputs.
+
+    (reference tools.py:359-414).  Returns (stack_new, stack_flag) where
+    ``stack_flag`` is False for stacks with no valid representative.
+    """
+    tel_index = find_inputs(telescope.input_index, inputs, require_match=False)
+
+    stack_new = stack.copy()
+    stack_flag = np.zeros(stack_new.size, dtype=bool)
+
+    prod_pairs = np.stack([prod["input_a"], prod["input_b"]], axis=-1)
+    for sind, (ii, jj) in enumerate(prod_pairs[stack["prod"]]):
+        bi, bj = tel_index[ii], tel_index[jj]
+        if (bi is None) or (bj is None) or not telescope.feedmask[bi, bj]:
+            this_stack = np.flatnonzero(reverse_stack["stack"] == sind)
+            for ts in this_stack:
+                ti = tel_index[prod_pairs[ts][0]]
+                tj = tel_index[prod_pairs[ts][1]]
+                if (
+                    (ti is not None)
+                    and (tj is not None)
+                    and telescope.feedmask[ti, tj]
+                ):
+                    stack_new[sind]["prod"] = ts
+                    stack_new[sind]["conjugate"] = reverse_stack[ts]["conjugate"]
+                    stack_flag[sind] = True
+                    break
+        else:
+            stack_flag[sind] = True
+
+    return stack_new, stack_flag
+
+
 def broadcast_weights(waxis_names, daxis_names):
     """Slice tuple broadcasting a weight array onto a data array.
 
