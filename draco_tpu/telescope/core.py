@@ -38,6 +38,9 @@ class TransitTelescope(config.Reader):
     latitude = config.Property(proptype=float, default=45.0)
     longitude = config.Property(proptype=float, default=0.0)
     altitude = config.Property(proptype=float, default=0.0)
+    # Telescope rotation from true north in degrees (used by the hybrid
+    # beamformed deconvolution path, reference analysis/beam.py:119)
+    rotation_angle = config.Property(proptype=float, default=0.0)
 
     freq_lower = config.Property(proptype=float, default=400.0)
     freq_upper = config.Property(proptype=float, default=800.0)
