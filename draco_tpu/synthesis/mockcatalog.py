@@ -1,0 +1,589 @@
+"""Mock catalog generation tasks.
+
+Re-provides reference ``draco/synthesis/mockcatalog.py``
+(SelectionFunctionEstimator:90, ResizeSelectionFunctionMap:205,
+PdfGeneratorBase:299, PdfGeneratorUncorrelated:389,
+PdfGeneratorWithSelectionFunction:421, PdfGeneratorNoSelectionFunction:457,
+MockCatalogGenerator:525, AddGaussianZErrorsToCatalog:751,
+AddEBOSSZErrorsToCatalog:821, MapPixelLocationGenerator:1083, and the
+helper functions :1177-1306).
+
+Healpy calls are replaced by the native ops.healpix implementations
+(ud_grade via NEST averaging, smoothing via the native SHT); the catalog
+gridding is a vectorised 2D bincount instead of the reference's
+per-pixel scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import config, containers
+from ..core.task import ContainerTask, PipelineStopIteration, RandomTask
+from ..ops import healpix as hpx
+from ..ops.tools import invert_no_zero
+
+NU21 = 1420.405751768  # MHz
+C_LIGHT = 299792458.0
+
+
+class SelectionFunctionEstimator(ContainerTask):
+    """Estimate a selection function from a low-rank SVD of a catalog map.
+
+    (reference mockcatalog.py:90-202)
+
+    Attributes
+    ----------
+    nside, n_z, z_min, z_max, n_modes
+        Binning and SVD-rank parameters (defaults tuned for eBOSS QSOs).
+    tracer : str
+        Optional tracer label stored on the output.
+    """
+
+    bcat_path = config.Property(proptype=str, default=None)
+    nside = config.Property(proptype=int, default=16)
+    n_z = config.Property(proptype=int, default=32)
+    z_min = config.Property(proptype=float, default=0.8)
+    z_max = config.Property(proptype=float, default=2.5)
+    n_modes = config.Property(proptype=int, default=7)
+    tracer = config.Property(proptype=str, default=None)
+
+    def process(self, cat):
+        """SVD the binned catalog and keep the first ``n_modes`` modes."""
+        zlims_selfunc = np.linspace(self.z_min, self.z_max, self.n_z + 1)
+        z_selfunc = (zlims_selfunc[:-1] + zlims_selfunc[1:]) * 0.5
+        freq_selfunc = _zlims_to_freq(z_selfunc, zlims_selfunc)
+
+        selfunc = containers.Map(
+            nside=self.nside,
+            polarisation=False,
+            freq=freq_selfunc,
+            attrs_from=cat,
+        )
+
+        maps = _cat_to_maps(cat, self.nside, zlims_selfunc)
+
+        u, s, vt = np.linalg.svd(maps, full_matrices=False)
+        k = self.n_modes
+        rec = (u[:, :k] * s[:k]) @ vt[:k]
+        rec[rec < 0.0] = 0.0
+
+        out = np.zeros(selfunc.map.shape)
+        out[:, 0, :] = rec
+        selfunc.map[:] = out
+
+        if self.tracer is not None:
+            selfunc.attrs["tracer"] = self.tracer
+
+        return selfunc
+
+
+class ResizeSelectionFunctionMap(ContainerTask):
+    """Match a selection function to a source map's resolution/sampling.
+
+    (reference mockcatalog.py:205-296)
+
+    Attributes
+    ----------
+    smooth : bool
+        Smooth the resized map on the original pixel scale (erases the
+        imprint of the coarse pixelisation).
+    """
+
+    smooth = config.Property(proptype=bool, default=False)
+
+    def process(self, selfunc, source_map):
+        """Interpolate in redshift and regrade in angle."""
+        from ..ops import regrid
+
+        z_selfunc = _freq_to_z(selfunc.index_map["freq"])
+        z_source = _freq_to_z(source_map.index_map["freq"])
+
+        new_selfunc = containers.Map(
+            polarisation=False, axes_from=source_map, attrs_from=source_map
+        )
+
+        interp_m = regrid.lanczos_forward_matrix(
+            z_selfunc["centre"], z_source["centre"]
+        )
+        interp_m = np.asarray(interp_m) * (
+            z_source["width"][:, np.newaxis] / z_selfunc["width"][np.newaxis, :]
+        )
+
+        # Interpolate the frequency axis, then regrade the pixel axis
+        sf = np.asarray(selfunc.map[:])[:, 0, :]
+        sf_newz = interp_m @ sf
+
+        nside = new_selfunc.nside
+        resized = hpx.ud_grade(sf_newz, nside)
+
+        if self.smooth:
+            fwhm = hpx.nside2resol(selfunc.nside)
+            resized = np.array(hpx.smooth_gaussian(resized, fwhm=fwhm))
+
+        resized = np.where(resized < 0, 0.0, resized)
+
+        out = np.zeros(new_selfunc.map.shape)
+        out[:, 0, :] = resized
+        new_selfunc.map[:] = out
+
+        return new_selfunc
+
+
+class PdfGeneratorBase(ContainerTask):
+    """Base class combining a source map and selection function into a PDF.
+
+    (reference mockcatalog.py:299-386)
+    """
+
+    tracer = config.Property(proptype=str, default=None)
+
+    def make_pdf_map(self, source_map, z_weights, selfunc=None):
+        """Normalised PDF = (1 + delta) * selfunc, weighted per z bin."""
+        rho = np.asarray(source_map.map[:])[:, 0, :] + 1.0
+        if (rho < 0).any():
+            self.log.error("Found negative entries in source map.")
+
+        rho = rho / np.mean(rho, axis=1)[:, np.newaxis]
+
+        if selfunc is not None:
+            sf = np.asarray(selfunc.map[:])[:, 0, :]
+            if (sf < 0).any():
+                self.log.error("Found negative entries in selection function.")
+            pdf = rho * sf
+        else:
+            pdf = rho
+
+        pdf = (
+            pdf
+            * np.asarray(invert_no_zero(np.sum(pdf, axis=1)))[:, np.newaxis]
+            * np.asarray(z_weights)[:, np.newaxis]
+        )
+
+        pdf_map = containers.Map(
+            nside=source_map.nside,
+            polarisation=False,
+            freq=source_map.index_map["freq"],
+            attrs_from=selfunc if selfunc is not None else source_map,
+        )
+        out = np.zeros(pdf_map.map.shape)
+        out[:, 0, :] = pdf
+        pdf_map.map[:] = out
+
+        if self.tracer is not None:
+            pdf_map.attrs["tracer"] = self.tracer
+
+        return pdf_map
+
+    def process(self):
+        """Produce a pdf."""
+        raise NotImplementedError(
+            f"{self.__class__} must define a process method."
+        )
+
+
+class PdfGeneratorUncorrelated(PdfGeneratorBase):
+    """Uniform PDF for uncorrelated mocks (reference mockcatalog.py:389)."""
+
+    def process(self, source_map):
+        """PDF with uniform z weights and delta_g = 0."""
+        z = np.zeros(source_map.map.shape)
+        source_map.map[:] = z
+        gs = source_map.map.shape[0]
+        z_weights = np.full(gs, 1.0 / gs)
+        return self.make_pdf_map(source_map, z_weights)
+
+
+class PdfGeneratorWithSelectionFunction(PdfGeneratorBase):
+    """PDF including a selection function (reference mockcatalog.py:421)."""
+
+    def process(self, source_map, selfunc):
+        """Weight each z bin by the selection function's total."""
+        sf = np.asarray(selfunc.map[:])[:, 0, :]
+        z_weights = sf.sum(axis=1)
+        z_weights = z_weights / z_weights.sum()
+        return self.make_pdf_map(source_map, z_weights, selfunc)
+
+
+class PdfGeneratorNoSelectionFunction(PdfGeneratorBase):
+    """PDF with a trivial selection function (reference mockcatalog.py:457).
+
+    Attributes
+    ----------
+    use_voxel_volumes : bool
+        Weight z bins by their comoving voxel volume.
+    """
+
+    use_voxel_volumes = config.Property(proptype=bool, default=False)
+
+    def process(self, source_map):
+        """Uniform or volume-weighted z weights."""
+        gs = source_map.map.shape[0]
+
+        if not self.use_voxel_volumes:
+            z_weights = np.full(gs, 1.0 / gs)
+        else:
+            from ..ops.cosmology import Cosmology
+
+            cosmo = Cosmology()
+            z_weights = np.zeros(gs)
+            fmap = source_map.index_map["freq"]
+            for fi in range(gs):
+                fc, fw = fmap["centre"][fi], fmap["width"][fi]
+                z_min = NU21 / (fc + 0.5 * fw) - 1
+                z_max = NU21 / (fc - 0.5 * fw) - 1
+                z_mean = NU21 / fc - 1
+                z_weights[fi] = float(
+                    np.asarray(cosmo.comoving_distance(z_mean)) ** 2
+                    * (
+                        np.asarray(cosmo.comoving_distance(z_max))
+                        - np.asarray(cosmo.comoving_distance(z_min))
+                    )
+                )
+            z_weights /= z_weights.sum()
+
+        return self.make_pdf_map(source_map, z_weights)
+
+
+class MockCatalogGenerator(ContainerTask, RandomTask):
+    """Draw mock catalogs from a PDF map (reference mockcatalog.py:525).
+
+    Attributes
+    ----------
+    nsource : int
+        Sources per catalog.
+    ncat : int
+        Number of catalogs.
+    z_at_channel_centers, srcs_at_pixel_centers : bool
+        Place sources exactly at bin/pixel centres instead of dithering.
+    """
+
+    nsource = config.Property(proptype=int)
+    ncat = config.Property(proptype=int)
+    z_at_channel_centers = config.Property(proptype=bool, default=False)
+    srcs_at_pixel_centers = config.Property(proptype=bool, default=False)
+
+    def setup(self, pdf_map):
+        """Precompute per-z CDFs from the PDF map."""
+        self.pdf = pdf_map
+        self.nside = self.pdf.nside
+        self._count = 0
+
+        pdf = np.asarray(self.pdf.map[:])[:, 0, :]
+        self.z_weights = np.sum(pdf, axis=1)
+        self.z_weights = self.z_weights / self.z_weights.sum()
+
+        cdf = np.cumsum(pdf, axis=1)
+        self.cdf = cdf * np.asarray(invert_no_zero(cdf[:, -1]))[:, np.newaxis]
+
+    def process(self):
+        """Draw the next mock catalog."""
+        if self._count >= self.ncat:
+            raise PipelineStopIteration
+
+        source_numbers = self.rng.multinomial(self.nsource, self.z_weights)
+
+        ang_size = np.rad2deg(hpx.nside2resol(self.nside))
+        z_global = _freq_to_z(self.pdf.index_map["freq"][:])
+
+        mock_zs = np.empty(self.nsource)
+        mock_ra = np.empty(self.nsource)
+        mock_dec = np.empty(self.nsource)
+
+        offset = 0
+        for zi, nbin in enumerate(source_numbers):
+            if nbin == 0:
+                continue
+            rnbs = self.rng.uniform(size=nbin)
+            pix_idxs = np.digitize(rnbs, self.cdf[zi])
+
+            z_value = z_global["centre"][zi] * np.ones(nbin)
+            if not self.z_at_channel_centers:
+                z_value += z_global["width"][zi] * (
+                    self.rng.uniform(size=nbin) - 0.5
+                )
+
+            dec, ra = _pix_to_radec(pix_idxs, self.nside)
+            if not self.srcs_at_pixel_centers:
+                dec = dec + ang_size * (self.rng.uniform(size=nbin) - 0.5)
+                ra = ra + ang_size * (self.rng.uniform(size=nbin) - 0.5)
+
+            sl = slice(offset, offset + nbin)
+            mock_zs[sl] = z_value
+            mock_ra[sl] = ra
+            mock_dec[sl] = dec
+            offset += nbin
+
+        mock_catalog = containers.SpectroscopicCatalog(
+            object_id=np.arange(self.nsource, dtype=np.uint64),
+            attrs_from=self.pdf,
+        )
+        pos = np.zeros(
+            self.nsource, dtype=[("ra", np.float64), ("dec", np.float64)]
+        )
+        pos["ra"], pos["dec"] = mock_ra, mock_dec
+        red = np.zeros(
+            self.nsource, dtype=[("z", np.float64), ("z_error", np.float64)]
+        )
+        red["z"] = mock_zs
+        mock_catalog["position"][:] = pos
+        mock_catalog["redshift"][:] = red
+
+        self._count += 1
+        return mock_catalog
+
+
+class AddGaussianZErrorsToCatalog(ContainerTask, RandomTask):
+    """Add Gaussian redshift errors to a catalog, in place.
+
+    (reference mockcatalog.py:751-818)
+
+    Attributes
+    ----------
+    use_catalog_z_errors : bool
+        Use per-source ``z_error`` as the standard deviation.
+    sigma : float
+        Error scale (see ``sigma_type``).
+    sigma_type : "sigma_z" | "sigma_z_over_1plusz"
+    """
+
+    use_catalog_z_errors = config.Property(proptype=bool, default=False)
+    sigma = config.Property(proptype=float)
+    sigma_type = config.enum(["sigma_z", "sigma_z_over_1plusz"])
+
+    def process(self, cat):
+        """Perturb the catalog redshifts."""
+        red = np.asarray(cat["redshift"][:]).copy()
+        cat_z = red["z"]
+        cat_z_err = red["z_error"]
+
+        z_err = self.rng.normal(size=cat_z.shape[0])
+        if self.use_catalog_z_errors:
+            if not np.any(cat_z_err):
+                self.log.error(
+                    "Warning: no existing z_error information in catalog, "
+                    "so no z errors will be added"
+                )
+            z_err *= cat_z_err
+        elif self.sigma_type == "sigma_z":
+            z_err *= self.sigma
+        else:
+            z_err *= self.sigma * (1 + cat_z)
+
+        red["z"] = cat_z + z_err
+        cat["redshift"][:] = red
+        return cat
+
+
+class AddEBOSSZErrorsToCatalog(ContainerTask, RandomTask):
+    """Add eBOSS-like tracer-specific redshift errors, in place.
+
+    (reference mockcatalog.py:821-1072)
+
+    Attributes
+    ----------
+    tracer : "QSO" | "ELG" | "LRG" | "QSOalt"
+        Error model; auto-detected from the catalog attrs/tag if unset.
+    """
+
+    tracer = config.enum(["QSO", "ELG", "LRG", "QSOalt"], default=None)
+
+    def process(self, cat):
+        """Perturb the catalog redshifts with the tracer's error model."""
+        tracer = self.tracer
+
+        if tracer is None:
+            if "tracer" in cat.attrs:
+                tracer = str(cat.attrs["tracer"]).upper()
+                if tracer not in _velocity_error_function_lookup:
+                    raise ValueError(
+                        f"Tracer explicitly set to '{tracer}' in catalog, "
+                        "but value not supported."
+                    )
+            else:
+                for key in _velocity_error_function_lookup:
+                    if key in str(cat.attrs.get("tag", "")).upper():
+                        tracer = key
+                        break
+                if tracer is None:
+                    raise ValueError(
+                        "Must specify eBOSS tracer in config property, "
+                        "catalog 'tracer' attribute, or catalog 'tag' attribute."
+                    )
+
+        self.log.info(f"Applying {tracer} redshift errors.")
+
+        red = np.asarray(cat["redshift"][:]).copy()
+        z = red["z"]
+        red["z"] = z + self._generate_z_errors(z, tracer)
+        cat["redshift"][:] = red
+        return cat
+
+    def _generate_z_errors(self, z, tracer):
+        """dz = (1 + z) dv / c (see arXiv:1012.2912 Eq. A1)."""
+        err_func = _velocity_error_function_lookup[tracer]
+        dv = err_func(z, self.rng)
+        return (1.0 + z) * dv / (C_LIGHT * 1e-3)
+
+    @staticmethod
+    def qso_velocity_error(z, rng):
+        """Two-Gaussian QSO velocity errors (arXiv:2007.09001 Fig. 4)."""
+        QSO_SIG1, QSO_SIG2, QSO_F = 150.0, 1000.0, 4.478
+        n = len(z)
+        dv1 = rng.normal(scale=QSO_SIG1, size=n)
+        dv2 = rng.normal(scale=QSO_SIG2, size=n)
+        u = rng.uniform(size=n)
+        return np.where(u >= (1.0 / (1.0 + QSO_F)), dv1, dv2)
+
+    @staticmethod
+    def qsoalt_velocity_error(z, rng):
+        """Redshift-dependent two-Gaussian QSO model (reference :960)."""
+        QSO_SIG1_highz, QSO_SIG1_lowz, QSO_SIG2 = 150.0, 90.0, 1000.0
+        QSO_F_highz, QSO_ztrans, QSO_zwidth = 35.0, 1.0, 0.05
+
+        def smooth_step(z, zt, zw, fl, fh):
+            return (1 + np.tanh((z - zt) / zw)) * (fh - fl) / 2 + fl
+
+        invf = smooth_step(z, QSO_ztrans, QSO_zwidth, 0, 1 / QSO_F_highz)
+        sig1 = smooth_step(
+            z, QSO_ztrans, QSO_zwidth, QSO_SIG1_lowz, QSO_SIG1_highz
+        )
+        n = len(z)
+        u = rng.uniform(size=n)
+        flag = u >= (invf / (1.0 + invf))
+        dv1 = rng.standard_normal(n) * sig1
+        dv2 = rng.standard_normal(n) * QSO_SIG2
+        return np.where(flag, dv1, dv2)
+
+    @staticmethod
+    def lrg_velocity_error(z, rng):
+        """Gaussian LRG velocity errors (arXiv:2007.09000, 65.6 km/s)."""
+        return rng.normal(scale=65.6, size=len(z))
+
+    @staticmethod
+    def elg_velocity_error(z, rng):
+        """Tukey-lambda ELG velocity errors (arXiv:2007.09007 Sec 2.3)."""
+        import scipy.stats
+
+        ELG_SIG, ELG_LAMBDA = 11.877, -0.4028
+        dist = scipy.stats.tukeylambda
+        dist.random_state = rng
+        return dist.rvs(ELG_LAMBDA, scale=ELG_SIG, size=len(z))
+
+
+_velocity_error_function_lookup = {
+    "QSO": AddEBOSSZErrorsToCatalog.qso_velocity_error,
+    "QSOalt": AddEBOSSZErrorsToCatalog.qsoalt_velocity_error,
+    "ELG": AddEBOSSZErrorsToCatalog.elg_velocity_error,
+    "LRG": AddEBOSSZErrorsToCatalog.lrg_velocity_error,
+}
+
+
+class MapPixelLocationGenerator(ContainerTask):
+    """Catalog of Healpix pixel centres (reference mockcatalog.py:1083).
+
+    Attributes
+    ----------
+    freq_idx : int
+        Frequency channel assigned to every "source".
+    """
+
+    freq_idx = config.Property(proptype=int)
+
+    def setup(self, in_map):
+        """Pre-load map geometry."""
+        self.map_ = in_map
+        self.npix = len(self.map_.index_map["pixel"])
+        self.nside = self.map_.nside
+        z_arr = _freq_to_z(self.map_.index_map["freq"])
+        self.z = z_arr[self.freq_idx]["centre"]
+        self._done = False
+
+    def process(self):
+        """Emit the pixel-centre catalog once."""
+        if self._done:
+            raise PipelineStopIteration
+
+        pix_dec, pix_ra = _pix_to_radec(np.arange(self.npix), self.nside)
+
+        mock_catalog = containers.SpectroscopicCatalog(
+            object_id=np.arange(self.npix, dtype=np.uint64)
+        )
+        pos = np.zeros(
+            self.npix, dtype=[("ra", np.float64), ("dec", np.float64)]
+        )
+        pos["ra"], pos["dec"] = pix_ra, pix_dec
+        red = np.zeros(
+            self.npix, dtype=[("z", np.float64), ("z_error", np.float64)]
+        )
+        red["z"] = self.z
+        mock_catalog["position"][:] = pos
+        mock_catalog["redshift"][:] = red
+
+        self._done = True
+        return mock_catalog
+
+
+# ---------------------------------------------------------------------------
+# Internal helpers (reference mockcatalog.py:1177-1306)
+# ---------------------------------------------------------------------------
+
+
+def _zlims_to_freq(z, zlims):
+    """Redshift bins -> structured frequency axis (reference :1177)."""
+    freqcentre = NU21 / (z + 1)
+    freqlims = NU21 / (np.asarray(zlims) + 1)
+    freqwidth = abs(freqlims[:-1] - freqlims[1:])
+    out = np.zeros(len(z), dtype=[("centre", "<f8"), ("width", "<f8")])
+    out["centre"] = freqcentre
+    out["width"] = freqwidth
+    return out
+
+
+def _freq_to_z(freq):
+    """Structured frequency axis -> redshift bins (reference :1201)."""
+    fc = freq["centre"]
+    fw = freq["width"]
+    z = NU21 / fc - 1.0
+
+    sgn = np.sign(fc[-1] - fc[0])
+    flims = fc - sgn * 0.5 * fw
+    flims = np.append(flims, fc[-1] + sgn * 0.5 * fw[-1])
+    zlims = NU21 / flims - 1.0
+    z_width = abs(zlims[:-1] - zlims[1:])
+
+    out = np.zeros(len(z), dtype=[("centre", "<f8"), ("width", "<f8")])
+    out["centre"] = z
+    out["width"] = z_width
+    return out
+
+
+def _pix_to_radec(index, nside):
+    """RING pixel indices -> (dec, RA) in degrees (reference :1231)."""
+    theta, phi = hpx.pix2ang(nside, np.asarray(index))
+    return -np.degrees(theta - np.pi / 2.0), np.degrees(phi)
+
+
+def _radec_to_pix(ra, dec, nside):
+    """(RA, dec) in degrees -> nearest RING pixels (reference :1250)."""
+    return hpx.ang2pix(nside, np.radians(-np.asarray(dec) + 90.0), np.radians(ra))
+
+
+def _cat_to_maps(cat, nside, zlims_selfunc):
+    """Grid a catalog into [n_z, n_pix] count maps (reference :1268).
+
+    The reference scans every pixel per z bin (O(n_z * n_pix * nsrc));
+    here it is one 2D bincount over (z bin, pixel) pairs.
+    """
+    n_pix = hpx.npix_of(nside)
+    n_z = len(zlims_selfunc) - 1
+
+    red = np.asarray(cat["redshift"][:])
+    pos = np.asarray(cat["position"][:])
+    idxs = np.digitize(red["z"], zlims_selfunc) - 1
+    pixels = np.asarray(_radec_to_pix(pos["ra"], pos["dec"], nside))
+
+    good = (idxs >= 0) & (idxs < n_z)
+    flat = idxs[good] * n_pix + pixels[good]
+    counts = np.bincount(flat, minlength=n_z * n_pix)
+    return counts.reshape(n_z, n_pix).astype(np.float64)
