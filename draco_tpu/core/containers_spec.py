@@ -139,8 +139,20 @@ class CosmologyContainer(ContainerBase):
                 attrs_to_set[key] = kwargs.pop(key)
         super().__init__(*args, **kwargs)
         if cosmology is not None:
+            if not isinstance(cosmology, dict):
+                # Accept a Cosmology-like object (ops.cosmology.Cosmology)
+                cosmology = {
+                    "H0": getattr(cosmology, "H0", 67.8),
+                    "omega_m": getattr(cosmology, "omega_m", 0.309),
+                    "omega_l": getattr(cosmology, "omega_l", None),
+                }
             self.attrs["cosmology"] = dict(cosmology)
         self.attrs.update(attrs_to_set)
+
+    @property
+    def cosmology(self):
+        """The stored cosmological parameters (dict), if any."""
+        return self.attrs.get("cosmology")
 
 
 class TableSpec(ContainerBase):

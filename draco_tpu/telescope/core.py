@@ -366,6 +366,14 @@ class TransitTelescope(config.Reader):
         raise NotImplementedError
 
     @property
+    def prodstack(self) -> np.ndarray:
+        """Representative input pairs of the unique baselines (structured)."""
+        up = self.uniquepairs
+        out = np.zeros(len(up), dtype=[("input_a", "<u2"), ("input_b", "<u2")])
+        out["input_a"], out["input_b"] = up[:, 0], up[:, 1]
+        return out
+
+    @property
     def stack_type(self) -> str:
         return "redundant"
 
