@@ -1,14 +1,17 @@
 """FFT ring-map making for cartesian arrays.
 
 Re-provides reference ``draco/analysis/ringmapmaker.py`` (MakeVisGrid:38,
-BeamformNS:186, BeamformEW:356, RingMapMaker:534, RADependentWeights:1202,
-find_grid_indices:1745).  The deconvolving makers
-(DeconvolveHybridMBase:538, TikhonovRingMapMaker:1075,
-WienerRingMapMaker:1123) are provided in simplified m-space form.
+BeamformNS:186, BeamformEW:356, RingMapMaker:534, DeconvolveHybridMBase:538,
+DeconvolveAnalyticalBeam:968, TikhonovRingMapMaker:1075,
+WienerRingMapMaker:1123, RADependentWeights:1202,
+ReconstructVisNoiseBase:1318, ReconstructVisWeight:1517,
+ReconstructVisFreqCov:1604, find_grid_indices:1745).
 
 TPU design: the per-frequency NS phase matmul loop (reference
 ringmapmaker.py:300-351) becomes one batched einsum over (pol, freq, ew),
-and the EW stage one batched irfft.
+the EW stage one batched irfft, the m-mode deconvolution one batched
+einsum over all (m, pol, freq, el), and the freq-freq covariance
+Cholesky one identity-padded batched device factorisation.
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ import numpy as np
 from ..core import config, containers, io
 from ..core.task import ContainerTask, group_tasks
 from ..ops.tools import calculate_redundancy, invert_no_zero, window_generalised
+from .transform import TelescopeStreamMixIn
 
 C_LIGHT = 299792458.0
 
@@ -344,28 +348,774 @@ class RingMapMaker(group_tasks(MakeVisGrid, BeamformNS, BeamformEW)):
     """Make a ringmap from a sidereal stream (reference ringmapmaker.py:534)."""
 
 
-class RADependentWeights(ContainerTask):
-    """Scale ring-map weights by the RA-dependent redundancy.
+class DeconvolveHybridMBase(ContainerTask):
+    """Base class for deconvolving ringmap makers (reference ringmapmaker.py:538).
 
-    (reference ringmapmaker.py:1202, simplified): the weights of the ring
-    map are modulated by the fraction of live inputs as a function of RA
-    derived from the grid redundancy.
+    TPU restructuring: the reference loops over frequencies on the host
+    (ringmapmaker.py:741-823); here the deconvolution, normalisation,
+    dirty-beam and noise propagation run as batched einsums over ALL
+    (m, pol, freq, el) at once, with one batched irfft back to RA.
+
+    Attributes
+    ----------
+    exclude_cyl : list of int
+        Cylinder separations to exclude (0 = intracylinder, ...).
+    exclude_intracyl : bool
+        Deprecated alias for ``exclude_cyl = [0]``.
+    skip_deconvolution : bool
+        Skip the transfer-function deconvolution.
+    reference_declination : float
+        Flux normalisation declination when skipping deconvolution.
+    save_dirty_beam : bool
+        Store the EW synthesized beam per declination.
+    window_type, window_size, window_scaled
+        Optional window shaping the EW synthesized beam.
     """
 
-    def setup(self, gstream):
-        self.gstream = gstream
+    exclude_cyl = config.list_type(int, maxlength=3, default=[])
+    exclude_intracyl = config.Property(proptype=bool, default=False)
+    skip_deconvolution = config.Property(proptype=bool, default=False)
+    reference_declination = config.Property(proptype=float, default=None)
+    save_dirty_beam = config.Property(proptype=bool, default=False)
 
-    def process(self, rmap):
-        if "redundancy" not in self.gstream.datasets:
-            self.log.info("No redundancy dataset found; passing through.")
-            return rmap
-        red = np.asarray(self.gstream.datasets["redundancy"][:])  # [p,ew,ns,ra]
-        frac = red.sum(axis=(1, 2)) / np.maximum(
-            red.sum(axis=(1, 2)).max(axis=-1, keepdims=True), 1
-        )  # [pol, ra]
-        w = np.asarray(rmap.datasets["weight"][:])
-        npol_rm = w.shape[0]
-        frac_use = frac[:npol_rm]
-        w = w * frac_use[:, np.newaxis, :, np.newaxis]
-        rmap.datasets["weight"][:] = w.astype(np.float64)
-        return rmap
+    window_type = config.enum(
+        [
+            "none", "uniform", "hann", "hanning", "hamming", "blackman",
+            "nuttall", "blackman_nuttall", "blackman_harris",
+        ],
+        default="none",
+    )
+    window_size = config.Property(proptype=float, default=1.0)
+    window_scaled = config.Property(proptype=bool, default=False)
+
+    def setup(self, manager=None):
+        """Set the telescope instance (needed for windows / normalisation)."""
+        if manager is not None:
+            self.telescope = io.get_telescope(manager)
+        elif self.window_type != "none":
+            raise RuntimeError("Must provide manager object if applying window.")
+        else:
+            self.telescope = None
+
+        if self.exclude_intracyl:
+            self.exclude_cyl = [*self.exclude_cyl, 0]
+        self.exclude_cyl = sorted(set(self.exclude_cyl))
+
+    def process(self, hybrid_vis_m, hybrid_beam_m):
+        """Deconvolve the beam m-modes from the visibility m-modes."""
+        for axis, get in [
+            ("freq", lambda c: np.asarray(c.freq)),
+            ("el", lambda c: np.asarray(c.index_map["el"])),
+            ("ew", lambda c: np.asarray(c.index_map["ew"])),
+            ("pol", lambda c: np.asarray(c.index_map["pol"])),
+        ]:
+            if not np.array_equal(get(hybrid_vis_m), get(hybrid_beam_m)):
+                raise ValueError(
+                    f"{axis} does not match for beam and visibilities."
+                )
+        if hybrid_vis_m.mmax > hybrid_beam_m.mmax:
+            raise ValueError(
+                "Beam model must have higher m-max than the visibilities"
+            )
+
+        freq = np.asarray(hybrid_vis_m.freq)
+        m = np.asarray(hybrid_vis_m.index_map["m"])
+        mmax = hybrid_vis_m.mmax
+        nra = 2 * mmax + int(hybrid_vis_m.oddra)
+
+        rm = containers.RingMap(
+            beam=1, ra=nra, axes_from=hybrid_vis_m, attrs_from=hybrid_vis_m
+        )
+        rm.add_dataset("dirty_beam_power")
+        if self.save_dirty_beam:
+            rm.add_dataset("dirty_beam")
+
+        rm.attrs["exclude_cyl"] = self.exclude_cyl
+        if hasattr(self, "weight_ew"):
+            rm.attrs["weight_ew"] = self.weight_ew
+
+        nfreq = freq.size
+
+        # Window over (freq, m, el), expanded to broadcast over pol
+        if self.window_type != "none":
+            window = self._get_window(hybrid_vis_m)  # [nfreq, nm, nel]
+            # -> [nm, 1(pol), nfreq, nel]
+            win = np.moveaxis(window, 0, 1)[:, np.newaxis, :, :]
+        else:
+            win = np.ones((1, 1, nfreq, 1), dtype=np.float32)
+
+        if self.skip_deconvolution:
+            el = np.asarray(rm.index_map["el"])
+            if self.reference_declination is None:
+                iref = int(np.argmin(np.abs(el)))
+                self.log.info("Normalizing the map to zenith.")
+            else:
+                dec = np.degrees(np.arcsin(el)) + self.telescope.latitude
+                iref = int(np.argmin(np.abs(dec - self.reference_declination)))
+                self.log.info(
+                    f"Normalizing the map to Decl. = {dec[iref]:0.2f} deg."
+                )
+
+        # [m, msign, pol, freq, ew, el]
+        hv = np.asarray(hybrid_vis_m.vis[:])
+        hw = np.asarray(hybrid_vis_m.weight[:])
+        bv = np.asarray(hybrid_beam_m.vis[:])[: (mmax + 1)]
+
+        inv_var = hw[..., np.newaxis].copy()  # [m, msign, pol, freq, ew, 1]
+        weight = np.asarray(self._get_weight(inv_var)) * (inv_var > 0.0)
+
+        jw = jnp.asarray(np.broadcast_to(weight, hv.shape).copy())
+        jb = jnp.asarray(bv)
+        jh = jnp.asarray(hv)
+        jwin = jnp.asarray(win)
+
+        # Sum over (msign, ew) -> [m, pol, freq, el]
+        sum_weight = jnp.sum(jw * jnp.abs(jb) ** 2, axis=(1, -2))
+
+        if not self.skip_deconvolution:
+            # [nm, 1(pol), nfreq, 1(el)]
+            eps = np.stack(
+                [
+                    np.broadcast_to(
+                        np.asarray(self._get_regularisation(f, m), dtype=float),
+                        (m.size, 1, 1),
+                    )
+                    for f in freq
+                ],
+                axis=2,
+            )
+            C_inv = jnp.asarray(eps) + sum_weight
+        else:
+            C_inv = jnp.ones_like(sum_weight)
+
+        inv_C = invert_no_zero(C_inv)
+
+        map_m = jwin * jnp.sum(jb.conj() * jw * jh, axis=(1, -2)) * inv_C
+        dirty_beam_m = jwin * sum_weight * inv_C
+
+        # Normalisation: dirty beam at transit; [pol, freq, el]
+        norm = invert_no_zero(jnp.mean(dirty_beam_m, axis=0))
+        if self.skip_deconvolution:
+            norm = norm[:, :, iref, jnp.newaxis]
+
+        def to_ra(x):
+            # [m, pol, freq, el] -> [pol, freq, ra, el]
+            xr = jnp.fft.irfft(jnp.moveaxis(x, 0, -1), axis=-1, n=nra)
+            return jnp.moveaxis(xr, -1, 2)
+
+        map_ra = to_ra(map_m) * norm[:, :, jnp.newaxis, :]
+        dirty_beam_ra = to_ra(dirty_beam_m) * norm[:, :, jnp.newaxis, :]
+
+        rm.map[:] = np.asarray(map_ra)[np.newaxis].astype(rm.map.dtype)
+        rm.dirty_beam_power[:] = np.asarray(
+            jnp.sum(dirty_beam_ra**2, axis=2) / nra
+        )[np.newaxis].astype(rm.dirty_beam_power.dtype)
+        if self.save_dirty_beam:
+            rm.dirty_beam[:] = np.asarray(dirty_beam_ra)[np.newaxis].astype(
+                rm.dirty_beam.dtype
+            )
+
+        # Noise propagation (reference ringmapmaker.py:801-823): ordering
+        # chosen to avoid overflow as the NS beam drops to zero
+        var = invert_no_zero(jnp.asarray(inv_var))
+        sigma = jnp.sqrt(
+            jnp.sum((jw * jnp.abs(jb)) ** 2 * var, axis=(1, -2))
+        )
+        sum_var_map_m = 0.5 * jnp.sum(
+            (
+                sigma
+                * jwin
+                * norm[jnp.newaxis, :, :, :]
+                * invert_no_zero((mmax + 1) * C_inv)
+            )
+            ** 2,
+            axis=0,
+        )  # [pol, freq, el]
+
+        rm.weight[:] = np.asarray(
+            invert_no_zero(sum_var_map_m)[:, :, np.newaxis, :]
+        ) * np.ones((1, 1, nra, 1))
+
+        return rm
+
+    def _get_window(self, hybrid_vis_m):
+        """EW-sensitivity window over (freq, m, el) (reference :827-923)."""
+        msg = "independent" if self.window_scaled else "dependent"
+        self.log.info(
+            f"Applying a frequency {msg} {self.window_type} window "
+            f"with a relative width of {self.window_size}."
+        )
+
+        freq = np.asarray(hybrid_vis_m.freq)
+        m = np.asarray(hybrid_vis_m.index_map["m"])
+        el = np.asarray(hybrid_vis_m.index_map["el"])
+
+        ew = np.array(
+            [
+                x
+                for i, x in enumerate(np.asarray(hybrid_vis_m.index_map["ew"]))
+                if i not in self.exclude_cyl
+            ]
+        )
+
+        nlocal = freq.size
+
+        dec = np.arcsin(el[np.newaxis, :]) + np.radians(self.telescope.latitude)
+        lmbda = C_LIGHT / (freq[:, np.newaxis] * 1e6)
+
+        ews = np.sort(np.abs(ew))
+        max_ew = ews[-1] + 0.5 * (ews[-1] - ews[-2])
+        if np.min(ews) > 0.0:
+            min_ew = 0.5 * ews[ews > 0.0][0]
+        else:
+            min_ew = -max_ew
+
+        center = 0.5 * (min_ew + max_ew)
+        width = self.window_size * (max_ew - min_ew)
+
+        ew_to_m = 2.0 * np.pi * np.abs(np.cos(dec)) / lmbda
+        min_m = ew_to_m * (center - 0.5 * width)
+        max_m = ew_to_m * (center + 0.5 * width)
+
+        if self.window_scaled:
+            min_m = np.max(min_m, axis=0, keepdims=True)
+            max_m = np.min(max_m, axis=0, keepdims=True)
+
+        nfreq, nel = min_m.shape
+        window = np.zeros((nfreq, m.size, nel), dtype=np.float32)
+
+        for ff in range(nfreq):
+            for ee in range(nel):
+                mmin, mmax_w = min_m[ff, ee], max_m[ff, ee]
+                in_range = np.flatnonzero((m >= mmin) & (m <= mmax_w))
+                if in_range.size > 0:
+                    x = (m[in_range] - mmin) / (mmax_w - mmin)
+                    window[ff, in_range, ee] = np.asarray(
+                        window_generalised(x, window=self.window_type)
+                    )
+
+        if self.window_scaled:
+            window = np.repeat(window, nlocal, axis=0)
+
+        return window
+
+    def _get_weight(self, inv_var):
+        """EW-baseline averaging weights (subclass responsibility)."""
+        raise NotImplementedError(
+            f"{self.__class__} must define a _get_weight method."
+        )
+
+    def _get_regularisation(self, freq, m):
+        """Deconvolution regulariser (subclass responsibility)."""
+        raise NotImplementedError(
+            f"{self.__class__} must define a _get_regularisation method."
+        )
+
+
+class DeconvolveAnalyticalBeam(DeconvolveHybridMBase):
+    """Deconvolve an analytic (driftscan-style) beam model.
+
+    (reference ringmapmaker.py:968-1072)
+    """
+
+    telescope = None
+
+    def setup(self, telescope):
+        """Set the telescope object."""
+        self.telescope = io.get_telescope(telescope)
+        if self.exclude_intracyl:
+            self.exclude_cyl = [*self.exclude_cyl, 0]
+        self.exclude_cyl = sorted(set(self.exclude_cyl))
+
+    def process(self, hybrid_vis_m):
+        """Compute the analytic beam m-modes, then deconvolve."""
+        hybrid_beam_m = self._get_beam_mmodes(hybrid_vis_m)
+        return super().process(hybrid_vis_m, hybrid_beam_m)
+
+    def _get_beam_mmodes(self, hybrid_vis_m):
+        from ..ops import mmode as mmode_ops
+
+        # EW voltage beam widths (sigma) per pol (CHIME-like fits)
+        def sig_chime_X(freq, dec):
+            return 14.87857614 / freq / np.cos(dec)
+
+        def sig_chime_Y(freq, dec):
+            return 9.95746878 / freq / np.cos(dec)
+
+        beam_width = {"X": sig_chime_X, "Y": sig_chime_Y}
+
+        def A(phi, sigma):
+            return np.exp(-((2 * np.tan(phi / 2)) ** 2) / (2 * sigma**2))
+
+        def B(phi, u, sigma):
+            return np.exp(2.0j * np.pi * u * np.sin(phi)) * A(phi, sigma)
+
+        mmax = hybrid_vis_m.mmax
+        nra = 2 * mmax + int(hybrid_vis_m.oddra)
+
+        dec = np.arcsin(np.asarray(hybrid_vis_m.index_map["el"])) + np.radians(
+            self.telescope.latitude
+        )
+        pol = [
+            p.decode() if isinstance(p, bytes) else str(p)
+            for p in hybrid_vis_m.index_map["pol"]
+        ]
+
+        ra = np.linspace(0.0, 360.0, nra, endpoint=False)
+        phi_arr = np.radians(ra)[np.newaxis, np.newaxis, np.newaxis, :]
+
+        hybrid_beam_m = containers.empty_like(hybrid_vis_m)
+        bvis = np.zeros(hybrid_beam_m.vis.shape, dtype=np.complex64)
+
+        freqs = np.asarray(hybrid_vis_m.freq)
+        ewpos = np.asarray(hybrid_vis_m.index_map["ew"])
+        for fi, freq in enumerate(freqs):
+            wv = C_LIGHT * 1e-6 / freq
+            u = ewpos / wv
+            u_dec = u[:, np.newaxis] * np.cos(dec)[np.newaxis, :]
+            u_arr = u_dec[np.newaxis, :, :, np.newaxis]
+
+            sig = np.zeros((len(pol), dec.size), dtype=dec.dtype)
+            for pi, p in enumerate(pol):
+                sig_a = beam_width[p[0]](freq, dec)
+                sig_b = beam_width[p[1]](freq, dec)
+                sig[pi] = sig_a * sig_b / (sig_a**2 + sig_b**2) ** 0.5
+            sig_arr = sig[:, np.newaxis, :, np.newaxis]
+
+            B_arr = B(phi_arr, u_arr, sig_arr)
+            bvis[:, :, :, fi] = np.asarray(
+                mmode_ops.make_marray(jnp.asarray(B_arr.conj()), mmax=mmax)
+            )
+
+        hybrid_beam_m.vis[:] = bvis
+        return hybrid_beam_m
+
+
+class TikhonovRingMapMaker(DeconvolveHybridMBase):
+    """Tikhonov-regularised deconvolving map maker.
+
+    (reference ringmapmaker.py:1075)
+
+    Attributes
+    ----------
+    weight_ew : "natural" | "uniform" | "inverse_variance"
+        EW baseline weighting.
+    inv_SN : float
+        Regularisation parameter.
+    """
+
+    weight_ew = config.enum(
+        ["natural", "uniform", "inverse_variance"], default="natural"
+    )
+    inv_SN = config.Property(proptype=float, default=1e-6)
+
+    def _get_weight(self, inv_var):
+        if self.weight_ew == "inverse_variance":
+            weight_ew = inv_var
+        else:
+            n_ew = inv_var.shape[-2]
+            if self.weight_ew == "uniform":
+                weight_ew = np.ones(n_ew)
+            else:  # natural
+                weight_ew = (n_ew - np.arange(n_ew)).astype(float)
+            expand = [None] * inv_var.ndim
+            expand[-2] = slice(None)
+            weight_ew = weight_ew[tuple(expand)].copy()
+
+        for cyl in self.exclude_cyl:
+            weight_ew[..., cyl, :] = 0.0
+
+        return weight_ew * np.asarray(
+            invert_no_zero(np.sum(weight_ew, axis=-2, keepdims=True))
+        )
+
+    def _get_regularisation(self, *args):
+        return self.inv_SN
+
+
+class WienerRingMapMaker(DeconvolveHybridMBase):
+    """Wiener-regularised deconvolving map maker.
+
+    (reference ringmapmaker.py:1123).  The regulariser is the inverse of a
+    power-law prior for galactic + point source emission.
+
+    Attributes
+    ----------
+    gal_amp, gal_alpha, gal_beta : float
+        Galactic synchrotron m-mode prior (amplitude, freq and m slopes).
+    psrc_amp, psrc_alpha : float
+        Point source prior.
+    """
+
+    gal_amp = config.Property(proptype=float, default=1.41)
+    gal_alpha = config.Property(proptype=float, default=-1.75)
+    gal_beta = config.Property(proptype=float, default=-0.75)
+
+    psrc_amp = config.Property(proptype=float, default=0.045)
+    psrc_alpha = config.Property(proptype=float, default=-1.0)
+
+    pivot_freq = 600.0
+    weight_ew = "inverse_variance"
+
+    def _get_regularisation(self, freq, m, *args):
+        gal = (
+            self.gal_amp
+            * (freq / self.pivot_freq) ** self.gal_alpha
+            * np.where(m > 0.0, m, 1.0) ** self.gal_beta
+        )
+        psrc = self.psrc_amp * (freq / self.pivot_freq) ** self.psrc_alpha
+        spectrum = gal**2 + psrc**2
+        return np.asarray(
+            invert_no_zero(spectrum[:, np.newaxis, np.newaxis])
+        )
+
+    def _get_weight(self, inv_var):
+        weight_ew = inv_var
+        for cyl in self.exclude_cyl:
+            weight_ew[..., cyl, :] = 0.0
+        return weight_ew
+
+
+class TikhonovRingMapMakerAnalytical(DeconvolveAnalyticalBeam, TikhonovRingMapMaker):
+    """Tikhonov deconvolution of the analytical beam model."""
+
+
+class WienerRingMapMakerAnalytical(DeconvolveAnalyticalBeam, WienerRingMapMaker):
+    """Wiener deconvolution of the analytical beam model."""
+
+
+# Aliases to support old names
+TikhonovRingMapMakerExternal = TikhonovRingMapMaker
+WienerRingMapMakerExternal = WienerRingMapMaker
+
+
+class RADependentWeights(ContainerTask):
+    """Restore the RA dependence of deconvolved ring-map weights.
+
+    (reference ringmapmaker.py:1202).  The m-mode round trip loses the RA
+    dependence of the noise; it is reconstructed from the hybrid
+    visibility weights.
+    """
+
+    def process(self, hybrid_vis, ringmap):
+        """Scale the ringmap weights by the hybrid weights' RA dependence."""
+        exclude_cyl = ringmap.attrs.get("exclude_cyl", None)
+        weight_scheme = ringmap.attrs.get("weight_ew", None)
+
+        if (exclude_cyl is None) or (weight_scheme is None):
+            raise RuntimeError(
+                "The ring map maker must save `weight_ew` and `exclude_cyl` "
+                "config parameters to the container attributes in order to "
+                "reconstruct the RA dependence of the noise."
+            )
+
+        save_filter = False
+        for dset in ["filter", "complex_filter"]:
+            if dset in hybrid_vis.datasets:
+                ringmap.add_dataset(dset)
+                ringmap[dset][:] = np.zeros(
+                    ringmap[dset].shape, dtype=ringmap[dset].dtype
+                )
+                save_filter = True
+
+        save_cov = False
+        if weight_scheme != "inverse_variance":
+            for dset in ["freq_cov", "complex_freq_cov"]:
+                if dset in hybrid_vis.datasets:
+                    ringmap.add_dataset(dset)
+                    ringmap[dset][:] = np.zeros(
+                        ringmap[dset].shape, dtype=ringmap[dset].dtype
+                    )
+                    save_cov = True
+
+        var = np.asarray(invert_no_zero(np.asarray(hybrid_vis.weight[:])))
+        var_time_avg = np.mean(var, axis=-1, keepdims=True)
+
+        if weight_scheme == "inverse_variance":
+            weight_ew = np.asarray(invert_no_zero(var_time_avg))
+        else:
+            n_ew = var.shape[-2]
+            if weight_scheme == "uniform":
+                weight_ew = np.ones(n_ew)
+            else:  # natural
+                weight_ew = (n_ew - np.arange(n_ew)).astype(float)
+            expand = [None] * var.ndim
+            expand[-2] = slice(None)
+            weight_ew = weight_ew[tuple(expand)].copy()
+
+        for cyl in exclude_cyl:
+            weight_ew[..., cyl, :] = 0.0
+
+        ra_dependence = np.sum(
+            weight_ew**2 * var_time_avg, axis=-2
+        ) * np.asarray(invert_no_zero(np.sum(weight_ew**2 * var, axis=-2)))
+
+        ringmap.weight[:] = (
+            np.asarray(ringmap.weight[:]) * ra_dependence[..., np.newaxis]
+        ).astype(ringmap.weight.dtype)
+
+        if save_filter:
+            filt = np.asarray(hybrid_vis.filter[:])
+            sum_wew = np.sum(weight_ew, axis=-2, keepdims=True)
+            wew = (weight_ew * np.asarray(invert_no_zero(sum_wew)))[:, :, np.newaxis]
+            ringmap.filter[:] = np.sum(wew * filt, axis=-2).astype(
+                ringmap.filter.dtype
+            )
+
+        if save_cov:
+            cov = np.asarray(hybrid_vis.freq_cov[:])
+            wew = np.squeeze(weight_ew)
+            wew2 = wew[:, np.newaxis] ** 2 * np.asarray(
+                invert_no_zero(np.sum(wew) ** 2)
+            )
+            ringmap.freq_cov[:] = np.sum(wew2 * cov, axis=-2).astype(
+                ringmap.freq_cov.dtype
+            )
+
+        return ringmap
+
+
+class ReconstructVisNoiseBase(TelescopeStreamMixIn, ContainerTask):
+    """Base for reconstructing visibility noise statistics.
+
+    (reference ringmapmaker.py:1318).  Reproduces the statistical
+    properties of hybrid beamformed visibilities — weights or freq-freq
+    covariance — from the baseline layout and beamforming window.
+    """
+
+    def process(self, hv):
+        """Build the noise-statistics container for ``hv``."""
+        self._parse_attrs(hv.attrs)
+        freq = self._redistribute_input(hv)
+        layout = self._compute_layout(hv)
+        window = self._compute_window(freq, layout)
+        return self._fill_output(hv, window, layout)
+
+    def _parse_attrs(self, attrs):
+        self.weight = attrs["beamform_ns_weight"]
+        if self.weight == "inverse_variance":
+            raise ValueError("Weight scheme inverse_variance not supported.")
+        self.include_auto = attrs["beamform_ns_include_auto"]
+        self.scaled = attrs["beamform_ns_scaled"]
+        self.freqmin = attrs["beamform_ns_freqmin"]
+        self.nsmax = attrs["beamform_ns_nsmax"]
+        self.wvmin = C_LIGHT * 1e-6 / self.freqmin
+
+    def _compute_layout(self, hv):
+        """Baseline grid layout + redundancy (reference :1375-1463)."""
+        polprod = self.telescope.polarisation[self.telescope.uniquepairs]
+        polpair = np.char.add(polprod[:, 0], polprod[:, 1])
+        polpair, pind = np.unique(polpair, return_inverse=True)
+
+        pol = [
+            p.decode() if isinstance(p, bytes) else str(p)
+            for p in hv.index_map["pol"]
+        ]
+        npol = len(pol)
+
+        pol_lookup = {key: ind for ind, key in enumerate(pol)}
+        pol_remap = np.array([pol_lookup.get(p, -1) for p in polpair[pind]])
+        pol_flag = pol_remap >= 0
+
+        xind, yind, min_xsep, min_ysep = find_grid_indices(
+            self.telescope.baselines
+        )
+        baseline_flag = np.abs(yind * min_ysep) <= (
+            self.nsmax + 0.5 * min_ysep
+        )
+
+        ny = 2 * np.abs(yind).max() + 1
+        nspos = np.fft.fftfreq(ny, d=(1.0 / (ny * min_ysep)))
+
+        vis_pos_x = np.arange(np.max(np.abs(xind)) + 1) * min_xsep
+        ewpos = np.asarray(hv.index_map["ew"])
+        nx = ewpos.size
+        if not np.allclose(vis_pos_x, ewpos):
+            raise RuntimeError("Downselected ew axis not currently supported.")
+
+        flag = pol_flag & baseline_flag
+        xind, yind, pind = xind[flag], yind[flag], pol_remap[flag]
+
+        pconjmap = np.unique(
+            [p[1] + p[0] for p in pol], return_inverse=True
+        )[1]
+
+        input_flags = np.all(self.telescope.feedmask, axis=-1, keepdims=True)
+        nbaseline = np.asarray(
+            calculate_redundancy(
+                input_flags.astype(np.float32),
+                np.stack(
+                    [self.bt_prod["input_a"], self.bt_prod["input_b"]], axis=-1
+                ),
+                self.bt_rev["stack"],
+                len(self.bt_stack),
+            )
+        )[:, 0]
+
+        nbaseline_valid = nbaseline[flag]
+
+        nbaseline_grid = np.zeros((npol, nx, ny), dtype=float)
+        nbaseline_grid[pind, np.abs(xind), yind] = nbaseline_valid
+
+        intra = np.flatnonzero(xind == 0)
+        nbaseline_grid[pconjmap[pind[intra]], 0, -yind[intra]] = (
+            nbaseline_valid[intra]
+        )
+
+        return {
+            "xind": xind,
+            "yind": yind,
+            "pind": pind,
+            "ewpos": ewpos,
+            "nspos": nspos,
+            "nbaseline_grid": nbaseline_grid,
+            "nbaseline": nbaseline,
+            "flag": flag,
+            "pconjmap": pconjmap,
+            "npol": npol,
+            "nx": nx,
+            "ny": ny,
+        }
+
+    def _compute_window(self, freq, layout):
+        """Normalised NS beamforming window (reference :1465-1506)."""
+        nfreq = freq.size
+        window = np.empty(
+            (layout["npol"], nfreq, layout["nx"], layout["ny"]), dtype=float
+        )
+
+        if self.weight == "natural":
+            window[:] = layout["nbaseline_grid"][:, np.newaxis]
+        else:
+            wavelength = C_LIGHT * 1e-6 / freq
+            for ff, wv in enumerate(wavelength):
+                vpos = layout["nspos"] / wv
+                vmax = (
+                    self.nsmax / self.wvmin if self.scaled else self.nsmax / wv
+                )
+                x = 0.5 * (vpos / vmax + 1)
+                window[:, ff, :, :] = np.asarray(
+                    window_generalised(x, window=self.weight)
+                )
+
+        if self.include_auto:
+            window[:, :, 0, 0] = 0.0
+
+        norm = np.sum(window, axis=-1, keepdims=True)
+        return window * np.asarray(invert_no_zero(norm))
+
+    def _redistribute_input(self, hv):
+        raise NotImplementedError(
+            "_redistribute_input must be implemented in subclass."
+        )
+
+    def _fill_output(self, hv, window, layout):
+        raise NotImplementedError("_fill_output must be implemented in subclass.")
+
+
+class ReconstructVisWeight(ReconstructVisNoiseBase):
+    """SiderealStream weights reproducing hybrid beamformed weights.
+
+    (reference ringmapmaker.py:1517).  Output visibilities are zero; the
+    weights beamform back to the input container's weights.
+    """
+
+    def _redistribute_input(self, hv):
+        return np.asarray(hv.freq)
+
+    def _fill_output(self, hv, window, layout):
+        ss = containers.SiderealStream(
+            axes_from=hv,
+            attrs_from=hv,
+            input=self.telescope.input_index,
+            prod=self.bt_prod,
+            stack=self.bt_stack,
+            reverse_map_stack=self.bt_rev,
+        )
+        ss.vis[:] = np.zeros(ss.vis.shape, dtype=ss.vis.dtype)
+
+        noise_factor = np.sum(
+            window**2
+            * np.asarray(
+                invert_no_zero(layout["nbaseline_grid"][:, np.newaxis])
+            ),
+            axis=-1,
+        )
+
+        w0 = np.asarray(hv.weight[:]) * noise_factor[..., np.newaxis]
+
+        wss = np.where(layout["flag"], layout["nbaseline"], 0.0)[
+            np.newaxis, :, np.newaxis
+        ] * np.ones(ss.weight.shape)
+
+        for ff in range(w0.shape[1]):
+            wss[ff][layout["flag"]] *= w0[
+                layout["pind"], ff, np.abs(layout["xind"]), :
+            ]
+
+        ss.weight[:] = wss.astype(ss.weight.dtype)
+        return ss
+
+
+class ReconstructVisFreqCov(ReconstructVisNoiseBase):
+    """Cholesky factors of the freq-freq covariance per (pol, ew, ra).
+
+    (reference ringmapmaker.py:1604).  The per-(pol, ew, ra) masked
+    Cholesky loop becomes one batched device ``jnp.linalg.cholesky`` with
+    identity padding on masked channels.
+    """
+
+    def _redistribute_input(self, hv):
+        return np.asarray(hv.freq)
+
+    def _fill_output(self, hv, window, layout):
+        out = containers.FreqNoiseModel(
+            axes_from=hv, attrs_from=hv, ns=layout["nspos"]
+        )
+
+        dataset_name = (
+            "complex_freq_cov"
+            if "complex_freq_cov" in hv.datasets
+            else "freq_cov"
+        )
+        out.add_dataset(dataset_name)
+
+        out.redundancy[:] = layout["nbaseline_grid"].astype(
+            out.redundancy.dtype
+        )
+
+        inv_nb = np.asarray(
+            invert_no_zero(layout["nbaseline_grid"][:, np.newaxis])
+        )
+
+        cov_in = np.asarray(hv.freq_cov[:])  # [pol, freq, freq_sum, ew, ra]
+        flag = np.asarray(hv.weight[:]) > 0.0  # [pol, freq, ew, ra]
+
+        npol, nfreq, _, new, nra = cov_in.shape
+
+        # Noise factor (pol, freq, freq_sum, ew)
+        noise_factor = np.einsum(
+            "pfxn,pgxn->pfgx", window * np.sqrt(inv_nb), window * np.sqrt(inv_nb)
+        )
+        inv_noise_factor = np.asarray(invert_no_zero(noise_factor))
+
+        # Normalised covariances, batched: [pol, ew, ra, freq, freq]
+        C_all = np.moveaxis(
+            cov_in * inv_noise_factor[..., np.newaxis], (1, 2), (-2, -1)
+        )
+        M = np.moveaxis(flag, 1, -1).astype(C_all.real.dtype)  # [pol, ew, ra, f]
+        M2 = M[..., :, None] * M[..., None, :]
+
+        eye = np.eye(nfreq)
+        B = C_all * M2 + eye * (1.0 - M[..., None, :] * eye)
+        L = np.asarray(jnp.linalg.cholesky(jnp.asarray(B))) * M2
+
+        out.freq_cov[:] = L.astype(out.freq_cov.dtype)
+
+        diag = np.einsum("...ii->...i", C_all) * M  # [pol, ew, ra, f]
+        weight_out = np.asarray(invert_no_zero(diag))
+        out.weight[:] = np.moveaxis(weight_out, -1, 1).astype(
+            out.weight.dtype
+        )
+
+        return out
