@@ -1001,3 +1001,938 @@ def destripe(x, w, axis=1):
     bsel = [slice(None)] * x.ndim
     bsel[axis] = None
     return x - stripe[tuple(bsel)]
+
+
+# ---------------------------------------------------------------------------
+# Gain / beamformed-weight masks (reference flagging.py:457-550)
+# ---------------------------------------------------------------------------
+
+
+class MaskBadGains(ContainerTask):
+    """Mask regions with bad gain (reference flagging.py:457).
+
+    Assumes bad gains are set to 1.
+
+    Attributes
+    ----------
+    threshold, threshold_tol : float
+        Gains <= threshold (+tol) across all inputs are flagged.
+    """
+
+    threshold = config.Property(proptype=float, default=1.0)
+    threshold_tol = config.Property(proptype=float, default=1e-5)
+
+    def process(self, data):
+        """Generate a time-frequency mask from the gain dataset."""
+        mask = np.all(
+            np.asarray(data.datasets["gain"][:]).real
+            <= self.threshold + self.threshold_tol,
+            axis=1,
+        )
+        mask_cont = containers.RFIMask(axes_from=data)
+        mask_cont.mask[:] = mask
+        return mask_cont
+
+
+class MaskBeamformedWeights(ContainerTask):
+    """Zero anomalously large beamformed weights (reference flagging.py:493).
+
+    Attributes
+    ----------
+    nmed : float
+        Weights above ``nmed`` times the per-pol median are zeroed.
+    """
+
+    nmed = config.Property(proptype=float, default=8.0)
+
+    def process(self, data):
+        """Mask large weights in a FormedBeam container."""
+        w = np.asarray(data.weight[:])
+        npol = len(data.pol)
+        med_weight = np.zeros(npol, dtype=np.float32)
+        for pp in range(npol):
+            wp = w[:, pp]
+            med_weight[pp] = np.median(wp[wp > 0]) if (wp > 0).any() else 0.0
+            self.log.info(
+                f"Median weight for Pol {data.pol[pp]}: {med_weight[pp]:0.2e}"
+            )
+
+        flag = w < (self.nmed * med_weight[np.newaxis, :, np.newaxis])
+        data.weight[:] = (w * flag).astype(data.weight.dtype)
+        return data
+
+
+# ---------------------------------------------------------------------------
+# Visibility-space RFI masks (reference flagging.py:1042-1423)
+# ---------------------------------------------------------------------------
+
+
+class RFIVisMask(ContainerTask):
+    """Base class for RFI flagging on visibilities (reference flagging.py:1042).
+
+    Attributes
+    ----------
+    stokes_i : bool
+        Flag on Stokes-I-combined visibilities (factor ~4 fewer baselines).
+    """
+
+    stokes_i = config.Property(proptype=bool, default=True)
+
+    def setup(self, telescope):
+        """Set the telescope object."""
+        self.telescope = io.get_telescope(telescope)
+
+    def process(self, stream):
+        """Build a time-frequency mask from the data."""
+        from . import transform
+
+        if "time" in stream.index_map:
+            times = np.asarray(stream.time)
+            out = containers.RFIMask(axes_from=stream, attrs_from=stream)
+        elif "ra" in stream.index_map:
+            csd = stream.attrs.get("lsd", stream.attrs.get("csd"))
+            if csd is None:
+                raise ValueError(
+                    "Dataset does not have a `csd` or `lsd` attribute."
+                )
+            times = self.telescope.lsd_to_unix(
+                csd + np.asarray(stream.ra) / 360.0
+            )
+            out = containers.SiderealRFIMask(axes_from=stream, attrs_from=stream)
+        else:
+            raise TypeError(
+                f"Expected data with `time` or `ra` axis. Got {type(stream)}."
+            )
+
+        freq = np.asarray(stream.freq)
+
+        if self.stokes_i:
+            vis, weight, baselines = transform.stokes_I(stream, self.telescope)
+            vis = np.asarray(vis)
+            weight = np.asarray(weight)
+        else:
+            vis = np.asarray(stream.vis[:])
+            weight = np.asarray(stream.weight[:])
+            baselines = self.telescope.baselines
+
+        mask = (weight == 0).all(axis=1)
+        mask |= self._static_rfi_mask_hook(freq, times[0])[:, np.newaxis]
+
+        self.log.debug(f"{100.0 * mask.mean():.2f}% of data initially flagged.")
+
+        out.mask[:] = self.generate_mask(vis, weight, mask, freq, baselines, times)
+
+        self.log.debug(
+            f"{100.0 * np.asarray(out.mask[:]).mean():.2f}% of data flagged."
+        )
+        return out
+
+    def generate_mask(self, vis, weight, mask, freq, baselines, times):
+        """Generate a (freq, time) mask; subclass responsibility."""
+        raise NotImplementedError
+
+    def _static_rfi_mask_hook(self, freq, timestamp=None):
+        """Override to mask entire frequency channels."""
+        return np.zeros_like(freq, dtype=bool)
+
+
+class RFITransientVisMask(RFIVisMask):
+    """Flag transient RFI via high-pass + beamform + MAD filter.
+
+    (reference flagging.py:1191-1277)
+
+    Attributes
+    ----------
+    mad_base_size, mad_dev_size : [int, int]
+        MAD filter window sizes.
+    sigma_high, sigma_low : float
+        Hysteresis thresholds in MAD units.
+    frac_samples : float
+        Fraction of flagged beams above which the time sample is masked.
+    """
+
+    mad_base_size = config.list_type(int, length=2, default=[1, 101])
+    mad_dev_size = config.list_type(int, length=2, default=[1, 51])
+    sigma_high = config.Property(proptype=float, default=8.0)
+    sigma_low = config.Property(proptype=float, default=2.0)
+    frac_samples = config.Property(proptype=float, default=0.01)
+
+    def generate_mask(self, vis, weight, mask, freq, baselines, times):
+        """Mask scattered transient RFI."""
+        ra = (
+            np.unwrap(self.telescope.unix_to_lsa(times), period=360.0)
+            * np.pi
+            / 180.0
+        )
+
+        dec = np.deg2rad(self.telescope.latitude)
+        lambda_inv = freq.min() * 1e6 / 299792458.0
+        hpf_cut = lambda_inv * np.abs(baselines[:, 0]).max() / np.cos(dec)
+
+        finalmask = mask[:, np.newaxis] | np.zeros(vis.shape, dtype=bool)
+
+        for ii in range(vis.shape[0]):
+            if np.all(mask[ii]):
+                continue
+            vhpf = np.asarray(
+                filters.highpass_weighted_convolution_filter(
+                    vis[ii], weight[ii], ra, hpf_cut, axis=-1
+                )
+            )
+            vfft = np.abs(np.fft.fft(vhpf, axis=0))
+            mad_ = mad(vfft, finalmask[ii], self.mad_base_size, self.mad_dev_size)
+            finalmask[ii] |= ops_tools.apply_hysteresis_threshold(
+                mad_, self.sigma_low, self.sigma_high
+            )
+
+        # Scale-invariant rank operator over (freq, time); don't extend
+        # anything that was originally masked
+        finalmask |= rfi.scale_invariant_rank(
+            finalmask & ~mask[:, np.newaxis], eta=(0.1, 0.2), axis=(0, -1)
+        )
+
+        return finalmask.mean(axis=1) > self.frac_samples
+
+
+class RFIInverseRedundancyChisqFreqMask(RFIVisMask):
+    """Flag time-constant narrowband RFI from a chi-squared metric.
+
+    (reference flagging.py:1280-1391): a MAD filter on the time-median of
+    the chi-squared, then a high-sensitivity MAD filter on the ratio to a
+    smoothed background.
+
+    Attributes
+    ----------
+    nsigma : float
+        Starting MAD threshold.
+    winsize : tuple
+        Median filter window for the smooth background.
+    """
+
+    nsigma = config.Property(proptype=float, default=15.0)
+    winsize = config.Property(proptype=tuple, default=(15, 11))
+
+    def generate_mask(self, vis, weight, mask, freq, baselines, times):
+        """Mask narrowband RFI."""
+        from ..ops import median as median_ops
+
+        vis = np.asarray(vis).real[:, 0]
+        weight = np.asarray(weight)[:, 0]
+        mask = np.asarray(mask)
+
+        def _masked_median(x, m, axis=-1, keepdims=True, winsize=None):
+            x = np.abs(x).astype(np.float64)
+            w = (~m).astype(np.float64)
+            if winsize is not None:
+                med = median_ops.moving_weighted_median(x, w, size=winsize)
+            else:
+                med = median_ops.weighted_median(x, w, axis=axis)
+                if keepdims:
+                    med = np.expand_dims(med, axis)
+            return med
+
+        def _mad1d(spectrum, m, axis=-1):
+            baseline = ops_tools.IarPLS_1d(
+                np.squeeze(spectrum, axis=-1), np.squeeze(m, axis=-1), lam=5e1
+            )
+            dev = np.abs(spectrum - baseline[..., np.newaxis])
+            med = 1.4826 * _masked_median(dev, m, axis=0)
+            return dev * np.asarray(invert_no_zero(med))
+
+        def _mask1d(x, m, thresh_low, thresh_high):
+            spectrum = _masked_median(x, m, axis=-1)
+            mi = np.all(m, axis=-1, keepdims=True)
+            m1d = _mad1d(spectrum, mi, axis=0)
+            return ops_tools.apply_hysteresis_threshold(
+                m1d, thresh_low, thresh_high
+            )
+
+        tslc = self._day_flag_hook(times)
+
+        vi = vis[..., tslc]
+        mi = mask[..., tslc].copy()
+
+        mi |= _mask1d(vi, mi, self.nsigma / 2, self.nsigma)
+
+        bg = np.asarray(filters.medfilt(vi, mi, size=self.winsize)) * ~mi
+        ratio = vi * np.asarray(invert_no_zero(bg))
+
+        mi |= _mask1d(ratio, mi, self.nsigma / 4, self.nsigma / 2)
+
+        mask = mask | (mi & ~mask[..., tslc]).any(axis=-1, keepdims=True)
+        return mask
+
+    def _day_flag_hook(self, times):
+        """Override to restrict to nighttime; default uses all times."""
+        return np.ones(times.size, dtype=bool)
+
+
+from ..core.task import group_tasks as _group_tasks  # noqa: E402
+from .transform import ReduceChisqInverseRedundancy as _RCIR  # noqa: E402
+
+
+class RFIStaticVisMask(
+    _group_tasks(MaskBaselines, _RCIR, RFIInverseRedundancyChisqFreqMask)
+):
+    """Grouped narrowband RFI flagging pipeline (reference flagging.py:1394)."""
+
+
+class RFIMaskChisqHighDelay(ContainerTask):
+    """Mask anomalous chi-squared test statistics (reference flagging.py:1425).
+
+    Attributes
+    ----------
+    flag_ew : array
+        Optional per-EW-baseline flag applied before collapsing.
+    reg_arpls, nsigma_1d : float
+        Baseline regularisation and 1D threshold.
+    win_t, win_f : int
+        Moving-median window sizes (time, freq).
+    nsigma_2d : float
+        2D deviation threshold in expected standard deviations.
+    estimate_var, only_positive, separate_pol : bool
+        Variance estimation / one-sided masking / per-pol masks.
+    mask_type : "mad" | "sumthreshold"
+    niter, rho, max_m
+        SumThreshold iteration controls.
+    """
+
+    flag_ew = config.Property(proptype=np.array, default=None)
+
+    reg_arpls = config.Property(proptype=float, default=1e5)
+    nsigma_1d = config.Property(proptype=float, default=5.0)
+
+    win_t = config.Property(proptype=int, default=601)
+    win_f = config.Property(proptype=int, default=1)
+    nsigma_2d = config.Property(proptype=float, default=5.0)
+    estimate_var = config.Property(proptype=bool, default=False)
+    only_positive = config.Property(proptype=bool, default=False)
+    separate_pol = config.Property(proptype=bool, default=False)
+
+    mask_type = config.enum(["mad", "sumthreshold"], default="mad")
+    niter = config.Property(proptype=int, default=5)
+    rho = config.Property(proptype=float, default=1.5)
+    max_m = config.Property(proptype=int, default=32)
+
+    def setup(self, telescope=None):
+        """Optionally save the telescope (needed for sidereal streams)."""
+        self.telescope = None if telescope is None else io.get_telescope(telescope)
+        if self.mask_type == "sumthreshold":
+            self.threshold = self.nsigma_2d * self.rho ** np.arange(self.niter)[::-1]
+
+    def process(self, stream):
+        """Generate a time/freq mask from a chi-squared-like dataset."""
+        freq = np.asarray(stream.freq)
+
+        multiple_days = False
+        if "ra" in stream.index_map:
+            if self.telescope is None:
+                raise RuntimeError(
+                    "For sidereal streams, must provide telescope object "
+                    "during setup."
+                )
+            csd = stream.attrs.get("lsd", stream.attrs.get("csd"))
+            if csd is None:
+                raise ValueError(
+                    "Data does not have a `csd` or `lsd` attribute."
+                )
+            if not np.isscalar(csd):
+                csd = np.floor(np.mean(csd))
+                multiple_days = True
+            timestamp = self.telescope.lsd_to_unix(
+                csd + np.asarray(stream.ra) / 360.0
+            )
+        else:
+            timestamp = np.asarray(stream.time)
+
+        dax = list(stream.data.attrs["axis"])
+        wax = list(stream.weight.attrs["axis"])
+        wshp = [
+            stream.weight.shape[wax.index(ax)] if ax in wax else 1 for ax in dax
+        ]
+
+        wshp_missing = [
+            sz for sz, ax in zip(stream.data.shape, dax) if ax not in wax
+        ]
+        wfactor = float(np.prod(wshp_missing)) if wshp_missing else 1.0
+
+        keep_axis = ["freq", "time", "ra"]
+        separate_pol = self.separate_pol and "pol" in dax
+        if separate_pol:
+            keep_axis.append("pol")
+
+        axsum = tuple(ii for ii, ax in enumerate(dax) if ax not in keep_axis)
+
+        chisq = np.asarray(stream.data[:]).real
+        weight = np.asarray(stream.weight[:]).reshape(*wshp)
+
+        if self.flag_ew is not None and "ew" in dax:
+            ew_slc = tuple(
+                slice(None) if ax == "ew" else None for ax in dax
+            )
+            weight = weight * np.asarray(self.flag_ew)[ew_slc]
+
+        wsum = wfactor * np.sum(
+            np.broadcast_to(weight, chisq.shape), axis=axsum
+        )
+        chisq = np.sum(
+            np.broadcast_to(weight, chisq.shape) * chisq, axis=axsum
+        ) * np.asarray(invert_no_zero(wsum))
+
+        mask_input = wsum == 0.0
+
+        if multiple_days:
+            mask_daytime = np.zeros(timestamp.size, dtype=bool)
+        else:
+            mask_daytime = self._day_flag_hook(timestamp)
+
+        mask_sources = self._source_flag_hook(timestamp, freq)
+
+        if separate_pol:
+            OutputContainer = (
+                containers.SiderealRFIMaskByPol
+                if "ra" in stream.index_map
+                else containers.RFIMaskByPol
+            )
+        elif "ra" in stream.index_map:
+            OutputContainer = containers.SiderealRFIMask
+        else:
+            OutputContainer = containers.RFIMask
+
+        output = OutputContainer(axes_from=stream, attrs_from=stream)
+        omask = np.zeros(output.mask.shape, dtype=bool)
+
+        pol_slice = (
+            np.arange(len(stream.index_map["pol"]))
+            if separate_pol
+            else [slice(None)]
+        )
+        for pslc in pol_slice:
+            mask = mask_input[pslc] | mask_sources
+
+            if self.nsigma_1d > 0.0:
+                mask_1d = self.mask_1d(chisq[pslc], mask | mask_daytime)[
+                    :, np.newaxis
+                ]
+                mask = mask | mask_1d
+                omask[pslc] |= mask_1d
+
+            if self.nsigma_2d > 0.0:
+                w = ~mask * wsum[pslc] / 2.0
+                if self.mask_type == "mad":
+                    mask_2d = self.mask_2d(chisq[pslc], w)
+                else:
+                    mask_2d = self.mask_2d_sumthreshold(chisq[pslc], w)
+                omask[pslc] |= mask_2d & ~mask_daytime
+
+        output.mask[:] = omask
+        return output
+
+    def mask_1d(self, y, m):
+        """Flag channels whose time-median deviates from the baseline."""
+        from ..ops import median as median_ops
+
+        y = y.astype(np.float64)
+        w = (~m).astype(np.float64)
+
+        med_y = median_ops.weighted_median(y, w)
+        med_m = np.all(m, axis=-1)
+        med_w = (~med_m).astype(np.float64)
+
+        baseline = ops_tools.arPLS_1d(med_y, mask=med_m, lam=self.reg_arpls)
+        abs_dev = np.where(med_m, 0.0, np.abs(med_y - baseline))
+        mad_v = 1.48625 * median_ops.weighted_median(abs_dev, med_w)
+
+        return abs_dev > (self.nsigma_1d * mad_v)
+
+    def mask_2d(self, y, w):
+        """Flag samples deviating from a local moving median."""
+        from ..ops import median as median_ops
+
+        y = y.astype(np.float64)
+        w = w.astype(np.float64)
+        win_size = (self.win_f, self.win_t)
+
+        med_y = median_ops.moving_weighted_median(y, w, win_size)
+        dy = (y - med_y) * np.sqrt(w)
+
+        if self.estimate_var:
+            f = (w > 0.0).astype(np.float64)
+            mad_y = 1.48625 * median_ops.moving_weighted_median(
+                np.abs(dy), f, win_size
+            )
+            dy *= np.asarray(invert_no_zero(mad_y))
+
+        if not self.only_positive:
+            dy = np.abs(dy)
+
+        return dy > self.nsigma_2d
+
+    def mask_2d_sumthreshold(self, y, w):
+        """Iterative SumThreshold masking of the chi-squared."""
+        from ..ops import median as median_ops
+
+        y = np.ascontiguousarray(y, dtype=np.float64)
+        win_size = (self.win_f, self.win_t)
+
+        if not self.estimate_var:
+            mad_y = np.ones_like(y)
+
+        mask = w == 0.0
+        for nsigma in self.threshold:
+            f = (~mask * w).astype(np.float64)
+            med_y = median_ops.moving_weighted_median(y, f, win_size)
+            dy = (y - med_y) * np.sqrt(w)
+            if self.estimate_var:
+                f = (f > 0.0).astype(np.float64)
+                mad_y = 1.48625 * median_ops.moving_weighted_median(
+                    np.abs(dy), f, win_size
+                )
+
+            stmask = rfi.sumthreshold(
+                dy,
+                self.max_m,
+                start_flag=mask,
+                threshold1=nsigma,
+                remove_median=False,
+                correct_for_missing=True,
+                rho=1.0,
+                variance=mad_y**2,
+                only_positive=self.only_positive,
+            )
+            mask |= stmask
+
+        return mask
+
+    def _source_flag_hook(self, times, freq):
+        """Override to mask bright sources."""
+        return np.zeros((freq.size, times.size), dtype=bool)
+
+    def _day_flag_hook(self, times):
+        """Override to mask daytime."""
+        return np.zeros(times.size, dtype=bool)
+
+
+# ---------------------------------------------------------------------------
+# Taper combination / conversion (reference flagging.py:2617-2808)
+# ---------------------------------------------------------------------------
+
+
+class GeneralCombineTapers(GeneralCombineMasks):
+    """Combine tapers with an arithmetic expression (reference flagging.py:2617)."""
+
+    _dataset_name = "taper"
+    _operators: ClassVar[set] = set("+-*/()")
+
+
+class CombineTapers(GeneralCombineTapers):
+    """Product of an arbitrary number of tapers (reference flagging.py:2640)."""
+
+    def process(self, tapers):
+        """Multiply all input tapers together."""
+        if not isinstance(tapers, (list, tuple)):
+            tapers = [tapers]
+        self.expression = " * ".join(
+            [chr(ord("A") + i) for i in range(len(tapers))]
+        )
+        return super().process(tapers)
+
+
+class MaskFromTaper(ContainerTask):
+    """Threshold a RingMapTaper into a RingMapMask (reference flagging.py:2661).
+
+    Attributes
+    ----------
+    outer : bool
+        Mask where taper < 1 (True) or taper == 0 (False).
+    """
+
+    outer = config.Property(proptype=bool, default=False)
+
+    def process(self, taper):
+        """Generate the boolean mask from the taper."""
+        out = containers.RingMapMask(axes_from=taper, attrs_from=taper)
+        t = np.asarray(taper.taper[:])
+        out.mask[:] = (t < 1.0) if self.outer else (t == 0.0)
+        return out
+
+
+class TaperDelayTransform(ContainerTask):
+    """Apply a freq-collapsed taper/mask to a DelayTransform.
+
+    (reference flagging.py:2711-2799)
+
+    Attributes
+    ----------
+    update_weight : bool
+        Scale the weights by 1/taper^2 in unmasked regions.
+    """
+
+    update_weight = config.Property(proptype=bool, default=False)
+
+    def process(self, data, apply):
+        """Apply the taper or mask in place."""
+        if isinstance(apply, containers.RingMapTaper):
+            taper = np.mean(np.asarray(apply.taper[:]), axis=1).transpose(0, 2, 1)
+        else:
+            taper = np.all(~np.asarray(apply.mask[:]), axis=1).transpose(0, 2, 1)
+
+        _, _, nra = taper.shape
+
+        for dax, tax in [("sample", "ra"), ("el", "el")]:
+            if not np.array_equal(
+                np.asarray(data.index_map[dax]), np.asarray(apply.index_map[tax])
+            ):
+                raise ValueError(
+                    f"Mismatch between {dax} axis of delay transform and "
+                    f"{tax} axis of taper/mask."
+                )
+
+        bax = list(data.attrs["baseline_axes"])
+        shp = (*[len(data.index_map[ax]) for ax in bax], nra)
+        bcast = tuple(
+            slice(None) if ax in ["pol", "el"] else None for ax in bax
+        )
+
+        taper_expanded = np.ones(shp, dtype=float)
+        taper_expanded *= taper[bcast].astype(float)
+        taper_collapsed = taper_expanded.reshape(-1, nra, 1)
+
+        data.spectrum[:] = (
+            np.asarray(data.spectrum[:]) * taper_collapsed
+        ).astype(data.spectrum.dtype)
+
+        if self.update_weight:
+            if "weight" in data.datasets:
+                data.weight[:] = (
+                    np.asarray(data.weight[:])
+                    * np.asarray(invert_no_zero(taper_collapsed)) ** 2
+                ).astype(data.weight.dtype)
+            else:
+                self.log.warning(
+                    "Delay transform does not contain a weight dataset.  "
+                    "Skipping application of mask/taper."
+                )
+
+        return data
+
+
+class ApplyBaselineMask(ContainerTask):
+    """Apply a baseline-dependent mask (reference flagging.py:2802).
+
+    No broadcasting: the data and mask must share axes.
+
+    Attributes
+    ----------
+    share : "all" | "none" | "vis" | "map"
+        Dataset sharing with the input container.
+    """
+
+    share = config.enum(["none", "vis", "map", "all"], default="all")
+
+    def process(self, data, mask):
+        """Zero the weights where the mask is True."""
+        if isinstance(mask, containers.BaselineMask):
+            if not hasattr(data, "time"):
+                raise TypeError(
+                    f"Expected a timestream-like type. Got {type(data)}."
+                )
+        elif isinstance(mask, containers.SiderealBaselineMask):
+            if not hasattr(data, "ra"):
+                raise TypeError(
+                    f"Expected a sidereal stream like type. Got {type(data)}."
+                )
+        else:
+            raise TypeError(
+                f"Require a BaselineMask or SiderealBaselineMask. "
+                f"Got {type(mask)}."
+            )
+
+        if not np.array_equal(np.asarray(data.stack), np.asarray(mask.stack)):
+            raise ValueError("data and mask have different baseline axes.")
+
+        if self.share == "all":
+            tsc = data
+        elif self.share == "vis":
+            tsc = data.copy(shared=("vis",))
+        elif self.share == "map":
+            tsc = data.copy(shared=("map",))
+        else:
+            tsc = data.copy()
+
+        tsc.weight[:] = (
+            np.asarray(tsc.weight[:])
+            * (~np.asarray(mask.mask[:])).astype(np.float32)
+        ).astype(tsc.weight.dtype)
+
+        return tsc
+
+
+# ---------------------------------------------------------------------------
+# Mask axis conversion / reduction (reference flagging.py:3433-3846)
+# ---------------------------------------------------------------------------
+
+
+class RFIMaskSiderealRegridderNearest(ContainerTask):
+    """Convert an RFI mask's time axis to RA (reference flagging.py:3433).
+
+    Attributes
+    ----------
+    spread_factor : float
+        Conservative spreading width in RA bins.
+    npix : int
+        RA bins covering [0, 360).
+    single_CSD : bool
+        Keep only the main CSD of the input.
+    """
+
+    spread_factor = config.Property(proptype=float, default=1)
+    npix = config.Property(proptype=int, default=4096)
+    single_CSD = config.Property(proptype=bool, default=True)
+
+    def setup(self, manager):
+        """Set the observer used for the time -> LSA mapping."""
+        self.observer = io.get_telescope(manager)
+
+    def process(self, rfimask):
+        """Regrid the mask onto the RA axis."""
+        if isinstance(rfimask, containers.LocalizedRFIMask):
+            to_type = containers.LocalizedSiderealRFIMask
+        elif isinstance(rfimask, containers.RFIMask):
+            to_type = containers.SiderealRFIMask
+        else:
+            raise TypeError(
+                f"Expected LocalizedRFIMask or RFIMask input. "
+                f"Got {type(rfimask)}."
+            )
+
+        from_ax = self.observer.unix_to_lsa(np.asarray(rfimask.time))
+
+        if self.single_CSD:
+            diff = np.diff(from_ax)
+            indices = np.where(diff < 0)[0]
+            if len(indices) < 2:
+                raise ValueError("Could not find a complete CSD in the input.")
+            if len(indices) > 2:
+                raise ValueError("Found more than one CSD in the input.")
+            start, end = indices[0], indices[1] + 1
+            from_ax = from_ax.copy()
+            from_ax[:start] = -1
+            from_ax[end:] = -1
+
+        return _convert_axis_nearest_interpolation(
+            stream=rfimask,
+            to_type=to_type,
+            from_ax_name="time",
+            to_ax_name="ra",
+            from_ax=from_ax,
+            to_ax=np.linspace(0, 360, self.npix, endpoint=False),
+            spread_factor=self.spread_factor,
+        )
+
+
+class RFIMaskTimeRegridderNearest(ContainerTask):
+    """Align an RFI mask's time axis to a target stream's.
+
+    (reference flagging.py:3518)
+
+    Attributes
+    ----------
+    spread_factor : float
+        Conservative spreading width in time-resolution units.
+    """
+
+    spread_factor = config.Property(proptype=float, default=1.0)
+
+    def setup(self, tstream):
+        """Save the target time axis."""
+        try:
+            self.target_time = np.asarray(tstream.time)
+        except AttributeError as exc:
+            raise TypeError(
+                f"Expected a time-like stream for reference time. "
+                f"Got {type(tstream)}."
+            ) from exc
+
+    def process(self, rfimask):
+        """Regrid the mask onto the target time axis."""
+        return _convert_axis_nearest_interpolation(
+            stream=rfimask,
+            to_type=type(rfimask),
+            from_ax_name="time",
+            to_ax_name="time",
+            from_ax=np.asarray(rfimask.time),
+            to_ax=self.target_time,
+            spread_factor=self.spread_factor,
+        )
+
+
+class ReduceMaskEl(ContainerTask):
+    """Collapse the el axis of a localized RFI mask (reference flagging.py:3573).
+
+    Attributes
+    ----------
+    el_threshold : int
+        Minimum number of flagged el samples to flag the output.
+    """
+
+    el_threshold = config.Property(proptype=int, default=1)
+
+    def process(self, rfimask):
+        """Produce the el-collapsed RFI mask."""
+        if not isinstance(
+            rfimask,
+            (containers.LocalizedRFIMask, containers.LocalizedSiderealRFIMask),
+        ):
+            raise ValueError(
+                "Input class must be LocalizedRFIMask or "
+                f"LocalizedSiderealRFIMask. Got {type(rfimask)}."
+            )
+
+        mask = np.asarray(rfimask.mask[:])
+        el_axis = list(rfimask.mask.attrs["axis"]).index("el")
+        freq_map = rfimask.index_map["freq"]
+
+        reduced_mask = np.sum(mask, axis=el_axis) >= self.el_threshold
+
+        if isinstance(rfimask, containers.LocalizedRFIMask):
+            output = containers.RFIMask(
+                freq=freq_map, time=np.asarray(rfimask.time)
+            )
+        else:
+            output = containers.SiderealRFIMask(
+                freq=freq_map, ra=np.asarray(rfimask.ra)
+            )
+
+        output.mask[:] = reduced_mask
+        return output
+
+
+class ApplyLocalizedRFIMask(ContainerTask):
+    """Apply an el-sensitive RFI mask to a RingMap (reference flagging.py:3640).
+
+    Attributes
+    ----------
+    share : "all" | "none" | "map"
+        Dataset sharing with the input container.
+    """
+
+    share = config.enum(["none", "map", "all"], default="all")
+
+    def process(self, tstream, rfimask):
+        """Zero the weights in overlapping (freq, ra, el) regions."""
+        if not isinstance(tstream, containers.RingMap):
+            raise TypeError(f"Require a containers.RingMap. Got {type(tstream)}.")
+        if not isinstance(rfimask, containers.LocalizedSiderealRFIMask):
+            raise TypeError(
+                f"Require a LocalizedSiderealRFIMask. Got {type(rfimask)}."
+            )
+
+        if not np.array_equal(np.asarray(tstream.freq), np.asarray(rfimask.freq)):
+            raise ValueError("timestream and mask data have different freq axes.")
+
+        if self.share == "all":
+            tsc = tstream
+        elif self.share == "map":
+            tsc = tstream.copy(shared=("map",))
+        else:
+            tsc = tstream.copy()
+
+        mask = np.asarray(rfimask.mask[:])
+        nfreq, nra, nel = mask.shape
+        npol = tstream.weight.shape[0]
+
+        ra_overlap = np.intersect1d(
+            np.asarray(tstream.ra), np.asarray(rfimask.ra), return_indices=True
+        )
+        el_overlap = np.intersect1d(
+            np.asarray(tstream.index_map["el"]),
+            np.asarray(rfimask.index_map["el"]),
+            return_indices=True,
+        )
+
+        if len(ra_overlap[0]) == 0:
+            raise ValueError("No overlapping ra regions found.")
+        if len(el_overlap[0]) == 0:
+            raise ValueError("No overlapping el regions found.")
+
+        _, t_ra_index, m_ra_index = ra_overlap
+        _, t_el_index, m_el_index = el_overlap
+
+        t_pol_index = np.arange(npol)
+        tm_freq_index = np.arange(nfreq)
+
+        mask = mask.reshape(1, nfreq, nra, nel)
+
+        w = np.asarray(tsc.weight[:])
+        w[np.ix_(t_pol_index, tm_freq_index, t_ra_index, t_el_index)] *= (
+            ~mask[np.ix_([0], tm_freq_index, m_ra_index, m_el_index)]
+        ).astype(np.float32)
+        tsc.weight[:] = w
+
+        return tsc
+
+
+def _convert_axis_nearest_interpolation(
+    stream, to_type, from_ax_name, to_ax_name, from_ax, to_ax, spread_factor
+):
+    """Generic axis conversion by nearest-neighbour interpolation.
+
+    (reference flagging.py:3731-3846).  Boolean datasets spread
+    conservatively (OR over the window); numeric datasets average.
+    """
+    from .sidereal import _search_nearest
+
+    new_resolution = np.median(np.abs(np.diff(to_ax)))
+    from_resolution = np.median(np.abs(np.diff(from_ax)))
+
+    if new_resolution < from_resolution:
+        nearest_indices = _search_nearest(from_ax, to_ax)
+    else:
+        nearest_indices = np.arange(len(from_ax))
+
+    dist = np.abs(to_ax[:, np.newaxis] - from_ax[nearest_indices][np.newaxis, :])
+
+    if np.all(np.diag(dist) == 0):
+        spread_factor = 0
+
+    resolution = np.median(np.abs(np.diff(from_ax)))
+    window = dist < spread_factor * resolution
+
+    axes = {}
+    for ax in to_type.axes_spec():
+        name = ax
+        if ax == to_ax_name:
+            axes[name] = to_ax
+        elif ax in stream.index_map:
+            axes[name] = np.asarray(stream.index_map[ax])
+    out = to_type(attrs_from=stream, **axes)
+
+    for dname in list(stream.datasets):
+        ds = stream.datasets[dname]
+        data = np.array(ds[:])
+        ax_idx = list(ds.attrs["axis"]).index(from_ax_name)
+        data = np.moveaxis(data, ax_idx, 0)
+
+        if data.dtype == np.bool_:
+            converted = (
+                np.tensordot(window, data[nearest_indices], axes=([1], [0])) > 0
+            )
+        else:
+            fwin = window.astype(np.float32)
+            numerator = np.tensordot(
+                fwin, data[nearest_indices], axes=([1], [0])
+            )
+            denominator = np.sum(fwin, axis=-1).reshape(
+                (-1,) + (1,) * (numerator.ndim - 1)
+            )
+            converted = numerator * np.asarray(invert_no_zero(denominator))
+
+        if dname not in out.datasets:
+            out.add_dataset(dname)
+
+        ax_idx = list(out.datasets[dname].attrs["axis"]).index(to_ax_name)
+        converted = np.moveaxis(converted, 0, ax_idx)
+        out[dname][:] = converted.astype(out.datasets[dname].dtype)
+
+    return out

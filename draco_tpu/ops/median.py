@@ -1,0 +1,91 @@
+"""Weighted median routines.
+
+Native replacements for the caput ``algorithms.median`` Cython module used
+by the reference flagging tasks (usage at reference
+draco/analysis/flagging.py:1329-1331, 1655-1665, 1692-1754): vectorised
+sort-and-cumulate formulations instead of per-element C loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["weighted_median", "moving_weighted_median"]
+
+
+def weighted_median(x, w, axis: int = -1):
+    """Weighted median of ``x`` along ``axis`` ("split" convention).
+
+    Samples with zero weight are ignored; rows with no valid samples
+    return 0.  With unit weights this matches ``np.median``.
+    """
+    x = np.moveaxis(np.asarray(x, dtype=np.float64), axis, -1)
+    w = np.moveaxis(np.asarray(w, dtype=np.float64), axis, -1)
+    w = np.broadcast_to(w, x.shape)
+
+    order = np.argsort(x, axis=-1)
+    xs = np.take_along_axis(x, order, -1)
+    ws = np.take_along_axis(w, order, -1)
+
+    cw = np.cumsum(ws, axis=-1)
+    tot = cw[..., -1:]
+    half = 0.5 * tot
+
+    # 'split': average the lowest value with cumweight >= half and the
+    # lowest with cumweight > half
+    lo = np.argmax(cw >= half, axis=-1)
+    hi = np.argmax(cw > half, axis=-1)
+    med = 0.5 * (
+        np.take_along_axis(xs, lo[..., None], -1)[..., 0]
+        + np.take_along_axis(xs, hi[..., None], -1)[..., 0]
+    )
+    return np.where(tot[..., 0] > 0, med, 0.0)
+
+
+def moving_weighted_median(x, w, size):
+    """2D moving-window weighted median of ``x`` (last two axes).
+
+    Equivalent of caput ``median.moving_weighted_median``: each output
+    sample is the weighted median over a centred ``size = (s0, s1)``
+    window; samples outside the edges carry zero weight.
+
+    The windows are materialised with ``sliding_window_view`` and reduced
+    with one vectorised weighted median, chunked over rows to bound
+    memory.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    w = np.asarray(w, dtype=np.float64)
+    if np.isscalar(size):
+        size = (int(size), int(size))
+    s0, s1 = int(size[0]), int(size[1])
+    if s0 % 2 == 0 or s1 % 2 == 0:
+        raise ValueError(f"Window sizes must be odd, got {size}.")
+
+    lead = x.shape[:-2]
+    n0, n1 = x.shape[-2:]
+    x2 = x.reshape(-1, n0, n1)
+    w2 = np.broadcast_to(w, x.shape).reshape(-1, n0, n1)
+
+    p0, p1 = s0 // 2, s1 // 2
+    pad = ((0, 0), (p0, p0), (p1, p1))
+    xp = np.pad(x2, pad, mode="edge")
+    wp = np.pad(w2, pad, mode="constant", constant_values=0.0)
+
+    out = np.empty_like(x2)
+
+    # Chunk over the first (batch * row) extent to bound window memory
+    max_elems = 16_000_000
+    rows_per_chunk = max(1, int(max_elems / max(n1 * s0 * s1, 1)))
+
+    for b in range(x2.shape[0]):
+        for r0 in range(0, n0, rows_per_chunk):
+            r1 = min(r0 + rows_per_chunk, n0)
+            xv = np.lib.stride_tricks.sliding_window_view(
+                xp[b, r0 : r1 + 2 * p0], (s0, s1)
+            ).reshape(r1 - r0, n1, -1)
+            wv = np.lib.stride_tricks.sliding_window_view(
+                wp[b, r0 : r1 + 2 * p0], (s0, s1)
+            ).reshape(r1 - r0, n1, -1)
+            out[b, r0:r1] = weighted_median(xv, wv, axis=-1)
+
+    return out.reshape(*lead, n0, n1)

@@ -291,6 +291,149 @@ def calculate_redundancy(input_flags, prod_map, stack_index, nstack: int):
     return red.astype(jnp.float32)
 
 
+def penalized_least_squares_1d(
+    y, reweight_func, mask=None, lam: float = 1e2, epsilon: float = 1e-2,
+    max_iter: int = 100,
+):
+    """Iteratively reweighted penalised-least-squares baseline.
+
+    (reference tools.py:600-714).  Solves ``(W + lam D2^T D2) z = W y`` with
+    a banded Cholesky solve, iterating the weights via ``reweight_func``.
+    """
+    import warnings
+
+    from scipy import linalg as la
+    from scipy.sparse import dia_array
+
+    y = np.squeeze(np.asarray(y, dtype=np.float64))
+    if y.ndim != 1:
+        raise ValueError(f"Expected 1D data array - got shape {y.shape}")
+
+    N = y.shape[0]
+
+    if mask is None:
+        mask = np.zeros(N, dtype=bool)
+    elif np.all(mask):
+        warnings.warn("Entire dataset is masked.")
+        return np.zeros_like(y)
+    mask = np.squeeze(np.asarray(mask, dtype=bool))
+
+    D = np.array([[1, -2, 1]]).T.repeat(N - 1, axis=1)
+    D = dia_array((D, [-2, -1, 0]), shape=(N, N - 2))
+    Hp = lam * D @ D.T
+
+    H = np.ones((3, N), dtype=np.float64)
+    W = np.zeros_like(H)
+    for i in range(H.shape[0]):
+        H[i, : N - i] = Hp.diagonal(i)
+    W[0] = 1.0
+
+    z = np.zeros_like(y)
+    for ii in range(max_iter):
+        W[:, mask] = 0.0
+        w = W[0]
+        z = la.solveh_banded(H + W, w * y, lower=True, check_finite=False)
+
+        wt = reweight_func(y - z, mask, ii)
+        if la.norm(w - wt) / max(la.norm(w), 1e-30) < epsilon:
+            break
+        W[0] = wt
+    else:
+        warnings.warn(f"PLS did not converge after {max_iter} iterations.")
+
+    return z
+
+
+def arPLS_1d(y, mask=None, lam: float = 1e2, epsilon: float = 1e-2,
+             max_iter: int = 100):
+    """Asymmetrically reweighted PLS baseline (reference tools.py:717-780)."""
+    y = np.asarray(y, dtype=np.float64)
+    _maxpwr = np.log(np.finfo(y.dtype).max)
+
+    def _reweight(d, m, ii):
+        sel = (d < 0) & ~m
+        if not sel.any():
+            return np.full_like(d, 0.5)
+        mu = np.mean(d, where=sel)
+        sigma = np.std(d, where=sel)
+        x = 2 * (d - (2 * sigma - mu)) * np.asarray(invert_no_zero(sigma))
+        np.clip(x, -_maxpwr, _maxpwr, out=x)
+        return np.asarray(invert_no_zero(np.exp(x) + 1.0))
+
+    return penalized_least_squares_1d(y, _reweight, mask, lam, epsilon, max_iter)
+
+
+def IarPLS_1d(y, mask=None, lam: float = 1e2, epsilon: float = 1e-2,
+              max_iter: int = 100):
+    """Improved asymmetrically reweighted PLS baseline (tools.py:783-841)."""
+    y = np.asarray(y, dtype=np.float64)
+    _maxsqr = np.finfo(y.dtype).max ** 0.5
+    _maxpwr = np.log(np.finfo(y.dtype).max)
+
+    def _reweight(d, m, ii):
+        sel = (d < 0) & ~m
+        sigma = np.std(d, where=sel) if sel.any() else 0.0
+        t = np.clip(ii + 1, -_maxpwr, _maxpwr)
+        x = np.exp(t) * (d - 2 * sigma) * np.asarray(invert_no_zero(sigma))
+        np.clip(x, -_maxsqr, _maxsqr, out=x)
+        return 0.5 * (1 - x * np.asarray(invert_no_zero((1 + x**2) ** 0.5)))
+
+    return penalized_least_squares_1d(y, _reweight, mask, lam, epsilon, max_iter)
+
+
+def apply_hysteresis_threshold(image, low, high):
+    """Hysteresis thresholding (skimage.filters.apply_hysteresis_threshold).
+
+    Points above ``high`` are kept, plus any points above ``low`` connected
+    (8-connectivity in 2D / full connectivity in nD) to a point above
+    ``high``.
+    """
+    from scipy import ndimage
+
+    image = np.asarray(image)
+    mask_low = image > low
+    mask_high = image > high
+
+    structure = np.ones((3,) * image.ndim, dtype=bool)
+    labels, num = ndimage.label(mask_low, structure=structure)
+    if num == 0:
+        return mask_high
+
+    sums = np.bincount(labels.ravel(), weights=mask_high.ravel(), minlength=num + 1)
+    good_label = sums > 0
+    good_label[0] = False
+    return good_label[labels]
+
+
+def taper_mask(mask, nwidth, outer=False):
+    """Taper a 2D mask along the last axis (reference tools.py:844-891)."""
+    from scipy.signal import oaconvolve
+
+    mask = np.atleast_2d(mask)
+    width = 2 * nwidth - 1
+
+    kernel = np.hanning(width)[np.newaxis]
+    kernel = kernel / np.sum(kernel)
+
+    tapered = np.zeros((mask.shape[0], mask.shape[-1] + 2 * width), dtype=np.float64)
+    tapered[:, width:-width] = mask.astype(np.float64)
+    tapered[:, :width] = tapered[:, width][:, np.newaxis]
+    tapered[:, -width:] = tapered[:, -width - 1][:, np.newaxis]
+
+    if outer:
+        tapered = 1.0 - tapered
+
+    tapered = np.isclose(
+        oaconvolve(tapered, kernel, axes=-1, mode="same"), 1.0
+    ).astype(np.float64)
+    tapered = oaconvolve(tapered, kernel, axes=-1, mode="same")
+
+    if outer:
+        tapered = 1.0 - tapered
+
+    return tapered[:, width:-width]
+
+
 def window_generalised(x, window: str = "nuttall"):
     """High-order apodisation windows at arbitrary locations in [0, 1].
 
