@@ -17,8 +17,9 @@ import numpy as np
 from ..core import config, containers, io
 from ..core.task import ContainerTask
 from ..ops import healpix
-from ..ops.interferometry import beamform_kernel
+from ..ops.interferometry import beamform_kernel, fringestop_phase
 from ..ops.tools import calculate_redundancy, invert_no_zero
+from .sidereal import _search_nearest
 
 C = 299792458.0
 NU21 = 1420.405751768
@@ -694,3 +695,307 @@ class HealpixBeamForm(ContainerTask):
         fb.beam[:] = m[:, :, pix].transpose(2, 1, 0)
         fb.weight[:] = np.ones(fb.weight.shape)
         return fb
+
+
+class HybridVisBeamForm(ContainerTask):
+    """Beamform HybridVisStream data onto a source catalog.
+
+    (reference beamform.py:1305-1486).  The reference's per-frequency
+    fringestop loop is vectorised over (pol, freq, ew) per source.
+
+    Attributes
+    ----------
+    window : float
+        Hour-angle window half-width in degrees.  Default 5.
+    ignore_rot : bool
+        Ignore the telescope rotation angle in the EW phases.
+    """
+
+    window = config.Property(proptype=float, default=5.0)
+    ignore_rot = config.Property(proptype=bool, default=False)
+
+    def setup(self, manager, catalog):
+        """Set the observer and the source catalog."""
+        self.telescope = io.get_telescope(manager)
+        self.latitude = np.radians(self.telescope.latitude)
+        if not self.ignore_rot and getattr(self.telescope, "rotation_angle", 0.0):
+            self.log.info(
+                "Correcting for phase due to north-south component of a "
+                f"{self.telescope.rotation_angle:0.2f} degree rotation."
+            )
+            self.rot = np.radians(self.telescope.rotation_angle)
+        else:
+            self.rot = 0.0
+        self.catalog = catalog
+
+    def process(self, hvis):
+        """Finish beamforming in the east-west direction."""
+        from ..ops.tools import correct_phase_wrap, find_contiguous_slices
+
+        fringestopped = hvis.attrs.get("fringestopped", False)
+        lsd = hvis.attrs.get("lsd", hvis.attrs.get("csd"))
+
+        pos = np.asarray(self.catalog["position"][:])
+        src_ra, src_dec = pos["ra"].copy(), pos["dec"].copy()
+        if lsd is not None:
+            epoch = np.atleast_1d(self.telescope.lsd_to_unix(lsd))
+            coords = [icrs_to_cirs(src_ra, src_dec, ep) for ep in epoch]
+            src_ra = np.mean([c[0] for c in coords], axis=0)
+            src_dec = np.mean([c[1] for c in coords], axis=0)
+
+        dec = np.degrees(
+            np.arcsin(np.asarray(hvis.index_map["el"])) + self.latitude
+        )
+        nearest_dec = _search_nearest(dec, src_dec)
+
+        delta_dec = np.max(np.abs(np.diff(dec)))
+        valid_src = np.abs(src_dec - dec[nearest_dec]) < delta_dec
+
+        self.log.info(
+            f"There are {np.sum(valid_src)} catalog sources in this "
+            "declination range."
+        )
+
+        ra = np.asarray(hvis.ra)
+        ha_arr = np.asarray(
+            correct_phase_wrap(ra[np.newaxis, :] - src_ra[:, np.newaxis], deg=True)
+        )
+        valid = np.abs(ha_arr) <= self.window
+        nha = np.sum(valid, axis=-1)
+
+        ra_rad = np.radians(ra)
+
+        freq = np.asarray(hvis.freq)
+        lmbda = C / (freq * 1e6)
+
+        ew = np.asarray(hvis.index_map["ew"])
+        u = ew[np.newaxis, :, np.newaxis] / lmbda[:, np.newaxis, np.newaxis]
+        v = np.sin(self.rot) * u
+
+        vis = np.asarray(hvis.vis[:])  # pol, freq, ew, el, ra
+        weight = np.asarray(hvis.weight[:])  # pol, freq, ew, ra
+
+        out = containers.FormedBeamHAEW(
+            object_id=self.catalog.index_map["object_id"],
+            ha=np.arange(np.max(nha), dtype=int),
+            axes_from=hvis,
+            attrs_from=hvis,
+        )
+        if "redshift" in self.catalog.datasets:
+            out.add_dataset("redshift")
+            out["redshift"][:] = self.catalog["redshift"][:]
+
+        opos = np.zeros(
+            len(src_ra), dtype=[("ra", np.float64), ("dec", np.float64)]
+        )
+        opos["ra"], opos["dec"] = src_ra, src_dec
+        out.position[:] = opos
+
+        ofb = np.zeros(out.beam.shape, dtype=np.complex128)
+        owe = np.zeros(out.weight.shape, dtype=np.float64)
+        oha = np.zeros(out.ha.shape, dtype=np.float64)
+
+        for ss, (idec, sdec) in enumerate(zip(nearest_dec, np.radians(src_dec))):
+            in_range = np.flatnonzero(valid[ss])
+            if (in_range.size == 0) or not valid_src[ss]:
+                continue
+
+            cos_dec = np.cos(np.radians(dec[idec]))
+
+            isort = np.argsort(ha_arr[ss, in_range])
+            in_range = in_range[isort]
+
+            islcs = find_contiguous_slices(in_range)
+            count = 0
+            for islc in islcs:
+                svis = vis[..., idec, islc]  # pol, freq, ew, ha
+                sweight = weight[..., islc]
+
+                nsample = svis.shape[-1]
+                oslc = slice(count, count + nsample)
+                count += nsample
+
+                oha[ss, oslc] = ha_arr[ss, islc]
+                ha = np.radians(ha_arr[ss, islc])
+
+                # Vectorised over (freq, ew, ha)
+                phi = np.asarray(
+                    fringestop_phase(
+                        ha[np.newaxis, np.newaxis, :], self.latitude, sdec, u, v
+                    )
+                )
+                if fringestopped:
+                    omega = 2.0 * np.pi * ew[np.newaxis, :] / lmbda[:, np.newaxis]
+                    omega = omega * cos_dec
+                    phi = phi * np.exp(
+                        -1.0j * omega[..., np.newaxis] * ra_rad[islc]
+                    )
+
+                owe[ss, :, :, :, oslc] = sweight
+                ofb[ss, :, :, :, oslc] = svis * phi[np.newaxis]
+
+        out.beam[:] = ofb.astype(out.beam.dtype)
+        out.weight[:] = owe.astype(out.weight.dtype)
+        out.ha[:] = oha
+
+        return out
+
+
+class FitBeamFormed(BeamFormExternalMixin, ContainerTask):
+    """Fit beamformed transits to a primary-beam template.
+
+    (reference beamform.py:1489-1676).  Requires a celestial GridBeam at
+    setup; fits (background, beam amplitude) per (source, pol, freq[, ew])
+    with batched linear solves.
+
+    Attributes
+    ----------
+    weight : "uniform" | "inverse_variance"
+        Hour-angle weighting during the fit.
+    max_ha : float
+        Only fit hour angles below this (degrees).
+    min_num_background : int
+        Minimum off-source samples needed to fit a background.
+    min_frac_beam : float
+        Minimum fraction of the beam template that must be sampled.
+    epsilon : float
+        Fit regularisation.
+    """
+
+    weight = config.enum(["uniform", "inverse_variance"], default="uniform")
+    max_ha = config.Property(proptype=float, default=None)
+    min_num_background = config.Property(proptype=int, default=5)
+    min_frac_beam = config.Property(proptype=float, default=0.50)
+    epsilon = config.Property(proptype=float, default=1.0e-10)
+
+    def process(self, data):
+        """Fit the hour-angle transits in a FormedBeamHA(EW) container."""
+        container_lookup = {
+            containers.FormedBeamHA: containers.FitFormedBeam,
+            containers.FormedBeamHAEW: containers.FitFormedBeamEW,
+        }
+
+        self.freq_local = np.asarray(data.freq)
+        self._initialize_beam_with_data()
+
+        OutputContainer = container_lookup[data.__class__]
+        out = OutputContainer(axes_from=data, attrs_from=data)
+        for dset in out.datasets.values():
+            dset[:] = np.zeros(dset.shape, dtype=dset.dtype)
+
+        out.position[:] = data.position[:]
+        if "redshift" in data.datasets:
+            out.add_dataset("redshift")
+            out["redshift"][:] = data["redshift"][:]
+
+        beam = np.asarray(data.beam[:])
+        weight = np.asarray(data.weight[:])
+
+        obeam = np.zeros(out.beam.shape, dtype=np.complex128)
+        oweight = np.zeros(out.weight.shape, dtype=np.float64)
+        obkg = np.zeros(out.background.shape, dtype=np.complex128)
+        oweightbkg = np.zeros(out.weight_background.shape, dtype=np.float64)
+        ocorr = np.zeros(out.corr_background_beam.shape, dtype=np.float64)
+
+        pos = np.asarray(data.position[:])
+        src_dec = np.radians(pos["dec"])
+
+        src_ha = np.asarray(data.ha[:])
+        max_nha = src_ha.shape[1]
+
+        pol_list = [
+            p.decode() if isinstance(p, bytes) else str(p)
+            for p in data.index_map["pol"]
+        ]
+
+        for ss, sdec in enumerate(src_dec):
+            if not np.any(weight[ss] > 0.0):
+                continue
+
+            nz = np.flatnonzero(src_ha[ss, ::-1] != 0.0)
+            if nz.size == 0:
+                continue
+            nhal = max_nha - np.min(nz)
+            slc = slice(0, nhal)
+            sha = np.radians(src_ha[ss, slc])
+
+            for pp, pol in enumerate(pol_list):
+                b = beam[ss, pp, ..., slc]
+                w = weight[ss, pp, ..., slc].astype(np.float64)
+
+                if self.weight == "uniform":
+                    sigma = np.sqrt(np.asarray(invert_no_zero(w)))
+                    w = (w > 0.0).astype(np.float64)
+
+                if self.max_ha is not None:
+                    flag_ha = np.abs(sha) <= np.radians(self.max_ha)
+                    w = w * flag_ha
+                else:
+                    flag_ha = np.ones(nhal, dtype=bool)
+
+                X = self.get_template(pol, sdec, sha)
+                if "ew" in out.index_map:
+                    X = X[:, np.newaxis, :, :]
+
+                f = w > 0
+                offsrc = X[..., 1] < 0.05
+                flag_background = (
+                    np.sum(f * offsrc, axis=-1) > self.min_num_background
+                )
+                flag_beam = (
+                    np.sum(f * X[..., 1], axis=-1)
+                    * np.asarray(
+                        invert_no_zero(np.sum(flag_ha * X[..., 1], axis=-1))
+                    )
+                ) > self.min_frac_beam
+
+                flag = flag_background & flag_beam
+                if not np.any(flag):
+                    continue
+
+                XT = np.swapaxes(X, -2, -1)
+                A = np.matmul(XT, w[..., np.newaxis] * X) + np.eye(2) * self.epsilon
+
+                proj_wb = np.sum(
+                    XT * (w * b)[..., np.newaxis, :], axis=-1, keepdims=True
+                )
+
+                coeff = np.linalg.solve(A, proj_wb)[..., 0]
+                cov = np.linalg.inv(A)
+
+                obeam[ss, pp] = coeff[..., 1]
+                obkg[ss, pp] = coeff[..., 0]
+
+                if self.weight == "uniform":
+                    B = np.matmul(cov, XT * (w * sigma)[..., np.newaxis, :])
+                    cov = np.matmul(B, np.swapaxes(B, -2, -1))
+
+                oweight[ss, pp] = flag * np.asarray(
+                    invert_no_zero(cov[..., 1, 1])
+                )
+                oweightbkg[ss, pp] = flag * np.asarray(
+                    invert_no_zero(cov[..., 0, 0])
+                )
+                ocorr[ss, pp] = cov[..., 0, 1] * np.sqrt(
+                    oweight[ss, pp] * oweightbkg[ss, pp]
+                )
+
+        if not np.issubdtype(out.beam.dtype, np.complexfloating):
+            obeam = obeam.real
+        out.beam[:] = obeam.astype(out.beam.dtype)
+        out.weight[:] = oweight.astype(out.weight.dtype)
+        out.background[:] = obkg.astype(out.background.dtype)
+        out.weight_background[:] = oweightbkg.astype(
+            out.weight_background.dtype
+        )
+        out.corr_background_beam[:] = ocorr.astype(
+            out.corr_background_beam.dtype
+        )
+
+        return out
+
+    def get_template(self, pol, dec, ha):
+        """Transit template: column 0 = offset, column 1 = beam model."""
+        t = np.ones((self.freq_local.size, ha.size, 2), dtype=float)
+        t[..., 1] = self._beamfunc(pol, dec, ha)
+        return t

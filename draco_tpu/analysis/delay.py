@@ -858,3 +858,26 @@ class DelayCrossPowerSpectrumEstimator(DelayPowerSpectrumGibbs):
         out_cont = self._create_output(sslist, delays, coord_axes)
         out_cont.attrs["window_los"] = self.window if self.apply_window else "None"
         return self._evaluate(data_view, weight_view, out_cont, delays, channel_ind)
+
+
+class DelayPowerSpectrumStokesIEstimator(DelayPowerSpectrumGibbs):
+    """Deprecated (reference delay.py:1451)."""
+
+    def setup(self, requires=None):
+        """Raise a deprecation warning."""
+        raise DeprecationWarning(
+            "`DelayPowerSpectrumStokesIEstimator` is deprecated. "
+            "Use `transform.StokesIVis` to generate Stokes I visibilities, "
+            "then use `DelayPowerSpectrumGibbs` or `DelayPowerSpectrumNRML`."
+        )
+
+
+class DelayPowerSpectrumGeneralEstimator(DelayPowerSpectrumGibbs):
+    """Deprecated (reference delay.py:1464)."""
+
+    def setup(self, requires=None):
+        """Raise a deprecation warning."""
+        raise DeprecationWarning(
+            "`DelayPowerSpectrumGeneralEstimator` is deprecated. "
+            "Use `DelayPowerSpectrumGibbs` or `DelayPowerSpectrumNRML`."
+        )

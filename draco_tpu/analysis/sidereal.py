@@ -286,6 +286,70 @@ class SiderealRegridderCubic(SiderealRegridder):
         return interp_grid, interp_vis, interp_weight
 
 
+class SiderealRegridderGP(SiderealRegridder):
+    """Regrid with Gaussian-process regression (reference sidereal.py:281).
+
+    Uses a Matern-5/2 kernel; the per-frequency masked solves run as one
+    batched device solve (see :mod:`draco_tpu.ops.gaussian_process`).
+
+    Attributes
+    ----------
+    mask_cutoff : float
+        Max distance (input samples) from the nth nearest valid input to
+        keep an output sample.  Default 1.7.
+    mask_cutoff_partition : int
+        Which nearest sample (0-indexed) the cutoff applies to.
+    """
+
+    mask_cutoff = config.Property(proptype=float, default=1.7)
+    mask_cutoff_partition = config.Property(proptype=int, default=1)
+
+    def _regrid(self, vis, weight, times):
+        from ..ops import gaussian_process
+        from ..ops.delay import _inv_move_front, _move_front
+
+        pad = 5 * self.kernel_width
+        grid = np.arange(-pad, self.samples + pad, dtype=np.float64) / self.samples
+
+        times = times - self.start
+
+        vx = _move_front(vis, (0, vis.ndim - 1), vis.shape)
+        wx = _move_front(weight, (0, weight.ndim - 1), weight.shape)
+        # [nfreq * ntime, rest] -> [nfreq, ntime, rest]
+        vx = vx.reshape(vis.shape[0], vis.shape[-1], -1)
+        wx = wx.reshape(weight.shape[0], weight.shape[-1], -1)
+
+        kernel_spec = {
+            "name": "matern",
+            "width": self.kernel_width,
+            "alpha": 1.0,
+            "nu": 2.5,
+            "epsilon": self.epsilon,
+        }
+
+        vout, wout = gaussian_process.resample(
+            vx,
+            wx,
+            xi=times,
+            xo=grid,
+            cutoff_dist=self.mask_cutoff,
+            cutoff_partition=self.mask_cutoff_partition,
+            kernel_spec=kernel_spec,
+        )
+
+        grid = grid[pad:-pad].copy()
+        vout = vout[:, pad:-pad].reshape(vis.shape[0], -1)
+        wout = wout[:, pad:-pad].reshape(weight.shape[0], -1)
+        vout = _inv_move_front(
+            vout, (0, vis.ndim - 1), (*vis.shape[:-1], self.samples)
+        )
+        wout = _inv_move_front(
+            wout, (0, weight.ndim - 1), (*weight.shape[:-1], self.samples)
+        )
+
+        return grid * (self.end - self.start) + self.start, vout, wout
+
+
 class SiderealRebinner(SiderealRegridder):
     """Rebin a sidereal day by fractional bin assignment.
 
