@@ -240,6 +240,106 @@ def accumulate_variance(wo, wi, W) -> np.ndarray:
     return np.asarray(invert_no_zero(vi2.reshape(vi.shape)))
 
 
+# ---------------------------------------------------------------------------
+# Reference-layout compatibility API (samples on the FIRST axis, matching
+# reference dpss.py:121-489; the batched device kernels above use samples
+# LAST)
+# ---------------------------------------------------------------------------
+
+
+def atleast_Nd(x, N: int, lax: int = -1):
+    """Expand to at least N dims, new axes grouped after ``lax``.
+
+    (reference dpss.py:446-489).  Returns (expanded, inverse-indexer).
+    """
+    x = np.asarray(x)
+    if x.ndim >= N:
+        return x, (slice(None),) * x.ndim
+
+    newdims = (np.newaxis,) * (N - x.ndim)
+    if lax == -1:
+        lax = x.ndim
+    slobj = (slice(None),) * max(x.ndim - lax, 0)
+
+    add = (..., *newdims, *slobj)
+    inv = (..., *(0 for _ in newdims), *slobj)
+    return x[add], inv
+
+
+def solve(xp, Ni, A, Si: float = 1e-3):
+    """Apply the inpainting operator to projected data (reference dpss.py:154).
+
+    ``xp`` is the output of the reference-layout :func:`project`; samples
+    are on the first axis of ``Ni``.  Runs as one batched device solve.
+    """
+    A = np.asarray(A)
+    nmodes = A.shape[1]
+    nsamp = A.shape[0]
+
+    xp = np.asarray(xp)
+    Ni = np.asarray(Ni)
+    # Move the mode / sample axes to the end
+    mi = list(xp.shape).index(nmodes)
+    xp2 = np.moveaxis(xp, mi, -1)
+    si = list(Ni.shape).index(nsamp)
+    Ni2 = np.moveaxis(Ni, si, -1)
+
+    xf, wf = _solve_from_projection_batched(
+        jnp.asarray(xp2.reshape(-1, nmodes)),
+        jnp.asarray(np.broadcast_to(Ni2, xp2.shape[:-1] + (nsamp,)).reshape(-1, nsamp)),
+        jnp.asarray(A),
+        Si,
+    )
+    xf = np.asarray(xf).reshape(xp2.shape[:-1] + (nsamp,))
+    wf = np.asarray(wf).reshape(xp2.shape[:-1] + (nsamp,))
+    return np.moveaxis(xf, -1, si), np.moveaxis(wf, -1, si)
+
+
+@functools.partial(jax.jit, static_argnames=("Si",))
+def _solve_from_projection_batched(xp, Ni, A, Si):
+    def one(xp_b, Ni_b):
+        cdt = A.dtype
+        Ni_c = Ni_b.astype(cdt)
+        AH = A.conj().T
+        ATNi = AH * Ni_c[None, :]
+        K = ATNi @ A
+        Ci = K + Si * jnp.eye(A.shape[1], dtype=cdt)
+        L = jax.scipy.linalg.cho_factor(Ci, lower=False)
+        b = jax.scipy.linalg.cho_solve(L, xp_b.astype(cdt))
+        xfilt = A @ b
+        CiK = jax.scipy.linalg.cho_solve(L, K)
+        C = jax.scipy.linalg.cho_solve(L, CiK.conj().T).conj().T
+        var = jnp.einsum("sk,kl,sl->s", A, C, A.conj()).real
+        winp = invert_no_zero(var)
+        ok = jnp.any(Ni_b > 0)
+        return jnp.where(ok, xfilt, 0), jnp.where(ok, winp, 0)
+
+    return jax.vmap(one)(xp, Ni)
+
+
+def filter(x, Ni, A, W, Si: float = 1e-3):  # noqa: A001 - reference name
+    """Reference-layout DPSS filter (samples first; reference dpss.py:359)."""
+    x2 = np.moveaxis(np.asarray(x), 0, -1)
+    Ni2 = np.moveaxis(np.broadcast_to(np.asarray(Ni), np.asarray(x).shape), 0, -1)
+    W2 = np.moveaxis(np.broadcast_to(np.asarray(W), np.asarray(x).shape), 0, -1)
+
+    xf, wf = filter_batched(x2, Ni2, A, W2, Si)
+    wf = accumulate_variance(Ni2, np.asarray(wf), W2)
+    return np.moveaxis(np.asarray(xf), -1, 0), np.moveaxis(wf, -1, 0)
+
+
+def inpaint(x, Ni, A, W, Si: float = 1e-3):
+    """Reference-layout DPSS inpainting (reference dpss.py:407)."""
+    xinp, winp = filter(x, Ni, A, W, Si)
+    W = np.asarray(W)
+    x = np.broadcast_to(np.asarray(x), xinp.shape)
+    Ni = np.broadcast_to(np.asarray(Ni), winp.shape)
+    Wb = np.broadcast_to(W, xinp.shape)
+    xinp = np.where(Wb, x, xinp)
+    winp = np.where(Wb, Ni, winp)
+    return xinp, winp
+
+
 def flag_above_cutoff(W, fc=None) -> np.ndarray:
     """Mask gaps wider than ``fc`` samples (reference dpss.py:307-356).
 

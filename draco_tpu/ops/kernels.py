@@ -124,13 +124,115 @@ _KERNELS = {
 }
 
 
-def get_kernel(spec: dict):
-    """Build a kernel function from a spec dict with a 'name' key."""
-    spec = dict(spec)
-    name = spec.pop("name")
-    fn = _KERNELS[name]
+# ---------------------------------------------------------------------------
+# Reference-compatible N-based API (reference kernels.py:21-277)
+# ---------------------------------------------------------------------------
 
-    def k(x, y=None):
-        return fn(x, y, **spec)
 
-    return k
+def _N_to_xy(N):
+    """Reference convention: N is a size, array, or 2-tuple thereof."""
+    if isinstance(N, (int, np.integer)) or isinstance(N, np.ndarray):
+        N = (N, N)
+    x = np.arange(N[0]) if isinstance(N[0], (int, np.integer)) else np.asarray(N[0])
+    y = np.arange(N[1]) if isinstance(N[1], (int, np.integer)) else np.asarray(N[1])
+    return x, y
+
+
+def euclidean_difference_kernel(N, width):
+    """Normalised euclidean distance matrix (reference kernels.py:~240)."""
+    if isinstance(width, (int, float)):
+        width = (width, width)
+    x, y = _N_to_xy(N)
+    return np.abs(
+        (x / width[0])[:, np.newaxis] - (y / width[1])[np.newaxis, :]
+    )
+
+
+def squared_difference_kernel(N, width):
+    """Normalised squared distance matrix (reference kernels.py:278)."""
+    return euclidean_difference_kernel(N, width) ** 2
+
+
+def gaussian_kernel(N, width=1.0, alpha=1.0, **kw):
+    """Gaussian kernel, reference N-based API (reference kernels.py:65)."""
+    x, y = _N_to_xy(N)
+    return gaussian(x, y, width=width, alpha=alpha, **kw)
+
+
+def rational_kernel(N, width=1.0, alpha=1.0, a=1.0, **kw):
+    """Rational quadratic kernel, reference API (kernels.py:95)."""
+    x, y = _N_to_xy(N)
+    return rational(x, y, width=width, alpha=alpha, a=a, **kw)
+
+
+def matern_kernel(N, width=1.0, alpha=1.0, nu=2.5, **kw):
+    """Matern kernel, reference API (kernels.py:131)."""
+    x, y = _N_to_xy(N)
+    return matern(x, y, width=width, alpha=alpha, nu=nu, **kw)
+
+
+def periodic_kernel(N, width=1.0, alpha=1.0, period=1.0, **kw):
+    """Periodic kernel, reference API (kernels.py:187)."""
+    x, y = _N_to_xy(N)
+    return periodic(x, y, width=width, alpha=alpha, period=period, **kw)
+
+
+def moving_average_inverse_kernel(N: int, width: int, alpha: float, periodic: bool = True):
+    """Moving-average smoothness prior (reference kernels.py:229)."""
+    W = np.zeros((N, N))
+    for i in range(N):
+        ll, ul = i - (width - 1) // 2, i + (width + 1) // 2
+        if not periodic:
+            ll, ul = max(0, ll), min(ul, N)
+        v = np.arange(ll, ul)
+        W[i][v % N if periodic else v] = 1.0 / len(v)
+    IW = np.identity(N) - W
+    return alpha * (IW.T @ IW)
+
+
+def is_hermitian_positive_definite(x: np.ndarray) -> bool:
+    """True if ``x`` is Hermitian positive-definite (reference kernels.py)."""
+    from scipy import linalg as la
+
+    x = np.asarray(x)
+    if not np.allclose(x, x.conj().T):
+        return False
+    try:
+        la.cholesky(x, lower=False)
+    except la.LinAlgError:
+        return False
+    return True
+
+
+_NAME_KERNELS = {
+    "gaussian": gaussian_kernel,
+    "rational": rational_kernel,
+    "matern": matern_kernel,
+    "periodic": periodic_kernel,
+    "moving_average_inverse": moving_average_inverse_kernel,
+}
+
+
+def get_kernel(spec=None, *, name=None, N=None, **params):
+    """Build a kernel.
+
+    Two call styles: ``get_kernel({"name": ..., ...})`` returns a callable
+    ``k(x, y=None)`` over coordinates; ``get_kernel(name=..., N=..., ...)``
+    returns the kernel array directly (reference kernels.py:21 API).
+    """
+    if isinstance(spec, dict):
+        spec = dict(spec)
+        kname = spec.pop("name")
+        fn = _KERNELS[kname]
+
+        def k(x, y=None):
+            return fn(x, y, **spec)
+
+        return k
+
+    if name is None:
+        raise ValueError("Must provide either a spec dict or a kernel name.")
+    params.pop("banded", None)
+    if N is not None:
+        params["N"] = N
+    return _NAME_KERNELS[name](**params)

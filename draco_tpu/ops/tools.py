@@ -291,6 +291,66 @@ def calculate_redundancy(input_flags, prod_map, stack_index, nstack: int):
     return red.astype(jnp.float32)
 
 
+def polarization_map(index_map, telescope, exclude_autos: bool = True):
+    """Map each stack entry to pol = ['XX', 'XY', 'YX', 'YY'].
+
+    (reference tools.py:417-500, vectorised).  Entries that are autos
+    (when excluded) or use non-standard feeds map to -1.
+    """
+    teltype = getattr(telescope, "stack_type", "redundant")
+    if teltype != "redundant":
+        raise RuntimeError(
+            f"Telescope stack type needs to be 'redundant'. Is {teltype}"
+        )
+
+    inp = np.asarray(index_map["input"])
+    input_map = inp["chan_id"] if inp.dtype.names else inp
+
+    stack = np.asarray(index_map["stack"])
+    prod = np.asarray(index_map["prod"])
+
+    pi = stack["prod"] if stack.dtype.names else stack[:, 0]
+    pa = prod[pi]["input_a"] if prod.dtype.names else prod[pi, 0]
+    pb = prod[pi]["input_b"] if prod.dtype.names else prod[pi, 1]
+    ipt0 = input_map[pa].astype(int)
+    ipt1 = input_map[pb].astype(int)
+
+    bc0 = telescope.beamclass[ipt0]
+    bc1 = telescope.beamclass[ipt1]
+    good = (bc0 <= 1) & (bc1 <= 1)
+    if exclude_autos:
+        good &= ipt0 != ipt1
+
+    conj = telescope.feedconj[ipt0, ipt1]
+    b0 = np.where(conj, bc1, bc0)
+    b1 = np.where(conj, bc0, bc1)
+
+    # pol index in ['XX', 'XY', 'YX', 'YY'] = 2*b0 + b1
+    polmap = 2 * b0 + b1
+    return np.where(good, polmap, -1).astype(int)
+
+
+def baseline_vector(index_map, telescope):
+    """Baseline vectors in metres, shape [2, nstack].
+
+    (reference tools.py:503-543, vectorised)
+    """
+    inp = np.asarray(index_map["input"])
+    input_map = inp["chan_id"] if inp.dtype.names else inp
+
+    stack = np.asarray(index_map["stack"])
+    prod = np.asarray(index_map["prod"])
+
+    pi = stack["prod"] if stack.dtype.names else stack[:, 0]
+    pa = prod[pi]["input_a"] if prod.dtype.names else prod[pi, 0]
+    pb = prod[pi]["input_b"] if prod.dtype.names else prod[pi, 1]
+    ipt0 = input_map[pa].astype(int)
+    ipt1 = input_map[pb].astype(int)
+
+    unique_index = telescope.feedmap[ipt0, ipt1]
+    return telescope.baselines[unique_index].T.astype(np.float64)
+
+
 def penalized_least_squares_1d(
     y, reweight_func, mask=None, lam: float = 1e2, epsilon: float = 1e-2,
     max_iter: int = 100,
