@@ -18,10 +18,20 @@ def weighted_median(x, w, axis: int = -1):
 
     Samples with zero weight are ignored; rows with no valid samples
     return 0.  With unit weights this matches ``np.median``.
+
+    Dispatches to the native OpenMP kernel
+    (:mod:`draco_tpu.native`) when available.
     """
-    x = np.moveaxis(np.asarray(x, dtype=np.float64), axis, -1)
-    w = np.moveaxis(np.asarray(w, dtype=np.float64), axis, -1)
-    w = np.broadcast_to(w, x.shape)
+    x0 = np.asarray(x, dtype=np.float64)
+    w0 = np.broadcast_to(np.asarray(w, dtype=np.float64), x0.shape)
+    x = np.moveaxis(x0, axis, -1)
+    w = np.moveaxis(w0, axis, -1)
+
+    from .. import native
+
+    out = native.weighted_median(x, w)
+    if out is not None:
+        return out
 
     order = np.argsort(x, axis=-1)
     xs = np.take_along_axis(x, order, -1)
@@ -49,9 +59,10 @@ def moving_weighted_median(x, w, size):
     sample is the weighted median over a centred ``size = (s0, s1)``
     window; samples outside the edges carry zero weight.
 
-    The windows are materialised with ``sliding_window_view`` and reduced
-    with one vectorised weighted median, chunked over rows to bound
-    memory.
+    Dispatches to the native OpenMP kernel (:mod:`draco_tpu.native`) when
+    available; the numpy fallback materialises the windows with
+    ``sliding_window_view`` and reduces with one vectorised weighted
+    median, chunked over rows to bound memory.
     """
     x = np.asarray(x, dtype=np.float64)
     w = np.asarray(w, dtype=np.float64)
@@ -60,6 +71,12 @@ def moving_weighted_median(x, w, size):
     s0, s1 = int(size[0]), int(size[1])
     if s0 % 2 == 0 or s1 % 2 == 0:
         raise ValueError(f"Window sizes must be odd, got {size}.")
+
+    from .. import native
+
+    out = native.moving_weighted_median(x, w, (s0, s1))
+    if out is not None:
+        return out
 
     lead = x.shape[:-2]
     n0, n1 = x.shape[-2:]
