@@ -104,24 +104,36 @@ def main():
 
     scale = 1.0 / omega
 
-    def beam_transfer_chunk(bl_chunk):
-        """B tensors for one baseline chunk: (Bp, Bm) [C, L+1, M+1]."""
+    def beam_transfer_chunk(bl_chunk, lam):
+        """B tensors for one baseline chunk: (Bp, Bm) [C, L+1, M+1].
+
+        The two analyses (map and conjugate map) run as ONE batched
+        transform against the precomputed Legendre tensor.
+        """
         phase = 2 * jnp.pi * (bl_chunk @ vec_d.T)  # [C, npix]
         bmap = beam_d[None, :] * jnp.exp(1j * phase)
-        alm_pos = s._analysis_impl(bmap)
-        alm_conj = s._analysis_impl(jnp.conj(bmap))
-        return jnp.conj(alm_conj) * scale, jnp.conj(alm_pos) * scale
+        both = jnp.stack([bmap, jnp.conj(bmap)])  # [2, C, npix]
+        alm2 = s._analysis_impl(both, lam=lam)
+        return jnp.conj(alm2[1]) * scale, jnp.conj(alm2[0]) * scale
 
     # The ENTIRE round trip is one compiled executable: the remote-compile
     # latency of the TPU tunnel makes every separate dispatch expensive, and
     # the baseline-chunk streaming loops become on-device fori_loops.
+    # The Legendre tensor (a 768-step sequential recurrence) is computed
+    # once and passed as an ARGUMENT (so it is neither recomputed per chunk
+    # nor serialised into the HLO as a constant); every SHT inside the loop
+    # is then a pure batched GEMM.
     @jax.jit
-    def round_trip(sky):
-        alm = s._analysis_impl(sky)  # [L+1, M+1]
+    def build_legendre():
+        return s.precompute_legendre(jnp.float32)
+
+    @jax.jit
+    def round_trip(sky, lam):
+        alm = s._analysis_impl(sky, lam=lam)  # [L+1, M+1]
 
         def fwd_body(c, vis_acc):
             blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
-            bp, bm = beam_transfer_chunk(blc)
+            bp, bm = beam_transfer_chunk(blc, lam)
             vp = jnp.einsum("blm,lm->mb", bp, alm.astype(bp.dtype))
             vm = jnp.einsum("blm,lm->mb", bm, alm.astype(bm.dtype))
             chunk = jnp.stack([vp, vm], axis=1)  # [M+1, 2, C]
@@ -143,28 +155,34 @@ def main():
         def adj_body(c, a_acc):
             blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
             vc = jax.lax.dynamic_slice_in_dim(vis_m2, c * CHUNK, CHUNK, 2)
-            bp, bm = beam_transfer_chunk(blc)
+            bp, bm = beam_transfer_chunk(blc, lam)
             a = jnp.einsum("blm,mb->lm", jnp.conj(bp), vc[:, 0])
             a = a + jnp.einsum("blm,mb->lm", jnp.conj(bm), vc[:, 1])
             return a_acc + a
 
         a0 = jnp.zeros((lmax + 1, lmax + 1), jnp.complex64)
         a_dirty = jax.lax.fori_loop(0, nchunk, adj_body, a0)
-        return s._synthesis_impl(a_dirty)
+        return s._synthesis_impl(a_dirty, lam=lam)
 
     # Input sky
     sky = jnp.asarray(rng.standard_normal(npix).astype(np.float32))
 
+    log("building Legendre tensor ...")
+    t0 = time.time()
+    lam = build_legendre()
+    lam.block_until_ready()
+    log(f"legendre (incl. compile): {time.time() - t0:.1f}s")
+
     log("compiling + warmup ...")
     t0 = time.time()
-    out = round_trip(sky)
+    out = round_trip(sky, lam)
     out.block_until_ready()
     log(f"warmup (incl. compile): {time.time() - t0:.1f}s")
 
     times = []
     for i in range(NRUN):
         t0 = time.time()
-        out = round_trip(sky)
+        out = round_trip(sky, lam)
         out.block_until_ready()
         times.append(time.time() - t0)
         log(f"run {i}: {times[-1]:.2f}s")

@@ -339,32 +339,63 @@ class SHT:
         for m0 in range(0, self.mmax + 1, self.chunk_m):
             yield np.arange(m0, min(m0 + self.chunk_m, self.mmax + 1))
 
+    def precompute_legendre(self, dtype=jnp.float32):
+        """Materialise the full Legendre tensor Lambda[L+1, M+1, R].
+
+        The l-recurrence is a sequential ``lax.scan``; streaming workloads
+        that call the transform many times (e.g. on-the-fly beam-transfer
+        generation) should run it ONCE and pass the result to
+        ``_analysis_impl``/``_synthesis_impl`` via ``lam=`` — every
+        transform then lowers to a single batched GEMM with no sequential
+        dependency.  Size: (lmax+1)(mmax+1) R floats (~2.4 GB f32 at
+        nside=256, lmax=767).
+        """
+        blocks = [
+            self._legendre_block(m_vals, dtype) for m_vals in self._m_chunks()
+        ]  # each [L+1, C, R]
+        return jnp.concatenate(blocks, axis=1)  # [L+1, M+1, R]
+
     # ------------------------------------------------------------------
     # Public transforms
     # ------------------------------------------------------------------
-    def _analysis_impl(self, maps):
-        """alm[..., lmax+1, mmax+1] of (real or complex) maps [..., npix]."""
+    def _analysis_impl(self, maps, lam=None):
+        """alm[..., lmax+1, mmax+1] of (real or complex) maps [..., npix].
+
+        ``lam``: optional precomputed Legendre tensor [L+1, M+1, R] from
+        :meth:`precompute_legendre`; the transform becomes one batched
+        (over m) ring-contraction GEMM.
+        """
         F = self._ring_analysis(maps)  # [..., R, M+1]
         rdtype = F.real.dtype
         w = jnp.asarray(self._w, dtype=rdtype)
         Fw = F * w[:, None]
+        if lam is not None:
+            # batch over m, contract rings: one batched GEMM on the MXU
+            return jnp.einsum("...rm,lmr->...lm", Fw, lam.astype(Fw.dtype))
         out = []
         for m_vals in self._m_chunks():
-            lam = self._legendre_block(m_vals, rdtype)  # [L+1, C, R]
-            lam_t = jnp.transpose(lam, (1, 2, 0))  # [C, R, L+1]
+            lam_c = self._legendre_block(m_vals, rdtype)  # [L+1, C, R]
+            lam_t = jnp.transpose(lam_c, (1, 2, 0))  # [C, R, L+1]
             Fc = jnp.moveaxis(Fw[..., m_vals], -1, -2)  # [..., C, R]
             # alm_c[..., C, L+1]: batched over C, contraction over rings (MXU)
             alm_c = jnp.einsum("...cr,crl->...cl", Fc, lam_t.astype(Fc.dtype))
             out.append(jnp.moveaxis(alm_c, -2, -1))  # [..., L+1, C]
         return jnp.concatenate(out, axis=-1)  # [..., L+1, M+1]
 
-    def _synthesis_impl(self, alm):
-        """Real maps [..., npix] from alm[..., lmax+1, mmax+1]."""
+    def _synthesis_impl(self, alm, lam=None):
+        """Real maps [..., npix] from alm[..., lmax+1, mmax+1].
+
+        ``lam``: optional precomputed Legendre tensor (see
+        :meth:`precompute_legendre`).
+        """
         rdtype = alm.real.dtype
+        if lam is not None:
+            G = jnp.einsum("...lm,lmr->...rm", alm, lam.astype(alm.dtype))
+            return self._ring_synthesis(G)
         Gs = []
         for m_vals in self._m_chunks():
-            lam = self._legendre_block(m_vals, rdtype)  # [L+1, C, R]
-            lam_t = jnp.transpose(lam, (1, 0, 2))  # [C, L+1, R]
+            lam_c = self._legendre_block(m_vals, rdtype)  # [L+1, C, R]
+            lam_t = jnp.transpose(lam_c, (1, 0, 2))  # [C, L+1, R]
             alm_c = jnp.moveaxis(alm[..., m_vals], -1, -2)  # [..., C, L+1]
             G_c = jnp.einsum("...cl,clr->...cr", alm_c, lam_t.astype(alm.dtype))
             Gs.append(jnp.moveaxis(G_c, -2, -1))  # [..., R, C]

@@ -161,13 +161,16 @@ class BeamTransfer:
         # The beam maps already carry the pixel solid angle; undo the SHT's
         # internal quadrature weight.
         scale = 1.0 / (4 * np.pi / healpix.npix_of(self.beam_nside))
+        # Compute the Legendre tensor once: the per-frequency transforms
+        # become pure batched GEMMs with no sequential l-recurrence.
+        lam = jax.jit(lambda: s.precompute_legendre(jnp.float32))()
         for fi in range(tel.nfreq):
             bmaps = self._beam_fringe_maps(fi)  # [nbase, npol, npix]
-            # Bp = conj(SHT(conj B)); Bm = conj(SHT(B))
-            alm_pos = s._analysis_j(bmaps)
-            alm_conj = s._analysis_j(jnp.conj(bmaps))
-            bp_f.append(jnp.conj(alm_conj) * scale)
-            bm_f.append(jnp.conj(alm_pos) * scale)
+            # Bp = conj(SHT(conj B)); Bm = conj(SHT(B)): one batched call
+            both = jnp.stack([bmaps, jnp.conj(bmaps)])
+            alm2 = s._analysis_j(both, lam=lam)
+            bp_f.append(jnp.conj(alm2[1]) * scale)
+            bm_f.append(jnp.conj(alm2[0]) * scale)
         self._bp = jnp.stack(bp_f).astype(jnp.complex64)
         self._bm = jnp.stack(bm_f).astype(jnp.complex64)
         # The m = 0 negative block duplicates conj(V_0); the m-mode
