@@ -370,8 +370,15 @@ class SHT:
         w = jnp.asarray(self._w, dtype=rdtype)
         Fw = F * w[:, None]
         if lam is not None:
-            # batch over m, contract rings: one batched GEMM on the MXU
-            return jnp.einsum("...rm,lmr->...lm", Fw, lam.astype(Fw.dtype))
+            # batch over m, contract rings: one batched GEMM on the MXU.
+            # lam is real — contract the real and imaginary parts as two
+            # REAL GEMMs (half the FLOPs of a complex x complex contraction)
+            lam_r = lam.astype(rdtype)
+            if jnp.iscomplexobj(Fw):
+                ar = jnp.einsum("...rm,lmr->...lm", Fw.real, lam_r)
+                ai = jnp.einsum("...rm,lmr->...lm", Fw.imag, lam_r)
+                return jax.lax.complex(ar, ai)
+            return jnp.einsum("...rm,lmr->...lm", Fw, lam_r)
         out = []
         for m_vals in self._m_chunks():
             lam_c = self._legendre_block(m_vals, rdtype)  # [L+1, C, R]
@@ -390,7 +397,15 @@ class SHT:
         """
         rdtype = alm.real.dtype
         if lam is not None:
-            G = jnp.einsum("...lm,lmr->...rm", alm, lam.astype(alm.dtype))
+            lam_r = lam.astype(rdtype)
+            if jnp.iscomplexobj(alm):
+                gr = jnp.einsum("...lm,lmr->...rm", alm.real, lam_r)
+                gi = jnp.einsum("...lm,lmr->...rm", alm.imag, lam_r)
+                G = jax.lax.complex(gr, gi)
+            else:
+                G = jnp.einsum("...lm,lmr->...rm", alm, lam_r).astype(
+                    jnp.complex64 if rdtype == jnp.float32 else jnp.complex128
+                )
             return self._ring_synthesis(G)
         Gs = []
         for m_vals in self._m_chunks():
