@@ -175,3 +175,16 @@ def test_random_task_reproducible():
     assert not np.array_equal(
         jax.random.key_data(k1), jax.random.key_data(k2)
     )
+
+
+def test_example_configs_lint():
+    """The shipped example configs pass the pipeline linter."""
+    import os
+
+    from draco_tpu.core.pipeline import Manager
+
+    here = os.path.join(os.path.dirname(__file__), "..", "examples")
+    for name in ("simulate.yaml", "analyze.yaml"):
+        mgr = Manager.from_yaml_file(os.path.join(here, name))
+        problems = mgr.lint()
+        assert not problems, problems
