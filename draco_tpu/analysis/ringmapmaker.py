@@ -27,6 +27,27 @@ from .transform import TelescopeStreamMixIn
 C_LIGHT = 299792458.0
 
 
+def find_basis(baselines):
+    """Unit vectors of the (mostly-X, mostly-Y) grid axes.
+
+    (reference ringmapmaker.py:1715-1742)
+    """
+    baselines = np.asarray(baselines)
+    bl = np.sum(baselines**2, axis=1)
+    bl = np.where(bl == 0, 1e30, bl)
+    ind = int(np.argmin(bl))
+
+    e1 = baselines[ind]
+    e2 = np.array([e1[1], -e1[0]])
+
+    xh, yh = (e1, e2) if abs(e1[0]) > abs(e2[0]) else (e2, e1)
+
+    xh = xh / np.dot(xh, xh) ** 0.5 * np.sign(xh[0] if xh[0] != 0 else 1.0)
+    yh = yh / np.dot(yh, yh) ** 0.5 * np.sign(yh[1] if yh[1] != 0 else 1.0)
+
+    return xh, yh
+
+
 def find_grid_indices(baselines):
     """Integer grid indices and minimum separations of a cartesian layout.
 
