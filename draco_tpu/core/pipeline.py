@@ -92,6 +92,10 @@ class _TaskRunner:
         self.setup_done = False
         self.done = False
         self.finished = False
+        # Per-task observability: cumulative wall-clock and call counts
+        # (the profiling hook SURVEY.md section 5 calls for)
+        self.wall_time = 0.0
+        self.n_calls = 0
 
     @property
     def name(self) -> str:
@@ -129,6 +133,13 @@ class Manager(config_mod.Reader):
         )
         self._configure_logging(pipeline_cfg.get("logging"))
         self.products: dict[str, list] = {}
+        # Observability knobs: `timing: true` logs a per-task wall-clock
+        # summary after the run; `profile: <dir>` wraps the run in a JAX
+        # profiler trace written to that directory (view with
+        # tensorboard/xprof)
+        self.timing = bool(pipeline_cfg.get("timing", False))
+        self.profile_dir = pipeline_cfg.get("profile")
+        self.task_timing: dict[str, dict] = {}
 
     # -- constructors --------------------------------------------------------
     @classmethod
@@ -199,8 +210,31 @@ class Manager(config_mod.Reader):
 
     # -- execution ---------------------------------------------------------------
     def run(self) -> dict[str, list]:
-        """Execute the pipeline; returns the products routed by label."""
+        """Execute the pipeline; returns the products routed by label.
+
+        With ``pipeline.profile: <dir>`` the run is wrapped in a JAX
+        profiler trace; with ``pipeline.timing: true`` a per-task
+        wall-clock summary is logged and stored in ``self.task_timing``.
+        """
+        if self.profile_dir:
+            import jax
+
+            with jax.profiler.trace(str(self.profile_dir)):
+                return self._run()
+        return self._run()
+
+    def _run(self) -> dict[str, list]:
+        import time as _time
+
         runners = [_TaskRunner(spec, i) for i, spec in enumerate(self.task_specs)]
+
+        def timed(runner, fn, *args):
+            t0 = _time.perf_counter()
+            try:
+                return fn(*args)
+            finally:
+                runner.wall_time += _time.perf_counter() - t0
+                runner.n_calls += 1
 
         # index consumers by label
         consumers_req: dict[str, list[tuple[_TaskRunner, int]]] = {}
@@ -257,7 +291,7 @@ class Manager(config_mod.Reader):
                 return
             runner.done = True
             try:
-                out = runner.task.finish()
+                out = timed(runner, runner.task.finish)
                 route(runner, out)
             finally:
                 runner.finished = True
@@ -273,7 +307,7 @@ class Manager(config_mod.Reader):
                 # convention: `out: [tel, bt]` wired from setup,
                 # reference test/pipe_config.yaml:16-19).
                 if r.ready_for_setup():
-                    setup_ret = r.task.setup(*r.requires_values)
+                    setup_ret = timed(r, r.task.setup, *r.requires_values)
                     r.setup_done = True
                     if setup_ret is not None:
                         route(r, setup_ret)
@@ -298,7 +332,7 @@ class Manager(config_mod.Reader):
                 # Process
                 if r.is_source():
                     try:
-                        out = r.task.next()
+                        out = timed(r, r.task.next)
                         route(r, out)
                         progress = True
                     except PipelineStopIteration:
@@ -308,7 +342,7 @@ class Manager(config_mod.Reader):
                     while r.can_process():
                         items = [q.popleft() for q in r.queues]
                         try:
-                            out = r.task.next(*items)
+                            out = timed(r, r.task.next, *items)
                             route(r, out)
                             progress = True
                         except PipelineStopIteration:
@@ -326,6 +360,18 @@ class Manager(config_mod.Reader):
                 stuck = [r.name for r in runners if not r.finished]
                 raise PipelineRuntimeError(
                     f"Pipeline deadlocked; unfinished tasks: {stuck}"
+                )
+
+        self.task_timing = {
+            r.name: {"wall": r.wall_time, "calls": r.n_calls} for r in runners
+        }
+        if self.timing:
+            total = sum(r.wall_time for r in runners) or 1.0
+            logger.info("Per-task wall-clock summary:")
+            for r in sorted(runners, key=lambda x: -x.wall_time):
+                logger.info(
+                    f"  {r.name:<60s} {r.wall_time:9.3f}s "
+                    f"({100 * r.wall_time / total:5.1f}%) in {r.n_calls} calls"
                 )
         return self.products
 
