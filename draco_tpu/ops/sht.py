@@ -166,6 +166,21 @@ class SHT:
         sign = 1.0 if conj else -1.0
         return jax.lax.complex(jnp.cos(arg), sign * jnp.sin(arg)).astype(dtype)
 
+    def _belt_dft_matrix(self, dtype, conj: bool = False) -> jnp.ndarray:
+        """W[j, m] = exp(-+2 pi i j m / nphi) for the equal-nphi belt rings.
+
+        On TPU a dense DFT matmul onto the MXU beats XLA's FFT lowering for
+        these sizes (measured ~2.6x at nphi=1024, mmax=767), despite the
+        ~60x FLOP overhead — the MXU's matmul throughput dwarfs the FFT's
+        effective rate.  Built on device (small: nphi x (mmax+1)).
+        """
+        rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+        j = jnp.arange(self._belt_nphi, dtype=rdt)[:, None]
+        mv = jnp.asarray(self._m, dtype=rdt)[None, :]
+        arg = (2 * np.pi / self._belt_nphi) * j * mv
+        sign = 1.0 if conj else -1.0
+        return jax.lax.complex(jnp.cos(arg), sign * jnp.sin(arg)).astype(dtype)
+
     def _cap_dft_matrix(self, m_vals: np.ndarray, dtype) -> jnp.ndarray:
         """P[r, j, m] = mask * exp(-i m phi_rj) for a chunk of m values.
 
@@ -198,10 +213,16 @@ class SHT:
         belt = jax.lax.dynamic_slice_in_dim(
             maps, self._belt_off, self._belt_len, axis=-1
         ).reshape(maps.shape[:-1] + (len(self._belt_rings), self._belt_nphi))
-        fft = jnp.fft.fft(belt.astype(cdtype), axis=-1)
-        F_belt = fft[..., : self.mmax + 1] * self._ring_phase(
-            self._belt_rings, cdtype
-        )
+        if cdtype == jnp.complex64:
+            # Dense DFT matmul — faster than XLA's TPU FFT (see
+            # _belt_dft_matrix).  Exact for any mmax: the direct sum is
+            # the definition of F_m, no FFT-bin aliasing involved.
+            F_raw = belt.astype(cdtype) @ self._belt_dft_matrix(cdtype)
+        else:
+            F_raw = jnp.fft.fft(belt.astype(cdtype), axis=-1)[
+                ..., : self.mmax + 1
+            ]
+        F_belt = F_raw * self._ring_phase(self._belt_rings, cdtype)
 
         if not self._ncap:
             return F_belt
@@ -234,13 +255,24 @@ class SHT:
             self._belt_rings, cdtype, conj=True
         )
         nphi = self._belt_nphi
-        bins = jnp.zeros(g_belt.shape[:-1] + (nphi,), dtype=cdtype)
-        # add (not set): at m = nphi/2 the +m and -m contributions alias
-        # into the same bin and must sum (2 Re of the coefficient)
-        bins = bins.at[..., : self.mmax + 1].add(g_belt)
-        neg = jnp.conj(g_belt[..., 1:])[..., ::-1]  # m = mmax .. 1
-        bins = bins.at[..., nphi - self.mmax :].add(neg)
-        f_belt = jnp.fft.ifft(bins, axis=-1).real * nphi
+        if cdtype == jnp.complex64:
+            # Dense inverse DFT as two real GEMMs (MXU) — beats XLA's TPU
+            # iFFT.  f(j) = Re sum_m c_m G_m e^{+i m phi_j} with c_0 = 1,
+            # c_{m>0} = 2 (real-field hermitian doubling); the direct sum
+            # is exact for any mmax (no FFT-bin alias handling needed).
+            cm = np.ones(self.mmax + 1, dtype=np.float32)
+            cm[1:] = 2.0
+            gd = g_belt * jnp.asarray(cm, dtype=cdtype)
+            Wc = self._belt_dft_matrix(cdtype, conj=True)  # [nphi, M+1]
+            f_belt = gd.real @ Wc.real.T - gd.imag @ Wc.imag.T
+        else:
+            bins = jnp.zeros(g_belt.shape[:-1] + (nphi,), dtype=cdtype)
+            # add (not set): at m = nphi/2 the +m and -m contributions
+            # alias into the same bin and must sum (2 Re of the coeff)
+            bins = bins.at[..., : self.mmax + 1].add(g_belt)
+            neg = jnp.conj(g_belt[..., 1:])[..., ::-1]  # m = mmax .. 1
+            bins = bins.at[..., nphi - self.mmax :].add(neg)
+            f_belt = jnp.fft.ifft(bins, axis=-1).real * nphi
         f_belt = f_belt.reshape(f_belt.shape[:-2] + (self._belt_len,))
 
         if not self._ncap:
