@@ -31,6 +31,11 @@ NFEED_SIDE = int(os.environ.get("BENCH_NFEED_SIDE", 8))  # 64 feeds
 # 416 = 2080/5: biggest batch that fits HBM alongside the Legendre tensor,
 # and an exact divisor of the pair count (no padded work)
 CHUNK = int(os.environ.get("BENCH_CHUNK", 208))
+
+# JAX's TPU matmul default is single-pass bf16 (~3e-3 error); the 1e-5
+# map-accuracy target requires HIGHEST (f32-equivalent) on every GEMM.
+import jax.lax as _lax
+PREC = _lax.Precision.HIGHEST
 NRUN = int(os.environ.get("BENCH_NRUN", 2))
 
 
@@ -112,11 +117,17 @@ def main():
         The two analyses (map and conjugate map) run as ONE batched
         transform against the precomputed Legendre tensor.
         """
-        phase = 2 * jnp.pi * (bl_chunk @ vec_d.T)  # [C, npix]
-        bmap = beam_d[None, :] * jnp.exp(1j * phase)
-        both = jnp.stack([bmap, jnp.conj(bmap)])  # [2, C, npix]
-        alm2 = s._analysis_impl(both, lam=lam)
-        return jnp.conj(alm2[1]) * scale, jnp.conj(alm2[0]) * scale
+        phase = 2 * jnp.pi * jnp.matmul(bl_chunk, vec_d.T, precision=PREC)  # [C, npix]
+        # Analysis is linear: alm(bmap) = alm(Re) + i alm(Im) and
+        # alm(conj bmap) = alm(Re) - i alm(Im), so ONE real-input batched
+        # transform of [Re, Im] yields both — real x complex ring GEMMs at
+        # half the FLOPs (and half the HBM) of the complex-pair transform.
+        re = beam_d[None, :] * jnp.cos(phase)
+        im = beam_d[None, :] * jnp.sin(phase)
+        alm_ri = s._analysis_impl(jnp.stack([re, im]), lam=lam)  # [2, C, L, M]
+        alm_f = alm_ri[0] + 1j * alm_ri[1]  # alm(bmap)
+        alm_c = alm_ri[0] - 1j * alm_ri[1]  # alm(conj bmap)
+        return jnp.conj(alm_c) * scale, jnp.conj(alm_f) * scale
 
     # The ENTIRE round trip is one compiled executable: the remote-compile
     # latency of the TPU tunnel makes every separate dispatch expensive, and
@@ -136,8 +147,8 @@ def main():
         def fwd_body(c, vis_acc):
             blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
             bp, bm = beam_transfer_chunk(blc, lam)
-            vp = jnp.einsum("blm,lm->mb", bp, alm.astype(bp.dtype))
-            vm = jnp.einsum("blm,lm->mb", bm, alm.astype(bm.dtype))
+            vp = jnp.einsum("blm,lm->mb", bp, alm.astype(bp.dtype), precision=PREC)
+            vm = jnp.einsum("blm,lm->mb", bm, alm.astype(bm.dtype), precision=PREC)
             chunk = jnp.stack([vp, vm], axis=1)  # [M+1, 2, C]
             return jax.lax.dynamic_update_slice_in_dim(
                 vis_acc, chunk, c * CHUNK, axis=2
@@ -158,8 +169,8 @@ def main():
             blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
             vc = jax.lax.dynamic_slice_in_dim(vis_m2, c * CHUNK, CHUNK, 2)
             bp, bm = beam_transfer_chunk(blc, lam)
-            a = jnp.einsum("blm,mb->lm", jnp.conj(bp), vc[:, 0])
-            a = a + jnp.einsum("blm,mb->lm", jnp.conj(bm), vc[:, 1])
+            a = jnp.einsum("blm,mb->lm", jnp.conj(bp), vc[:, 0], precision=PREC)
+            a = a + jnp.einsum("blm,mb->lm", jnp.conj(bm), vc[:, 1], precision=PREC)
             return a_acc + a
 
         a0 = jnp.zeros((lmax + 1, lmax + 1), jnp.complex64)

@@ -32,6 +32,12 @@ __all__ = ["SHT", "alm2map", "map2alm", "sphtrans_sky", "sphtrans_inv_sky"]
 
 # Power-of-two block for the dynamic rescaling of the Legendre recurrence.
 _SCALE_BITS = 60
+
+# All SHT contractions run at HIGHEST matmul precision: JAX's TPU default
+# is single-pass bfloat16 (~3e-3 relative error), which destroys the 1e-5
+# map accuracy target.  HIGHEST (six-pass bf16 emulation of f32) measures
+# ~1.7e-7 per GEMM and end-to-end matches CPU float32 (~1e-5 vs f64).
+_PREC = jax.lax.Precision.HIGHEST
 _LN2 = float(np.log(2.0))
 
 
@@ -217,7 +223,11 @@ class SHT:
             # Dense DFT matmul — faster than XLA's TPU FFT (see
             # _belt_dft_matrix).  Exact for any mmax: the direct sum is
             # the definition of F_m, no FFT-bin aliasing involved.
-            F_raw = belt.astype(cdtype) @ self._belt_dft_matrix(cdtype)
+            F_raw = jnp.matmul(
+                belt.astype(cdtype),
+                self._belt_dft_matrix(cdtype),
+                precision=_PREC,
+            )
         else:
             F_raw = jnp.fft.fft(belt.astype(cdtype), axis=-1)[
                 ..., : self.mmax + 1
@@ -233,7 +243,9 @@ class SHT:
         F_cap_parts = []
         for m_vals in self._m_chunks():
             P = self._cap_dft_matrix(m_vals, cdtype)  # [ncap, width, C]
-            F_cap_parts.append(jnp.einsum("...rj,rjm->...rm", cap, P))
+            F_cap_parts.append(
+                jnp.einsum("...rj,rjm->...rm", cap, P, precision=_PREC)
+            )
         F_cap = jnp.concatenate(F_cap_parts, axis=-1)  # [..., ncap, M+1]
 
         return jnp.concatenate(
@@ -264,7 +276,9 @@ class SHT:
             cm[1:] = 2.0
             gd = g_belt * jnp.asarray(cm, dtype=cdtype)
             Wc = self._belt_dft_matrix(cdtype, conj=True)  # [nphi, M+1]
-            f_belt = gd.real @ Wc.real.T - gd.imag @ Wc.imag.T
+            f_belt = jnp.matmul(gd.real, Wc.real.T, precision=_PREC) - jnp.matmul(
+                gd.imag, Wc.imag.T, precision=_PREC
+            )
         else:
             bins = jnp.zeros(g_belt.shape[:-1] + (nphi,), dtype=cdtype)
             # add (not set): at m = nphi/2 the +m and -m contributions
@@ -290,7 +304,10 @@ class SHT:
             # Re(sum_m c_m G_m conj(P)) ; conj(P) = exp(+i m phi)
             f_cap_parts.append(
                 jnp.einsum(
-                    "...rm,rjm->...rj", g_cap[..., m_vals] * coeff, jnp.conj(P)
+                    "...rm,rjm->...rj",
+                    g_cap[..., m_vals] * coeff,
+                    jnp.conj(P),
+                    precision=_PREC,
                 ).real
             )
         f_cap = sum(f_cap_parts)  # [..., ncap, width]
@@ -407,17 +424,19 @@ class SHT:
             # REAL GEMMs (half the FLOPs of a complex x complex contraction)
             lam_r = lam.astype(rdtype)
             if jnp.iscomplexobj(Fw):
-                ar = jnp.einsum("...rm,lmr->...lm", Fw.real, lam_r)
-                ai = jnp.einsum("...rm,lmr->...lm", Fw.imag, lam_r)
+                ar = jnp.einsum("...rm,lmr->...lm", Fw.real, lam_r, precision=_PREC)
+                ai = jnp.einsum("...rm,lmr->...lm", Fw.imag, lam_r, precision=_PREC)
                 return jax.lax.complex(ar, ai)
-            return jnp.einsum("...rm,lmr->...lm", Fw, lam_r)
+            return jnp.einsum("...rm,lmr->...lm", Fw, lam_r, precision=_PREC)
         out = []
         for m_vals in self._m_chunks():
             lam_c = self._legendre_block(m_vals, rdtype)  # [L+1, C, R]
             lam_t = jnp.transpose(lam_c, (1, 2, 0))  # [C, R, L+1]
             Fc = jnp.moveaxis(Fw[..., m_vals], -1, -2)  # [..., C, R]
             # alm_c[..., C, L+1]: batched over C, contraction over rings (MXU)
-            alm_c = jnp.einsum("...cr,crl->...cl", Fc, lam_t.astype(Fc.dtype))
+            alm_c = jnp.einsum(
+                "...cr,crl->...cl", Fc, lam_t.astype(Fc.dtype), precision=_PREC
+            )
             out.append(jnp.moveaxis(alm_c, -2, -1))  # [..., L+1, C]
         return jnp.concatenate(out, axis=-1)  # [..., L+1, M+1]
 
@@ -431,11 +450,13 @@ class SHT:
         if lam is not None:
             lam_r = lam.astype(rdtype)
             if jnp.iscomplexobj(alm):
-                gr = jnp.einsum("...lm,lmr->...rm", alm.real, lam_r)
-                gi = jnp.einsum("...lm,lmr->...rm", alm.imag, lam_r)
+                gr = jnp.einsum("...lm,lmr->...rm", alm.real, lam_r, precision=_PREC)
+                gi = jnp.einsum("...lm,lmr->...rm", alm.imag, lam_r, precision=_PREC)
                 G = jax.lax.complex(gr, gi)
             else:
-                G = jnp.einsum("...lm,lmr->...rm", alm, lam_r).astype(
+                G = jnp.einsum(
+                    "...lm,lmr->...rm", alm, lam_r, precision=_PREC
+                ).astype(
                     jnp.complex64 if rdtype == jnp.float32 else jnp.complex128
                 )
             return self._ring_synthesis(G)
@@ -444,7 +465,9 @@ class SHT:
             lam_c = self._legendre_block(m_vals, rdtype)  # [L+1, C, R]
             lam_t = jnp.transpose(lam_c, (1, 0, 2))  # [C, L+1, R]
             alm_c = jnp.moveaxis(alm[..., m_vals], -1, -2)  # [..., C, L+1]
-            G_c = jnp.einsum("...cl,clr->...cr", alm_c, lam_t.astype(alm.dtype))
+            G_c = jnp.einsum(
+                "...cl,clr->...cr", alm_c, lam_t.astype(alm.dtype), precision=_PREC
+            )
             Gs.append(jnp.moveaxis(G_c, -2, -1))  # [..., R, C]
         G = jnp.concatenate(Gs, axis=-1)  # [..., R, M+1]
         # _ring_synthesis folds in the exp(+i m phi0) pixel phase itself.

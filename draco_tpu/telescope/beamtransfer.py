@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 
 import jax
+from ..ops.sht import _PREC
 import jax.numpy as jnp
 import numpy as np
 
@@ -221,8 +222,8 @@ class BeamTransfer:
         """
         self.generate()
         alm = jnp.asarray(alm)
-        vp = jnp.einsum("fbplm,fplm->mfb", self._bp, alm.astype(self._bp.dtype))
-        vm = jnp.einsum("fbplm,fplm->mfb", self._bm, alm.astype(self._bm.dtype))
+        vp = jnp.einsum("fbplm,fplm->mfb", self._bp, alm.astype(self._bp.dtype), precision=_PREC)
+        vm = jnp.einsum("fbplm,fplm->mfb", self._bm, alm.astype(self._bm.dtype), precision=_PREC)
         return jnp.stack([vp, vm], axis=1)
 
     def project_telescope_to_sky_dirty(self, vis, weight) -> jnp.ndarray:
@@ -246,8 +247,8 @@ class BeamTransfer:
         """
         self.generate()
         wv = jnp.asarray(vis) * jnp.asarray(weight)
-        a_p = jnp.einsum("fbplm,mfb->fplm", jnp.conj(self._bp), wv[:, 0].astype(self._bp.dtype))
-        a_m = jnp.einsum("fbplm,mfb->fplm", jnp.conj(self._bm), wv[:, 1].astype(self._bm.dtype))
+        a_p = jnp.einsum("fbplm,mfb->fplm", jnp.conj(self._bp), wv[:, 0].astype(self._bp.dtype), precision=_PREC)
+        a_m = jnp.einsum("fbplm,mfb->fplm", jnp.conj(self._bm), wv[:, 1].astype(self._bm.dtype), precision=_PREC)
         return a_p + a_m
 
     # -- SVD products -------------------------------------------------------------
@@ -323,7 +324,7 @@ class BeamTransfer:
             vis.shape[0], vis.shape[2], self.ntel
         )  # [M+1, f, ntel]
         U = self._svd["U"]  # [f, M1, ntel, k]
-        out = jnp.einsum("fmtk,mft->mfk", jnp.conj(U), tm.astype(U.dtype))
+        out = jnp.einsum("fmtk,mft->mfk", jnp.conj(U), tm.astype(U.dtype), precision=_PREC)
         return out * jnp.moveaxis(self._svd["keep"], 0, 1)
 
     # -- persistence -----------------------------------------------------------
