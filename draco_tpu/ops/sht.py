@@ -219,15 +219,21 @@ class SHT:
         belt = jax.lax.dynamic_slice_in_dim(
             maps, self._belt_off, self._belt_len, axis=-1
         ).reshape(maps.shape[:-1] + (len(self._belt_rings), self._belt_nphi))
+        is_real = not jnp.iscomplexobj(maps)
         if cdtype == jnp.complex64:
             # Dense DFT matmul — faster than XLA's TPU FFT (see
             # _belt_dft_matrix).  Exact for any mmax: the direct sum is
             # the definition of F_m, no FFT-bin aliasing involved.
-            F_raw = jnp.matmul(
-                belt.astype(cdtype),
-                self._belt_dft_matrix(cdtype),
-                precision=_PREC,
-            )
+            W = self._belt_dft_matrix(cdtype)
+            if is_real:
+                # real x complex: two real GEMMs — half the FLOPs of
+                # up-casting the input to complex first
+                F_raw = jax.lax.complex(
+                    jnp.matmul(belt, W.real, precision=_PREC),
+                    jnp.matmul(belt, W.imag, precision=_PREC),
+                )
+            else:
+                F_raw = jnp.matmul(belt, W, precision=_PREC)
         else:
             F_raw = jnp.fft.fft(belt.astype(cdtype), axis=-1)[
                 ..., : self.mmax + 1
@@ -239,13 +245,26 @@ class SHT:
 
         # Caps: m-chunked dense DFT matmuls
         cap = maps[..., jnp.asarray(self._cap_idx)]  # [..., ncap, width]
-        cap = cap.astype(cdtype)
+        if not (is_real and cdtype == jnp.complex64):
+            cap = cap.astype(cdtype)
         F_cap_parts = []
         for m_vals in self._m_chunks():
             P = self._cap_dft_matrix(m_vals, cdtype)  # [ncap, width, C]
-            F_cap_parts.append(
-                jnp.einsum("...rj,rjm->...rm", cap, P, precision=_PREC)
-            )
+            if is_real and cdtype == jnp.complex64:
+                F_cap_parts.append(
+                    jax.lax.complex(
+                        jnp.einsum(
+                            "...rj,rjm->...rm", cap, P.real, precision=_PREC
+                        ),
+                        jnp.einsum(
+                            "...rj,rjm->...rm", cap, P.imag, precision=_PREC
+                        ),
+                    )
+                )
+            else:
+                F_cap_parts.append(
+                    jnp.einsum("...rj,rjm->...rm", cap, P, precision=_PREC)
+                )
         F_cap = jnp.concatenate(F_cap_parts, axis=-1)  # [..., ncap, M+1]
 
         return jnp.concatenate(
