@@ -16,4 +16,21 @@ MPI collectives become XLA collectives over ICI.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# JAX's TPU matmul default is single-pass bfloat16 (~3e-3 relative error
+# per GEMM) — measured 6e-2 end-to-end error on the simulate->map spine,
+# versus the 1e-5 science requirement.  A radio-cosmology framework must
+# not silently compute at bf16, so default every dot to f32-equivalent
+# precision unless the user has already chosen one themselves.  (The SHT
+# additionally pins Precision.HIGHEST per-contraction; this covers the
+# rest of the task library.)  Opt out with DRACO_TPU_KEEP_MATMUL_PRECISION.
+if (
+    _jax.config.jax_default_matmul_precision is None
+    and not _os.environ.get("DRACO_TPU_KEEP_MATMUL_PRECISION")
+):
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from . import parallel  # noqa: F401
