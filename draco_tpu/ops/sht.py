@@ -160,8 +160,27 @@ class SHT:
             self._cap_idx = idx
             self._cap_mask = mask
             self._cap_phi = phi
+            # Width-split row groups: cap ring k has nphi = 4k, so ~half
+            # of the padded [ncap, width] tensor is zeros.  Splitting rows
+            # into a half-width and a full-width group removes ~25% of the
+            # cap GEMM and gather work exactly (no approximation).
+            nphi_rows = info.nphi[np.asarray(self._cap_rings)]
+            bounds = [width // 2, width]  # 3-way splits measured slower
+            groups = []
+            lo = 0
+            for w in bounds:
+                rows_arr = np.nonzero((nphi_rows > lo) & (nphi_rows <= w))[0]
+                if len(rows_arr):
+                    groups.append((rows_arr, int(w)))
+                lo = w
+            self._cap_wgroups = groups
+            # row r of the cap tensor sits at position worder[r] in the
+            # concatenation of the group outputs
+            src_rows = np.concatenate([g[0] for g in groups])
+            self._cap_worder = np.argsort(src_rows)
         else:
             self._cap_width = 0
+            self._cap_wgroups = []
 
     def _ring_phase(self, ring_sel, dtype, conj: bool = False) -> jnp.ndarray:
         """exp(-+i m phi0_r) for the selected rings, built on device."""
@@ -187,16 +206,23 @@ class SHT:
         sign = 1.0 if conj else -1.0
         return jax.lax.complex(jnp.cos(arg), sign * jnp.sin(arg)).astype(dtype)
 
-    def _cap_dft_matrix(self, m_vals: np.ndarray, dtype) -> jnp.ndarray:
+    def _cap_dft_matrix(self, m_vals: np.ndarray, dtype, group=None) -> jnp.ndarray:
         """P[r, j, m] = mask * exp(-i m phi_rj) for a chunk of m values.
 
-        Built on device from the small [ncap, width] phase table — a large
-        host-side constant here would be serialised into the HLO and make
-        compiles over the remote-TPU tunnel pathologically slow.
+        ``group``: optional (rows, width) pair restricting to a width-split
+        row group (see _build_groups).  Built on device from the small
+        [nrows, width] phase table — a large host-side constant here would
+        be serialised into the HLO and make compiles over the remote-TPU
+        tunnel pathologically slow.
         """
         rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
-        phi = jnp.asarray(self._cap_phi, dtype=rdt)
-        mask = jnp.asarray(self._cap_mask, dtype=rdt)
+        if group is not None:
+            rows_arr, w = group
+            phi = jnp.asarray(self._cap_phi[rows_arr][:, :w], dtype=rdt)
+            mask = jnp.asarray(self._cap_mask[rows_arr][:, :w], dtype=rdt)
+        else:
+            phi = jnp.asarray(self._cap_phi, dtype=rdt)
+            mask = jnp.asarray(self._cap_mask, dtype=rdt)
         mv = jnp.asarray(m_vals, dtype=rdt)
         arg = phi[:, :, None] * mv[None, None, :]
         return (
@@ -243,29 +269,36 @@ class SHT:
         if not self._ncap:
             return F_belt
 
-        # Caps: m-chunked dense DFT matmuls
-        cap = maps[..., jnp.asarray(self._cap_idx)]  # [..., ncap, width]
-        if not (is_real and cdtype == jnp.complex64):
-            cap = cap.astype(cdtype)
-        F_cap_parts = []
-        for m_vals in self._m_chunks():
-            P = self._cap_dft_matrix(m_vals, cdtype)  # [ncap, width, C]
-            if is_real and cdtype == jnp.complex64:
-                F_cap_parts.append(
-                    jax.lax.complex(
-                        jnp.einsum(
-                            "...rj,rjm->...rm", cap, P.real, precision=_PREC
-                        ),
-                        jnp.einsum(
-                            "...rj,rjm->...rm", cap, P.imag, precision=_PREC
-                        ),
+        # Caps: m-chunked dense DFT matmuls over width-split row groups
+        # (half-width rings avoid GEMM-ing their zero padding)
+        group_F = []
+        for grp in self._cap_wgroups:
+            rows_arr, w = grp
+            cap = maps[..., jnp.asarray(self._cap_idx[rows_arr][:, :w])]
+            if not (is_real and cdtype == jnp.complex64):
+                cap = cap.astype(cdtype)
+            parts = []
+            for m_vals in self._m_chunks():
+                P = self._cap_dft_matrix(m_vals, cdtype, group=grp)
+                if is_real and cdtype == jnp.complex64:
+                    parts.append(
+                        jax.lax.complex(
+                            jnp.einsum(
+                                "...rj,rjm->...rm", cap, P.real, precision=_PREC
+                            ),
+                            jnp.einsum(
+                                "...rj,rjm->...rm", cap, P.imag, precision=_PREC
+                            ),
+                        )
                     )
-                )
-            else:
-                F_cap_parts.append(
-                    jnp.einsum("...rj,rjm->...rm", cap, P, precision=_PREC)
-                )
-        F_cap = jnp.concatenate(F_cap_parts, axis=-1)  # [..., ncap, M+1]
+                else:
+                    parts.append(
+                        jnp.einsum("...rj,rjm->...rm", cap, P, precision=_PREC)
+                    )
+            group_F.append(jnp.concatenate(parts, axis=-1))
+        F_cap = jnp.concatenate(group_F, axis=-2)[
+            ..., jnp.asarray(self._cap_worder), :
+        ]  # [..., ncap, M+1] in cap-row order
 
         return jnp.concatenate(
             [F_cap[..., :ncap_n, :], F_belt, F_cap[..., ncap_n:, :]], axis=-2
@@ -311,33 +344,42 @@ class SHT:
         if not self._ncap:
             return f_belt
 
-        # Caps: dense inverse DFT with the m>0 doubling for a real field
+        # Caps: dense inverse DFT with the m>0 doubling for a real field,
+        # over the width-split row groups (no GEMM work on zero padding)
         cap_ring_sel = self._cap_rings
-        g_cap = G[..., jnp.asarray(cap_ring_sel), :]
         cm = np.ones(self.mmax + 1)
         cm[1:] = 2.0
-        f_cap_parts = []
-        for m_vals in self._m_chunks():
-            P = self._cap_dft_matrix(m_vals, cdtype)  # exp(-i m phi)
-            coeff = jnp.asarray(cm[m_vals], dtype=cdtype)
-            # Re(sum_m c_m G_m conj(P)) ; conj(P) = exp(+i m phi)
-            f_cap_parts.append(
-                jnp.einsum(
-                    "...rm,rjm->...rj",
-                    g_cap[..., m_vals] * coeff,
-                    jnp.conj(P),
-                    precision=_PREC,
-                ).real
-            )
-        f_cap = sum(f_cap_parts)  # [..., ncap, width]
+        ring_sel = np.asarray(cap_ring_sel)
+        f_groups = []
+        row_src = {}
+        for gi, grp in enumerate(self._cap_wgroups):
+            rows_arr, w = grp
+            for i, r in enumerate(rows_arr):
+                row_src[int(r)] = (gi, i)
+            g_cap = G[..., jnp.asarray(ring_sel[rows_arr]), :]
+            parts = []
+            for m_vals in self._m_chunks():
+                P = self._cap_dft_matrix(m_vals, cdtype, group=grp)
+                coeff = jnp.asarray(cm[m_vals], dtype=cdtype)
+                # Re(sum_m c_m G_m conj(P)) ; conj(P) = exp(+i m phi)
+                parts.append(
+                    jnp.einsum(
+                        "...rm,rjm->...rj",
+                        g_cap[..., m_vals] * coeff,
+                        jnp.conj(P),
+                        precision=_PREC,
+                    ).real
+                )
+            f_groups.append(sum(parts))  # [..., nrows_g, w_g]
 
         # Scatter cap rings back into the pixel vector
-        north = [
-            f_cap[..., k, : int(self.info.nphi[r])]
-            for k, r in enumerate(cap_ring_sel[: ncap_n])
-        ]
+        def ring_pix(k, r):
+            gi, i = row_src[k]
+            return f_groups[gi][..., i, : int(self.info.nphi[r])]
+
+        north = [ring_pix(k, r) for k, r in enumerate(cap_ring_sel[:ncap_n])]
         south = [
-            f_cap[..., k + ncap_n, : int(self.info.nphi[r])]
+            ring_pix(k + ncap_n, r)
             for k, r in enumerate(cap_ring_sel[ncap_n:])
         ]
         return jnp.concatenate([*north, f_belt, *south], axis=-1)
