@@ -37,6 +37,10 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", 416))
 import jax.lax as _lax
 PREC = _lax.Precision.HIGHEST
 NRUN = int(os.environ.get("BENCH_NRUN", 2))
+# Baseline-data-parallel sharding over N devices (pod scaling): each
+# baseline chunk's beam-transfer generation + projection shards over the
+# mesh; the small [m, 2, nbl] visibility array stays replicated.
+SHARD = int(os.environ.get("BENCH_SHARD", 0))
 
 
 def log(*args):
@@ -111,6 +115,22 @@ def main():
 
     scale = 1.0 / omega
 
+    if SHARD > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()[:SHARD]), ("b",))
+        log(f"sharding baselines over {SHARD} devices")
+
+        def shard_bl(x, spec):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(*spec))
+            )
+
+    else:
+
+        def shard_bl(x, spec):
+            return x
+
     def beam_transfer_chunk(bl_chunk, lam):
         """B tensors for one baseline chunk: (Bp, Bm) [C, L+1, M+1].
 
@@ -146,6 +166,7 @@ def main():
 
         def fwd_body(c, vis_acc):
             blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
+            blc = shard_bl(blc, ("b", None))
             bp, bm = beam_transfer_chunk(blc, lam)
             vp = jnp.einsum("blm,lm->mb", bp, alm.astype(bp.dtype), precision=PREC)
             vm = jnp.einsum("blm,lm->mb", bm, alm.astype(bm.dtype), precision=PREC)
@@ -167,7 +188,9 @@ def main():
 
         def adj_body(c, a_acc):
             blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
+            blc = shard_bl(blc, ("b", None))
             vc = jax.lax.dynamic_slice_in_dim(vis_m2, c * CHUNK, CHUNK, 2)
+            vc = shard_bl(vc, (None, None, "b"))
             bp, bm = beam_transfer_chunk(blc, lam)
             a = jnp.einsum("blm,mb->lm", jnp.conj(bp), vc[:, 0], precision=PREC)
             a = a + jnp.einsum("blm,mb->lm", jnp.conj(bm), vc[:, 1], precision=PREC)
@@ -199,6 +222,9 @@ def main():
         out.block_until_ready()
         times.append(time.time() - t0)
         log(f"run {i}: {times[-1]:.2f}s")
+
+    if os.environ.get("BENCH_DUMP"):
+        np.save(os.environ["BENCH_DUMP"], np.asarray(out))
 
     wall = min(times)
     n_mmodes = (lmax + 1) * 2 * npairs

@@ -94,3 +94,40 @@ def test_simulate_with_sharded_containers(setup, mesh8):
     assert np.allclose(
         np.asarray(ss_ref.vis[:]), np.asarray(ss_shard.vis[:]), atol=1e-5
     )
+
+
+def test_bench_baseline_sharding_matches(tmp_path):
+    """bench.py's baseline-data-parallel path equals the unsharded run.
+
+    Runs the full chunked round trip twice at toy scale on the 8-virtual-
+    device CPU mesh (BENCH_SHARD=8) and single placement, comparing maps.
+    """
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outs = {}
+    for shard in (0, 8):
+        dump = tmp_path / f"map_{shard}.npy"
+        env = dict(
+            os.environ,
+            XLA_FLAGS="--xla_force_host_platform_device_count=8",
+            BENCH_PLATFORM="cpu",
+            BENCH_NSIDE="16",
+            BENCH_NFEED_SIDE="2",
+            BENCH_CHUNK="8",
+            BENCH_SHARD=str(shard),
+            BENCH_NRUN="1",
+            BENCH_DUMP=str(dump),
+        )
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py")],
+            check=True,
+            env=env,
+            cwd=repo,
+            capture_output=True,
+        )
+        outs[shard] = np.load(dump)
+
+    assert np.allclose(outs[0], outs[8], atol=1e-6)
