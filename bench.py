@@ -158,7 +158,10 @@ def main():
     # is then a pure batched GEMM.
     @jax.jit
     def build_legendre():
-        return s.precompute_legendre(jnp.float32)
+        # Pre-split per-section tensors: the analysis then contracts each
+        # ring section as its own GEMM and sums partial alm — no big
+        # [.., R, M+1] concatenation, row reorder or weight multiply.
+        return s.precompute_legendre_split(jnp.float32)
 
     @jax.jit
     def round_trip(sky, lam):
@@ -206,7 +209,7 @@ def main():
     log("building Legendre tensor ...")
     t0 = time.time()
     lam = build_legendre()
-    lam.block_until_ready()
+    jax.block_until_ready(lam)
     log(f"legendre (incl. compile): {time.time() - t0:.1f}s")
 
     log("compiling + warmup ...")

@@ -310,12 +310,27 @@ class SHT:
         f(r, j) = Re sum_{m=-mmax}^{mmax} G_m(r) e^{i m phi_rj} with
         G_{-m} = conj(G_m) (real field).
         """
-        cdtype = G.dtype
         ncap_n = self.nside - 1
         nbelt = len(self._belt_rings)
+        G_belt = G[..., ncap_n : ncap_n + nbelt, :]
+        ring_sel = np.asarray(self._cap_rings)
+        G_caps = [
+            G[..., jnp.asarray(ring_sel[rows_arr]), :]
+            for rows_arr, _ in self._cap_wgroups
+        ]
+        return self._ring_synthesis_parts(G_belt, G_caps)
+
+    def _ring_synthesis_parts(self, G_belt, G_caps):
+        """Ring synthesis from per-section coefficients.
+
+        ``G_belt`` [..., nbelt, M+1]; ``G_caps`` per width-split row group
+        (layout of :meth:`precompute_legendre_split`).
+        """
+        cdtype = G_belt.dtype
+        ncap_n = self.nside - 1
 
         # Belt: fill FFT bins and inverse transform
-        g_belt = G[..., ncap_n : ncap_n + nbelt, :] * self._ring_phase(
+        g_belt = G_belt * self._ring_phase(
             self._belt_rings, cdtype, conj=True
         )
         nphi = self._belt_nphi
@@ -349,14 +364,13 @@ class SHT:
         cap_ring_sel = self._cap_rings
         cm = np.ones(self.mmax + 1)
         cm[1:] = 2.0
-        ring_sel = np.asarray(cap_ring_sel)
         f_groups = []
         row_src = {}
         for gi, grp in enumerate(self._cap_wgroups):
             rows_arr, w = grp
             for i, r in enumerate(rows_arr):
                 row_src[int(r)] = (gi, i)
-            g_cap = G[..., jnp.asarray(ring_sel[rows_arr]), :]
+            g_cap = G_caps[gi]
             parts = []
             for m_vals in self._m_chunks():
                 P = self._cap_dft_matrix(m_vals, cdtype, group=grp)
@@ -465,6 +479,82 @@ class SHT:
         ]  # each [L+1, C, R]
         return jnp.concatenate(blocks, axis=1)  # [L+1, M+1, R]
 
+    def precompute_legendre_split(self, dtype=jnp.float32):
+        """Per-section Legendre tensors for the concat-free analysis path.
+
+        Returns {"belt": [L+1, M+1, nbelt], "caps": [[L+1, M+1, n_g], ...]}
+        with cap tensors ordered like the width-split row groups.  Passing
+        this dict as ``lam=`` to :meth:`_analysis_impl` contracts each ring
+        section as its own GEMM and SUMS the partial alm — no [.., R, M+1]
+        concatenation, row reorder or separate quadrature-weight multiply
+        (the weight is folded into the constant DFT matrices instead).
+        """
+        lam = self.precompute_legendre(dtype)
+        belt = lam[:, :, self._belt_rings[0] : self._belt_rings[-1] + 1]
+        ring_ids = np.asarray(self._cap_rings)
+        caps = [
+            lam[:, :, jnp.asarray(ring_ids[rows_arr])]
+            for rows_arr, _ in self._cap_wgroups
+        ]
+        return {"belt": belt, "caps": caps}
+
+    def _ring_analysis_parts(self, maps):
+        """Quadrature-weighted per-section ring coefficients (f32 path).
+
+        Returns (F_belt, [F_group, ...]) matching the layout of
+        :meth:`precompute_legendre_split`, with the 4pi/npix ring weight
+        and the phi0 phase folded into the constant DFT factors.
+        """
+        cdtype = jnp.result_type(maps.dtype, jnp.complex64)
+        is_real = not jnp.iscomplexobj(maps)
+        rdt = jnp.float32 if cdtype == jnp.complex64 else jnp.float64
+
+        belt = jax.lax.dynamic_slice_in_dim(
+            maps, self._belt_off, self._belt_len, axis=-1
+        ).reshape(maps.shape[:-1] + (len(self._belt_rings), self._belt_nphi))
+        W = self._belt_dft_matrix(cdtype)
+        if is_real and cdtype == jnp.complex64:
+            F_raw = jax.lax.complex(
+                jnp.matmul(belt, W.real, precision=_PREC),
+                jnp.matmul(belt, W.imag, precision=_PREC),
+            )
+        else:
+            F_raw = jnp.matmul(belt.astype(cdtype), W, precision=_PREC)
+        w_belt = jnp.asarray(self._w[self._belt_rings], dtype=rdt)
+        F_belt = F_raw * (
+            self._ring_phase(self._belt_rings, cdtype) * w_belt[:, None]
+        )
+
+        ring_ids = np.asarray(self._cap_rings)
+        group_F = []
+        for grp in self._cap_wgroups:
+            rows_arr, w = grp
+            cap = maps[..., jnp.asarray(self._cap_idx[rows_arr][:, :w])]
+            if not (is_real and cdtype == jnp.complex64):
+                cap = cap.astype(cdtype)
+            w_rows = jnp.asarray(self._w[ring_ids[rows_arr]], dtype=rdt)
+            parts = []
+            for m_vals in self._m_chunks():
+                P = self._cap_dft_matrix(m_vals, cdtype, group=grp)
+                P = P * w_rows[:, None, None].astype(P.dtype)
+                if is_real and cdtype == jnp.complex64:
+                    parts.append(
+                        jax.lax.complex(
+                            jnp.einsum(
+                                "...rj,rjm->...rm", cap, P.real, precision=_PREC
+                            ),
+                            jnp.einsum(
+                                "...rj,rjm->...rm", cap, P.imag, precision=_PREC
+                            ),
+                        )
+                    )
+                else:
+                    parts.append(
+                        jnp.einsum("...rj,rjm->...rm", cap, P, precision=_PREC)
+                    )
+            group_F.append(jnp.concatenate(parts, axis=-1))
+        return F_belt, group_F
+
     # ------------------------------------------------------------------
     # Public transforms
     # ------------------------------------------------------------------
@@ -475,6 +565,32 @@ class SHT:
         :meth:`precompute_legendre`; the transform becomes one batched
         (over m) ring-contraction GEMM.
         """
+        if isinstance(lam, dict):
+            # concat-free split path: contract each ring section against
+            # its own Legendre slice and sum the partial alm
+            F_belt, group_F = self._ring_analysis_parts(maps)
+            rdtype = F_belt.real.dtype
+
+            def contract(F, lam_s):
+                lam_r = lam_s.astype(rdtype)
+                if jnp.iscomplexobj(F):
+                    return jax.lax.complex(
+                        jnp.einsum(
+                            "...rm,lmr->...lm", F.real, lam_r, precision=_PREC
+                        ),
+                        jnp.einsum(
+                            "...rm,lmr->...lm", F.imag, lam_r, precision=_PREC
+                        ),
+                    )
+                return jnp.einsum(
+                    "...rm,lmr->...lm", F, lam_r, precision=_PREC
+                )
+
+            alm = contract(F_belt, lam["belt"])
+            for F_g, lam_g in zip(group_F, lam["caps"]):
+                alm = alm + contract(F_g, lam_g)
+            return alm
+
         F = self._ring_analysis(maps)  # [..., R, M+1]
         rdtype = F.real.dtype
         w = jnp.asarray(self._w, dtype=rdtype)
@@ -508,6 +624,25 @@ class SHT:
         :meth:`precompute_legendre`).
         """
         rdtype = alm.real.dtype
+        if isinstance(lam, dict):
+
+            def contract(lam_s):
+                lam_r = lam_s.astype(rdtype)
+                if jnp.iscomplexobj(alm):
+                    return jax.lax.complex(
+                        jnp.einsum(
+                            "...lm,lmr->...rm", alm.real, lam_r, precision=_PREC
+                        ),
+                        jnp.einsum(
+                            "...lm,lmr->...rm", alm.imag, lam_r, precision=_PREC
+                        ),
+                    )
+                g = jnp.einsum("...lm,lmr->...rm", alm, lam_r, precision=_PREC)
+                return jax.lax.complex(g, jnp.zeros_like(g))
+
+            return self._ring_synthesis_parts(
+                contract(lam["belt"]), [contract(c) for c in lam["caps"]]
+            )
         if lam is not None:
             lam_r = lam.astype(rdtype)
             if jnp.iscomplexobj(alm):
