@@ -498,6 +498,47 @@ class SHT:
         ]
         return {"belt": belt, "caps": caps}
 
+    def padded_layout(self) -> np.ndarray:
+        """HEALPix pixel index for each slot of the GEMM-ready padded
+        layout ``[belt | cap group 0 | cap group 1 | ...]`` (-1 = padding).
+
+        Generating simulated maps (e.g. fringe x beam) directly in this
+        layout lets :meth:`analysis_padded` skip the ragged cap gather —
+        the single biggest data-movement cost of the transform.
+        """
+        idxs = [np.arange(self._belt_off, self._belt_off + self._belt_len)]
+        for rows_arr, w in self._cap_wgroups:
+            idx = self._cap_idx[rows_arr][:, :w].copy()
+            idx[self._cap_mask[rows_arr][:, :w] <= 0] = -1
+            idxs.append(idx.ravel())
+        return np.concatenate(idxs).astype(np.int64)
+
+    def analysis_padded(self, maps_pad, lam):
+        """alm of maps given in the :meth:`padded_layout` pixel order.
+
+        ``lam`` must be the dict from :meth:`precompute_legendre_split`.
+        Padding slots may hold any value as long as the corresponding map
+        value is zero (the DFT mask also zeroes them).
+        """
+        cdtype = jnp.result_type(maps_pad.dtype, jnp.complex64)
+        is_real = not jnp.iscomplexobj(maps_pad)
+        lead = maps_pad.shape[:-1]
+        belt = maps_pad[..., : self._belt_len].reshape(
+            lead + (len(self._belt_rings), self._belt_nphi)
+        )
+        caps = []
+        off = self._belt_len
+        for rows_arr, w in self._cap_wgroups:
+            size = len(rows_arr) * w
+            caps.append(
+                maps_pad[..., off : off + size].reshape(
+                    lead + (len(rows_arr), w)
+                )
+            )
+            off += size
+        F_belt, group_F = self._analysis_sections(belt, caps, is_real, cdtype)
+        return self._contract_alm(F_belt, group_F, lam)
+
     def _ring_analysis_parts(self, maps):
         """Quadrature-weighted per-section ring coefficients (f32 path).
 
@@ -507,11 +548,19 @@ class SHT:
         """
         cdtype = jnp.result_type(maps.dtype, jnp.complex64)
         is_real = not jnp.iscomplexobj(maps)
-        rdt = jnp.float32 if cdtype == jnp.complex64 else jnp.float64
 
         belt = jax.lax.dynamic_slice_in_dim(
             maps, self._belt_off, self._belt_len, axis=-1
         ).reshape(maps.shape[:-1] + (len(self._belt_rings), self._belt_nphi))
+        caps = [
+            maps[..., jnp.asarray(self._cap_idx[rows_arr][:, :w])]
+            for rows_arr, w in self._cap_wgroups
+        ]
+        return self._analysis_sections(belt, caps, is_real, cdtype)
+
+    def _analysis_sections(self, belt, caps, is_real, cdtype):
+        """Shared per-section DFT math for the gathered/padded layouts."""
+        rdt = jnp.float32 if cdtype == jnp.complex64 else jnp.float64
         W = self._belt_dft_matrix(cdtype)
         if is_real and cdtype == jnp.complex64:
             F_raw = jax.lax.complex(
@@ -527,9 +576,9 @@ class SHT:
 
         ring_ids = np.asarray(self._cap_rings)
         group_F = []
-        for grp in self._cap_wgroups:
+        for gi, grp in enumerate(self._cap_wgroups):
             rows_arr, w = grp
-            cap = maps[..., jnp.asarray(self._cap_idx[rows_arr][:, :w])]
+            cap = caps[gi]
             if not (is_real and cdtype == jnp.complex64):
                 cap = cap.astype(cdtype)
             w_rows = jnp.asarray(self._w[ring_ids[rows_arr]], dtype=rdt)
@@ -555,6 +604,28 @@ class SHT:
             group_F.append(jnp.concatenate(parts, axis=-1))
         return F_belt, group_F
 
+    def _contract_alm(self, F_belt, group_F, lam):
+        """Sum of per-section Legendre contractions (lam = split dict)."""
+        rdtype = F_belt.real.dtype
+
+        def contract(F, lam_s):
+            lam_r = lam_s.astype(rdtype)
+            if jnp.iscomplexobj(F):
+                return jax.lax.complex(
+                    jnp.einsum(
+                        "...rm,lmr->...lm", F.real, lam_r, precision=_PREC
+                    ),
+                    jnp.einsum(
+                        "...rm,lmr->...lm", F.imag, lam_r, precision=_PREC
+                    ),
+                )
+            return jnp.einsum("...rm,lmr->...lm", F, lam_r, precision=_PREC)
+
+        alm = contract(F_belt, lam["belt"])
+        for F_g, lam_g in zip(group_F, lam["caps"]):
+            alm = alm + contract(F_g, lam_g)
+        return alm
+
     # ------------------------------------------------------------------
     # Public transforms
     # ------------------------------------------------------------------
@@ -569,27 +640,7 @@ class SHT:
             # concat-free split path: contract each ring section against
             # its own Legendre slice and sum the partial alm
             F_belt, group_F = self._ring_analysis_parts(maps)
-            rdtype = F_belt.real.dtype
-
-            def contract(F, lam_s):
-                lam_r = lam_s.astype(rdtype)
-                if jnp.iscomplexobj(F):
-                    return jax.lax.complex(
-                        jnp.einsum(
-                            "...rm,lmr->...lm", F.real, lam_r, precision=_PREC
-                        ),
-                        jnp.einsum(
-                            "...rm,lmr->...lm", F.imag, lam_r, precision=_PREC
-                        ),
-                    )
-                return jnp.einsum(
-                    "...rm,lmr->...lm", F, lam_r, precision=_PREC
-                )
-
-            alm = contract(F_belt, lam["belt"])
-            for F_g, lam_g in zip(group_F, lam["caps"]):
-                alm = alm + contract(F_g, lam_g)
-            return alm
+            return self._contract_alm(F_belt, group_F, lam)
 
         F = self._ring_analysis(maps)  # [..., R, M+1]
         rdtype = F.real.dtype

@@ -144,3 +144,25 @@ def test_sphtrans_sky_shape(rng):
     assert alm.shape == (2, 1, 24, 24)
     back = np.asarray(sht.sphtrans_inv_sky(alm, nside))
     assert back.shape == sky.shape
+
+
+def test_analysis_padded_matches_gathered():
+    """analysis_padded on the padded layout == the gathered split path."""
+    import jax.numpy as jnp
+
+    from draco_tpu.ops import healpix, sht
+
+    nside = 16
+    s = sht.get_sht(nside, 3 * nside - 1)
+    npix = healpix.npix_of(nside)
+    rng = np.random.Generator(np.random.SFC64(7))
+    lam = s.precompute_legendre_split(jnp.float32)
+    layout = s.padded_layout()
+    lclip = np.clip(layout, 0, None)
+
+    m = rng.standard_normal((3, npix)).astype(np.float32)
+    pad = np.where(layout[None] >= 0, m[:, lclip], 0.0).astype(np.float32)
+
+    a0 = np.asarray(s._analysis_impl(jnp.asarray(m), lam=lam))
+    a1 = np.asarray(s.analysis_padded(jnp.asarray(pad), lam))
+    assert np.allclose(a0, a1, atol=1e-6)
