@@ -131,23 +131,17 @@ def main():
         def shard_bl(x, spec):
             return x
 
-    def beam_transfer_chunk(bl_chunk, lam):
-        """B tensors for one baseline chunk: (Bp, Bm) [C, L+1, M+1].
+    def ring_sections(bl_chunk):
+        """Per-section ring coefficients of the [Re, Im] fringe x beam pair.
 
-        The two analyses (map and conjugate map) run as ONE batched
-        transform against the precomputed Legendre tensor.
+        Analysis is linear, so F(bmap) = F[0] + i F[1] and
+        F(conj bmap) = F[0] - i F[1]; no Legendre contraction happens here
+        at all — see round_trip for the factorised projection.
         """
-        phase = 2 * jnp.pi * jnp.matmul(bl_chunk, vec_d.T, precision=PREC)  # [C, npix]
-        # Analysis is linear: alm(bmap) = alm(Re) + i alm(Im) and
-        # alm(conj bmap) = alm(Re) - i alm(Im), so ONE real-input batched
-        # transform of [Re, Im] yields both — real x complex ring GEMMs at
-        # half the FLOPs (and half the HBM) of the complex-pair transform.
+        phase = 2 * jnp.pi * jnp.matmul(bl_chunk, vec_d.T, precision=PREC)
         re = beam_d[None, :] * jnp.cos(phase)
         im = beam_d[None, :] * jnp.sin(phase)
-        alm_ri = s._analysis_impl(jnp.stack([re, im]), lam=lam)  # [2, C, L, M]
-        alm_f = alm_ri[0] + 1j * alm_ri[1]  # alm(bmap)
-        alm_c = alm_ri[0] - 1j * alm_ri[1]  # alm(conj bmap)
-        return jnp.conj(alm_c) * scale, jnp.conj(alm_f) * scale
+        return s._ring_analysis_parts(jnp.stack([re, im]))
 
     # The ENTIRE round trip is one compiled executable: the remote-compile
     # latency of the TPU tunnel makes every separate dispatch expensive, and
@@ -163,17 +157,41 @@ def main():
         # [.., R, M+1] concatenation, row reorder or weight multiply.
         return s.precompute_legendre_split(jnp.float32)
 
+    # Factorised projection: with B = sum_r conj(F) Lambda / omega, the
+    # visibilities are vis[m,b] = sum_r conj(F)[b,r,m] S[m,r] / omega where
+    # S[m,r] = sum_l Lambda[l,m,r] alm_sky[l,m] is contracted ONCE — the
+    # per-chunk Legendre GEMM (the dominant loop cost) disappears.  Dually
+    # the adjoint accumulates T[r,m] = sum_b F[b,r,m] v[m,b] per section
+    # and applies Lambda once after the loop.
     @jax.jit
     def round_trip(sky, lam):
         alm = s._analysis_impl(sky, lam=lam)  # [L+1, M+1]
 
+        def sky_section(lam_s):
+            r = jnp.einsum("lm,lmr->mr", alm.real, lam_s, precision=PREC)
+            i = jnp.einsum("lm,lmr->mr", alm.imag, lam_s, precision=PREC)
+            return jax.lax.complex(r, i)
+
+        S_secs = [sky_section(lam["belt"])] + [
+            sky_section(c) for c in lam["caps"]
+        ]
+
         def fwd_body(c, vis_acc):
             blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
             blc = shard_bl(blc, ("b", None))
-            bp, bm = beam_transfer_chunk(blc, lam)
-            vp = jnp.einsum("blm,lm->mb", bp, alm.astype(bp.dtype), precision=PREC)
-            vm = jnp.einsum("blm,lm->mb", bm, alm.astype(bm.dtype), precision=PREC)
-            chunk = jnp.stack([vp, vm], axis=1)  # [M+1, 2, C]
+            F_belt, group_F = ring_sections(blc)
+            vp = jnp.zeros((lmax + 1, CHUNK), jnp.complex64)
+            vm = jnp.zeros((lmax + 1, CHUNK), jnp.complex64)
+            for F2, S in zip([F_belt, *group_F], S_secs):
+                Fmap = F2[0] + 1j * F2[1]
+                Fcnj = F2[0] - 1j * F2[1]
+                vp = vp + jnp.einsum(
+                    "crm,mr->mc", jnp.conj(Fcnj), S, precision=PREC
+                )
+                vm = vm + jnp.einsum(
+                    "crm,mr->mc", jnp.conj(Fmap), S, precision=PREC
+                )
+            chunk = jnp.stack([vp, vm], axis=1) * scale  # [M+1, 2, C]
             return jax.lax.dynamic_update_slice_in_dim(
                 vis_acc, chunk, c * CHUNK, axis=2
             )
@@ -189,19 +207,39 @@ def main():
         stream = mmode.mmodes_to_sidereal(vis_m, n=ntime, oddra=True)
         vis_m2 = mmode.make_marray(stream, mmax=lmax).astype(jnp.complex64)
 
-        def adj_body(c, a_acc):
+        sec_shapes = [lam["belt"].shape[2]] + [
+            c.shape[2] for c in lam["caps"]
+        ]
+
+        def adj_body(c, T_accs):
             blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
             blc = shard_bl(blc, ("b", None))
             vc = jax.lax.dynamic_slice_in_dim(vis_m2, c * CHUNK, CHUNK, 2)
             vc = shard_bl(vc, (None, None, "b"))
-            bp, bm = beam_transfer_chunk(blc, lam)
-            a = jnp.einsum("blm,mb->lm", jnp.conj(bp), vc[:, 0], precision=PREC)
-            a = a + jnp.einsum("blm,mb->lm", jnp.conj(bm), vc[:, 1], precision=PREC)
-            return a_acc + a
+            F_belt, group_F = ring_sections(blc)
+            out = []
+            for F2, T in zip([F_belt, *group_F], T_accs):
+                Fmap = F2[0] + 1j * F2[1]
+                Fcnj = F2[0] - 1j * F2[1]
+                T = T + jnp.einsum(
+                    "crm,mc->rm", Fcnj, vc[:, 0], precision=PREC
+                )
+                T = T + jnp.einsum(
+                    "crm,mc->rm", Fmap, vc[:, 1], precision=PREC
+                )
+                out.append(T)
+            return out
 
-        a0 = jnp.zeros((lmax + 1, lmax + 1), jnp.complex64)
-        a_dirty = jax.lax.fori_loop(0, nchunk, adj_body, a0)
-        return s._synthesis_impl(a_dirty, lam=lam)
+        T0 = [jnp.zeros((r, lmax + 1), jnp.complex64) for r in sec_shapes]
+        T_accs = jax.lax.fori_loop(0, nchunk, adj_body, T0)
+
+        a_dirty = jnp.zeros((lmax + 1, lmax + 1), jnp.complex64)
+        for T, lam_s in zip(T_accs, [lam["belt"], *lam["caps"]]):
+            a_dirty = a_dirty + jax.lax.complex(
+                jnp.einsum("lmr,rm->lm", lam_s, T.real, precision=PREC),
+                jnp.einsum("lmr,rm->lm", lam_s, T.imag, precision=PREC),
+            )
+        return s._synthesis_impl(a_dirty * scale, lam=lam)
 
     # Input sky
     sky = jnp.asarray(rng.standard_normal(npix).astype(np.float32))
