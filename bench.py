@@ -131,17 +131,35 @@ def main():
         def shard_bl(x, spec):
             return x
 
-    def ring_sections(bl_chunk):
-        """Per-section ring coefficients of the [Re, Im] fringe x beam pair.
+    if not os.environ.get("BENCH_NO_PADDED"):
+        layout = s.padded_layout()
+        lclip = np.clip(layout, 0, None)
+        vecp_d = jnp.asarray(
+            np.where(layout[:, None] >= 0, vec[lclip], 0.0).astype(np.float32)
+        )
+        beamp_d = jnp.asarray(
+            np.where(layout >= 0, (beam_pow * omega)[lclip], 0.0).astype(
+                np.float32
+            )
+        )
 
-        Analysis is linear, so F(bmap) = F[0] + i F[1] and
-        F(conj bmap) = F[0] - i F[1]; no Legendre contraction happens here
-        at all — see round_trip for the factorised projection.
-        """
-        phase = 2 * jnp.pi * jnp.matmul(bl_chunk, vec_d.T, precision=PREC)
-        re = beam_d[None, :] * jnp.cos(phase)
-        im = beam_d[None, :] * jnp.sin(phase)
-        return s._ring_analysis_parts(jnp.stack([re, im]))
+        def ring_sections(bl_chunk):
+            phase = 2 * jnp.pi * jnp.matmul(bl_chunk, vecp_d.T, precision=PREC)
+            re = beamp_d[None, :] * jnp.cos(phase)
+            im = beamp_d[None, :] * jnp.sin(phase)
+            return s._ring_analysis_parts_padded(jnp.stack([re, im]))
+
+    else:
+
+        def ring_sections(bl_chunk):
+            """Per-section ring coefficients of the [Re, Im] fringe x beam
+            pair.  Analysis is linear, so F(bmap) = F[0] + i F[1] and
+            F(conj bmap) = F[0] - i F[1]; no Legendre contraction happens
+            here at all — see round_trip for the factorised projection."""
+            phase = 2 * jnp.pi * jnp.matmul(bl_chunk, vec_d.T, precision=PREC)
+            re = beam_d[None, :] * jnp.cos(phase)
+            im = beam_d[None, :] * jnp.sin(phase)
+            return s._ring_analysis_parts(jnp.stack([re, im]))
 
     # The ENTIRE round trip is one compiled executable: the remote-compile
     # latency of the TPU tunnel makes every separate dispatch expensive, and

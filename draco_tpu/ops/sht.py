@@ -520,6 +520,11 @@ class SHT:
         Padding slots may hold any value as long as the corresponding map
         value is zero (the DFT mask also zeroes them).
         """
+        F_belt, group_F = self._ring_analysis_parts_padded(maps_pad)
+        return self._contract_alm(F_belt, group_F, lam)
+
+    def _ring_analysis_parts_padded(self, maps_pad):
+        """Per-section ring coefficients from :meth:`padded_layout` maps."""
         cdtype = jnp.result_type(maps_pad.dtype, jnp.complex64)
         is_real = not jnp.iscomplexobj(maps_pad)
         lead = maps_pad.shape[:-1]
@@ -536,8 +541,7 @@ class SHT:
                 )
             )
             off += size
-        F_belt, group_F = self._analysis_sections(belt, caps, is_real, cdtype)
-        return self._contract_alm(F_belt, group_F, lam)
+        return self._analysis_sections(belt, caps, is_real, cdtype)
 
     def _ring_analysis_parts(self, maps):
         """Quadrature-weighted per-section ring coefficients (f32 path).
