@@ -162,16 +162,21 @@ class BeamTransfer:
         # The beam maps already carry the pixel solid angle; undo the SHT's
         # internal quadrature weight.
         scale = 1.0 / (4 * np.pi / healpix.npix_of(self.beam_nside))
-        # Compute the Legendre tensor once: the per-frequency transforms
-        # become pure batched GEMMs with no sequential l-recurrence.
-        lam = jax.jit(lambda: s.precompute_legendre(jnp.float32))()
+        # Compute the split Legendre tensors once: the per-frequency
+        # transforms become pure batched GEMMs with no sequential
+        # l-recurrence, contracted per ring section (no big concats).
+        lam = jax.jit(lambda: s.precompute_legendre_split(jnp.float32))()
         for fi in range(tel.nfreq):
             bmaps = self._beam_fringe_maps(fi)  # [nbase, npol, npix]
-            # Bp = conj(SHT(conj B)); Bm = conj(SHT(B)): one batched call
-            both = jnp.stack([bmaps, jnp.conj(bmaps)])
-            alm2 = s._analysis_j(both, lam=lam)
-            bp_f.append(jnp.conj(alm2[1]) * scale)
-            bm_f.append(jnp.conj(alm2[0]) * scale)
+            # Analysis is linear: alm(B) = alm(Re) + i alm(Im) and
+            # alm(conj B) = alm(Re) - i alm(Im) — one real-input batched
+            # transform yields both conjugate projections at half the
+            # ring-GEMM FLOPs.  Bp = conj(SHT(conj B)); Bm = conj(SHT(B)).
+            ri = s._analysis_j(jnp.stack([bmaps.real, bmaps.imag]), lam=lam)
+            alm_f = ri[0] + 1j * ri[1]
+            alm_c = ri[0] - 1j * ri[1]
+            bp_f.append(jnp.conj(alm_c) * scale)
+            bm_f.append(jnp.conj(alm_f) * scale)
         self._bp = jnp.stack(bp_f).astype(jnp.complex64)
         self._bm = jnp.stack(bm_f).astype(jnp.complex64)
         # The m = 0 negative block duplicates conj(V_0); the m-mode
