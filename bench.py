@@ -198,17 +198,20 @@ def main():
             blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
             blc = shard_bl(blc, ("b", None))
             F_belt, group_F = ring_sections(blc)
+            # vis from the raw [Re, Im] F-stack: with U = sum conj(F0) S,
+            # V = sum conj(F1) S, vp = U + iV and vm = U - iV — no
+            # materialised complex F(bmap)/F(conj bmap) copies.
             vp = jnp.zeros((lmax + 1, CHUNK), jnp.complex64)
             vm = jnp.zeros((lmax + 1, CHUNK), jnp.complex64)
             for F2, S in zip([F_belt, *group_F], S_secs):
-                Fmap = F2[0] + 1j * F2[1]
-                Fcnj = F2[0] - 1j * F2[1]
-                vp = vp + jnp.einsum(
-                    "crm,mr->mc", jnp.conj(Fcnj), S, precision=PREC
+                U = jnp.einsum(
+                    "crm,mr->mc", jnp.conj(F2[0]), S, precision=PREC
                 )
-                vm = vm + jnp.einsum(
-                    "crm,mr->mc", jnp.conj(Fmap), S, precision=PREC
+                V = jnp.einsum(
+                    "crm,mr->mc", jnp.conj(F2[1]), S, precision=PREC
                 )
+                vp = vp + (U + 1j * V)
+                vm = vm + (U - 1j * V)
             chunk = jnp.stack([vp, vm], axis=1) * scale  # [M+1, 2, C]
             return jax.lax.dynamic_update_slice_in_dim(
                 vis_acc, chunk, c * CHUNK, axis=2
@@ -235,15 +238,14 @@ def main():
             vc = jax.lax.dynamic_slice_in_dim(vis_m2, c * CHUNK, CHUNK, 2)
             vc = shard_bl(vc, (None, None, "b"))
             F_belt, group_F = ring_sections(blc)
+            # T += (F0 - iF1) v0 + (F0 + iF1) v1 = F0 (v0+v1) + iF1 (v1-v0)
+            v_sum = vc[:, 0] + vc[:, 1]
+            v_dif = vc[:, 1] - vc[:, 0]
             out = []
             for F2, T in zip([F_belt, *group_F], T_accs):
-                Fmap = F2[0] + 1j * F2[1]
-                Fcnj = F2[0] - 1j * F2[1]
-                T = T + jnp.einsum(
-                    "crm,mc->rm", Fcnj, vc[:, 0], precision=PREC
-                )
-                T = T + jnp.einsum(
-                    "crm,mc->rm", Fmap, vc[:, 1], precision=PREC
+                T = T + jnp.einsum("crm,mc->rm", F2[0], v_sum, precision=PREC)
+                T = T + 1j * jnp.einsum(
+                    "crm,mc->rm", F2[1], v_dif, precision=PREC
                 )
                 out.append(T)
             return out
