@@ -147,7 +147,11 @@ def main():
             phase = 2 * jnp.pi * jnp.matmul(bl_chunk, vecp_d.T, precision=PREC)
             re = beamp_d[None, :] * jnp.cos(phase)
             im = beamp_d[None, :] * jnp.sin(phase)
-            return s._ring_analysis_parts_padded(jnp.stack([re, im]))
+            # raw belt: the phase-weight factor is folded into S (conj)
+            # and the adjoint T instead — once, outside the loop.
+            return s._ring_analysis_parts_padded(
+                jnp.stack([re, im]), raw_belt=True
+            )
 
     else:
 
@@ -190,7 +194,8 @@ def main():
             i = jnp.einsum("lm,lmr->mr", alm.imag, lam_s, precision=PREC)
             return jax.lax.complex(r, i)
 
-        S_secs = [sky_section(lam["belt"])] + [
+        pw = s.belt_phase_weight(jnp.complex64)  # [nbelt, M+1]
+        S_secs = [sky_section(lam["belt"]) * jnp.conj(pw).T] + [
             sky_section(c) for c in lam["caps"]
         ]
 
@@ -253,6 +258,8 @@ def main():
         T0 = [jnp.zeros((r, lmax + 1), jnp.complex64) for r in sec_shapes]
         T_accs = jax.lax.fori_loop(0, nchunk, adj_body, T0)
 
+        # restore the belt phase-weight on the raw accumulator
+        T_accs[0] = T_accs[0] * pw
         a_dirty = jnp.zeros((lmax + 1, lmax + 1), jnp.complex64)
         for T, lam_s in zip(T_accs, [lam["belt"], *lam["caps"]]):
             a_dirty = a_dirty + jax.lax.complex(

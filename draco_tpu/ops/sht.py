@@ -523,7 +523,7 @@ class SHT:
         F_belt, group_F = self._ring_analysis_parts_padded(maps_pad)
         return self._contract_alm(F_belt, group_F, lam)
 
-    def _ring_analysis_parts_padded(self, maps_pad):
+    def _ring_analysis_parts_padded(self, maps_pad, raw_belt=False):
         """Per-section ring coefficients from :meth:`padded_layout` maps."""
         cdtype = jnp.result_type(maps_pad.dtype, jnp.complex64)
         is_real = not jnp.iscomplexobj(maps_pad)
@@ -541,7 +541,7 @@ class SHT:
                 )
             )
             off += size
-        return self._analysis_sections(belt, caps, is_real, cdtype)
+        return self._analysis_sections(belt, caps, is_real, cdtype, raw_belt)
 
     def _ring_analysis_parts(self, maps):
         """Quadrature-weighted per-section ring coefficients (f32 path).
@@ -562,8 +562,23 @@ class SHT:
         ]
         return self._analysis_sections(belt, caps, is_real, cdtype)
 
-    def _analysis_sections(self, belt, caps, is_real, cdtype):
-        """Shared per-section DFT math for the gathered/padded layouts."""
+    def belt_phase_weight(self, dtype=jnp.complex64) -> jnp.ndarray:
+        """exp(-i m phi0_r) * w_r for the belt rings: [nbelt, M+1].
+
+        With ``raw_belt=True`` the analysis skips this elementwise factor;
+        streaming consumers fold conj(pw) into their sky contraction and
+        pw into adjoint accumulators instead (once, outside hot loops).
+        """
+        rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+        w_belt = jnp.asarray(self._w[self._belt_rings], dtype=rdt)
+        return self._ring_phase(self._belt_rings, dtype) * w_belt[:, None]
+
+    def _analysis_sections(self, belt, caps, is_real, cdtype, raw_belt=False):
+        """Shared per-section DFT math for the gathered/padded layouts.
+
+        ``raw_belt``: skip the belt phase-weight multiply (see
+        :meth:`belt_phase_weight`).
+        """
         rdt = jnp.float32 if cdtype == jnp.complex64 else jnp.float64
         W = self._belt_dft_matrix(cdtype)
         if is_real and cdtype == jnp.complex64:
@@ -573,10 +588,10 @@ class SHT:
             )
         else:
             F_raw = jnp.matmul(belt.astype(cdtype), W, precision=_PREC)
-        w_belt = jnp.asarray(self._w[self._belt_rings], dtype=rdt)
-        F_belt = F_raw * (
-            self._ring_phase(self._belt_rings, cdtype) * w_belt[:, None]
-        )
+        if raw_belt:
+            F_belt = F_raw
+        else:
+            F_belt = F_raw * self.belt_phase_weight(cdtype)
 
         ring_ids = np.asarray(self._cap_rings)
         group_F = []
