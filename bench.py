@@ -131,7 +131,115 @@ def main():
         def shard_bl(x, spec):
             return x
 
-    if not os.environ.get("BENCH_NO_PADDED"):
+    if not os.environ.get("BENCH_NO_MIRROR"):
+        # theta -> pi - theta mirror: mirrored pixels share (nx, ny) and
+        # negate nz, so with A = 2 pi (bx nx + by ny) and B = 2 pi bz nz
+        # (constant per ring) the south-half fringe is cos/sin(A ± B) from
+        # the SAME A-trig — half the transcendental work.  Sections are
+        # built in mirror-paired row order (the SHT's cap groups already
+        # are; the belt is permuted via perm/inv below).
+        info = healpix.ring_info(NSIDE)
+        beam_o = (beam_pow * omega).astype(np.float32)
+        b0 = s._belt_rings[0]
+        nbelt = len(s._belt_rings)
+        nphi_belt = s._belt_nphi
+        belt_nh = (nbelt + 1) // 2  # north rows incl the equator
+        perm = np.concatenate(
+            [np.arange(belt_nh), (nbelt - 1) - np.arange(belt_nh - 1)]
+        )
+        inv = np.empty(nbelt, np.int64)
+        inv[perm] = np.arange(nbelt)
+
+        off_n = int(info.offset[b0])
+        len_n = belt_nh * nphi_belt
+        vecxy_belt = vec[off_n : off_n + len_n, :2]
+        z_belt = np.cos(info.theta[b0 : b0 + belt_nh]).astype(np.float32)
+        beam_belt_n = beam_o[off_n : off_n + len_n].reshape(
+            belt_nh, nphi_belt
+        )
+        beam_belt_s = np.stack(
+            [
+                beam_o[
+                    int(info.offset[b0 + nbelt - 1 - j]) : int(
+                        info.offset[b0 + nbelt - 1 - j]
+                    )
+                    + nphi_belt
+                ]
+                for j in range(belt_nh - 1)
+            ]
+        )
+
+        cap_geo = []
+        ring_ids = np.asarray(s._cap_rings)
+        for rows_arr, w in s._cap_wgroups:
+            nh = len(rows_arr) // 2
+            north_rows, south_rows = rows_arr[:nh], rows_arr[nh:]
+            idx_n = s._cap_idx[north_rows][:, :w]
+            idx_s = s._cap_idx[south_rows][:, :w]
+            mask = s._cap_mask[north_rows][:, :w] > 0
+            vecxy_g = np.where(mask[..., None], vec[idx_n][:, :, :2], 0.0)
+            z_g = np.cos(info.theta[ring_ids[north_rows]]).astype(np.float32)
+            beam_n = np.where(mask, beam_o[idx_n], 0.0).astype(np.float32)
+            beam_s = np.where(mask, beam_o[idx_s], 0.0).astype(np.float32)
+            cap_geo.append((nh, w, vecxy_g.reshape(-1, 2), z_g, beam_n, beam_s))
+
+        sec_sizes = [len_n] + [nh * w for nh, w, *_ in cap_geo]
+        vecxy_all = jnp.asarray(
+            np.concatenate(
+                [vecxy_belt.reshape(-1, 2)]
+                + [g[2] for g in cap_geo]
+            ).astype(np.float32)
+        )
+        z_belt_d = jnp.asarray(z_belt)
+        bB_n = jnp.asarray(beam_belt_n.astype(np.float32))
+        bB_s = jnp.asarray(beam_belt_s.astype(np.float32))
+        cap_dev = [
+            (nh, w, jnp.asarray(z), jnp.asarray(bn), jnp.asarray(bs))
+            for nh, w, _, z, bn, bs in cap_geo
+        ]
+
+        def ring_sections(blc):
+            A = 2 * jnp.pi * jnp.matmul(
+                blc[:, :2], vecxy_all.T, precision=PREC
+            )  # [C, nh_pix_total]
+            cA, sA = jnp.cos(A), jnp.sin(A)
+            bz = blc[:, 2:3]
+
+            def halves(cAs, sAs, z, bn, bs, south_rows=None):
+                B = 2 * jnp.pi * bz * z[None, :]
+                cB = jnp.cos(B)[..., None]
+                sB = jnp.sin(B)[..., None]
+                reN = bn * (cAs * cB - sAs * sB)
+                imN = bn * (sAs * cB + cAs * sB)
+                sl = slice(None, south_rows)
+                reS = bs * (cAs[:, sl] * cB[:, sl] + sAs[:, sl] * sB[:, sl])
+                imS = bs * (sAs[:, sl] * cB[:, sl] - cAs[:, sl] * sB[:, sl])
+                re = jnp.concatenate([reN, reS], axis=-2)
+                im = jnp.concatenate([imN, imS], axis=-2)
+                return jnp.stack([re, im])  # [2, C, rows, w]
+
+            o = 0
+            cAb = cA[:, o : o + len_n].reshape(-1, belt_nh, nphi_belt)
+            sAb = sA[:, o : o + len_n].reshape(-1, belt_nh, nphi_belt)
+            o += len_n
+            belt_blk = halves(
+                cAb, sAb, z_belt_d, bB_n, bB_s, south_rows=belt_nh - 1
+            )
+            cap_blks = []
+            for nh, w, z, bn, bs in cap_dev:
+                size = nh * w
+                cAg = cA[:, o : o + size].reshape(-1, nh, w)
+                sAg = sA[:, o : o + size].reshape(-1, nh, w)
+                o += size
+                cap_blks.append(halves(cAg, sAg, z, bn, bs))
+            return s._analysis_sections(
+                belt_blk, cap_blks, True, jnp.complex64, raw_belt=True
+            )
+
+        belt_perm = jnp.asarray(perm)
+        belt_inv = jnp.asarray(inv)
+
+    elif not os.environ.get("BENCH_NO_PADDED"):
         layout = s.padded_layout()
         lclip = np.clip(layout, 0, None)
         vecp_d = jnp.asarray(
@@ -195,9 +303,10 @@ def main():
             return jax.lax.complex(r, i)
 
         pw = s.belt_phase_weight(jnp.complex64)  # [nbelt, M+1]
-        S_secs = [sky_section(lam["belt"]) * jnp.conj(pw).T] + [
-            sky_section(c) for c in lam["caps"]
-        ]
+        S_belt = sky_section(lam["belt"]) * jnp.conj(pw).T  # [M+1, nbelt]
+        if not os.environ.get("BENCH_NO_MIRROR"):
+            S_belt = S_belt[:, belt_perm]  # bench mirror row order
+        S_secs = [S_belt] + [sky_section(c) for c in lam["caps"]]
 
         def fwd_body(c, vis_acc):
             blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
@@ -258,7 +367,9 @@ def main():
         T0 = [jnp.zeros((r, lmax + 1), jnp.complex64) for r in sec_shapes]
         T_accs = jax.lax.fori_loop(0, nchunk, adj_body, T0)
 
-        # restore the belt phase-weight on the raw accumulator
+        # restore the belt row order and phase-weight on the raw accumulator
+        if not os.environ.get("BENCH_NO_MIRROR"):
+            T_accs[0] = T_accs[0][belt_inv]
         T_accs[0] = T_accs[0] * pw
         a_dirty = jnp.zeros((lmax + 1, lmax + 1), jnp.complex64)
         for T, lam_s in zip(T_accs, [lam["belt"], *lam["caps"]]):

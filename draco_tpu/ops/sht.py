@@ -171,6 +171,16 @@ class SHT:
             for w in bounds:
                 rows_arr = np.nonzero((nphi_rows > lo) & (nphi_rows <= w))[0]
                 if len(rows_arr):
+                    # mirror-paired order: [north rows k asc, matched south
+                    # rows].  Row r (north) mirrors row ncap-1-r; consumers
+                    # (P matrices, Legendre slices, padded layout, row_src)
+                    # all derive from rows_arr so any order is consistent.
+                    # Streaming bmap builders exploit theta -> pi - theta
+                    # symmetry: south-half trig comes free from the north.
+                    north = rows_arr[rows_arr < ncap]
+                    rows_arr = np.concatenate(
+                        [north, self._ncap - 1 - north]
+                    )
                     groups.append((rows_arr, int(w)))
                 lo = w
             self._cap_wgroups = groups
