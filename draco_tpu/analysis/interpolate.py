@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core import config, containers, io
+from ..core import config, io
 from ..core.task import ContainerTask
 from ..ops import dpss
 

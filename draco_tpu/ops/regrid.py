@@ -13,7 +13,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import banded
-from .tools import invert_no_zero
 
 __all__ = [
     "band_wiener",
