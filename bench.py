@@ -198,7 +198,7 @@ def main():
             for nh, w, _, z, bn, bs in cap_geo
         ]
 
-        def ring_sections(blc):
+        def ring_sections(blc, plan):
             A = 2 * jnp.pi * jnp.matmul(
                 blc[:, :2], vecxy_all.T, precision=PREC
             )  # [C, nh_pix_total]
@@ -233,7 +233,8 @@ def main():
                 o += size
                 cap_blks.append(halves(cAg, sAg, z, bn, bs))
             return s._analysis_sections(
-                belt_blk, cap_blks, True, jnp.complex64, raw_belt=True
+                belt_blk, cap_blks, True, jnp.complex64, raw_belt=True,
+                plan=plan,
             )
 
         belt_perm = jnp.asarray(perm)
@@ -251,19 +252,19 @@ def main():
             )
         )
 
-        def ring_sections(bl_chunk):
+        def ring_sections(bl_chunk, plan):
             phase = 2 * jnp.pi * jnp.matmul(bl_chunk, vecp_d.T, precision=PREC)
             re = beamp_d[None, :] * jnp.cos(phase)
             im = beamp_d[None, :] * jnp.sin(phase)
             # raw belt: the phase-weight factor is folded into S (conj)
             # and the adjoint T instead — once, outside the loop.
             return s._ring_analysis_parts_padded(
-                jnp.stack([re, im]), raw_belt=True
+                jnp.stack([re, im]), raw_belt=True, plan=plan
             )
 
     else:
 
-        def ring_sections(bl_chunk):
+        def ring_sections(bl_chunk, plan):
             """Per-section ring coefficients of the [Re, Im] fringe x beam
             pair.  Analysis is linear, so F(bmap) = F[0] + i F[1] and
             F(conj bmap) = F[0] - i F[1]; no Legendre contraction happens
@@ -271,7 +272,7 @@ def main():
             phase = 2 * jnp.pi * jnp.matmul(bl_chunk, vec_d.T, precision=PREC)
             re = beam_d[None, :] * jnp.cos(phase)
             im = beam_d[None, :] * jnp.sin(phase)
-            return s._ring_analysis_parts(jnp.stack([re, im]))
+            return s._ring_analysis_parts(jnp.stack([re, im]), plan=plan)
 
     # The ENTIRE round trip is one compiled executable: the remote-compile
     # latency of the TPU tunnel makes every separate dispatch expensive, and
@@ -285,7 +286,9 @@ def main():
         # Pre-split per-section tensors: the analysis then contracts each
         # ring section as its own GEMM and sums partial alm — no big
         # [.., R, M+1] concatenation, row reorder or weight multiply.
-        return s.precompute_legendre_split(jnp.float32)
+        # The ring plan keeps the DFT factors as arguments: XLA rebuilds
+        # loop-invariant trig constants inside fori_loop bodies otherwise.
+        return s.precompute_legendre_split(jnp.float32), s.precompute_ring_plan()
 
     # Factorised projection: with B = sum_r conj(F) Lambda / omega, the
     # visibilities are vis[m,b] = sum_r conj(F)[b,r,m] S[m,r] / omega where
@@ -294,7 +297,7 @@ def main():
     # the adjoint accumulates T[r,m] = sum_b F[b,r,m] v[m,b] per section
     # and applies Lambda once after the loop.
     @jax.jit
-    def round_trip(sky, lam):
+    def round_trip(sky, lam, plan):
         alm = s._analysis_impl(sky, lam=lam)  # [L+1, M+1]
 
         def sky_section(lam_s):
@@ -311,7 +314,7 @@ def main():
         def fwd_body(c, vis_acc):
             blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
             blc = shard_bl(blc, ("b", None))
-            F_belt, group_F = ring_sections(blc)
+            F_belt, group_F = ring_sections(blc, plan)
             # vis from the raw [Re, Im] F-stack: with U = sum conj(F0) S,
             # V = sum conj(F1) S, vp = U + iV and vm = U - iV — no
             # materialised complex F(bmap)/F(conj bmap) copies.
@@ -351,7 +354,7 @@ def main():
             blc = shard_bl(blc, ("b", None))
             vc = jax.lax.dynamic_slice_in_dim(vis_m2, c * CHUNK, CHUNK, 2)
             vc = shard_bl(vc, (None, None, "b"))
-            F_belt, group_F = ring_sections(blc)
+            F_belt, group_F = ring_sections(blc, plan)
             # T += (F0 - iF1) v0 + (F0 + iF1) v1 = F0 (v0+v1) + iF1 (v1-v0)
             v_sum = vc[:, 0] + vc[:, 1]
             v_dif = vc[:, 1] - vc[:, 0]
@@ -384,20 +387,20 @@ def main():
 
     log("building Legendre tensor ...")
     t0 = time.time()
-    lam = build_legendre()
-    jax.block_until_ready(lam)
+    lam, plan = build_legendre()
+    jax.block_until_ready((lam, plan))
     log(f"legendre (incl. compile): {time.time() - t0:.1f}s")
 
     log("compiling + warmup ...")
     t0 = time.time()
-    out = round_trip(sky, lam)
+    out = round_trip(sky, lam, plan)
     out.block_until_ready()
     log(f"warmup (incl. compile): {time.time() - t0:.1f}s")
 
     times = []
     for i in range(NRUN):
         t0 = time.time()
-        out = round_trip(sky, lam)
+        out = round_trip(sky, lam, plan)
         out.block_until_ready()
         times.append(time.time() - t0)
         log(f"run {i}: {times[-1]:.2f}s")

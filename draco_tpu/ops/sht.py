@@ -531,7 +531,7 @@ class SHT:
         F_belt, group_F = self._ring_analysis_parts_padded(maps_pad)
         return self._contract_alm(F_belt, group_F, lam)
 
-    def _ring_analysis_parts_padded(self, maps_pad, raw_belt=False):
+    def _ring_analysis_parts_padded(self, maps_pad, raw_belt=False, plan=None):
         """Per-section ring coefficients from :meth:`padded_layout` maps."""
         cdtype = jnp.result_type(maps_pad.dtype, jnp.complex64)
         is_real = not jnp.iscomplexobj(maps_pad)
@@ -549,9 +549,35 @@ class SHT:
                 )
             )
             off += size
-        return self._analysis_sections(belt, caps, is_real, cdtype, raw_belt)
+        return self._analysis_sections(
+            belt, caps, is_real, cdtype, raw_belt=raw_belt, plan=plan
+        )
 
-    def _ring_analysis_parts(self, maps):
+    def precompute_ring_plan(self, dtype=jnp.complex64):
+        """Constant ring-DFT factors as device arrays.
+
+        XLA does not hoist the loop-invariant trig that builds the cap DFT
+        matrices out of ``fori_loop`` bodies — in-graph construction
+        measured ~2x the GEMM time per iteration.  Streaming loops should
+        build this plan once and pass it via ``plan=`` to the parts-level
+        analysis entry points.  Cap matrices carry the quadrature weight
+        (matching :meth:`_analysis_sections`); ~2.4 GB c64 at nside=256.
+        """
+        ring_ids = np.asarray(self._cap_rings)
+        rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+        P_groups = []
+        for grp in self._cap_wgroups:
+            rows_arr, w = grp
+            w_rows = jnp.asarray(self._w[ring_ids[rows_arr]], dtype=rdt)
+            parts = [
+                self._cap_dft_matrix(mv, dtype, group=grp)
+                * w_rows[:, None, None].astype(dtype)
+                for mv in self._m_chunks()
+            ]
+            P_groups.append(jnp.concatenate(parts, axis=-1))
+        return {"W": self._belt_dft_matrix(dtype), "P": P_groups}
+
+    def _ring_analysis_parts(self, maps, raw_belt=False, plan=None):
         """Quadrature-weighted per-section ring coefficients (f32 path).
 
         Returns (F_belt, [F_group, ...]) matching the layout of
@@ -568,7 +594,9 @@ class SHT:
             maps[..., jnp.asarray(self._cap_idx[rows_arr][:, :w])]
             for rows_arr, w in self._cap_wgroups
         ]
-        return self._analysis_sections(belt, caps, is_real, cdtype)
+        return self._analysis_sections(
+            belt, caps, is_real, cdtype, raw_belt=raw_belt, plan=plan
+        )
 
     def belt_phase_weight(self, dtype=jnp.complex64) -> jnp.ndarray:
         """exp(-i m phi0_r) * w_r for the belt rings: [nbelt, M+1].
@@ -581,14 +609,18 @@ class SHT:
         w_belt = jnp.asarray(self._w[self._belt_rings], dtype=rdt)
         return self._ring_phase(self._belt_rings, dtype) * w_belt[:, None]
 
-    def _analysis_sections(self, belt, caps, is_real, cdtype, raw_belt=False):
+    def _analysis_sections(
+        self, belt, caps, is_real, cdtype, raw_belt=False, plan=None
+    ):
         """Shared per-section DFT math for the gathered/padded layouts.
 
         ``raw_belt``: skip the belt phase-weight multiply (see
-        :meth:`belt_phase_weight`).
+        :meth:`belt_phase_weight`).  ``plan``: precomputed DFT factors
+        from :meth:`precompute_ring_plan` (constants as arguments, not
+        rebuilt per loop iteration).
         """
         rdt = jnp.float32 if cdtype == jnp.complex64 else jnp.float64
-        W = self._belt_dft_matrix(cdtype)
+        W = plan["W"] if plan is not None else self._belt_dft_matrix(cdtype)
         if is_real and cdtype == jnp.complex64:
             F_raw = jax.lax.complex(
                 jnp.matmul(belt, W.real, precision=_PREC),
@@ -608,6 +640,32 @@ class SHT:
             cap = caps[gi]
             if not (is_real and cdtype == jnp.complex64):
                 cap = cap.astype(cdtype)
+            if plan is not None:
+                P_full = plan["P"][gi]  # [rows, w, M+1], weight folded
+                if is_real and cdtype == jnp.complex64:
+                    group_F.append(
+                        jax.lax.complex(
+                            jnp.einsum(
+                                "...rj,rjm->...rm",
+                                cap,
+                                P_full.real,
+                                precision=_PREC,
+                            ),
+                            jnp.einsum(
+                                "...rj,rjm->...rm",
+                                cap,
+                                P_full.imag,
+                                precision=_PREC,
+                            ),
+                        )
+                    )
+                else:
+                    group_F.append(
+                        jnp.einsum(
+                            "...rj,rjm->...rm", cap, P_full, precision=_PREC
+                        )
+                    )
+                continue
             w_rows = jnp.asarray(self._w[ring_ids[rows_arr]], dtype=rdt)
             parts = []
             for m_vals in self._m_chunks():
