@@ -30,7 +30,7 @@ NSIDE = int(os.environ.get("BENCH_NSIDE", 256))
 NFEED_SIDE = int(os.environ.get("BENCH_NFEED_SIDE", 8))  # 64 feeds
 # 416 = 2080/5: biggest batch that fits HBM alongside the Legendre tensor,
 # and an exact divisor of the pair count (no padded work)
-CHUNK = int(os.environ.get("BENCH_CHUNK", 416))
+CHUNK = int(os.environ.get("BENCH_CHUNK", 520))
 
 # JAX's TPU matmul default is single-pass bf16 (~3e-3 error); the 1e-5
 # map-accuracy target requires HIGHEST (f32-equivalent) on every GEMM.
