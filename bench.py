@@ -298,7 +298,7 @@ def main():
     # and applies Lambda once after the loop.
     @jax.jit
     def round_trip(sky, lam, plan):
-        alm = s._analysis_impl(sky, lam=lam)  # [L+1, M+1]
+        alm = s._analysis_impl(sky, lam=lam, plan=plan)  # [L+1, M+1]
 
         def sky_section(lam_s):
             r = jnp.einsum("lm,lmr->mr", alm.real, lam_s, precision=PREC)
@@ -380,7 +380,7 @@ def main():
                 jnp.einsum("lmr,rm->lm", lam_s, T.real, precision=PREC),
                 jnp.einsum("lmr,rm->lm", lam_s, T.imag, precision=PREC),
             )
-        return s._synthesis_impl(a_dirty * scale, lam=lam)
+        return s._synthesis_impl(a_dirty * scale, lam=lam, plan=plan)
 
     # Input sky
     sky = jnp.asarray(rng.standard_normal(npix).astype(np.float32))

@@ -328,11 +328,13 @@ class SHT:
         ]
         return self._ring_synthesis_parts(G_belt, G_caps)
 
-    def _ring_synthesis_parts(self, G_belt, G_caps):
+    def _ring_synthesis_parts(self, G_belt, G_caps, plan=None):
         """Ring synthesis from per-section coefficients.
 
         ``G_belt`` [..., nbelt, M+1]; ``G_caps`` per width-split row group
-        (layout of :meth:`precompute_legendre_split`).
+        (layout of :meth:`precompute_legendre_split`).  ``plan``: reuse
+        the (quadrature-weighted) analysis DFT factors; the weight is
+        divided back out via the per-row coefficient.
         """
         cdtype = G_belt.dtype
         ncap_n = self.nside - 1
@@ -372,6 +374,7 @@ class SHT:
         cap_ring_sel = self._cap_rings
         cm = np.ones(self.mmax + 1)
         cm[1:] = 2.0
+        ring_ids = np.asarray(self._cap_rings)
         f_groups = []
         row_src = {}
         for gi, grp in enumerate(self._cap_wgroups):
@@ -379,6 +382,22 @@ class SHT:
             for i, r in enumerate(rows_arr):
                 row_src[int(r)] = (gi, i)
             g_cap = G_caps[gi]
+            if plan is not None:
+                # plan P carries the analysis quadrature weight; divide it
+                # out through the per-row coefficient
+                inv_w = 1.0 / self._w[ring_ids[rows_arr]]
+                coeff = jnp.asarray(
+                    cm[None, :] * inv_w[:, None], dtype=cdtype
+                )  # [rows, M+1]
+                f_groups.append(
+                    jnp.einsum(
+                        "...rm,rjm->...rj",
+                        g_cap * coeff,
+                        jnp.conj(plan["P"][gi]),
+                        precision=_PREC,
+                    ).real
+                )
+                continue
             parts = []
             for m_vals in self._m_chunks():
                 P = self._cap_dft_matrix(m_vals, cdtype, group=grp)
@@ -521,14 +540,14 @@ class SHT:
             idxs.append(idx.ravel())
         return np.concatenate(idxs).astype(np.int64)
 
-    def analysis_padded(self, maps_pad, lam):
+    def analysis_padded(self, maps_pad, lam, plan=None):
         """alm of maps given in the :meth:`padded_layout` pixel order.
 
         ``lam`` must be the dict from :meth:`precompute_legendre_split`.
         Padding slots may hold any value as long as the corresponding map
         value is zero (the DFT mask also zeroes them).
         """
-        F_belt, group_F = self._ring_analysis_parts_padded(maps_pad)
+        F_belt, group_F = self._ring_analysis_parts_padded(maps_pad, plan=plan)
         return self._contract_alm(F_belt, group_F, lam)
 
     def _ring_analysis_parts_padded(self, maps_pad, raw_belt=False, plan=None):
@@ -714,7 +733,7 @@ class SHT:
     # ------------------------------------------------------------------
     # Public transforms
     # ------------------------------------------------------------------
-    def _analysis_impl(self, maps, lam=None):
+    def _analysis_impl(self, maps, lam=None, plan=None):
         """alm[..., lmax+1, mmax+1] of (real or complex) maps [..., npix].
 
         ``lam``: optional precomputed Legendre tensor [L+1, M+1, R] from
@@ -724,7 +743,7 @@ class SHT:
         if isinstance(lam, dict):
             # concat-free split path: contract each ring section against
             # its own Legendre slice and sum the partial alm
-            F_belt, group_F = self._ring_analysis_parts(maps)
+            F_belt, group_F = self._ring_analysis_parts(maps, plan=plan)
             return self._contract_alm(F_belt, group_F, lam)
 
         F = self._ring_analysis(maps)  # [..., R, M+1]
@@ -753,7 +772,7 @@ class SHT:
             out.append(jnp.moveaxis(alm_c, -2, -1))  # [..., L+1, C]
         return jnp.concatenate(out, axis=-1)  # [..., L+1, M+1]
 
-    def _synthesis_impl(self, alm, lam=None):
+    def _synthesis_impl(self, alm, lam=None, plan=None):
         """Real maps [..., npix] from alm[..., lmax+1, mmax+1].
 
         ``lam``: optional precomputed Legendre tensor (see
@@ -777,7 +796,9 @@ class SHT:
                 return jax.lax.complex(g, jnp.zeros_like(g))
 
             return self._ring_synthesis_parts(
-                contract(lam["belt"]), [contract(c) for c in lam["caps"]]
+                contract(lam["belt"]),
+                [contract(c) for c in lam["caps"]],
+                plan=plan,
             )
         if lam is not None:
             lam_r = lam.astype(rdtype)
