@@ -166,3 +166,40 @@ def test_analysis_padded_matches_gathered():
     a0 = np.asarray(s._analysis_impl(jnp.asarray(m), lam=lam))
     a1 = np.asarray(s.analysis_padded(jnp.asarray(pad), lam))
     assert np.allclose(a0, a1, atol=1e-6)
+
+
+def test_ring_plan_paths_match():
+    """plan= (precomputed DFT factors) gives identical transforms."""
+    import jax
+    import jax.numpy as jnp
+
+    from draco_tpu.ops import healpix, sht
+
+    nside = 16
+    s = sht.get_sht(nside, 3 * nside - 1)
+    npix = healpix.npix_of(nside)
+    rng = np.random.Generator(np.random.SFC64(11))
+    lam = s.precompute_legendre_split(jnp.float32)
+    plan = s.precompute_ring_plan()
+
+    m = jnp.asarray(rng.standard_normal((2, npix)).astype(np.float32))
+    a0 = np.asarray(s._analysis_impl(m, lam=lam))
+    a1 = np.asarray(s._analysis_impl(m, lam=lam, plan=plan))
+    assert np.allclose(a0, a1, atol=1e-6)
+
+    # padded layout with plan
+    layout = s.padded_layout()
+    pad = np.where(
+        layout[None] >= 0, np.asarray(m)[:, np.clip(layout, 0, None)], 0.0
+    ).astype(np.float32)
+    a2 = np.asarray(s.analysis_padded(jnp.asarray(pad), lam, plan=plan))
+    assert np.allclose(a0, a2, atol=1e-6)
+
+    alm = (
+        rng.standard_normal((s.lmax + 1, s.mmax + 1))
+        + 1j * rng.standard_normal((s.lmax + 1, s.mmax + 1))
+    ).astype(np.complex64)
+    alm = np.tril(alm.T).T
+    m0 = np.asarray(s._synthesis_impl(jnp.asarray(alm), lam=lam))
+    m1 = np.asarray(s._synthesis_impl(jnp.asarray(alm), lam=lam, plan=plan))
+    assert np.allclose(m0, m1, atol=1e-6)
