@@ -36,6 +36,11 @@ class BaseMapMaker(ContainerTask):
 
     nside = config.Property(proptype=int, default=256)
     m_chunk = config.Property(proptype=int, default=32)
+    # Use the streaming (factorised) projection: the beam-transfer tensors
+    # are never materialised — required when nbase x lmax x mmax exceeds
+    # device memory.  Supported by the dirty map maker.
+    streaming = config.Property(proptype=bool, default=False)
+    baseline_chunk = config.Property(proptype=int, default=256)
 
     def setup(self, bt):
         """Set the beam transfer matrices (BeamTransfer or ProductManager)."""
@@ -44,7 +49,8 @@ class BaseMapMaker(ContainerTask):
     def process(self, mmodes: containers.MModes) -> containers.Map:
         """Make a map from m-mode visibilities."""
         bt = self.beamtransfer
-        bt.generate()
+        if not self.streaming:
+            bt.generate()
         tel = bt.telescope
         lmax = tel.lmax
         mmax = min(tel.mmax, len(mmodes.index_map["m"]) - 1)
@@ -102,6 +108,21 @@ class DirtyMapMaker(BaseMapMaker):
     """
 
     def _solve_all_m(self, vis, weight, freq_ind, mmax):
+        if self.streaming:
+            tel = self.beamtransfer.telescope
+            if list(np.asarray(freq_ind)) != list(range(tel.nfreq)):
+                raise ValueError(
+                    "streaming map-making requires the m-mode frequencies "
+                    "to match the telescope channels exactly"
+                )
+            pad_m = tel.mmax - mmax
+            if pad_m > 0:
+                vis = jnp.pad(vis, ((0, pad_m),) + ((0, 0),) * 3)
+                weight = jnp.pad(weight, ((0, pad_m),) + ((0, 0),) * 3)
+            alm = self.beamtransfer.project_telescope_to_sky_dirty_streaming(
+                vis, weight, chunk=self.baseline_chunk
+            )
+            return alm[..., : mmax + 1]
         bp, bm = self._bt_tensors(freq_ind)
         bp = bp[..., : mmax + 1]
         bm = bm[..., : mmax + 1]

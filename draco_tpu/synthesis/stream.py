@@ -38,6 +38,11 @@ class SimulateSidereal(ContainerTask):
     """
 
     stacked = config.Property(proptype=bool, default=True)
+    # Streaming (factorised) projection: never materialises the beam
+    # transfer — required at production scales where the B tensors exceed
+    # device memory.
+    streaming = config.Property(proptype=bool, default=False)
+    baseline_chunk = config.Property(proptype=int, default=256)
 
     def setup(self, bt):
         """Set the beam transfer manager (BeamTransfer or ProductManager)."""
@@ -63,7 +68,12 @@ class SimulateSidereal(ContainerTask):
 
         # Batched beam-transfer projection over every m (MXU path); under a
         # mesh this reshards freq-parallel alm into m-parallel visibilities.
-        vis_m = bt.project_sky_to_telescope(alm)  # [mmax+1, 2, nfreq, nbase]
+        if self.streaming:
+            vis_m = bt.project_sky_to_telescope_streaming(
+                alm, chunk=self.baseline_chunk
+            )
+        else:
+            vis_m = bt.project_sky_to_telescope(alm)  # [m+1, 2, nfreq, nb]
 
         # Inverse m-mode transform onto the sidereal grid
         vis_stream = mmode.mmodes_to_sidereal(vis_m, n=ntime)  # [f, b, t]

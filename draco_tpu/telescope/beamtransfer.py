@@ -105,16 +105,23 @@ class BeamTransfer:
         return max(4, _next_pow2(int(np.ceil((self.telescope.lmax + 1) / 2))))
 
     # -- generation ------------------------------------------------------------
-    def _beam_fringe_maps(self, fi: int) -> jnp.ndarray:
-        """Beam-fringe maps for every unique pair: [nbase, npol_sky, npix]."""
+    def _beam_fringe_maps(self, fi: int, pair_sel=None) -> jnp.ndarray:
+        """Beam-fringe maps per unique pair: [nbase, npol_sky, npix].
+
+        ``pair_sel``: optional slice over the unique-pair axis (streaming
+        chunks regenerate only their window).
+        """
         tel = self.telescope
         nside = self.beam_nside
         lam = tel.wavelengths[fi]
         vec = healpix.pix2vec(nside)  # [npix, 3]
         bl3 = tel.baseline_vectors_3d()  # [nbase, 3]
+        if pair_sel is None:
+            pair_sel = slice(None)
+        bl3 = bl3[pair_sel]
         fringe = np.exp(2j * np.pi * (bl3 @ vec.T) / lam)  # [nbase, npix]
 
-        pairs = tel.uniquepairs
+        pairs = tel.uniquepairs[pair_sel]
         # Evaluate each distinct beamclass once.
         bc = tel.beamclass
         class_feeds = {int(c): int(np.where(bc == c)[0][0]) for c in np.unique(bc)}
@@ -255,6 +262,165 @@ class BeamTransfer:
         a_p = jnp.einsum("fbplm,mfb->fplm", jnp.conj(self._bp), wv[:, 0].astype(self._bp.dtype), precision=_PREC)
         a_m = jnp.einsum("fbplm,mfb->fplm", jnp.conj(self._bm), wv[:, 1].astype(self._bm.dtype), precision=_PREC)
         return a_p + a_m
+
+    # -- streaming (factorised) projections ------------------------------------
+    #
+    # With B = sum_r conj(F)[b, p, r, m] Lambda[l, m, r] / omega (F = ring
+    # coefficients of the fringe x beam-product maps), the projection
+    # factorises so B is never materialised:
+    #
+    #   vis_p[m, b] = sum_{p, r} conj(F_cb) S[p, m, r] / omega,
+    #   S = sum_l Lambda alm  (contracted once per frequency),
+    #
+    # and the adjoint accumulates T[p, r, m] = sum_b F (w v) per baseline
+    # chunk, applying Lambda once at the end.  Analysis linearity gives
+    # both conjugate F's from one real [Re, Im] transform.  This is how
+    # production-scale configurations (beam tensors >> HBM) run; the
+    # repo-root bench uses the same structure.
+
+    def _streaming_ops(self):
+        if getattr(self, "_stream_ops", None) is None:
+            s = sht.get_sht(self.beam_nside, self.telescope.lmax,
+                            self.telescope.mmax)
+
+            @jax.jit
+            def build():
+                return (
+                    s.precompute_legendre_split(jnp.float32),
+                    s.precompute_ring_plan(),
+                )
+
+            lam, plan = build()
+            self._stream_ops = (s, lam, plan)
+        return self._stream_ops
+
+    def _stream_chunks(self, chunk):
+        nbase = len(self.telescope.uniquepairs)
+        if chunk is None:
+            chunk = max(1, min(nbase, 256))
+        for b0 in range(0, nbase, chunk):
+            yield b0, min(b0 + chunk, nbase)
+
+    def project_sky_to_telescope_streaming(self, alm, chunk=None):
+        """Streaming equivalent of :meth:`project_sky_to_telescope`.
+
+        Never materialises the beam-transfer tensors: per (freq, baseline
+        chunk) the fringe x beam maps are regenerated and contracted
+        against the per-frequency sky sections.  Memory scales with the
+        chunk, not with nbase x lmax x mmax.
+        """
+        s, lam, plan = self._streaming_ops()
+        tel = self.telescope
+        alm = jnp.asarray(alm)  # [nfreq, npol, L+1, M+1]
+        nbase = len(tel.uniquepairs)
+        mmax = s.mmax
+        scale = 1.0 / (4 * np.pi / healpix.npix_of(self.beam_nside))
+
+        @jax.jit
+        def sky_sections(alm_f, lam):
+            def contract(lam_s):
+                return jax.lax.complex(
+                    jnp.einsum("plm,lmr->pmr", alm_f.real, lam_s,
+                               precision=_PREC),
+                    jnp.einsum("plm,lmr->pmr", alm_f.imag, lam_s,
+                               precision=_PREC),
+                )
+
+            return [contract(lam["belt"])] + [
+                contract(c) for c in lam["caps"]
+            ]
+
+        @jax.jit
+        def chunk_vis(re, im, S_secs, plan):
+            F_belt, group_F = s._ring_analysis_parts(
+                jnp.stack([re, im]), plan=plan
+            )  # each [2, C, p, r, M+1]
+            U = jnp.zeros((mmax + 1, re.shape[0]), jnp.complex64)
+            V = jnp.zeros((mmax + 1, re.shape[0]), jnp.complex64)
+            for F2, S in zip([F_belt, *group_F], S_secs):
+                U = U + jnp.einsum(
+                    "cprm,pmr->mc", jnp.conj(F2[0]), S, precision=_PREC
+                )
+                V = V + jnp.einsum(
+                    "cprm,pmr->mc", jnp.conj(F2[1]), S, precision=_PREC
+                )
+            return (U + 1j * V) * scale, (U - 1j * V) * scale
+
+        vis = np.zeros((mmax + 1, 2, tel.nfreq, nbase), dtype=np.complex64)
+        for fi in range(tel.nfreq):
+            S_secs = sky_sections(alm[fi].astype(jnp.complex64), lam)
+            for b0, b1 in self._stream_chunks(chunk):
+                bmaps = self._beam_fringe_maps(fi, pair_sel=slice(b0, b1))
+                vp, vm = chunk_vis(bmaps.real, bmaps.imag, S_secs, plan)
+                vis[:, 0, fi, b0:b1] = np.asarray(vp)
+                vis[:, 1, fi, b0:b1] = np.asarray(vm)
+        # m-mode container convention: [m=0, msign=1] is empty
+        vis[0, 1] = 0.0
+        return jnp.asarray(vis)
+
+    def project_telescope_to_sky_dirty_streaming(self, vis, weight,
+                                                 chunk=None):
+        """Streaming equivalent of :meth:`project_telescope_to_sky_dirty`."""
+        s, lam, plan = self._streaming_ops()
+        tel = self.telescope
+        wv = np.array(jnp.asarray(vis) * jnp.asarray(weight))
+        # the materialised operator zeroes Bm at m=0 (the [m=0, msign=1]
+        # container block is empty by convention) — match it exactly
+        wv[0, 1] = 0.0
+        mmax = s.mmax
+        scale = 1.0 / (4 * np.pi / healpix.npix_of(self.beam_nside))
+
+        @jax.jit
+        def chunk_T(re, im, v_p, v_m, T_secs, plan):
+            F_belt, group_F = s._ring_analysis_parts(
+                jnp.stack([re, im]), plan=plan
+            )
+            # conj(bp) = F_cb Lambda scale; conj(bm) = F_b Lambda scale
+            v_sum = v_p + v_m
+            v_dif = v_m - v_p
+            out = []
+            for F2, T in zip([F_belt, *group_F], T_secs):
+                T = T + jnp.einsum(
+                    "cprm,mc->prm", F2[0], v_sum, precision=_PREC
+                )
+                T = T + 1j * jnp.einsum(
+                    "cprm,mc->prm", F2[1], v_dif, precision=_PREC
+                )
+                out.append(T)
+            return out
+
+        @jax.jit
+        def finish(T_secs, lam):
+            a = None
+            for T, lam_s in zip(T_secs, [lam["belt"], *lam["caps"]]):
+                blk = jax.lax.complex(
+                    jnp.einsum("lmr,prm->plm", lam_s, T.real,
+                               precision=_PREC),
+                    jnp.einsum("lmr,prm->plm", lam_s, T.imag,
+                               precision=_PREC),
+                )
+                a = blk if a is None else a + blk
+            return a * scale
+
+        npol = tel.num_pol_sky
+        sec_r = [lam["belt"].shape[2]] + [c.shape[2] for c in lam["caps"]]
+        out = []
+        for fi in range(tel.nfreq):
+            T_secs = [
+                jnp.zeros((npol, r, mmax + 1), jnp.complex64) for r in sec_r
+            ]
+            for b0, b1 in self._stream_chunks(chunk):
+                bmaps = self._beam_fringe_maps(fi, pair_sel=slice(b0, b1))
+                T_secs = chunk_T(
+                    bmaps.real,
+                    bmaps.imag,
+                    jnp.asarray(wv[:, 0, fi, b0:b1]),
+                    jnp.asarray(wv[:, 1, fi, b0:b1]),
+                    T_secs,
+                    plan,
+                )
+            out.append(finish(T_secs, lam))
+        return jnp.stack(out)
 
     # -- SVD products -------------------------------------------------------------
     def _ensure_svd(self):
