@@ -14,13 +14,14 @@ inverse SHT.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core import config, containers, io
 from ..core.task import ContainerTask
 from ..ops import sht
-from ..ops.tools import find_keys
+from ..ops.tools import find_keys, numpy_to_device
 
 
 class BaseMapMaker(ContainerTask):
@@ -62,8 +63,8 @@ class BaseMapMaker(ContainerTask):
         mm_freq = mmodes.index_map["freq"]["centre"]
         freq_ind = find_keys(bt_freq, mm_freq, require_match=True)
 
-        vis = jnp.asarray(np.asarray(mmodes.vis[:]))[: mmax + 1]
-        weight = jnp.asarray(np.asarray(mmodes.weight[:]))[: mmax + 1]
+        vis = np.asarray(mmodes.vis[:])[: mmax + 1]
+        weight = np.asarray(mmodes.weight[:])[: mmax + 1]
         # [m, msign, freq, stack] -> [m, msign, freq, nbase]
         nbase = tel.npairs
         vis = vis.reshape(mmax + 1, 2, nfreq, nbase)
@@ -115,21 +116,41 @@ class DirtyMapMaker(BaseMapMaker):
                     "streaming map-making requires the m-mode frequencies "
                     "to match the telescope channels exactly"
                 )
+            vis = np.asarray(vis)
+            weight = np.asarray(weight)
             pad_m = tel.mmax - mmax
             if pad_m > 0:
-                vis = jnp.pad(vis, ((0, pad_m),) + ((0, 0),) * 3)
-                weight = jnp.pad(weight, ((0, pad_m),) + ((0, 0),) * 3)
+                vis = np.pad(vis, ((0, pad_m),) + ((0, 0),) * 3)
+                weight = np.pad(weight, ((0, pad_m),) + ((0, 0),) * 3)
             alm = self.beamtransfer.project_telescope_to_sky_dirty_streaming(
                 vis, weight, chunk=self.baseline_chunk
             )
             return alm[..., : mmax + 1]
         bp, bm = self._bt_tensors(freq_ind)
-        bp = bp[..., : mmax + 1]
-        bm = bm[..., : mmax + 1]
-        wv = vis * weight
-        a = jnp.einsum("fbplm,mfb->fplm", jnp.conj(bp), wv[:, 0].astype(bp.dtype))
-        a += jnp.einsum("fbplm,mfb->fplm", jnp.conj(bm), wv[:, 1].astype(bm.dtype))
-        return a
+
+        # one jitted call (eager complex ops are unsupported over
+        # remote-TPU tunnels)
+        @jax.jit
+        def adjoint(bp, bm, v_r, v_i, w):
+            wv = jax.lax.complex(v_r, v_i) * w
+            bp = bp[..., : mmax + 1]
+            bm = bm[..., : mmax + 1]
+            a = jnp.einsum(
+                "fbplm,mfb->fplm", jnp.conj(bp), wv[:, 0].astype(bp.dtype)
+            )
+            a += jnp.einsum(
+                "fbplm,mfb->fplm", jnp.conj(bm), wv[:, 1].astype(bm.dtype)
+            )
+            return a
+
+        vis = np.asarray(vis)
+        return adjoint(
+            bp,
+            bm,
+            jnp.asarray(np.ascontiguousarray(vis.real, dtype=np.float32)),
+            jnp.asarray(np.ascontiguousarray(vis.imag, dtype=np.float32)),
+            jnp.asarray(np.asarray(weight, dtype=np.float32)),
+        )
 
 
 def pinv_svd(M, acond: float = 1e-4, rcond: float = 1e-3):

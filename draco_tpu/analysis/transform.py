@@ -11,13 +11,15 @@ runs as one batched device FFT via :mod:`draco_tpu.ops.mmode`.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core import config, containers, io
 from ..core.task import ContainerTask, group_tasks
-from ..ops import mmode
+from ..ops import mmode, tools
 from ..ops.tools import invert_no_zero
 
 C_LIGHT = 299792458.0
@@ -170,7 +172,7 @@ class MModeTransform(ContainerTask):
             raise TypeError(f"No m-mode container for {type(sstream)}")
 
         sstream.redistribute("freq")
-        svis = jnp.asarray(np.asarray(sstream.vis[:]))
+        svis = tools.as_device(sstream.vis[:])
         sweight = jnp.asarray(np.asarray(sstream.weight[:]))
 
         # Noise variance of the m-modes: sum of per-sample variances
@@ -191,22 +193,31 @@ class MModeTransform(ContainerTask):
             axes_from=sstream,
             attrs_from=sstream,
         )
-        mvis = mmode.make_marray(svis, mmax=mmax)
+        # one jitted call: eager complex ops are unsupported over
+        # remote-TPU tunnels (and a single executable is faster anyway)
+        @partial(jax.jit, static_argnames=("mmax", "deconv"))
+        def _pack(svis, mmax, deconv):
+            mvis = mmode.make_marray(svis, mmax=mmax)
+            if deconv:
+                m = jnp.arange(mmax + 1)
+                w_win = jnp.sinc(m / nra)
+                sl = (slice(None),) + (None,) * (mvis.ndim - 1)
+                mvis = mvis * invert_no_zero(w_win)[sl]
+            return mvis
+
+        mvis = _pack(svis, mmax, self.remove_integration_window)
         # weight shape: vis weight axes minus ra, broadcast over (m, msign)
-        mw = jnp.broadcast_to(
-            weight_sum[None, None], (mmax + 1, 2) + weight_sum.shape
-        )
-
+        mw = np.broadcast_to(
+            np.asarray(weight_sum)[None, None],
+            (mmax + 1, 2) + weight_sum.shape,
+        ).copy()
         if self.remove_integration_window:
-            m = jnp.arange(mmax + 1)
-            w = jnp.sinc(m / nra)
-            inv_w = invert_no_zero(w)
-            sl = (slice(None),) + (None,) * (mvis.ndim - 1)
-            mvis = mvis * inv_w[sl]
-            mw = mw * (w[sl] ** 2)
+            w_win = np.sinc(np.arange(mmax + 1) / nra)
+            sl = (slice(None),) + (None,) * (mw.ndim - 1)
+            mw = mw * (w_win[sl] ** 2)
 
-        ma.vis[:] = np.asarray(mvis).astype(ma.vis.dtype)
-        ma.weight[:] = np.asarray(mw).astype(ma.weight.dtype)
+        ma.vis[:] = tools.device_to_numpy(mvis).astype(ma.vis.dtype)
+        ma.weight[:] = mw.astype(ma.weight.dtype)
         return ma
 
 
@@ -229,7 +240,7 @@ class MModeInverseTransform(ContainerTask):
         nra_cont = 2 * mmodes.mmax + (1 if mmodes.oddra else 0)
         nra = self.nra if self.nra is not None else nra_cont
 
-        mvis = jnp.asarray(np.asarray(mmodes.vis[:]))
+        mvis = tools.as_device(mmodes.vis[:])
         mweight = jnp.asarray(np.asarray(mmodes.weight[:]))
 
         if self.apply_integration_window:
@@ -543,7 +554,7 @@ class CollateProducts(TelescopeStreamMixIn, ContainerTask):
         conj = np.asarray(conj, dtype=bool)
         nstack_out = len(self.bt_stack)
 
-        ssv = jnp.asarray(np.asarray(ss.vis[:])[freq_ind])
+        ssv = tools.as_device(ss.vis[:])[jnp.asarray(freq_ind)]
         ssw = jnp.asarray(np.asarray(ss.weight[:])[freq_ind])
 
         vis_sel = ssv[:, src]
@@ -883,7 +894,7 @@ def stokes_I(sstream, tel):
     src = np.flatnonzero(good)
     dst = uinv[src]
 
-    ssv = jnp.asarray(np.asarray(sstream.vis[:]))
+    ssv = tools.as_device(sstream.vis[:])
     ssw = jnp.asarray(np.asarray(sstream.weight[:]))
 
     def seg(x):

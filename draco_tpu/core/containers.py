@@ -110,7 +110,14 @@ class Dataset:
     def __setitem__(self, sel, value):
         full = sel is Ellipsis or (isinstance(sel, slice) and sel == slice(None))
         if _is_jax(self._data):
-            value = jnp.asarray(value, dtype=self._data.dtype)
+            if np.iscomplexobj(value) and not _is_jax(value):
+                # complex host->device transfers are unsupported over
+                # remote-TPU tunnels; split-transfer and combine on device
+                from ..ops.tools import numpy_to_device
+
+                value = numpy_to_device(value).astype(self._data.dtype)
+            else:
+                value = jnp.asarray(value, dtype=self._data.dtype)
             if full and value.shape == self._data.shape:
                 self._data = value
             elif full:
@@ -121,7 +128,9 @@ class Dataset:
             self._data[sel] = np.asarray(value) if _is_jax(value) else value
 
     def __array__(self, dtype=None):
-        arr = np.asarray(self._data)
+        from ..ops.tools import device_to_numpy
+
+        arr = device_to_numpy(self._data)
         return arr.astype(dtype) if dtype is not None else arr
 
     def __len__(self):
@@ -133,13 +142,21 @@ class Dataset:
             f"dtype={self.dtype}>"
         )
 
+    def _as_device(self):
+        """Device view of the data (complex hosts transfer split — see
+        ops.tools.numpy_to_device; remote-TPU tunnels reject complex
+        transfers and a failed one poisons the runtime)."""
+        from ..ops.tools import as_device
+
+        return as_device(self._data)
+
     # -- device/sharding ----------------------------------------------------
     def to_device(self) -> "Dataset":
         """Move the array onto device (respecting its distributed axis)."""
         axis_idx = None
         if self.distributed and self.distributed_axis in self.axes:
             axis_idx = self.axes.index(self.distributed_axis)
-        self._data = pmesh.shard_array(jnp.asarray(self._data), axis_idx)
+        self._data = pmesh.shard_array(self._as_device(), axis_idx)
         return self
 
     def redistribute(self, axis_name: str | None) -> "Dataset":
@@ -149,7 +166,7 @@ class Dataset:
         if axis_name is not None and axis_name not in self.axes:
             return self
         axis_idx = None if axis_name is None else self.axes.index(axis_name)
-        self._data = pmesh.shard_array(jnp.asarray(self._data), axis_idx)
+        self._data = pmesh.shard_array(self._as_device(), axis_idx)
         self.distributed_axis = axis_name
         return self
 

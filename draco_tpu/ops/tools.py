@@ -586,3 +586,59 @@ def find_contiguous_slices(index):
         start = prev = x
     slices.append(slice(start, prev + 1))
     return slices
+
+
+def device_to_numpy(x) -> np.ndarray:
+    """Fetch a device array to host, robust to remote-TPU tunnels.
+
+    Complex readbacks are unsupported over tunnelled TPU backends — and a
+    failed attempt poisons the runtime — so complex arrays ALWAYS come
+    back as a jitted [real, imag] stack recombined on the host.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jnp.iscomplexobj(x) and isinstance(x, jax.Array):
+        ri = np.asarray(jax.jit(lambda a: jnp.stack([a.real, a.imag]))(x))
+        out = ri[0] + 1j * ri[1]
+        return out.astype(
+            np.complex64 if ri.dtype == np.float32 else np.complex128
+        )
+    return np.asarray(x)
+
+
+def numpy_to_device(x):
+    """Put a host array on device, robust to remote-TPU tunnels.
+
+    Complex host->device transfers are unsupported over tunnelled TPU
+    backends; transfer the real/imag parts and combine on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        rdt = np.float32 if x.dtype == np.complex64 else np.float64
+        return jax.jit(jax.lax.complex)(
+            jnp.asarray(np.ascontiguousarray(x.real, dtype=rdt)),
+            jnp.asarray(np.ascontiguousarray(x.imag, dtype=rdt)),
+        )
+    return jnp.asarray(x)
+
+
+def as_device(x):
+    """Return ``x`` as a device array without host round trips.
+
+    jax arrays pass through; complex host arrays transfer via
+    :func:`numpy_to_device` (remote-TPU tunnels reject complex
+    transfers); everything else goes through ``jnp.asarray``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(x, jax.Array):
+        return x
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        return numpy_to_device(x)
+    return jnp.asarray(x)

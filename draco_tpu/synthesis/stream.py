@@ -16,12 +16,13 @@ from __future__ import annotations
 
 import inspect
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core import config, containers, io
 from ..core.task import ContainerTask, PipelineStopIteration
-from ..ops import mmode, regrid, sht
+from ..ops import mmode, regrid, sht, tools
 from ..ops.tools import invert_no_zero
 
 
@@ -76,7 +77,12 @@ class SimulateSidereal(ContainerTask):
             vis_m = bt.project_sky_to_telescope(alm)  # [m+1, 2, nfreq, nb]
 
         # Inverse m-mode transform onto the sidereal grid
-        vis_stream = mmode.mmodes_to_sidereal(vis_m, n=ntime)  # [f, b, t]
+        # one jitted call: eager dispatch of the inverse m-mode transform
+        # is slow (and partly unsupported) over remote-TPU tunnels; the
+        # simulated m-modes always fill the largest negative m (oddra).
+        vis_stream = jax.jit(
+            mmode.mmodes_to_sidereal, static_argnames=("n", "oddra")
+        )(vis_m, n=ntime, oddra=True)  # [f, b, t]
 
         # Construct the output container
         try:
@@ -104,7 +110,7 @@ class SimulateSidereal(ContainerTask):
             distributed=True,
             **kwargs,
         )
-        sstream.vis[:] = np.asarray(vis_stream).astype(np.complex64)
+        sstream.vis[:] = tools.device_to_numpy(vis_stream).astype(np.complex64)
         sstream.weight[:] = np.ones(sstream.weight.shape, dtype=np.float32)
         return sstream
 

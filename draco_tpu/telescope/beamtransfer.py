@@ -32,7 +32,7 @@ from ..ops.sht import _PREC
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import healpix, sht
+from ..ops import healpix, sht, tools
 from .core import TransitTelescope
 
 
@@ -158,6 +158,58 @@ class BeamTransfer:
         # quadrature of the continuous integral
         omega_pix = 4 * np.pi / healpix.npix_of(nside)
         return jnp.asarray(bprod * fringe[:, None, :] * omega_pix)
+
+    def _beam_products(self, fi: int):
+        """Deduped beam-product maps per beamclass pair (host arrays).
+
+        Returns ``(u_idx, bprod)``: ``bprod[u]`` is the [npol, npix]
+        complex beam product (pixel solid angle folded in) for unique
+        beamclass pair ``u``, and ``u_idx[b]`` maps each baseline to its
+        product.  Streaming transfers only the deduped products to the
+        device and builds the fringe there.
+        """
+        tel = self.telescope
+        nside = self.beam_nside
+        pairs = tel.uniquepairs
+        bc = tel.beamclass
+        keys = [(int(bc[i]), int(bc[j])) for i, j in pairs]
+        uniq = sorted(set(keys))
+        kmap = {k: u for u, k in enumerate(uniq)}
+        u_idx = np.array([kmap[k] for k in keys], dtype=np.int32)
+
+        class_feeds = {
+            int(c): int(np.where(bc == c)[0][0]) for c in np.unique(bc)
+        }
+        beams = {
+            c: np.asarray(tel.beam(f, fi, nside))
+            for c, f in class_feeds.items()
+        }
+        npol = tel.num_pol_sky
+        first = next(iter(beams.values()))
+        out = []
+        for ci, cj in uniq:
+            if first.ndim == 1:
+                bp = (beams[ci] * np.conj(beams[cj]))[None, :]
+                if npol == 4:
+                    z = np.zeros_like(bp)
+                    bp = np.concatenate([bp, z, z, z], axis=0)
+            else:
+                Et_i, Ep_i = beams[ci][:, 0], beams[ci][:, 1]
+                Et_j, Ep_j = beams[cj][:, 0], beams[cj][:, 1]
+                tt = Et_i * np.conj(Et_j)
+                pp = Ep_i * np.conj(Ep_j)
+                tp = Et_i * np.conj(Ep_j)
+                pt = Ep_i * np.conj(Et_j)
+                B = [
+                    0.5 * (tt + pp),
+                    0.5 * (tt - pp),
+                    0.5 * (tp + pt),
+                    0.5j * (tp - pt),
+                ]
+                bp = np.stack(B[:npol], axis=0)
+            out.append(bp)
+        omega_pix = 4 * np.pi / healpix.npix_of(nside)
+        return u_idx, np.stack(out) * omega_pix
 
     def generate(self, regen: bool = False) -> "BeamTransfer":
         """Compute the beam transfer tensors for every frequency."""
@@ -301,17 +353,35 @@ class BeamTransfer:
         for b0 in range(0, nbase, chunk):
             yield b0, min(b0 + chunk, nbase)
 
+    def _stream_geometry(self):
+        if getattr(self, "_stream_geo", None) is None:
+            vec = healpix.pix2vec(self.beam_nside).astype(np.float32)
+            self._stream_geo = jax.device_put(vec)
+        return self._stream_geo
+
+    @staticmethod
+    def _stream_bmaps(vec, bl_w, u_re, u_im, uidx):
+        """Device-side fringe x beam-product maps: ([C,p,npix] re, im)."""
+        phase = 2 * jnp.pi * jnp.matmul(bl_w, vec.T, precision=_PREC)
+        c = jnp.cos(phase)[:, None, :]
+        sn = jnp.sin(phase)[:, None, :]
+        br = u_re[uidx]
+        bi = u_im[uidx]
+        return br * c - bi * sn, br * sn + bi * c
+
     def project_sky_to_telescope_streaming(self, alm, chunk=None):
         """Streaming equivalent of :meth:`project_sky_to_telescope`.
 
         Never materialises the beam-transfer tensors: per (freq, baseline
-        chunk) the fringe x beam maps are regenerated and contracted
+        chunk) the fringe x beam maps are built ON DEVICE (only the
+        deduped beamclass products are transferred) and contracted
         against the per-frequency sky sections.  Memory scales with the
         chunk, not with nbase x lmax x mmax.
         """
         s, lam, plan = self._streaming_ops()
         tel = self.telescope
         alm = jnp.asarray(alm)  # [nfreq, npol, L+1, M+1]
+        bl3 = tel.baseline_vectors_3d().astype(np.float32)
         nbase = len(tel.uniquepairs)
         mmax = s.mmax
         scale = 1.0 / (4 * np.pi / healpix.npix_of(self.beam_nside))
@@ -331,12 +401,13 @@ class BeamTransfer:
             ]
 
         @jax.jit
-        def chunk_vis(re, im, S_secs, plan):
+        def chunk_vis(vec, bl_w, u_re, u_im, uidx, S_secs, plan):
+            re, im = self._stream_bmaps(vec, bl_w, u_re, u_im, uidx)
             F_belt, group_F = s._ring_analysis_parts(
                 jnp.stack([re, im]), plan=plan
             )  # each [2, C, p, r, M+1]
-            U = jnp.zeros((mmax + 1, re.shape[0]), jnp.complex64)
-            V = jnp.zeros((mmax + 1, re.shape[0]), jnp.complex64)
+            U = jnp.zeros((mmax + 1, bl_w.shape[0]), jnp.complex64)
+            V = jnp.zeros((mmax + 1, bl_w.shape[0]), jnp.complex64)
             for F2, S in zip([F_belt, *group_F], S_secs):
                 U = U + jnp.einsum(
                     "cprm,pmr->mc", jnp.conj(F2[0]), S, precision=_PREC
@@ -344,40 +415,63 @@ class BeamTransfer:
                 V = V + jnp.einsum(
                     "cprm,pmr->mc", jnp.conj(F2[1]), S, precision=_PREC
                 )
-            return (U + 1j * V) * scale, (U - 1j * V) * scale
+            vp = (U + 1j * V) * scale
+            vm = (U - 1j * V) * scale
+            # f32 stack: complex readbacks are not supported over remote
+            # TPU tunnels
+            return jnp.stack([vp.real, vp.imag, vm.real, vm.imag])
 
         vis = np.zeros((mmax + 1, 2, tel.nfreq, nbase), dtype=np.complex64)
         for fi in range(tel.nfreq):
             S_secs = sky_sections(alm[fi].astype(jnp.complex64), lam)
+            u_idx, bprod = self._beam_products(fi)
+            u_re = jnp.asarray(bprod.real.astype(np.float32))
+            u_im = jnp.asarray(bprod.imag.astype(np.float32))
+            lam_f = tel.wavelengths[fi]
             for b0, b1 in self._stream_chunks(chunk):
-                bmaps = self._beam_fringe_maps(fi, pair_sel=slice(b0, b1))
-                vp, vm = chunk_vis(bmaps.real, bmaps.imag, S_secs, plan)
-                vis[:, 0, fi, b0:b1] = np.asarray(vp)
-                vis[:, 1, fi, b0:b1] = np.asarray(vm)
+                out = np.asarray(
+                    chunk_vis(
+                        self._stream_geometry(),
+                        jnp.asarray(bl3[b0:b1] / lam_f),
+                        u_re,
+                        u_im,
+                        jnp.asarray(u_idx[b0:b1]),
+                        S_secs,
+                        plan,
+                    )
+                )
+                vis[:, 0, fi, b0:b1] = out[0] + 1j * out[1]
+                vis[:, 1, fi, b0:b1] = out[2] + 1j * out[3]
         # m-mode container convention: [m=0, msign=1] is empty
         vis[0, 1] = 0.0
-        return jnp.asarray(vis)
+        return tools.numpy_to_device(vis)
 
     def project_telescope_to_sky_dirty_streaming(self, vis, weight,
                                                  chunk=None):
         """Streaming equivalent of :meth:`project_telescope_to_sky_dirty`."""
         s, lam, plan = self._streaming_ops()
         tel = self.telescope
-        wv = np.array(jnp.asarray(vis) * jnp.asarray(weight))
+        # host-side weighting: the inputs may be host arrays and eager
+        # complex device ops are unsupported over remote-TPU tunnels
+        wv = tools.device_to_numpy(vis) * tools.device_to_numpy(weight)
         # the materialised operator zeroes Bm at m=0 (the [m=0, msign=1]
         # container block is empty by convention) — match it exactly
         wv[0, 1] = 0.0
         mmax = s.mmax
         scale = 1.0 / (4 * np.pi / healpix.npix_of(self.beam_nside))
 
+        bl3 = tel.baseline_vectors_3d().astype(np.float32)
+
         @jax.jit
-        def chunk_T(re, im, v_p, v_m, T_secs, plan):
+        def chunk_T(vec, bl_w, u_re, u_im, uidx, vs_r, vs_i, vd_r, vd_i,
+                    T_secs, plan):
+            re, im = self._stream_bmaps(vec, bl_w, u_re, u_im, uidx)
             F_belt, group_F = s._ring_analysis_parts(
                 jnp.stack([re, im]), plan=plan
             )
             # conj(bp) = F_cb Lambda scale; conj(bm) = F_b Lambda scale
-            v_sum = v_p + v_m
-            v_dif = v_m - v_p
+            v_sum = jax.lax.complex(vs_r, vs_i)
+            v_dif = jax.lax.complex(vd_r, vd_i)
             out = []
             for F2, T in zip([F_belt, *group_F], T_secs):
                 T = T + jnp.einsum(
@@ -400,27 +494,47 @@ class BeamTransfer:
                                precision=_PREC),
                 )
                 a = blk if a is None else a + blk
-            return a * scale
+            a = a * scale
+            # f32 stack: complex readbacks are not supported over remote
+            # TPU tunnels
+            return jnp.stack([a.real, a.imag])
 
         npol = tel.num_pol_sky
         sec_r = [lam["belt"].shape[2]] + [c.shape[2] for c in lam["caps"]]
-        out = []
-        for fi in range(tel.nfreq):
-            T_secs = [
+
+        # jitted init: eager complex zeros are unsupported over tunnels
+        @jax.jit
+        def zeros_T():
+            return [
                 jnp.zeros((npol, r, mmax + 1), jnp.complex64) for r in sec_r
             ]
+
+        out = []
+        for fi in range(tel.nfreq):
+            u_idx, bprod = self._beam_products(fi)
+            u_re = jnp.asarray(bprod.real.astype(np.float32))
+            u_im = jnp.asarray(bprod.imag.astype(np.float32))
+            lam_f = tel.wavelengths[fi]
+            T_secs = zeros_T()
             for b0, b1 in self._stream_chunks(chunk):
-                bmaps = self._beam_fringe_maps(fi, pair_sel=slice(b0, b1))
+                v_sum = wv[:, 0, fi, b0:b1] + wv[:, 1, fi, b0:b1]
+                v_dif = wv[:, 1, fi, b0:b1] - wv[:, 0, fi, b0:b1]
                 T_secs = chunk_T(
-                    bmaps.real,
-                    bmaps.imag,
-                    jnp.asarray(wv[:, 0, fi, b0:b1]),
-                    jnp.asarray(wv[:, 1, fi, b0:b1]),
+                    self._stream_geometry(),
+                    jnp.asarray(bl3[b0:b1] / lam_f),
+                    u_re,
+                    u_im,
+                    jnp.asarray(u_idx[b0:b1]),
+                    jnp.asarray(v_sum.real.copy()),
+                    jnp.asarray(v_sum.imag.copy()),
+                    jnp.asarray(v_dif.real.copy()),
+                    jnp.asarray(v_dif.imag.copy()),
                     T_secs,
                     plan,
                 )
-            out.append(finish(T_secs, lam))
-        return jnp.stack(out)
+            ri = np.asarray(finish(T_secs, lam))
+            out.append(ri[0] + 1j * ri[1])
+        return tools.numpy_to_device(np.stack(out))
 
     # -- SVD products -------------------------------------------------------------
     def _ensure_svd(self):
