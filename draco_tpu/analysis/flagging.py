@@ -22,7 +22,7 @@ import numpy as np
 
 from ..core import config, containers, io
 from ..core.task import ContainerTask
-from ..ops import filters, rfi
+from ..ops import filters, median, rfi
 from ..ops.tools import extract_diagonal, invert_no_zero
 from ..ops import tools as ops_tools
 
@@ -451,73 +451,204 @@ class CollapseBaselineMask(ContainerTask):
 
 
 class RFISensitivityMask(ContainerTask):
-    """RFI mask from a system-sensitivity metric via SumThreshold + SIR.
+    """RFI mask from deviations of system sensitivity from radiometer noise.
 
-    (reference flagging.py:1808): per-frequency deviations of the measured
-    sensitivity from a radiometer baseline are flagged with SumThreshold,
-    TV-channel re-flagging, and widened with the scale-invariant rank
+    Full algorithm of reference flagging.py:1808-2118: an optional 1-D
+    static mask from per-channel time quantiles (``_mask_1d``), then
+    ``niter`` rounds of threshold reduction in which the background is
+    re-estimated with a 2-D rolling weighted median (``base_size``), the
+    noise with a rolling median absolute deviation (``mad_size``), and
+    samples are flagged by MAD / TV-channel / SumThreshold tests; the
+    MAD and SumThreshold masks are blended by the ``_combine_st_mad_hook``
+    (MAD around bright transits, SumThreshold elsewhere), and the final
+    OR over polarisations may be widened with the scale-invariant rank
     operator.
     """
 
     mask_type = config.enum(["mad", "sumthreshold", "combine"], default="combine")
-    include_pol = config.Property(proptype=list, default=None)
-    remove_median = config.Property(proptype=bool, default=True)
-    sir = config.Property(proptype=bool, default=True)
-    eta = config.Property(proptype=float, default=0.2)
-    max_m = config.Property(proptype=int, default=64)
-    start_threshold_sigma = config.Property(proptype=float, default=5.0)
+    include_pol = config.list_type(str, default=None)
+
+    nsigma_1d = config.Property(proptype=float, default=5.0)
+    quantile_1d = config.Property(proptype=float, default=0.15)
+    win_f_1d = config.Property(proptype=int, default=191)
+
+    nsigma = config.Property(proptype=float, default=5.0)
+    niter = config.Property(proptype=int, default=5)
+    rho = config.Property(proptype=float, default=1.5)
+
+    base_size = config.list_type(int, length=2, default=(37, 181))
+    mad_size = config.list_type(int, length=2, default=(101, 31))
     tv_fraction = config.Property(proptype=float, default=0.5)
+    max_m = config.Property(proptype=int, default=64)
+
+    sir = config.Property(proptype=bool, default=False)
+    eta = config.Property(proptype=float, default=0.2)
+    only_time = config.Property(proptype=bool, default=False)
+
+    # Convert MAD to RMS (reference flagging.py:1885)
+    MAD_TO_RMS = 1.4826
+
+    def setup(self):
+        """Threshold schedule: nsigma * rho**(niter-1) ... nsigma."""
+        self.threshold = self.nsigma * self.rho ** np.arange(self.niter)[::-1]
 
     def process(self, sensitivity):
+        """Derive an RFI mask from a SystemSensitivity container."""
         pol = [
             p.decode() if isinstance(p, bytes) else str(p)
             for p in sensitivity.index_map["pol"]
         ]
-        include = self.include_pol or pol
-        psel = [i for i, p in enumerate(pol) if p in include]
+        npol = len(pol)
 
-        measured = np.asarray(sensitivity.measured[:])[:, psel]
-        radiometer = np.asarray(sensitivity.radiometer[:])[:, psel]
-        sens_weight = np.asarray(sensitivity.weight[:])[:, psel]
+        measured = np.asarray(sensitivity.measured[:])
+        radio = np.asarray(sensitivity.radiometer[:])
+        sens_weight = np.asarray(sensitivity.weight[:])
 
-        finalmask = np.zeros(
-            (measured.shape[0], measured.shape[-1]), dtype=bool
-        )
-        for pi in range(measured.shape[1]):
-            metric = measured[:, pi] * invert_no_zero(radiometer[:, pi])
-            start_flag = sens_weight[:, pi] == 0
-            madmask = mad(metric, start_flag) > self.start_threshold_sigma
-            madmask |= start_flag
-            stmask = rfi.sumthreshold(
-                metric,
-                max_m=self.max_m,
-                start_flag=start_flag,
-                remove_median=self.remove_median,
-            )
-            if self.mask_type == "mad":
-                m = madmask
-            elif self.mask_type == "sumthreshold":
-                m = stmask
-            else:
-                m = madmask | stmask
-            # TV station re-flagging
-            dev = mad(metric, start_flag)
-            dev = np.where(np.isnan(dev), 2 * self.start_threshold_sigma, dev)
-            m |= tv_channels_flag(
-                dev, sensitivity.freq, sigma=self.start_threshold_sigma,
-                f=self.tv_fraction,
-            )
-            if self.sir:
-                m = rfi.scale_invariant_rank(m, eta=self.eta, axis=(0, -1))
-            finalmask |= m
+        # Radiometer test metric [freq, pol, time]
+        metric = measured * np.asarray(invert_no_zero(radio))
+        flag = sens_weight == 0.0
 
+        freq = sensitivity.freq
+        times = np.asarray(sensitivity.time)
+        static_flag = ~self._static_rfi_mask_hook(freq, times[0])
+
+        if self.mask_type == "combine":
+            madtimes = self._combine_st_mad_hook(times, freq)
+
+        nfreq, _, ntime = metric.shape
+        finalmask = np.zeros((npol, nfreq, ntime), dtype=bool)
+
+        for pi in range(npol):
+            if self.include_pol and pol[pi] not in self.include_pol:
+                continue
+
+            y = metric[:, pi, :]
+            current_flag = flag[:, pi, :] | static_flag[:, None]
+
+            # Static per-channel mask from the time quantile
+            if self.nsigma_1d is not None:
+                flag_1d, y_static = self._mask_1d(y, current_flag)
+                current_flag = current_flag | flag_1d[:, None]
+                y = y - y_static[:, None]
+
+            # Slowly reduce the threshold, re-estimating background and
+            # deviation with the current mask each round
+            for nsig in self.threshold:
+                med_y = filters.medfilt(y, current_flag, tuple(self.base_size))
+                dy = y - med_y
+
+                ady = np.abs(dy)
+                med_ady = self.MAD_TO_RMS * filters.medfilt(
+                    ady, current_flag, tuple(self.mad_size)
+                )
+                ady_nsigma = ady * np.asarray(invert_no_zero(med_ady))
+
+                madmask = ady_nsigma > nsig
+                tvmask = tv_channels_flag(
+                    ady_nsigma, freq, sigma=nsig, f=self.tv_fraction
+                )
+                madmask |= tvmask
+
+                if self.mask_type == "mad":
+                    current_flag = current_flag | madmask
+                    continue
+
+                stmask = rfi.sumthreshold(
+                    dy,
+                    self.max_m,
+                    start_flag=current_flag | tvmask,
+                    threshold1=nsig,
+                    remove_median=False,
+                    correct_for_missing=True,
+                    rho=1.0,
+                    variance=med_ady**2,
+                )
+
+                if self.mask_type == "sumthreshold":
+                    current_flag = current_flag | stmask
+                else:  # combine: MAD around transits, SumThreshold elsewhere
+                    tempmask = np.where(madtimes, madmask, stmask)
+                    if not self.sir:
+                        # Extend the sumthreshold mask in time across the
+                        # transits if SIR will not run on the final mask
+                        expanded = rfi.scale_invariant_rank(
+                            tempmask, eta=0.2, axis=-1
+                        )
+                        tempmask = np.where(madtimes, expanded, tempmask)
+                    current_flag = current_flag | tempmask
+
+            finalmask[pi] = current_flag
+
+        finalmask = finalmask.any(axis=0)
+
+        percent_masked = 100.0 * np.sum(finalmask) / float(finalmask.size)
         self.log.info(
-            "Flagging %0.2f%% of data due to RFI."
-            % (100.0 * np.sum(finalmask) / float(finalmask.size))
+            f"After RFISensitivityMask, {percent_masked:0.2f} percent "
+            "of data will be masked."
         )
+
+        if self.sir:
+            finalmask = self._apply_sir(finalmask, static_flag[:, None])
+            percent_masked = 100.0 * np.sum(finalmask) / float(finalmask.size)
+            self.log.info(
+                f"After SIR operator, {percent_masked:0.2f} percent "
+                "of data will be masked."
+            )
+
         out = containers.RFIMask(axes_from=sensitivity, attrs_from=sensitivity)
         out.mask[:] = finalmask
         return out
+
+    def _combine_st_mad_hook(self, times, freq):
+        """Blending mask between SumThreshold and MAD flagged data.
+
+        Override to use MAD around bright source transits (where
+        SumThreshold removes real signal).  True selects the MAD mask.
+        (reference flagging.py:2045)
+        """
+        return np.ones((freq.size, times.size), dtype=bool)
+
+    def _static_rfi_mask_hook(self, freq, timestamp=None):
+        """Static RFI mask; True keeps a channel (reference flagging.py:2066)."""
+        return np.ones_like(freq, dtype=bool)
+
+    def _mask_1d(self, rad, mask):
+        """Mask channels whose time quantile deviates from the rolling
+        frequency median by more than ``nsigma_1d`` MADs
+        (reference flagging.py:2084)."""
+        y = np.ascontiguousarray(rad.astype(np.float64))
+        w = np.ascontiguousarray((~mask).astype(np.float64))
+
+        medt_y = median.quantile(y, w, self.quantile_1d)
+        medt_w = np.any(w > 0, axis=-1).astype(np.float64)
+
+        if self.win_f_1d is None:
+            medf_medt_y = median.weighted_median(medt_y, medt_w)
+        else:
+            medf_medt_y = median.moving_weighted_median(
+                medt_y, medt_w, self.win_f_1d
+            )
+
+        absd_medt_y = np.abs(medt_y - medf_medt_y)
+
+        if self.win_f_1d is None:
+            mad_1d = self.MAD_TO_RMS * median.weighted_median(absd_medt_y, medt_w)
+        else:
+            mad_1d = self.MAD_TO_RMS * median.moving_weighted_median(
+                absd_medt_y, medt_w, self.win_f_1d
+            )
+
+        return absd_medt_y > (self.nsigma_1d * mad_1d), medt_y
+
+    def _apply_sir(self, mask, baseflag, eta=0.2):
+        """Expand the mask with SIR, excluding the static flag
+        (reference flagging.py:2105)."""
+        nobaseflag = np.copy(mask)
+        nobaseflag[np.broadcast_to(baseflag, mask.shape)] = False
+
+        axes = (-1,) if self.only_time else (0, -1)
+        nobaseflagsir = rfi.scale_invariant_rank(nobaseflag, eta=self.eta, axis=axes)
+        return nobaseflagsir | mask
 
 
 class RFIMask(ContainerTask):

@@ -153,6 +153,9 @@ class MModeTransform(ContainerTask):
     """
 
     remove_integration_window = config.Property(proptype=bool, default=False)
+    # Accepted for reference-config compatibility (transform.py:555); the
+    # transform always runs as a batched on-device XLA FFT here.
+    use_fftw = config.Property(proptype=bool, default=True)
 
     def setup(self, manager=None):
         """Optionally set the telescope to define mmax."""

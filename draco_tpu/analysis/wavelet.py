@@ -39,6 +39,7 @@ class WaveletSpectrumEstimator(ContainerTask):
     dataset = config.Property(proptype=str, default="vis")
     average_axis = config.Property(proptype=str)
     ndelay = config.Property(proptype=int, default=128)
+    wavelet = config.Property(proptype=str, default="morl")
     chunks = config.Property(proptype=int, default=4)
 
     def process(self, data, dspec):
@@ -72,7 +73,9 @@ class WaveletSpectrumEstimator(ContainerTask):
         delay_scales = np.arange(1, self.ndelay + 1) / (2 * df * self.ndelay)
 
         # Wavelet scales, in frequency samples
-        wv_scales = wavelet_ops.frequency2scale(delay_scales * df)
+        wv_scales = wavelet_ops.frequency2scale(
+            delay_scales * df, wavelet=self.wavelet
+        )
 
         wspec = containers.WaveletSpectrum(
             baseline=nbase,
@@ -105,8 +108,8 @@ class WaveletSpectrumEstimator(ContainerTask):
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e <= s:
                 continue
-            W = wavelet_ops.cwt_morlet(
-                d_infill, wv_scales[s:e], axis=-1
+            W = wavelet_ops.cwt(
+                d_infill, wv_scales[s:e], wavelet=self.wavelet, axis=-1
             )  # [nscale, nbase, ntime, nfreq]
             var = wavelet_ops.cwt_var(W, axis=2)  # [nscale, nbase, nfreq]
             ws[:, s:e] = np.moveaxis(np.asarray(var), 0, 1)

@@ -9,8 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 from scipy import signal
-from scipy.ndimage import median_filter
 
+from . import median
 from .tools import invert_no_zero, window_generalised
 
 __all__ = [
@@ -51,18 +51,15 @@ def highpass_weighted_convolution_filter(data, weight, samples, cutoff, axis=-1)
 def medfilt(x, mask, size, *args):
     """Moving median filter of masked data (reference filters.py:99).
 
-    Masked samples are excluded by replacing them with the local unmasked
-    median before filtering.
+    Masked samples carry zero weight in the moving weighted median, exactly
+    as the reference's caput ``median.moving_weighted_median`` call.
     """
     x = np.asarray(x)
     if np.iscomplexobj(x):
         return medfilt(x.real, mask, size) + 1.0j * medfilt(x.imag, mask, size)
     x = np.ascontiguousarray(x.astype(np.float64))
-    # Fill masked values with a coarse global median so they don't drag the
-    # local medians; this approximates the reference's weighted median.
-    fill = np.median(x[~mask]) if (~mask).any() else 0.0
-    xf = np.where(mask, fill, x)
-    return median_filter(xf, size=size, mode="nearest")
+    w = np.ascontiguousarray((~np.asarray(mask, dtype=bool)).astype(np.float64))
+    return median.moving_weighted_median(x, w, size, *args)
 
 
 def null_filter(

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["weighted_median", "moving_weighted_median"]
+__all__ = ["weighted_median", "moving_weighted_median", "quantile"]
 
 
 def weighted_median(x, w, axis: int = -1):
@@ -52,8 +52,48 @@ def weighted_median(x, w, axis: int = -1):
     return np.where(tot[..., 0] > 0, med, 0.0)
 
 
+def quantile(x, w, q, axis: int = -1):
+    """Weighted quantile of ``x`` along ``axis``.
+
+    Native replacement for caput ``algorithms.median.quantile`` (used by
+    reference draco/analysis/flagging.py:1937 ``RFISensitivityMask._mask_1d``):
+    the weighted ``q``-quantile with the same "split" convention as
+    :func:`weighted_median` — with ``q=0.5`` the two agree exactly.
+    Samples with zero weight are ignored; rows with no valid samples
+    return 0.
+    """
+    q = float(q)
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"Quantile must be in [0, 1], got {q}.")
+    x0 = np.asarray(x, dtype=np.float64)
+    w0 = np.broadcast_to(np.asarray(w, dtype=np.float64), x0.shape)
+    x = np.moveaxis(x0, axis, -1)
+    w = np.moveaxis(w0, axis, -1)
+
+    order = np.argsort(x, axis=-1)
+    xs = np.take_along_axis(x, order, -1)
+    ws = np.take_along_axis(w, order, -1)
+
+    cw = np.cumsum(ws, axis=-1)
+    tot = cw[..., -1:]
+    target = q * tot
+
+    lo = np.argmax(cw >= target, axis=-1)
+    hi = np.argmax(cw > target, axis=-1)
+    # Beyond the last sample (q == 1), clamp to the top value.
+    hi = np.where((cw > target).any(axis=-1), hi, x.shape[-1] - 1)
+    med = 0.5 * (
+        np.take_along_axis(xs, lo[..., None], -1)[..., 0]
+        + np.take_along_axis(xs, hi[..., None], -1)[..., 0]
+    )
+    return np.where(tot[..., 0] > 0, med, 0.0)
+
+
 def moving_weighted_median(x, w, size):
-    """2D moving-window weighted median of ``x`` (last two axes).
+    """Moving-window weighted median of ``x``.
+
+    1-D input with a scalar (odd) ``size`` filters along the single axis;
+    otherwise filters over the last two axes with ``size = (s0, s1)``.
 
     Equivalent of caput ``median.moving_weighted_median``: each output
     sample is the weighted median over a centred ``size = (s0, s1)``
@@ -66,6 +106,11 @@ def moving_weighted_median(x, w, size):
     """
     x = np.asarray(x, dtype=np.float64)
     w = np.asarray(w, dtype=np.float64)
+    if x.ndim == 1 and np.isscalar(size):
+        # caput's 1-D form (reference flagging.py:1944): window along the
+        # single axis.
+        out = moving_weighted_median(x[:, None], w[:, None], (int(size), 1))
+        return out[:, 0]
     if np.isscalar(size):
         size = (int(size), int(size))
     s0, s1 = int(size[0]), int(size[1])

@@ -280,3 +280,130 @@ def test_apply_localized_rfi_mask(ptel):
     w = np.asarray(out.datasets["weight"][:])
     assert w[0, 1, 4, 1] == 0.0
     assert w[0, 0, 4, 1] == 1.0
+
+
+def test_weighted_quantile():
+    from draco_tpu.ops import median as med
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((5, 101))
+    w = np.ones_like(x)
+    # Unit weights: agrees with np.median at q=0.5
+    assert np.allclose(med.quantile(x, w, 0.5), np.median(x, axis=-1))
+    assert np.allclose(med.quantile(x, w, 0.5), med.weighted_median(x, w))
+    # Zero-weight samples are ignored
+    x2 = x.copy()
+    x2[:, ::2] = 1e6
+    w2 = np.ones_like(x)
+    w2[:, ::2] = 0.0
+    assert np.allclose(med.quantile(x2, w2, 0.5), np.median(x[:, 1::2], axis=-1))
+    # Quantiles are ordered
+    q1 = med.quantile(x, w, 0.15)
+    q2 = med.quantile(x, w, 0.85)
+    assert (q1 < q2).all()
+    # All-zero weights give 0
+    assert med.quantile(x, np.zeros_like(x), 0.15).tolist() == [0.0] * 5
+
+
+def test_moving_weighted_median_1d():
+    from draco_tpu.ops import median as med
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(64)
+    w = np.ones_like(x)
+    out = med.moving_weighted_median(x, w, 9)
+    assert out.shape == x.shape
+    # Interior windows match a plain moving median
+    from scipy.ndimage import median_filter
+
+    expect = median_filter(x, size=9, mode="constant")
+    assert np.allclose(out[4:-4], expect[4:-4])
+
+
+def test_rfi_sensitivity_mask():
+    """Full iterative RFISensitivityMask (reference flagging.py:1808)."""
+    rng = np.random.default_rng(5)
+    nfreq, ntime = 64, 96
+    freq = np.linspace(500.0, 564.0, nfreq, endpoint=False)
+    sens = containers.SystemSensitivity(
+        freq=freq, pol=np.array(["XX", "YY"]), time=1e9 + 10.0 * np.arange(ntime)
+    )
+    radiometer = np.ones((nfreq, 2, ntime), dtype=np.float32)
+    measured = radiometer * (1.0 + 0.01 * rng.standard_normal((nfreq, 2, ntime))).astype(
+        np.float32
+    )
+    # Strong transient RFI block
+    measured[20:24, :, 40:60] *= 10.0
+    # Persistent bad channel: caught by the 1-D quantile mask
+    measured[50] *= 4.0
+    sens.radiometer[:] = radiometer
+    sens.measured[:] = measured
+    sens.weight[:] = np.ones((nfreq, 2, ntime), dtype=np.float32)
+    sens.weight[:, :, :2] = 0.0  # pre-flagged samples propagate
+
+    task = flagging.RFISensitivityMask()
+    task.read_config(
+        {
+            "niter": 3,
+            "base_size": [9, 17],
+            "mad_size": [13, 7],
+            "win_f_1d": 15,
+            "max_m": 8,
+        }
+    )
+    task.setup()
+    out = task.process(sens)
+    mask = np.asarray(out.mask[:])
+    assert mask.shape == (nfreq, ntime)
+
+    assert mask[20:24, 40:60].all()  # RFI block flagged
+    assert mask[50].all()  # bad channel flagged
+    assert mask[:, :2].all()  # zero-weight samples stay flagged
+    clean = mask[30:48, 10:30]
+    assert clean.mean() < 0.1  # clean region mostly unflagged
+
+    # mad and sumthreshold-only modes run and also catch the block
+    for mt in ("mad", "sumthreshold"):
+        t2 = flagging.RFISensitivityMask()
+        t2.read_config(
+            {"mask_type": mt, "niter": 2, "base_size": [9, 17],
+             "mad_size": [13, 7], "win_f_1d": 15, "max_m": 8}
+        )
+        t2.setup()
+        m2 = np.asarray(t2.process(sens).mask[:])
+        assert m2[21:23, 45:55].all()
+
+    # SIR post-pass only widens the mask
+    t3 = flagging.RFISensitivityMask()
+    t3.read_config(
+        {"sir": True, "niter": 2, "base_size": [9, 17], "mad_size": [13, 7],
+         "win_f_1d": 15, "max_m": 8}
+    )
+    t3.setup()
+    m3 = np.asarray(t3.process(sens).mask[:])
+    t4 = flagging.RFISensitivityMask()
+    t4.read_config(
+        {"sir": False, "niter": 2, "base_size": [9, 17], "mad_size": [13, 7],
+         "win_f_1d": 15, "max_m": 8}
+    )
+    t4.setup()
+    m4 = np.asarray(t4.process(sens).mask[:])
+    assert (m3 | m4 == m3).all()  # SIR only adds flags
+
+
+def test_wavelet_zoo():
+    from draco_tpu.ops import wavelet as wv
+
+    n = 512
+    t = np.arange(n)
+    f_true = 0.07
+    x = np.cos(2 * np.pi * f_true * t)
+    freqs = np.linspace(0.02, 0.2, 40)
+
+    for name in ("morl", "cmor1.5-1.0", "mexh", "gaus2"):
+        scales = wv.frequency2scale(freqs, wavelet=name)
+        W = np.asarray(wv.cwt(x, scales, wavelet=name))
+        power = np.mean(np.abs(W[:, n // 4 : -n // 4]) ** 2, axis=-1)
+        f_peak = freqs[np.argmax(power)]
+        # Every wavelet's scale-frequency relation localises the tone
+        assert abs(f_peak - f_true) < 0.02, (name, f_peak)
