@@ -387,21 +387,99 @@ def lint(config_path: str) -> list[str]:
 
 
 def main(argv=None):
-    """Command line interface: ``draco-tpu {run,lint} config.yaml``."""
+    """Command line interface.
+
+    ``draco-tpu {run,lint} config.yaml`` mirrors the reference's
+    ``caput-pipeline`` console script; ``draco-tpu makeproducts`` and
+    ``draco-tpu makesky`` re-provide the ``drift-makeproducts`` /
+    ``cora-makesky`` product-generation entry points the tutorial drives
+    (reference doc/tutorial.rst:78-119).
+    """
     import argparse
 
     parser = argparse.ArgumentParser(
-        prog="draco-tpu", description="Run or lint a draco-tpu pipeline config"
+        prog="draco-tpu",
+        description="Run/lint a draco-tpu pipeline; generate telescope "
+        "products or input sky maps",
+    )
+    parser.add_argument(
+        "--platform",
+        default=None,
+        help="force a JAX platform (cpu/tpu), e.g. for host-only product "
+        "generation",
     )
     sub = parser.add_subparsers(dest="command", required=True)
     p_run = sub.add_parser("run", help="run a pipeline config")
     p_run.add_argument("configfile")
     p_lint = sub.add_parser("lint", help="validate a pipeline config")
     p_lint.add_argument("configfile", nargs="+")
+
+    p_prod = sub.add_parser(
+        "makeproducts",
+        help="generate beam-transfer/KL/PS products from a product config "
+        "(drift-makeproducts equivalent)",
+    )
+    p_prod.add_argument("configfile", help="product config YAML or directory")
+    p_prod.add_argument("--regen", action="store_true", help="force regeneration")
+    p_prod.add_argument(
+        "--output", default=None, help="directory to save products into"
+    )
+
+    p_sky = sub.add_parser(
+        "makesky",
+        help="generate a Gaussian sky map HDF5 (cora-makesky equivalent)",
+    )
+    p_sky.add_argument(
+        "model",
+        choices=[
+            "synchrotron", "pointsource", "freefree", "galacticfreefree",
+            "foreground", "21cm",
+        ],
+    )
+    p_sky.add_argument("output", help="output HDF5 map file")
+    p_sky.add_argument("--nside", type=int, default=64)
+    p_sky.add_argument("--freq-start", type=float, default=400.0)
+    p_sky.add_argument("--freq-end", type=float, default=500.0)
+    p_sky.add_argument("--nfreq", type=int, default=32)
+    p_sky.add_argument("--seed", type=int, default=0)
+    p_sky.add_argument("--pol", action="store_true", help="full-Stokes maps")
+    p_sky.add_argument("--lmax", type=int, default=None)
+
     args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.command == "run":
         run(args.configfile)
+        return 0
+    if args.command == "makeproducts":
+        from ..telescope.manager import ProductManager
+
+        man = ProductManager.from_config(args.configfile)
+        man.generate(regen=args.regen)
+        out_dir = args.output or man.directory
+        if out_dir:
+            man.save(out_dir)
+            print(f"products written to {out_dir}")
+        return 0
+    if args.command == "makesky":
+        from ..synthesis.skymodel import make_sky
+
+        m = make_sky(
+            model=args.model,
+            nside=args.nside,
+            nfreq=args.nfreq,
+            freq_start=args.freq_start,
+            freq_end=args.freq_end,
+            seed=args.seed,
+            pol=args.pol,
+            lmax=args.lmax,
+        )
+        m.save(args.output)
+        print(f"{args.model} map written to {args.output}")
         return 0
     problems = []
     for f in args.configfile:

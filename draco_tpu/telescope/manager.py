@@ -77,6 +77,17 @@ class ProductManager:
         with open(config_file) as f:
             cfg = yaml.safe_load(f)
 
+        # drift-makeproducts configs carry a `config:` stanza with the
+        # product output directory (reference test/products_config.yaml)
+        drift_cfg = cfg.get("config") or {}
+        out_dir = drift_cfg.get("output_directory")
+        if out_dir:
+            directory = (
+                out_dir
+                if os.path.isabs(out_dir)
+                else os.path.join(directory, out_dir)
+            )
+
         tel_cfg = dict(cfg.get("telescope", {}))
         tel_cls = _resolve_telescope(tel_cfg.pop("type", "SimpleUnpolarised"))
         tel = tel_cls.from_config(tel_cfg)
