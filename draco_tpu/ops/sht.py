@@ -20,6 +20,8 @@ sharpen the round trip.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,7 +37,25 @@ _SCALE_BITS = 60
 # is single-pass bfloat16 (~3e-3 relative error), which destroys the 1e-5
 # map accuracy target.  HIGHEST (six-pass bf16 emulation of f32) measures
 # ~1.7e-7 per GEMM and end-to-end matches CPU float32 (~1e-5 vs f64).
-_PREC = jax.lax.Precision.HIGHEST
+# DRACO_TPU_SHT_PRECISION=high selects the three-pass variant (faster on
+# the MXU, ~1e-4-per-GEMM class accuracy) for workloads that tolerate it.
+def _prec_env(var, fallback):
+    name = os.environ.get(var, os.environ.get(fallback, "highest")).lower()
+    return {
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
+
+
+# Ring-DFT GEMMs (pixels <-> ring Fourier coefficients) and Legendre
+# contractions (rings <-> l) can run at different precisions:
+# DRACO_TPU_SHT_RING_PRECISION / DRACO_TPU_SHT_LEGENDRE_PRECISION override
+# the common DRACO_TPU_SHT_PRECISION.
+_PREC_RING = _prec_env("DRACO_TPU_SHT_RING_PRECISION", "DRACO_TPU_SHT_PRECISION")
+_PREC_LEG = _prec_env(
+    "DRACO_TPU_SHT_LEGENDRE_PRECISION", "DRACO_TPU_SHT_PRECISION"
+)
+_PREC = _PREC_LEG  # compat alias
 _LN2 = float(np.log(2.0))
 
 
@@ -263,11 +283,11 @@ class SHT:
                 # real x complex: two real GEMMs — half the FLOPs of
                 # up-casting the input to complex first
                 F_raw = jax.lax.complex(
-                    jnp.matmul(belt, W.real, precision=_PREC),
-                    jnp.matmul(belt, W.imag, precision=_PREC),
+                    jnp.matmul(belt, W.real, precision=_PREC_RING),
+                    jnp.matmul(belt, W.imag, precision=_PREC_RING),
                 )
             else:
-                F_raw = jnp.matmul(belt, W, precision=_PREC)
+                F_raw = jnp.matmul(belt, W, precision=_PREC_RING)
         else:
             F_raw = jnp.fft.fft(belt.astype(cdtype), axis=-1)[
                 ..., : self.mmax + 1
@@ -292,16 +312,16 @@ class SHT:
                     parts.append(
                         jax.lax.complex(
                             jnp.einsum(
-                                "...rj,rjm->...rm", cap, P.real, precision=_PREC
+                                "...rj,rjm->...rm", cap, P.real, precision=_PREC_RING
                             ),
                             jnp.einsum(
-                                "...rj,rjm->...rm", cap, P.imag, precision=_PREC
+                                "...rj,rjm->...rm", cap, P.imag, precision=_PREC_RING
                             ),
                         )
                     )
                 else:
                     parts.append(
-                        jnp.einsum("...rj,rjm->...rm", cap, P, precision=_PREC)
+                        jnp.einsum("...rj,rjm->...rm", cap, P, precision=_PREC_RING)
                     )
             group_F.append(jnp.concatenate(parts, axis=-1))
         F_cap = jnp.concatenate(group_F, axis=-2)[
@@ -353,8 +373,8 @@ class SHT:
             cm[1:] = 2.0
             gd = g_belt * jnp.asarray(cm, dtype=cdtype)
             Wc = self._belt_dft_matrix(cdtype, conj=True)  # [nphi, M+1]
-            f_belt = jnp.matmul(gd.real, Wc.real.T, precision=_PREC) - jnp.matmul(
-                gd.imag, Wc.imag.T, precision=_PREC
+            f_belt = jnp.matmul(gd.real, Wc.real.T, precision=_PREC_RING) - jnp.matmul(
+                gd.imag, Wc.imag.T, precision=_PREC_RING
             )
         else:
             bins = jnp.zeros(g_belt.shape[:-1] + (nphi,), dtype=cdtype)
@@ -394,7 +414,7 @@ class SHT:
                         "...rm,rjm->...rj",
                         g_cap * coeff,
                         jnp.conj(plan["P"][gi]),
-                        precision=_PREC,
+                        precision=_PREC_RING,
                     ).real
                 )
                 continue
@@ -408,7 +428,7 @@ class SHT:
                         "...rm,rjm->...rj",
                         g_cap[..., m_vals] * coeff,
                         jnp.conj(P),
-                        precision=_PREC,
+                        precision=_PREC_RING,
                     ).real
                 )
             f_groups.append(sum(parts))  # [..., nrows_g, w_g]
@@ -642,11 +662,11 @@ class SHT:
         W = plan["W"] if plan is not None else self._belt_dft_matrix(cdtype)
         if is_real and cdtype == jnp.complex64:
             F_raw = jax.lax.complex(
-                jnp.matmul(belt, W.real, precision=_PREC),
-                jnp.matmul(belt, W.imag, precision=_PREC),
+                jnp.matmul(belt, W.real, precision=_PREC_RING),
+                jnp.matmul(belt, W.imag, precision=_PREC_RING),
             )
         else:
-            F_raw = jnp.matmul(belt.astype(cdtype), W, precision=_PREC)
+            F_raw = jnp.matmul(belt.astype(cdtype), W, precision=_PREC_RING)
         if raw_belt:
             F_belt = F_raw
         else:
@@ -668,20 +688,20 @@ class SHT:
                                 "...rj,rjm->...rm",
                                 cap,
                                 P_full.real,
-                                precision=_PREC,
+                                precision=_PREC_RING,
                             ),
                             jnp.einsum(
                                 "...rj,rjm->...rm",
                                 cap,
                                 P_full.imag,
-                                precision=_PREC,
+                                precision=_PREC_RING,
                             ),
                         )
                     )
                 else:
                     group_F.append(
                         jnp.einsum(
-                            "...rj,rjm->...rm", cap, P_full, precision=_PREC
+                            "...rj,rjm->...rm", cap, P_full, precision=_PREC_RING
                         )
                     )
                 continue
@@ -694,16 +714,16 @@ class SHT:
                     parts.append(
                         jax.lax.complex(
                             jnp.einsum(
-                                "...rj,rjm->...rm", cap, P.real, precision=_PREC
+                                "...rj,rjm->...rm", cap, P.real, precision=_PREC_RING
                             ),
                             jnp.einsum(
-                                "...rj,rjm->...rm", cap, P.imag, precision=_PREC
+                                "...rj,rjm->...rm", cap, P.imag, precision=_PREC_RING
                             ),
                         )
                     )
                 else:
                     parts.append(
-                        jnp.einsum("...rj,rjm->...rm", cap, P, precision=_PREC)
+                        jnp.einsum("...rj,rjm->...rm", cap, P, precision=_PREC_RING)
                     )
             group_F.append(jnp.concatenate(parts, axis=-1))
         return F_belt, group_F
@@ -717,13 +737,13 @@ class SHT:
             if jnp.iscomplexobj(F):
                 return jax.lax.complex(
                     jnp.einsum(
-                        "...rm,lmr->...lm", F.real, lam_r, precision=_PREC
+                        "...rm,lmr->...lm", F.real, lam_r, precision=_PREC_LEG
                     ),
                     jnp.einsum(
-                        "...rm,lmr->...lm", F.imag, lam_r, precision=_PREC
+                        "...rm,lmr->...lm", F.imag, lam_r, precision=_PREC_LEG
                     ),
                 )
-            return jnp.einsum("...rm,lmr->...lm", F, lam_r, precision=_PREC)
+            return jnp.einsum("...rm,lmr->...lm", F, lam_r, precision=_PREC_LEG)
 
         alm = contract(F_belt, lam["belt"])
         for F_g, lam_g in zip(group_F, lam["caps"]):
@@ -756,10 +776,10 @@ class SHT:
             # REAL GEMMs (half the FLOPs of a complex x complex contraction)
             lam_r = lam.astype(rdtype)
             if jnp.iscomplexobj(Fw):
-                ar = jnp.einsum("...rm,lmr->...lm", Fw.real, lam_r, precision=_PREC)
-                ai = jnp.einsum("...rm,lmr->...lm", Fw.imag, lam_r, precision=_PREC)
+                ar = jnp.einsum("...rm,lmr->...lm", Fw.real, lam_r, precision=_PREC_LEG)
+                ai = jnp.einsum("...rm,lmr->...lm", Fw.imag, lam_r, precision=_PREC_LEG)
                 return jax.lax.complex(ar, ai)
-            return jnp.einsum("...rm,lmr->...lm", Fw, lam_r, precision=_PREC)
+            return jnp.einsum("...rm,lmr->...lm", Fw, lam_r, precision=_PREC_LEG)
         out = []
         for m_vals in self._m_chunks():
             lam_c = self._legendre_block(m_vals, rdtype)  # [L+1, C, R]
@@ -767,7 +787,7 @@ class SHT:
             Fc = jnp.moveaxis(Fw[..., m_vals], -1, -2)  # [..., C, R]
             # alm_c[..., C, L+1]: batched over C, contraction over rings (MXU)
             alm_c = jnp.einsum(
-                "...cr,crl->...cl", Fc, lam_t.astype(Fc.dtype), precision=_PREC
+                "...cr,crl->...cl", Fc, lam_t.astype(Fc.dtype), precision=_PREC_LEG
             )
             out.append(jnp.moveaxis(alm_c, -2, -1))  # [..., L+1, C]
         return jnp.concatenate(out, axis=-1)  # [..., L+1, M+1]
@@ -786,13 +806,13 @@ class SHT:
                 if jnp.iscomplexobj(alm):
                     return jax.lax.complex(
                         jnp.einsum(
-                            "...lm,lmr->...rm", alm.real, lam_r, precision=_PREC
+                            "...lm,lmr->...rm", alm.real, lam_r, precision=_PREC_LEG
                         ),
                         jnp.einsum(
-                            "...lm,lmr->...rm", alm.imag, lam_r, precision=_PREC
+                            "...lm,lmr->...rm", alm.imag, lam_r, precision=_PREC_LEG
                         ),
                     )
-                g = jnp.einsum("...lm,lmr->...rm", alm, lam_r, precision=_PREC)
+                g = jnp.einsum("...lm,lmr->...rm", alm, lam_r, precision=_PREC_LEG)
                 return jax.lax.complex(g, jnp.zeros_like(g))
 
             return self._ring_synthesis_parts(
@@ -803,12 +823,12 @@ class SHT:
         if lam is not None:
             lam_r = lam.astype(rdtype)
             if jnp.iscomplexobj(alm):
-                gr = jnp.einsum("...lm,lmr->...rm", alm.real, lam_r, precision=_PREC)
-                gi = jnp.einsum("...lm,lmr->...rm", alm.imag, lam_r, precision=_PREC)
+                gr = jnp.einsum("...lm,lmr->...rm", alm.real, lam_r, precision=_PREC_LEG)
+                gi = jnp.einsum("...lm,lmr->...rm", alm.imag, lam_r, precision=_PREC_LEG)
                 G = jax.lax.complex(gr, gi)
             else:
                 G = jnp.einsum(
-                    "...lm,lmr->...rm", alm, lam_r, precision=_PREC
+                    "...lm,lmr->...rm", alm, lam_r, precision=_PREC_LEG
                 ).astype(
                     jnp.complex64 if rdtype == jnp.float32 else jnp.complex128
                 )
@@ -819,7 +839,7 @@ class SHT:
             lam_t = jnp.transpose(lam_c, (1, 0, 2))  # [C, L+1, R]
             alm_c = jnp.moveaxis(alm[..., m_vals], -1, -2)  # [..., C, L+1]
             G_c = jnp.einsum(
-                "...cl,clr->...cr", alm_c, lam_t.astype(alm.dtype), precision=_PREC
+                "...cl,clr->...cr", alm_c, lam_t.astype(alm.dtype), precision=_PREC_LEG
             )
             Gs.append(jnp.moveaxis(G_c, -2, -1))  # [..., R, C]
         G = jnp.concatenate(Gs, axis=-1)  # [..., R, M+1]
