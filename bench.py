@@ -147,7 +147,12 @@ def main():
         def shard_bl(x, spec):
             return x
 
-    if not os.environ.get("BENCH_NO_MIRROR"):
+    # Mirror-paired trig (theta -> pi - theta) halves the transcendental
+    # work but adds concats/permutes; at six-pass GEMM precision it wins,
+    # at the default three-pass ring GEMMs the padded layout is faster
+    # (0.89 s vs 0.91 s measured) — so mirror is opt-in via BENCH_MIRROR.
+    USE_MIRROR = bool(os.environ.get("BENCH_MIRROR"))
+    if USE_MIRROR:
         # theta -> pi - theta mirror: mirrored pixels share (nx, ny) and
         # negate nz, so with A = 2 pi (bx nx + by ny) and B = 2 pi bz nz
         # (constant per ring) the south-half fringe is cos/sin(A ± B) from
@@ -323,7 +328,7 @@ def main():
 
         pw = s.belt_phase_weight(jnp.complex64)  # [nbelt, M+1]
         S_belt = sky_section(lam["belt"]) * jnp.conj(pw).T  # [M+1, nbelt]
-        if not os.environ.get("BENCH_NO_MIRROR"):
+        if USE_MIRROR:
             S_belt = S_belt[:, belt_perm]  # bench mirror row order
         S_secs = [S_belt] + [sky_section(c) for c in lam["caps"]]
 
@@ -387,7 +392,7 @@ def main():
         T_accs = jax.lax.fori_loop(0, nchunk, adj_body, T0)
 
         # restore the belt row order and phase-weight on the raw accumulator
-        if not os.environ.get("BENCH_NO_MIRROR"):
+        if USE_MIRROR:
             T_accs[0] = T_accs[0][belt_inv]
         T_accs[0] = T_accs[0] * pw
         a_dirty = jnp.zeros((lmax + 1, lmax + 1), jnp.complex64)
