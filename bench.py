@@ -147,11 +147,65 @@ def main():
         def shard_bl(x, spec):
             return x
 
+    # Beam-band windowed projection (default): the Gaussian beam kills all
+    # but ~1% of the sphere, so the fringe x beam ring-DFT restricted to a
+    # per-ring pixel window around the beam footprint is exact to the beam
+    # truncation (~1e-9) and ~50x less work than full-sphere analysis.
+    # With S = Lambda alm pre-contracted, the whole beam projection
+    # collapses to four flat [chunk, Rb*W] x [Rb*W, M+1] GEMMs per chunk
+    # against E.S phase tensors (a1 = Re[(Ec+iEs)S], a2 = Im[...]):
+    #   F+.S        = (re a1 - im a2) + i (re a2 + im a1)
+    #   conj(F-).S  = (re a1 + im a2) + i (re a2 - im a1)
+    # Validated against the full-sphere spine: 2.9e-10 rel (f64), and
+    # MORE accurate than the full path in f32 (8.8e-6 vs 1.5e-5 — fewer
+    # rounding terms).  BENCH_NO_WINDOW=1 falls back to the full-sphere
+    # paths below.
+    WINDOWED = not os.environ.get("BENCH_NO_WINDOW") and SHARD <= 1
+    if WINDOWED:
+        info = healpix.ring_info(NSIDE)
+        TAU = 1e-9
+        band, starts, wmax = [], [], 0
+        for r in range(info.nring):
+            o, n = int(info.offset[r]), int(info.nphi[r])
+            bg = beam_pow[o : o + n]
+            if bg.max() <= TAU:
+                continue
+            good = np.nonzero(bg > TAU)[0]
+            if len(good) == n:
+                p0, width = 0, n
+            else:
+                gaps = np.diff(np.concatenate([good, [good[0] + n]]))
+                k = int(np.argmax(gaps))
+                p0 = int(good[(k + 1) % len(good)])
+                width = n - int(gaps.max()) + 1
+            band.append(r)
+            starts.append(p0)
+            wmax = max(wmax, width)
+        band = np.array(band)
+        Rb = len(band)
+        W = min(wmax + 2, int(info.nphi[band].min()))
+        log(f"beam band: {Rb}/{info.nring} rings, window {W} px "
+            f"({Rb * W}/{npix} pixels)")
+
+        widx = np.zeros((Rb, W), np.int64)
+        phi_w = np.zeros((Rb, W))
+        for k, r in enumerate(band):
+            o, n = int(info.offset[r]), int(info.nphi[r])
+            p = (starts[k] + np.arange(W)) % n
+            widx[k] = o + p
+            phi_w[k] = info.phi0[r] + 2 * np.pi * p / n
+        vecw_d = jnp.asarray(vec[widx])                     # [Rb, W, 3]
+        beamw_d = jnp.asarray((beam_pow * omega)[widx].astype(np.float32))
+        m_arr = np.arange(lmax + 1)
+        Ec_d = jnp.asarray(np.cos(phi_w[..., None] * m_arr).astype(np.float32))
+        Es_d = jnp.asarray(np.sin(phi_w[..., None] * m_arr).astype(np.float32))
+        band_d = jnp.asarray(band)
+
     # Mirror-paired trig (theta -> pi - theta) halves the transcendental
     # work but adds concats/permutes; at six-pass GEMM precision it wins,
     # at the default three-pass ring GEMMs the padded layout is faster
     # (0.89 s vs 0.91 s measured) — so mirror is opt-in via BENCH_MIRROR.
-    USE_MIRROR = bool(os.environ.get("BENCH_MIRROR"))
+    USE_MIRROR = bool(os.environ.get("BENCH_MIRROR")) and not WINDOWED
     if USE_MIRROR:
         # theta -> pi - theta mirror: mirrored pixels share (nx, ny) and
         # negate nz, so with A = 2 pi (bx nx + by ny) and B = 2 pi bz nz
@@ -309,7 +363,123 @@ def main():
         # [.., R, M+1] concatenation, row reorder or weight multiply.
         # The ring plan keeps the DFT factors as arguments: XLA rebuilds
         # loop-invariant trig constants inside fori_loop bodies otherwise.
-        return s.precompute_legendre_split(jnp.float32), s.precompute_ring_plan()
+        lam_split = s.precompute_legendre_split(jnp.float32)
+        plan_ = s.precompute_ring_plan()
+        return lam_split, plan_
+
+    if WINDOWED:
+        # Map each band ring to its (section, column) in the split
+        # Legendre dict, so the band tensor is a cheap gather of the
+        # already-built split tensors (rebuilding the dense tensor costs
+        # minutes over the remote-compile tunnel).
+        belt_r0 = s._belt_rings[0]
+        belt_set = set(s._belt_rings)
+        cap_pos = {}  # ring -> (group index, column)
+        for g, (rows_arr, _w) in enumerate(s._cap_wgroups):
+            for j, row in enumerate(rows_arr):
+                cap_pos[s._cap_rings[row]] = (g, j)
+        src = []  # per band ring: (section key, column)
+        for r in band:
+            if r in belt_set:
+                src.append(("belt", r - belt_r0))
+            else:
+                src.append(cap_pos[int(r)])
+        sec_cols = {}
+        for k, (sec, col) in enumerate(src):
+            sec_cols.setdefault(sec, []).append((col, k))
+
+        @jax.jit
+        def build_lam_band(lam):
+            parts, pos = [], []
+            for sec, entries in sec_cols.items():
+                cols = jnp.asarray([c for c, _ in entries])
+                tensor = lam["belt"] if sec == "belt" else lam["caps"][sec]
+                parts.append(jnp.take(tensor, cols, axis=2))
+                pos.extend(k for _, k in entries)
+            cat = jnp.concatenate(parts, axis=2)
+            inv = np.empty(len(pos), np.int64)
+            inv[np.asarray(pos)] = np.arange(len(pos))
+            return jnp.take(cat, jnp.asarray(inv), axis=2)
+
+    # Windowed round trip: small GEMMs, so everything runs at HIGHEST.
+    # The window tensors (Ec/Es/vec/beam, ~200 MB total at nside=256) are
+    # ARGUMENTS, not closure captures: captured device arrays are baked
+    # into the HLO as literals, which blew the compile time to ~5-10 min
+    # and the compile-cache entry to 400 MB.
+    @jax.jit
+    def round_trip_win(sky, lam, plan, lam_band, win):
+        Ec_d, Es_d, vecw_d, beamw_d = win
+        HP = _lax.Precision.HIGHEST
+        alm = s._analysis_impl(sky, lam=lam, plan=plan)  # [L+1, M+1]
+
+        Sr = jnp.einsum("lm,lmr->mr", alm.real, lam_band, precision=HP)
+        Si = jnp.einsum("lm,lmr->mr", alm.imag, lam_band, precision=HP)
+        # a1 + i a2 = (Ec + i Es) (Sr + i Si), flattened over (ring, pix)
+        a1 = (Ec_d * Sr.T[:, None, :] - Es_d * Si.T[:, None, :]).reshape(
+            Rb * W, lmax + 1
+        )
+        a2 = (Ec_d * Si.T[:, None, :] + Es_d * Sr.T[:, None, :]).reshape(
+            Rb * W, lmax + 1
+        )
+
+        def fringe(blc):
+            A = 2 * jnp.pi * jnp.einsum(
+                "cx,rwx->crw", blc, vecw_d, precision=HP
+            )
+            re = (beamw_d[None] * jnp.cos(A)).reshape(CHUNK, Rb * W)
+            im = (beamw_d[None] * jnp.sin(A)).reshape(CHUNK, Rb * W)
+            return re, im
+
+        def fwd_body(c, vis_acc):
+            blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
+            re, im = fringe(blc)
+            G1 = jnp.matmul(re, a1, precision=HP)
+            G2 = jnp.matmul(im, a2, precision=HP)
+            G3 = jnp.matmul(re, a2, precision=HP)
+            G4 = jnp.matmul(im, a1, precision=HP)
+            vp = ((G1 - G2) + 1j * (G3 + G4)).T  # F+ . S     [M+1, C]
+            vm = ((G1 + G2) + 1j * (G3 - G4)).T  # conj(F-).S
+            chunk = jnp.stack([vp, vm], axis=1)
+            return jax.lax.dynamic_update_slice_in_dim(
+                vis_acc, chunk, c * CHUNK, axis=2
+            )
+
+        vis0 = jnp.zeros((lmax + 1, 2, nchunk * CHUNK), jnp.complex64)
+        vis_m = jax.lax.fori_loop(0, nchunk, fwd_body, vis0)
+        bmask = (jnp.arange(nchunk * CHUNK) < npairs).astype(jnp.float32)
+        vis_m = vis_m * bmask[None, None, :]
+
+        ntime = 2 * lmax + 1
+        stream = mmode.mmodes_to_sidereal(vis_m, n=ntime, oddra=True)
+        vis_m2 = mmode.make_marray(stream, mmax=lmax).astype(jnp.complex64)
+
+        # adjoint: Y[rw, m] = sum_c re (v0+v1) + i im (v1-v0);
+        # T[r, m] = sum_w (Ec - i Es) Y;  a_dirty = Lambda T
+        def adj_body(c, Y):
+            blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
+            vc = jax.lax.dynamic_slice_in_dim(vis_m2, c * CHUNK, CHUNK, 2)
+            re, im = fringe(blc)
+            vs = (vc[:, 0] + vc[:, 1]).T  # [C, M+1]
+            vd = (vc[:, 1] - vc[:, 0]).T
+            Yr = jnp.matmul(re.T, vs.real, precision=HP) - jnp.matmul(
+                im.T, vd.imag, precision=HP
+            )
+            Yi = jnp.matmul(re.T, vs.imag, precision=HP) + jnp.matmul(
+                im.T, vd.real, precision=HP
+            )
+            return Y + jax.lax.complex(Yr, Yi)
+
+        Y0 = jnp.zeros((Rb * W, lmax + 1), jnp.complex64)
+        Y = jax.lax.fori_loop(0, nchunk, adj_body, Y0).reshape(
+            Rb, W, lmax + 1
+        )
+        Ew = jax.lax.complex(Ec_d, -Es_d)
+        T = jnp.einsum("rwm,rwm->rm", Ew, Y, precision=HP)
+        a_dirty = jax.lax.complex(
+            jnp.einsum("lmr,rm->lm", lam_band, T.real, precision=HP),
+            jnp.einsum("lmr,rm->lm", lam_band, T.imag, precision=HP),
+        )
+        return s._synthesis_impl(a_dirty, lam=lam, plan=plan)
 
     # Factorised projection: with B = sum_r conj(F) Lambda / omega, the
     # visibilities are vis[m,b] = sum_r conj(F)[b,r,m] S[m,r] / omega where
@@ -410,18 +580,31 @@ def main():
     t0 = time.time()
     lam, plan = build_legendre()
     jax.block_until_ready((lam, plan))
+    lam_band = None
+    if WINDOWED:
+        lam_band = build_lam_band(lam)
+        lam_band.block_until_ready()
     log(f"legendre (incl. compile): {time.time() - t0:.1f}s")
+
+    if WINDOWED:
+        def run_once():
+            return round_trip_win(
+                sky, lam, plan, lam_band, (Ec_d, Es_d, vecw_d, beamw_d)
+            )
+    else:
+        def run_once():
+            return round_trip(sky, lam, plan)
 
     log("compiling + warmup ...")
     t0 = time.time()
-    out = round_trip(sky, lam, plan)
+    out = run_once()
     out.block_until_ready()
     log(f"warmup (incl. compile): {time.time() - t0:.1f}s")
 
     times = []
     for i in range(NRUN):
         t0 = time.time()
-        out = round_trip(sky, lam, plan)
+        out = run_once()
         out.block_until_ready()
         times.append(time.time() - t0)
         log(f"run {i}: {times[-1]:.2f}s")
