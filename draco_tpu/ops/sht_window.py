@@ -1,0 +1,181 @@
+"""Windowed spherical-harmonic analysis on a compact pixel support.
+
+Beam(-product) maps of real instruments are compactly supported: a
+Gaussian/Airy primary beam covers ~1% of the sphere, a cylinder beam a
+narrow azimuth strip.  The full-sphere SHT the reference reaches through
+``cora.util.hputil.sphtrans_sky`` (reference draco/synthesis/stream.py:85)
+then wastes >95% of its ring-DFT and Legendre work on zeros.
+
+:class:`WindowedSHT` restricts the analysis to a per-ring azimuth window
+derived from a support mask: only ``Rb`` rings intersect the support and
+each contributes a contiguous ``W``-pixel window (wrap-around handled), so
+
+    F[..., r, m] = sum_w  map[..., r, w] * exp(-i m phi_{r,w})
+    alm[l, m]    = sum_r  w_r * Lambda_r[l, m] * F[..., r, m]
+
+runs as one batched [.., Rb, W] x [Rb, W, M+1] contraction plus one
+Legendre GEMM over the band rings — exact up to the support truncation
+(the mask threshold).  Used by
+:meth:`draco_tpu.telescope.beamtransfer.BeamTransfer.generate` for the
+beam-transfer hot path (measured 11x on the benchmark spine with
+identical f32 accuracy; see bench.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import healpix
+from .sht import _PREC_LEG, _PREC_RING, SHT
+
+__all__ = ["WindowedSHT", "support_fraction"]
+
+
+def support_fraction(support, tau: float = 1e-9) -> float:
+    """Fraction of pixels with |support| above ``tau * max``."""
+    a = np.abs(np.asarray(support))
+    mx = a.max()
+    if mx == 0:
+        return 0.0
+    return float((a > tau * mx).mean())
+
+
+class WindowedSHT:
+    """Spherical-harmonic analysis restricted to a compact support.
+
+    Parameters
+    ----------
+    s
+        The full :class:`~draco_tpu.ops.sht.SHT` operator (provides
+        geometry, band limits and the Legendre tensors).
+    support
+        [npix] array whose non-zero (above ``tau * max``) pixels define
+        the support; the window is its per-ring azimuthal bounding
+        interval.
+    tau
+        Relative support threshold.
+    margin
+        Extra pixels added to each side of every ring window.
+    """
+
+    def __init__(self, s: SHT, support, tau: float = 1e-9, margin: int = 2):
+        self.sht = s
+        info = s.info
+        a = np.abs(np.asarray(support, dtype=np.float64))
+        if a.shape != (s.npix,):
+            raise ValueError(
+                f"support must be [npix={s.npix}], got {a.shape}"
+            )
+        thresh = tau * a.max()
+
+        band, starts, widths = [], [], []
+        for r in range(info.nring):
+            o, n = int(info.offset[r]), int(info.nphi[r])
+            good = np.nonzero(a[o : o + n] > thresh)[0]
+            if len(good) == 0:
+                continue
+            if len(good) == n:
+                p0, width = 0, n
+            else:
+                # largest gap in the cyclic index set -> the window is its
+                # complement (handles wrap-around through phi = 0)
+                gaps = np.diff(np.concatenate([good, [good[0] + n]]))
+                k = int(np.argmax(gaps))
+                p0 = int(good[(k + 1) % len(good)])
+                width = n - int(gaps.max()) + 1
+            band.append(r)
+            starts.append(p0 - margin)
+            widths.append(width + 2 * margin)
+        if not band:
+            raise ValueError("support mask is empty")
+        self.band = np.asarray(band)
+        self.Rb = len(band)
+        self.W = int(min(max(widths), int(info.nphi[self.band].min())))
+
+        idx = np.zeros((self.Rb, self.W), np.int64)
+        phi = np.zeros((self.Rb, self.W))
+        for k, r in enumerate(self.band):
+            o, n = int(info.offset[r]), int(info.nphi[r])
+            p = (starts[k] + np.arange(self.W)) % n
+            idx[k] = o + p
+            phi[k] = info.phi0[r] + 2 * np.pi * p / n
+        self.window_index = idx  # [Rb, W] pixel indices
+
+        m = np.arange(s.mmax + 1)
+        # quadrature weight folded into the DFT factors (matches
+        # SHT._analysis_impl semantics)
+        w_r = info.weight[self.band][:, None, None]
+        self._Ec = jnp.asarray(
+            (np.cos(phi[..., None] * m) * w_r).astype(np.float32)
+        )
+        self._Es = jnp.asarray(
+            (np.sin(phi[..., None] * m) * w_r).astype(np.float32)
+        )
+        self._lam_band = None
+
+    @property
+    def coverage(self) -> float:
+        """Fraction of sphere pixels inside the window."""
+        return self.Rb * self.W / self.sht.npix
+
+    def _ensure_lam(self):
+        if self._lam_band is None:
+            s = self.sht
+            band = jnp.asarray(self.band)
+
+            @jax.jit
+            def build():
+                # per-m-chunk Legendre blocks, band rows only (never
+                # materialises the full [L+1, M+1, R] tensor)
+                parts = []
+                for m_vals in s._m_chunks():
+                    blk = s._legendre_block(m_vals, jnp.float32)
+                    parts.append(jnp.take(blk, band, axis=2))
+                return jnp.concatenate(parts, axis=1)  # [L+1, M+1, Rb]
+
+            self._lam_band = build()
+        return self._lam_band
+
+    def gather(self, maps):
+        """Window view [..., Rb, W] of full maps [..., npix]."""
+        return jnp.asarray(maps)[..., self.window_index]
+
+    def analysis(self, maps_win):
+        """alm[..., L+1, M+1] of windowed maps [..., Rb, W].
+
+        Real input gives the real-field alm (m >= 0); complex input the
+        full transform of the complex map, like
+        :meth:`SHT.analysis_complex`.
+        """
+        lam = self._ensure_lam()
+        x = jnp.asarray(maps_win)
+        if jnp.iscomplexobj(x):
+            ar = self._analysis_real(x.real, lam)
+            ai = self._analysis_real(x.imag, lam)
+            return ar + 1j * ai
+        return self._analysis_real(x, lam)
+
+    def analysis_pair(self, re_win, im_win):
+        """(alm(B), alm(conj B)) for B = re + i im in one pass.
+
+        Analysis of a complex map is linear: alm(B) = A(re) + i A(im),
+        alm(conj B) = A(re) - i A(im) — the pair costs one windowed
+        transform of a [2, ...] stack (the trick BeamTransfer.generate
+        uses on the full-sphere path).
+        """
+        lam = self._ensure_lam()
+        ri = self._analysis_real(
+            jnp.stack([jnp.asarray(re_win), jnp.asarray(im_win)]), lam
+        )
+        return ri[0] + 1j * ri[1], ri[0] - 1j * ri[1]
+
+    def _analysis_real(self, x, lam):
+        # F- = sum_w x (cos - i sin);  alm = sum_r Lambda F-
+        Fc = jnp.einsum("...rw,rwm->...rm", x, self._Ec, precision=_PREC_RING)
+        Fs = jnp.einsum("...rw,rwm->...rm", x, self._Es, precision=_PREC_RING)
+        return jax.lax.complex(
+            jnp.einsum("lmr,...rm->...lm", lam, Fc, precision=_PREC_LEG),
+            -jnp.einsum("lmr,...rm->...lm", lam, Fs, precision=_PREC_LEG),
+        )

@@ -211,8 +211,48 @@ class BeamTransfer:
         omega_pix = 4 * np.pi / healpix.npix_of(nside)
         return u_idx, np.stack(out) * omega_pix
 
+    def _support_mask(self) -> np.ndarray:
+        """Union of |beam product| over frequencies and beamclass pairs.
+
+        Defines the compact support the windowed SHT restricts to; the
+        union over frequencies covers beam-width variation across the
+        band.
+        """
+        support = np.zeros(healpix.npix_of(self.beam_nside))
+        for fi in range(self.telescope.nfreq):
+            _, bprod = self._beam_products(fi)
+            support = np.maximum(support, np.abs(bprod).max(axis=(0, 1)))
+        return support
+
+    def _beam_window(self):
+        """WindowedSHT over the beam support, or None if not compact.
+
+        Disable with DRACO_TPU_BT_WINDOW=0.
+        """
+        from ..ops.sht_window import WindowedSHT, support_fraction
+
+        if os.environ.get("DRACO_TPU_BT_WINDOW", "1") == "0":
+            return None
+        support = self._support_mask()
+        if support_fraction(support) > 0.25:
+            return None
+        s = sht.get_sht(
+            self.beam_nside, self.telescope.lmax, self.telescope.mmax
+        )
+        win = WindowedSHT(s, support, margin=4)
+        if win.coverage > 0.5:
+            return None
+        return win
+
     def generate(self, regen: bool = False) -> "BeamTransfer":
-        """Compute the beam transfer tensors for every frequency."""
+        """Compute the beam transfer tensors for every frequency.
+
+        Beams with compact support (any real primary beam) go through the
+        windowed SHT (:mod:`draco_tpu.ops.sht_window`): the fringe x beam
+        analysis runs on the few percent of pixels where the beam product
+        is non-negligible — same accuracy, an order of magnitude less
+        ring-DFT and Legendre work.
+        """
         if self._bp is not None and not regen:
             return self
         tel = self.telescope
@@ -221,6 +261,41 @@ class BeamTransfer:
         # The beam maps already carry the pixel solid angle; undo the SHT's
         # internal quadrature weight.
         scale = 1.0 / (4 * np.pi / healpix.npix_of(self.beam_nside))
+        win = self._beam_window()
+        if win is not None:
+            vec = healpix.pix2vec(self.beam_nside)
+            vecw = jnp.asarray(
+                vec[win.window_index].astype(np.float32)
+            )  # [Rb, W, 3]
+            for fi in range(tel.nfreq):
+                u_idx, bprod = self._beam_products(fi)
+                bw = jnp.asarray(
+                    bprod[..., win.window_index].astype(np.complex64)
+                )  # [nuniq, npol, Rb, W]
+                bl3 = tel.baseline_vectors_3d() / tel.wavelengths[fi]
+                alm_fs, alm_cs = [], []
+                for b0, b1 in self._stream_chunks(2048):
+                    phase = 2 * jnp.pi * jnp.einsum(
+                        "bx,rwx->brw",
+                        jnp.asarray(bl3[b0:b1].astype(np.float32)),
+                        vecw,
+                        precision=_PREC,
+                    )
+                    c = jnp.cos(phase)[:, None]
+                    sn = jnp.sin(phase)[:, None]
+                    br = bw.real[u_idx[b0:b1]]
+                    bi = bw.imag[u_idx[b0:b1]]
+                    af, ac = win.analysis_pair(
+                        br * c - bi * sn, br * sn + bi * c
+                    )
+                    alm_fs.append(af)
+                    alm_cs.append(ac)
+                bp_f.append(jnp.conj(jnp.concatenate(alm_cs)) * scale)
+                bm_f.append(jnp.conj(jnp.concatenate(alm_fs)) * scale)
+            self._bp = jnp.stack(bp_f).astype(jnp.complex64)
+            self._bm = jnp.stack(bm_f).astype(jnp.complex64)
+            self._bm = self._bm.at[..., 0].set(0.0)
+            return self
         # Compute the split Legendre tensors once: the per-frequency
         # transforms become pure batched GEMMs with no sequential
         # l-recurrence, contracted per ring section (no big concats).
