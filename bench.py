@@ -160,7 +160,7 @@ def main():
     # MORE accurate than the full path in f32 (8.8e-6 vs 1.5e-5 — fewer
     # rounding terms).  BENCH_NO_WINDOW=1 falls back to the full-sphere
     # paths below.
-    WINDOWED = not os.environ.get("BENCH_NO_WINDOW") and SHARD <= 1
+    WINDOWED = not os.environ.get("BENCH_NO_WINDOW")
     if WINDOWED:
         info = healpix.ring_info(NSIDE)
         TAU = 1e-9
@@ -432,6 +432,7 @@ def main():
 
         def fwd_body(c, vis_acc):
             blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
+            blc = shard_bl(blc, ("b", None))
             re, im = fringe(blc)
             G1 = jnp.matmul(re, a1, precision=HP)
             G2 = jnp.matmul(im, a2, precision=HP)
@@ -457,7 +458,9 @@ def main():
         # T[r, m] = sum_w (Ec - i Es) Y;  a_dirty = Lambda T
         def adj_body(c, Y):
             blc = jax.lax.dynamic_slice_in_dim(bl3_pad, c * CHUNK, CHUNK, 0)
+            blc = shard_bl(blc, ("b", None))
             vc = jax.lax.dynamic_slice_in_dim(vis_m2, c * CHUNK, CHUNK, 2)
+            vc = shard_bl(vc, (None, None, "b"))
             re, im = fringe(blc)
             vs = (vc[:, 0] + vc[:, 1]).T  # [C, M+1]
             vd = (vc[:, 1] - vc[:, 0]).T
