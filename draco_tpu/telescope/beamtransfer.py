@@ -227,21 +227,23 @@ class BeamTransfer:
     def _beam_window(self):
         """WindowedSHT over the beam support, or None if not compact.
 
-        Disable with DRACO_TPU_BT_WINDOW=0.
+        Cached on the instance; disable with DRACO_TPU_BT_WINDOW=0.
         """
+        if getattr(self, "_win_cache", "unset") != "unset":
+            return self._win_cache
         from ..ops.sht_window import WindowedSHT, support_fraction
 
-        if os.environ.get("DRACO_TPU_BT_WINDOW", "1") == "0":
-            return None
-        support = self._support_mask()
-        if support_fraction(support) > 0.25:
-            return None
-        s = sht.get_sht(
-            self.beam_nside, self.telescope.lmax, self.telescope.mmax
-        )
-        win = WindowedSHT(s, support, margin=4)
-        if win.coverage > 0.5:
-            return None
+        win = None
+        if os.environ.get("DRACO_TPU_BT_WINDOW", "1") != "0":
+            support = self._support_mask()
+            if support_fraction(support) <= 0.25:
+                s = sht.get_sht(
+                    self.beam_nside, self.telescope.lmax, self.telescope.mmax
+                )
+                cand = WindowedSHT(s, support, margin=4)
+                if cand.coverage <= 0.5:
+                    win = cand
+        self._win_cache = win
         return win
 
     def generate(self, regen: bool = False) -> "BeamTransfer":
@@ -444,6 +446,161 @@ class BeamTransfer:
         bi = u_im[uidx]
         return br * c - bi * sn, br * sn + bi * c
 
+    # -- windowed streaming (compact beams) --------------------------------
+    #
+    # When the beam support is compact the streaming projections use the
+    # fused windowed formulation (see bench.py and ops/sht_window.py):
+    # with a1 + i a2 = (Ec + i Es) S per (pol, ring, pixel), the chunk
+    # visibilities are four flat [C, p*Rb*W] x [p*Rb*W, M+1] GEMMs and the
+    # adjoint accumulates the transposed GEMMs into Y[(p r w), m], with
+    # (Ec - i Es) and Lambda applied once after the loop.
+
+    def _windowed_stream_fns(self, win):
+        s = win.sht
+        mmax = s.mmax
+        scale = 1.0 / (4 * np.pi / healpix.npix_of(self.beam_nside))
+        vec = healpix.pix2vec(self.beam_nside)
+        vecw = jnp.asarray(vec[win.window_index].astype(np.float32))
+        lam_band = win._ensure_lam()
+        Ec, Es = win._Ec, win._Es  # quadrature weight folded in
+        Rb, W = win.Rb, win.W
+
+        @jax.jit
+        def sky_phase_tensors(alm_f):
+            Sr = jnp.einsum(
+                "plm,lmr->prm", alm_f.real, lam_band, precision=_PREC
+            )
+            Si = jnp.einsum(
+                "plm,lmr->prm", alm_f.imag, lam_band, precision=_PREC
+            )
+            a1 = Ec[None] * Sr[:, :, None, :] - Es[None] * Si[:, :, None, :]
+            a2 = Ec[None] * Si[:, :, None, :] + Es[None] * Sr[:, :, None, :]
+            return a1.reshape(-1, mmax + 1), a2.reshape(-1, mmax + 1)
+
+        def fringe_win(bl_w, u_re_w, u_im_w, uidx):
+            phase = 2 * jnp.pi * jnp.einsum(
+                "cx,rwx->crw", bl_w, vecw, precision=_PREC
+            )
+            cp = jnp.cos(phase)[:, None]
+            sp = jnp.sin(phase)[:, None]
+            br = u_re_w[uidx]  # [C, p, Rb, W]
+            bi = u_im_w[uidx]
+            nc = bl_w.shape[0]
+            re = (br * cp - bi * sp).reshape(nc, -1)
+            im = (br * sp + bi * cp).reshape(nc, -1)
+            return re, im
+
+        @jax.jit
+        def chunk_vis_win(bl_w, u_re_w, u_im_w, uidx, a1, a2):
+            re, im = fringe_win(bl_w, u_re_w, u_im_w, uidx)
+            G1 = jnp.matmul(re, a1, precision=_PREC)
+            G2 = jnp.matmul(im, a2, precision=_PREC)
+            G3 = jnp.matmul(re, a2, precision=_PREC)
+            G4 = jnp.matmul(im, a1, precision=_PREC)
+            vp = ((G1 - G2) + 1j * (G3 + G4)).T * scale
+            vm = ((G1 + G2) + 1j * (G3 - G4)).T * scale
+            return jnp.stack([vp.real, vp.imag, vm.real, vm.imag])
+
+        @jax.jit
+        def chunk_Y_win(
+            bl_w, u_re_w, u_im_w, uidx, vs_r, vs_i, vd_r, vd_i, Y_r, Y_i
+        ):
+            re, im = fringe_win(bl_w, u_re_w, u_im_w, uidx)
+            Y_r = Y_r + jnp.matmul(re.T, vs_r, precision=_PREC) - jnp.matmul(
+                im.T, vd_i, precision=_PREC
+            )
+            Y_i = Y_i + jnp.matmul(re.T, vs_i, precision=_PREC) + jnp.matmul(
+                im.T, vd_r, precision=_PREC
+            )
+            return Y_r, Y_i
+
+        npol = self.telescope.num_pol_sky
+
+        @jax.jit
+        def finish_Y_win(Y_r, Y_i):
+            Y = jax.lax.complex(Y_r, Y_i).reshape(npol, Rb, W, mmax + 1)
+            Ew = jax.lax.complex(Ec, -Es)
+            T = jnp.einsum("rwm,prwm->prm", Ew, Y, precision=_PREC)
+            a = jax.lax.complex(
+                jnp.einsum("lmr,prm->plm", lam_band, T.real, precision=_PREC),
+                jnp.einsum("lmr,prm->plm", lam_band, T.imag, precision=_PREC),
+            ) * scale
+            return jnp.stack([a.real, a.imag])
+
+        return sky_phase_tensors, chunk_vis_win, chunk_Y_win, finish_Y_win
+
+    def _project_sky_streaming_windowed(self, alm, win, chunk=None):
+        tel = self.telescope
+        s = win.sht
+        mmax = s.mmax
+        alm = jnp.asarray(alm)
+        bl3 = tel.baseline_vectors_3d().astype(np.float32)
+        nbase = len(tel.uniquepairs)
+        sky_phase_tensors, chunk_vis_win, _, _ = self._windowed_stream_fns(win)
+
+        vis = np.zeros((mmax + 1, 2, tel.nfreq, nbase), dtype=np.complex64)
+        for fi in range(tel.nfreq):
+            a1, a2 = sky_phase_tensors(alm[fi].astype(jnp.complex64))
+            u_idx, bprod = self._beam_products(fi)
+            bw = bprod[..., win.window_index]
+            u_re = jnp.asarray(bw.real.astype(np.float32))
+            u_im = jnp.asarray(bw.imag.astype(np.float32))
+            lam_f = tel.wavelengths[fi]
+            for b0, b1 in self._stream_chunks(chunk):
+                out = np.asarray(
+                    chunk_vis_win(
+                        jnp.asarray(bl3[b0:b1] / lam_f),
+                        u_re,
+                        u_im,
+                        jnp.asarray(u_idx[b0:b1]),
+                        a1,
+                        a2,
+                    )
+                )
+                vis[:, 0, fi, b0:b1] = out[0] + 1j * out[1]
+                vis[:, 1, fi, b0:b1] = out[2] + 1j * out[3]
+        vis[0, 1] = 0.0
+        return tools.numpy_to_device(vis)
+
+    def _project_dirty_streaming_windowed(self, wv, win, chunk=None):
+        tel = self.telescope
+        s = win.sht
+        mmax = s.mmax
+        npol = tel.num_pol_sky
+        bl3 = tel.baseline_vectors_3d().astype(np.float32)
+        _, _, chunk_Y_win, finish_Y_win = self._windowed_stream_fns(win)
+        nwin = npol * win.Rb * win.W
+
+        alm_out = []
+        for fi in range(tel.nfreq):
+            u_idx, bprod = self._beam_products(fi)
+            bw = bprod[..., win.window_index]
+            u_re = jnp.asarray(bw.real.astype(np.float32))
+            u_im = jnp.asarray(bw.imag.astype(np.float32))
+            lam_f = tel.wavelengths[fi]
+            Y_r = jnp.zeros((nwin, mmax + 1), jnp.float32)
+            Y_i = jnp.zeros((nwin, mmax + 1), jnp.float32)
+            for b0, b1 in self._stream_chunks(chunk):
+                v0 = wv[:, 0, fi, b0:b1]
+                v1 = wv[:, 1, fi, b0:b1]
+                vs = (v0 + v1).T  # [C, M+1]
+                vd = (v1 - v0).T
+                Y_r, Y_i = chunk_Y_win(
+                    jnp.asarray(bl3[b0:b1] / lam_f),
+                    u_re,
+                    u_im,
+                    jnp.asarray(u_idx[b0:b1]),
+                    jnp.asarray(np.ascontiguousarray(vs.real)),
+                    jnp.asarray(np.ascontiguousarray(vs.imag)),
+                    jnp.asarray(np.ascontiguousarray(vd.real)),
+                    jnp.asarray(np.ascontiguousarray(vd.imag)),
+                    Y_r,
+                    Y_i,
+                )
+            out = np.asarray(finish_Y_win(Y_r, Y_i))
+            alm_out.append(out[0] + 1j * out[1])
+        return tools.numpy_to_device(np.stack(alm_out).astype(np.complex64))
+
     def project_sky_to_telescope_streaming(self, alm, chunk=None):
         """Streaming equivalent of :meth:`project_sky_to_telescope`.
 
@@ -451,8 +608,12 @@ class BeamTransfer:
         chunk) the fringe x beam maps are built ON DEVICE (only the
         deduped beamclass products are transferred) and contracted
         against the per-frequency sky sections.  Memory scales with the
-        chunk, not with nbase x lmax x mmax.
+        chunk, not with nbase x lmax x mmax.  Compact beams go through
+        the windowed formulation (an order of magnitude less work).
         """
+        win = self._beam_window()
+        if win is not None:
+            return self._project_sky_streaming_windowed(alm, win, chunk)
         s, lam, plan = self._streaming_ops()
         tel = self.telescope
         alm = jnp.asarray(alm)  # [nfreq, npol, L+1, M+1]
@@ -524,7 +685,6 @@ class BeamTransfer:
     def project_telescope_to_sky_dirty_streaming(self, vis, weight,
                                                  chunk=None):
         """Streaming equivalent of :meth:`project_telescope_to_sky_dirty`."""
-        s, lam, plan = self._streaming_ops()
         tel = self.telescope
         # host-side weighting: the inputs may be host arrays and eager
         # complex device ops are unsupported over remote-TPU tunnels
@@ -532,6 +692,10 @@ class BeamTransfer:
         # the materialised operator zeroes Bm at m=0 (the [m=0, msign=1]
         # container block is empty by convention) — match it exactly
         wv[0, 1] = 0.0
+        win = self._beam_window()
+        if win is not None:
+            return self._project_dirty_streaming_windowed(wv, win, chunk)
+        s, lam, plan = self._streaming_ops()
         mmax = s.mmax
         scale = 1.0 / (4 * np.pi / healpix.npix_of(self.beam_nside))
 

@@ -108,3 +108,42 @@ def test_beamtransfer_windowed_generation():
     bm_w = np.asarray(bt_win._bm)
     assert np.abs(bp_w - bp_f).max() / np.abs(bp_f).max() < 1e-4
     assert np.abs(bm_w - bm_f).max() / np.abs(bm_f).max() < 1e-4
+
+
+def test_streaming_windowed_projections():
+    """Windowed streaming fwd/adjoint match the full-sphere streaming path."""
+    tel = UnpolarisedDishArray(
+        grid_ew=2, grid_ns=2, spacing_ew=6.0, spacing_ns=6.0,
+        latitude=45.0, freq_lower=400.0, freq_upper=410.0, num_freq=2,
+        auto_correlations=True,
+    )
+    rng = np.random.default_rng(0)
+    L = tel.lmax + 1
+    alm = (
+        rng.standard_normal((tel.nfreq, tel.num_pol_sky, L, L))
+        + 1j * rng.standard_normal((tel.nfreq, tel.num_pol_sky, L, L))
+    ).astype(np.complex64)
+    ls = np.arange(L)[:, None]
+    ms = np.arange(L)[None, :]
+    alm *= ms <= ls
+
+    try:
+        os.environ["DRACO_TPU_BT_WINDOW"] = "0"
+        bt_full = BeamTransfer(telescope=tel)
+        v_full = np.asarray(bt_full.project_sky_to_telescope_streaming(alm))
+        w = np.ones_like(v_full.real)
+        a_full = np.asarray(
+            bt_full.project_telescope_to_sky_dirty_streaming(v_full, w)
+        )
+        os.environ["DRACO_TPU_BT_WINDOW"] = "1"
+        bt_win = BeamTransfer(telescope=tel)
+        assert bt_win._beam_window() is not None
+        v_win = np.asarray(bt_win.project_sky_to_telescope_streaming(alm))
+        a_win = np.asarray(
+            bt_win.project_telescope_to_sky_dirty_streaming(v_full, w)
+        )
+    finally:
+        os.environ.pop("DRACO_TPU_BT_WINDOW", None)
+
+    assert np.abs(v_win - v_full).max() / np.abs(v_full).max() < 1e-4
+    assert np.abs(a_win - a_full).max() / np.abs(a_full).max() < 1e-4
