@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import healpix
 from .sht import _PREC_LEG, _PREC_RING, SHT
 
 __all__ = ["WindowedSHT", "support_fraction"]
