@@ -100,14 +100,33 @@ def find_key(key_list, key):
         return None
 
 
+def _norm_key(k):
+    """Normalise a key element: HDF5 round trips turn unicode into bytes."""
+    if isinstance(k, bytes):
+        return k.decode()
+    if isinstance(k, np.str_):
+        return str(k)
+    return k
+
+
 def find_keys(key_list, keys, require_match: bool = False):
-    """Indices of ``keys`` in ``key_list`` (tools.py:95)."""
+    """Indices of ``keys`` in ``key_list`` (tools.py:95).
+
+    String keys compare equal across the bytes/unicode divide (HDF5
+    stores fixed-width strings as bytes).
+    """
+    def _tup(kk):
+        # str/bytes are iterable but are scalar keys, not tuples
+        if isinstance(kk, (str, bytes, np.str_, np.bytes_)):
+            raise TypeError
+        return tuple(_norm_key(x) for x in kk)
+
     try:
-        dct = {tuple(kk): ii for ii, kk in enumerate(key_list)}
-        index = [dct.get(tuple(key)) for key in keys]
+        dct = {_tup(kk): ii for ii, kk in enumerate(key_list)}
+        index = [dct.get(_tup(key)) for key in keys]
     except TypeError:
-        dct = {kk: ii for ii, kk in enumerate(key_list)}
-        index = [dct.get(key) for key in keys]
+        dct = {_norm_key(kk): ii for ii, kk in enumerate(key_list)}
+        index = [dct.get(_norm_key(key)) for key in keys]
     if require_match and any(ind is None for ind in index):
         raise ValueError("Could not find all of the keys.")
     return index
