@@ -35,14 +35,17 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", 520))
 # JAX's TPU matmul default is single-pass bf16 (~3e-3 error); the 1e-5
 # map-accuracy target requires HIGHEST (f32-equivalent) on every GEMM.
 import jax.lax as _lax
-# GEMM precision mode (BENCH_PREC):
-#   mixed (default): ring-DFT GEMMs three-pass bf16 (HIGH), Legendre
-#     contractions six-pass (HIGHEST) — 0.91 s, 3.1e-5 end-to-end vs f64
-#     at nside=64 (3.8e-5 at nside=256); the ring GEMMs are ~all the GEMM
-#     time while the two error sources contribute about equally.
-#   highest: everything six-pass — 1.28 s, 1.5e-5 (2.4e-5 at nside=256).
+# GEMM precision mode (BENCH_PREC).  On the windowed default path the
+# projection GEMMs are tiny, so six-pass f32-faithful precision
+# ("highest", the default: 0.116 s, 1.6e-5 / 2.4e-5 end-to-end vs f64 at
+# nside=64 / 256) costs nothing over the mixed mode.  The modes matter
+# for the full-sphere fallback (BENCH_NO_WINDOW=1):
+#   mixed: ring-DFT GEMMs three-pass bf16, Legendre six-pass — 0.89 s at
+#     3.1e-5 / 3.8e-5 (ring GEMMs are ~all the GEMM time; the two error
+#     sources contribute about equally).
+#   highest: everything six-pass — 1.28 s, 1.5e-5 / 2.4e-5.
 #   high: everything three-pass — 0.92 s, 4.7e-5.
-_prec_name = os.environ.get("BENCH_PREC", "mixed").lower()
+_prec_name = os.environ.get("BENCH_PREC", "highest").lower()
 if _prec_name == "mixed":
     os.environ.setdefault("DRACO_TPU_SHT_RING_PRECISION", "high")
     os.environ.setdefault("DRACO_TPU_SHT_LEGENDRE_PRECISION", "highest")
