@@ -122,19 +122,21 @@ class WindowedSHT:
     def _ensure_lam(self):
         if self._lam_band is None:
             s = self.sht
-            band = jnp.asarray(self.band)
 
             @jax.jit
-            def build():
+            def build(band):
                 # per-m-chunk Legendre blocks, band rows only (never
-                # materialises the full [L+1, M+1, R] tensor)
+                # materialises the full [L+1, M+1, R] tensor).  `band` is
+                # an ARGUMENT: device arrays captured in a jit closure are
+                # baked into the HLO via a host readback, which remote-TPU
+                # tunnels do not support.
                 parts = []
                 for m_vals in s._m_chunks():
                     blk = s._legendre_block(m_vals, jnp.float32)
                     parts.append(jnp.take(blk, band, axis=2))
                 return jnp.concatenate(parts, axis=1)  # [L+1, M+1, Rb]
 
-            self._lam_band = build()
+            self._lam_band = build(jnp.asarray(self.band))
         return self._lam_band
 
     def gather(self, maps):

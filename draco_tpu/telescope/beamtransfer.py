@@ -265,35 +265,63 @@ class BeamTransfer:
         scale = 1.0 / (4 * np.pi / healpix.npix_of(self.beam_nside))
         win = self._beam_window()
         if win is not None:
+            # Tunnel-safe: only REAL host->device transfers (complex
+            # transfers and eager device ops are unsupported over remote
+            # TPU tunnels), with the whole chunk fully jitted.
             vec = healpix.pix2vec(self.beam_nside)
             vecw = jnp.asarray(
                 vec[win.window_index].astype(np.float32)
             )  # [Rb, W, 3]
+            lam_band = win._ensure_lam()
+            Ec, Es = win._Ec, win._Es
+
+            @jax.jit
+            def gen_chunk(bl_w, br_u, bi_u, uidx, vecw, Ec, Es, lam_band):
+                phase = 2 * jnp.pi * jnp.einsum(
+                    "bx,rwx->brw", bl_w, vecw, precision=_PREC
+                )
+                c = jnp.cos(phase)[:, None]
+                sn = jnp.sin(phase)[:, None]
+                br = br_u[uidx]
+                bi = bi_u[uidx]
+                ri = jnp.stack([br * c - bi * sn, br * sn + bi * c])
+                # windowed real analysis of the [Re, Im] pair
+                Fc = jnp.einsum("...rw,rwm->...rm", ri, Ec, precision=_PREC)
+                Fs = jnp.einsum("...rw,rwm->...rm", ri, Es, precision=_PREC)
+                ar = jnp.einsum(
+                    "lmr,...rm->...lm", lam_band, Fc, precision=_PREC
+                )
+                ai = -jnp.einsum(
+                    "lmr,...rm->...lm", lam_band, Fs, precision=_PREC
+                )
+                A = jax.lax.complex(ar, ai)  # [2, C, p, L+1, M+1]
+                af = A[0] + 1j * A[1]
+                ac = A[0] - 1j * A[1]
+                # Bp = conj(alm(conj B)) * scale; Bm = conj(alm(B)) * scale
+                return jnp.conj(ac) * scale, jnp.conj(af) * scale
+
             for fi in range(tel.nfreq):
                 u_idx, bprod = self._beam_products(fi)
-                bw = jnp.asarray(
-                    bprod[..., win.window_index].astype(np.complex64)
-                )  # [nuniq, npol, Rb, W]
+                bw = bprod[..., win.window_index]
+                br_u = jnp.asarray(bw.real.astype(np.float32))
+                bi_u = jnp.asarray(bw.imag.astype(np.float32))
                 bl3 = tel.baseline_vectors_3d() / tel.wavelengths[fi]
-                alm_fs, alm_cs = [], []
+                bps, bms = [], []
                 for b0, b1 in self._stream_chunks(2048):
-                    phase = 2 * jnp.pi * jnp.einsum(
-                        "bx,rwx->brw",
+                    bp_c, bm_c = gen_chunk(
                         jnp.asarray(bl3[b0:b1].astype(np.float32)),
+                        br_u,
+                        bi_u,
+                        jnp.asarray(u_idx[b0:b1]),
                         vecw,
-                        precision=_PREC,
+                        Ec,
+                        Es,
+                        lam_band,
                     )
-                    c = jnp.cos(phase)[:, None]
-                    sn = jnp.sin(phase)[:, None]
-                    br = bw.real[u_idx[b0:b1]]
-                    bi = bw.imag[u_idx[b0:b1]]
-                    af, ac = win.analysis_pair(
-                        br * c - bi * sn, br * sn + bi * c
-                    )
-                    alm_fs.append(af)
-                    alm_cs.append(ac)
-                bp_f.append(jnp.conj(jnp.concatenate(alm_cs)) * scale)
-                bm_f.append(jnp.conj(jnp.concatenate(alm_fs)) * scale)
+                    bps.append(bp_c)
+                    bms.append(bm_c)
+                bp_f.append(jnp.concatenate(bps))
+                bm_f.append(jnp.concatenate(bms))
             self._bp = jnp.stack(bp_f).astype(jnp.complex64)
             self._bm = jnp.stack(bm_f).astype(jnp.complex64)
             self._bm = self._bm.at[..., 0].set(0.0)
@@ -456,6 +484,10 @@ class BeamTransfer:
     # (Ec - i Es) and Lambda applied once after the loop.
 
     def _windowed_stream_fns(self, win):
+        # Every device tensor (Ec/Es/lam_band/vecw) is threaded through as
+        # a jit ARGUMENT: device arrays captured in a jit closure are baked
+        # into the HLO via a host readback, which remote-TPU tunnels do
+        # not support (and which bloats compiles regardless).
         s = win.sht
         mmax = s.mmax
         scale = 1.0 / (4 * np.pi / healpix.npix_of(self.beam_nside))
@@ -464,20 +496,22 @@ class BeamTransfer:
         lam_band = win._ensure_lam()
         Ec, Es = win._Ec, win._Es  # quadrature weight folded in
         Rb, W = win.Rb, win.W
+        consts = (Ec, Es, lam_band, vecw)
 
         @jax.jit
-        def sky_phase_tensors(alm_f):
+        def sky_phase_tensors(alm_r, alm_i, consts):
+            Ec, Es, lam_band, _ = consts
             Sr = jnp.einsum(
-                "plm,lmr->prm", alm_f.real, lam_band, precision=_PREC
+                "plm,lmr->prm", alm_r, lam_band, precision=_PREC
             )
             Si = jnp.einsum(
-                "plm,lmr->prm", alm_f.imag, lam_band, precision=_PREC
+                "plm,lmr->prm", alm_i, lam_band, precision=_PREC
             )
             a1 = Ec[None] * Sr[:, :, None, :] - Es[None] * Si[:, :, None, :]
             a2 = Ec[None] * Si[:, :, None, :] + Es[None] * Sr[:, :, None, :]
             return a1.reshape(-1, mmax + 1), a2.reshape(-1, mmax + 1)
 
-        def fringe_win(bl_w, u_re_w, u_im_w, uidx):
+        def fringe_win(bl_w, u_re_w, u_im_w, uidx, vecw):
             phase = 2 * jnp.pi * jnp.einsum(
                 "cx,rwx->crw", bl_w, vecw, precision=_PREC
             )
@@ -491,8 +525,8 @@ class BeamTransfer:
             return re, im
 
         @jax.jit
-        def chunk_vis_win(bl_w, u_re_w, u_im_w, uidx, a1, a2):
-            re, im = fringe_win(bl_w, u_re_w, u_im_w, uidx)
+        def chunk_vis_win(bl_w, u_re_w, u_im_w, uidx, a1, a2, consts):
+            re, im = fringe_win(bl_w, u_re_w, u_im_w, uidx, consts[3])
             G1 = jnp.matmul(re, a1, precision=_PREC)
             G2 = jnp.matmul(im, a2, precision=_PREC)
             G3 = jnp.matmul(re, a2, precision=_PREC)
@@ -503,9 +537,10 @@ class BeamTransfer:
 
         @jax.jit
         def chunk_Y_win(
-            bl_w, u_re_w, u_im_w, uidx, vs_r, vs_i, vd_r, vd_i, Y_r, Y_i
+            bl_w, u_re_w, u_im_w, uidx, vs_r, vs_i, vd_r, vd_i, Y_r, Y_i,
+            consts,
         ):
-            re, im = fringe_win(bl_w, u_re_w, u_im_w, uidx)
+            re, im = fringe_win(bl_w, u_re_w, u_im_w, uidx, consts[3])
             Y_r = Y_r + jnp.matmul(re.T, vs_r, precision=_PREC) - jnp.matmul(
                 im.T, vd_i, precision=_PREC
             )
@@ -517,7 +552,8 @@ class BeamTransfer:
         npol = self.telescope.num_pol_sky
 
         @jax.jit
-        def finish_Y_win(Y_r, Y_i):
+        def finish_Y_win(Y_r, Y_i, consts):
+            Ec, Es, lam_band, _ = consts
             Y = jax.lax.complex(Y_r, Y_i).reshape(npol, Rb, W, mmax + 1)
             Ew = jax.lax.complex(Ec, -Es)
             T = jnp.einsum("rwm,prwm->prm", Ew, Y, precision=_PREC)
@@ -527,20 +563,27 @@ class BeamTransfer:
             ) * scale
             return jnp.stack([a.real, a.imag])
 
-        return sky_phase_tensors, chunk_vis_win, chunk_Y_win, finish_Y_win
+        return consts, sky_phase_tensors, chunk_vis_win, chunk_Y_win, finish_Y_win
 
     def _project_sky_streaming_windowed(self, alm, win, chunk=None):
         tel = self.telescope
         s = win.sht
         mmax = s.mmax
-        alm = jnp.asarray(alm)
         bl3 = tel.baseline_vectors_3d().astype(np.float32)
         nbase = len(tel.uniquepairs)
-        sky_phase_tensors, chunk_vis_win, _, _ = self._windowed_stream_fns(win)
+        consts, sky_phase_tensors, chunk_vis_win, _, _ = (
+            self._windowed_stream_fns(win)
+        )
 
+        # tunnel-safe complex fetch if the alm live on device
+        alm = tools.device_to_numpy(alm)
         vis = np.zeros((mmax + 1, 2, tel.nfreq, nbase), dtype=np.complex64)
         for fi in range(tel.nfreq):
-            a1, a2 = sky_phase_tensors(alm[fi].astype(jnp.complex64))
+            a1, a2 = sky_phase_tensors(
+                jnp.asarray(np.ascontiguousarray(alm[fi].real, dtype=np.float32)),
+                jnp.asarray(np.ascontiguousarray(alm[fi].imag, dtype=np.float32)),
+                consts,
+            )
             u_idx, bprod = self._beam_products(fi)
             bw = bprod[..., win.window_index]
             u_re = jnp.asarray(bw.real.astype(np.float32))
@@ -555,6 +598,7 @@ class BeamTransfer:
                         jnp.asarray(u_idx[b0:b1]),
                         a1,
                         a2,
+                        consts,
                     )
                 )
                 vis[:, 0, fi, b0:b1] = out[0] + 1j * out[1]
@@ -568,7 +612,7 @@ class BeamTransfer:
         mmax = s.mmax
         npol = tel.num_pol_sky
         bl3 = tel.baseline_vectors_3d().astype(np.float32)
-        _, _, chunk_Y_win, finish_Y_win = self._windowed_stream_fns(win)
+        consts, _, _, chunk_Y_win, finish_Y_win = self._windowed_stream_fns(win)
         nwin = npol * win.Rb * win.W
 
         alm_out = []
@@ -596,8 +640,9 @@ class BeamTransfer:
                     jnp.asarray(np.ascontiguousarray(vd.imag)),
                     Y_r,
                     Y_i,
+                    consts,
                 )
-            out = np.asarray(finish_Y_win(Y_r, Y_i))
+            out = np.asarray(finish_Y_win(Y_r, Y_i, consts))
             alm_out.append(out[0] + 1j * out[1])
         return tools.numpy_to_device(np.stack(alm_out).astype(np.complex64))
 
