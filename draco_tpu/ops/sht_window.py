@@ -91,26 +91,31 @@ class WindowedSHT:
             raise ValueError("support mask is empty")
         self.band = np.asarray(band)
         self.Rb = len(band)
-        self.W = int(min(max(widths), int(info.nphi[self.band].min())))
+        self.W = int(max(widths))
 
+        # Rings shorter than W (small polar rings fully inside the
+        # support) would double-count pixels through the modular wrap;
+        # slots beyond one full cycle get zero weight instead.
         idx = np.zeros((self.Rb, self.W), np.int64)
         phi = np.zeros((self.Rb, self.W))
+        valid = np.zeros((self.Rb, self.W))
         for k, r in enumerate(self.band):
             o, n = int(info.offset[r]), int(info.nphi[r])
             p = (starts[k] + np.arange(self.W)) % n
             idx[k] = o + p
             phi[k] = info.phi0[r] + 2 * np.pi * p / n
+            valid[k] = np.arange(self.W) < n
         self.window_index = idx  # [Rb, W] pixel indices
 
         m = np.arange(s.mmax + 1)
-        # quadrature weight folded into the DFT factors (matches
-        # SHT._analysis_impl semantics)
-        w_r = info.weight[self.band][:, None, None]
+        # quadrature weight (and the wrap mask) folded into the DFT
+        # factors (matches SHT._analysis_impl semantics)
+        w_rw = (info.weight[self.band][:, None] * valid)[..., None]
         self._Ec = jnp.asarray(
-            (np.cos(phi[..., None] * m) * w_r).astype(np.float32)
+            (np.cos(phi[..., None] * m) * w_rw).astype(np.float32)
         )
         self._Es = jnp.asarray(
-            (np.sin(phi[..., None] * m) * w_r).astype(np.float32)
+            (np.sin(phi[..., None] * m) * w_rw).astype(np.float32)
         )
         self._lam_band = None
 

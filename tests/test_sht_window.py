@@ -147,3 +147,25 @@ def test_streaming_windowed_projections():
 
     assert np.abs(v_win - v_full).max() / np.abs(v_full).max() < 1e-4
     assert np.abs(a_win - a_full).max() / np.abs(a_full).max() < 1e-4
+
+
+def test_windowed_analysis_polar_support():
+    """Support covering small polar rings: short rings must not be
+    double-counted through the modular window wrap."""
+    nside = 16
+    lmax = 3 * nside - 1
+    vec = healpix.pix2vec(nside)
+    # beam centred ON the north pole: cap rings are fully inside the
+    # support while lower rings need a wide azimuth window
+    zen = np.array([0.25, 0.0, 1.0])
+    zen /= np.linalg.norm(zen)
+    cs = np.clip(vec @ zen, -1, 1)
+    beam = np.exp(-(np.arccos(cs) ** 2) / (2 * 0.15**2))
+    s = sht.get_sht(nside, lmax)
+    w = WindowedSHT(s, beam)
+    assert w.W > int(np.min([4]))  # includes rings shorter than W
+
+    rmap = (beam * (1.0 + 0.5 * vec[:, 1])).astype(np.float32)
+    af = np.asarray(s.analysis(jnp.asarray(rmap)))
+    aw = np.asarray(w.analysis(w.gather(rmap)))
+    assert np.abs(aw - af).max() / np.abs(af).max() < 2e-5
