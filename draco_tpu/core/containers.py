@@ -152,21 +152,34 @@ class Dataset:
 
     # -- device/sharding ----------------------------------------------------
     def to_device(self) -> "Dataset":
-        """Move the array onto device (respecting its distributed axis)."""
-        axis_idx = None
-        if self.distributed and self.distributed_axis in self.axes:
-            axis_idx = self.axes.index(self.distributed_axis)
-        self._data = pmesh.shard_array(self._as_device(), axis_idx)
+        """Move the array onto device (respecting its distributed axis).
+
+        Under a named multi-axis mesh (``parallel.make_mesh2d``) every
+        dataset axis matching a mesh-axis name is sharded — the 2-D
+        (freq x m) production layout; under the default 1-D mesh only
+        the ``distributed_axis`` is split.
+        """
+        primary = self.distributed_axis if self.distributed else None
+        self._data = pmesh.shard_array_named(
+            self._as_device(), self.axes, primary
+        )
         return self
 
     def redistribute(self, axis_name: str | None) -> "Dataset":
-        """Reshard along ``axis_name`` (None to replicate)."""
+        """Reshard with ``axis_name`` as the distributed axis.
+
+        On a 1-D mesh this moves the single split axis (the reference's
+        MPI parallel transpose); on a named multi-axis mesh name-matched
+        placement already pins each axis, so this only updates which
+        axis is nominally "distributed".
+        """
         if not self.distributed:
             return self
         if axis_name is not None and axis_name not in self.axes:
             return self
-        axis_idx = None if axis_name is None else self.axes.index(axis_name)
-        self._data = pmesh.shard_array(self._as_device(), axis_idx)
+        self._data = pmesh.shard_array_named(
+            self._as_device(), self.axes, axis_name
+        )
         self.distributed_axis = axis_name
         return self
 
@@ -843,13 +856,13 @@ class SampleVarianceContainer(ContainerBase):
     def sample_variance(self):
         if "sample_variance" in self.datasets:
             return self.datasets["sample_variance"]
-        raise KeyError("Dataset 'sample_variance' not initialised.")
+        raise KeyError("The 'sample_variance' dataset has not been created yet.")
 
     @property
     def nsample(self):
         if "nsample" in self.datasets:
             return self.datasets["nsample"]
-        raise KeyError("Dataset 'nsample' not initialised.")
+        raise KeyError("The 'nsample' dataset has not been created yet.")
 
     @property
     def sample_variance_iq(self):
@@ -883,13 +896,13 @@ class SampleVarianceContainer(ContainerBase):
         return out
 
 
-# Import the concrete container zoo into this namespace so that
-# ``draco_tpu.core.containers`` exposes the full class inventory, mirroring
-# the reference's single-module layout (reference draco/core/containers.py).
-from .containers_spec import *  # noqa: E402,F401,F403
-from .containers_spec import __all__ as _spec_all  # noqa: E402
-
-__all__ = [
+# The concrete container zoo lives in ``containers_spec`` but is exposed from
+# this namespace too, mirroring the reference's single-module layout
+# (reference draco/core/containers.py).  The re-export is lazy (PEP 562) so
+# that ``import draco_tpu.core.containers_spec`` works cold: containers_spec
+# imports the base classes from this module, and an eager star-import here
+# would make that a circular import.
+_BASE_ALL = [
     "ContainerBase",
     "Dataset",
     "TODContainer",
@@ -904,5 +917,20 @@ __all__ = [
     "copy_datasets_filter",
     "COMPRESSION",
     "COMPRESSION_OPTS",
-    *_spec_all,
 ]
+
+
+def __getattr__(name):
+    from . import containers_spec as _spec
+
+    if name == "__all__":
+        return _BASE_ALL + list(_spec.__all__)
+    if name in _spec.__all__:
+        return getattr(_spec, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    from . import containers_spec as _spec
+
+    return sorted(set(globals()) | set(_BASE_ALL) | set(_spec.__all__))
