@@ -41,10 +41,18 @@ _SCALE_BITS = 60
 # the MXU, ~1e-4-per-GEMM class accuracy) for workloads that tolerate it.
 def _prec_env(var, fallback):
     name = os.environ.get(var, os.environ.get(fallback, "highest")).lower()
-    return {
+    table = {
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
-    }[name]
+    }
+    try:
+        return table[name]
+    except KeyError:
+        source = var if var in os.environ else fallback
+        raise ValueError(
+            f"{source}={name!r} is not a supported SHT precision; "
+            f"accepted values: {sorted(table)}"
+        ) from None
 
 
 # Ring-DFT GEMMs (pixels <-> ring Fourier coefficients) and Legendre

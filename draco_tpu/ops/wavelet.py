@@ -149,7 +149,8 @@ def cwt(x, scales, wavelet: str = "morl", axis: int = -1):
         (scales.shape[0],) + (1,) * (x.ndim - 1) + (n,)
     ).astype(jnp.complex128 if xf.dtype == jnp.complex128 else jnp.complex64)
     W = jnp.fft.ifft(Wf, axis=-1)
-    return jnp.moveaxis(W, -1, axis if axis >= 0 else W.ndim + axis)
+    # The prepended scale axis shifts positive positions by one.
+    return jnp.moveaxis(W, -1, axis + 1 if axis >= 0 else W.ndim + axis)
 
 
 @functools.partial(jax.jit, static_argnames=("axis",))
@@ -184,7 +185,8 @@ def cwt_morlet(x, scales, w0: float = W0_DEFAULT, axis: int = -1):
         (scales.shape[0],) + (1,) * (x.ndim - 1) + (n,)
     ).astype(xf.dtype)
     W = jnp.fft.ifft(Wf, axis=-1)
-    return jnp.moveaxis(W, -1, axis if axis >= 0 else W.ndim + axis)
+    # The prepended scale axis shifts positive positions by one.
+    return jnp.moveaxis(W, -1, axis + 1 if axis >= 0 else W.ndim + axis)
 
 
 @functools.partial(jax.jit, static_argnames=("axis",))

@@ -158,15 +158,18 @@ class FrequencyCorrelatedSky:
         fpol = float(self.polarisation_fraction)
         if fpol > 0.0:
             # Q/U: same spatial spectrum scaled by fpol^2, with a shorter
-            # frequency coherence (Faraday decorrelation)
-            xi_save = getattr(self, "xi", None)
+            # frequency coherence (Faraday decorrelation).  Composite models
+            # (e.g. CombinedForeground) hold xi on their components, so the
+            # swap must reach every object that carries one.
+            targets = [self, *getattr(self, "components", [])]
+            saved = [(t, t.xi) for t in targets if hasattr(t, "xi")]
             try:
-                if xi_save is not None:
-                    self.xi = self.polarisation_xi
+                for t, _ in saved:
+                    t.xi = self.polarisation_xi
                 clp = self._cl_table(lmax, freq) * fpol**2
             finally:
-                if xi_save is not None:
-                    self.xi = xi_save
+                for t, old in saved:
+                    t.xi = old
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
             clp = jnp.asarray(clp, dtype=dtype)
             for pi, kp in ((1, kq), (2, ku)):
