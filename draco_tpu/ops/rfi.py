@@ -1,19 +1,155 @@
-"""RFI excision algorithms: SumThreshold and the SIR operator.
+"""On-device RFI excision: SumThreshold and the scale-invariant-rank operator.
 
-Re-provides reference ``draco/util/rfi.py`` (sumthreshold_py:8,
-scale_invariant_rank:205, sir:260) with the windowed sums expressed as
-convolutions/cumulative scans that vectorise over all leading axes.
+TPU-native re-design of the algorithms in reference ``draco/util/rfi.py``
+(sumthreshold_py:8, scale_invariant_rank:205, sir:260):
+
+* **SumThreshold** (Offringa et al., see the SumThreshold technical report)
+  flags progressively longer runs of contaminated samples.  The reference
+  walks ``scipy.ndimage.correlate1d`` over the array per window length; here
+  every windowed sum is a cumulative-sum difference on the accelerator, so
+  the whole multi-scale pass is one fused XLA program batched over all
+  leading axes.
+
+* **SIR** (scale-invariant rank, arXiv:1201.3364) extends a mask to any
+  window in which the flagged fraction exceeds ``1 - eta``.  Sample ``i``
+  is flagged iff some window ``[a, b)`` containing it satisfies
+  ``sum_{j in [a,b)} (mask[j] - 1 + eta) >= 0``; writing ``P`` for the
+  prefix sums of that weight this is ``max_{b > i} P[b] >= min_{a <= i}
+  P[a]``, which maps onto two directional ``lax.cummax``/``cummin`` scans.
+
+Inputs and outputs are host numpy arrays (masks are consumed by host-side
+container bookkeeping); all heavy lifting runs under ``jit``.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
-from scipy.ndimage import correlate1d
 
-__all__ = ["sumthreshold", "sumthreshold_py", "scale_invariant_rank", "sir1d", "sir"]
+__all__ = [
+    "sumthreshold",
+    "sumthreshold_py",
+    "scale_invariant_rank",
+    "sir1d",
+    "sir",
+]
 
 
-def sumthreshold_py(
+def _float_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _trailing_window_sum(x, m: int):
+    """``y[i] = sum(x[i-m+1 : i+1])`` along the last axis, edge-replicated.
+
+    Matches the alignment of the reference's window-sum correlation
+    (``correlate1d(..., origin=(m-1)//2, mode="nearest")``).
+    """
+    if m == 1:
+        return x
+    n = x.shape[-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(m - 1, 0)], mode="edge")
+    c = jnp.cumsum(xp, axis=-1)
+    c0 = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+    return c0[..., m:] - c0[..., :n]
+
+
+def _leading_window_any(mask, m: int):
+    """``y[i] = any(mask[i : i+m])`` along the last axis, edge-replicated.
+
+    The back-spread step: a window whose sum trips the threshold has its
+    right edge at the hit position, so every sample it covered is ``m-1``
+    or fewer places to the *left*; equivalently each output looks ``m-1``
+    places to the right.
+    """
+    if m == 1:
+        return mask
+    n = mask.shape[-1]
+    xp = jnp.pad(
+        mask.astype(jnp.int32),
+        [(0, 0)] * (mask.ndim - 1) + [(0, m - 1)],
+        mode="edge",
+    )
+    c = jnp.cumsum(xp, axis=-1)
+    c0 = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+    return (c0[..., m:] - c0[..., :n]) > 0
+
+
+def _masked_quantile(x, valid, q: float):
+    """Quantile of ``x[valid]`` with numpy's linear interpolation."""
+    xf = jnp.ravel(x)
+    vf = jnp.ravel(valid)
+    s = jnp.sort(jnp.where(vf, xf, jnp.inf))
+    n = jnp.sum(vf)
+    pos = q * (jnp.maximum(n, 1) - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - lo
+    return s[lo] * (1.0 - frac) + s[hi] * frac
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_m",
+        "axes",
+        "only_positive",
+        "correct_for_missing",
+        "remove_median",
+        "use_variance",
+        "use_threshold",
+    ),
+)
+def _sumthreshold_device(
+    data,
+    flag,
+    variance,
+    threshold1,
+    rho,
+    *,
+    max_m: int,
+    axes: tuple,
+    only_positive: bool,
+    correct_for_missing: bool,
+    remove_median: bool,
+    use_variance: bool,
+    use_threshold: bool,
+):
+    valid = ~flag
+    if remove_median:
+        data = data - _masked_quantile(data, valid, 0.5)
+    if not use_threshold:
+        threshold1 = _masked_quantile(data, valid, 0.95)
+
+    m = 1
+    while m <= max_m:
+        thresh = threshold1 / rho ** (np.log2(m))
+        for axis in axes:
+            d = jnp.where(flag, 0.0, data)
+            if use_variance:
+                cnt = jnp.where(flag, 0.0, variance)
+            else:
+                cnt = (~flag).astype(data.dtype)
+
+            d = jnp.moveaxis(d, axis, -1)
+            cnt = jnp.moveaxis(cnt, axis, -1)
+            dsum = _trailing_window_sum(d, m)
+            csum = _trailing_window_sum(cnt, m)
+            if correct_for_missing:
+                csum = jnp.sqrt(csum)
+
+            excess = dsum if only_positive else jnp.abs(dsum)
+            hit = excess > csum * thresh
+            flag = flag | jnp.moveaxis(_leading_window_any(hit, m), -1, axis)
+        m *= 2
+
+    return flag
+
+
+def sumthreshold(
     data,
     max_m: int = 16,
     start_flag=None,
@@ -25,130 +161,160 @@ def sumthreshold_py(
     axes=None,
     only_positive: bool = False,
 ):
-    """SumThreshold outlier detection (reference rfi.py:8-140).
+    """Multi-scale SumThreshold outlier mask, computed on device.
 
-    See https://andreoffringa.org/pdfs/SumThreshold-technical-report.pdf.
+    Parameters mirror reference ``draco/util/rfi.py:8-140``: window lengths
+    double from 1 to ``max_m``; ``threshold1`` is the single-sample
+    threshold (default: 95th percentile of the unflagged data, or required
+    in units of sigma when ``variance`` is supplied); ``rho`` controls the
+    per-octave threshold falloff; ``axes`` lists the axes to sweep (default
+    all, last first).  Non-finite samples and ``start_flag`` seed the mask.
+
+    Returns a boolean numpy mask of the same shape as ``data``.
     """
-    data = np.copy(np.asarray(data, dtype=np.float64))
+    arr = np.asarray(data)
 
-    if variance is not None:
+    if axes is None:
+        axes = tuple(range(arr.ndim - 1, -1, -1))
+    elif np.isscalar(axes):
+        axes = (int(axes),)
+    else:
+        axes = tuple(int(a) for a in axes)
+
+    use_variance = variance is not None
+    if use_variance:
         correct_for_missing = True
+        if threshold1 is None:
+            raise RuntimeError(
+                "sumthreshold: supplying a variance estimate requires an "
+                "explicit threshold1 (in units of sigma)."
+            )
     if rho is None:
         rho = 0.9428 if correct_for_missing else 1.5
 
-    def get_sign(x):
-        return x if only_positive else np.abs(x)
-
-    if axes is None:
-        axes = list(range(data.ndim))[::-1]
-    elif isinstance(axes, int):
-        axes = (axes,)
-
-    flag = ~np.isfinite(data)
+    fdt = _float_dtype()
+    d = jnp.asarray(arr, dtype=fdt)
+    flag0 = ~jnp.isfinite(d)
     if start_flag is not None:
-        flag = flag + start_flag
+        flag0 = flag0 | jnp.asarray(np.asarray(start_flag), dtype=bool)
 
-    if remove_median:
-        data -= np.median(data[~flag])
+    var = (
+        jnp.asarray(np.asarray(variance), dtype=fdt)
+        if use_variance
+        else jnp.zeros((), dtype=fdt)
+    )
+    thr = (
+        jnp.asarray(threshold1, dtype=fdt)
+        if threshold1 is not None
+        else jnp.zeros((), dtype=fdt)
+    )
 
-    if threshold1 is None:
-        if variance is not None:
-            raise RuntimeError(
-                "If variance is provided, then must also provide starting "
-                "threshold in units of sigma."
-            )
-        threshold1 = np.percentile(data[~flag], 95.0)
-
-    m = 1
-    while m <= max_m:
-        threshold = threshold1 / rho ** (np.log2(m))
-        centre = (m - 1) // 2
-        kernel = np.ones(m, dtype=np.float64)
-
-        for axis in axes:
-            data[flag] = 0.0
-            count = (
-                (~flag).astype(np.float64) if variance is None else ~flag * variance
-            )
-            dconv = correlate1d(
-                data, kernel, origin=centre, axis=axis, mode="nearest"
-            )
-            cconv = correlate1d(
-                count, kernel, origin=centre, axis=axis, mode="nearest"
-            )
-            if correct_for_missing:
-                cconv = cconv**0.5
-            temp_flag = get_sign(dconv) > cconv * threshold
-            origin = m % 2 - centre - 1
-            flag += correlate1d(
-                temp_flag, kernel, origin=origin, axis=axis, mode="nearest"
-            )
-        m *= 2
-
-    return flag
+    out = _sumthreshold_device(
+        d,
+        flag0,
+        var,
+        thr,
+        jnp.asarray(float(rho), dtype=fdt),
+        max_m=int(max_m),
+        axes=axes,
+        only_positive=bool(only_positive),
+        correct_for_missing=bool(correct_for_missing),
+        remove_median=bool(remove_median),
+        use_variance=use_variance,
+        use_threshold=threshold1 is not None,
+    )
+    return np.asarray(out)
 
 
-sumthreshold = sumthreshold_py
+#: Alias kept for reference-path compatibility (the reference exposes both).
+sumthreshold_py = sumthreshold
+
+
+@functools.partial(jax.jit, static_argnames=("axis",))
+def _sir_device(mask, eta, axis: int):
+    mask = jnp.moveaxis(mask, axis, -1)
+    # mask + (eta - 1), kept in this exact form: flagged samples weigh
+    # 1 + (eta - 1) which differs from `eta` in the last bit, and the >=
+    # comparison below ties on exactly these values (reference parity).
+    w = mask.astype(eta.dtype) + (eta - 1.0)
+    p = jnp.cumsum(w, axis=-1)
+    p0 = jnp.concatenate([jnp.zeros_like(p[..., :1]), p], axis=-1)
+    # best window start at or before i / best window end strictly after i.
+    # Note the reference's scan only lets the very last sample see the
+    # final prefix sum P[n] (windows ending at the array end); replicated
+    # here for bit-identical masks.
+    best_start = jax.lax.cummin(p0[..., :-1], axis=mask.ndim - 1)
+    body = jax.lax.cummax(p0[..., 1:-1], axis=mask.ndim - 1, reverse=True)
+    best_end = jnp.concatenate([body, p0[..., -1:]], axis=-1)
+    return jnp.moveaxis(mask | (best_end >= best_start), -1, axis)
 
 
 def sir1d(basemask, eta: float = 0.2, axis: int = -1):
-    """Scale-invariant rank operator along one axis (reference rfi.py:147).
+    """Scale-invariant-rank dilation of a boolean mask along one axis.
 
-    See arXiv:1201.3364v2.  Vectorised cumulative-extrema formulation over
-    all leading axes.
+    A sample is flagged when it lies inside any window whose flagged
+    fraction is at least ``1 - eta`` (arXiv:1201.3364); ``eta = 0``
+    returns the mask unchanged, ``eta = 1`` flags everything.  Runs as two
+    directional scans on device, batched over all other axes.  Semantics
+    of reference ``draco/util/rfi.py:147-204``; windows whose flagged
+    fraction is *exactly* ``1 - eta`` sit on a float tie whose direction
+    depends on summation order (XLA's prefix scan vs numpy's sequential
+    cumsum), so individual tie samples may differ from a CPU evaluation.
     """
-    basemask = np.moveaxis(np.asarray(basemask, dtype=bool), axis, -1).copy()
-
-    M = np.zeros((*basemask.shape[:-1], basemask.shape[-1] + 1), dtype=np.float64)
-    M[..., 1:] = basemask
-    M[..., 1:] += eta - 1.0
-    np.cumsum(M[..., 1:], axis=-1, out=M[..., 1:])
-
-    MP = np.minimum.accumulate(M, axis=-1)[..., :-1]
-    np.maximum.accumulate(M[..., -2::-1], axis=-1, out=M[..., -2::-1])
-    basemask |= M[..., 1:] >= MP
-    return np.moveaxis(basemask, -1, axis)
-
-
-_sir_lastaxis = sir1d
+    m = jnp.asarray(np.asarray(basemask), dtype=bool)
+    out = _sir_device(
+        m, jnp.asarray(float(eta), dtype=_float_dtype()), axis % m.ndim
+    )
+    return np.asarray(out)
 
 
 def scale_invariant_rank(basemask, eta=0.2, axis=-1):
-    """SIR along one or more axes, OR-combined (reference rfi.py:205)."""
+    """SIR applied independently along each listed axis, OR-combined.
+
+    Each axis dilates the *original* mask; results are unioned.  ``eta``
+    may be a scalar or a per-axis sequence.  Semantics of reference
+    ``draco/util/rfi.py:205-259``.
+    """
     basemask = np.asarray(basemask, dtype=bool)
     if basemask.ndim < 1:
-        raise ValueError("basemask must have at least one dimension.")
-    if isinstance(axis, int):
-        axis = (axis,)
-    if isinstance(eta, (float, int)):
-        eta = (eta,) * len(axis)
+        raise ValueError("scale_invariant_rank: mask must be at least 1-D.")
+
+    axis = (axis,) if np.isscalar(axis) else tuple(axis)
+    eta = (eta,) * len(axis) if np.isscalar(eta) else tuple(eta)
     if len(eta) != len(axis):
         raise ValueError(
-            "If eta is a tuple, it must have the same length as axis. "
-            f"Got len(eta)={len(eta)} and len(axis)={len(axis)}."
+            f"scale_invariant_rank: got {len(eta)} eta values for "
+            f"{len(axis)} axes; they must pair up one-to-one."
         )
-    newmask = sir1d(basemask, eta=eta[0], axis=axis[0])
-    for ax, et in zip(axis[1:], eta[1:]):
-        newmask |= sir1d(basemask, eta=et, axis=ax)
-    return newmask
+
+    out = np.zeros_like(basemask)
+    for ax, et in zip(axis, eta):
+        out |= sir1d(basemask, eta=et, axis=ax)
+    return out
 
 
-def sir(basemask, eta: float = 0.2, only_freq: bool = False, only_time: bool = False):
-    """SIR over the freq and time axes of [freq, prod, time] data.
+def sir(
+    basemask,
+    eta: float = 0.2,
+    only_freq: bool = False,
+    only_time: bool = False,
+):
+    """SIR over the freq and time axes of a ``[freq, prod, time]`` mask.
 
-    (reference rfi.py:260, deprecated there; kept for parity)
+    Deprecated in the reference (``draco/util/rfi.py:260``) but kept for
+    parity.
     """
     basemask = np.asarray(basemask, dtype=bool)
     if basemask.ndim != 3:
         raise ValueError(
-            "basemask must be a 3D array with [freq, prod, time] axes. "
-            f"Got {basemask.ndim}D array instead."
+            f"sir expects a [freq, prod, time] mask; got {basemask.ndim}-D."
         )
     if only_freq and only_time:
-        raise ValueError("Only one of only_freq and only_time can be True.")
-    newmask = basemask.copy()
+        raise ValueError("sir: only_freq and only_time are mutually exclusive.")
+
+    axes = []
     if not only_time:
-        newmask |= sir1d(basemask, eta=eta, axis=0)
+        axes.append(0)
     if not only_freq:
-        newmask |= sir1d(basemask, eta=eta, axis=2)
-    return newmask
+        axes.append(2)
+    return basemask | scale_invariant_rank(basemask, eta=eta, axis=tuple(axes))
