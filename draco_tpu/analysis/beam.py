@@ -1,203 +1,244 @@
-"""Beam model tasks: beam streams for ring-map deconvolution.
+"""Effective-beam streams for ring-map deconvolution.
 
-Re-provides reference ``draco/analysis/beam.py`` (CreateBeamStream:25,
-CreateBeamStreamFromTelescope:159).  The fringestop phase and the beam
-placement onto the RA grid are broadcast device ops; the telescope beam
-evaluation is batched over the full (dec, ha) grid per frequency instead
-of point-by-point.
+TPU-native re-design of reference ``draco/analysis/beam.py``
+(CreateBeamStream:25, CreateBeamStreamFromTelescope:159): a beam model
+sampled in celestial coordinates is turned into a
+:class:`~draco_tpu.core.containers_spec.HybridVisStream` carrying the
+effective beam transfer function on the data's (ew, el, ra) grid.  The
+fringe phasor over the full (freq, ew, dec, ha) grid and the el-averaged
+weights are evaluated in one jitted device kernel (the reference builds
+the same phasor with broadcast numpy on host); complex values cross the
+host boundary as separate real planes for remote-TPU-tunnel safety.
 """
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core import containers, io
 from ..core.task import ContainerTask
-from ..ops.interferometry import fringestop_phase
+from ..ops.interferometry import projected_distance
 from ..ops.tools import invert_no_zero
 
-C_LIGHT = 299792458.0
+_C_MS = 299792458.0
+
+
+@jax.jit
+def _phased_beam_kernel(b_re, b_im, bweight, ha, dec, u, v, lat):
+    """Rotate the beam by the conjugate fringe phasor; el-average weights.
+
+    b_re, b_im : [pol, freq, input, dec, ha] beam planes
+    bweight : [freq, pol, input, dec, ha] beam weights
+    ha, dec : [nha], [ndec] radians
+    u, v : [freq, ew] rotated EW/NS baseline lengths in wavelengths
+    lat : latitude in radians
+
+    Returns the phased beam planes [pol, freq, ew(broadcast), dec, ha]
+    and the el-averaged weight [freq, pol, input, ha].
+    """
+    dist = projected_distance(
+        ha[None, None, None, :],
+        lat,
+        dec[None, None, :, None],
+        u[:, :, None, None],
+        v[:, :, None, None],
+    )
+    ang = 2.0 * jnp.pi * dist  # conjugate of the fringestop phasor
+    c, s = jnp.cos(ang), jnp.sin(ang)
+
+    # broadcast [pol, freq, input, dec, ha] x [freq, ew, dec, ha]
+    out_re = b_re * c[None] - b_im * s[None]
+    out_im = b_re * s[None] + b_im * c[None]
+
+    nonzero = (bweight > 0).astype(bweight.dtype)
+    wavg = jnp.sum(bweight, axis=-2) * invert_no_zero(
+        jnp.sum(nonzero, axis=-2)
+    )
+    return out_re, out_im, wavg
 
 
 class CreateBeamStream(ContainerTask):
-    """Convert a GridBeam into a HybridVisStream beam transfer function.
+    """Lay a celestial GridBeam onto a HybridVisStream's (el, RA) grid.
 
-    (reference beam.py:25-156)
+    The output carries ``beam * exp(+2 pi i b.n(ha, dec))`` — the
+    conjugate fringe phasor undoes the phase the (unrotated) NS
+    beamformer applied, including the telescope rotation angle.
+    Semantics of reference ``draco/analysis/beam.py:25-156``.
     """
 
     telescope = None
 
     def setup(self, telescope):
-        """Set the telescope object."""
+        """Capture the telescope model (latitude, rotation angle)."""
         self.telescope = io.get_telescope(telescope)
+        lat = self.telescope.latitude
+        rot = getattr(self.telescope, "rotation_angle", 0.0)
         self.log.info(
-            f"Using telescope at latitude {self.telescope.latitude:.4f} "
-            f"deg with rotation angle {self.telescope.rotation_angle:.4f} deg."
+            f"Telescope model: latitude {lat:.4f} deg, rotation {rot:.4f} deg."
         )
 
+    @staticmethod
+    def _ra_placement(ha):
+        """Indices placing the beam's hour angles onto a full-RA grid."""
+        ra = (np.asarray(ha) + 360.0) % 360.0
+        nra = round(360.0 / abs(ha[1] - ha[0]))
+        cell = 360.0 / nra
+        idx = np.rint(ra / cell).astype(int)
+        if not np.allclose(ra / cell, idx, atol=1e-4):
+            raise ValueError(
+                "The beam's hour-angle sampling does not divide 360 deg "
+                "evenly, so it cannot be scattered onto an RA grid."
+            )
+        return idx, nra
+
     def process(self, data, beam):
-        """Build the effective beam transfer function on the data's grid.
+        """Build the effective-beam HybridVisStream for ``data``.
 
         Parameters
         ----------
         data : containers.HybridVisStream
-            Data to be deconvolved.
+            Supplies the (ew, el, freq) grid the beam is mapped onto.
         beam : containers.GridBeam
-            Beam model in celestial coordinates.
-
-        Returns
-        -------
-        out : containers.HybridVisStream
+            Celestial beam model; its theta axis is declination.
         """
-        freq = np.asarray(beam.freq)
-
         if beam.coords != "celestial":
             raise RuntimeError(
-                "Beam must be converted to celestial coordinates prior to "
-                "generating a HybridVisStream."
+                "CreateBeamStream needs a GridBeam sampled in celestial "
+                f"coordinates; got {beam.coords!r}."
             )
 
+        lat = self.telescope.latitude
         dec = np.asarray(beam.theta)
-        el_beam = np.sin(np.radians(dec - self.telescope.latitude))
-        el_data = np.asarray(data.index_map["el"])
-        if not np.allclose(el_beam, el_data):
-            raise RuntimeError("The el axis for the beam and data do not match.")
+        if not np.allclose(
+            np.sin(np.radians(dec - lat)), np.asarray(data.index_map["el"])
+        ):
+            raise RuntimeError(
+                "Beam declinations do not line up with the data's el axis."
+            )
 
-        # Map beam hour angles onto an RA grid covering [0, 360)
         ha = np.asarray(beam.phi)
-        ra_beam = (ha + 360.0) % 360.0
-        nra = round(360.0 / np.abs(ha[1] - ha[0]))
-        delta_ra = 360.0 / nra
-        map_ra = np.rint(ra_beam / delta_ra).astype(int)
-        if not np.allclose(ra_beam / delta_ra, map_ra, atol=1e-4):
-            raise ValueError(
-                "Input beam cannot be placed on an grid between 0 and 360 degrees."
-            )
+        map_ra, nra = self._ra_placement(ha)
 
-        x = np.asarray(data.index_map["ew"])
+        # Rotated baseline components in wavelengths, [freq, ew]
+        wavelength = _C_MS * 1e-6 / np.asarray(beam.freq)
+        b_ew = np.asarray(data.index_map["ew"])[None, :] / wavelength[:, None]
+        rot = np.radians(getattr(self.telescope, "rotation_angle", 0.0))
 
-        arr_ha = np.radians(ha[np.newaxis, np.newaxis, np.newaxis, :])
-        arr_dec = np.radians(dec[np.newaxis, np.newaxis, :, np.newaxis])
-
-        lmbda = C_LIGHT * 1e-6 / freq
-        u = (x[np.newaxis, :] / lmbda[:, np.newaxis])[:, :, np.newaxis, np.newaxis]
-
-        # Rotate baselines by the telescope rotation angle; corrects the
-        # phase from the (unrotated) NS beamforming (reference beam.py:112)
-        rot = np.radians(self.telescope.rotation_angle)
-        v = np.sin(rot) * u
-        u = np.cos(rot) * u
-
-        phi = np.asarray(
-            fringestop_phase(
-                arr_ha, np.radians(self.telescope.latitude), arr_dec, u, v
-            )
-        ).conj()
-
-        # Average the weight over el (output weight has no el axis)
-        bweight = np.asarray(beam.weight[:])
-        bweight = np.sum(bweight, axis=-2) * np.asarray(
-            invert_no_zero(np.sum(bweight > 0, axis=-2).astype(np.float32))
+        bvis = np.asarray(beam.beam[:]).swapaxes(0, 1)  # [pol, freq, inp, ...]
+        re, im, wavg = _phased_beam_kernel(
+            jnp.asarray(np.ascontiguousarray(bvis.real)),
+            jnp.asarray(np.ascontiguousarray(bvis.imag)),
+            jnp.asarray(np.asarray(beam.weight[:])),
+            jnp.asarray(np.radians(ha)),
+            jnp.asarray(np.radians(dec)),
+            jnp.asarray(np.cos(rot) * b_ew),
+            jnp.asarray(np.sin(rot) * b_ew),
+            np.radians(lat),
         )
 
-        # (freq, pol, ...) -> (pol, freq, ...)
-        bweight = bweight.swapaxes(0, 1)
-        bvis = np.asarray(beam.beam[:]).swapaxes(0, 1)
-
-        out = containers.HybridVisStream(
-            ra=nra, axes_from=data, attrs_from=data
-        )
+        out = containers.HybridVisStream(ra=nra, axes_from=data, attrs_from=data)
         for dset in out.datasets.values():
             dset[:] = np.zeros(dset.shape, dtype=dset.dtype)
 
-        w = np.asarray(out.weight[:])
-        v_out = np.asarray(out.vis[:])
-        w[..., map_ra] = bweight
-        v_out[..., map_ra] = bvis * phi[np.newaxis, ...]
-        out.weight[:] = w
-        out.vis[:] = v_out
+        vis = np.asarray(out.vis[:])
+        vis[..., map_ra] = np.asarray(re) + 1.0j * np.asarray(im)
+        out.vis[:] = vis
 
+        weight = np.asarray(out.weight[:])
+        weight[..., map_ra] = np.asarray(wavg).swapaxes(0, 1)
+        out.weight[:] = weight
         return out
 
 
 class CreateBeamStreamFromTelescope(CreateBeamStream):
-    """Create a beam stream from a telescope instance (reference beam.py:159)."""
+    """Same, but evaluating the telescope's own beam model.
+
+    Semantics of reference ``draco/analysis/beam.py:159-257``; each
+    needed (feed, freq) beam is evaluated once over the whole (dec, ha)
+    grid and reused across polarisation pairs.
+    """
 
     def process(self, data):
-        """Evaluate the telescope beam and convert to a HybridVisStream."""
-        beam = self._evaluate_beam(data)
-        return super().process(data, beam)
+        """Evaluate the telescope beam and map it onto ``data``'s grid."""
+        return super().process(data, self._evaluate_beam(data))
 
-    def _evaluate_beam(self, data):
-        """Evaluate the beam at the data's (el, RA) coordinates.
-
-        (reference beam.py:179-257).  The beam is evaluated on the full
-        grid in one batched call per (freq, pol) instead of per-pixel.
-        """
-        inputs = np.array(["common-mode"])
+    def _grid_coordinates(self, data):
+        """(dec, ha) grid matching the data's (el, RA) sampling."""
         ha = (np.asarray(data.ra) + 180.0) % 360.0 - 180.0
         dec = (
             np.degrees(np.arcsin(np.asarray(data.index_map["el"])))
             + self.telescope.latitude
         )
+        return dec, ha
 
+    def _evaluate_beam(self, data):
+        """Fill a celestial GridBeam from ``telescope.beam_at``."""
+        dec, ha = self._grid_coordinates(data)
         out = containers.GridBeam(
-            theta=dec, phi=ha, input=inputs, axes_from=data, attrs_from=data
+            theta=dec,
+            phi=ha,
+            input=np.array(["common-mode"]),
+            axes_from=data,
+            attrs_from=data,
         )
         out.beam[:] = np.zeros(out.beam.shape, dtype=out.beam.dtype)
         out.weight[:] = np.ones(out.weight.shape, dtype=out.weight.dtype)
-
-        beam = np.asarray(out.beam[:])
-        weight = np.asarray(out.weight[:])
 
         pol_pairs = [
             p.decode() if isinstance(p, bytes) else str(p)
             for p in out.index_map["pol"]
         ]
-        unique_pol = list({p for pp in pol_pairs for p in pp})
         tel_pol = list(self.telescope.polarisation)
-        map_pol_to_feed = {pol: tel_pol.index(pol) for pol in unique_pol}
 
+        # Nearest telescope frequency channel per data channel, flagged
+        # invalid when it falls outside the channel width.
         fmap = data.index_map["freq"]
-        centres = fmap["centre"] if fmap.dtype.names else fmap
+        centres = fmap["centre"] if fmap.dtype.names else np.asarray(fmap)
         widths = (
             fmap["width"]
             if fmap.dtype.names
             else np.full(len(centres), np.abs(np.diff(centres)).mean())
         )
-        local_freq_index = np.array(
-            [
-                int(np.argmin(np.abs(nu - self.telescope.frequencies)))
-                for nu in centres
-            ]
+        tel_freq = self.telescope.frequencies
+        nearest = np.argmin(
+            np.abs(centres[:, None] - tel_freq[None, :]), axis=1
         )
-        local_freq_flag = np.abs(
-            centres - self.telescope.frequencies[local_freq_index]
-        ) <= (0.5 * widths)
+        in_band = np.abs(centres - tel_freq[nearest]) <= 0.5 * widths
 
-        angpos = np.meshgrid(
+        # One angular-position list covering the whole grid
+        grid_shape = (dec.size, ha.size)
+        theta_g, phi_g = np.meshgrid(
             0.5 * np.pi - np.radians(dec), np.radians(ha), indexing="ij"
         )
-        angpos = np.hstack([ap.reshape(ap.size, 1) for ap in angpos])
-        shp = (dec.size, ha.size)
+        angpos = np.stack([theta_g.ravel(), phi_g.ravel()], axis=-1)
 
-        for ff, freq in enumerate(local_freq_index):
-            if not local_freq_flag[ff]:
+        beam = np.asarray(out.beam[:])
+        weight = np.asarray(out.weight[:])
+
+        for ff, tel_ff in enumerate(nearest):
+            if not in_band[ff]:
                 weight[ff] = 0.0
                 continue
-            for pp, pol in enumerate(pol_pairs):
-                bii = self.telescope.beam_at(map_pol_to_feed[pol[0]], freq, angpos)
-                if pol[0] != pol[1]:
-                    bjj = self.telescope.beam_at(
-                        map_pol_to_feed[pol[1]], freq, angpos
+
+            cache = {}
+
+            def feed_beam(pol_char, _tf=tel_ff, _cache=cache):
+                if pol_char not in _cache:
+                    _cache[pol_char] = np.asarray(
+                        self.telescope.beam_at(
+                            tel_pol.index(pol_char), _tf, angpos
+                        )
                     )
-                else:
-                    bjj = bii
-                power = np.asarray(bii) * np.asarray(bjj).conj()
+                return _cache[pol_char]
+
+            for pp, pair in enumerate(pol_pairs):
+                power = feed_beam(pair[0]) * feed_beam(pair[1]).conj()
                 if power.ndim == 2:
-                    # polarised beams: sum over the (E_theta, E_phi) axis
+                    # polarised (E_theta, E_phi) response: total intensity
                     power = power.sum(axis=-1)
-                beam[ff, pp, 0] = power.reshape(shp)
+                beam[ff, pp, 0] = power.reshape(grid_shape)
 
         out.beam[:] = beam
         out.weight[:] = weight

@@ -1,144 +1,160 @@
-"""Source stacking analysis tasks.
+"""Stacking formed beams over catalog sources in frequency offset.
 
-Re-provides reference ``draco/analysis/sourcestack.py`` (SourceStack:17,
-RandomSubset:214, GroupSourceStacks:332).  The reference's per-source
-bincount loop (sourcestack.py:159-180) becomes a single flattened
-scatter-add over all (source, freq) pairs.
+TPU-native re-design of reference ``draco/analysis/sourcestack.py``
+(SourceStack:17, RandomSubset:214, GroupSourceStacks:332).  The
+reference accumulates one ``np.bincount`` per polarisation on host;
+here every (source, frequency-channel) contribution is routed through a
+single device ``segment_sum`` batched over polarisations, with
+off-stack pairs parked in a sentinel segment.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core import config, containers
 from ..core.task import ContainerTask, PipelineStopIteration, RandomTask
 from ..ops.tools import invert_no_zero
 
-NU21 = 1420.405751768  # MHz, HI hyperfine rest frequency
-C_LIGHT = 299792458.0
+#: HI hyperfine rest frequency in MHz
+NU21 = 1420.405751768
+
+
+@functools.partial(jax.jit, static_argnames=("nstack", "uniform"))
+def _stack_segments(beam, weight, seg_ids, *, nstack: int, uniform: bool):
+    """Weighted scatter-add of beams into offset bins, per polarisation.
+
+    beam, weight : [nsource, npol, nfreq]
+    seg_ids : [nsource * nfreq] target bin per pair; ``nstack`` parks
+        invalid pairs in a discarded sentinel segment.
+
+    Returns (stack[npol, nstack], weight_sum[npol, nstack]).
+    """
+    npol = beam.shape[1]
+    w = (weight > 0).astype(beam.dtype) if uniform else weight
+
+    # [nsource, npol, nfreq] -> [nsource * nfreq, npol]
+    flat = lambda a: a.transpose(0, 2, 1).reshape(-1, npol)  # noqa: E731
+    num = jax.ops.segment_sum(
+        flat(w * beam), seg_ids, num_segments=nstack + 1
+    )
+    den = jax.ops.segment_sum(flat(w), seg_ids, num_segments=nstack + 1)
+
+    den = den[:nstack].T
+    return num[:nstack].T * invert_no_zero(den), den
 
 
 class SourceStack(ContainerTask):
-    """Stack BeamForm outputs across sources (reference sourcestack.py:17).
+    """Average formed beams over catalog sources in offset frequency.
 
-    BeamForm must have been run with ``collapse_ha = True``.
+    Each source contributes the spectrum around its own 21 cm frequency,
+    shifted onto a common offset axis; the result is the weighted mean
+    over sources.  The input BeamForm must have collapsed the hour-angle
+    axis.  Semantics of reference ``draco/analysis/sourcestack.py:17-211``.
 
     Attributes
     ----------
     freqside : int
-        Frequency bins kept on each side of the source bin.  Default 50.
+        Channels kept on each side of each source's own channel.
     single_source_bin_index : int
-        Only stack sources within this frequency channel.
+        If set, keep only sources whose redshifted frequency falls in
+        this channel of the input.
     uniform_weight : bool
-        Use uniform instead of inverse-variance weighting (the mask is
-        preserved either way).
+        Weight every unmasked sample equally instead of by inverse
+        variance.
     """
 
     freqside = config.Property(proptype=int, default=50)
     single_source_bin_index = config.Property(proptype=int, default=None)
     uniform_weight = config.Property(proptype=bool, default=False)
 
-    def process(self, formed_beam):
-        """Stack the formed beams across sources.
+    def _offset_axis(self, formed_beam, nfreq):
+        """Offset-frequency axis: the central ``2 freqside + 1`` channels
+        of the input, re-centred on zero."""
+        half = self.freqside
+        sel = slice(nfreq // 2 - half, nfreq // 2 + half + 1)
+        axis = np.copy(formed_beam.frequency[sel])
+        axis["centre"] -= axis["centre"][half]
+        return axis
 
-        Returns a FrequencyStack (or FrequencyStackByPol).
-        """
+    @staticmethod
+    def _bin_edges(axis):
+        """Channel edges of the offset axis, in its own channel order."""
+        step = 1.0 if axis["centre"][-1] >= axis["centre"][0] else -1.0
+        lead = axis["centre"] - step * 0.5 * axis["width"]
+        tail = axis["centre"][-1] + step * 0.5 * axis["width"][-1]
+        return np.append(lead, tail)
+
+    def process(self, formed_beam):
+        """Stack over sources; returns FrequencyStack[ByPol]."""
         freq = np.asarray(formed_beam.freq)
-        nfreq = len(freq)
+        nfreq = freq.size
         pol = formed_beam.pol
         npol = len(pol)
-
-        source_freq = NU21 / (
-            np.asarray(formed_beam["redshift"][:]["z"]) + 1.0
-        )
-
         nstack = 2 * self.freqside + 1
 
-        stack_axis = np.copy(
-            formed_beam.frequency[
-                nfreq // 2 - self.freqside : nfreq // 2 + self.freqside + 1
-            ]
-        )
-        stack_axis["centre"] = (
-            stack_axis["centre"] - stack_axis["centre"][self.freqside]
-        )
+        axis = self._offset_axis(formed_beam, nfreq)
+        edges = self._bin_edges(axis)
 
-        freqdiff = freq[np.newaxis, :] - source_freq[:, np.newaxis]
+        # offset of every channel from every source's redshifted line
+        z = np.asarray(formed_beam["redshift"][:]["z"])
+        nu_src = NU21 / (1.0 + z)
+        offset = freq[np.newaxis, :] - nu_src[:, np.newaxis]
 
-        if stack_axis["centre"][0] > stack_axis["centre"][-1]:
-            stackbins = stack_axis["centre"] + 0.5 * stack_axis["width"]
-            stackbins = np.append(
-                stackbins,
-                stack_axis["centre"][-1] - 0.5 * stack_axis["width"][-1],
-            )
-        else:
-            stackbins = stack_axis["centre"] - 0.5 * stack_axis["width"]
-            stackbins = np.append(
-                stackbins,
-                stack_axis["centre"][-1] + 0.5 * stack_axis["width"][-1],
-            )
+        bins = np.digitize(offset, edges) - 1
+        in_range = (bins >= 0) & (bins < nstack)
 
-        source_indices = np.digitize(freqdiff, stackbins) - 1
-        f_mask = (source_indices >= 0) & (source_indices < nstack)
-        source_mask = np.sum(f_mask, axis=1) > 0
-
+        keep_source = in_range.any(axis=1)
         if self.single_source_bin_index is not None:
-            fs = formed_beam.index_map["freq"][self.single_source_bin_index]
-            source_mask &= np.abs(source_freq - fs["centre"]) < (
-                0.5 * fs["width"]
+            chan = formed_beam.index_map["freq"][self.single_source_bin_index]
+            keep_source &= (
+                np.abs(nu_src - chan["centre"]) < 0.5 * chan["width"]
             )
+        good = in_range & keep_source[:, np.newaxis]
+        self.log.info(
+            f"Stacking {int(keep_source.sum())} of {len(nu_src)} sources."
+        )
+
+        seg_ids = np.where(good, bins, nstack).ravel()
+
+        stacked, wsum = _stack_segments(
+            jnp.asarray(np.asarray(formed_beam.beam[:])),
+            jnp.asarray(np.asarray(formed_beam.weight[:])),
+            jnp.asarray(seg_ids),
+            nstack=nstack,
+            uniform=bool(self.uniform_weight),
+        )
+        stacked = np.asarray(stacked)
+        wsum = np.asarray(wsum)
 
         if npol > 1:
-            stack = containers.FrequencyStackByPol(
-                freq=stack_axis, pol=pol, attrs_from=formed_beam
+            out = containers.FrequencyStackByPol(
+                freq=axis, pol=pol, attrs_from=formed_beam
             )
+            out.stack[:] = stacked
+            out.weight[:] = wsum
         else:
-            stack = containers.FrequencyStack(
-                freq=stack_axis, attrs_from=formed_beam
-            )
-
-        # Vectorised scatter: every valid (source, freq) pair at once
-        valid = f_mask & source_mask[:, np.newaxis]
-        idx = source_indices[valid]
-
-        for pp, pstr in enumerate(pol):
-            fb = np.asarray(formed_beam.beam[:])[:, pp]
-            fw = np.asarray(formed_beam.weight[:])[:, pp]
-
-            fw_eff = (fw > 0).astype(np.float64) if self.uniform_weight else fw
-
-            source_stack = np.bincount(
-                idx, weights=(fw_eff * fb)[valid], minlength=nstack
-            )
-            source_weight = np.bincount(
-                idx, weights=fw_eff[valid], minlength=nstack
-            )
-
-            oslc = (pp, slice(None)) if npol > 1 else slice(None)
-            stack.weight[oslc] = source_weight
-            stack.stack[oslc] = source_stack * np.asarray(
-                invert_no_zero(source_weight)
-            )
-
-            self.log.info(
-                f"Number of sources stacked for pol {pstr}: "
-                f"{int(source_mask.sum())}"
-            )
-
-        return stack
+            out = containers.FrequencyStack(freq=axis, attrs_from=formed_beam)
+            out.stack[:] = stacked[0]
+            out.weight[:] = wsum[0]
+        return out
 
 
 class RandomSubset(ContainerTask, RandomTask):
-    """Draw random sub-catalogs from a mock catalog.
+    """Emit ``number`` random fixed-size sub-catalogs of a catalog.
 
-    (reference sourcestack.py:214-329)
+    Semantics of reference ``draco/analysis/sourcestack.py:214-329``.
 
     Attributes
     ----------
     number : int
-        Number of catalogs to draw.
+        How many sub-catalogs to draw.
     size : int
-        Objects per catalog.
+        Objects in each draw (without replacement).
     """
 
     number = config.Property(proptype=int)
@@ -146,144 +162,127 @@ class RandomSubset(ContainerTask, RandomTask):
 
     def __init__(self):
         super().__init__()
-        self.catalog_ind = 0
+        self._drawn = 0
 
     def setup(self, catalog):
-        """Set the full catalog to draw from."""
-        if "tag" in catalog.attrs:
-            self.base_tag = f"{catalog.attrs['tag']}_mock_{{:05d}}"
-        else:
-            self.base_tag = "mock_{:05d}"
+        """Store the parent catalog and derive the output tag pattern."""
         self.catalog = catalog
+        stem = catalog.attrs.get("tag")
+        self._tag_pattern = (f"{stem}_" if stem else "") + "mock_{:05d}"
 
     def process(self):
-        """Draw the next random catalog."""
-        if self.catalog_ind >= self.number:
+        """Draw the next sub-catalog."""
+        if self._drawn >= self.number:
             raise PipelineStopIteration
 
         objects = self.catalog.index_map["object_id"]
-        num_cat = len(objects)
+        pick = np.sort(
+            self.rng.choice(len(objects), self.size, replace=False)
+        )
 
-        ind = np.sort(self.rng.choice(num_cat, self.size, replace=False))
-
-        new_catalog = self.catalog.__class__(
-            object_id=objects[ind],
+        sub = self.catalog.__class__(
+            object_id=objects[pick],
             attrs_from=self.catalog,
             axes_from=self.catalog,
         )
-        for name in self.catalog.datasets.keys():
-            if name not in new_catalog.datasets:
-                new_catalog.add_dataset(name)
-
-        new_catalog.attrs["tag"] = self.base_tag.format(self.catalog_ind)
+        sub.attrs["tag"] = self._tag_pattern.format(self._drawn)
 
         for name, dset in self.catalog.datasets.items():
+            if name not in sub.datasets:
+                sub.add_dataset(name)
+            arr = np.asarray(dset[:])
             if tuple(dset.attrs["axis"])[0] == "object_id":
-                new_catalog.datasets[name][:] = np.asarray(dset[:])[ind]
-            else:
-                new_catalog.datasets[name][:] = dset[:]
+                arr = arr[pick]
+            sub.datasets[name][:] = arr
 
-        self.catalog_ind += 1
-
-        return new_catalog
+        self._drawn += 1
+        return sub
 
 
 class GroupSourceStacks(ContainerTask):
-    """Accumulate frequency stacks into Mock containers.
+    """Concatenate incoming frequency stacks along a new mock axis.
 
-    (reference sourcestack.py:332-467)
+    Semantics of reference ``draco/analysis/sourcestack.py:332-467``.
 
     Attributes
     ----------
     ngroup : int
-        Stacks accumulated per output container.  Default 100.
+        Inputs gathered into each emitted container.
     """
 
     ngroup = config.Property(proptype=int, default=100)
 
-    def setup(self):
-        """Initialise the accumulator."""
-        self.stack = []
-        self.nmock = 0
-        self.counter = 0
+    _PROMOTE = {
+        containers.FrequencyStack: containers.MockFrequencyStack,
+        containers.FrequencyStackByPol: containers.MockFrequencyStackByPol,
+        containers.MockFrequencyStack: containers.MockFrequencyStack,
+        containers.MockFrequencyStackByPol: containers.MockFrequencyStackByPol,
+    }
 
-        self._container_lookup = {
-            containers.FrequencyStack: containers.MockFrequencyStack,
-            containers.FrequencyStackByPol: containers.MockFrequencyStackByPol,
-            containers.MockFrequencyStack: containers.MockFrequencyStack,
-            containers.MockFrequencyStackByPol: containers.MockFrequencyStackByPol,
-        }
+    def setup(self):
+        """Start with an empty accumulator."""
+        self._pending = []
+        self._groups_out = 0
 
     def process(self, stack):
-        """Add a stack; emit a grouped container every ``ngroup`` inputs."""
-        self.stack.append(stack)
-        if "mock" in stack.index_map:
-            self.nmock += len(stack.index_map["mock"])
-        else:
-            self.nmock += 1
-
-        self.log.info(
-            f"Collected frequency stack.  Current size is {len(self.stack):d}."
-        )
-
-        if (len(self.stack) % self.ngroup) == 0:
-            return self._reset()
+        """Buffer one stack; flush when ``ngroup`` have arrived."""
+        self._pending.append(stack)
+        self.log.debug(f"Buffered stack {len(self._pending)}/{self.ngroup}.")
+        if len(self._pending) % self.ngroup == 0:
+            return self._flush()
         return None
 
     def process_finish(self):
-        """Emit whatever stacks remain."""
-        if len(self.stack) > 0:
-            return self._reset()
+        """Flush any remainder."""
+        if self._pending:
+            return self._flush()
         return None
 
-    def _reset(self):
+    @staticmethod
+    def _group_tag(tag, counter_str):
+        """Rewrite mock->group->supergroup in the accumulated tag."""
+        parts = tag.split("_")
+        for marker, promoted in (("group", "supergroup"), ("mock", "group")):
+            if marker in parts:
+                at = max(i for i, p in enumerate(parts) if p == marker)
+                parts[at] = promoted
+                parts[at + 1] = counter_str
+                return "_".join(parts)
+        return "_".join(parts + ["group", counter_str])
+
+    def _flush(self):
+        first = self._pending[0]
+        counter_str = f"{self._groups_out:03d}"
+
+        def mock_count(s):
+            return len(s.index_map["mock"]) if "mock" in s.index_map else 1
+
+        total = sum(mock_count(s) for s in self._pending)
         self.log.info(
-            f"We have accumulated {self.nmock:d} mock realizations.  "
-            f"Saving to file. [group {self.counter:03d}]"
+            f"Emitting group {counter_str} with {total} mock realisations."
         )
 
-        mock = np.arange(self.nmock, dtype=np.int64)
-        OutputContainer = self._container_lookup[self.stack[0].__class__]
-        out = OutputContainer(
-            mock=mock, axes_from=self.stack[0], attrs_from=self.stack[0]
+        out = self._PROMOTE[first.__class__](
+            mock=np.arange(total, dtype=np.int64),
+            axes_from=first,
+            attrs_from=first,
         )
+        out.attrs["tag"] = self._group_tag(
+            out.attrs.get("tag", ""), counter_str
+        ) if "tag" in out.attrs else f"group_{counter_str}"
 
-        counter_str = f"{self.counter:03d}"
-        if "tag" in out.attrs:
-            tag = out.attrs["tag"].split("_")
-            if "group" in tag:
-                ig = max(ii for ii, tt in enumerate(tag) if tt == "group")
-                tag[ig] = "supergroup"
-                tag[ig + 1] = counter_str
-            elif "mock" in tag:
-                im = max(ii for ii, tt in enumerate(tag) if tt == "mock")
-                tag[im] = "group"
-                tag[im + 1] = counter_str
-            else:
-                tag.append(f"group_{counter_str}")
-            out.attrs["tag"] = "_".join(tag)
-        else:
-            out.attrs["tag"] = f"group_{counter_str}"
-
-        for name in self.stack[0].datasets.keys():
+        for name, src in first.datasets.items():
             if name not in out.datasets:
                 out.add_dataset(name)
-
-        for name, odset in out.datasets.items():
-            arr = np.asarray(odset[:])
-            mock_count = 0
-            for stack in self.stack:
-                dset = stack.datasets[name]
-                data = np.asarray(dset[:])
+            pieces = []
+            for s in self._pending:
+                dset = s.datasets[name]
+                arr = np.asarray(dset[:])
                 if tuple(dset.attrs["axis"])[0] != "mock":
-                    data = data[np.newaxis, ...]
-                for mdata in data:
-                    arr[mock_count] = mdata
-                    mock_count += 1
-            odset[:] = arr
+                    arr = arr[np.newaxis]
+                pieces.append(arr)
+            out.datasets[name][:] = np.concatenate(pieces, axis=0)
 
-        self.stack = []
-        self.nmock = 0
-        self.counter += 1
-
+        self._pending = []
+        self._groups_out += 1
         return out

@@ -1,14 +1,15 @@
-"""Random gain fluctuation simulation and stacking.
+"""Simulated gain fluctuations and gain-product stacking.
 
-Re-provides reference ``draco/synthesis/gain.py`` (BaseGains:11,
-SiderealGains:116, RandomGains:223, RandomSiderealGains:296, GainStacker:305,
-generate_fluctuations:442, gaussian_realisation:479,
+Re-designs reference ``draco/synthesis/gain.py`` (BaseGains:11,
+SiderealGains:116, RandomGains:223, RandomSiderealGains:296,
+GainStacker:305, generate_fluctuations:442, gaussian_realisation:479,
 constrained_gaussian_realisation:522).
 
-Gain streams are Gaussian processes with squared-exponential covariance;
-streams crossing file boundaries stay statistically consistent via
-constrained realisations against the previous chunk (the checkpoint/resume
-behaviour noted in SURVEY.md section 5).
+Gain streams are draws from a squared-exponential Gaussian process per
+(freq, input); a stream that continues across file boundaries is drawn
+*conditioned on* the previous chunk (blockwise conditioning in the
+covariance eigenbasis), which is what keeps resumed pipelines
+statistically consistent (SURVEY.md section 5, checkpoint/resume).
 """
 
 from __future__ import annotations
@@ -21,10 +22,27 @@ from ..core.task import ContainerTask, PipelineStopIteration, RandomTask
 from ..ops.tools import invert_no_zero
 
 
-class BaseGains(ContainerTask, RandomTask):
-    """Generate gain timestreams matching an input container.
+def squared_exponential(scale, sigma):
+    """Return ``C(x) = sigma^2 exp(-(xi - xj)^2 / (2 scale^2))``."""
 
-    (reference gain.py:11)
+    def cov(x):
+        sep = x[:, np.newaxis] - x[np.newaxis, :]
+        return sigma**2 * np.exp(-0.5 * (sep / scale) ** 2)
+
+    return cov
+
+
+class BaseGains(ContainerTask, RandomTask):
+    """Common machinery for gain-stream simulation.
+
+    Subclasses supply ``_generate_amp`` / ``_generate_phase``; this class
+    assembles ``g = amp * exp(i phase)`` into a gain container matching
+    the input stream.  Semantics of reference ``gain.py:11-113``.
+
+    Attributes
+    ----------
+    amp, phase : bool
+        Toggle amplitude / phase fluctuations independently.
     """
 
     amp = config.Property(default=True, proptype=bool)
@@ -32,35 +50,23 @@ class BaseGains(ContainerTask, RandomTask):
 
     _prev_time = None
 
-    def process(self, data):
-        data.redistribute("freq")
-        time = data.time
-        gain_data = containers.GainData(axes_from=data)
+    def _fill_gains(self, out, time, freq):
+        """Draw fluctuations and write ``out.gain`` for samples ``time``."""
+        self.freq = freq
+        self.ninput_local = out.gain.shape[1]
+        self.ninput_global = out.gain.shape[1]
 
-        self.ninput_local = gain_data.gain.shape[1]
-        self.ninput_global = gain_data.gain.shape[1]
-        self.freq = data.index_map["freq"]["centre"][:]
-
-        gain_amp = 1.0
-        gain_phase = 0.0
-        if self.amp:
-            gain_amp = self._generate_amp(time)
-        if self.phase:
-            gain_phase = self._generate_phase(time)
-
-        gain_comb = gain_amp * np.exp(1.0j * gain_phase)
-        gain_data.gain[:] = gain_comb.astype(gain_data.gain.dtype)
+        amp = self._generate_amp(time) if self.amp else 1.0
+        ph = self._generate_phase(time) if self.phase else 0.0
+        out.gain[:] = (amp * np.exp(1.0j * ph)).astype(out.gain.dtype)
         self._prev_time = time
-        return gain_data
 
-    def _corr_func(self, zeta, amp):
-        """Squared-exponential correlation function (reference gain.py:74)."""
-
-        def _cf(x):
-            dij = x[:, np.newaxis] - x[np.newaxis, :]
-            return amp**2 * np.exp(-0.5 * (dij / zeta) ** 2)
-
-        return _cf
+    def process(self, data):
+        """Gain stream on the input's own time samples."""
+        data.redistribute("freq")
+        out = containers.GainData(axes_from=data)
+        self._fill_gains(out, data.time, data.index_map["freq"]["centre"][:])
+        return out
 
     def _generate_amp(self, time):
         raise NotImplementedError
@@ -70,67 +76,68 @@ class BaseGains(ContainerTask, RandomTask):
 
 
 class SiderealGains(BaseGains):
-    """Simulate gains over a range of sidereal days (reference gain.py:116)."""
+    """One gain stream per sidereal day in a configured LSD range.
+
+    Semantics of reference ``gain.py:116-220``.
+
+    Attributes
+    ----------
+    start_time, end_time : utc_time
+        Bounds of the simulated period; one output per whole LSD.
+    """
 
     start_time = config.utc_time()
     end_time = config.utc_time()
 
     def setup(self, bt, sstream):
+        """Telescope (for LSD conversion) and template sidereal stream."""
         self.observer = io.get_telescope(bt)
         self.lsd_start = self.observer.unix_to_lsd(self.start_time)
         self.lsd_end = self.observer.unix_to_lsd(self.end_time)
         self.log.info(
-            "Sidereal period requested: LSD=%i to LSD=%i",
-            int(self.lsd_start),
-            int(self.lsd_end),
+            f"Simulating gains for LSDs {int(self.lsd_start)}.."
+            f"{int(self.lsd_end)}."
         )
-        self._current_lsd = None
+        self._next_lsd = None
         self.sstream = sstream
 
     def process(self):
-        if self._current_lsd is None:
-            self._current_lsd = int(self.lsd_start + 1)
-        if self._current_lsd >= self.lsd_end:
+        """Gain stream for the next LSD in the range."""
+        if self._next_lsd is None:
+            self._next_lsd = int(self.lsd_start + 1)
+        if self._next_lsd >= self.lsd_end:
             raise PipelineStopIteration()
-
-        unix_start = self.observer.lsd_to_unix(self._current_lsd)
-        unix_end = self.observer.lsd_to_unix(self._current_lsd + 1)
+        lsd = self._next_lsd
+        self._next_lsd += 1
 
         data = self.sstream
         data.redistribute("freq")
-        self.freq = data.index_map["freq"]["centre"][:]
         nra = len(data.ra)
-        time = np.linspace(unix_start, unix_end, nra, endpoint=False)
+        time = np.linspace(
+            self.observer.lsd_to_unix(lsd),
+            self.observer.lsd_to_unix(lsd + 1),
+            nra,
+            endpoint=False,
+        )
 
-        gain_data = containers.SiderealGainData(axes_from=data)
-        self.ninput_local = gain_data.gain.shape[1]
-        self.ninput_global = gain_data.gain.shape[1]
-
-        gain_amp = 1.0
-        gain_phase = 0.0
-        if self.amp:
-            gain_amp = self._generate_amp(time)
-        if self.phase:
-            gain_phase = self._generate_phase(time)
-
-        gain_comb = gain_amp * np.exp(1.0j * gain_phase)
-        gain_data.gain[:] = gain_comb.astype(gain_data.gain.dtype)
-        gain_data.attrs["lsd"] = self._current_lsd
-        gain_data.attrs["tag"] = f"lsd_{self._current_lsd:d}"
-        self._current_lsd += 1
-        self._prev_time = time
-        return gain_data
+        out = containers.SiderealGainData(axes_from=data)
+        self._fill_gains(out, time, data.index_map["freq"]["centre"][:])
+        out.attrs["lsd"] = lsd
+        out.attrs["tag"] = f"lsd_{lsd:d}"
+        return out
 
 
 class RandomGains(BaseGains):
-    r"""Random Gaussian-process gain fluctuations (reference gain.py:223).
+    r"""Gaussian-process amplitude/phase wander per (freq, input).
+
+    Semantics of reference ``gain.py:223-293``.
 
     Attributes
     ----------
     corr_length_amp, corr_length_phase : float
-        Correlation lengths in seconds.
+        GP correlation lengths in seconds.
     sigma_amp, sigma_phase : float
-        Fluctuation size for amplitude (fractional) and phase (radians).
+        Fractional amplitude / radian phase fluctuation scales.
     """
 
     corr_length_amp = config.Property(default=3600.0, proptype=float)
@@ -141,35 +148,49 @@ class RandomGains(BaseGains):
     _prev_amp = None
     _prev_phase = None
 
-    def _generate_amp(self, time):
-        cf_amp = self._corr_func(self.corr_length_amp, self.sigma_amp)
-        ninput = self.ninput_local
-        n = len(self.freq) * ninput
-        gain_amp = generate_fluctuations(
-            time, cf_amp, n, self._prev_time, self._prev_amp, rng=self.rng
+    def _draw(self, time, scale, sigma, prev):
+        nstream = len(self.freq) * self.ninput_local
+        fluc = generate_fluctuations(
+            time,
+            squared_exponential(scale, sigma),
+            nstream,
+            self._prev_time,
+            prev,
+            rng=self.rng,
         )
-        self._prev_amp = gain_amp
-        return 1.0 + gain_amp.reshape((len(self.freq), ninput, len(time)))
+        return fluc, fluc.reshape(
+            (len(self.freq), self.ninput_local, len(time))
+        )
+
+    def _generate_amp(self, time):
+        self._prev_amp, shaped = self._draw(
+            time, self.corr_length_amp, self.sigma_amp, self._prev_amp
+        )
+        return 1.0 + shaped
 
     def _generate_phase(self, time):
-        cf_phase = self._corr_func(self.corr_length_phase, self.sigma_phase)
-        ninput = self.ninput_local
-        n = len(self.freq) * ninput
-        gain_phase = generate_fluctuations(
-            time, cf_phase, n, self._prev_time, self._prev_phase, rng=self.rng
+        self._prev_phase, shaped = self._draw(
+            time, self.corr_length_phase, self.sigma_phase, self._prev_phase
         )
-        self._prev_phase = gain_phase
-        return gain_phase.reshape((len(self.freq), ninput, len(time)))
+        return shaped
 
 
 class RandomSiderealGains(RandomGains, SiderealGains):
-    """Random gains on a sidereal grid (reference gain.py:296)."""
+    """Random GP gains sampled on a sidereal-day grid (gain.py:296)."""
 
 
 class GainStacker(ContainerTask):
-    r"""Stack products of gain streams over days (reference gain.py:305).
+    r"""Accumulate ``g_i g_j^*`` over days onto a visibility template.
 
-    G_ij = sum_days g_i(t) conj(g_j(t)).
+    ``G_ij = (1/ndays) sum_d g_i^d g_j^{d*}``; optionally applied to the
+    template stream at the end.  Semantics of reference
+    ``gain.py:305-439``.
+
+    Attributes
+    ----------
+    only_gains : bool
+        Emit the stacked gain products themselves rather than the
+        template visibilities scaled by them.
     """
 
     only_gains = config.Property(default=False, proptype=bool)
@@ -178,64 +199,68 @@ class GainStacker(ContainerTask):
     lsd_list = None
 
     def setup(self, stream):
+        """Visibility template defining the product layout."""
         self.stream = stream
 
-    def process(self, gain):
-        stream = self.stream
-        prod = stream.index_map["prod"]
-        input_lsd = gain.attrs.get("lsd", -1)
-        input_lsd = list(input_lsd) if hasattr(input_lsd, "__iter__") else [input_lsd]
+    @staticmethod
+    def _lsds_of(gain):
+        tag = gain.attrs.get("lsd", -1)
+        return list(tag) if hasattr(tag, "__iter__") else [tag]
 
+    def process(self, gain):
+        """Fold one day's gains into the stack."""
+        days = self._lsds_of(gain)
+        prod = self.stream.index_map["prod"]
         g = np.asarray(gain.gain[:])
-        ii = prod["input_a"].astype(int)
-        jj = prod["input_b"].astype(int)
-        gprod = g[:, ii] * np.conjugate(g[:, jj])
+        gprod = g[:, prod["input_a"].astype(int)] * np.conjugate(
+            g[:, prod["input_b"].astype(int)]
+        )
 
         if self.gain_stack is None:
-            self.gain_stack = empty_like(stream)
+            self.log.info(f"New gain stack starting at LSD {days[0]}.")
+            self.gain_stack = empty_like(self.stream)
             self.gain_stack.vis[:] = gprod.astype(self.gain_stack.vis.dtype)
             self.gain_stack.weight[:] = np.ones(self.gain_stack.weight.shape)
-            self.lsd_list = input_lsd
-            self.log.info("Starting gain stack with LSD:%i", input_lsd[0])
+            self.lsd_list = days
             return None
 
-        self.log.info("Adding LSD:%i to gain stack", input_lsd[0])
+        self.log.info(f"Folding LSD {days[0]} into the gain stack.")
         self.gain_stack.vis[:] = (
             np.asarray(self.gain_stack.vis[:]) + gprod
         ).astype(self.gain_stack.vis.dtype)
         self.gain_stack.weight[:] = np.asarray(self.gain_stack.weight[:]) + 1.0
-        self.lsd_list += input_lsd
+        self.lsd_list = self.lsd_list + days
         return None
 
     def process_finish(self):
-        gs_vis = np.asarray(self.gain_stack.vis[:])
-        gs_w = np.asarray(self.gain_stack.weight[:])
-        if (self.stream.vis.shape[-1] != gs_vis.shape[-1]) or self.only_gains:
-            self.log.info("Saving only gain stack")
-            self.gain_stack.vis[:] = (gs_vis * invert_no_zero(gs_w)).astype(
-                self.gain_stack.vis.dtype
-            )
+        """Normalise; emit gains or the gain-scaled template."""
+        mean_g = np.asarray(self.gain_stack.vis[:]) * np.asarray(
+            invert_no_zero(np.asarray(self.gain_stack.weight[:]))
+        )
+
+        mismatched = self.stream.vis.shape[-1] != mean_g.shape[-1]
+        if mismatched or self.only_gains:
+            self.log.info("Emitting the stacked gain products alone.")
+            self.gain_stack.vis[:] = mean_g.astype(self.gain_stack.vis.dtype)
             return self.gain_stack
 
-        data = empty_like(self.stream)
-        data.vis[:] = (
-            np.asarray(self.stream.vis[:]) * gs_vis * invert_no_zero(gs_w)
-        ).astype(data.vis.dtype)
-        data.weight[:] = np.asarray(self.stream.weight[:])
-        data.attrs["tag"] = "gain_stack"
-        return data
+        out = empty_like(self.stream)
+        out.vis[:] = (np.asarray(self.stream.vis[:]) * mean_g).astype(
+            out.vis.dtype
+        )
+        out.weight[:] = np.asarray(self.stream.weight[:])
+        out.attrs["tag"] = "gain_stack"
+        return out
 
 
 # ---------------------------------------------------------------------------
-# Gaussian field helpers (reference gain.py:442-596)
+# Gaussian-process draws (reference gain.py:442-596)
 # ---------------------------------------------------------------------------
 
 
 def generate_fluctuations(x, corrfunc, n, prev_x, prev_fluc, rng=None):
-    """Correlated random streams, constrained against previous chunks.
-
-    (reference gain.py:442)
-    """
+    """``n`` correlated streams over samples ``x``; conditioned on the
+    previous chunk when one exists (reference gain.py:442-476)."""
     nx = len(x)
     if prev_fluc is None:
         return gaussian_realisation(x, corrfunc, n, rng=rng).reshape(n, nx)
@@ -245,14 +270,13 @@ def generate_fluctuations(x, corrfunc, n, prev_x, prev_fluc, rng=None):
 
 
 def gaussian_realisation(x, corrfunc, n, rcond: float = 1e-12, rng=None):
-    """Gaussian random field via eigen-truncated covariance.
-
-    (reference gain.py:479)
-    """
+    """Draws from ``N(0, corrfunc(x))`` via eigen-truncation
+    (reference gain.py:479-519)."""
     return _realisation(corrfunc(np.asarray(x)), n, rcond, rng=rng)
 
 
 def _realisation(C, n, rcond, rng=None):
+    """Sample rows from N(0, C), dropping near-null eigenmodes."""
     if rng is None:
         rng = np.random.default_rng()
     evals, evecs = np.linalg.eigh(C)
@@ -265,24 +289,25 @@ def _realisation(C, n, rcond, rng=None):
 def constrained_gaussian_realisation(
     x, corrfunc, n, x2, y2, rcond: float = 1e-12, rng=None
 ):
-    """Gaussian field consistent with existing samples (x2, y2).
+    """Draws over ``x`` conditioned on existing samples ``(x2, y2)``.
 
-    (reference gain.py:522): blockwise conditioning in the non-singular
-    eigenbasis of the covariance.
+    Blockwise Gaussian conditioning evaluated in the non-singular
+    eigenbases of the two diagonal blocks (reference gain.py:522-596).
     """
     x = np.asarray(x)
     x2 = np.asarray(x2)
     y2 = np.asarray(y2)
     if (y2.ndim >= 2) and (n != y2.shape[0]):
-        raise ValueError("Array y2 of existing data has the wrong shape.")
+        raise ValueError(
+            f"constrained realisation: conditioning data has "
+            f"{y2.shape[0]} streams but {n} were requested."
+        )
 
-    xc = np.concatenate([x, x2])
-    M = corrfunc(xc)
-
+    M = corrfunc(np.concatenate([x, x2]))
     nl = len(x)
-    A = M[:nl, :nl]
-    B = M[:nl, nl:]
-    C = M[nl:, nl:]
+    A = M[:nl, :nl]  # new-new
+    B = M[:nl, nl:]  # new-old
+    C = M[nl:, nl:]  # old-old
 
     evals_A, evecs_A = np.linalg.eigh(A)
     evals_C, evecs_C = np.linalg.eigh(C)
@@ -295,9 +320,8 @@ def constrained_gaussian_realisation(
     B_r = R_A.T @ B @ R_C
     Ci_r = np.diag(1.0 / evals_C[-num_C:])
 
-    y2_r = y2 @ R_C
-    z_r = y2_r @ (Ci_r @ B_r.T)
-
+    # conditional mean and covariance in the reduced basis
+    z_r = (y2 @ R_C) @ (Ci_r @ B_r.T)
     Ap_r = A_r - B_r @ Ci_r @ B_r.T
     y_r = _realisation(Ap_r, n, rcond, rng=rng)
     return (z_r + y_r) @ R_A.T

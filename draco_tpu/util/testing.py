@@ -1,7 +1,9 @@
-"""Test utilities: dummy tasks and mock data generators.
+"""Test fixtures: dummy producer task and delay-limited mock data.
 
-Re-provides reference ``draco/util/testing.py`` (DummyTask:11,
-mock_freq_data:47, RandomFreqData:115).
+Provides the fixture surface of reference ``draco/util/testing.py``
+(DummyTask:11, mock_freq_data:47, RandomFreqData:115) with a vectorised
+generator: all baselines of a mock stream are synthesised in one batched
+FFT rather than per-baseline.
 """
 
 from __future__ import annotations
@@ -15,32 +17,30 @@ from ..ops.random import complex_normal_np
 
 
 class DummyTask(ContainerTask):
-    """Produce empty containers for testing (reference testing.py:11).
+    """Emit a fixed number of empty, tagged containers.
 
     Attributes
     ----------
     total_len : int
-        Number of containers to produce.  Default 1.
+        How many containers to emit before stopping.
     tag : str
-        Tag attached to each produced container.
+        Value for the ``tag`` attribute of each output.
     """
 
     total_len = config.Property(default=1, proptype=int)
     tag = config.Property(proptype=str)
 
     def process(self):
-        """Produce an empty container, or stop when exhausted."""
+        """Next empty container; stops after ``total_len``."""
         if self.total_len == 0:
             raise PipelineStopIteration
 
-        self.log.debug(f"Producing test data '{self.tag}'...")
-
-        cont = ContainerBase()
-        if "tag" not in cont.attrs:
-            cont.attrs["tag"] = self.tag
-
+        self.log.debug(f"Emitting dummy container tagged {self.tag!r}.")
+        out = ContainerBase()
+        if "tag" not in out.attrs:
+            out.attrs["tag"] = self.tag
         self.total_len -= 1
-        return cont
+        return out
 
 
 def mock_freq_data(
@@ -52,58 +52,59 @@ def mock_freq_data(
     bad_freq: np.ndarray | None = None,
     rng: np.random.Generator | None = None,
 ):
-    """Mock data with a flat delay spectrum up to ``delaycut``.
+    """Spectra whose delay power is flat below ``delaycut`` and zero above.
 
-    (reference testing.py:47-112)
+    A white complex delay-domain signal is band-limited by the cut and
+    Fourier-transformed to frequency; ``ndata`` realisations (if
+    requested) share that signal and differ only by ``noise``-scaled
+    white noise.  Matches reference ``testing.py:47-112``.
 
-    Returns (data [ndata, freq, time] or [freq, time], weights).
+    Returns
+    -------
+    data : complex [(ndata,) nfreq, ntime]
+    weights : float, same shape, ``1/noise**2`` (1 when noiseless), with
+        ``bad_freq`` channels zeroed in both.
     """
     nfreq = len(freq)
-    ndelay = nfreq
-
     df = np.abs(freq[1] - freq[0])
 
-    delays = np.fft.fftfreq(ndelay, df)
-    dspec = np.where(np.abs(delays) < delaycut, 1.0, 0.0)
+    inside_cut = np.abs(np.fft.fftfreq(nfreq, df)) < delaycut
+    seed = complex_normal_np(size=(ntime, nfreq), rng=rng) * inside_cut
+    signal = np.fft.fft(seed, axis=-1).T  # [nfreq, ntime]
 
-    delay_spectra = complex_normal_np(size=(ntime, ndelay), rng=rng)
-    delay_spectra *= dspec**0.5
+    shape = (nfreq, ntime) if ndata is None else (ndata, nfreq, ntime)
+    data = noise * complex_normal_np(size=shape, rng=rng) + signal
 
-    outshape = (nfreq, ntime)
-    if ndata is not None:
-        outshape = (ndata, *outshape)
-    data = noise * complex_normal_np(size=outshape, rng=rng)
-    data += np.fft.fft(delay_spectra, axis=-1).T
-
-    weights = np.empty(data.shape, dtype=np.float64)
-    weights[:] = 1.0 / noise**2 if noise > 0 else 1.0
-
+    weights = np.full(
+        data.shape, 1.0 / noise**2 if noise > 0 else 1.0, dtype=np.float64
+    )
     if bad_freq is not None and len(bad_freq):
         data[..., bad_freq, :] = 0.0
         weights[..., bad_freq, :] = 0.0
-
     return data, weights
 
 
 class RandomFreqData(RandomTask):
-    """Generate random sidereal streams with delay structure.
+    """Source task emitting random delay-limited sidereal streams.
 
-    (reference testing.py:115-208)
+    Matches reference ``testing.py:115-208``: each cycle produces one
+    stream (or a list of ``num_correlated`` streams sharing the same sky
+    signal but independent noise).
 
     Attributes
     ----------
     num_realisation : int
-        Process calls before stopping.
+        Cycles before stopping.
     num_correlated : int
-        Number of correlated realisations per cycle (None = single).
+        Streams per cycle sharing a signal (None = single stream).
     num_ra, num_base, num_freq : int
         Output axis sizes.
     freq_start, freq_end : float
         Band edges in MHz.
     delay_cut : float
-        Maximum delay in the data (microseconds).
+        Delay extent of the signal (microseconds).
     noise : float
-        RMS noise level.
+        White-noise RMS.
     """
 
     num_realisation = config.Property(proptype=int, default=1)
@@ -120,44 +121,47 @@ class RandomFreqData(RandomTask):
     noise = config.Property(proptype=float, default=1e-5)
 
     def next(self):
-        """Generate the next (set of) correlated sidereal stream(s)."""
+        """Produce the next realisation (or correlated set)."""
         if self.num_realisation == 0:
             raise PipelineStopIteration()
+        self.num_realisation -= 1
 
         freq = np.linspace(
             self.freq_start, self.freq_end, self.num_freq, endpoint=False
         )
-
         ncorr = self.num_correlated or 1
-        streams = [
-            SiderealStream(
-                input=5, freq=freq, ra=self.num_ra, stack=self.num_base,
-                prod=self.num_base,
-            )
-            for _ in range(ncorr)
-        ]
 
-        vis = np.zeros(
+        # one batched draw per baseline: [ncorr, nfreq, ntime] each
+        vis = np.empty(
             (ncorr, self.num_freq, self.num_base, self.num_ra),
             dtype=np.complex64,
         )
-        wgt = np.zeros(
+        wgt = np.empty(
             (self.num_freq, self.num_base, self.num_ra), dtype=np.float32
         )
         for bb in range(self.num_base):
             d, w = mock_freq_data(
-                freq, self.num_ra, self.delay_cut, ndata=ncorr,
-                noise=self.noise, rng=self.rng,
+                freq,
+                self.num_ra,
+                self.delay_cut,
+                ndata=ncorr,
+                noise=self.noise,
+                rng=self.rng,
             )
             vis[:, :, bb] = d
             wgt[:, bb] = w[0]
 
-        for jj, stream in enumerate(streams):
-            stream.vis[:] = vis[jj]
-            stream.weight[:] = wgt
+        streams = []
+        for cc in range(ncorr):
+            s = SiderealStream(
+                input=5,
+                freq=freq,
+                ra=self.num_ra,
+                stack=self.num_base,
+                prod=self.num_base,
+            )
+            s.vis[:] = vis[cc]
+            s.weight[:] = wgt
+            streams.append(s)
 
-        self.num_realisation -= 1
-
-        if self.num_correlated is None:
-            return streams[0]
-        return streams
+        return streams[0] if self.num_correlated is None else streams
