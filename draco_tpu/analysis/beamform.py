@@ -78,7 +78,7 @@ class BeamFormBase(ContainerTask):
             self.process_pol = ["XX", "YY"]
             self.return_pol = self.process_pol
         else:
-            raise RuntimeError("Stokes parameters are not implemented")
+            raise RuntimeError("Stokes-parameter beamforming is not available")
         self.npol = len(self.process_pol)
 
         pol_list = list(np.asarray(self.telescope.polarisation))
@@ -171,9 +171,9 @@ class BeamFormBase(ContainerTask):
 
     def _process_catalog(self, catalog):
         if "position" not in catalog:
-            raise ValueError("Input is missing a position table.")
+            raise ValueError("The catalog carries no position table.")
         if not hasattr(self, "epoch"):
-            self.log.warning("Epoch not set. Was the requested data not available?")
+            self.log.warning("No epoch on the catalog positions; proceeding without precession.")
             self.data_available = False
             return
         coord = catalog.attrs.get("coordinates", None)
@@ -184,7 +184,7 @@ class BeamFormBase(ContainerTask):
             self.sra, self.sdec = icrs_to_cirs(pos["ra"], pos["dec"], self.epoch)
         if self.freqside is not None:
             if "redshift" not in catalog:
-                raise ValueError("Input is missing a required redshift table.")
+                raise ValueError("The catalog carries no redshift table, which this mode needs.")
             self.sfreq = NU21 / (np.asarray(catalog["redshift"][:]["z"]) + 1.0)
         self.source_cat = catalog
         self.nsource = len(self.sra)
@@ -289,7 +289,7 @@ class BeamFormBase(ContainerTask):
         f_all = np.arange(self.ls, dtype=np.int32)
         for src in range(self.nsource):
             if src % 1000 == 0:
-                self.log.info(f"Source {src}/{self.nsource}")
+                self.log.info(f"Beamforming source {src} of {self.nsource}")
             dec = np.radians(self.sdec[src])
 
             f_mask = np.zeros(self.ls, dtype=bool)
@@ -454,13 +454,13 @@ class BeamFormExternalMixin:
 
     def _initialize_beam(self, beam):
         if not isinstance(beam, containers.GridBeam):
-            raise ValueError(f"Do not recognize beam container: {beam.__class__}")
+            raise ValueError(f"Unsupported beam container {beam.__class__}")
         self._initialize_grid_beam(beam)
         self._beamfunc = self._grid_beam
 
     def _initialize_beam_with_data(self):
         if not np.array_equal(self.freq_local, self._beam_freq):
-            raise RuntimeError("Beam and visibility frequency axes do not match.")
+            raise RuntimeError("The external beam disagrees with the data freq axis.")
 
     def _initialize_grid_beam(self, gbeam):
         import scipy.interpolate
@@ -472,7 +472,7 @@ class BeamFormExternalMixin:
             )
         if len(gbeam.input) > 1:
             raise NotImplementedError(
-                "Do not support input-dependent beams at the moment."
+                "Per-input external beams are not supported."
             )
         self._beam_freq = gbeam.freq
         process_pol = getattr(self, "process_pol", list(gbeam.pol))
@@ -720,8 +720,8 @@ class HybridVisBeamForm(ContainerTask):
         self.latitude = np.radians(self.telescope.latitude)
         if not self.ignore_rot and getattr(self.telescope, "rotation_angle", 0.0):
             self.log.info(
-                "Correcting for phase due to north-south component of a "
-                f"{self.telescope.rotation_angle:0.2f} degree rotation."
+                f"Compensating the NS phase arising from the telescope's "
+                f"{self.telescope.rotation_angle:0.2f} deg rotation."
             )
             self.rot = np.radians(self.telescope.rotation_angle)
         else:

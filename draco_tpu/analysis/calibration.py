@@ -44,7 +44,7 @@ class ApplyGain(ContainerTask):
         )
         if tstream.is_stacked and not common:
             raise ValueError(
-                f"Cannot apply input-dependent gains to stacked data: {tstream!s}"
+                f"Per-input gains cannot be pushed onto stacked data ({tstream!s})"
             )
 
         if isinstance(gain, containers.StaticGainData):
@@ -85,7 +85,7 @@ class ApplyGain(ContainerTask):
                 if self.smoothing_length is not None:
                     gain_arr, weight_arr = self._smooth(gain_arr, weight_arr, gain)
         else:
-            raise RuntimeError("Format of `gain` argument is unknown.")
+            raise RuntimeError("Unrecognised gain container layout.")
 
         gain_arr = np.nan_to_num(gain_arr)
         inverse_gain_arr = tools.invert_no_zero(gain_arr)

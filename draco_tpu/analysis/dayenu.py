@@ -113,7 +113,7 @@ class DayenuDelayFilter(ContainerTask):
     def setup(self, telescope):
         """Set the telescope used to obtain baselines."""
         self.telescope = io.get_telescope(telescope)
-        self.log.info(f"Instrumental delay cut set to {self.tauw:.3f} micro-sec.")
+        self.log.info(f"Using an instrumental delay width of {self.tauw:.3f} us.")
 
     def process(self, stream):
         """Filter delays from a SiderealStream or TimeStream in place."""
@@ -229,7 +229,7 @@ class DayenuDelayFilterFixedCutoff(transform.ReduceChisq):
         self.tel = None if telescope is None else io.get_telescope(telescope)
         if self.tel is None and self.mask_short is not None:
             raise RuntimeError(
-                "Must provide telescope object at setup if masking short baselines."
+                "Short-baseline masking needs a telescope model at setup."
             )
 
     def process(self, stream):
@@ -258,7 +258,7 @@ class DayenuDelayFilterFixedCutoff(transform.ReduceChisq):
                 np.sqrt(np.sum(self.tel.baselines**2, axis=1)) >= self.mask_short
             )
         if not np.any(baseline_flag):
-            self.log.error("All baselines flagged as bad.")
+            self.log.error("No valid baselines remain after flagging.")
             return None
 
         valid = np.flatnonzero(baseline_flag)
@@ -372,7 +372,7 @@ class DayenuDelayFilterHybridVis(ContainerTask):
         """Validate the apply/save combination."""
         if not self.apply_filter and not self.save_filter:
             raise RuntimeError(
-                "At least one of `save_filter` and `apply_filter` must be True."
+                "Enable `save_filter`, `apply_filter`, or both — not neither."
             )
 
     def process(self, stream):
@@ -779,7 +779,7 @@ class DayenuMFilter(ContainerTask):
             if not np.any(flag):
                 continue
 
-            self.log.debug(f"Filtering freq {ff:d} of {nfreq:d}.")
+            self.log.debug(f"DAYENU pass on channel {ff:d}/{nfreq:d}.")
 
             m_cut = np.abs(self._get_cut(nu, db))
             m_center_intra = 0.5 * (2.0 - self.fkeep_intra) * m_cut

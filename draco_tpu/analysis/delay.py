@@ -144,7 +144,7 @@ class DelayFilterBase(ContainerTask):
     def process(self, ss):
         if not isinstance(ss, containers.FreqContainer):
             raise TypeError(
-                f"Can only process FreqContainer instances. Got {type(ss)}."
+                f"A FreqContainer subclass is required here, not {type(ss)}."
             )
         _default_axis = {
             containers.SiderealStream: "stack",
@@ -290,7 +290,7 @@ class DelayTransformBase(ContainerTask):
         elif len(ss) > 0:
             freq = ss[0].freq
         else:
-            raise TypeError("Could not find a frequency axis in the input.")
+            raise TypeError("The input carries no freq axis to transform.")
 
         freq_zero = freq[0] if self.freq_zero is None else self.freq_zero
         freq_spacing = self.freq_spacing
@@ -370,7 +370,7 @@ class GeneralInputContainerMixin:
             if self.dataset not in ss.datasets:
                 raise ValueError(
                     f"Specified dataset to delay transform ({self.dataset}) "
-                    f"not in container of type {type(ss)}."
+                    f"missing from container type {type(ss)}."
                 )
             data_dset = ss[self.dataset]
         else:
@@ -380,8 +380,8 @@ class GeneralInputContainerMixin:
             and self.sample_axis not in data_dset.axes
         ):
             raise ValueError(
-                f"Specified sample axis ({self.sample_axis}) not in "
-                f"container of type {type(ss)}."
+                f"{type(ss)} has no axis named {self.sample_axis!r} "
+                f"to average over."
             )
         data_view, bl_axes = flatten_axes(data_dset, [self.sample_axis, "freq"])
         weight_view, _ = flatten_axes(
@@ -611,7 +611,7 @@ class DelayPowerSpectrumBase(DelayPowerSpectrumContainerMixin, DelayTransformBas
         if mask_ds is not None:
             out_cont.datasets["spectrum_mask"][:] = mask_ds
             n_conv = nbase - mask_ds.sum()
-            self.log.debug(f"{n_conv}/{nbase} unflagged baselines.")
+            self.log.debug(f"Gibbs converged on {n_conv} of {nbase} valid baselines.")
         if samples_ds is not None:
             out_cont.datasets["spectrum_samples"][:] = samples_ds
         return out_cont
@@ -764,10 +764,10 @@ class DelayCrossPowerSpectrumEstimator(DelayPowerSpectrumGibbs):
         coord_axes = None
         for ss in sslist:
             if (ss.freq != freq_ref).all() and len(sslist) > 1:
-                raise ValueError("Input containers must have the same frequencies.")
+                raise ValueError("Cross-spectrum inputs disagree on the frequency axis.")
             dv, wv, ca = GeneralInputContainerMixin._prepare_inputs(self, ss)
             if coord_axes is not None and coord_axes != ca:
-                raise ValueError("Different axes found for the input containers.")
+                raise ValueError("Cross-spectrum inputs disagree on their axis layout.")
             data_views.append(dv)
             weight_views.append(wv)
             coord_axes = ca
@@ -866,9 +866,10 @@ class DelayPowerSpectrumStokesIEstimator(DelayPowerSpectrumGibbs):
     def setup(self, requires=None):
         """Raise a deprecation warning."""
         raise DeprecationWarning(
-            "`DelayPowerSpectrumStokesIEstimator` is deprecated. "
+            "DelayPowerSpectrumStokesIEstimator is retained only for "
+            "compatibility: form Stokes I explicitly "
             "Use `transform.StokesIVis` to generate Stokes I visibilities, "
-            "then use `DelayPowerSpectrumGibbs` or `DelayPowerSpectrumNRML`."
+            "and run DelayPowerSpectrumGibbs or DelayPowerSpectrumNRML."
         )
 
 
@@ -878,6 +879,7 @@ class DelayPowerSpectrumGeneralEstimator(DelayPowerSpectrumGibbs):
     def setup(self, requires=None):
         """Raise a deprecation warning."""
         raise DeprecationWarning(
-            "`DelayPowerSpectrumGeneralEstimator` is deprecated. "
-            "Use `DelayPowerSpectrumGibbs` or `DelayPowerSpectrumNRML`."
+            "DelayPowerSpectrumGeneralEstimator is retained only for "
+            "compatibility; prefer DelayPowerSpectrumGibbs or "
+            "DelayPowerSpectrumNRML."
         )

@@ -172,8 +172,8 @@ def delay_power_spectrum_maxpost(
         fsel = np.arange(Nf)
     elif len(fsel) != Nf:
         raise ValueError(
-            "Length of frequency selection must match frequencies passed. "
-            f"{len(fsel)} != {data.shape[-1]}"
+            f"The frequency selection ({len(fsel)}) does not cover the "
+            f"data's {data.shape[-1]} channels."
         )
 
     F = fourier_matrix(N, fsel).astype(np.complex128, copy=False)

@@ -125,7 +125,7 @@ class KLModeProject(_ProjectFilterBase):
     def _get_kl(self):
         if self.klname not in self.product_manager.kltransforms:
             raise RuntimeError(
-                f"Requested KL basis {self.klname} not available (options "
+                f"KL basis {self.klname!r} is not defined here (choices "
                 f"are {list(self.product_manager.kltransforms.keys())!r})"
             )
         return self.product_manager.kltransforms[self.klname]

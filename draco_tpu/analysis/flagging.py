@@ -127,7 +127,7 @@ class MaskBaselines(ContainerTask):
     def setup(self, telescope):
         self.telescope = io.get_telescope(telescope)
         if self.zero_data and self.share == "vis":
-            raise RuntimeError("Can't zero the visibilities if they are shared.")
+            raise RuntimeError("Refusing to zero a shared visibility dataset.")
 
     def process(self, ss):
         ss.redistribute("freq")
@@ -246,7 +246,7 @@ class RadiometerWeight(ContainerTask):
         nprod = len(stream.index_map["prod"])
         if nprod != (ninput * (ninput + 1) // 2):
             raise RuntimeError(
-                "Must have a input stream with the full correlation triangle."
+                "This task needs the full (unstacked) correlation triangle."
             )
         freq_width = np.median(stream.index_map["freq"]["width"])
         if isinstance(stream, containers.SiderealStream):
@@ -276,7 +276,7 @@ class SanitizeWeights(ContainerTask):
 
     def _finalise_config(self):
         if self.min_thresh >= self.max_thresh:
-            raise ValueError("Minimum threshold is larger than maximum threshold.")
+            raise ValueError("threshold_min exceeds threshold_max.")
 
     def process(self, data):
         data.redistribute("freq")
@@ -300,7 +300,7 @@ class NegativeAutosMask(ContainerTask):
         autos = np.asarray(data.vis[:])[:, autos_sel].real
         mask = np.any(autos < 0.0, axis=1)
         self.log.debug(
-            f"{100.0 * mask.mean():.2f}% of data flagged due to negative autos."
+            f"Negative autocorrelations flagged {100.0 * mask.mean():.2f}% of the data."
         )
         mask_cont = (
             containers.SiderealRFIMask(axes_from=data, attrs_from=data)
@@ -345,7 +345,7 @@ class ThresholdVisWeightFrequency(ContainerTask):
         elif "time" in stream.index_map:
             mask_cont = containers.RFIMask(axes_from=stream, attrs_from=stream)
         else:
-            raise TypeError(f"Require Timestream or SiderealStream. Got {type(stream)}")
+            raise TypeError(f"Need a TimeStream or SiderealStream here, not {type(stream)}")
 
         weight = np.asarray(stream.weight[:])
         mean_baseline = np.mean(weight, axis=1, keepdims=True)
@@ -361,7 +361,7 @@ class ThresholdVisWeightFrequency(ContainerTask):
         )[:, 0, :]
         drop_frac = np.sum(mask) / np.prod(mask.shape)
         self.log.info(
-            "%0.5f%% of data is below the weight threshold" % (100.0 * drop_frac)
+            "weight cut drops %0.5f%% of the data" % (100.0 * drop_frac)
         )
         mask_cont.mask[:] = mask
         return mask_cont
@@ -423,7 +423,7 @@ class ThresholdVisWeightBaseline(ContainerTask):
             mask &= (pol_a == pol_b)[np.newaxis, :, np.newaxis]
 
         mask_frac = mask.sum() / float(np.prod(weight.shape))
-        self.log.info(f"{100.0 * mask_frac:.5f} of data is below the weight threshold")
+        self.log.info(f"weight cut drops {100.0 * mask_frac:.5f} of the data")
         mask_cont.mask[:] = mask
         return mask_cont
 
@@ -443,8 +443,8 @@ class CollapseBaselineMask(ContainerTask):
         full_mask = np.any(np.asarray(baseline_mask.mask[:]), axis=1)
         drop_frac = np.sum(full_mask) / np.prod(full_mask.shape)
         self.log.info(
-            f"After baseline collapse: {100.0 * drop_frac:.1f}%% of data"
-            " is below the weight threshold"
+            f"weight cut after collapsing baselines drops "
+            f"{100.0 * drop_frac:.1f}%% of the data"
         )
         mask_cont.mask[:] = full_mask
         return mask_cont
@@ -583,7 +583,7 @@ class RFISensitivityMask(ContainerTask):
 
         percent_masked = 100.0 * np.sum(finalmask) / float(finalmask.size)
         self.log.info(
-            f"After RFISensitivityMask, {percent_masked:0.2f} percent "
+            f"RFISensitivityMask leaves {percent_masked:0.2f} percent "
             "of data will be masked."
         )
 
@@ -591,7 +591,7 @@ class RFISensitivityMask(ContainerTask):
             finalmask = self._apply_sir(finalmask, static_flag[:, None])
             percent_masked = 100.0 * np.sum(finalmask) / float(finalmask.size)
             self.log.info(
-                f"After SIR operator, {percent_masked:0.2f} percent "
+                f"SIR dilation leaves {percent_masked:0.2f} percent "
                 "of data will be masked."
             )
 
@@ -679,7 +679,7 @@ class RFIMask(ContainerTask):
         )
         mask = tvmask | (maddev > self.sigma)
         self.log.info(
-            "Flagging %0.2f%% of data due to RFI."
+            "RFI cut removes %0.2f%% of the data."
             % (100.0 * np.sum(mask) / float(mask.size))
         )
         mask_cont = output_type(axes_from=sstream, attrs_from=sstream)
@@ -697,7 +697,7 @@ class ApplyTimeFreqMask(ContainerTask):
     def process(self, tstream, rfimask):
         if isinstance(rfimask, (containers.RFIMask, containers.RFIMaskByPol)):
             if "time" not in tstream.index_map:
-                raise TypeError(f"Expected a timestream like type. Got {type(tstream)}.")
+                raise TypeError(f"A time-like container is needed; received {type(tstream)}.")
             timelike_ax = "time"
             timelike_data = tstream.time
             timelike_mask = rfimask.time
@@ -706,21 +706,21 @@ class ApplyTimeFreqMask(ContainerTask):
         ):
             if "ra" not in tstream.index_map:
                 raise TypeError(
-                    f"Expected a sidereal stream like type. Got {type(tstream)}."
+                    f"A sidereal-like container is needed; received {type(tstream)}."
                 )
             timelike_ax = "ra"
             timelike_data = tstream.ra
             timelike_mask = rfimask.ra
         else:
-            raise TypeError(f"Require a RFIMask or SiderealRFIMask. Got {type(rfimask)}.")
+            raise TypeError(f"The mask must be an RFIMask or SiderealRFIMask, not {type(rfimask)}.")
 
         if not np.array_equal(tstream.freq, rfimask.freq):
-            raise ValueError("timestream and mask data have different freq axes.")
+            raise ValueError("Stream and mask disagree on the freq axis.")
 
         if self.match_axes:
             if not np.array_equal(timelike_data, timelike_mask):
                 raise ValueError(
-                    "timestream and mask data have different time-like axes."
+                    "Stream and mask disagree on the time-like axis."
                 )
             data_sel = slice(None)
             mask_sel = slice(None)
@@ -728,7 +728,7 @@ class ApplyTimeFreqMask(ContainerTask):
             data_sel = np.isin(timelike_data, timelike_mask)
             mask_sel = np.isin(timelike_mask, timelike_data)
             if not np.any(data_sel):
-                raise ValueError("No overlapping samples found in timelike axis.")
+                raise ValueError("The stream and mask time axes do not overlap.")
 
         tstream.redistribute("freq")
         t_axes = list(tstream.weight.axes)
@@ -746,7 +746,7 @@ class ApplyTimeFreqMask(ContainerTask):
                     tstream.index_map["pol"], rfimask.index_map["pol"]
                 ):
                     raise ValueError(
-                        "timestream and mask data have different pol axes."
+                        "Stream and mask disagree on the pol axis."
                     )
 
         bcast_slice = [slice(None) if ax in m_axes else np.newaxis for ax in t_axes]
@@ -788,7 +788,7 @@ class ApplyGenericMask(ContainerTask):
             missing = [ax for ax in maxes if ax not in daxes]
             raise NameError(
                 f"Mask has axes {missing} which are not found in data."
-                f"\nData axes: {daxes}\nMask axes: {maxes}"
+                f"\naxes of the data: {daxes}\naxes of the mask: {maxes}"
             )
         tinds = tuple(maxes.index(ax) for ax in daxes if ax in maxes)
         marr = np.asarray(mask.mask[:]).transpose(tinds)
@@ -813,20 +813,20 @@ class GeneralCombineMasks(ContainerTask):
         if not isinstance(masks, (list, tuple)):
             masks = [masks]
         if len(masks) > 26:
-            raise ValueError("Too many masks: only A-Z are supported (max 26).")
+            raise ValueError("At most 26 masks (letters A-Z) can be combined.")
         if any(type(m) is not type(masks[0]) for m in masks[1:]):
-            raise TypeError("All input masks must be of the same container type.")
+            raise TypeError("Every mask in the combination must share one container type.")
         pattern = self._build_allowed_pattern()
         if not re.match(pattern, self.expression):
             raise ValueError(
-                f"Invalid expression: '{self.expression}'. Allowed characters: "
-                f"A-Z, digits, whitespace, and {''.join(sorted(self._operators))}"
+                f"Cannot parse '{self.expression}': only the letters A-Z, digits, "
+                f"spaces and {''.join(sorted(self._operators))} are allowed."
             )
         namespace = {
             chr(ord("A") + i): np.asarray(m.datasets[self._dataset_name][:])
             for i, m in enumerate(masks)
         }
-        self.log.info(f"Evaluating mask combination expression: '{self.expression}'")
+        self.log.info(f"Combining masks via '{self.expression}'")
         result = eval(self.expression, {}, namespace)  # noqa: S307 - validated above
         combined = masks[0].copy()
         combined.datasets[self._dataset_name][:] = result
@@ -899,26 +899,26 @@ class MaskFreq(ContainerTask):
         )
         present = (np.asarray(data.weight[:]) > 0).sum(axis=axis_sum)
         mask = present == 0
-        self.log.info(f"Input data: {100.0 * mask.mean():.2f}% flagged.")
+        self.log.info(f"Starting mask covers {100.0 * mask.mean():.2f}%.")
 
         if self.mask_missing_data:
             mask = present < present.max()
             self.log.info(
-                f"Requiring all baselines: {100.0 * mask.mean():.2f}% flagged."
+                f"All-baseline requirement brings the mask to {100.0 * mask.mean():.2f}%."
             )
         if self.bad_freq_ind is not None:
             nfreq = len(data.freq)
             mask |= self._bad_freq_mask(nfreq)[:, np.newaxis]
-            self.log.info(f"Frequency mask: {100.0 * mask.mean():.2f}% flagged.")
+            self.log.info(f"Channel cut brings the mask to {100.0 * mask.mean():.2f}%.")
         if self.freq_frac is not None:
             mask |= mask.mean(axis=1)[:, np.newaxis] > (1.0 - self.freq_frac)
-            self.log.info(f"Fractional mask: {100.0 * mask.mean():.2f}% flagged.")
+            self.log.info(f"Fraction cut brings the mask to {100.0 * mask.mean():.2f}%.")
         if self.all_time:
             mask |= mask.any(axis=1)[:, np.newaxis]
-            self.log.info(f"All time mask: {100.0 * mask.mean():.2f}% flagged.")
+            self.log.info(f"Fully-masked-channel cut brings the mask to {100.0 * mask.mean():.2f}%.")
         elif self.factorize:
             mask = self._optimal_mask(mask)
-            self.log.info(f"Factorizable mask: {100.0 * mask.mean():.2f}% flagged.")
+            self.log.info(f"Factorisation brings the mask to {100.0 * mask.mean():.2f}%.")
 
         maskcont.mask[:] = mask
         return maskcont
@@ -933,7 +933,7 @@ class MaskFreq(ContainerTask):
                 mask[s[0] : s[1]] = True
             else:
                 raise ValueError(
-                    "Elements of `bad_freq_ind` must be integers or 2-tuples. "
+                    "Each `bad_freq_ind` entry must be an int or a 2-tuple. "
                     f"Got {type(s)}."
                 )
         return mask
@@ -953,7 +953,7 @@ class MaskFreq(ContainerTask):
             options={"maxiter": 20, "xatol": 1e-4},
         )
         if not res.success:
-            self.log.debug("Optimisation did not converge, but this isn't unexpected.")
+            self.log.debug("Fit did not formally converge (common here; continuing).")
         return genmask(res.x)
 
 
@@ -994,8 +994,8 @@ class BlendStack(ContainerTask):
         dset = np.asarray(data.data[:]).copy()
         if dset_stack.shape != dset.shape:
             raise ValueError(
-                f"Size of data ({dset.shape}) must match "
-                f"data_stack ({dset_stack.shape})"
+                f"Shape mismatch between the input ({dset.shape}) and the "
+                f"stack being blended ({dset_stack.shape})"
             )
 
         dax = list(data.data.axes)
@@ -1185,7 +1185,7 @@ class MaskBeamformedWeights(ContainerTask):
             wp = w[:, pp]
             med_weight[pp] = np.median(wp[wp > 0]) if (wp > 0).any() else 0.0
             self.log.info(
-                f"Median weight for Pol {data.pol[pp]}: {med_weight[pp]:0.2e}"
+                f"Pol {data.pol[pp]} median weight {med_weight[pp]:0.2e}"
             )
 
         flag = w < (self.nmed * med_weight[np.newaxis, :, np.newaxis])
@@ -1224,7 +1224,7 @@ class RFIVisMask(ContainerTask):
             csd = stream.attrs.get("lsd", stream.attrs.get("csd"))
             if csd is None:
                 raise ValueError(
-                    "Dataset does not have a `csd` or `lsd` attribute."
+                    "Cannot find a day number (`lsd`/`csd` attribute) on the dataset."
                 )
             times = self.telescope.lsd_to_unix(
                 csd + np.asarray(stream.ra) / 360.0
@@ -1232,7 +1232,7 @@ class RFIVisMask(ContainerTask):
             out = containers.SiderealRFIMask(axes_from=stream, attrs_from=stream)
         else:
             raise TypeError(
-                f"Expected data with `time` or `ra` axis. Got {type(stream)}."
+                f"A `time` or `ra` axis is required; {type(stream)} has neither."
             )
 
         freq = np.asarray(stream.freq)
@@ -1289,7 +1289,7 @@ class RFITransientVisMask(RFIVisMask):
     frac_samples = config.Property(proptype=float, default=0.01)
 
     def generate_mask(self, vis, weight, mask, freq, baselines, times):
-        """Mask scattered transient RFI."""
+        """Flag isolated transient RFI events."""
         ra = (
             np.unwrap(self.telescope.unix_to_lsa(times), period=360.0)
             * np.pi
@@ -1465,7 +1465,7 @@ class RFIMaskChisqHighDelay(ContainerTask):
             csd = stream.attrs.get("lsd", stream.attrs.get("csd"))
             if csd is None:
                 raise ValueError(
-                    "Data does not have a `csd` or `lsd` attribute."
+                    "Cannot find a day number (`lsd`/`csd` attribute) on the data."
                 )
             if not np.isscalar(csd):
                 csd = np.floor(np.mean(csd))
@@ -1766,12 +1766,12 @@ class ApplyBaselineMask(ContainerTask):
         if isinstance(mask, containers.BaselineMask):
             if not hasattr(data, "time"):
                 raise TypeError(
-                    f"Expected a timestream-like type. Got {type(data)}."
+                    f"A time-like container is needed; received {type(data)}."
                 )
         elif isinstance(mask, containers.SiderealBaselineMask):
             if not hasattr(data, "ra"):
                 raise TypeError(
-                    f"Expected a sidereal stream like type. Got {type(data)}."
+                    f"A sidereal-like container is needed; received {type(data)}."
                 )
         else:
             raise TypeError(
@@ -1780,7 +1780,7 @@ class ApplyBaselineMask(ContainerTask):
             )
 
         if not np.array_equal(np.asarray(data.stack), np.asarray(mask.stack)):
-            raise ValueError("data and mask have different baseline axes.")
+            raise ValueError("Data and mask disagree on the baseline axis.")
 
         if self.share == "all":
             tsc = data
@@ -1843,9 +1843,9 @@ class RFIMaskSiderealRegridderNearest(ContainerTask):
             diff = np.diff(from_ax)
             indices = np.where(diff < 0)[0]
             if len(indices) < 2:
-                raise ValueError("Could not find a complete CSD in the input.")
+                raise ValueError("The input does not span one whole sidereal day.")
             if len(indices) > 2:
-                raise ValueError("Found more than one CSD in the input.")
+                raise ValueError("The input spans multiple sidereal days; expected one.")
             start, end = indices[0], indices[1] + 1
             from_ax = from_ax.copy()
             from_ax[:start] = -1
@@ -1953,14 +1953,14 @@ class ApplyLocalizedRFIMask(ContainerTask):
     def process(self, tstream, rfimask):
         """Zero the weights in overlapping (freq, ra, el) regions."""
         if not isinstance(tstream, containers.RingMap):
-            raise TypeError(f"Require a containers.RingMap. Got {type(tstream)}.")
+            raise TypeError(f"A RingMap is needed here, not {type(tstream)}.")
         if not isinstance(rfimask, containers.LocalizedSiderealRFIMask):
             raise TypeError(
-                f"Require a LocalizedSiderealRFIMask. Got {type(rfimask)}."
+                f"The mask must be a LocalizedSiderealRFIMask, not {type(rfimask)}."
             )
 
         if not np.array_equal(np.asarray(tstream.freq), np.asarray(rfimask.freq)):
-            raise ValueError("timestream and mask data have different freq axes.")
+            raise ValueError("Stream and mask disagree on the freq axis.")
 
         if self.share == "all":
             tsc = tstream
@@ -1983,9 +1983,9 @@ class ApplyLocalizedRFIMask(ContainerTask):
         )
 
         if len(ra_overlap[0]) == 0:
-            raise ValueError("No overlapping ra regions found.")
+            raise ValueError("The stream and mask RA ranges do not overlap.")
         if len(el_overlap[0]) == 0:
-            raise ValueError("No overlapping el regions found.")
+            raise ValueError("The stream and mask el ranges do not overlap.")
 
         _, t_ra_index, m_ra_index = ra_overlap
         _, t_el_index, m_el_index = el_overlap

@@ -323,7 +323,7 @@ class DelayFilterHyFoReSBandpassHybridVisClean(ContainerTask):
 
         if self.cutoff == 0.0:
             g = y
-            self.log.debug("Skip compensating the window")
+            self.log.debug("Window compensation disabled")
         else:
             # Batched SVD pinv on device
             jW = jnp.asarray(W.reshape(-1, nfreq, nfreq))

@@ -72,7 +72,7 @@ class DPSSFilter(ContainerTask):
         try:
             samples = np.asarray(getattr(data, self.axis))
         except AttributeError as exc:
-            raise ValueError(f"Could not get axis `{self.axis}`.") from exc
+            raise ValueError(f"No axis named {self.axis!r} on the input.") from exc
         if samples.dtype.names and "centre" in samples.dtype.names:
             samples = samples["centre"]
 
@@ -207,7 +207,7 @@ class DPSSFilterBaseline(DPSSFilter):
         modes = []
         for ii, cut in enumerate(cuts):
             self.log.debug(
-                f"Making unique covariance {ii + 1}/{len(cuts)} with cut={cut}."
+                f"Building covariance {ii + 1}/{len(cuts)} (delay cut {cut})."
             )
             cov = dpss.make_covariance(samples, cut, 0.0)
             modes.append(dpss.get_basis(cov))

@@ -188,7 +188,7 @@ class ConstructWienerDelayTransform(ContainerTask):
         jwmask = jnp.asarray(win_mask)
 
         for pp in range(npol):
-            self.log.info(f"Polarisation {pp} of {npol}")
+            self.log.info(f"Processing pol {pp}/{npol}")
 
             # (ra, freq, freq)
             C = jnp.asarray(np.asarray(data.freq_cov[:])[pp].transpose(2, 0, 1))
@@ -223,8 +223,8 @@ class ConstructWienerDelayTransform(ContainerTask):
             frng[1] = self.window_upper_freq
 
         self.log.info(
-            f"Applying a {self.window} window "
-            f"spanning {frng[0]:0.2f} - {frng[1]:0.2f} MHz."
+            f"Windowing ({self.window}) the band "
+            f"{frng[0]:0.2f}-{frng[1]:0.2f} MHz."
         )
 
         x = (freq - frng[0]) / (frng[1] - frng[0])
@@ -458,8 +458,8 @@ class CrossPowerSpectrum3D(ContainerTask):
         """P = norm * Re(V1 V2*), per pol pair."""
         if tuple(vis_1.vis.shape) != tuple(vis_2.vis.shape):
             raise ValueError(
-                f"Size of data_1 ({vis_1.vis.shape}) must match "
-                f"data_2 ({vis_2.vis.shape})"
+                f"Cross-spectrum cubes disagree in shape: "
+                f"{vis_1.vis.shape} vs {vis_2.vis.shape}"
             )
         if type(vis_1) is not type(vis_2):
             raise TypeError(
@@ -478,7 +478,7 @@ class CrossPowerSpectrum3D(ContainerTask):
         ):
             if vis_1.attrs["window_los"] != vis_2.attrs["window_los"]:
                 raise ValueError(
-                    "The windows applied to both data sets are different"
+                    "The two cubes were windowed differently"
                 )
             NEB_freq = noise_equivalent_bandwidth(
                 len(vis_1.index_map["delay"]), vis_1.attrs["window_los"]
@@ -1013,7 +1013,7 @@ def spatial_mask(k_x, k_y, ew_min, ew_max, ns_bl, wl_min, wl_max, redshift, cosm
 def get_3D_ps(data_cube_1, data_cube_2, vol_norm_factor):
     """Real part of the cross power of two cubes (reference :1765)."""
     if data_cube_1 is None and data_cube_2 is None:
-        raise NameError("Atleast one data cube must be provided")
+        raise NameError("Provide at least one data cube")
     if data_cube_2 is None:
         ps = (np.conj(data_cube_1) * data_cube_1).real
     else:

@@ -37,8 +37,8 @@ class QuadraticPSEstimation(ContainerTask):
     def process(self, klmodes):
         if not isinstance(klmodes, containers.KLModes):
             raise ValueError(
-                "Input container must be instance of "
-                f"KLModes (received {klmodes.__class__!s})"
+                f"A KLModes container is required here, "
+                f"not {klmodes.__class__!s}"
             )
         pse = self.manager.psestimators[self.psname]
         pse.genbands()

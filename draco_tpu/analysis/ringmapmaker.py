@@ -85,14 +85,14 @@ class MakeVisGrid(ContainerTask):
             np.stack([ps_s["input_a"], ps_s["input_b"]], axis=-1), ps_t
         ):
             raise ValueError(
-                "Products in sstream do not match those in the beam transfers."
+                "The stream's product table differs from the beam-transfer one."
             )
 
         polprod = np.asarray(tel.polarisation)[tel.uniquepairs]
         polpair = np.char.add(polprod[:, 0], polprod[:, 1])
         pol, pind = np.unique(polpair, return_inverse=True)
         if len(pol) != 4:
-            raise RuntimeError(f"Expected to find four polarisations. Got {pol}")
+            raise RuntimeError(f"Four polarisation products are required; the input has {pol}")
         pconjmap = np.unique([pj + pi for pi, pj in pol], return_inverse=True)[1]
 
         xind, yind, min_xsep, min_ysep = find_grid_indices(tel.baselines)
@@ -195,7 +195,7 @@ class BeamformNS(ContainerTask):
             if baselines_present.sum() > 0
             else 0.0
         )
-        self.log.info(f"Maximum NS baseline is {nsmax:.2f}m")
+        self.log.info(f"Longest NS separation: {nsmax:.2f} m")
 
         hv.attrs["beamform_ns_weight"] = self.weight
         hv.attrs["beamform_ns_scaled"] = self.scaled
@@ -347,7 +347,7 @@ class BeamformEW(ContainerTask):
         if ("XY" in pols) or ("YX" in pols):
             if ("XY" in pols) ^ ("YX" in pols):
                 raise ValueError(
-                    f"If cross-pols exist, both XY and YX must be present. Got {pols}."
+                    f"Cross-polarisations must come as an XY/YX pair; found {pols}."
                 )
             dpol = ["reXY", "imXY"]
         else:
@@ -414,7 +414,7 @@ class DeconvolveHybridMBase(ContainerTask):
         if manager is not None:
             self.telescope = io.get_telescope(manager)
         elif self.window_type != "none":
-            raise RuntimeError("Must provide manager object if applying window.")
+            raise RuntimeError("Applying a window requires a product manager at setup.")
         else:
             self.telescope = None
 
@@ -436,7 +436,7 @@ class DeconvolveHybridMBase(ContainerTask):
                 )
         if hybrid_vis_m.mmax > hybrid_beam_m.mmax:
             raise ValueError(
-                "Beam model must have higher m-max than the visibilities"
+                "The beam model's m range is too small for these visibilities"
             )
 
         freq = np.asarray(hybrid_vis_m.freq)
@@ -469,12 +469,12 @@ class DeconvolveHybridMBase(ContainerTask):
             el = np.asarray(rm.index_map["el"])
             if self.reference_declination is None:
                 iref = int(np.argmin(np.abs(el)))
-                self.log.info("Normalizing the map to zenith.")
+                self.log.info("Map normalisation referenced to zenith.")
             else:
                 dec = np.degrees(np.arcsin(el)) + self.telescope.latitude
                 iref = int(np.argmin(np.abs(dec - self.reference_declination)))
                 self.log.info(
-                    f"Normalizing the map to Decl. = {dec[iref]:0.2f} deg."
+                    f"Map normalisation referenced to declination {dec[iref]:0.2f} deg."
                 )
 
         # [m, msign, pol, freq, ew, el]
@@ -561,10 +561,10 @@ class DeconvolveHybridMBase(ContainerTask):
 
     def _get_window(self, hybrid_vis_m):
         """EW-sensitivity window over (freq, m, el) (reference :827-923)."""
-        msg = "independent" if self.window_scaled else "dependent"
+        msg = "scaled" if self.window_scaled else "fixed-width"
         self.log.info(
-            f"Applying a frequency {msg} {self.window_type} window "
-            f"with a relative width of {self.window_size}."
+            f"NS apodisation: {self.window_type} window, frequency-{msg}, "
+            f"relative width {self.window_size}."
         )
 
         freq = np.asarray(hybrid_vis_m.freq)
@@ -623,13 +623,13 @@ class DeconvolveHybridMBase(ContainerTask):
     def _get_weight(self, inv_var):
         """EW-baseline averaging weights (subclass responsibility)."""
         raise NotImplementedError(
-            f"{self.__class__} must define a _get_weight method."
+            f"{self.__class__} is abstract: implement _get_weight."
         )
 
     def _get_regularisation(self, freq, m):
         """Deconvolution regulariser (subclass responsibility)."""
         raise NotImplementedError(
-            f"{self.__class__} must define a _get_regularisation method."
+            f"{self.__class__} is abstract: implement _get_regularisation."
         )
 
 
@@ -825,9 +825,9 @@ class RADependentWeights(ContainerTask):
 
         if (exclude_cyl is None) or (weight_scheme is None):
             raise RuntimeError(
-                "The ring map maker must save `weight_ew` and `exclude_cyl` "
-                "config parameters to the container attributes in order to "
-                "reconstruct the RA dependence of the noise."
+                "Reconstructing the noise RA dependence needs the ring-map "
+                "maker's `weight_ew`/`exclude_cyl` settings stored in the "
+                "container attributes; they are missing here."
             )
 
         save_filter = False
@@ -915,7 +915,7 @@ class ReconstructVisNoiseBase(TelescopeStreamMixIn, ContainerTask):
     def _parse_attrs(self, attrs):
         self.weight = attrs["beamform_ns_weight"]
         if self.weight == "inverse_variance":
-            raise ValueError("Weight scheme inverse_variance not supported.")
+            raise ValueError("The inverse_variance weighting mode has no RA reconstruction.")
         self.include_auto = attrs["beamform_ns_include_auto"]
         self.scaled = attrs["beamform_ns_scaled"]
         self.freqmin = attrs["beamform_ns_freqmin"]
@@ -952,7 +952,7 @@ class ReconstructVisNoiseBase(TelescopeStreamMixIn, ContainerTask):
         ewpos = np.asarray(hv.index_map["ew"])
         nx = ewpos.size
         if not np.allclose(vis_pos_x, ewpos):
-            raise RuntimeError("Downselected ew axis not currently supported.")
+            raise RuntimeError("A truncated ew axis cannot be processed here.")
 
         flag = pol_flag & baseline_flag
         xind, yind, pind = xind[flag], yind[flag], pol_remap[flag]
@@ -1027,11 +1027,11 @@ class ReconstructVisNoiseBase(TelescopeStreamMixIn, ContainerTask):
 
     def _redistribute_input(self, hv):
         raise NotImplementedError(
-            "_redistribute_input must be implemented in subclass."
+            "abstract: subclasses define _redistribute_input."
         )
 
     def _fill_output(self, hv, window, layout):
-        raise NotImplementedError("_fill_output must be implemented in subclass.")
+        raise NotImplementedError("abstract: subclasses define _fill_output.")
 
 
 class ReconstructVisWeight(ReconstructVisNoiseBase):

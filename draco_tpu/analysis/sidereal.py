@@ -70,10 +70,10 @@ class SiderealGrouper(ContainerTask):
             self._current_lsd = lsd_start
         if self._current_lsd == lsd_start:
             self._timestream_list.append(tstream)
-        self.log.info("Adding file into group for LSD:%i", lsd_start)
+        self.log.info("Grouping another file under LSD %i", lsd_start)
 
         if self._current_lsd < lsd_end:
-            self.log.info("Concatenating files for LSD:%i", self._current_lsd)
+            self.log.info("Joining the collected files of LSD %i", self._current_lsd)
             tstream_all = self._process_current_lsd()
             self._timestream_list = [tstream]
             self._current_lsd = lsd_end
@@ -91,7 +91,7 @@ class SiderealGrouper(ContainerTask):
         if day_length < self.min_day_length:
             return None
         self.log.info(
-            "Constructing LSD:%i [%i files]", lsd, len(self._timestream_list)
+            "Assembling LSD %i from %i files", lsd, len(self._timestream_list)
         )
         ts = concatenate_tod(self._timestream_list)
         ts.attrs["tag"] = f"lsd_{lsd:d}"
@@ -110,7 +110,7 @@ class SiderealRegridder(LanczosRegridder):
     down_mix = config.Property(proptype=bool, default=False)
 
     def process(self, data):
-        self.log.info(f"Regridding LSD:{data.attrs['lsd']}")
+        self.log.info(f"Regrid of LSD {data.attrs['lsd']}")
         data.redistribute("freq")
         self.start = float(data.attrs["lsd"])
         self.end = self.start + 1
@@ -128,7 +128,7 @@ class SiderealRegridder(LanczosRegridder):
         vis_data = np.asarray(data.vis[:]).copy()
 
         if self.down_mix:
-            self.log.info("Downmixing before regridding.")
+            self.log.info("Fringe-rate down-mix applied ahead of the regrid.")
             freq = data.freq
             phase = self._get_phase(freq, data.prodstack, source_samples)
             vis_data = vis_data * phase
@@ -361,7 +361,7 @@ class SiderealRebinner(SiderealRegridder):
 
     def process(self, data):
         self.log.info(
-            f"Rebinning LSD {data.attrs['lsd']:.0f} with {self.weight} weighting."
+            f"Rebin of LSD {data.attrs['lsd']:.0f} ({self.weight} weights)."
         )
         container_map = {
             containers.TimeStream: containers.SiderealStream,
@@ -498,8 +498,8 @@ class SiderealStacker(ContainerTask):
     def process(self, sdata):
         if (self.stack is not None) and not isinstance(sdata, type(self.stack)):
             raise TypeError(
-                f"type(sdata) (={type(sdata)}) does not match "
-                f"type(stack) (={type(self.stack)})."
+                f"Stacker input {type(sdata)} differs from the existing "
+                f"stack type {type(self.stack)}."
             )
         input_lsd = sdata.attrs.get("lsd", sdata.attrs.get("csd", -1))
         input_lsd = _ensure_list(input_lsd)
@@ -534,7 +534,7 @@ class SiderealStacker(ContainerTask):
                 )
 
         self.log.info(
-            f"Adding LSD {input_lsd} to stack with {self.weight} weighting."
+            f"Folding LSD {input_lsd} into the stack ({self.weight} weights)."
         )
         self.lsd_list += input_lsd
 
@@ -633,8 +633,8 @@ class SiderealStackerMatch(ContainerTask):
     def process(self, sdata):
         if (self.stack is not None) and not isinstance(sdata, type(self.stack)):
             raise TypeError(
-                f"type(sdata) (={type(sdata)}) does not match "
-                f"type(stack) (={type(self.stack)})."
+                f"Stacker input {type(sdata)} differs from the existing "
+                f"stack type {type(self.stack)}."
             )
         if self.stack is None:
             self.log.info("Starting new stack.")

@@ -72,7 +72,7 @@ class SVDFilter(ContainerTask):
             svds.append((u, sig, vh))
             if len(sig):
                 sv_max = max(float(sig[0]), sv_max)
-        self.log.debug("Global maximum singular value=%.2g", sv_max)
+        self.log.debug("Largest singular value across all m: %.2g", sv_max)
 
         # Second pass: cut modes above the thresholds
         for m, (u, sig, vh) in enumerate(svds):

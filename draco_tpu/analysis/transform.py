@@ -38,10 +38,10 @@ class FrequencyRebin(ContainerTask):
 
     def process(self, ss):
         if "freq" not in ss.index_map:
-            raise RuntimeError("Data does not have a frequency axis.")
+            raise RuntimeError("A freq axis is required for rebinning.")
         cb = self.channel_bin
         if len(ss.freq) % cb != 0:
-            raise RuntimeError("Binning must exactly divide the number of channels.")
+            raise RuntimeError("The channel count is not a multiple of the bin size.")
 
         freq_map = ss.index_map["freq"]
         centre = freq_map["centre"].reshape(-1, cb).mean(axis=-1)
@@ -494,8 +494,8 @@ class CollateProducts(TelescopeStreamMixIn, ContainerTask):
             )
             if not np.all(stack_flag):
                 self.log.warning(
-                    f"There are {np.sum(~stack_flag):0.0f} stacked baselines "
-                    "that are masked in the telescope instance."
+                    f"{np.sum(~stack_flag):0.0f} stacks are flagged out by the "
+                    "telescope model."
                 )
             ss_prod = ss.prod[stack_new["prod"]]
             ss_conj = stack_new["conjugate"].astype(bool)
@@ -657,7 +657,7 @@ class ElevationDependentHybridVisWeight(ContainerTask):
 
     def process(self, data):
         if "elevation_vis_weight" in data:
-            self.log.debug("Container already has the required dataset.")
+            self.log.debug("Requested dataset already present; leaving it in place.")
         else:
             weights = np.asarray(data["vis_weight"][:])
             del data["vis_weight"]
@@ -694,17 +694,17 @@ class SelectPol(ContainerTask):
         missing_pol = [p for p in self.pol if p not in self.P]
         if missing_pol:
             raise ValueError(
-                f"Do not support the selection of {missing_pol}.  "
-                f"Available options include {list(self.P.keys())}."
+                f"Cannot form {missing_pol}; supported selections are "
+                f"{list(self.P.keys())}."
             )
         if len(set(self.pol)) != len(self.pol):
-            raise ValueError("Duplicate Stokes parameters requested in `pol`.")
+            raise ValueError("`pol` lists the same Stokes parameter twice.")
 
     def process(self, polcont):
         """Extract the requested Stokes parameters."""
         if "pol" not in polcont.index_map:
             raise ValueError(
-                f"Container of type {type(polcont)} does not have a pol axis."
+                f"{type(polcont)} carries no pol axis to select over."
             )
         input_pol = [
             p.decode() if isinstance(p, bytes) else str(p)
@@ -717,8 +717,8 @@ class SelectPol(ContainerTask):
         ]
         if len(missing_pol) > 0:
             raise ValueError(
-                f"Missing the following polarisations {missing_pol}, "
-                f"which are needed to construct {self.pol}."
+                f"Forming {self.pol} requires polarisations {missing_pol}, "
+                f"which the input lacks."
             )
 
         data_dset_name = getattr(polcont, "_data_dset_name", None)
@@ -807,7 +807,7 @@ class PolWeightedAverage(ContainerTask):
         ]
         if "XX" not in input_pol or "YY" not in input_pol:
             raise ValueError(
-                "Input must contain both 'XX' and 'YY' polarisations."
+                "Stokes I needs the XX and YY polarisations present."
             )
 
         ixx, iyy = input_pol.index("XX"), input_pol.index("YY")
@@ -1050,7 +1050,7 @@ class MixData(ContainerTask):
         """Validate coefficient lists."""
         if len(self.data_coeff) != len(self.weight_coeff):
             raise config.ConfigError(
-                "data and weight coefficient lists must be the same length"
+                "One weight coefficient is needed per data coefficient."
             )
         self._data_ind = 0
         self._tags = []
@@ -1085,13 +1085,13 @@ class MixData(ContainerTask):
 
         if type(self.mixed_data) is not type(data):
             raise TypeError(
-                f"type(data) (={type(data)}) must match "
+                f"Mixed containers disagree: {type(data)} vs "
                 f"type(data_stack) (={type(self.mixed_data)})"
             )
         if tuple(self.mixed_data.data.shape) != tuple(data.data.shape):
             raise ValueError(
-                f"Size of data ({data.data.shape}) must match "
-                f"data_stack ({self.mixed_data.data.shape})"
+                f"Mixed datasets disagree in shape: {data.data.shape} vs "
+                f"{self.mixed_data.data.shape}"
             )
 
         dco = self.data_coeff[self._data_ind]
@@ -1125,8 +1125,8 @@ class MixData(ContainerTask):
     def _make_output(self):
         if self._data_ind != len(self.data_coeff):
             raise RuntimeError(
-                "Did not receive enough inputs. "
-                f"Got {self._data_ind}, expected {len(self.data_coeff)}."
+                f"Mixing ended early: {self._data_ind} inputs arrived but "
+                f"{len(self.data_coeff)} coefficients were configured."
             )
         data = self.mixed_data
         self.mixed_data = None
@@ -1276,7 +1276,7 @@ class ReduceBase(ContainerTask):
         """Weights for the reduction (reference transform.py:2016)."""
         if not hasattr(data, "weight") and self.weighting != "none":
             raise RuntimeError(
-                "No weights available. Cannot use weighted or masked weighting."
+                "Weighted/masked averaging needs a weight dataset, which is absent."
             )
         if hasattr(data, "weight"):
             return data.weight[:], list(data.weight.attrs["axis"])
@@ -1363,7 +1363,7 @@ class _InverseStackRedundancyWeights(ReduceBase):
     def _get_weights(self, data):
         if "stack" not in data.index_map:
             raise RuntimeError(
-                "No 'stack' axis in index map. Cannot calculate weights."
+                "Weight calculation needs a 'stack' entry in the index map."
             )
         from ..ops import tools as _tools
 
@@ -1410,9 +1410,9 @@ class HPFTimeStream(ContainerTask):
 
     def process(self, tstream):
         if "time" != tuple(tstream.data.attrs["axis"])[-1]:
-            raise TypeError("'time' is not the last axis of the dataset.")
+            raise TypeError("The dataset must end with its 'time' axis.")
         if tuple(tstream.data.shape) != tuple(tstream.weight.shape):
-            raise ValueError("Data and weights must have the same shape.")
+            raise ValueError("Weights do not match the data shape.")
 
         tau = 2 * self.tau if self.window else self.tau
 
@@ -1420,7 +1420,7 @@ class HPFTimeStream(ContainerTask):
         dt = np.diff(times)
         if not np.allclose(dt, dt[0], atol=1e-4):
             self.log.warning(
-                "Samples are not regularly spaced. This might not work super well."
+                "Irregular sample spacing detected; results may degrade."
             )
 
         total_T = times[-1] - times[0] + 2 * tau

@@ -189,13 +189,13 @@ class LoadMaps(ContainerTask):
                 map_stack = current
             else:
                 if not np.array_equal(current.freq, map_stack.freq):
-                    raise RuntimeError("Maps do not have consistent frequencies.")
+                    raise RuntimeError("Loaded maps disagree on their frequency axes.")
                 if len(current.index_map["pol"]) != len(map_stack.index_map["pol"]):
-                    raise RuntimeError("Maps do not have the same polarisations.")
+                    raise RuntimeError("Loaded maps disagree on their polarisation axes.")
                 if len(current.index_map["pixel"]) != len(
                     map_stack.index_map["pixel"]
                 ):
-                    raise RuntimeError("Maps do not have the same pixelisation.")
+                    raise RuntimeError("Loaded maps disagree on their healpix resolution.")
                 map_stack.map[:] = (
                     np.asarray(map_stack.map[:]) + np.asarray(current.map[:])
                 )
@@ -286,7 +286,7 @@ class LoadBeamTransfer(MPILoggedTask):
         from ..telescope import beamtransfer
 
         if not os.path.exists(self.product_directory):
-            raise RuntimeError("BeamTransfers do not exist.")
+            raise RuntimeError("No beam-transfer products found in the product directory.")
         bt = beamtransfer.BeamTransfer(self.product_directory)
         tel = bt.telescope
         feeds = getattr(tel, "feeds", None)
@@ -326,7 +326,7 @@ def get_beamtransfer(obj):
         return obj
     if isinstance(obj, ProductManager):
         return obj.beamtransfer
-    raise RuntimeError(f"Could not get BeamTransfer instance out of {obj!r}")
+    raise RuntimeError(f"{obj!r} does not resolve to a BeamTransfer")
 
 
 def get_telescope(obj):
@@ -341,7 +341,7 @@ def get_telescope(obj):
     except RuntimeError:
         if isinstance(obj, TransitTelescope):
             return obj
-    raise RuntimeError(f"Could not get telescope instance out of {obj!r}")
+    raise RuntimeError(f"{obj!r} does not resolve to a telescope model")
 
 
 # Types accepted where a telescope/beamtransfer is required

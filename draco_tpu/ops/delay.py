@@ -365,13 +365,13 @@ def delay_spectrum_gibbs_cross(
         fsel = np.arange(Nf)
     elif len(fsel) != Nf:
         raise ValueError(
-            "Length of frequency selection must match frequencies passed. "
-            f"{len(fsel)} != {data.shape[-1]}"
+            f"The frequency selection does not cover the data channels: "
+            f"{len(fsel)} selected vs {data.shape[-1]} present"
         )
 
     F = fourier_matrix(N, fsel)
     if nd == 0:
-        raise ValueError("Need at least one set of data")
+        raise ValueError("At least one dataset is required")
 
     data = data.transpose(0, 2, 1)
     if window is not None:
@@ -429,7 +429,7 @@ def delay_spectrum_gibbs_cross(
             S_samp = _draw_ps_sample(d_samp)
             spec.append(S_samp)
     except la.LinAlgError as e:
-        raise RuntimeError("Exiting earlier as singular") from e
+        raise RuntimeError("Stopping the chain early: singular system") from e
     return spec
 
 
@@ -458,7 +458,7 @@ def flatten_axes(dset, axes_to_keep, match_dset=None):
     data_axes = list(dset.attrs["axis"])
     for axis in axes_to_keep:
         if axis not in data_axes:
-            raise ValueError(f"Specified {axis=} not present in dataset.")
+            raise ValueError(f"No axis called {axis} in this dataset.")
 
     arr = np.asarray(dset[:])
     if match_dset is not None and tuple(data_axes) != tuple(

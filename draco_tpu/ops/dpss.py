@@ -58,8 +58,8 @@ def make_covariance(samples, halfwidths, centres) -> np.ndarray:
         centres = [centres]
     if len(centres) != len(halfwidths):
         raise ValueError(
-            "`halfwidths` and `centres` must be the same length. "
-            f"Got halfwidths={halfwidths}, centres={centres}"
+            "One centre is needed per halfwidth. "
+            f"halfwidths={halfwidths} vs centres={centres}"
         )
 
     samples = np.asarray(samples, dtype=np.float64)

@@ -128,7 +128,7 @@ def find_keys(key_list, keys, require_match: bool = False):
         dct = {_norm_key(kk): ii for ii, kk in enumerate(key_list)}
         index = [dct.get(_norm_key(key)) for key in keys]
     if require_match and any(ind is None for ind in index):
-        raise ValueError("Could not find all of the keys.")
+        raise ValueError("Some requested keys are absent.")
     return index
 
 
@@ -192,7 +192,7 @@ def broadcast_weights(waxis_names, daxis_names):
     """
     if not set(waxis_names).issubset(daxis_names):
         extra = set(waxis_names) - set(daxis_names)
-        raise ValueError(f"Weight has axes not found in data: {extra}")
+        raise ValueError(f"The weight carries axes the data lacks: {extra}")
     filtered = [ax for ax in daxis_names if ax in waxis_names]
     if list(filtered) != list(waxis_names):
         raise ValueError(
@@ -222,7 +222,7 @@ def apply_gain(vis, gain, axis: int = 1, out=None, prod_map=None):
     else:
         if len(prod_map) != nprod:
             raise ValueError(
-                "Length of *prod_map* does not match number of input products."
+                "prod_map must list exactly one entry per product."
             )
         pm = np.asarray(prod_map)
         if pm.dtype.names:
@@ -393,7 +393,7 @@ def penalized_least_squares_1d(
     if mask is None:
         mask = np.zeros(N, dtype=bool)
     elif np.all(mask):
-        warnings.warn("Entire dataset is masked.")
+        warnings.warn("Every sample is masked; nothing to fit.")
         return np.zeros_like(y)
     mask = np.squeeze(np.asarray(mask, dtype=bool))
 
@@ -418,7 +418,7 @@ def penalized_least_squares_1d(
             break
         W[0] = wt
     else:
-        warnings.warn(f"PLS did not converge after {max_iter} iterations.")
+        warnings.warn(f"Baseline fit still moving after {max_iter} iterations.")
 
     return z
 

@@ -11,9 +11,12 @@ from .mesh import (  # noqa: F401
     SHARD_AXIS,
     get_mesh,
     make_mesh,
+    make_mesh2d,
     set_mesh,
     sharding_for_axis,
+    sharding_for_named_axes,
     shard_array,
+    shard_array_named,
     unshard,
     use_mesh,
 )

@@ -35,6 +35,41 @@ def make_mesh(devices=None, axis_name: str = SHARD_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh2d(
+    shape: tuple[int, int] | None = None,
+    axis_names: tuple[str, str] = ("freq", "m"),
+    devices=None,
+) -> Mesh:
+    """Create a 2-D mesh whose axes are *named after container axes*.
+
+    This is the production (freq x m) layout of SURVEY.md section 2.5:
+    under a mesh with axes ``("freq", "m")`` every container dataset
+    axis called ``freq`` or ``m`` is sharded over the matching mesh
+    axis, so the SHT stage runs freq-parallel and the per-m solve stage
+    m-parallel with XLA inserting the freq<->m all-to-alls (the
+    reference's MPI parallel transposes, reference
+    draco/synthesis/stream.py:96,119, draco/analysis/mapmaker.py:62-99).
+
+    ``shape=None`` picks the most-square factorisation of the device
+    count (1-D fallback for primes).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        first = 1
+        for d in range(int(np.sqrt(n)), 0, -1):
+            if n % d == 0:
+                first = d
+                break
+        shape = (first, n // first)
+    if shape[0] * shape[1] != n:
+        raise ValueError(
+            f"mesh shape {shape} does not cover the {n} devices provided"
+        )
+    return Mesh(np.asarray(devices).reshape(shape), tuple(axis_names))
+
+
 def set_mesh(mesh: Mesh | None) -> None:
     """Install ``mesh`` as the process-global mesh (None to clear)."""
     _state.mesh = mesh
@@ -98,6 +133,60 @@ def shard_array(arr, axis: int | None):
         if arr.shape[axis] % nshard != 0:
             axis = None  # replicate: not evenly divisible
     sharding = sharding_for_axis(arr.ndim, axis, mesh)
+    return jax.device_put(arr, sharding)
+
+
+def _is_named_mesh(mesh: Mesh) -> bool:
+    """True for meshes whose axes name container axes (multi-axis)."""
+    return len(mesh.axis_names) > 1 or mesh.axis_names[0] != SHARD_AXIS
+
+
+def sharding_for_named_axes(
+    axis_names: tuple[str, ...],
+    shape: tuple[int, ...],
+    primary: str | None,
+    mesh: Mesh | None = None,
+) -> NamedSharding | None:
+    """PartitionSpec for a dataset with labelled axes.
+
+    Two placement regimes:
+
+    * 1-D default mesh (axis ``"shard"``): the dataset's ``primary``
+      (its ``distributed_axis``) is split over the single mesh axis —
+      the reference's one-distributed-axis MPIArray layout.
+    * named mesh (e.g. ``("freq", "m")`` from :func:`make_mesh2d`):
+      every dataset axis whose *name* matches a mesh axis is split over
+      that mesh axis, giving the 2-D production layout regardless of
+      which axis is nominally "distributed".
+
+    Axes that do not divide their mesh-axis size stay replicated.
+    Returns None when no mesh is installed.
+    """
+    if mesh is None:
+        mesh = get_mesh()
+    if mesh is None:
+        return None
+
+    spec = [None] * len(axis_names)
+    if _is_named_mesh(mesh):
+        for i, (name, n) in enumerate(zip(axis_names, shape)):
+            if name in mesh.shape and n % mesh.shape[name] == 0:
+                spec[i] = name
+    elif primary is not None and primary in axis_names:
+        i = axis_names.index(primary)
+        if shape[i] % mesh.shape[_mesh_axis(mesh)] == 0:
+            spec[i] = _mesh_axis(mesh)
+    return NamedSharding(mesh, PartitionSpec(*spec))
+
+
+def shard_array_named(arr, axis_names, primary: str | None):
+    """Reshard ``arr`` by axis *names* (see sharding_for_named_axes)."""
+    mesh = get_mesh()
+    if mesh is None:
+        return arr
+    sharding = sharding_for_named_axes(
+        tuple(axis_names), tuple(arr.shape), primary, mesh
+    )
     return jax.device_put(arr, sharding)
 
 

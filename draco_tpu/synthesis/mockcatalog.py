@@ -142,14 +142,14 @@ class PdfGeneratorBase(ContainerTask):
         """Normalised PDF = (1 + delta) * selfunc, weighted per z bin."""
         rho = np.asarray(source_map.map[:])[:, 0, :] + 1.0
         if (rho < 0).any():
-            self.log.error("Found negative entries in source map.")
+            self.log.error("The source map contains negative pixels.")
 
         rho = rho / np.mean(rho, axis=1)[:, np.newaxis]
 
         if selfunc is not None:
             sf = np.asarray(selfunc.map[:])[:, 0, :]
             if (sf < 0).any():
-                self.log.error("Found negative entries in selection function.")
+                self.log.error("The selection function contains negative pixels.")
             pdf = rho * sf
         else:
             pdf = rho
@@ -178,7 +178,7 @@ class PdfGeneratorBase(ContainerTask):
     def process(self):
         """Produce a pdf."""
         raise NotImplementedError(
-            f"{self.__class__} must define a process method."
+            f"{self.__class__} is abstract: implement process()."
         )
 
 
@@ -407,11 +407,11 @@ class AddEBOSSZErrorsToCatalog(ContainerTask, RandomTask):
                         break
                 if tracer is None:
                     raise ValueError(
-                        "Must specify eBOSS tracer in config property, "
-                        "catalog 'tracer' attribute, or catalog 'tag' attribute."
+                        "No eBOSS tracer found: set the config property or put a "
+                        "'tracer'/'tag' attribute on the catalog."
                     )
 
-        self.log.info(f"Applying {tracer} redshift errors.")
+        self.log.info(f"Adding redshift scatter for tracer {tracer}.")
 
         red = np.asarray(cat["redshift"][:]).copy()
         z = red["z"]

@@ -66,7 +66,7 @@ class GaussianNoiseDataset(ContainerTask, RandomTask):
                 dataset_name = data._data_dset_name
             else:
                 raise ValueError(
-                    f"No default dataset known for {type(data)} container."
+                    f"Cannot pick a default dataset on {type(data)}."
                 )
         else:
             dataset_name = self.dataset
@@ -155,7 +155,7 @@ class GaussianNoise(ContainerTask, RandomTask):
         elif nprod == ninput * (ninput + 1) // 2:
             redundancy = np.ones(nprod)
         else:
-            raise ValueError("Unexpected number of products")
+            raise ValueError("Product count does not match a full triangle")
 
         nsamp = int(self.ndays * dt * df) * redundancy
         std = self.recv_temp / np.sqrt(nsamp)

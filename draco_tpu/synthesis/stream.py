@@ -61,7 +61,7 @@ class SimulateSidereal(ContainerTask):
 
         freqmap = map_.index_map["freq"][:]
         if (tel.frequencies != freqmap["centre"]).any():
-            raise ValueError("Frequencies in map do not match those in Beam Transfers.")
+            raise ValueError("The sky map and beam-transfer frequency axes disagree.")
 
         # Sky harmonics for every (freq, pol) map; trim to mmax
         row_map = jnp.asarray(np.asarray(map_.map[:]))
@@ -310,7 +310,7 @@ class MakeSiderealDayStream(ContainerTask):
         self.lsd_start = self.observer.unix_to_lsd(self.start_time)
         self.lsd_end = self.observer.unix_to_lsd(self.end_time)
         self.log.info(
-            "Sidereal period requested: LSD=%i to LSD=%i",
+            "Simulating the sidereal range LSD %i..%i",
             int(self.lsd_start),
             int(self.lsd_end),
         )
