@@ -131,3 +131,71 @@ def test_bench_baseline_sharding_matches(tmp_path):
         outs[shard] = np.load(dump)
 
     assert np.allclose(outs[0], outs[8], atol=1e-6)
+
+
+def _run_sim_to_map(bt, m, nside):
+    """SimulateSidereal -> MModeTransform -> DirtyMapMaker, task path."""
+    from draco_tpu.analysis.mapmaker import DirtyMapMaker
+    from draco_tpu.analysis.transform import MModeTransform
+
+    sim = SimulateSidereal()
+    sim.read_config({})
+    sim.setup(bt)
+    ss = sim.process(m)
+
+    mt = MModeTransform()
+    mt.read_config({})
+    mt.setup()
+    ma = mt.process(ss)
+
+    mm = DirtyMapMaker()
+    mm.read_config({"nside": nside})
+    mm.setup(bt)
+    return mm.process(ma)
+
+
+def test_task_path_on_2d_freq_m_mesh(setup):
+    """The full task spine on a (2, 4) (freq x m) named mesh.
+
+    The library-level 2-D production layout of SURVEY.md section 2.5:
+    containers redistributed under a named mesh shard freq and m axes
+    simultaneously; results must match the unsharded run.
+    """
+    from draco_tpu.parallel import make_mesh2d, use_mesh
+
+    tel, bt, m = setup
+    nside = bt.beam_nside
+
+    out_ref = _run_sim_to_map(bt, m, nside)
+
+    mesh = make_mesh2d(shape=(2, 4), axis_names=("freq", "m"))
+    with use_mesh(mesh):
+        m2 = m.copy()
+        m2.redistribute("freq")
+        out_sh = _run_sim_to_map(bt, m2, nside)
+
+    a = np.asarray(out_ref.map[:])
+    b = np.asarray(out_sh.map[:])
+    assert np.allclose(a, b, atol=1e-5 * max(np.abs(a).max(), 1e-30))
+
+
+def test_named_mesh_container_placement(setup):
+    """Under a (freq, m) mesh both named axes of MModes vis are split."""
+    from jax.sharding import PartitionSpec as P
+
+    from draco_tpu.core.containers import MModes
+    from draco_tpu.parallel import make_mesh2d, use_mesh
+
+    tel, bt, m = setup
+    mesh = make_mesh2d(shape=(2, 4), axis_names=("freq", "m"))
+    with use_mesh(mesh):
+        ma = MModes(
+            mmax=31, freq=np.linspace(400.0, 440.0, 8), stack=4, input=4
+        )
+        ma.vis[:] = np.zeros(ma.vis.shape, dtype=ma.vis.dtype)
+        ma.redistribute("m")
+        vis = ma.vis.data
+        spec = vis.sharding.spec
+        # vis axes are [m, msign, freq, stack]
+        assert spec[0] == "m"
+        assert spec[2] == "freq"
