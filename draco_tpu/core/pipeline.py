@@ -453,6 +453,12 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     if args.command == "run":
+        # Multi-process launches configure DRACO_TPU_COORDINATOR /
+        # _NUM_PROCESSES / _PROCESS_ID (the MPI-launcher-rank analogue);
+        # single-process runs are untouched.
+        from ..parallel import multihost
+
+        multihost.initialize()
         run(args.configfile)
         return 0
     if args.command == "makeproducts":

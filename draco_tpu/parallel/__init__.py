@@ -20,3 +20,4 @@ from .mesh import (  # noqa: F401
     unshard,
     use_mesh,
 )
+from . import multihost  # noqa: F401,E402
