@@ -226,8 +226,10 @@ def sumthreshold(
     return np.asarray(out)
 
 
-#: Alias kept for reference-path compatibility (the reference exposes both).
-sumthreshold_py = sumthreshold
+def sumthreshold_py(*args, **kwargs):
+    """Alias kept for reference-path compatibility (the reference exposes
+    its pure-python implementation under this name)."""
+    return sumthreshold(*args, **kwargs)
 
 
 @functools.partial(jax.jit, static_argnames=("axis",))
