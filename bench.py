@@ -66,7 +66,198 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _configure_jax():
+    import jax
+
+    # The interpreter's sitecustomize pins the platform to the TPU tunnel;
+    # honour an explicit override for local smoke tests.
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+    # Compiles over the remote-TPU tunnel are slow; cache them persistently.
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return jax
+
+
+def _build_library_problem(nfreq: int, nfeed_side: int, autos: bool):
+    """Benchmark telescope + beam transfer + sky through the library."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from draco_tpu.ops import healpix
+    from draco_tpu.telescope import BeamTransfer, UnpolarisedDishArray
+
+    # centre the band on lambda ~ 0.6 m (the round-1 spine workload)
+    f0 = 299.792458 / 0.6  # MHz
+    half_bw = 0.05 * f0 * max(nfreq - 1, 0) / max(nfreq, 1)
+    tel = UnpolarisedDishArray(
+        grid_ew=nfeed_side,
+        grid_ns=nfeed_side,
+        spacing_ew=7.0,
+        spacing_ns=7.0,
+        jitter=1.0,
+        jitter_seed=1,
+        latitude=45.0,
+        dish_width=5.0,
+        fwhm_factor=1.0,
+        freq_lower=f0 - half_bw,
+        freq_upper=f0 + half_bw,
+        num_freq=nfreq,
+        auto_correlations=autos,
+        force_lmax=3 * NSIDE - 1,
+        force_mmax=3 * NSIDE - 1,
+    )
+    bt = BeamTransfer(telescope=tel, nside=NSIDE)
+    rng = np.random.Generator(np.random.SFC64(1))
+    sky = rng.standard_normal(
+        (nfreq, 1, healpix.npix_of(NSIDE))
+    ).astype(np.float32)
+    return tel, bt, sky
+
+
+def run_library(nfreq: int, nfeed_side: int, autos: bool, chunk: int,
+                nrun: int, tag: str):
+    """Time the library's fused simulate->map round trip.
+
+    Returns (best wall seconds, warmup seconds, npairs).
+    """
+    import jax.numpy as jnp
+
+    from draco_tpu.telescope.roundtrip import fused_roundtrip_fn
+
+    tel, bt, sky = _build_library_problem(nfreq, nfeed_side, autos)
+    npairs = len(tel.uniquepairs)
+    log(f"[{tag}] nside={NSIDE} nfreq={nfreq} nfeed={nfeed_side ** 2} "
+        f"npairs={npairs} chunk={chunk}")
+
+    run = fused_roundtrip_fn(bt, chunk=chunk)
+    sky_dev = jnp.asarray(sky)
+
+    def once():
+        out = run(sky_dev)
+        out.block_until_ready()
+        # tunnel-safe sync: block_until_ready is unreliable over axon
+        np.asarray(out[0, 0, :8])
+        return out
+
+    t0 = time.time()
+    out = once()
+    warm = time.time() - t0
+    log(f"[{tag}] warmup (incl. compile): {warm:.1f}s")
+
+    times = []
+    for i in range(nrun):
+        t0 = time.time()
+        out = once()
+        times.append(time.time() - t0)
+        log(f"[{tag}] run {i}: {times[-1]:.3f}s")
+
+    if os.environ.get("BENCH_DUMP"):
+        np.save(os.environ["BENCH_DUMP"], np.asarray(out))
+    assert np.isfinite(np.asarray(out[:, :, :1024])).all()
+    return min(times), warm, npairs
+
+
 def main():
+    legacy = (
+        os.environ.get("BENCH_SHARD")
+        or os.environ.get("BENCH_NO_WINDOW")
+        or os.environ.get("BENCH_MIRROR")
+        or os.environ.get("BENCH_LEGACY")
+    )
+    if legacy:
+        run_spine(emit_json=True)
+        return
+
+    _configure_jax()
+    t_start = time.time()
+
+    extras: dict = {"task_path": True}
+
+    # headline: the library fused round trip at the round-1 workload scale
+    value, warm, npairs = run_library(
+        nfreq=1,
+        nfeed_side=NFEED_SIDE,
+        autos=True,
+        chunk=CHUNK,
+        nrun=NRUN,
+        tag="headline",
+    )
+    extras["warmup_s"] = round(warm, 1)
+
+    if os.environ.get("BENCH_EXTRAS", "1") != "0":
+        # multi-frequency scaling (VERDICT r1 item 4): measure the
+        # marginal per-frequency cost with freq-batched GEMMs
+        nfreq = int(os.environ.get("BENCH_NFREQ", 8))
+        t_mf, warm_mf, _ = run_library(
+            nfreq=nfreq,
+            nfeed_side=NFEED_SIDE,
+            autos=True,
+            chunk=CHUNK,
+            nrun=max(1, NRUN - 1),
+            tag=f"multifreq{nfreq}",
+        )
+        extras["multi_freq"] = {
+            "nfreq": nfreq,
+            "seconds": round(t_mf, 3),
+            "per_freq_s": round(t_mf / nfreq, 4),
+        }
+
+        # north-star feed count: 256 feeds, C(256,2) = 32640 cross pairs
+        big_side = int(os.environ.get("BENCH_BIG_SIDE", 16))
+        big_chunk = int(os.environ.get("BENCH_BIG_CHUNK", 2040))
+        t_big, warm_big, npairs_big = run_library(
+            nfreq=1,
+            nfeed_side=big_side,
+            autos=False,
+            chunk=big_chunk,
+            nrun=max(1, NRUN - 1),
+            tag=f"feeds{big_side ** 2}",
+        )
+        extras["feeds256"] = {
+            "npairs": npairs_big,
+            "seconds": round(t_big, 3),
+        }
+
+        # North-star projection for 256 feeds x 1024 freqs on a v5e-8:
+        # the marginal per-freq cost at 256 feeds is estimated as the
+        # measured 256-feed single-freq time scaled by the measured
+        # multi-freq amortisation ratio (per-freq batched cost /
+        # single-freq cost at 64 feeds), x 1024 freqs / 8 chips
+        # (frequencies are embarrassingly parallel across the pod).
+        amort = (t_mf / nfreq) / value
+        proj = t_big * amort * 1024.0 / 8.0
+        extras["north_star_projection_v5e8_s"] = round(proj, 1)
+        extras["north_star_model"] = (
+            "t_256feeds_1freq * (per-freq batched cost ratio "
+            f"{amort:.3f}) * 1024 freqs / 8 chips"
+        )
+
+    if os.environ.get("BENCH_CROSSCHECK"):
+        spine = run_spine(emit_json=False)
+        extras["spine_crosscheck_s"] = round(spine, 3)
+        extras["library_vs_spine"] = round(value / spine, 3)
+
+    extras["total_bench_s"] = round(time.time() - t_start, 1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "simulate_to_map_roundtrip_nside256_2080baselines",
+                "value": round(value, 3),
+                "unit": "s",
+                "vs_baseline": round(60.0 / value, 2),
+                **extras,
+            }
+        )
+    )
+
+
+def run_spine(emit_json: bool = True):
     import jax
 
     # The interpreter's sitecustomize pins the platform to the TPU tunnel;
@@ -623,16 +814,18 @@ def main():
     log(f"m-modes/sec: {n_mmodes / wall:.3g}")
     assert np.isfinite(np.asarray(out)).all()
 
-    print(
-        json.dumps(
-            {
-                "metric": "simulate_to_map_roundtrip_nside256_2080baselines",
-                "value": round(wall, 3),
-                "unit": "s",
-                "vs_baseline": round(60.0 / wall, 2),
-            }
+    if emit_json:
+        print(
+            json.dumps(
+                {
+                    "metric": "simulate_to_map_roundtrip_nside256_2080baselines",
+                    "value": round(wall, 3),
+                    "unit": "s",
+                    "vs_baseline": round(60.0 / wall, 2),
+                }
+            )
         )
-    )
+    return wall
 
 
 if __name__ == "__main__":

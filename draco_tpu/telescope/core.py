@@ -503,12 +503,20 @@ class SimplePolarisedTelescope(TransitTelescope):
 
 
 class UnpolarisedDishArray(SimpleUnpolarisedTelescope):
-    """A rectangular grid of unpolarised dishes."""
+    """A rectangular grid of unpolarised dishes.
+
+    ``jitter`` perturbs each position by a deterministic uniform offset —
+    a jittered grid has no redundant baselines, which makes it the
+    standard non-redundant benchmark configuration (all n(n+1)/2 pairs
+    distinct).
+    """
 
     grid_ew = config.Property(proptype=int, default=4)
     grid_ns = config.Property(proptype=int, default=4)
     spacing_ew = config.Property(proptype=float, default=6.0)
     spacing_ns = config.Property(proptype=float, default=6.0)
+    jitter = config.Property(proptype=float, default=0.0)
+    jitter_seed = config.Property(proptype=int, default=0)
 
     @property
     def feedpositions(self) -> np.ndarray:
@@ -517,7 +525,11 @@ class UnpolarisedDishArray(SimpleUnpolarisedTelescope):
             np.arange(self.grid_ns) * self.spacing_ns,
             indexing="ij",
         )
-        return np.stack([ew.ravel(), ns.ravel()], axis=-1)
+        pos = np.stack([ew.ravel(), ns.ravel()], axis=-1)
+        if self.jitter > 0.0:
+            rng = np.random.Generator(np.random.SFC64(self.jitter_seed))
+            pos = pos + rng.uniform(-self.jitter, self.jitter, pos.shape)
+        return pos
 
 
 class _CylinderMixin:

@@ -1,0 +1,368 @@
+"""Fully-fused simulate -> map round trip.
+
+One compiled XLA program runs the whole m-mode spine for compact-beam
+telescopes:
+
+  sky map --SHT--> alm --windowed beam projection--> V_m --iFFT--> sidereal
+  stream --FFT--> m-modes --(weighted) adjoint--> dirty alm --inverse
+  SHT--> map
+
+Baseline chunks stream through an on-device ``fori_loop`` (the
+beam-transfer tensors are never materialised; see
+:meth:`BeamTransfer.project_sky_to_telescope_streaming` for the
+per-chunk-dispatch variant this fuses), and frequencies batch through
+every GEMM.  This is the round trip the repo-root benchmark measures, and
+it is exposed to pipelines as the :class:`SimulateAndMap` task.
+
+Large device tensors (window trig, Legendre bands, beam products,
+baselines) are threaded through as jit *arguments*: closure-captured
+device arrays serialise into the HLO as literals, which breaks
+remote-TPU-tunnel compiles and bloats the compilation cache.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import healpix, mmode
+
+_F32 = jnp.float32
+
+# GEMM precision of the fused projection loops.  The default six-pass
+# f32-faithful mode holds the end-to-end map error at the ~1e-5 level;
+# DRACO_TPU_ROUNDTRIP_PRECISION=high selects three-pass bf16 (~2x the
+# MXU throughput at the few-1e-5 error level) for throughput-bound
+# production sweeps.
+_PREC_RT = {
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("DRACO_TPU_ROUNDTRIP_PRECISION", "highest").lower()]
+
+
+def _pad_to(n: int, chunk: int) -> int:
+    return (n + chunk - 1) // chunk * chunk
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sht_obj", "dims", "use_weight", "uniform_real_beam"),
+)
+def _fused_roundtrip(
+    sky,
+    lam,
+    plan,
+    lam_band,
+    Ec,
+    Es,
+    vecw,
+    u_re,
+    u_im,
+    uidx_pad,
+    blw_pad,
+    weight,
+    *,
+    sht_obj,
+    dims,
+    use_weight,
+    uniform_real_beam,
+):
+    """The single-program round trip (see module docstring).
+
+    sky : [nfreq, npol, npix] real
+    u_re/u_im : [nfreq, nuniq, npol, Rb, W] beam products (solid angle in)
+    uidx_pad : [npad] unique-product index per (padded) baseline
+    blw_pad : [nfreq, npad, 3] baselines in wavelengths
+    weight : [mmax+1, 2, nfreq, npad] (ignored unless use_weight)
+    uniform_real_beam : every baseline shares one real beam product —
+        the dominant identical-dish case; the per-baseline gather and
+        complex combine collapse to one broadcast multiply (3x less HBM
+        traffic in the hot loop).
+    """
+    s = sht_obj
+    nfreq, npol, chunk, nchunk, npairs, Rb, W, mmax = dims
+    K = npol * Rb * W
+    npad = nchunk * chunk
+    scale = 1.0 / (4 * np.pi / s.npix)
+    prec = _PREC_RT
+
+    # -- forward: sky -> alm -> windowed phase tensors -------------------
+    # unit (freq, pol) batch dims are squeezed around the SHT: batch-1
+    # batched GEMM lowerings tile worse than the plain forms on the MXU
+    if nfreq * npol == 1:
+        alm = s._analysis_impl(sky[0, 0], lam=lam, plan=plan)[None, None]
+    else:
+        alm = s._analysis_impl(sky, lam=lam, plan=plan)  # [f, p, L+1, M+1]
+    Sr = jnp.einsum("fplm,lmr->fprm", alm.real, lam_band, precision=prec)
+    Si = jnp.einsum("fplm,lmr->fprm", alm.imag, lam_band, precision=prec)
+    a1 = (
+        Ec[None, None] * Sr[:, :, :, None, :]
+        - Es[None, None] * Si[:, :, :, None, :]
+    ).reshape(nfreq, K, mmax + 1)
+    a2 = (
+        Ec[None, None] * Si[:, :, :, None, :]
+        + Es[None, None] * Sr[:, :, :, None, :]
+    ).reshape(nfreq, K, mmax + 1)
+
+    def fringe(c):
+        """Windowed fringe x beam planes for baseline chunk ``c``."""
+        blc = jax.lax.dynamic_slice(
+            blw_pad, (0, c * chunk, 0), (nfreq, chunk, 3)
+        )
+        phase = 2 * jnp.pi * jnp.einsum(
+            "fcx,rwx->fcrw", blc, vecw, precision=prec
+        )
+        if uniform_real_beam:
+            # u_re[:, 0] broadcasts over the chunk: two writes total
+            b = u_re[:, 0][:, None]  # [f, 1, p, Rb, W]
+            re = (b * jnp.cos(phase)[:, :, None]).reshape(nfreq, chunk, K)
+            im = (b * jnp.sin(phase)[:, :, None]).reshape(nfreq, chunk, K)
+            return re, im
+        idxc = jax.lax.dynamic_slice_in_dim(uidx_pad, c * chunk, chunk)
+        cp = jnp.cos(phase)[:, :, None]
+        sp = jnp.sin(phase)[:, :, None]
+        br = u_re[:, idxc]  # [f, C, p, Rb, W]
+        bi = u_im[:, idxc]
+        re = (br * cp - bi * sp).reshape(nfreq, chunk, K)
+        im = (br * sp + bi * cp).reshape(nfreq, chunk, K)
+        return re, im
+
+    def _mm(x, y):
+        """[f, C, K] x [f, K, M] -> [f, C, M] batched GEMM."""
+        return jnp.einsum("fck,fkm->fcm", x, y, precision=prec)
+
+    def _mmT(x, y):
+        """[f, C, K] x [f, C, M] -> [f, K, M] batched GEMM."""
+        return jnp.einsum("fck,fcm->fkm", x, y, precision=prec)
+
+    def fwd_body(c, acc):
+        re, im = fringe(c)
+        # natural-layout batched GEMMs [f, C, K] x [f, K, M]; the m-major
+        # container layout is restored by one transpose of the combined
+        # complex block (transposed GEMM outputs are slower on the MXU)
+        G1 = _mm(re, a1)
+        G2 = _mm(im, a2)
+        G3 = _mm(re, a2)
+        G4 = _mm(im, a1)
+        vp = ((G1 - G2) + 1j * (G3 + G4)) * scale  # [f, C, M+1]
+        vm = ((G1 + G2) + 1j * (G3 - G4)) * scale
+        blk = jnp.stack([vp, vm], axis=1).transpose(3, 1, 0, 2)
+        return jax.lax.dynamic_update_slice(
+            acc, blk.astype(acc.dtype), (0, 0, 0, c * chunk)
+        )
+
+    vis0 = jnp.zeros((mmax + 1, 2, nfreq, npad), jnp.complex64)
+    vis_m = jax.lax.fori_loop(0, nchunk, fwd_body, vis0)
+    bmask = (jnp.arange(npad) < npairs).astype(jnp.float32)
+    vis_m = vis_m * bmask
+    vis_m = vis_m.at[0, 1].set(0.0)
+
+    # -- middle: m-modes -> sidereal stream -> m-modes -------------------
+    ntime = 2 * mmax + 1
+    stream = mmode.mmodes_to_sidereal(vis_m, n=ntime, oddra=True)
+    vis_m2 = mmode.make_marray(stream, mmax=mmax).astype(jnp.complex64)
+    if use_weight:
+        vis_m2 = vis_m2 * weight
+
+    # -- adjoint: accumulate Y, apply window + Legendre once -------------
+    # pre-transpose the m-modes to chunk-sliceable natural GEMM layout
+    # [f, npad, 2, M+1] (one transpose outside the loop instead of
+    # transposed GEMM operands inside it)
+    vis_m2t = vis_m2.transpose(2, 3, 1, 0)
+
+    def adj_body(c, Y):
+        Yr, Yi = Y
+        re, im = fringe(c)
+        vc = jax.lax.dynamic_slice(
+            vis_m2t, (0, c * chunk, 0, 0), (nfreq, chunk, 2, mmax + 1)
+        )
+        vs = vc[:, :, 0] + vc[:, :, 1]  # [f, C, M+1]
+        vd = vc[:, :, 1] - vc[:, :, 0]
+        Yr = Yr + _mmT(re, vs.real) - _mmT(im, vd.imag)
+        Yi = Yi + _mmT(re, vs.imag) + _mmT(im, vd.real)
+        return (Yr, Yi)
+
+    Y0 = (
+        jnp.zeros((nfreq, K, mmax + 1), _F32),
+        jnp.zeros((nfreq, K, mmax + 1), _F32),
+    )
+    Yr, Yi = jax.lax.fori_loop(0, nchunk, adj_body, Y0)
+    Y = jax.lax.complex(Yr, Yi).reshape(nfreq, npol, Rb, W, mmax + 1)
+    Ew = jax.lax.complex(Ec, -Es)
+    T = jnp.einsum("rwm,fprwm->fprm", Ew, Y, precision=prec)
+    a_dirty = (
+        jax.lax.complex(
+            jnp.einsum("lmr,fprm->fplm", lam_band, T.real, precision=prec),
+            jnp.einsum("lmr,fprm->fplm", lam_band, T.imag, precision=prec),
+        )
+        * scale
+    )
+    if nfreq * npol == 1:
+        return s._synthesis_impl(a_dirty[0, 0], lam=lam, plan=plan)[None, None]
+    return s._synthesis_impl(a_dirty, lam=lam, plan=plan)
+
+
+def fused_roundtrip_fn(bt, chunk: int = 512):
+    """Build a reusable ``run(sky, weight=None)`` closure for ``bt``.
+
+    All geometry/beam/Legendre device tensors are prepared and
+    transferred ONCE here; each ``run`` call only moves the sky (and
+    optional weights).  Per-call host prep and host->device transfers
+    dominate repeated invocations otherwise — each transfer costs a full
+    round trip on remote-TPU tunnels.
+    """
+    win = bt._beam_window()
+    if win is None:
+        raise ValueError(
+            "fused round trip needs a compact (windowable) beam; "
+            "use the streaming projections for wide beams."
+        )
+    tel = bt.telescope
+    s = win.sht
+    mmax = s.mmax
+    npol = tel.num_pol_sky
+    nfreq = tel.nfreq
+    nbase = len(tel.uniquepairs)
+
+    _, lam, plan = bt._streaming_ops()
+    lam_band = win._ensure_lam()
+    vec = healpix.pix2vec(bt.beam_nside)
+    vecw = jnp.asarray(vec[win.window_index].astype(np.float32))
+
+    npad = _pad_to(nbase, chunk)
+    nchunk = npad // chunk
+
+    bl3 = tel.baseline_vectors_3d().astype(np.float32)
+    blw = bl3[None, :, :] / tel.wavelengths[:, None, None]
+    blw_pad = np.zeros((nfreq, npad, 3), np.float32)
+    blw_pad[:, :nbase] = blw
+
+    u_res, u_ims, uidx = [], [], None
+    for fi in range(nfreq):
+        u_idx, bprod = bt._beam_products(fi)
+        bw = bprod[..., win.window_index]
+        u_res.append(bw.real.astype(np.float32))
+        u_ims.append(bw.imag.astype(np.float32))
+        uidx = u_idx
+    uidx_pad = np.zeros(npad, np.int32)
+    uidx_pad[:nbase] = uidx
+
+    u_re_h = np.stack(u_res)
+    u_im_h = np.stack(u_ims)
+    uniform_real = u_re_h.shape[1] == 1 and not u_im_h.any()
+
+    consts = (
+        lam,
+        plan,
+        lam_band,
+        win._Ec,
+        win._Es,
+        vecw,
+        jnp.asarray(u_re_h),
+        jnp.asarray(u_im_h),
+        jnp.asarray(uidx_pad),
+        jnp.asarray(blw_pad),
+    )
+    dims = (nfreq, npol, chunk, nchunk, nbase, win.Rb, win.W, mmax)
+
+    def run(sky, weight=None):
+        use_weight = weight is not None
+        if use_weight:
+            w_pad = np.zeros((mmax + 1, 2, nfreq, npad), np.float32)
+            w_pad[..., :nbase] = np.asarray(weight, dtype=np.float32)
+            w_dev = jnp.asarray(w_pad)
+        else:
+            w_dev = jnp.zeros((), _F32)
+        if not isinstance(sky, jax.Array):
+            sky = jnp.asarray(np.asarray(sky, dtype=np.float32))
+        return _fused_roundtrip(
+            sky,
+            *consts,
+            w_dev,
+            sht_obj=s,
+            dims=dims,
+            use_weight=use_weight,
+            uniform_real_beam=bool(uniform_real),
+        )
+
+    return run
+
+
+def fused_simulate_to_map(bt, sky, chunk: int = 512, weight=None):
+    """Run the full simulate -> dirty-map round trip in one XLA program.
+
+    Parameters
+    ----------
+    bt : BeamTransfer
+        Beam-transfer manager of a compact-beam telescope (the windowed
+        projection must apply; raises otherwise).
+    sky : [nfreq, npol_sky, npix]
+        Input sky maps matching the telescope frequencies.
+    chunk : int
+        Baselines per streamed chunk.
+    weight : optional [mmax+1, 2, nfreq, nbase]
+        Inverse-noise weights applied to the m-modes before the adjoint
+        (unit weights when omitted).
+
+    Returns
+    -------
+    maps : jnp.ndarray [nfreq, npol_sky, npix]
+        The dirty-map round trip of ``sky``.
+
+    The prepared device state is cached on ``bt`` per chunk size, so
+    repeated calls only transfer the sky.
+    """
+    cache = bt.__dict__.setdefault("_fused_fns", {})
+    if chunk not in cache:
+        cache[chunk] = fused_roundtrip_fn(bt, chunk=chunk)
+    return cache[chunk](sky, weight=weight)
+
+
+from ..core import config as _config
+from ..core.task import ContainerTask as _ContainerTask
+
+
+class SimulateAndMap(_ContainerTask):
+    """Pipeline task: Map in, dirty-map round trip out, fully fused.
+
+    The one-program equivalent of chaining ``SimulateSidereal ->
+    MModeTransform -> DirtyMapMaker`` (group_tasks fuses the *scheduling*
+    of those; this fuses the *computation* into a single XLA executable,
+    which is what production simulation sweeps should run).
+
+    Attributes
+    ----------
+    baseline_chunk : int
+        Baselines per streamed chunk inside the fused program.
+    """
+
+    baseline_chunk = _config.Property(proptype=int, default=512)
+
+    def setup(self, bt):
+        """Keep the beam-transfer manager."""
+        from ..core import io
+
+        self.beamtransfer = io.get_beamtransfer(bt)
+        self.telescope = io.get_telescope(bt)
+
+    def process(self, map_):
+        """Round-trip ``map_`` and return the dirty Map."""
+        from ..core import containers
+        from ..ops import tools
+
+        sky = np.asarray(map_.map[:])
+        maps = fused_simulate_to_map(
+            self.beamtransfer, sky, chunk=self.baseline_chunk
+        )
+        out = containers.Map(
+            nside=healpix.nside_of(sky.shape[-1]),
+            polarisation=sky.shape[1] == 4,
+            freq=map_.index_map["freq"][:],
+            attrs_from=map_,
+        )
+        out.map[:] = tools.device_to_numpy(maps)
+        return out

@@ -1,0 +1,93 @@
+"""Fused simulate->map round trip vs the composed streaming stages."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from draco_tpu.core import containers
+from draco_tpu.ops import healpix, mmode, sht
+from draco_tpu.telescope import BeamTransfer, UnpolarisedDishArray
+from draco_tpu.telescope.roundtrip import SimulateAndMap, fused_simulate_to_map
+
+
+@pytest.fixture(scope="module")
+def compact_setup():
+    nside = 16
+    tel = UnpolarisedDishArray(
+        grid_ew=2,
+        grid_ns=2,
+        spacing_ew=4.0,
+        spacing_ns=4.0,
+        latitude=30.0,
+        freq_lower=400.0,
+        freq_upper=500.0,
+        num_freq=2,
+        dish_width=8.0,  # narrow beam -> windowed projection applies
+        auto_correlations=True,
+        force_lmax=3 * nside - 1,
+        force_mmax=3 * nside - 1,
+    )
+    bt = BeamTransfer(telescope=tel, nside=nside)
+    if bt._beam_window() is None:
+        pytest.skip("beam not compact enough for the windowed path")
+    rng = np.random.Generator(np.random.SFC64(11))
+    sky = rng.standard_normal((tel.nfreq, 1, healpix.npix_of(nside))).astype(
+        np.float32
+    )
+    return tel, bt, sky
+
+
+def _composed_roundtrip(bt, tel, sky):
+    """The same spine as separate streaming dispatches."""
+    alm = sht.sphtrans_sky(jnp.asarray(sky), lmax=tel.lmax)[..., : tel.mmax + 1]
+    vis_m = np.asarray(bt.project_sky_to_telescope_streaming(alm))
+    ntime = 2 * tel.mmax + 1
+    stream = mmode.mmodes_to_sidereal(jnp.asarray(vis_m), n=ntime, oddra=True)
+    vis2 = np.asarray(mmode.make_marray(stream, mmax=tel.mmax))
+    a = bt.project_telescope_to_sky_dirty_streaming(
+        vis2, np.ones_like(vis2.real)
+    )
+    return np.asarray(sht.sphtrans_inv_sky(a, healpix.nside_of(sky.shape[-1])))
+
+
+def test_fused_matches_composed_stages(compact_setup):
+    tel, bt, sky = compact_setup
+    want = _composed_roundtrip(bt, tel, sky)
+    got = np.asarray(fused_simulate_to_map(bt, sky, chunk=4))
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=2e-5 * np.abs(want).max())
+
+
+def test_fused_chunk_invariance(compact_setup):
+    tel, bt, sky = compact_setup
+    a = np.asarray(fused_simulate_to_map(bt, sky, chunk=3))
+    b = np.asarray(fused_simulate_to_map(bt, sky, chunk=10))
+    assert np.allclose(a, b, atol=1e-5 * np.abs(a).max())
+
+
+def test_fused_weighting(compact_setup):
+    tel, bt, sky = compact_setup
+    nbase = len(tel.uniquepairs)
+    w = np.full((tel.mmax + 1, 2, tel.nfreq, nbase), 0.5, np.float32)
+    half = np.asarray(fused_simulate_to_map(bt, sky, chunk=4, weight=w))
+    unit = np.asarray(fused_simulate_to_map(bt, sky, chunk=4))
+    assert np.allclose(half, 0.5 * unit, atol=1e-6 * np.abs(unit).max())
+
+
+def test_simulate_and_map_task(compact_setup):
+    tel, bt, sky = compact_setup
+    m = containers.Map(
+        nside=healpix.nside_of(sky.shape[-1]),
+        polarisation=False,
+        freq=tel.frequencies,
+    )
+    m.map[:] = sky
+
+    task = SimulateAndMap()
+    task.read_config({"baseline_chunk": 5})
+    task.setup(bt)
+    out = task.process(m)
+    assert isinstance(out, containers.Map)
+    want = np.asarray(fused_simulate_to_map(bt, sky, chunk=5))
+    assert np.allclose(np.asarray(out.map[:]), want, atol=1e-6)
