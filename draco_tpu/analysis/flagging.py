@@ -1087,35 +1087,38 @@ def p_to_sigma(p):
     return ss.norm.isf(p / 2)
 
 
+#: North-American TV broadcast bands: 67 stations of 6 MHz from 398 MHz
+_TV_BAND_EDGES = 398.0 + 6.0 * np.arange(68)
+
+
 def tv_channels_flag(x, freq, sigma=5, f=0.5, debug=False):
-    """Flag whole TV-station bands with excess bad samples.
+    """Flag whole TV-station bands whose bad-sample fraction exceeds ``f``.
 
-    (reference flagging.py:3316-3381)
+    Within each 6 MHz broadcast band the per-band significance threshold
+    is set so a fraction ``f`` of the band's channels exceeding it is a
+    ``sigma``-level event under the binomial null; any band where the
+    observed fraction tops ``f`` is masked in full.  Semantics of
+    reference flagging.py:3316-3381.
     """
-    p_false = sigma_to_p(sigma)
-    frac = np.ones_like(x, dtype=np.float32)
+    x = np.asarray(x)
+    null_p = sigma_to_p(sigma)
+    half_ch = 0.5 * np.median(np.abs(np.diff(freq)))
+    bad_frac = np.ones_like(x, dtype=np.float32)
 
-    tvstart_freq = 398
-    tvwidth_freq = 6
-    df = np.median(np.abs(np.diff(freq)))
-    freq_start = freq - 0.5 * df
-    freq_end = freq + 0.5 * df
-
-    for i in range(67):
-        fs = tvstart_freq + i * tvwidth_freq
-        fe = fs + tvwidth_freq
-        sel = (freq_end >= fs) & (freq_start <= fe)
-        if not sel.any():
+    for band_lo, band_hi in zip(_TV_BAND_EDGES[:-1], _TV_BAND_EDGES[1:]):
+        members = np.flatnonzero(
+            (freq + half_ch >= band_lo) & (freq - half_ch <= band_hi)
+        )
+        if members.size == 0:
             continue
-        N = sel.sum()
-        k = int(f * N)
-        t = p_to_sigma(inverse_binom_cdf_prob(k, N, 1 - p_false))
-        frac[sel] = (x[sel] > t).mean(axis=0)[np.newaxis, :]
+        n = members.size
+        level = p_to_sigma(
+            inverse_binom_cdf_prob(int(f * n), n, 1 - null_p)
+        )
+        bad_frac[members] = np.mean(x[members] > level, axis=0)
 
-    mask = frac > f
-    if debug:
-        return mask, frac
-    return mask
+    mask = bad_frac > f
+    return (mask, bad_frac) if debug else mask
 
 
 def complex_med(x, *args, **kwargs):

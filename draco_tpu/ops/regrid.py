@@ -148,24 +148,37 @@ def rebin_matrix(tra: np.ndarray, ra: np.ndarray, width_t: float = 0.0) -> np.nd
 
 
 def grad_1d(x, si, mask, period: float | None = None):
-    """Masked gradient with optional periodic wrapping (regrid.py:214)."""
-    x = np.asarray(x).copy()
+    """Gradient of masked samples; masked/edge points return zero.
+
+    Periodic inputs are handled by wrapping one sample from each end
+    before differencing.  The returned mask additionally covers every
+    point adjacent to a masked one (their central differences are
+    contaminated).  Semantics of reference regrid.py:214-270.
+    """
+
+    x = np.asarray(x)
     si = np.asarray(si)
-    mask = np.asarray(mask).copy()
+    bad = np.asarray(mask).astype(bool)
+    view = slice(None)
     if period is not None:
+        wrap = np.ceil(si[-1] / period) * period
         x = np.concatenate(([x[-1]], x, [x[0]]))
-        mask = np.concatenate(([mask[-1]], mask, [mask[0]]))
-        shift = np.ceil(si[-1] / period) * period
-        si = np.concatenate(([si[-1] - shift], si, [si[0] + shift]))
-        sel = slice(1, -1)
-    else:
-        sel = slice(None)
-    mask |= np.concatenate(([False], mask[:-1])) | np.concatenate((mask[1:], [False]))
+        si = np.concatenate(([si[-1] - wrap], si, [si[0] + wrap]))
+        bad = np.concatenate(([bad[-1]], bad, [bad[0]]))
+        view = slice(1, -1)
+
+    # a masked neighbour poisons the central difference on either side
+    left = np.zeros_like(bad)
+    left[1:] = bad[:-1]
+    right = np.zeros_like(bad)
+    right[:-1] = bad[1:]
+    bad = bad | left | right
+
     with np.errstate(divide="ignore", invalid="ignore"):
-        grad = np.gradient(x, si)
-    mask |= ~np.isfinite(grad)
-    grad[mask] = 0.0
-    return grad[sel], mask[sel]
+        slope = np.gradient(x, si)
+    bad |= ~np.isfinite(slope)
+    slope = np.where(bad, 0.0, slope)
+    return slope[view], bad[view]
 
 
 def taylor_coeff(
@@ -177,40 +190,55 @@ def taylor_coeff(
     period: float | None = None,
     xc: np.ndarray | None = None,
 ):
-    """Sparse local Taylor-expansion estimator matrices (regrid.py:273).
+    """Sparse local Taylor-expansion estimator matrices.
 
-    Returns M sparse CSR matrices; each estimates one expansion coefficient
-    at every location from the 2N+1 nearest samples.
+    For every location, a regularised weighted least-squares fit of an
+    order-``M`` Taylor expansion to the ``2N+1`` nearest samples; the
+    returned list holds one sparse CSR operator per expansion
+    coefficient.  Semantics of reference regrid.py:273-350.
+
+    Parameters
+    ----------
+    x : sample locations [nx]
+    N : half-width of the fit stencil
+    M : number of expansion coefficients
+    Ni : per-sample inverse noise [nx]
+    Si : ridge regularisation added to the normal matrix diagonal
+    period : optional wrap period for circular axes
+    xc : optional expansion centres (defaults to the samples)
     """
     import scipy.sparse as ss
 
     x = np.asarray(x)
-    Ni = np.asarray(Ni)
+    weights = np.asarray(Ni)
     nx = x.shape[0]
-    ind = np.arange(nx)[:, np.newaxis] + np.arange(-N, N + 1)[np.newaxis, :]
-    xc = x if xc is None else np.asarray(xc)
+    centres = x if xc is None else np.asarray(xc)
+
+    stencil = np.arange(-N, N + 1)
+    neighbour = np.arange(nx)[:, None] + stencil[None, :]
 
     if period is not None:
-        ind = ind % nx
-        xf = x[ind] - xc[:, np.newaxis]
-        xf = ((xf + period / 2) % period) - period / 2
-        Na = Ni[ind]
+        neighbour %= nx
+        offsets = x[neighbour] - centres[:, None]
+        offsets = (offsets + period / 2) % period - period / 2
+        w = weights[neighbour]
     else:
-        mask = (ind < 0) | (ind >= nx)
-        ind = np.where(mask, 0, ind)
-        xf = x[ind] - xc[:, np.newaxis]
-        Na = Ni[ind]
-        Na[mask] = 0.0
+        oob = (neighbour < 0) | (neighbour >= nx)
+        neighbour = np.clip(neighbour, 0, nx - 1)
+        offsets = x[neighbour] - centres[:, None]
+        w = np.where(oob, 0.0, weights[neighbour])
 
-    X = np.stack([xf**m for m in range(M)], axis=2)
-    XhNi = (X * Na[:, :, np.newaxis]).transpose(0, 2, 1)
-    XhNiX = XhNi @ X
-    Ci = np.identity(M) * Si + XhNiX
-    C = np.linalg.inv(Ci)
-    W = C @ XhNi
+    # weighted normal equations per location, solved batched
+    V = offsets[..., None] ** np.arange(M)  # [nx, 2N+1, M] Vandermonde
+    VtW = np.swapaxes(V * w[..., None], 1, 2)  # [nx, M, 2N+1]
+    normal = VtW @ V + Si * np.eye(M)
+    coeff_w = np.linalg.solve(normal, VtW)  # [nx, M, 2N+1]
 
-    indptr = (2 * N + 1) * np.arange(nx + 1, dtype=int)
+    row_starts = (2 * N + 1) * np.arange(nx + 1)
     return [
-        ss.csr_array((W[:, i].ravel(), ind.ravel(), indptr), shape=(nx, nx))
-        for i in range(M)
+        ss.csr_array(
+            (coeff_w[:, m].ravel(), neighbour.ravel(), row_starts),
+            shape=(nx, nx),
+        )
+        for m in range(M)
     ]
