@@ -1,7 +1,6 @@
 """Fully-fused simulate -> map round trip.
 
-One compiled XLA program runs the whole m-mode spine for compact-beam
-telescopes:
+One compiled XLA program runs the whole m-mode spine:
 
   sky map --SHT--> alm --windowed beam projection--> V_m --iFFT--> sidereal
   stream --FFT--> m-modes --(weighted) adjoint--> dirty alm --inverse
@@ -206,6 +205,160 @@ def _fused_roundtrip(
     return s._synthesis_impl(a_dirty, lam=lam, plan=plan)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("sht_obj", "dims", "use_weight", "uniform_real_beam"),
+)
+def _fused_roundtrip_fullsphere(
+    sky,
+    lam,
+    plan,
+    pw,
+    vecp,
+    u_re,
+    u_im,
+    uidx_pad,
+    blw_pad,
+    weight,
+    *,
+    sht_obj,
+    dims,
+    use_weight,
+    uniform_real_beam,
+):
+    """Full-sphere variant of :func:`_fused_roundtrip`.
+
+    For beams without compact support (cylinder telescopes — the
+    reference's own instrument class) the projection runs through the
+    factorised per-ring-section form: the sky is pre-contracted against
+    the split Legendre sections once per frequency, each baseline chunk
+    ring-analyses its [Re, Im] fringe x beam maps on the padded ring
+    layout, and the adjoint accumulates per-section T tensors with the
+    Legendre applied once after the loop.
+
+    sky : [nfreq, npol, npix]
+    pw : [nbelt, M+1] belt phase-weight (folded into S / T, the belt
+        sections are analysed "raw")
+    vecp : [npad_pix, 3] padded-layout pixel vectors (zero rows where
+        the layout has no pixel)
+    u_re/u_im : [nfreq, nuniq, npol, npad_pix] padded beam products
+    """
+    s = sht_obj
+    nfreq, npol, chunk, nchunk, npairs, mmax = dims
+    npad = nchunk * chunk
+    scale = 1.0 / (4 * np.pi / s.npix)
+    prec = _PREC_RT
+
+    if nfreq * npol == 1:
+        alm = s._analysis_impl(sky[0, 0], lam=lam, plan=plan)[None, None]
+    else:
+        alm = s._analysis_impl(sky, lam=lam, plan=plan)  # [f, p, L+1, M+1]
+
+    def sky_section(lam_s):
+        r = jnp.einsum("fplm,lmr->fpmr", alm.real, lam_s, precision=prec)
+        i = jnp.einsum("fplm,lmr->fpmr", alm.imag, lam_s, precision=prec)
+        return jax.lax.complex(r, i)
+
+    S_secs = [sky_section(lam["belt"]) * jnp.conj(pw).T] + [
+        sky_section(c) for c in lam["caps"]
+    ]
+
+    def fringe_sections(c):
+        """Ring-section coefficients of the chunk's fringe x beam pair."""
+        blc = jax.lax.dynamic_slice(
+            blw_pad, (0, c * chunk, 0), (nfreq, chunk, 3)
+        )
+        phase = 2 * jnp.pi * jnp.einsum(
+            "fcx,px->fcp", blc, vecp, precision=prec
+        )
+        if uniform_real_beam:
+            b = u_re[:, 0][:, None]  # [f, 1, p, npad_pix]
+            re = b * jnp.cos(phase)[:, :, None]
+            im = b * jnp.sin(phase)[:, :, None]
+        else:
+            idxc = jax.lax.dynamic_slice_in_dim(uidx_pad, c * chunk, chunk)
+            cp = jnp.cos(phase)[:, :, None]
+            sp = jnp.sin(phase)[:, :, None]
+            br = u_re[:, idxc]
+            bi = u_im[:, idxc]
+            re = br * cp - bi * sp
+            im = br * sp + bi * cp
+        X = jnp.stack([re, im])  # [2, f, C, p, npad_pix]
+        return s._ring_analysis_parts_padded(X, raw_belt=True, plan=plan)
+
+    def fwd_body(c, acc):
+        F_belt, group_F = fringe_sections(c)
+        vp = jnp.zeros((nfreq, mmax + 1, chunk), jnp.complex64)
+        vm = jnp.zeros((nfreq, mmax + 1, chunk), jnp.complex64)
+        # analysis is linear: with U = sum conj(F[0]) S, V = sum conj(F[1]) S
+        # the two conjugate-beam branches are U + iV and U - iV
+        for F2, S in zip([F_belt, *group_F], S_secs):
+            U = jnp.einsum(
+                "fcprm,fpmr->fmc", jnp.conj(F2[0]), S, precision=prec
+            )
+            V = jnp.einsum(
+                "fcprm,fpmr->fmc", jnp.conj(F2[1]), S, precision=prec
+            )
+            vp = vp + (U + 1j * V)
+            vm = vm + (U - 1j * V)
+        blk = jnp.stack([vp * scale, vm * scale], axis=1)  # [f, 2, M+1, C]
+        return jax.lax.dynamic_update_slice(
+            acc, blk.transpose(2, 1, 0, 3).astype(acc.dtype),
+            (0, 0, 0, c * chunk),
+        )
+
+    vis0 = jnp.zeros((mmax + 1, 2, nfreq, npad), jnp.complex64)
+    vis_m = jax.lax.fori_loop(0, nchunk, fwd_body, vis0)
+    bmask = (jnp.arange(npad) < npairs).astype(jnp.float32)
+    vis_m = vis_m * bmask
+    vis_m = vis_m.at[0, 1].set(0.0)
+
+    ntime = 2 * mmax + 1
+    stream = mmode.mmodes_to_sidereal(vis_m, n=ntime, oddra=True)
+    vis_m2 = mmode.make_marray(stream, mmax=mmax).astype(jnp.complex64)
+    if use_weight:
+        vis_m2 = vis_m2 * weight
+
+    sec_rings = [lam["belt"].shape[2]] + [c.shape[2] for c in lam["caps"]]
+
+    def adj_body(c, T_accs):
+        F_belt, group_F = fringe_sections(c)
+        vc = jax.lax.dynamic_slice(
+            vis_m2, (0, 0, 0, c * chunk), (mmax + 1, 2, nfreq, chunk)
+        )
+        v_sum = vc[:, 0] + vc[:, 1]  # [M+1, f, C]
+        v_dif = vc[:, 1] - vc[:, 0]
+        out = []
+        # T += F[0] (v0 + v1) + i F[1] (v1 - v0)
+        for F2, T in zip([F_belt, *group_F], T_accs):
+            T = T + jnp.einsum(
+                "fcprm,mfc->fprm", F2[0], v_sum, precision=prec
+            )
+            T = T + 1j * jnp.einsum(
+                "fcprm,mfc->fprm", F2[1], v_dif, precision=prec
+            )
+            out.append(T)
+        return out
+
+    T0 = [
+        jnp.zeros((nfreq, npol, r, mmax + 1), jnp.complex64)
+        for r in sec_rings
+    ]
+    T_accs = jax.lax.fori_loop(0, nchunk, adj_body, T0)
+    T_accs[0] = T_accs[0] * pw
+
+    a_dirty = jnp.zeros((nfreq, npol, s.lmax + 1, mmax + 1), jnp.complex64)
+    for T, lam_s in zip(T_accs, [lam["belt"], *lam["caps"]]):
+        a_dirty = a_dirty + jax.lax.complex(
+            jnp.einsum("lmr,fprm->fplm", lam_s, T.real, precision=prec),
+            jnp.einsum("lmr,fprm->fplm", lam_s, T.imag, precision=prec),
+        )
+    a_dirty = a_dirty * scale
+    if nfreq * npol == 1:
+        return s._synthesis_impl(a_dirty[0, 0], lam=lam, plan=plan)[None, None]
+    return s._synthesis_impl(a_dirty, lam=lam, plan=plan)
+
+
 def fused_roundtrip_fn(bt, chunk: int = 512):
     """Build a reusable ``run(sky, weight=None)`` closure for ``bt``.
 
@@ -214,13 +367,13 @@ def fused_roundtrip_fn(bt, chunk: int = 512):
     optional weights).  Per-call host prep and host->device transfers
     dominate repeated invocations otherwise — each transfer costs a full
     round trip on remote-TPU tunnels.
+
+    Compact beams run the windowed program; wide beams (cylinders) the
+    full-sphere factorised one.
     """
     win = bt._beam_window()
     if win is None:
-        raise ValueError(
-            "fused round trip needs a compact (windowable) beam; "
-            "use the streaming projections for wide beams."
-        )
+        return _fullsphere_roundtrip_fn(bt, chunk)
     tel = bt.telescope
     s = win.sht
     mmax = s.mmax
@@ -292,14 +445,86 @@ def fused_roundtrip_fn(bt, chunk: int = 512):
     return run
 
 
+def _fullsphere_roundtrip_fn(bt, chunk: int):
+    """Prepared-run closure for the full-sphere fused program."""
+    tel = bt.telescope
+    s, lam, plan = bt._streaming_ops()
+    mmax = s.mmax
+    npol = tel.num_pol_sky
+    nfreq = tel.nfreq
+    nbase = len(tel.uniquepairs)
+
+    layout = s.padded_layout()
+    lclip = np.clip(layout, 0, None)
+    vec = healpix.pix2vec(bt.beam_nside)
+    vecp = jnp.asarray(
+        np.where(layout[:, None] >= 0, vec[lclip], 0.0).astype(np.float32)
+    )
+    pw = s.belt_phase_weight(jnp.complex64)
+
+    npad = _pad_to(nbase, chunk)
+    nchunk = npad // chunk
+    bl3 = tel.baseline_vectors_3d().astype(np.float32)
+    blw_pad = np.zeros((nfreq, npad, 3), np.float32)
+    blw_pad[:, :nbase] = bl3[None] / tel.wavelengths[:, None, None]
+
+    u_res, u_ims, uidx = [], [], None
+    for fi in range(nfreq):
+        u_idx, bprod = bt._beam_products(fi)
+        bpad = np.where(layout >= 0, bprod[..., lclip], 0.0)
+        u_res.append(bpad.real.astype(np.float32))
+        u_ims.append(bpad.imag.astype(np.float32))
+        uidx = u_idx
+    uidx_pad = np.zeros(npad, np.int32)
+    uidx_pad[:nbase] = uidx
+
+    u_re_h = np.stack(u_res)
+    u_im_h = np.stack(u_ims)
+    uniform_real = u_re_h.shape[1] == 1 and not u_im_h.any()
+
+    consts = (
+        lam,
+        plan,
+        pw,
+        vecp,
+        jnp.asarray(u_re_h),
+        jnp.asarray(u_im_h),
+        jnp.asarray(uidx_pad),
+        jnp.asarray(blw_pad),
+    )
+    dims = (nfreq, npol, chunk, nchunk, nbase, mmax)
+
+    def run(sky, weight=None):
+        use_weight = weight is not None
+        if use_weight:
+            w_pad = np.zeros((mmax + 1, 2, nfreq, npad), np.float32)
+            w_pad[..., :nbase] = np.asarray(weight, dtype=np.float32)
+            w_dev = jnp.asarray(w_pad)
+        else:
+            w_dev = jnp.zeros((), _F32)
+        if not isinstance(sky, jax.Array):
+            sky = jnp.asarray(np.asarray(sky, dtype=np.float32))
+        return _fused_roundtrip_fullsphere(
+            sky,
+            *consts,
+            w_dev,
+            sht_obj=s,
+            dims=dims,
+            use_weight=use_weight,
+            uniform_real_beam=bool(uniform_real),
+        )
+
+    return run
+
+
 def fused_simulate_to_map(bt, sky, chunk: int = 512, weight=None):
     """Run the full simulate -> dirty-map round trip in one XLA program.
 
     Parameters
     ----------
     bt : BeamTransfer
-        Beam-transfer manager of a compact-beam telescope (the windowed
-        projection must apply; raises otherwise).
+        Beam-transfer manager; compact beams run the windowed program,
+        wide (cylinder) beams the full-sphere factorised one.
     sky : [nfreq, npol_sky, npix]
         Input sky maps matching the telescope frequencies.
     chunk : int

@@ -91,3 +91,50 @@ def test_simulate_and_map_task(compact_setup):
     assert isinstance(out, containers.Map)
     want = np.asarray(fused_simulate_to_map(bt, sky, chunk=5))
     assert np.allclose(np.asarray(out.map[:]), want, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def cylinder_setup():
+    from draco_tpu.telescope import UnpolarisedCylinderTelescope
+
+    nside = 16
+    tel = UnpolarisedCylinderTelescope(
+        num_cylinders=2,
+        cylinder_width=10.0,
+        cylinder_spacing=12.0,
+        num_feeds=3,
+        feed_spacing=2.0,
+        latitude=45.0,
+        freq_lower=400.0,
+        freq_upper=500.0,
+        num_freq=2,
+        auto_correlations=True,
+        force_lmax=3 * nside - 1,
+        force_mmax=3 * nside - 1,
+    )
+    bt = BeamTransfer(telescope=tel, nside=nside)
+    assert bt._beam_window() is None, "cylinder beam should not be windowable"
+    rng = np.random.Generator(np.random.SFC64(21))
+    sky = rng.standard_normal((tel.nfreq, 1, healpix.npix_of(nside))).astype(
+        np.float32
+    )
+    return tel, bt, sky
+
+
+def test_fused_fullsphere_matches_composed_stages(cylinder_setup):
+    """Cylinder (non-windowable) telescopes run the full-sphere fused
+    program; must equal the composed streaming stages."""
+    tel, bt, sky = cylinder_setup
+    want = _composed_roundtrip(bt, tel, sky)
+    got = np.asarray(fused_simulate_to_map(bt, sky, chunk=4))
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=3e-5 * np.abs(want).max())
+
+
+def test_fused_fullsphere_weighting(cylinder_setup):
+    tel, bt, sky = cylinder_setup
+    nbase = len(tel.uniquepairs)
+    w = np.full((tel.mmax + 1, 2, tel.nfreq, nbase), 2.0, np.float32)
+    twice = np.asarray(fused_simulate_to_map(bt, sky, chunk=5, weight=w))
+    unit = np.asarray(fused_simulate_to_map(bt, sky, chunk=5))
+    assert np.allclose(twice, 2.0 * unit, atol=1e-5 * np.abs(unit).max())
