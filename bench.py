@@ -162,6 +162,63 @@ def run_library(nfreq: int, nfeed_side: int, autos: bool, chunk: int,
     return min(times), warm, npairs
 
 
+def run_cylinder():
+    """Full-sphere fused round trip on a cylinder (CHIME-class) telescope."""
+    import jax.numpy as jnp
+
+    from draco_tpu.ops import healpix
+    from draco_tpu.telescope import BeamTransfer, UnpolarisedCylinderTelescope
+    from draco_tpu.telescope.roundtrip import fused_roundtrip_fn
+
+    ncyl = int(os.environ.get("BENCH_CYL_N", 2))
+    nfeed = int(os.environ.get("BENCH_CYL_FEEDS", 64))
+    f0 = 299.792458 / 0.6
+    tel = UnpolarisedCylinderTelescope(
+        num_cylinders=ncyl,
+        cylinder_width=20.0,
+        cylinder_spacing=22.0,
+        num_feeds=nfeed,
+        feed_spacing=0.5,
+        latitude=49.0,
+        freq_lower=f0,
+        freq_upper=f0,
+        num_freq=1,
+        auto_correlations=True,
+        force_lmax=3 * NSIDE - 1,
+        force_mmax=3 * NSIDE - 1,
+    )
+    bt = BeamTransfer(telescope=tel, nside=NSIDE)
+    npairs = len(tel.uniquepairs)
+    chunk = int(os.environ.get("BENCH_CYL_CHUNK", min(64, npairs)))
+    log(f"[cylinder] nside={NSIDE} cylinders={ncyl}x{nfeed} "
+        f"npairs={npairs} chunk={chunk} windowed={bt._beam_window() is not None}")
+
+    rng = np.random.Generator(np.random.SFC64(1))
+    sky = jnp.asarray(
+        rng.standard_normal((1, 1, healpix.npix_of(NSIDE))).astype(np.float32)
+    )
+    run = fused_roundtrip_fn(bt, chunk=chunk)
+
+    def once():
+        out = run(sky)
+        out.block_until_ready()
+        np.asarray(out[0, 0, :8])
+        return out
+
+    t0 = time.time()
+    out = once()
+    warm = time.time() - t0
+    log(f"[cylinder] warmup (incl. compile): {warm:.1f}s")
+    times = []
+    for i in range(max(1, NRUN - 1)):
+        t0 = time.time()
+        once()
+        times.append(time.time() - t0)
+        log(f"[cylinder] run {i}: {times[-1]:.3f}s")
+    assert np.isfinite(np.asarray(out[:, :, :1024])).all()
+    return min(times), warm, npairs
+
+
 def main():
     legacy = (
         os.environ.get("BENCH_SHARD")
@@ -236,6 +293,15 @@ def main():
             "t_256feeds_1freq * (per-freq batched cost ratio "
             f"{amort:.3f}) * 1024 freqs / 8 chips"
         )
+
+    if os.environ.get("BENCH_CYLINDER"):
+        # CHIME-class instrument: full-sphere fused path (no beam window)
+        t_cyl, warm_cyl, npairs_cyl = run_cylinder()
+        extras["cylinder"] = {
+            "npairs": npairs_cyl,
+            "seconds": round(t_cyl, 3),
+            "warmup_s": round(warm_cyl, 1),
+        }
 
     if os.environ.get("BENCH_CROSSCHECK"):
         spine = run_spine(emit_json=False)

@@ -138,3 +138,48 @@ def test_fused_fullsphere_weighting(cylinder_setup):
     twice = np.asarray(fused_simulate_to_map(bt, sky, chunk=5, weight=w))
     unit = np.asarray(fused_simulate_to_map(bt, sky, chunk=5))
     assert np.allclose(twice, 2.0 * unit, atol=1e-5 * np.abs(unit).max())
+
+
+@pytest.fixture(scope="module")
+def polarised_setup():
+    from draco_tpu.core import config as cfg
+    from draco_tpu.telescope import SimplePolarisedTelescope
+
+    class PolDishes(SimplePolarisedTelescope):
+        """Four dual-pol dishes on a line (X feeds then Y feeds)."""
+
+        @property
+        def feedpositions(self):
+            xy = np.array([[0.0, 0.0], [5.0, 1.0], [1.0, 6.0], [6.0, 5.5]])
+            return np.concatenate([xy, xy], axis=0)  # X block + Y block
+
+        @property
+        def beamclass(self):
+            return np.array([0, 0, 0, 0, 1, 1, 1, 1])
+
+    nside = 16
+    tel = PolDishes(
+        latitude=30.0,
+        freq_lower=400.0,
+        freq_upper=500.0,
+        num_freq=2,
+        dish_width=8.0,
+        auto_correlations=True,
+        force_lmax=3 * nside - 1,
+        force_mmax=3 * nside - 1,
+    )
+    bt = BeamTransfer(telescope=tel, nside=nside)
+    rng = np.random.Generator(np.random.SFC64(31))
+    sky = rng.standard_normal((tel.nfreq, 4, healpix.npix_of(nside))).astype(
+        np.float32
+    )
+    return tel, bt, sky
+
+
+def test_fused_polarised_matches_composed_stages(polarised_setup):
+    """npol=4 exercises the complex multi-beamclass gather path."""
+    tel, bt, sky = polarised_setup
+    want = _composed_roundtrip(bt, tel, sky)
+    got = np.asarray(fused_simulate_to_map(bt, sky, chunk=7))
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=3e-5 * np.abs(want).max())
