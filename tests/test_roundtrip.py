@@ -183,3 +183,41 @@ def test_fused_polarised_matches_composed_stages(polarised_setup):
     got = np.asarray(fused_simulate_to_map(bt, sky, chunk=7))
     assert got.shape == want.shape
     assert np.allclose(got, want, atol=3e-5 * np.abs(want).max())
+
+
+def test_fused_freq_sharded_mesh(compact_setup):
+    """Frequencies are embarrassingly parallel: the fused program under a
+    freq-sharded mesh (the pod layout the north-star projection assumes)
+    must match the single-placement run."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from draco_tpu.parallel import make_mesh2d, use_mesh
+    from draco_tpu.telescope.roundtrip import fused_roundtrip_fn
+
+    tel, bt, _ = compact_setup
+    nside = bt.beam_nside
+    rng = np.random.Generator(np.random.SFC64(17))
+    # 8 frequencies so the axis divides the mesh
+    tel8 = UnpolarisedDishArray(
+        grid_ew=2, grid_ns=2, spacing_ew=4.0, spacing_ns=4.0,
+        latitude=30.0, freq_lower=400.0, freq_upper=500.0, num_freq=8,
+        dish_width=8.0, auto_correlations=True,
+        force_lmax=3 * nside - 1, force_mmax=3 * nside - 1,
+    )
+    bt8 = BeamTransfer(telescope=tel8, nside=nside)
+    sky = rng.standard_normal(
+        (8, 1, healpix.npix_of(nside))
+    ).astype(np.float32)
+
+    ref = np.asarray(fused_roundtrip_fn(bt8, chunk=5)(jnp.asarray(sky)))
+
+    mesh = make_mesh2d(shape=(8, 1), axis_names=("freq", "m"))
+    with use_mesh(mesh):
+        run = fused_roundtrip_fn(bt8, chunk=5)
+        sky_sh = jax.device_put(
+            jnp.asarray(sky), NamedSharding(mesh, P("freq", None, None))
+        )
+        got = np.asarray(run(sky_sh))
+
+    assert np.allclose(ref, got, atol=1e-5 * np.abs(ref).max())
