@@ -298,7 +298,7 @@ def main():
             "pairs x 1024 freqs / 8 chips"
         )
 
-    if os.environ.get("BENCH_CYLINDER"):
+    if os.environ.get("BENCH_CYLINDER", "1") != "0":
         # CHIME-class instrument: full-sphere fused path (no beam window)
         t_cyl, warm_cyl, npairs_cyl = run_cylinder()
         extras["cylinder"] = {
