@@ -45,9 +45,8 @@ class QuadraticPSEstimation(ContainerTask):
 
         vis = np.asarray(klmodes.vis[:])
         nmode = np.asarray(klmodes.nmode[:])
-        q = np.zeros(pse.nbands)
-        for m in range(vis.shape[0]):
-            q += pse.q_estimator(m, vis[m, : nmode[m]])
+        # one batched device contraction over every m at once
+        q = pse.q_estimator_all(vis, nmode)
 
         fisher, bias = pse.fisher_bias()
 

@@ -14,10 +14,43 @@ signal-to-(foreground+noise) lambda are kept.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
-import scipy.linalg as la
 
 from ..core import config
+
+
+def _whitened_eigh(S, N):
+    """Batched generalised Hermitian eigenproblem S v = lambda N v.
+
+    Cholesky-whitening formulation: with N = L L^H, the pencil reduces
+    to the ordinary Hermitian problem (L^-1 S L^-H) u = lambda u with
+    v = L^-H u, which XLA solves as one batched ``eigh`` on device.
+    Returns (evals, evecs, einv) ordered descending in eigenvalue, with
+    the scipy ``eigh(S, N)`` normalisation v^H N v = I.  ``einv`` is the
+    batched LU inverse of the COMPUTED eigenvectors (not the analytic
+    U^H L^H): for ill-conditioned pencils the forward/backward
+    projections must invert each other to machine precision even though
+    the whitening solves themselves carry O(eps * cond(L)) error.
+    """
+    L = jnp.linalg.cholesky(N)
+    # A = L^-1 S L^-H via two triangular solves
+    X = jax.scipy.linalg.solve_triangular(L, S, lower=True)
+    A = jax.scipy.linalg.solve_triangular(
+        L, X.conj().swapaxes(-1, -2), lower=True
+    ).conj().swapaxes(-1, -2)
+    A = 0.5 * (A + A.conj().swapaxes(-1, -2))
+    evals, U = jnp.linalg.eigh(A)  # ascending
+    Lh = L.conj().swapaxes(-1, -2)
+    evecs = jax.scipy.linalg.solve_triangular(Lh, U, lower=False)
+    einv = jnp.linalg.inv(evecs)
+    # descending order
+    return (
+        evals[..., ::-1],
+        evecs[..., ::-1],
+        einv[..., ::-1, :],
+    )
 
 
 class KLTransform(config.Reader):
@@ -89,8 +122,8 @@ class KLTransform(config.Reader):
         return cl[:, None, None] * self._freq_cov_foreground(freq)[None]
 
     # -- SVD-basis covariance construction -------------------------------------
-    def _svd_cov(self, m: int, C_lff: np.ndarray) -> np.ndarray:
-        """Project a sky covariance [l, f, f'] into the packed SVD basis.
+    def _svd_proj_all(self):
+        """Device projection tensor P [M, f, k, npol, L1] for every m.
 
         The packed SVD vector concatenates each frequency's SVD modes
         (reference fgfilter.py:56-58); the mapping from sky alm is
@@ -99,62 +132,96 @@ class KLTransform(config.Reader):
         bt = self.beamtransfer
         bt._ensure_svd()
         tel = bt.telescope
-        L1 = tel.lmax + 1
-        npol = tel.num_pol_sky
-        nfreq = tel.nfreq
-        k = bt.svd_len()
+        s = jnp.moveaxis(bt._svd["s"], 1, 0)  # [M, f, k]
+        Vh = jnp.moveaxis(bt._svd["Vh"], 1, 0)  # [M, f, k, nsky]
+        P = s[..., None] * Vh
+        M, nfreq, k, _ = P.shape
+        return P.reshape(M, nfreq, k, tel.num_pol_sky, tel.lmax + 1)
 
-        # P[f]: [k, nsky] = diag(s) @ Vh  for this m
-        s = np.asarray(bt._svd["s"][:, m])  # [f, k]
-        Vh = np.asarray(bt._svd["Vh"][:, m])  # [f, k, nsky]
-        P = s[:, :, None] * Vh  # [f, k, nsky]
-        P = P.reshape(nfreq, k, npol, L1)
+    def _svd_cov_all(self, C_xlff: np.ndarray) -> jnp.ndarray:
+        """Project sky covariances [x, l, f, f'] into the packed SVD basis.
 
-        # C in sky basis is diagonal in l and identical for each pol (T-only
-        # signal models); project: out[f1 k1, f2 k2] =
-        #   sum_l P[f1,k1,p,l] C_l[f1,f2] conj(P[f2,k2,p,l])
-        PC = P[:, None] * C_lff.transpose(1, 2, 0)[:, :, None, None, :]
-        out = np.einsum("abkpl,bjpl->akbj", PC, np.conj(P))
+        Returns a device array [M, x, n, n] with n = nfreq * k: one
+        batched einsum replaces the reference's per-m host loop —
+        out[m,x,ak,bj] = sum_{p,l} P[m,a,k,p,l] C[x,l,a,b] conj(P[m,b,j,p,l]).
+        """
+        P = self._svd_proj_all()
+        M, nfreq, k = P.shape[:3]
+        C = jnp.asarray(C_xlff)
+        out = jnp.einsum(
+            "makpl,xlab,mbjpl->mxakbj", P, C.astype(P.dtype), P.conj(),
+            optimize=True,
+        )
         n = nfreq * k
-        return out.reshape(n, n)
+        return out.reshape(M, C.shape[0], n, n)
 
-    def _noise_svd(self, m: int) -> np.ndarray:
-        """Thermal noise covariance in the packed SVD basis."""
+    def _noise_svd_all(self) -> jnp.ndarray:
+        """Thermal noise covariance [M, n, n] in the packed SVD basis.
+
+        N_tel = noise_amp * I  ->  per-frequency blocks noise_amp U^H U,
+        assembled block-diagonally on device for every m at once.
+        """
         bt = self.beamtransfer
         bt._ensure_svd()
-        U = np.asarray(bt._svd["U"][:, m])  # [f, ntel, k]
-        nfreq, _, k = U.shape
-        # N_tel = noise_amp * I  ->  N_svd = noise_amp * U^H U = noise_amp I
-        blocks = [
-            self.noise_amp * (np.conj(U[f]).T @ U[f]) for f in range(nfreq)
-        ]
-        return la.block_diag(*blocks)
+        U = jnp.moveaxis(bt._svd["U"], 1, 0)  # [M, f, ntel, k]
+        M, nfreq, _, k = U.shape
+        G = self.noise_amp * jnp.einsum("mfak,mfaj->mfkj", U.conj(), U)
+        n = nfreq * k
+        out = jnp.zeros((M, n, n), dtype=G.dtype)
+        for fi in range(nfreq):
+            out = out.at[:, fi * k : (fi + 1) * k, fi * k : (fi + 1) * k].set(
+                G[:, fi]
+            )
+        return out
+
+    def _svd_cov(self, m: int, C_lff: np.ndarray) -> np.ndarray:
+        """Single-m sky-covariance projection (compat shim over the batch)."""
+        return np.asarray(self._svd_cov_all(C_lff[None])[m, 0])
+
+    def _noise_svd(self, m: int) -> np.ndarray:
+        """Single-m noise covariance (compat shim over the batch)."""
+        return np.asarray(self._noise_svd_all()[m])
 
     # -- KL modes -------------------------------------------------------------
     def generate(self, regen: bool = False):
         return self
 
+    def _compute_all_modes(self):
+        """Solve the KL pencil for EVERY m in one batched device program.
+
+        All m share the packed-SVD dimension n = nfreq * k (ragged ranks
+        are zero-padded upstream), so the reference's per-m host
+        ``scipy.linalg.eigh(S, N)`` loop collapses into a single
+        Cholesky-whitened batched ``eigh`` [M, n, n] on device.
+        """
+        bt = self.beamtransfer
+        tel = bt.telescope
+        freq = tel.frequencies
+        lmax = tel.lmax
+
+        C = np.stack(
+            [self.signal(lmax, freq), self.foreground(lmax, freq)]
+        )  # [2, l, f, f']
+        SC = self._svd_cov_all(C)  # [M, 2, n, n]
+        S = SC[:, 0]
+        N = SC[:, 1] + self._noise_svd_all()
+
+        n = N.shape[-1]
+        absmax = jnp.maximum(
+            jnp.abs(N).reshape(N.shape[0], -1).max(axis=-1), 1e-30
+        )
+        N = N + (1e-12 * absmax)[:, None, None] * jnp.eye(n, dtype=N.dtype)
+        evals, evecs, einv = _whitened_eigh(S, N)
+        evals = np.asarray(evals.real)
+        evecs = np.asarray(evecs)
+        einv = np.asarray(einv)
+        for m in range(evals.shape[0]):
+            self._modes[m] = (evals[m], evecs[m], einv[m])
+
     def modes_m(self, m: int, threshold: float | None = None):
         """(eigenvalues, inverse-basis rows) for one m, high-S/N first."""
         if m not in self._modes:
-            bt = self.beamtransfer
-            tel = bt.telescope
-            freq = tel.frequencies
-            lmax = tel.lmax
-
-            S = self._svd_cov(m, self.signal(lmax, freq))
-            N = self._svd_cov(m, self.foreground(lmax, freq)) + self._noise_svd(m)
-
-            # Regularise N and solve the generalised eigenproblem
-            N = N + 1e-12 * np.eye(N.shape[0]) * np.abs(N).max().clip(1e-30)
-            evals, evecs = la.eigh(S, N)
-            # order: descending eigenvalue (most signal-dominated first)
-            order = np.argsort(evals)[::-1]
-            evals = evals[order]
-            evecs = evecs[:, order]
-            # rows of inv(E) give the forward (svd -> kl) projection
-            einv = la.inv(evecs)
-            self._modes[m] = (evals, evecs, einv)
+            self._compute_all_modes()
         evals, evecs, einv = self._modes[m]
         thr = self.threshold if threshold is None else threshold
         nmode = int((evals > thr).sum()) if self.subset else len(evals)

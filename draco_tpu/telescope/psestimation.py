@@ -10,10 +10,17 @@ over the band, angular mask over the band's l range), projected through
 the SVD+KL bases, and q_a = v^H C^-1 C_a C^-1 v is accumulated over m.
 The Fisher matrix F_ab = Tr[C^-1 C_a C^-1 C_b] / 2 and noise bias
 b_a = Tr[C^-1 C_a] come from the same band matrices.
+
+TPU design: every m shares the packed KL dimension n (zero-padded
+upstream), so the band covariances for ALL (m, band) pairs are built by
+one batched einsum chain on device, and q / Fisher / bias reduce to a
+handful of einsum contractions over [M, nbands, n, n] — no per-m host
+loops.  The per-m ``q_estimator`` API survives as a slice of the batch.
 """
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..core import config
@@ -38,7 +45,7 @@ class PSEstimation(config.Reader):
     def __init__(self, bt=None, kl=None):
         self.beamtransfer = bt
         self.kltransform = kl
-        self._band_cov = {}
+        self._batch = None
         self._fisher = None
         self._bias = None
 
@@ -89,17 +96,47 @@ class PSEstimation(config.Reader):
 
         return lmask[:, None, None] * K[None]
 
+    # ------------------------------------------------------------------
+    def _ensure_batch(self):
+        """Build C_a in the KL basis for every (m, band) in one device pass.
+
+        Caches ``C_kl`` [M, nbands, n, n] (device) and the masked inverse
+        total-covariance diagonal ``ci`` [M, n] with ci = 1/(lambda + 1)
+        on kept modes and 0 on cut/padded ones — so every later
+        contraction automatically restricts itself to the truncated
+        basis the reference builds explicitly per m.
+        """
+        if self._batch is not None:
+            return self._batch
+        kl = self.kltransform
+        C_sky = np.stack(
+            [self._band_sky_cov(b) for b in range(self.nbands)]
+        )  # [nbands, l, f, f']
+        C_svd = kl._svd_cov_all(C_sky)  # [M, nbands, n, n] device
+        M = C_svd.shape[0]
+        if not kl._modes:
+            kl._compute_all_modes()
+        evals = np.stack([kl._modes[m][0] for m in range(M)])  # [M, n]
+        einv = jnp.asarray(np.stack([kl._modes[m][2] for m in range(M)]))
+        C_kl = jnp.einsum(
+            "mia,mxab,mjb->mxij", einv, C_svd, einv.conj(), optimize=True
+        )
+        thr = kl.threshold if self.threshold is None else self.threshold
+        if kl.subset:
+            nmode = (evals > thr).sum(axis=1)
+        else:
+            nmode = np.full(M, evals.shape[1])
+        keep = np.arange(evals.shape[1])[None] < nmode[:, None]
+        ci = jnp.asarray(np.where(keep, 1.0 / (evals + 1.0), 0.0))
+        self._batch = (C_kl, ci, nmode)
+        return self._batch
+
     def _band_kl_cov(self, m: int, band: int):
-        """Band covariance projected into the truncated KL basis for m."""
-        key = (m, band)
-        if key not in self._band_cov:
-            kl = self.kltransform
-            C_svd = kl._svd_cov(m, self._band_sky_cov(band))
-            evals, evecs, einv = kl.modes_m(m, self.threshold)
-            # forward projection rows: einv [nkl, nsvd]
-            C_kl = einv @ C_svd @ np.conj(einv).T
-            self._band_cov[key] = (C_kl, evals)
-        return self._band_cov[key]
+        """Band covariance in the truncated KL basis for one m (compat)."""
+        C_kl, ci, nmode = self._ensure_batch()
+        n = int(nmode[m])
+        evals = self.kltransform._modes[m][0]
+        return np.asarray(C_kl[m, band, :n, :n]), evals[:n]
 
     # ------------------------------------------------------------------
     def q_estimator(self, m: int, vec) -> np.ndarray:
@@ -107,45 +144,48 @@ class PSEstimation(config.Reader):
         vec = np.asarray(vec)
         if vec.size == 0:
             return np.zeros(self.nbands)
-        q = np.zeros(self.nbands)
-        for band in range(self.nbands):
-            C_a, evals = self._band_kl_cov(m, band)
-            nkl = C_a.shape[0]
-            x = vec[:nkl]
-            # Total covariance in KL basis: diag(lambda + 1)
-            ci = 1.0 / (evals[:nkl] + 1.0)
-            xw = ci * x
-            q[band] = np.real(np.conj(xw) @ (C_a @ xw))
-        return q
+        C_kl, ci, _ = self._ensure_batch()
+        n = C_kl.shape[-1]
+        x = np.zeros(n, dtype=complex)
+        x[: min(len(vec), n)] = vec[:n]
+        xw = jnp.asarray(x) * ci[m]
+        q = jnp.einsum("i,xij,j->x", xw.conj(), C_kl[m], xw)
+        return np.asarray(q.real)
+
+    def q_estimator_all(self, vis, nmode) -> np.ndarray:
+        """Band powers summed over every m in one device contraction.
+
+        vis : [M, nmax] complex KL-basis vectors (zero-padded); nmode is
+        accepted for API symmetry with the container but the masked
+        ``ci`` already zeroes cut modes.
+        """
+        del nmode
+        C_kl, ci, _ = self._ensure_batch()
+        n = C_kl.shape[-1]
+        x = np.zeros((C_kl.shape[0], n), dtype=complex)
+        m_avail = min(x.shape[0], vis.shape[0])
+        w = min(n, vis.shape[1])
+        x[:m_avail, :w] = vis[:m_avail, :w]
+        xw = jnp.asarray(x) * ci
+        q = jnp.einsum("mi,mxij,mj->x", xw.conj(), C_kl, xw, optimize=True)
+        return np.asarray(q.real)
 
     def fisher_bias(self):
-        """Fisher matrix and noise bias accumulated over all m."""
+        """Fisher matrix and noise bias accumulated over all m.
+
+        F_ab = 1/2 sum_m Re Tr[Ci C_a Ci C_b], b_a = sum_m Re Tr[Ci C_a]
+        with Ci the masked diagonal inverse covariance — two einsums on
+        device instead of the reference's nested m x band x band loops.
+        """
         if self._fisher is None:
-            tel = self.beamtransfer.telescope
-            nb = self.nbands
-            fisher = np.zeros((nb, nb))
-            bias = np.zeros(nb)
-            for m in range(tel.mmax + 1):
-                covs = []
-                evals = None
-                for band in range(nb):
-                    C_a, evals = self._band_kl_cov(m, band)
-                    covs.append(C_a)
-                if evals is None or len(evals) == 0:
-                    continue
-                nkl = covs[0].shape[0]
-                ci = 1.0 / (evals[:nkl] + 1.0)
-                wc = [ci[:, None] * C_a * ci[None, :] for C_a in covs]
-                for a in range(nb):
-                    bias[a] += float(np.real(np.sum(ci * np.diag(covs[a]))))
-                    for b in range(a, nb):
-                        f_ab = 0.5 * float(
-                            np.real(np.sum(wc[a].T * (covs[b])))
-                        )
-                        fisher[a, b] += f_ab
-                        fisher[b, a] = fisher[a, b]
-            self._fisher = fisher
-            self._bias = bias
+            C_kl, ci, _ = self._ensure_batch()
+            bias = jnp.einsum("mi,mxii->x", ci, C_kl).real
+            fisher = 0.5 * jnp.einsum(
+                "mi,mxij,mj,myji->xy", ci, C_kl, ci, C_kl, optimize=True
+            ).real
+            fisher = 0.5 * (fisher + fisher.T)
+            self._fisher = np.asarray(fisher)
+            self._bias = np.asarray(bias)
         return self._fisher, self._bias
 
     def generate(self, regen: bool = False):

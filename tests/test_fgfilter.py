@@ -155,3 +155,60 @@ def test_svd_spectrum_estimator(rng):
     assert (s >= 0).all()
     # descending singular values
     assert (np.diff(s, axis=-1) <= 1e-10).all()
+
+
+def test_whitened_eigh_matches_scipy(rng):
+    """Batched pencil solve == scipy.linalg.eigh(S, N) per matrix.
+
+    Eigenvalues must agree to high precision; the eigenvector/inverse
+    pair must satisfy v^H N v = I and einv @ evecs = I.
+    """
+    import scipy.linalg as sla
+
+    from draco_tpu.telescope.kltransform import _whitened_eigh
+
+    B, n = 3, 12
+    A = rng.standard_normal((B, n, n)) + 1j * rng.standard_normal((B, n, n))
+    S = A @ A.conj().swapaxes(-1, -2)
+    C = rng.standard_normal((B, n, n)) + 1j * rng.standard_normal((B, n, n))
+    N = C @ C.conj().swapaxes(-1, -2) + 0.1 * np.eye(n)
+
+    evals, evecs, einv = _whitened_eigh(S, N)
+    evals, evecs, einv = map(np.asarray, (evals, evecs, einv))
+    for b in range(B):
+        ref = np.sort(sla.eigh(S[b], N[b], eigvals_only=True))[::-1]
+        assert np.allclose(evals[b], ref, rtol=1e-8, atol=1e-10)
+        vnv = evecs[b].conj().T @ N[b] @ evecs[b]
+        assert np.allclose(vnv, np.eye(n), atol=1e-8)
+        assert np.allclose(einv[b] @ evecs[b], np.eye(n), atol=1e-10)
+
+
+def test_fisher_bias_matches_host_loop(setup):
+    """Device einsum Fisher/bias == literal per-(m, band) host loops."""
+    tel, bt, mm = setup
+    kl = KLTransform.from_config({"threshold": 0.0, "subset": False}, bt)
+    pse = PSEstimation.from_config(
+        {"bands_kpar": [0.0, 0.5, 1.0], "bands_kperp": [0.0, 0.5]}, bt, kl
+    )
+    pse.genbands()
+    fisher, bias = pse.fisher_bias()
+
+    nb = pse.nbands
+    fisher_ref = np.zeros((nb, nb))
+    bias_ref = np.zeros(nb)
+    for m in range(tel.mmax + 1):
+        covs = [pse._band_kl_cov(m, band)[0] for band in range(nb)]
+        evals = pse._band_kl_cov(m, 0)[1]
+        if len(evals) == 0:
+            continue
+        ci = 1.0 / (evals + 1.0)
+        for a in range(nb):
+            bias_ref[a] += float(np.real(np.sum(ci * np.diag(covs[a]))))
+            for b in range(a, nb):
+                wc = ci[:, None] * covs[a] * ci[None, :]
+                f_ab = 0.5 * float(np.real(np.sum(wc.T * covs[b])))
+                fisher_ref[a, b] += f_ab
+                fisher_ref[b, a] = fisher_ref[a, b]
+    scale = np.abs(fisher_ref).max() + 1e-30
+    assert np.allclose(fisher, fisher_ref, atol=1e-10 * scale)
+    assert np.allclose(bias, bias_ref, atol=1e-10 * (np.abs(bias_ref).max() + 1e-30))
