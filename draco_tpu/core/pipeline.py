@@ -414,6 +414,21 @@ def main(argv=None):
     p_lint = sub.add_parser("lint", help="validate a pipeline config")
     p_lint.add_argument("configfile", nargs="+")
 
+    p_verify = sub.add_parser(
+        "verify",
+        help="run a pipeline repeatedly and check every product is "
+        "reproducible (determinism check)",
+    )
+    p_verify.add_argument("configfile")
+    p_verify.add_argument("--runs", type=int, default=2)
+    p_verify.add_argument(
+        "--rtol",
+        type=float,
+        default=0.0,
+        help="0 demands bitwise identity; small values tolerate "
+        "reduction-order drift",
+    )
+
     p_prod = sub.add_parser(
         "makeproducts",
         help="generate beam-transfer/KL/PS products from a product config "
@@ -460,6 +475,23 @@ def main(argv=None):
 
         multihost.initialize()
         run(args.configfile)
+        return 0
+    if args.command == "verify":
+        from ..parallel.validate import DeterminismError, check_pipeline_determinism
+
+        with open(args.configfile) as f:
+            cfg_text = f.read()
+        try:
+            summary = check_pipeline_determinism(
+                cfg_text, runs=args.runs, rtol=args.rtol
+            )
+        except DeterminismError as e:
+            print(f"VERIFY FAILED: {e}")
+            return 1
+        print(
+            f"verify ok: {summary['products']} product labels, "
+            f"{summary['arrays']} arrays reproducible over {args.runs} runs"
+        )
         return 0
     if args.command == "makeproducts":
         from ..telescope.manager import ProductManager

@@ -21,3 +21,11 @@ from .mesh import (  # noqa: F401
     use_mesh,
 )
 from . import multihost  # noqa: F401,E402
+from .validate import (  # noqa: F401,E402
+    DeterminismError,
+    assert_deterministic,
+    assert_sharding_invariant,
+    check_pipeline_determinism,
+    compare_products,
+    fingerprint,
+)
