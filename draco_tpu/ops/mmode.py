@@ -19,7 +19,36 @@ __all__ = [
     "unpack_marray",
     "mmodes_to_sidereal",
     "default_mmax",
+    "fast_fft_size",
 ]
+
+
+def fast_fft_size(n: int) -> int:
+    """Smallest 5-smooth size >= n.
+
+    XLA's TPU FFT falls back to Bluestein for sizes with large prime
+    factors (e.g. the natural minimal sidereal length 2*mmax + 1 =
+    1535 = 5 x 307), which costs several radix-friendly transforms of
+    ~2x the length.  Internal sidereal axes should round up to the next
+    2/3/5-smooth size instead — the extra samples are mathematically
+    inert (the m-mode pack/unpack keeps the same modes).
+    """
+    best = 1
+    while best < n:
+        best *= 2
+    m = best  # power of two >= n is always a candidate
+    p3 = 1
+    while p3 <= m:
+        p35 = p3
+        while p35 <= m:
+            # smallest power of 2 lifting p35 over n
+            p = p35
+            while p < n:
+                p *= 2
+            m = min(m, p)
+            p35 *= 5
+        p3 *= 3
+    return m
 
 
 def default_mmax(nra: int) -> int:

@@ -39,6 +39,12 @@ class SimulateSidereal(ContainerTask):
     """
 
     stacked = config.Property(proptype=bool, default=True)
+    # Round the sidereal axis up to the next 2/3/5-smooth length.  The
+    # natural minimal length 2*mmax + 1 often has a large prime factor
+    # (e.g. 1535 = 5 x 307) which forces XLA's TPU FFT into a Bluestein
+    # fallback; the extra samples carry no extra information (the m-mode
+    # content is identical) but keep the iFFT on the radix path.
+    fast_ra = config.Property(proptype=bool, default=False)
     # Streaming (factorised) projection: never materialises the beam
     # transfer — required at production scales where the B tensors exceed
     # device memory.
@@ -58,6 +64,8 @@ class SimulateSidereal(ContainerTask):
         lmax = tel.lmax
         mmax = tel.mmax
         ntime = 2 * mmax + 1
+        if self.fast_ra:
+            ntime = mmode.fast_fft_size(ntime)
 
         freqmap = map_.index_map["freq"][:]
         if (tel.frequencies != freqmap["centre"]).any():

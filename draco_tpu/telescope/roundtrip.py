@@ -2,9 +2,17 @@
 
 One compiled XLA program runs the whole m-mode spine:
 
-  sky map --SHT--> alm --windowed beam projection--> V_m --iFFT--> sidereal
-  stream --FFT--> m-modes --(weighted) adjoint--> dirty alm --inverse
-  SHT--> map
+  sky map --SHT--> alm --windowed beam projection--> V_m --(weights)-->
+  --adjoint--> dirty alm --inverse SHT--> map
+
+The task chain this fuses (``SimulateSidereal -> MModeTransform ->
+DirtyMapMaker``) additionally materialises the sidereal stream between
+simulation and mapping; that iFFT -> FFT pair is algebraically the
+identity on the m-modes (the stream always holds >= 2*mmax + 1
+samples), so the fused program elides it and runs forward projection
+and weighted adjoint in a SINGLE pass over baseline chunks — each
+chunk's fringe x beam tensors (the HBM-dominant intermediates) are
+built once and consumed by both GEMM sets while still in HBM.
 
 Baseline chunks stream through an on-device ``fori_loop`` (the
 beam-transfer tensors are never materialised; see
@@ -28,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import healpix, mmode
+from ..ops import healpix
 
 _F32 = jnp.float32
 
@@ -138,49 +146,45 @@ def _fused_roundtrip(
         """[f, C, K] x [f, C, M] -> [f, K, M] batched GEMM."""
         return jnp.einsum("fck,fcm->fkm", x, y, precision=prec)
 
-    def fwd_body(c, acc):
+    # The sidereal-stream round trip between simulation and mapping —
+    # pack m-modes -> iFFT -> stream -> FFT -> pack — is algebraically
+    # the identity whenever the stream holds >= 2*mmax + 1 samples, so
+    # the fused program elides it entirely (the task chain materialises
+    # the stream because it is a product; here it is internal).  That
+    # collapses forward projection and adjoint into ONE chunk loop: the
+    # windowed fringe x beam tensors (the HBM-heaviest intermediates,
+    # cos/sin over chunk x window) are built once per chunk instead of
+    # twice, and the [mmax+1, 2, nfreq, npad] m-mode tensor is never
+    # materialised.
+    if use_weight:
+        # chunk-sliceable layout [2, f, npad, M+1], transposed once
+        weight_t = weight.transpose(1, 2, 3, 0)
+
+    def body(c, Y):
+        Yr, Yi = Y
         re, im = fringe(c)
-        # natural-layout batched GEMMs [f, C, K] x [f, K, M]; the m-major
-        # container layout is restored by one transpose of the combined
-        # complex block (transposed GEMM outputs are slower on the MXU)
+        # natural-layout batched GEMMs [f, C, K] x [f, K, M]
         G1 = _mm(re, a1)
         G2 = _mm(im, a2)
         G3 = _mm(re, a2)
         G4 = _mm(im, a1)
         vp = ((G1 - G2) + 1j * (G3 + G4)) * scale  # [f, C, M+1]
         vm = ((G1 + G2) + 1j * (G3 - G4)) * scale
-        blk = jnp.stack([vp, vm], axis=1).transpose(3, 1, 0, 2)
-        return jax.lax.dynamic_update_slice(
-            acc, blk.astype(acc.dtype), (0, 0, 0, c * chunk)
-        )
-
-    vis0 = jnp.zeros((mmax + 1, 2, nfreq, npad), jnp.complex64)
-    vis_m = jax.lax.fori_loop(0, nchunk, fwd_body, vis0)
-    bmask = (jnp.arange(npad) < npairs).astype(jnp.float32)
-    vis_m = vis_m * bmask
-    vis_m = vis_m.at[0, 1].set(0.0)
-
-    # -- middle: m-modes -> sidereal stream -> m-modes -------------------
-    ntime = 2 * mmax + 1
-    stream = mmode.mmodes_to_sidereal(vis_m, n=ntime, oddra=True)
-    vis_m2 = mmode.make_marray(stream, mmax=mmax).astype(jnp.complex64)
-    if use_weight:
-        vis_m2 = vis_m2 * weight
-
-    # -- adjoint: accumulate Y, apply window + Legendre once -------------
-    # pre-transpose the m-modes to chunk-sliceable natural GEMM layout
-    # [f, npad, 2, M+1] (one transpose outside the loop instead of
-    # transposed GEMM operands inside it)
-    vis_m2t = vis_m2.transpose(2, 3, 1, 0)
-
-    def adj_body(c, Y):
-        Yr, Yi = Y
-        re, im = fringe(c)
-        vc = jax.lax.dynamic_slice(
-            vis_m2t, (0, c * chunk, 0, 0), (nfreq, chunk, 2, mmax + 1)
-        )
-        vs = vc[:, :, 0] + vc[:, :, 1]  # [f, C, M+1]
-        vd = vc[:, :, 1] - vc[:, :, 0]
+        # padded baselines carry no data; m=0 has no negative mode
+        valid = (
+            c * chunk + jnp.arange(chunk) < npairs
+        ).astype(_F32)[None, :, None]
+        midx = jnp.arange(mmax + 1)
+        vp = vp * valid
+        vm = vm * valid * (midx > 0)[None, None, :]
+        if use_weight:
+            wc = jax.lax.dynamic_slice(
+                weight_t, (0, 0, c * chunk, 0), (2, nfreq, chunk, mmax + 1)
+            )
+            vp = vp * wc[0]
+            vm = vm * wc[1]
+        vs = vp + vm  # [f, C, M+1]
+        vd = vm - vp
         Yr = Yr + _mmT(re, vs.real) - _mmT(im, vd.imag)
         Yi = Yi + _mmT(re, vs.imag) + _mmT(im, vd.real)
         return (Yr, Yi)
@@ -189,7 +193,7 @@ def _fused_roundtrip(
         jnp.zeros((nfreq, K, mmax + 1), _F32),
         jnp.zeros((nfreq, K, mmax + 1), _F32),
     )
-    Yr, Yi = jax.lax.fori_loop(0, nchunk, adj_body, Y0)
+    Yr, Yi = jax.lax.fori_loop(0, nchunk, body, Y0)
     Y = jax.lax.complex(Yr, Yi).reshape(nfreq, npol, Rb, W, mmax + 1)
     Ew = jax.lax.complex(Ec, -Es)
     T = jnp.einsum("rwm,fprwm->fprm", Ew, Y, precision=prec)
@@ -286,7 +290,16 @@ def _fused_roundtrip_fullsphere(
         X = jnp.stack([re, im])  # [2, f, C, p, npad_pix]
         return s._ring_analysis_parts_padded(X, raw_belt=True, plan=plan)
 
-    def fwd_body(c, acc):
+    sec_rings = [lam["belt"].shape[2]] + [c.shape[2] for c in lam["caps"]]
+
+    # As in the windowed program, the sidereal-stream FFT round trip is
+    # the identity, so forward and adjoint fuse into one chunk loop and
+    # the per-chunk ring-analysed fringe sections (the dominant cost:
+    # cos/sin + ring FFTs over chunk x padded sphere) are built once.
+    if use_weight:
+        weight_t = weight.transpose(1, 2, 0, 3)  # [2, f, M+1, npad]
+
+    def body(c, T_accs):
         F_belt, group_F = fringe_sections(c)
         vp = jnp.zeros((nfreq, mmax + 1, chunk), jnp.complex64)
         vm = jnp.zeros((nfreq, mmax + 1, chunk), jnp.complex64)
@@ -301,33 +314,21 @@ def _fused_roundtrip_fullsphere(
             )
             vp = vp + (U + 1j * V)
             vm = vm + (U - 1j * V)
-        blk = jnp.stack([vp * scale, vm * scale], axis=1)  # [f, 2, M+1, C]
-        return jax.lax.dynamic_update_slice(
-            acc, blk.transpose(2, 1, 0, 3).astype(acc.dtype),
-            (0, 0, 0, c * chunk),
-        )
-
-    vis0 = jnp.zeros((mmax + 1, 2, nfreq, npad), jnp.complex64)
-    vis_m = jax.lax.fori_loop(0, nchunk, fwd_body, vis0)
-    bmask = (jnp.arange(npad) < npairs).astype(jnp.float32)
-    vis_m = vis_m * bmask
-    vis_m = vis_m.at[0, 1].set(0.0)
-
-    ntime = 2 * mmax + 1
-    stream = mmode.mmodes_to_sidereal(vis_m, n=ntime, oddra=True)
-    vis_m2 = mmode.make_marray(stream, mmax=mmax).astype(jnp.complex64)
-    if use_weight:
-        vis_m2 = vis_m2 * weight
-
-    sec_rings = [lam["belt"].shape[2]] + [c.shape[2] for c in lam["caps"]]
-
-    def adj_body(c, T_accs):
-        F_belt, group_F = fringe_sections(c)
-        vc = jax.lax.dynamic_slice(
-            vis_m2, (0, 0, 0, c * chunk), (mmax + 1, 2, nfreq, chunk)
-        )
-        v_sum = vc[:, 0] + vc[:, 1]  # [M+1, f, C]
-        v_dif = vc[:, 1] - vc[:, 0]
+        # padded baselines carry no data; m=0 has no negative mode
+        valid = (
+            c * chunk + jnp.arange(chunk) < npairs
+        ).astype(jnp.float32)[None, None, :]
+        midx = jnp.arange(mmax + 1)
+        vp = vp * (scale * valid)
+        vm = vm * (scale * valid) * (midx > 0)[None, :, None]
+        if use_weight:
+            wc = jax.lax.dynamic_slice(
+                weight_t, (0, 0, 0, c * chunk), (2, nfreq, mmax + 1, chunk)
+            )
+            vp = vp * wc[0]
+            vm = vm * wc[1]
+        v_sum = (vp + vm).transpose(1, 0, 2)  # [M+1, f, C]
+        v_dif = (vm - vp).transpose(1, 0, 2)
         out = []
         # T += F[0] (v0 + v1) + i F[1] (v1 - v0)
         for F2, T in zip([F_belt, *group_F], T_accs):
@@ -344,7 +345,7 @@ def _fused_roundtrip_fullsphere(
         jnp.zeros((nfreq, npol, r, mmax + 1), jnp.complex64)
         for r in sec_rings
     ]
-    T_accs = jax.lax.fori_loop(0, nchunk, adj_body, T0)
+    T_accs = jax.lax.fori_loop(0, nchunk, body, T0)
     T_accs[0] = T_accs[0] * pw
 
     a_dirty = jnp.zeros((nfreq, npol, s.lmax + 1, mmax + 1), jnp.complex64)

@@ -82,6 +82,32 @@ def test_simulate_sidereal(small_setup):
     assert np.abs(vis).max() > 0
 
 
+def test_simulate_sidereal_fast_ra(small_setup):
+    """Smooth-size RA padding changes the grid but not the m-mode content."""
+    from draco_tpu.ops import mmode
+
+    tel, bt, m, alm = small_setup
+    task = SimulateSidereal()
+    task.read_config({"fast_ra": True})
+    task.setup(bt)
+    ss = task.process(m)
+    ntime = mmode.fast_fft_size(2 * tel.mmax + 1)
+    assert ss.vis.shape == (tel.nfreq, tel.npairs, ntime)
+
+    mt = MModeTransform()
+    mt.read_config({})
+    mt.setup(tel)
+    ma = mt.process(ss)
+
+    ss_ref = _simulate(tel, bt, m)
+    mt2 = MModeTransform()
+    mt2.read_config({})
+    mt2.setup(tel)
+    ma_ref = mt2.process(ss_ref)
+    a, b = np.asarray(ma.vis[:]), np.asarray(ma_ref.vis[:])
+    assert np.allclose(a, b, atol=2e-5 * np.abs(b).max())
+
+
 def test_mmode_roundtrip_through_tasks(small_setup):
     """Forward m-mode transform of the simulated stream == direct projection."""
     tel, bt, m, alm = small_setup

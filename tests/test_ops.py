@@ -44,6 +44,36 @@ def test_mmode_roundtrip_real(rng):
         assert np.allclose(back.imag, 0.0, atol=1e-10), nra
 
 
+def test_fast_fft_size():
+    assert mmode.fast_fft_size(1) == 1
+    assert mmode.fast_fft_size(6) == 6
+    assert mmode.fast_fft_size(7) == 8
+    assert mmode.fast_fft_size(1535) == 1536  # 2*767 + 1, the v5e bench mmax
+    assert mmode.fast_fft_size(2049) == 2160  # 2^4 * 3^3 * 5
+    for n in [1, 13, 100, 257, 1535, 4097]:
+        s = mmode.fast_fft_size(n)
+        assert s >= n
+        r = s
+        for p in (2, 3, 5):
+            while r % p == 0:
+                r //= p
+        assert r == 1, (n, s)
+
+
+def test_mmode_roundtrip_padded(rng):
+    """A padded (smooth-size) sidereal axis preserves every m-mode."""
+    mmax = 7
+    mm = (
+        rng.standard_normal((mmax + 1, 2, 3, 4))
+        + 1j * rng.standard_normal((mmax + 1, 2, 3, 4))
+    )
+    mm[0, 1] = 0.0
+    n = mmode.fast_fft_size(2 * mmax + 1)  # 15 -> 16
+    ts = mmode.mmodes_to_sidereal(jnp.asarray(mm), n=n, oddra=True)
+    back = np.asarray(mmode.make_marray(ts, mmax=mmax))
+    assert np.allclose(back, mm, atol=1e-12)
+
+
 def test_mmode_roundtrip_downsample(rng):
     """Resampling to fewer RA bins keeps the low-m content."""
     nra, n_out = 32, 16
