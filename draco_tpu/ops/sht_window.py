@@ -119,6 +119,49 @@ class WindowedSHT:
         )
         self._lam_band = None
 
+        # -- flat (ragged) layout ------------------------------------------
+        # The rectangular [Rb, W] box pays for every ring at the WIDEST
+        # ring's width (fill factor ~0.7 for a circular beam).  The flat
+        # layout concatenates each ring's own window back-to-back, so
+        # GEMM/trig work in consumers scales with the true support pixel
+        # count.  Ring membership is carried per pixel (``flat_ring``)
+        # plus as a one-hot [Rb, Kf] matrix so per-ring reductions stay
+        # on the MXU instead of lowering to scatters.
+        fidx, fring, fphi = [], [], []
+        for k, r in enumerate(self.band):
+            o, n = int(info.offset[r]), int(info.nphi[r])
+            w_r = min(widths[k], n)
+            p = (starts[k] + np.arange(w_r)) % n
+            fidx.append(o + p)
+            fring.append(np.full(w_r, k))
+            fphi.append(info.phi0[r] + 2 * np.pi * p / n)
+        fidx = np.concatenate(fidx)
+        fring = np.concatenate(fring)
+        fphi = np.concatenate(fphi)
+        kf = len(fidx)
+        kf_pad = (kf + 127) // 128 * 128
+        self.Kf = kf_pad
+        self.flat_index = np.concatenate(
+            [fidx, np.zeros(kf_pad - kf, np.int64)]
+        )
+        self.flat_ring = jnp.asarray(
+            np.concatenate([fring, np.zeros(kf_pad - kf)]).astype(np.int32)
+        )
+        w_k = np.concatenate(
+            [info.weight[self.band][fring], np.zeros(kf_pad - kf)]
+        )[:, None]
+        self._Ecf = jnp.asarray(
+            (np.cos(np.concatenate([fphi, np.zeros(kf_pad - kf)])[:, None] * m)
+             * w_k).astype(np.float32)
+        )
+        self._Esf = jnp.asarray(
+            (np.sin(np.concatenate([fphi, np.zeros(kf_pad - kf)])[:, None] * m)
+             * w_k).astype(np.float32)
+        )
+        onehot = np.zeros((self.Rb, kf_pad), np.float32)
+        onehot[fring, np.arange(kf)] = 1.0
+        self.ring_onehot = jnp.asarray(onehot)
+
     @property
     def coverage(self) -> float:
         """Fraction of sphere pixels inside the window."""

@@ -235,12 +235,19 @@ class BeamTransfer:
 
         win = None
         if os.environ.get("DRACO_TPU_BT_WINDOW", "1") != "0":
+            # Relative beam-product threshold below which pixels are
+            # dropped from the window.  GEMM/trig work in every windowed
+            # path scales linearly with the window pixel count, so this
+            # trades wall-clock directly against a truncation error of
+            # roughly tau relative; the 1e-7 default keeps truncation two
+            # decades under the 1e-5 end-to-end accuracy budget.
+            tau = float(os.environ.get("DRACO_TPU_BT_WINDOW_TAU", "1e-7"))
             support = self._support_mask()
-            if support_fraction(support) <= 0.25:
+            if support_fraction(support, tau=tau) <= 0.25:
                 s = sht.get_sht(
                     self.beam_nside, self.telescope.lmax, self.telescope.mmax
                 )
-                cand = WindowedSHT(s, support, margin=4)
+                cand = WindowedSHT(s, support, tau=tau, margin=4)
                 if cand.coverage <= 0.5:
                     win = cand
         self._win_cache = win
@@ -492,32 +499,35 @@ class BeamTransfer:
         mmax = s.mmax
         scale = 1.0 / (4 * np.pi / healpix.npix_of(self.beam_nside))
         vec = healpix.pix2vec(self.beam_nside)
-        vecw = jnp.asarray(vec[win.window_index].astype(np.float32))
+        # flat (ragged) window layout: work scales with the true support
+        # pixel count, not the Rb x W bounding box
+        vecw = jnp.asarray(vec[win.flat_index].astype(np.float32))
         lam_band = win._ensure_lam()
-        Ec, Es = win._Ec, win._Es  # quadrature weight folded in
-        Rb, W = win.Rb, win.W
-        consts = (Ec, Es, lam_band, vecw)
+        Ecf, Esf = win._Ecf, win._Esf  # quadrature weight folded in
+        consts = (Ecf, Esf, lam_band, vecw, win.flat_ring, win.ring_onehot)
 
         @jax.jit
         def sky_phase_tensors(alm_r, alm_i, consts):
-            Ec, Es, lam_band, _ = consts
+            Ecf, Esf, lam_band, _, flat_ring, _ = consts
             Sr = jnp.einsum(
                 "plm,lmr->prm", alm_r, lam_band, precision=_PREC
             )
             Si = jnp.einsum(
                 "plm,lmr->prm", alm_i, lam_band, precision=_PREC
             )
-            a1 = Ec[None] * Sr[:, :, None, :] - Es[None] * Si[:, :, None, :]
-            a2 = Ec[None] * Si[:, :, None, :] + Es[None] * Sr[:, :, None, :]
+            Srk = jnp.take(Sr, flat_ring, axis=1)  # [p, Kf, M+1]
+            Sik = jnp.take(Si, flat_ring, axis=1)
+            a1 = Ecf * Srk - Esf * Sik
+            a2 = Ecf * Sik + Esf * Srk
             return a1.reshape(-1, mmax + 1), a2.reshape(-1, mmax + 1)
 
         def fringe_win(bl_w, u_re_w, u_im_w, uidx, vecw):
             phase = 2 * jnp.pi * jnp.einsum(
-                "cx,rwx->crw", bl_w, vecw, precision=_PREC
+                "cx,kx->ck", bl_w, vecw, precision=_PREC
             )
             cp = jnp.cos(phase)[:, None]
             sp = jnp.sin(phase)[:, None]
-            br = u_re_w[uidx]  # [C, p, Rb, W]
+            br = u_re_w[uidx]  # [C, p, Kf]
             bi = u_im_w[uidx]
             nc = bl_w.shape[0]
             re = (br * cp - bi * sp).reshape(nc, -1)
@@ -553,13 +563,18 @@ class BeamTransfer:
 
         @jax.jit
         def finish_Y_win(Y_r, Y_i, consts):
-            Ec, Es, lam_band, _ = consts
-            Y = jax.lax.complex(Y_r, Y_i).reshape(npol, Rb, W, mmax + 1)
-            Ew = jax.lax.complex(Ec, -Es)
-            T = jnp.einsum("rwm,prwm->prm", Ew, Y, precision=_PREC)
+            Ecf, Esf, lam_band, _, _, ring_onehot = consts
+            # conjugate per-pixel DFT factors, then the pixel -> ring
+            # reduction as a one-hot GEMM (scatters don't tile on TPU)
+            Y_r = Y_r.reshape(npol, win.Kf, mmax + 1)
+            Y_i = Y_i.reshape(npol, win.Kf, mmax + 1)
+            Tr = Ecf * Y_r + Esf * Y_i
+            Ti = Ecf * Y_i - Esf * Y_r
+            Tr = jnp.einsum("rk,pkm->prm", ring_onehot, Tr, precision=_PREC)
+            Ti = jnp.einsum("rk,pkm->prm", ring_onehot, Ti, precision=_PREC)
             a = jax.lax.complex(
-                jnp.einsum("lmr,prm->plm", lam_band, T.real, precision=_PREC),
-                jnp.einsum("lmr,prm->plm", lam_band, T.imag, precision=_PREC),
+                jnp.einsum("lmr,prm->plm", lam_band, Tr, precision=_PREC),
+                jnp.einsum("lmr,prm->plm", lam_band, Ti, precision=_PREC),
             ) * scale
             return jnp.stack([a.real, a.imag])
 
@@ -585,7 +600,7 @@ class BeamTransfer:
                 consts,
             )
             u_idx, bprod = self._beam_products(fi)
-            bw = bprod[..., win.window_index]
+            bw = bprod[..., win.flat_index]
             u_re = jnp.asarray(bw.real.astype(np.float32))
             u_im = jnp.asarray(bw.imag.astype(np.float32))
             lam_f = tel.wavelengths[fi]
@@ -613,12 +628,12 @@ class BeamTransfer:
         npol = tel.num_pol_sky
         bl3 = tel.baseline_vectors_3d().astype(np.float32)
         consts, _, _, chunk_Y_win, finish_Y_win = self._windowed_stream_fns(win)
-        nwin = npol * win.Rb * win.W
+        nwin = npol * win.Kf
 
         alm_out = []
         for fi in range(tel.nfreq):
             u_idx, bprod = self._beam_products(fi)
-            bw = bprod[..., win.window_index]
+            bw = bprod[..., win.flat_index]
             u_re = jnp.asarray(bw.real.astype(np.float32))
             u_im = jnp.asarray(bw.imag.astype(np.float32))
             lam_f = tel.wavelengths[fi]

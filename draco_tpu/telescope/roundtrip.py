@@ -64,8 +64,10 @@ def _fused_roundtrip(
     lam,
     plan,
     lam_band,
-    Ec,
-    Es,
+    Ecf,
+    Esf,
+    flat_ring,
+    ring_onehot,
     vecw,
     u_re,
     u_im,
@@ -80,8 +82,19 @@ def _fused_roundtrip(
 ):
     """The single-program round trip (see module docstring).
 
+    The window is the FLAT (ragged) layout of
+    :class:`~draco_tpu.ops.sht_window.WindowedSHT`: per-ring azimuth
+    windows concatenated into one [Kf] pixel axis, so every GEMM and
+    trig evaluation scales with the true support pixel count instead of
+    the rectangular Rb x W bounding box (~1.4x fewer pixels for a
+    circular beam).
+
     sky : [nfreq, npol, npix] real
-    u_re/u_im : [nfreq, nuniq, npol, Rb, W] beam products (solid angle in)
+    Ecf/Esf : [Kf, M+1] per-pixel DFT factors, quadrature weight folded
+    flat_ring : [Kf] band-ring position of each window pixel
+    ring_onehot : [Rb, Kf] one-hot ring membership (adjoint reduction
+        as a GEMM; scatters don't tile on TPU)
+    u_re/u_im : [nfreq, nuniq, npol, Kf] beam products (solid angle in)
     uidx_pad : [npad] unique-product index per (padded) baseline
     blw_pad : [nfreq, npad, 3] baselines in wavelengths
     weight : [mmax+1, 2, nfreq, npad] (ignored unless use_weight)
@@ -91,8 +104,8 @@ def _fused_roundtrip(
         traffic in the hot loop).
     """
     s = sht_obj
-    nfreq, npol, chunk, nchunk, npairs, Rb, W, mmax = dims
-    K = npol * Rb * W
+    nfreq, npol, chunk, nchunk, npairs, Kf, mmax = dims
+    K = npol * Kf
     npad = nchunk * chunk
     scale = 1.0 / (4 * np.pi / s.npix)
     prec = _PREC_RT
@@ -106,14 +119,11 @@ def _fused_roundtrip(
         alm = s._analysis_impl(sky, lam=lam, plan=plan)  # [f, p, L+1, M+1]
     Sr = jnp.einsum("fplm,lmr->fprm", alm.real, lam_band, precision=prec)
     Si = jnp.einsum("fplm,lmr->fprm", alm.imag, lam_band, precision=prec)
-    a1 = (
-        Ec[None, None] * Sr[:, :, :, None, :]
-        - Es[None, None] * Si[:, :, :, None, :]
-    ).reshape(nfreq, K, mmax + 1)
-    a2 = (
-        Ec[None, None] * Si[:, :, :, None, :]
-        + Es[None, None] * Sr[:, :, :, None, :]
-    ).reshape(nfreq, K, mmax + 1)
+    # ring -> pixel gather, then the per-pixel DFT factors
+    Srk = jnp.take(Sr, flat_ring, axis=2)  # [f, p, Kf, M+1]
+    Sik = jnp.take(Si, flat_ring, axis=2)
+    a1 = (Ecf * Srk - Esf * Sik).reshape(nfreq, K, mmax + 1)
+    a2 = (Ecf * Sik + Esf * Srk).reshape(nfreq, K, mmax + 1)
 
     def fringe(c):
         """Windowed fringe x beam planes for baseline chunk ``c``."""
@@ -121,18 +131,18 @@ def _fused_roundtrip(
             blw_pad, (0, c * chunk, 0), (nfreq, chunk, 3)
         )
         phase = 2 * jnp.pi * jnp.einsum(
-            "fcx,rwx->fcrw", blc, vecw, precision=prec
+            "fcx,kx->fck", blc, vecw, precision=prec
         )
         if uniform_real_beam:
             # u_re[:, 0] broadcasts over the chunk: two writes total
-            b = u_re[:, 0][:, None]  # [f, 1, p, Rb, W]
+            b = u_re[:, 0][:, None]  # [f, 1, p, Kf]
             re = (b * jnp.cos(phase)[:, :, None]).reshape(nfreq, chunk, K)
             im = (b * jnp.sin(phase)[:, :, None]).reshape(nfreq, chunk, K)
             return re, im
         idxc = jax.lax.dynamic_slice_in_dim(uidx_pad, c * chunk, chunk)
         cp = jnp.cos(phase)[:, :, None]
         sp = jnp.sin(phase)[:, :, None]
-        br = u_re[:, idxc]  # [f, C, p, Rb, W]
+        br = u_re[:, idxc]  # [f, C, p, Kf]
         bi = u_im[:, idxc]
         re = (br * cp - bi * sp).reshape(nfreq, chunk, K)
         im = (br * sp + bi * cp).reshape(nfreq, chunk, K)
@@ -194,13 +204,18 @@ def _fused_roundtrip(
         jnp.zeros((nfreq, K, mmax + 1), _F32),
     )
     Yr, Yi = jax.lax.fori_loop(0, nchunk, body, Y0)
-    Y = jax.lax.complex(Yr, Yi).reshape(nfreq, npol, Rb, W, mmax + 1)
-    Ew = jax.lax.complex(Ec, -Es)
-    T = jnp.einsum("rwm,fprwm->fprm", Ew, Y, precision=prec)
+    # per-pixel conjugate DFT factors, then pixel -> ring reduction as a
+    # one-hot GEMM (Tr/Ti real parts of Ew * Y with Ew = Ecf - i Esf)
+    Yr = Yr.reshape(nfreq, npol, Kf, mmax + 1)
+    Yi = Yi.reshape(nfreq, npol, Kf, mmax + 1)
+    Tr = Ecf * Yr + Esf * Yi
+    Ti = Ecf * Yi - Esf * Yr
+    Tr = jnp.einsum("rk,fpkm->fprm", ring_onehot, Tr, precision=prec)
+    Ti = jnp.einsum("rk,fpkm->fprm", ring_onehot, Ti, precision=prec)
     a_dirty = (
         jax.lax.complex(
-            jnp.einsum("lmr,fprm->fplm", lam_band, T.real, precision=prec),
-            jnp.einsum("lmr,fprm->fplm", lam_band, T.imag, precision=prec),
+            jnp.einsum("lmr,fprm->fplm", lam_band, Tr, precision=prec),
+            jnp.einsum("lmr,fprm->fplm", lam_band, Ti, precision=prec),
         )
         * scale
     )
@@ -385,7 +400,7 @@ def fused_roundtrip_fn(bt, chunk: int = 512):
     _, lam, plan = bt._streaming_ops()
     lam_band = win._ensure_lam()
     vec = healpix.pix2vec(bt.beam_nside)
-    vecw = jnp.asarray(vec[win.window_index].astype(np.float32))
+    vecw = jnp.asarray(vec[win.flat_index].astype(np.float32))
 
     npad = _pad_to(nbase, chunk)
     nchunk = npad // chunk
@@ -398,7 +413,7 @@ def fused_roundtrip_fn(bt, chunk: int = 512):
     u_res, u_ims, uidx = [], [], None
     for fi in range(nfreq):
         u_idx, bprod = bt._beam_products(fi)
-        bw = bprod[..., win.window_index]
+        bw = bprod[..., win.flat_index]
         u_res.append(bw.real.astype(np.float32))
         u_ims.append(bw.imag.astype(np.float32))
         uidx = u_idx
@@ -413,15 +428,17 @@ def fused_roundtrip_fn(bt, chunk: int = 512):
         lam,
         plan,
         lam_band,
-        win._Ec,
-        win._Es,
+        win._Ecf,
+        win._Esf,
+        win.flat_ring,
+        win.ring_onehot,
         vecw,
         jnp.asarray(u_re_h),
         jnp.asarray(u_im_h),
         jnp.asarray(uidx_pad),
         jnp.asarray(blw_pad),
     )
-    dims = (nfreq, npol, chunk, nchunk, nbase, win.Rb, win.W, mmax)
+    dims = (nfreq, npol, chunk, nchunk, nbase, win.Kf, mmax)
 
     def run(sky, weight=None):
         use_weight = weight is not None
