@@ -28,8 +28,10 @@ import numpy as np
 
 NSIDE = int(os.environ.get("BENCH_NSIDE", 256))
 NFEED_SIDE = int(os.environ.get("BENCH_NFEED_SIDE", 8))  # 64 feeds
-# 416 = 2080/5: biggest batch that fits HBM alongside the Legendre tensor,
-# and an exact divisor of the pair count (no padded work)
+# Baselines per streamed chunk in the fused round trip.  The jittered
+# 64-feed array has 2017 unique pairs (autos collapse into one stack);
+# 520 pads that to 4 x 520 with the largest per-chunk GEMMs that fit
+# HBM alongside the windowed Legendre band.
 CHUNK = int(os.environ.get("BENCH_CHUNK", 520))
 
 # JAX's TPU matmul default is single-pass bf16 (~3e-3 error); the 1e-5

@@ -21,6 +21,7 @@ from ..core import config, containers, io
 from ..core.containers import concatenate_tod, empty_like
 from ..core.task import ContainerTask
 from ..ops import regrid
+from ..ops import tools as ops_tools
 from ..ops.tools import invert_no_zero
 from .transform import LanczosRegridder
 
@@ -544,28 +545,50 @@ class SiderealStacker(ContainerTask):
         else:
             count = (weight > 0.0).astype(self.stack.nsample.dtype)
 
-        st_nsample = np.asarray(self.stack.nsample[:]) + count
-        self.stack.nsample[:] = st_nsample.astype(self.stack.nsample.dtype)
+        # The running West-update state lives in device HBM across days
+        # (SURVEY section 2.5: per-day accumulation as donated-buffer
+        # jitted updates); each day moves on once and the stack
+        # materialises on the host only in process_finish.
+        if getattr(self, "_dev", None) is None:
+            import jax.numpy as jnp
 
-        st_weight = np.asarray(self.stack.weight[:])
-        if self.weight == "uniform":
-            coeff = count.astype(np.float32)
-            st_weight = st_weight + (coeff**2) * invert_no_zero(weight)
-            sum_coeff = st_nsample
-        else:
-            coeff = weight
-            st_weight = st_weight + weight
-            sum_coeff = st_weight
-        self.stack.weight[:] = st_weight.astype(self.stack.weight.dtype)
+            shape = self.stack.vis.shape
+            self._dev = {
+                "vis": ops_tools.as_device(
+                    np.zeros(shape, dtype=np.complex64)
+                ),
+                "weight": jnp.zeros(self.stack.weight.shape, jnp.float32),
+                "nsample": jnp.zeros(self.stack.nsample.shape, jnp.float32),
+                "scs": jnp.zeros(self.stack.weight.shape, jnp.float32),
+                "sv": ops_tools.as_device(
+                    np.zeros((3, *shape), dtype=np.float32)
+                ) if self.with_sample_variance else None,
+            }
+            self._update_fn = _build_stack_update(
+                self.weight_slice["vis"],
+                uniform=(self.weight == "uniform"),
+                with_var=self.with_sample_variance,
+            )
 
-        wslc = self.weight_slice["vis"]
-        st_vis = np.asarray(self.stack.vis[:])
-        delta_before = coeff[wslc] * (np.asarray(sdata.vis[:]) - st_vis)
-        inv_sum_coeff = invert_no_zero(sum_coeff)
-        st_vis = st_vis + delta_before * inv_sum_coeff[wslc]
-        self.stack.vis[:] = st_vis.astype(self.stack.vis.dtype)
+        d = self._dev
+        out = self._update_fn(
+            d["vis"],
+            d["weight"],
+            d["nsample"],
+            d["scs"],
+            d["sv"],
+            ops_tools.as_device(np.asarray(sdata.vis[:])),
+            ops_tools.as_device(weight.astype(np.float32)),
+            ops_tools.as_device(count.astype(np.float32)),
+        )
+        (d["vis"], d["weight"], d["nsample"], d["scs"], d["sv"],
+         coeff_dev, inv_dev) = out
 
         for name in self.additional_datasets:
+            # rare datasets of arbitrary dtype stay host-side; they reuse
+            # the device-computed coefficients
+            coeff = ops_tools.device_to_numpy(coeff_dev)
+            inv_sum_coeff = ops_tools.device_to_numpy(inv_dev)
             ws = self.weight_slice[name]
             st = np.asarray(self.stack[name][:])
             delta = coeff[ws] * (np.asarray(sdata[name][:]) - st)
@@ -573,18 +596,28 @@ class SiderealStacker(ContainerTask):
                 self.stack[name].dtype
             )
 
-        if self.with_sample_variance:
-            self.sum_coeff_sq += coeff**2
-            delta_after = np.asarray(sdata.vis[:]) - st_vis
-            sv = np.asarray(self.stack.sample_variance[:])
-            sv[0] += (delta_before.real * delta_after.real)
-            sv[1] += (delta_before.real * delta_after.imag)
-            sv[2] += (delta_before.imag * delta_after.imag)
-            self.stack.sample_variance[:] = sv
-
     def process_finish(self):
         self.stack.attrs["tag"] = self.tag
         self.stack.attrs["lsd"] = np.array(self.lsd_list)
+
+        # materialise the device-resident running state
+        d = getattr(self, "_dev", None)
+        if d is not None:
+            self.stack.vis[:] = ops_tools.device_to_numpy(d["vis"]).astype(
+                self.stack.vis.dtype
+            )
+            self.stack.weight[:] = np.asarray(d["weight"]).astype(
+                self.stack.weight.dtype
+            )
+            self.stack.nsample[:] = np.asarray(d["nsample"]).astype(
+                self.stack.nsample.dtype
+            )
+            self.sum_coeff_sq = np.asarray(d["scs"])
+            if self.with_sample_variance:
+                self.stack.sample_variance[:] = ops_tools.device_to_numpy(
+                    d["sv"]
+                ).astype(self.stack.sample_variance.dtype)
+            self._dev = None
 
         st_weight = np.asarray(self.stack.weight[:])
         if self.weight == "uniform":
@@ -615,6 +648,71 @@ class SiderealStacker(ContainerTask):
             self.stack.datasets["effective_ra"][:] = era.astype(np.float32)
 
         return self.stack
+
+
+def _build_stack_update(wslc, uniform: bool, with_var: bool):
+    """Jitted donated-buffer West (1979) update for SiderealStacker.
+
+    The running (vis, weight, nsample, sum-coeff-sq, sample-variance)
+    state stays in device HBM; each sidereal day is folded in by one
+    XLA program (reference sidereal.py:940-1014 recomputes this chain
+    in host numpy per day).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+    def update(st_vis, st_weight, st_nsample, scs, sv, vis, weight, count):
+        st_nsample = st_nsample + count
+        if uniform:
+            coeff = count
+            st_weight = st_weight + coeff**2 * invert_no_zero(weight)
+            sum_coeff = st_nsample
+        else:
+            coeff = weight
+            st_weight = st_weight + weight
+            sum_coeff = st_weight
+        inv = invert_no_zero(sum_coeff)
+        delta_before = coeff[wslc] * (vis - st_vis)
+        st_vis = st_vis + delta_before * inv[wslc]
+        if with_var:
+            scs = scs + coeff**2
+            delta_after = vis - st_vis
+            sv = sv + jnp.stack(
+                [
+                    delta_before.real * delta_after.real,
+                    delta_before.real * delta_after.imag,
+                    delta_before.imag * delta_after.imag,
+                ]
+            )
+        return st_vis, st_weight, st_nsample, scs, sv, coeff, inv
+
+    if not with_var:
+        # keep a uniform call signature; sv passes through untouched
+        def update_no_sv(st_vis, st_weight, st_nsample, scs, sv, vis, weight,
+                         count):
+            r = update(st_vis, st_weight, st_nsample, scs, vis, weight, count)
+            return (*r[:4], None, *r[4:])
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def update(st_vis, st_weight, st_nsample, scs, vis, weight, count):  # noqa: F811
+            st_nsample2 = st_nsample + count
+            if uniform:
+                coeff = count
+                st_weight2 = st_weight + coeff**2 * invert_no_zero(weight)
+                sum_coeff = st_nsample2
+            else:
+                coeff = weight
+                st_weight2 = st_weight + weight
+                sum_coeff = st_weight2
+            inv = invert_no_zero(sum_coeff)
+            st_vis2 = st_vis + coeff[wslc] * (vis - st_vis) * inv[wslc]
+            return st_vis2, st_weight2, st_nsample2, scs + coeff**2, coeff, inv
+
+        return update_no_sv
+    return update
 
 
 class SiderealStackerMatch(ContainerTask):

@@ -160,6 +160,34 @@ def test_sidereal_stacker(observer):
     assert np.isclose(sv[0].mean() + sv[2].mean(), 0.02, rtol=0.5)
 
 
+def test_sidereal_stacker_uniform(observer):
+    """Uniform weighting averages days equally regardless of weights."""
+    stacker = sidereal.SiderealStacker()
+    stacker.read_config({"weight": "uniform"})
+    rng = np.random.Generator(np.random.SFC64(7))
+    days = []
+    for d in range(3):
+        ss = containers.SiderealStream(
+            freq=np.array([400.0, 500.0]), input=2, ra=16
+        )
+        ss.vis[:] = (
+            rng.standard_normal(ss.vis.shape)
+            + 1j * rng.standard_normal(ss.vis.shape)
+        ).astype(np.complex64)
+        # wildly different weights must not change a uniform stack mean
+        ss.weight[:] = 10.0 ** (d - 1)
+        ss.attrs["lsd"] = d
+        days.append(ss)
+        stacker.process(ss)
+    stack = stacker.process_finish()
+    mean = np.mean([np.asarray(d.vis[:]) for d in days], axis=0)
+    assert np.allclose(np.asarray(stack.vis[:]), mean, atol=1e-5)
+    assert np.asarray(stack.nsample[:]).max() == 3
+    # final weight is nsample^2 / sum(1/w)
+    expect_w = 9.0 / sum(1.0 / 10.0 ** (d - 1) for d in range(3))
+    assert np.allclose(np.asarray(stack.weight[:]), expect_w, rtol=1e-5)
+
+
 def test_sidereal_stacker_match(observer):
     stacker = sidereal.SiderealStackerMatch()
     stacker.read_config({})
