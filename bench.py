@@ -221,6 +221,54 @@ def run_cylinder():
     return min(times), warm, npairs
 
 
+def run_delay_gibbs():
+    """Time the batched delay-PS Gibbs sampler at a production shape.
+
+    128 baselines x 513 frequencies (N = 1024 delays), 10 Gibbs
+    iterations: every baseline's chain advances in one scanned device
+    program (batched Cholesky + GEMM draws).
+    """
+    import jax.numpy as jnp  # noqa: F401
+
+    from draco_tpu.ops import delay as dops
+
+    nbase = int(os.environ.get("BENCH_DELAY_NBASE", 128))
+    ndelay = int(os.environ.get("BENCH_DELAY_N", 1024))
+    niter = int(os.environ.get("BENCH_DELAY_NITER", 10))
+    nsamp = 2
+    nfreq = ndelay // 2 + 1
+
+    rng = np.random.Generator(np.random.SFC64(3))
+    data = (
+        rng.standard_normal((nbase, nsamp, nfreq))
+        + 1j * rng.standard_normal((nbase, nsamp, nfreq))
+    ).astype(np.complex128)
+    Ni = rng.uniform(0.5, 2.0, (nbase, nfreq))
+    S0 = np.ones((nbase, ndelay))
+
+    def once():
+        return dops.delay_power_spectrum_gibbs_batched(
+            data, ndelay, Ni, S0, niter=niter
+        )
+
+    t0 = time.time()
+    out = once()
+    warm = time.time() - t0
+    log(f"[delay_gibbs] warmup (incl. compile): {warm:.1f}s")
+    t0 = time.time()
+    out = once()
+    dt = time.time() - t0
+    log(f"[delay_gibbs] run 0: {dt:.3f}s")
+    assert np.isfinite(out).all()
+    return {
+        "nbase": nbase,
+        "ndelay": ndelay,
+        "niter": niter,
+        "seconds": round(dt, 3),
+        "warmup_s": round(warm, 1),
+    }
+
+
 def main():
     legacy = (
         os.environ.get("BENCH_SHARD")
@@ -308,6 +356,15 @@ def main():
             "seconds": round(t_cyl, 3),
             "warmup_s": round(warm_cyl, 1),
         }
+
+    if os.environ.get("BENCH_DELAY", "1") != "0":
+        # The reference's other headline estimator: the delay power
+        # spectrum Gibbs sampler, batched over baselines on device
+        # (reference delay.py:905-931 loops baselines on the host).
+        try:
+            extras["delay_gibbs"] = run_delay_gibbs()
+        except Exception as e:  # never fail the whole bench on an extra
+            extras["delay_gibbs"] = {"error": str(e)[:200]}
 
     if os.environ.get("BENCH_CROSSCHECK"):
         spine = run_spine(emit_json=False)

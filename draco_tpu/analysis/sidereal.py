@@ -715,6 +715,54 @@ def _build_stack_update(wslc, uniform: bool, with_var: bool):
     return update
 
 
+def _match_stack_update(st_vis, st_weight, d, weight):
+    """One day of Wiener-matched stacking, on device (donated state)."""
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def up(st_vis, st_weight, d, weight):
+        import jax.numpy as jnp
+
+        Ni_d = weight.mean(axis=1)  # [freq, ra]
+        tr_Ni = Ni_d.sum(axis=1)
+        v = Ni_d * invert_no_zero(tr_Ni[:, None]) ** 0.5
+        st_vis = st_vis + (
+            d * Ni_d[:, None, :]
+            - v[:, None, :] * jnp.matmul(d, v[:, :, None].astype(d.dtype))
+        )
+        st_weight = st_weight + invert_no_zero(weight) * Ni_d[:, None, :] ** 2
+        return st_vis, st_weight, Ni_d, v
+
+    return up(st_vis, st_weight, d, weight)
+
+
+def _match_stack_finish(st_vis, st_weight, Ni_s, Va):
+    """Crosstalk-marginalised deconvolution, batched over frequency."""
+    import jax
+
+    @jax.jit
+    def fin(sv, sw, Ni_s, Va):
+        import jax.numpy as jnp
+
+        nday = Va.shape[-1]
+        N_s = invert_no_zero(Ni_s)  # [f, ra]
+        V = Va * N_s[:, :, None]  # [f, ra, nday]
+        M = jnp.eye(nday)[None] - jnp.einsum(
+            "frd,fr,fre->fde", V, Ni_s, V
+        )
+        A = jnp.linalg.pinv(M, rcond=1e-8)
+        Vc = V.astype(sv.dtype)
+        X = jnp.einsum("fsr,frd->fsd", sv, Vc)
+        Y = jnp.einsum("fde,fse->fds", A.astype(sv.dtype), X)
+        sv = sv * N_s[:, None, :] + jnp.einsum("frd,fds->fsr", Vc, Y)
+        sw = invert_no_zero(sw) * (Ni_s**2)[:, None, :]
+        return sv, sw
+
+    return fin(st_vis, st_weight, Ni_s, Va)
+
+
 class SiderealStackerMatch(ContainerTask):
     """Wiener-matched stacking marginalising per-day crosstalk.
 
@@ -749,22 +797,30 @@ class SiderealStackerMatch(ContainerTask):
         label = sdata.attrs.get("tag", f"stream_{self.count}")
         self.log.info(f"Adding {label} to stack.")
 
-        weight = np.asarray(sdata.weight[:])
-        Ni_d = weight.mean(axis=1)  # [freq, ra]
-        tr_Ni = Ni_d.sum(axis=1)
-        v = Ni_d * invert_no_zero(tr_Ni[:, np.newaxis]) ** 0.5
-        d = np.asarray(sdata.vis[:])
+        # Device-resident running state: per-day mean-marginalised
+        # accumulation runs as one donated jitted program (see
+        # SiderealStacker); only the small [freq, ra] mode vectors come
+        # back per day for the final deconvolution.
+        if getattr(self, "_dev", None) is None:
+            import jax.numpy as jnp
 
-        st_vis = np.asarray(self.stack.vis[:])
-        st_vis = st_vis + (
-            d * Ni_d[:, np.newaxis, :]
-            - v[:, np.newaxis, :] * (d @ v[:, :, np.newaxis])
+            self._dev = {
+                "vis": ops_tools.as_device(
+                    np.zeros(self.stack.vis.shape, dtype=np.complex64)
+                ),
+                "weight": jnp.zeros(self.stack.weight.shape, jnp.float32),
+            }
+
+        d_dev = ops_tools.as_device(np.asarray(sdata.vis[:]))
+        w_dev = ops_tools.as_device(
+            np.asarray(sdata.weight[:]).astype(np.float32)
         )
-        self.stack.vis[:] = st_vis.astype(self.stack.vis.dtype)
-
-        st_w = np.asarray(self.stack.weight[:])
-        st_w = st_w + invert_no_zero(weight) * Ni_d[:, np.newaxis, :] ** 2
-        self.stack.weight[:] = st_w.astype(self.stack.weight.dtype)
+        out = _match_stack_update(
+            self._dev["vis"], self._dev["weight"], d_dev, w_dev
+        )
+        self._dev["vis"], self._dev["weight"], Ni_d_dev, v_dev = out
+        Ni_d = np.asarray(Ni_d_dev, dtype=np.float64)
+        v = np.asarray(v_dev, dtype=np.float64)
 
         self.Ni_s += Ni_d
         self.Vm.append(v)
@@ -776,18 +832,17 @@ class SiderealStackerMatch(ContainerTask):
         self.stack.attrs["tag"] = self.tag
         Va = np.array(self.Vm).transpose(1, 2, 0)  # [freq, ra, nday]
 
-        sv = np.asarray(self.stack.vis[:])
-        sw = np.asarray(self.stack.weight[:])
-        for fi in range(sv.shape[0]):
-            Ni_s = self.Ni_s[fi]
-            N_s = invert_no_zero(Ni_s)
-            V = Va[fi] * N_s[:, np.newaxis]
-            A = np.linalg.pinv(
-                np.identity(self.count) - (V.T * Ni_s[np.newaxis, :]) @ V,
-                rcond=1e-8,
-            )
-            sv[fi] = sv[fi] * N_s + (V @ (A @ (sv[fi] @ V).T)).T
-            sw[fi] = invert_no_zero(sw[fi]) * Ni_s**2
+        # batched deconvolution over all frequencies at once (the
+        # reference runs a per-frequency host pinv loop)
+        sv_dev, sw_dev = _match_stack_finish(
+            self._dev["vis"],
+            self._dev["weight"],
+            ops_tools.as_device(self.Ni_s.astype(np.float32)),
+            ops_tools.as_device(Va.astype(np.float32)),
+        )
+        self._dev = None
+        sv = ops_tools.device_to_numpy(sv_dev)
+        sw = np.asarray(sw_dev)
 
         stack_median = np.median(sv.real, axis=2) + 1.0j * np.median(sv.imag, axis=2)
         sv = sv - stack_median[:, :, np.newaxis]
