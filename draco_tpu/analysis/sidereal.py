@@ -716,50 +716,66 @@ def _build_stack_update(wslc, uniform: bool, with_var: bool):
 
 
 def _match_stack_update(st_vis, st_weight, d, weight):
-    """One day of Wiener-matched stacking, on device (donated state)."""
+    """One day of Wiener-matched stacking, on device (donated state).
+
+    Jitted at module level so repeated days reuse one executable (a jit
+    created per call would retrace every day).
+    """
     import functools
 
     import jax
+    import jax.numpy as jnp
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def up(st_vis, st_weight, d, weight):
-        import jax.numpy as jnp
+    global _match_stack_update_jit
+    try:
+        up = _match_stack_update_jit
+    except NameError:
 
-        Ni_d = weight.mean(axis=1)  # [freq, ra]
-        tr_Ni = Ni_d.sum(axis=1)
-        v = Ni_d * invert_no_zero(tr_Ni[:, None]) ** 0.5
-        st_vis = st_vis + (
-            d * Ni_d[:, None, :]
-            - v[:, None, :] * jnp.matmul(d, v[:, :, None].astype(d.dtype))
-        )
-        st_weight = st_weight + invert_no_zero(weight) * Ni_d[:, None, :] ** 2
-        return st_vis, st_weight, Ni_d, v
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def up(st_vis, st_weight, d, weight):
+            Ni_d = weight.mean(axis=1)  # [freq, ra]
+            tr_Ni = Ni_d.sum(axis=1)
+            v = Ni_d * invert_no_zero(tr_Ni[:, None]) ** 0.5
+            st_vis = st_vis + (
+                d * Ni_d[:, None, :]
+                - v[:, None, :] * jnp.matmul(d, v[:, :, None].astype(d.dtype))
+            )
+            st_weight = (
+                st_weight + invert_no_zero(weight) * Ni_d[:, None, :] ** 2
+            )
+            return st_vis, st_weight, Ni_d, v
 
+        _match_stack_update_jit = up
     return up(st_vis, st_weight, d, weight)
 
 
 def _match_stack_finish(st_vis, st_weight, Ni_s, Va):
     """Crosstalk-marginalised deconvolution, batched over frequency."""
     import jax
+    import jax.numpy as jnp
 
-    @jax.jit
-    def fin(sv, sw, Ni_s, Va):
-        import jax.numpy as jnp
+    global _match_stack_finish_jit
+    try:
+        fin = _match_stack_finish_jit
+    except NameError:
 
-        nday = Va.shape[-1]
-        N_s = invert_no_zero(Ni_s)  # [f, ra]
-        V = Va * N_s[:, :, None]  # [f, ra, nday]
-        M = jnp.eye(nday)[None] - jnp.einsum(
-            "frd,fr,fre->fde", V, Ni_s, V
-        )
-        A = jnp.linalg.pinv(M, rcond=1e-8)
-        Vc = V.astype(sv.dtype)
-        X = jnp.einsum("fsr,frd->fsd", sv, Vc)
-        Y = jnp.einsum("fde,fse->fds", A.astype(sv.dtype), X)
-        sv = sv * N_s[:, None, :] + jnp.einsum("frd,fds->fsr", Vc, Y)
-        sw = invert_no_zero(sw) * (Ni_s**2)[:, None, :]
-        return sv, sw
+        @jax.jit
+        def fin(sv, sw, Ni_s, Va):
+            nday = Va.shape[-1]
+            N_s = invert_no_zero(Ni_s)  # [f, ra]
+            V = Va * N_s[:, :, None]  # [f, ra, nday]
+            M = jnp.eye(nday)[None] - jnp.einsum(
+                "frd,fr,fre->fde", V, Ni_s, V
+            )
+            A = jnp.linalg.pinv(M, rcond=1e-8)
+            Vc = V.astype(sv.dtype)
+            X = jnp.einsum("fsr,frd->fsd", sv, Vc)
+            Y = jnp.einsum("fde,fse->fds", A.astype(sv.dtype), X)
+            sv = sv * N_s[:, None, :] + jnp.einsum("frd,fds->fsr", Vc, Y)
+            sw = invert_no_zero(sw) * (Ni_s**2)[:, None, :]
+            return sv, sw
 
+        _match_stack_finish_jit = fin
     return fin(st_vis, st_weight, Ni_s, Va)
 
 

