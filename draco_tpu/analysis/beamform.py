@@ -62,6 +62,10 @@ class BeamFormBase(ContainerTask):
     timetrack = config.Property(proptype=float, default=900.0)
     variable_timetrack = config.Property(proptype=bool, default=False)
     freqside = config.Property(proptype=int, default=None)
+    # Sources per batched device call in the collapse-HA path (the
+    # reference advances one source per Cython call, beamform.py:290);
+    # 1 restores the per-source path.
+    source_batch = config.Property(proptype=int, default=32)
     data_available = True
 
     def setup(self, manager):
@@ -278,6 +282,12 @@ class BeamFormBase(ContainerTask):
             formed_beam.add_dataset("redshift")
             formed_beam["redshift"][:] = self.source_cat["redshift"][:]
 
+        if self.collapse_ha and self.source_batch > 1:
+            fbb, fbw = self._process_sources_batched()
+            formed_beam.beam[:] = fbb
+            formed_beam.weight[:] = fbw
+            return formed_beam
+
         fbb = np.zeros(formed_beam.beam.shape)
         fbw = np.zeros(formed_beam.weight.shape)
         fbha = (
@@ -407,6 +417,140 @@ class BeamFormBase(ContainerTask):
         if fbha is not None:
             formed_beam.datasets["object_ha"][:] = fbha
         return formed_beam
+
+    def _process_sources_batched(self):
+        """Collapse-HA beamforming with sources batched on device.
+
+        Equivalent to the per-source loop (reference beamform.py:290-385)
+        but each batch of sources gathers its RA windows and runs every
+        (source, freq, ha, product) contraction in ONE device program
+        (:func:`draco_tpu.ops.interferometry.beamform_sources_batched`).
+        Variable-length and edge-clipped HA windows are padded and
+        zeroed through the primary-beam factor.
+        """
+        import jax.numpy as jnp
+
+        from ..ops.interferometry import beamform_sources_batched
+
+        nsrc = self.nsource
+        npol_out = len(self.return_pol)
+        fbb = np.zeros((nsrc, npol_out, self.ls))
+        fbw = np.zeros((nsrc, npol_out, self.ls))
+
+        # per-source windows and masks (host bookkeeping, small)
+        decs = np.radians(self.sdec)
+        keep = np.ones(nsrc, dtype=bool)
+        f_masks = np.zeros((nsrc, self.nfreq), dtype=bool)
+        windows = []
+        for src in range(nsrc):
+            if self.freqside is not None:
+                freq_diff = abs(self.freq["centre"] - self.sfreq[src])
+                sfreq_index = np.argmin(freq_diff)
+                idx0 = max(0, sfreq_index - self.freqside)
+                idx1 = min(self.nfreq, sfreq_index + self.freqside + 1)
+                f_masks[src] = True
+                f_masks[src, idx0:idx1] = False
+                if f_masks[src].all():
+                    keep[src] = False
+                    windows.append(None)
+                    continue
+            if self.is_sstream:
+                sra_index = np.searchsorted(
+                    self.ra, self.sra[src]
+                ) % len(self.ra)
+            else:
+                transit_diff = abs(self.ra - self.sra[src])
+                sra_index = np.argmin(transit_diff)
+                ra_cadence = self.ra[1] - self.ra[0]
+                if transit_diff[sra_index] > 1.5 * abs(ra_cadence):
+                    keep[src] = False
+                    windows.append(None)
+                    continue
+            ha_side = (
+                int(self.ha_side / np.cos(decs[src]))
+                if self.variable_timetrack
+                else int(self.ha_side)
+            )
+            windows.append(
+                self._ha_array(
+                    self.ra, sra_index, self.sra[src], ha_side,
+                    self.is_sstream,
+                )
+            )
+
+        src_ids = np.nonzero(keep)[0]
+        if len(src_ids) == 0:
+            return fbb, fbw
+
+        # batch size from a ~2 GB gather budget
+        nprod_max = max(v.shape[-1] for v in self.vis)
+        nham_all = max(len(windows[s][0]) for s in src_ids)
+        per_src = max(1, nham_all * self.ls * nprod_max * 20)
+        S = max(1, min(int(self.source_batch), int(2.5e9 // per_src)))
+
+        from ..ops import tools as _optools
+
+        # complex host->device transfers are unsupported over remote-TPU
+        # tunnels; as_device splits them into [re, im]
+        vis_dev = [
+            _optools.as_device(v.astype(np.complex64)) for v in self.vis
+        ]
+        sw_dev = [jnp.asarray(w.astype(np.float32)) for w in self.sumweight]
+        vw_dev = [jnp.asarray(w.astype(np.float32)) for w in self.visweight]
+
+        for b0 in range(0, len(src_ids), S):
+            batch = src_ids[b0 : b0 + S]
+            nb = len(batch)
+            nham = max(len(windows[s][0]) for s in batch)
+            ra_idx = np.zeros((nb, nham), np.int32)
+            cosha = np.zeros((nb, nham))
+            sinha = np.zeros((nb, nham))
+            pb = np.zeros((self.npol, nb, self.ls, nham))
+            for k, s_id in enumerate(batch):
+                ha_array, ra_index_range, ha_mask = windows[s_id]
+                n = len(ha_array)
+                ra_idx[k, :n] = ra_index_range
+                cosha[k, :n] = np.cos(ha_array)
+                sinha[k, :n] = np.sin(ha_array)
+                for pol, pol_str in enumerate(self.process_pol):
+                    pb[pol, k, :, :n] = self._beamfunc(
+                        pol_str, decs[s_id], ha_array
+                    )
+
+            formed = np.zeros((self.npol, nb, self.ls))
+            wout = np.zeros((self.npol, nb, self.ls))
+            for pol in range(self.npol):
+                f_p, w_p = beamform_sources_batched(
+                    vis_dev[pol],
+                    sw_dev[pol],
+                    vw_dev[pol],
+                    ra_idx,
+                    cosha,
+                    sinha,
+                    np.sin(decs[batch]),
+                    np.cos(decs[batch]),
+                    self.latitude,
+                    self.bvec[pol][0],
+                    self.bvec[pol][1],
+                    pb[pol],
+                    self.weight == "inverse_variance",
+                )
+                formed[pol] = np.asarray(f_p)
+                wout[pol] = np.asarray(w_p)
+
+            wout[:, f_masks[batch].nonzero()[0],
+                 f_masks[batch].nonzero()[1]] = 0.0
+            if self.polarization == "I":
+                wsum = wout.sum(axis=0)
+                fsum = (formed * wout).sum(axis=0) * np.asarray(
+                    invert_no_zero(wsum)
+                )
+                fbb[batch] = fsum[:, None]
+                fbw[batch] = 2.0 * wsum[:, None]
+            else:
+                fbb[batch] = formed.transpose(1, 0, 2)
+                fbw[batch] = 2.0 * wout.transpose(1, 0, 2)
+        return fbb, fbw
 
     def process_finish(self):
         """Release the large cached data arrays."""

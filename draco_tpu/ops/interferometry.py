@@ -72,3 +72,105 @@ def beamform_kernel(vis, sumweight, dec, lat, cosha, sinha, u, v):
     )
     phase = jnp.exp(-2.0j * np.pi * dist)
     return jnp.sum(sumweight * (vis * phase).real, axis=-1)
+
+
+def beamform_sources_batched(
+    vis,
+    sumweight,
+    visweight,
+    ra_idx,
+    cosha,
+    sinha,
+    sind,
+    cosd,
+    lat,
+    u,
+    v,
+    primary_beam,
+    inverse_variance: bool,
+):
+    """Beamform a BATCH of sources in one device program (collapse-HA).
+
+    The reference (and :func:`beamform_kernel`) advance one source per
+    call; at catalog scale that is nsource host->device dispatches plus
+    per-source host slicing.  Here the per-source RA windows gather on
+    device and every (source, freq, ha, product) contraction runs as one
+    batched program.
+
+    Parameters
+    ----------
+    vis : [nfreq, nra, nprod] complex (device-resident)
+    sumweight, visweight : [nfreq, nra, nprod] real
+    ra_idx : [S, nha] int32 RA indices of each source's window
+    cosha, sinha : [S, nha]
+    sind, cosd : [S] sin/cos of each source declination
+    lat : float (radians)
+    u, v : [nfreq, nprod] baseline components in wavelengths
+    primary_beam : [S, nfreq, nha] beam power at each source track
+    inverse_variance : bool
+        Weight mode: True returns the summed weight as the output
+        weight; False propagates sw^2 / vw.
+
+    Returns
+    -------
+    formed : [S, nfreq] beam-and-weight normalised flux
+    weight : [S, nfreq] output weights (before the factor-2 real-part
+        variance correction)
+    """
+    return _beamform_sources_jit(
+        jnp.asarray(vis),
+        jnp.asarray(sumweight),
+        jnp.asarray(visweight),
+        jnp.asarray(ra_idx),
+        jnp.asarray(cosha),
+        jnp.asarray(sinha),
+        jnp.asarray(sind),
+        jnp.asarray(cosd),
+        jnp.asarray(float(lat)),
+        jnp.asarray(u),
+        jnp.asarray(v),
+        jnp.asarray(primary_beam),
+        inv_var=bool(inverse_variance),
+    )
+
+
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnames=("inv_var",))
+def _beamform_sources_jit(
+    vis, sw, vw, ra_idx, cosha, sinha, sind, cosd, lat, u, v, pb, *, inv_var
+):
+    from .tools import invert_no_zero
+
+    S, nha = ra_idx.shape
+    nfreq = vis.shape[0]
+    flat = ra_idx.reshape(-1)
+    vis_g = jnp.take(vis, flat, axis=1).reshape(nfreq, S, nha, -1)
+    sw_g = jnp.take(sw, flat, axis=1).reshape(nfreq, S, nha, -1)
+    sinl, cosl = jnp.sin(lat), jnp.cos(lat)
+    # dist[f, s, h, p] = u cd sH + v (cL sd - sL cd cH)
+    a = cosd[:, None] * sinha  # [S, h]
+    b = cosl * sind[:, None] - sinl * cosd[:, None] * cosha
+    dist = (
+        u[:, None, None, :] * a[None, :, :, None]
+        + v[:, None, None, :] * b[None, :, :, None]
+    )
+    phase = jnp.exp(-2.0j * np.pi * dist)
+    formed = jnp.sum(sw_g * (vis_g * phase).real, axis=-1)  # [f, S, h]
+    pbT = pb.transpose(1, 0, 2)  # [f, S, h]
+    sw_h = jnp.sum(sw_g, axis=-1)  # [f, S, h]
+    sumw = jnp.sum(sw_h * pbT**2, axis=-1)  # [f, S]
+    formed_full = jnp.sum(formed * pbT, axis=-1) * invert_no_zero(sumw)
+    if inv_var:
+        wout = sumw
+    else:
+        vw_g = jnp.take(vw, flat, axis=1).reshape(nfreq, S, nha, -1)
+        w2 = jnp.sum(
+            jnp.sum(sw_g**2 * invert_no_zero(vw_g), axis=-1) * pbT**2,
+            axis=-1,
+        )
+        wout = sumw**2 * invert_no_zero(w2)
+    return formed_full.T, wout.T  # [S, f]

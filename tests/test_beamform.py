@@ -93,6 +93,40 @@ def test_beamform_task_recovers_source(source_setup):
     assert np.isfinite(np.asarray(fb.weight[:])).all()
 
 
+def test_beamform_batched_matches_per_source(source_setup):
+    """The batched-sources device path equals the per-source loop."""
+    tel, bt, ss, (src_ra, src_dec) = source_setup
+
+    cat = containers.SourceCatalog(object_id=np.arange(3))
+    pos = np.zeros(3, dtype=[("ra", np.float64), ("dec", np.float64)])
+    pos["ra"] = [src_ra, (src_ra + 40.0) % 360, (src_ra + 200.0) % 360]
+    pos["dec"] = [src_dec, src_dec - 10.0, src_dec + 5.0]
+    cat["position"][:] = pos
+    cat.attrs["coordinates"] = "CIRS"
+
+    for weight in ["natural", "inverse_variance"]:
+        results = []
+        for batch in [1, 32]:
+            task = beamform.BeamForm()
+            task.read_config(
+                {
+                    "polarization": "I",
+                    "weight": weight,
+                    "no_beam_model": True,
+                    "timetrack": 1800.0,
+                    "source_batch": batch,
+                }
+            )
+            task.setup(tel, cat)
+            fb = task.process(ss)
+            results.append(
+                (np.asarray(fb.beam[:]), np.asarray(fb.weight[:]))
+            )
+        (b1, w1), (b2, w2) = results
+        assert np.allclose(b1, b2, atol=1e-5 * max(np.abs(b1).max(), 1e-30)), weight
+        assert np.allclose(w1, w2, rtol=1e-5), weight
+
+
 def test_ringmap_beamform(source_setup):
     tel, bt, ss, (src_ra, src_dec) = source_setup
     maker = RingMapMaker()
