@@ -295,6 +295,12 @@ def main():
         tag="headline",
     )
     extras["warmup_s"] = round(warm, 1)
+    # the BASELINE.json companion metric: m-modes processed per second
+    # ((mmax+1) x 2 signs x npairs per frequency per round trip)
+    mmax_hl = 3 * NSIDE - 1
+    extras["mmodes_per_sec"] = float(
+        f"{(mmax_hl + 1) * 2 * npairs / value:.3g}"
+    )
 
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
         # multi-frequency scaling (VERDICT r1 item 4): measure the

@@ -282,10 +282,12 @@ class BeamFormBase(ContainerTask):
             formed_beam.add_dataset("redshift")
             formed_beam["redshift"][:] = self.source_cat["redshift"][:]
 
-        if self.collapse_ha and self.source_batch > 1:
-            fbb, fbw = self._process_sources_batched()
+        if self.source_batch > 1:
+            fbb, fbw, fbha = self._process_sources_batched()
             formed_beam.beam[:] = fbb
             formed_beam.weight[:] = fbw
+            if fbha is not None:
+                formed_beam.datasets["object_ha"][:] = fbha
             return formed_beam
 
         fbb = np.zeros(formed_beam.beam.shape)
@@ -419,23 +421,33 @@ class BeamFormBase(ContainerTask):
         return formed_beam
 
     def _process_sources_batched(self):
-        """Collapse-HA beamforming with sources batched on device.
+        """Beamforming with sources batched on device.
 
         Equivalent to the per-source loop (reference beamform.py:290-385)
         but each batch of sources gathers its RA windows and runs every
         (source, freq, ha, product) contraction in ONE device program
-        (:func:`draco_tpu.ops.interferometry.beamform_sources_batched`).
-        Variable-length and edge-clipped HA windows are padded and
-        zeroed through the primary-beam factor.
+        (:func:`draco_tpu.ops.interferometry.beamform_sources_batched` /
+        ``..._ha``).  Variable-length and edge-clipped HA windows are
+        padded and zeroed through the primary-beam factor (collapse-HA)
+        or an explicit validity mask (HA-resolved).
         """
         import jax.numpy as jnp
 
-        from ..ops.interferometry import beamform_sources_batched
+        from ..ops.interferometry import (
+            beamform_sources_batched,
+            beamform_sources_batched_ha,
+        )
 
         nsrc = self.nsource
         npol_out = len(self.return_pol)
-        fbb = np.zeros((nsrc, npol_out, self.ls))
-        fbw = np.zeros((nsrc, npol_out, self.ls))
+        if self.collapse_ha:
+            fbb = np.zeros((nsrc, npol_out, self.ls))
+            fbw = np.zeros((nsrc, npol_out, self.ls))
+            fbha = None
+        else:
+            fbb = np.zeros((nsrc, npol_out, self.ls, self.nha))
+            fbw = np.zeros((nsrc, npol_out, self.ls, self.nha))
+            fbha = np.zeros((nsrc, self.nha))
 
         # per-source windows and masks (host bookkeeping, small)
         decs = np.radians(self.sdec)
@@ -480,7 +492,7 @@ class BeamFormBase(ContainerTask):
 
         src_ids = np.nonzero(keep)[0]
         if len(src_ids) == 0:
-            return fbb, fbw
+            return fbb, fbw, fbha
 
         # batch size from a ~2 GB gather budget
         nprod_max = max(v.shape[-1] for v in self.vis)
@@ -501,26 +513,48 @@ class BeamFormBase(ContainerTask):
         for b0 in range(0, len(src_ids), S):
             batch = src_ids[b0 : b0 + S]
             nb = len(batch)
-            nham = max(len(windows[s][0]) for s in batch)
+            nham = (
+                self.nha
+                if not self.collapse_ha
+                else max(len(windows[s][0]) for s in batch)
+            )
             ra_idx = np.zeros((nb, nham), np.int32)
             cosha = np.zeros((nb, nham))
             sinha = np.zeros((nb, nham))
-            pb = np.zeros((self.npol, nb, self.ls, nham))
+            ha_valid = np.zeros((nb, nham), np.float32)
+            if self.collapse_ha:
+                pb = np.zeros((self.npol, nb, self.ls, nham))
             for k, s_id in enumerate(batch):
                 ha_array, ra_index_range, ha_mask = windows[s_id]
-                n = len(ha_array)
-                ra_idx[k, :n] = ra_index_range
-                cosha[k, :n] = np.cos(ha_array)
-                sinha[k, :n] = np.sin(ha_array)
-                for pol, pol_str in enumerate(self.process_pol):
-                    pb[pol, k, :, :n] = self._beamfunc(
-                        pol_str, decs[s_id], ha_array
-                    )
+                if self.collapse_ha:
+                    # pack at the start; the primary-beam factor zeroes
+                    # the padding
+                    sel = slice(0, len(ha_array))
+                else:
+                    # HA-resolved outputs live at their full-grid
+                    # positions (reference beamform.py:370-380)
+                    sel = ha_mask
+                ra_idx[k][sel] = ra_index_range
+                cosha[k][sel] = np.cos(ha_array)
+                sinha[k][sel] = np.sin(ha_array)
+                ha_valid[k][sel] = 1.0
+                if self.collapse_ha:
+                    for pol, pol_str in enumerate(self.process_pol):
+                        pb[pol, k, :, sel] = self._beamfunc(
+                            pol_str, decs[s_id], ha_array
+                        )
+                elif fbha is not None:
+                    fbha[s_id][sel] = ha_array
 
-            formed = np.zeros((self.npol, nb, self.ls))
-            wout = np.zeros((self.npol, nb, self.ls))
+            out_shape = (
+                (self.npol, nb, self.ls)
+                if self.collapse_ha
+                else (self.npol, nb, self.ls, nham)
+            )
+            formed = np.zeros(out_shape)
+            wout = np.zeros(out_shape)
             for pol in range(self.npol):
-                f_p, w_p = beamform_sources_batched(
+                common = (
                     vis_dev[pol],
                     sw_dev[pol],
                     vw_dev[pol],
@@ -532,14 +566,22 @@ class BeamFormBase(ContainerTask):
                     self.latitude,
                     self.bvec[pol][0],
                     self.bvec[pol][1],
-                    pb[pol],
-                    self.weight == "inverse_variance",
                 )
+                if self.collapse_ha:
+                    f_p, w_p = beamform_sources_batched(
+                        *common, pb[pol],
+                        self.weight == "inverse_variance",
+                    )
+                else:
+                    f_p, w_p = beamform_sources_batched_ha(
+                        *common, ha_valid,
+                        self.weight == "inverse_variance",
+                    )
                 formed[pol] = np.asarray(f_p)
                 wout[pol] = np.asarray(w_p)
 
-            wout[:, f_masks[batch].nonzero()[0],
-                 f_masks[batch].nonzero()[1]] = 0.0
+            ks, fs = f_masks[batch].nonzero()
+            wout[:, ks, fs] = 0.0
             if self.polarization == "I":
                 wsum = wout.sum(axis=0)
                 fsum = (formed * wout).sum(axis=0) * np.asarray(
@@ -548,9 +590,9 @@ class BeamFormBase(ContainerTask):
                 fbb[batch] = fsum[:, None]
                 fbw[batch] = 2.0 * wsum[:, None]
             else:
-                fbb[batch] = formed.transpose(1, 0, 2)
-                fbw[batch] = 2.0 * wout.transpose(1, 0, 2)
-        return fbb, fbw
+                fbb[batch] = np.moveaxis(formed, 0, 1)
+                fbw[batch] = 2.0 * np.moveaxis(wout, 0, 1)
+        return fbb, fbw, fbha
 
     def process_finish(self):
         """Release the large cached data arrays."""

@@ -174,3 +174,79 @@ def _beamform_sources_jit(
         )
         wout = sumw**2 * invert_no_zero(w2)
     return formed_full.T, wout.T  # [S, f]
+
+
+def beamform_sources_batched_ha(
+    vis,
+    sumweight,
+    visweight,
+    ra_idx,
+    cosha,
+    sinha,
+    sind,
+    cosd,
+    lat,
+    u,
+    v,
+    ha_valid,
+    inverse_variance: bool,
+):
+    """HA-resolved variant of :func:`beamform_sources_batched`.
+
+    Returns the normalised formed beam and weights per hour-angle bin
+    instead of collapsing the track; padded / edge-clipped window slots
+    are zeroed through ``ha_valid``.
+
+    Returns
+    -------
+    formed : [S, nfreq, nha]
+    weight : [S, nfreq, nha]
+    """
+    return _beamform_sources_ha_jit(
+        jnp.asarray(vis),
+        jnp.asarray(sumweight),
+        jnp.asarray(visweight),
+        jnp.asarray(ra_idx),
+        jnp.asarray(cosha),
+        jnp.asarray(sinha),
+        jnp.asarray(sind),
+        jnp.asarray(cosd),
+        jnp.asarray(float(lat)),
+        jnp.asarray(u),
+        jnp.asarray(v),
+        jnp.asarray(ha_valid),
+        inv_var=bool(inverse_variance),
+    )
+
+
+@_functools.partial(_jax.jit, static_argnames=("inv_var",))
+def _beamform_sources_ha_jit(
+    vis, sw, vw, ra_idx, cosha, sinha, sind, cosd, lat, u, v, ha_valid, *,
+    inv_var
+):
+    from .tools import invert_no_zero
+
+    S, nha = ra_idx.shape
+    nfreq = vis.shape[0]
+    flat = ra_idx.reshape(-1)
+    vis_g = jnp.take(vis, flat, axis=1).reshape(nfreq, S, nha, -1)
+    sw_g = jnp.take(sw, flat, axis=1).reshape(nfreq, S, nha, -1)
+    sinl, cosl = jnp.sin(lat), jnp.cos(lat)
+    a = cosd[:, None] * sinha
+    b = cosl * sind[:, None] - sinl * cosd[:, None] * cosha
+    dist = (
+        u[:, None, None, :] * a[None, :, :, None]
+        + v[:, None, None, :] * b[None, :, :, None]
+    )
+    phase = jnp.exp(-2.0j * np.pi * dist)
+    formed = jnp.sum(sw_g * (vis_g * phase).real, axis=-1)  # [f, S, h]
+    sumw = jnp.sum(sw_g, axis=-1)  # [f, S, h]
+    valid = ha_valid[None]  # [1, S, h]
+    formed_n = formed * invert_no_zero(sumw) * valid
+    if inv_var:
+        wout = sumw * valid
+    else:
+        vw_g = jnp.take(vw, flat, axis=1).reshape(nfreq, S, nha, -1)
+        w2 = jnp.sum(sw_g**2 * invert_no_zero(vw_g), axis=-1)
+        wout = sumw**2 * invert_no_zero(w2) * valid
+    return formed_n.transpose(1, 0, 2), wout.transpose(1, 0, 2)

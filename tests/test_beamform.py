@@ -127,6 +127,46 @@ def test_beamform_batched_matches_per_source(source_setup):
         assert np.allclose(w1, w2, rtol=1e-5), weight
 
 
+def test_beamform_batched_ha_resolved_matches(source_setup):
+    """The HA-resolved (collapse_ha=False) batched path equals per-source."""
+    tel, bt, ss, (src_ra, src_dec) = source_setup
+
+    cat = containers.SourceCatalog(object_id=np.arange(2))
+    pos = np.zeros(2, dtype=[("ra", np.float64), ("dec", np.float64)])
+    pos["ra"] = [src_ra, (src_ra + 40.0) % 360]
+    pos["dec"] = [src_dec, src_dec - 10.0]
+    cat["position"][:] = pos
+    cat.attrs["coordinates"] = "CIRS"
+
+    results = []
+    for batch in [1, 16]:
+        task = beamform.BeamForm()
+        task.read_config(
+            {
+                "polarization": "I",
+                "weight": "natural",
+                "no_beam_model": True,
+                "collapse_ha": False,
+                "timetrack": 1800.0,
+                "source_batch": batch,
+            }
+        )
+        task.setup(tel, cat)
+        fb = task.process(ss)
+        assert isinstance(fb, containers.FormedBeamHA)
+        results.append(
+            (
+                np.asarray(fb.beam[:]),
+                np.asarray(fb.weight[:]),
+                np.asarray(fb.datasets["object_ha"][:]),
+            )
+        )
+    (b1, w1, h1), (b2, w2, h2) = results
+    assert np.allclose(b1, b2, atol=1e-5 * max(np.abs(b1).max(), 1e-30))
+    assert np.allclose(w1, w2, rtol=1e-5)
+    assert np.allclose(h1, h2)
+
+
 def test_ringmap_beamform(source_setup):
     tel, bt, ss, (src_ra, src_dec) = source_setup
     maker = RingMapMaker()
