@@ -14,6 +14,7 @@ from .core import (  # noqa: F401
     SimplePolarisedTelescope,
     UnpolarisedCylinderTelescope,
     PolarisedCylinderTelescope,
+    PolarisedDishArray,
     UnpolarisedDishArray,
 )
 from .beamtransfer import BeamTransfer  # noqa: F401

@@ -532,6 +532,48 @@ class UnpolarisedDishArray(SimpleUnpolarisedTelescope):
         return pos
 
 
+class PolarisedDishArray(SimplePolarisedTelescope):
+    """A rectangular grid of dual-pol dishes (X then Y at each position).
+
+    The polarised counterpart of :class:`UnpolarisedDishArray` — smooth
+    Gaussian envelopes with the feed polarisation vector projected onto
+    the sphere basis, so the (T, Q, U, V) beam products are analytic
+    and golden-testable.
+    """
+
+    grid_ew = config.Property(proptype=int, default=4)
+    grid_ns = config.Property(proptype=int, default=4)
+    spacing_ew = config.Property(proptype=float, default=6.0)
+    spacing_ns = config.Property(proptype=float, default=6.0)
+    jitter = config.Property(proptype=float, default=0.0)
+    jitter_seed = config.Property(proptype=int, default=0)
+
+    @property
+    def _single_pol_positions(self) -> np.ndarray:
+        ew, ns = np.meshgrid(
+            np.arange(self.grid_ew) * self.spacing_ew,
+            np.arange(self.grid_ns) * self.spacing_ns,
+            indexing="ij",
+        )
+        pos = np.stack([ew.ravel(), ns.ravel()], axis=-1)
+        if self.jitter > 0.0:
+            rng = np.random.Generator(np.random.SFC64(self.jitter_seed))
+            pos = pos + rng.uniform(-self.jitter, self.jitter, pos.shape)
+        return pos
+
+    @property
+    def feedpositions(self) -> np.ndarray:
+        single = self._single_pol_positions
+        return np.concatenate([single, single], axis=0)
+
+    @property
+    def beamclass(self) -> np.ndarray:
+        nsingle = len(self._single_pol_positions)
+        return np.concatenate(
+            [np.zeros(nsingle, dtype=int), np.ones(nsingle, dtype=int)]
+        )
+
+
 class _CylinderMixin:
     """Feed layout along the focal lines of N-S oriented cylinders."""
 

@@ -183,3 +183,108 @@ def test_mmode_sidereal_inverse_matches_reference_convention(ntime, mmax, rng):
         mmode.mmodes_to_sidereal(jnp.asarray(vis_m), n=ntime, oddra=bool(ntime % 2))
     )
     assert np.allclose(got, want, atol=1e-10 * np.abs(want).max())
+
+
+# -- polarised brute force ---------------------------------------------------
+
+
+def test_brute_force_polarised_visibilities():
+    """Engine (T, Q, U, V) projection vs a direct coherency-matrix sum.
+
+    The brute force builds the visibility of every unique pair from the
+    dual-pol beams and the Stokes fields directly — no beam-transfer,
+    SHT or m-mode code — pinning the polarised beam-product convention
+    (B_T, B_Q, B_U, B_V ordering and signs) and the per-component
+    scalar transforms end-to-end.
+    """
+    from draco_tpu.core import containers
+    from draco_tpu.telescope import PolarisedDishArray
+
+    rng = np.random.Generator(np.random.SFC64(7))
+    nside = 16
+    L_pol = 4
+    tel = PolarisedDishArray(
+        grid_ew=2,
+        grid_ns=1,
+        spacing_ew=3.0,
+        latitude=35.0,
+        freq_lower=400.0,
+        freq_upper=400.0,
+        num_freq=1,
+        dish_width=6.0,
+        auto_correlations=True,
+        force_lmax=3 * nside - 1,
+        force_mmax=3 * nside - 1,
+    )
+    bt = BeamTransfer(telescope=tel, nside=nside).generate()
+
+    theta, phi = healpix.pix2ang(nside)
+
+    # four independent band-limited scalar fields (T, Q, U, V)
+    coeffs = []
+    for _ in range(4):
+        c = {}
+        for ell in range(L_pol + 1):
+            c[(ell, 0)] = rng.standard_normal()
+            for m in range(1, ell + 1):
+                c[(ell, m)] = rng.standard_normal() + 1j * rng.standard_normal()
+        coeffs.append(c)
+
+    def field_at(ci, phi_values):
+        T = np.zeros_like(phi_values, dtype=np.float64)
+        for (ell, m), c in coeffs[ci].items():
+            Y = sph_harm_y(ell, m, theta, phi_values)
+            T += np.real(c * Y) * (1.0 if m == 0 else 2.0)
+        return T
+
+    m = containers.Map(nside=nside, polarisation=True, freq=tel.frequencies)
+    marr = np.stack([field_at(ci, phi) for ci in range(4)])
+    m.map[:] = marr[np.newaxis]
+
+    sim = SimulateSidereal()
+    sim.read_config({})
+    sim.setup(bt)
+    ss = sim.process(m)
+    v_eng = np.asarray(ss.vis[:])[0]  # [npairs, ntime]
+    ntime = v_eng.shape[-1]
+    ra = np.radians(np.asarray(ss.ra))
+
+    # brute force from the dual-pol beams (coherency -> Stokes weights)
+    npix = healpix.npix_of(nside)
+    omega = 4.0 * np.pi / npix
+    lam = tel.wavelengths[0]
+    vec = healpix.pix2vec(nside)
+    bl3 = tel.baseline_vectors_3d()
+    pairs = tel.uniquepairs
+    beams = {f: np.asarray(tel.beam(f, 0, nside)) for f in set(pairs.ravel())}
+
+    B_planes = []
+    for (i, j), b in zip(pairs, bl3):
+        Et_i, Ep_i = beams[i][:, 0], beams[i][:, 1]
+        Et_j, Ep_j = beams[j][:, 0], beams[j][:, 1]
+        tt = Et_i * np.conj(Et_j)
+        pp = Ep_i * np.conj(Ep_j)
+        tp = Et_i * np.conj(Ep_j)
+        pt = Ep_i * np.conj(Et_j)
+        fringe = np.exp(2j * np.pi * (b @ vec.T) / lam)
+        B_planes.append(
+            np.stack(
+                [
+                    0.5 * (tt + pp),
+                    0.5 * (tt - pp),
+                    0.5 * (tp + pt),
+                    0.5j * (tp - pt),
+                ]
+            )
+            * fringe
+        )
+    B_planes = np.stack(B_planes)  # [npairs, 4, npix]
+
+    v_bf = np.zeros((len(pairs), ntime), dtype=np.complex128)
+    for k, ra_k in enumerate(ra):
+        sky_k = np.stack([field_at(ci, phi + ra_k) for ci in range(4)])
+        v_bf[:, k] = omega * np.einsum("bcp,cp->b", B_planes, sky_k)
+
+    scale = np.abs(v_bf).max()
+    err = np.abs(v_eng - v_bf).max() / scale
+    assert err < 2e-3, f"polarised engine vs brute force differ: {err:.2e}"
