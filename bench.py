@@ -270,11 +270,14 @@ def run_delay_gibbs():
 
 
 def main():
+    def _flag(name):
+        return os.environ.get(name, "0") not in ("0", "")
+
     legacy = (
-        os.environ.get("BENCH_SHARD")
-        or os.environ.get("BENCH_NO_WINDOW")
-        or os.environ.get("BENCH_MIRROR")
-        or os.environ.get("BENCH_LEGACY")
+        _flag("BENCH_SHARD")
+        or _flag("BENCH_NO_WINDOW")
+        or _flag("BENCH_MIRROR")
+        or _flag("BENCH_LEGACY")
     )
     if legacy:
         run_spine(emit_json=True)

@@ -561,8 +561,11 @@ class SiderealStacker(ContainerTask):
                 "nsample": jnp.zeros(self.stack.nsample.shape, jnp.float32),
                 "scs": jnp.zeros(self.stack.weight.shape, jnp.float32),
                 "sv": ops_tools.as_device(
-                    np.zeros((3, *shape), dtype=np.float32)
-                ) if self.with_sample_variance else None,
+                    np.zeros(
+                        (3, *shape) if self.with_sample_variance else (0,),
+                        dtype=np.float32,
+                    )
+                ),
             }
             self._update_fn = _build_stack_update(
                 self.weight_slice["vis"],
@@ -584,11 +587,12 @@ class SiderealStacker(ContainerTask):
         (d["vis"], d["weight"], d["nsample"], d["scs"], d["sv"],
          coeff_dev, inv_dev) = out
 
-        for name in self.additional_datasets:
-            # rare datasets of arbitrary dtype stay host-side; they reuse
-            # the device-computed coefficients
+        if self.additional_datasets:
+            # rare datasets of arbitrary dtype stay host-side; fetch the
+            # device-computed coefficients once per day, not per dataset
             coeff = ops_tools.device_to_numpy(coeff_dev)
             inv_sum_coeff = ops_tools.device_to_numpy(inv_dev)
+        for name in self.additional_datasets:
             ws = self.weight_slice[name]
             st = np.asarray(self.stack[name][:])
             delta = coeff[ws] * (np.asarray(sdata[name][:]) - st)
@@ -656,7 +660,8 @@ def _build_stack_update(wslc, uniform: bool, with_var: bool):
     The running (vis, weight, nsample, sum-coeff-sq, sample-variance)
     state stays in device HBM; each sidereal day is folded in by one
     XLA program (reference sidereal.py:940-1014 recomputes this chain
-    in host numpy per day).
+    in host numpy per day).  Without sample variance the ``sv`` slot
+    carries a zero-size placeholder through the same single body.
     """
     import functools
 
@@ -677,8 +682,8 @@ def _build_stack_update(wslc, uniform: bool, with_var: bool):
         inv = invert_no_zero(sum_coeff)
         delta_before = coeff[wslc] * (vis - st_vis)
         st_vis = st_vis + delta_before * inv[wslc]
+        scs = scs + coeff**2
         if with_var:
-            scs = scs + coeff**2
             delta_after = vis - st_vis
             sv = sv + jnp.stack(
                 [
@@ -689,47 +694,22 @@ def _build_stack_update(wslc, uniform: bool, with_var: bool):
             )
         return st_vis, st_weight, st_nsample, scs, sv, coeff, inv
 
-    if not with_var:
-        # keep a uniform call signature; sv passes through untouched
-        def update_no_sv(st_vis, st_weight, st_nsample, scs, sv, vis, weight,
-                         count):
-            r = update(st_vis, st_weight, st_nsample, scs, vis, weight, count)
-            return (*r[:4], None, *r[4:])
-
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-        def update(st_vis, st_weight, st_nsample, scs, vis, weight, count):  # noqa: F811
-            st_nsample2 = st_nsample + count
-            if uniform:
-                coeff = count
-                st_weight2 = st_weight + coeff**2 * invert_no_zero(weight)
-                sum_coeff = st_nsample2
-            else:
-                coeff = weight
-                st_weight2 = st_weight + weight
-                sum_coeff = st_weight2
-            inv = invert_no_zero(sum_coeff)
-            st_vis2 = st_vis + coeff[wslc] * (vis - st_vis) * inv[wslc]
-            return st_vis2, st_weight2, st_nsample2, scs + coeff**2, coeff, inv
-
-        return update_no_sv
     return update
 
 
 def _match_stack_update(st_vis, st_weight, d, weight):
     """One day of Wiener-matched stacking, on device (donated state).
 
-    Jitted at module level so repeated days reuse one executable (a jit
-    created per call would retrace every day).
+    Jitted once at module level so repeated days reuse one executable.
     """
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
     global _match_stack_update_jit
     try:
         up = _match_stack_update_jit
     except NameError:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def up(st_vis, st_weight, d, weight):
@@ -751,13 +731,12 @@ def _match_stack_update(st_vis, st_weight, d, weight):
 
 def _match_stack_finish(st_vis, st_weight, Ni_s, Va):
     """Crosstalk-marginalised deconvolution, batched over frequency."""
-    import jax
-    import jax.numpy as jnp
-
     global _match_stack_finish_jit
     try:
         fin = _match_stack_finish_jit
     except NameError:
+        import jax
+        import jax.numpy as jnp
 
         @jax.jit
         def fin(sv, sw, Ni_s, Va):

@@ -311,10 +311,13 @@ def _delay_inputs_batched(data, N, Ni, fsel, window, complex_timedomain):
             d = d * jnp.asarray(w)[None, :, None]
         return d, FTNih, FTNiF
 
+    # dtype follows the jax x64 config (f64 under x64 for CPU
+    # verification runs, f32 on accelerator defaults) — matching the
+    # per-baseline host prep this replaces
     return build(
-        jnp.asarray(F.astype(np.float32)),
-        jnp.asarray(np.sqrt(Ni_r).astype(np.float32)),
-        jnp.asarray(d_alt.astype(np.float32)),
+        jnp.asarray(F),
+        jnp.asarray(np.sqrt(Ni_r)),
+        jnp.asarray(d_alt),
     )
 
 

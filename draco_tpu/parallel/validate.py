@@ -43,7 +43,16 @@ class DeterminismError(RuntimeError):
 
 
 def _as_host(x) -> np.ndarray:
-    """Materialise an array-like (incl. device arrays) on the host."""
+    """Materialise an array-like (incl. device arrays) on the host.
+
+    Complex device arrays go through :func:`ops.tools.device_to_numpy`
+    — bare ``np.asarray`` on a complex array is unsupported over
+    remote-TPU tunnels and a failed attempt poisons the runtime.
+    """
+    if type(x).__module__.startswith("jax"):
+        from ..ops.tools import device_to_numpy
+
+        return device_to_numpy(x)
     return np.asarray(x)
 
 

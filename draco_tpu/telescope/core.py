@@ -502,43 +502,13 @@ class SimplePolarisedTelescope(TransitTelescope):
         )
 
 
-class UnpolarisedDishArray(SimpleUnpolarisedTelescope):
-    """A rectangular grid of unpolarised dishes.
+class _DishGridMixin:
+    """Feed layout on a (jitterable) rectangular dish grid.
 
     ``jitter`` perturbs each position by a deterministic uniform offset —
     a jittered grid has no redundant baselines, which makes it the
     standard non-redundant benchmark configuration (all n(n+1)/2 pairs
     distinct).
-    """
-
-    grid_ew = config.Property(proptype=int, default=4)
-    grid_ns = config.Property(proptype=int, default=4)
-    spacing_ew = config.Property(proptype=float, default=6.0)
-    spacing_ns = config.Property(proptype=float, default=6.0)
-    jitter = config.Property(proptype=float, default=0.0)
-    jitter_seed = config.Property(proptype=int, default=0)
-
-    @property
-    def feedpositions(self) -> np.ndarray:
-        ew, ns = np.meshgrid(
-            np.arange(self.grid_ew) * self.spacing_ew,
-            np.arange(self.grid_ns) * self.spacing_ns,
-            indexing="ij",
-        )
-        pos = np.stack([ew.ravel(), ns.ravel()], axis=-1)
-        if self.jitter > 0.0:
-            rng = np.random.Generator(np.random.SFC64(self.jitter_seed))
-            pos = pos + rng.uniform(-self.jitter, self.jitter, pos.shape)
-        return pos
-
-
-class PolarisedDishArray(SimplePolarisedTelescope):
-    """A rectangular grid of dual-pol dishes (X then Y at each position).
-
-    The polarised counterpart of :class:`UnpolarisedDishArray` — smooth
-    Gaussian envelopes with the feed polarisation vector projected onto
-    the sphere basis, so the (T, Q, U, V) beam products are analytic
-    and golden-testable.
     """
 
     grid_ew = config.Property(proptype=int, default=4)
@@ -560,6 +530,24 @@ class PolarisedDishArray(SimplePolarisedTelescope):
             rng = np.random.Generator(np.random.SFC64(self.jitter_seed))
             pos = pos + rng.uniform(-self.jitter, self.jitter, pos.shape)
         return pos
+
+
+class UnpolarisedDishArray(_DishGridMixin, SimpleUnpolarisedTelescope):
+    """A rectangular grid of unpolarised dishes."""
+
+    @property
+    def feedpositions(self) -> np.ndarray:
+        return self._single_pol_positions
+
+
+class PolarisedDishArray(_DishGridMixin, SimplePolarisedTelescope):
+    """A rectangular grid of dual-pol dishes (X then Y at each position).
+
+    The polarised counterpart of :class:`UnpolarisedDishArray` — smooth
+    Gaussian envelopes with the feed polarisation vector projected onto
+    the sphere basis, so the (T, Q, U, V) beam products are analytic
+    and golden-testable.
+    """
 
     @property
     def feedpositions(self) -> np.ndarray:

@@ -175,12 +175,22 @@ class KLTransform(config.Reader):
         return out
 
     def _svd_cov(self, m: int, C_lff: np.ndarray) -> np.ndarray:
-        """Single-m sky-covariance projection (compat shim over the batch)."""
-        return np.asarray(self._svd_cov_all(C_lff[None])[m, 0])
+        """Single-m sky-covariance projection (compat shim over the batch).
+
+        The all-m batched projection is cached per covariance so a
+        reference-style ``for m in range(mmax + 1)`` loop over this shim
+        stays O(M) device work, not O(M^2).
+        """
+        cache = getattr(self, "_svd_cov_cache", None)
+        if cache is None or cache[0] is not C_lff:
+            self._svd_cov_cache = (C_lff, self._svd_cov_all(C_lff[None]))
+        return np.asarray(self._svd_cov_cache[1][m, 0])
 
     def _noise_svd(self, m: int) -> np.ndarray:
         """Single-m noise covariance (compat shim over the batch)."""
-        return np.asarray(self._noise_svd_all()[m])
+        if getattr(self, "_noise_svd_cache", None) is None:
+            self._noise_svd_cache = self._noise_svd_all()
+        return np.asarray(self._noise_svd_cache[m])
 
     # -- KL modes -------------------------------------------------------------
     def generate(self, regen: bool = False):

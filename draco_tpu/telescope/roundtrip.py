@@ -55,6 +55,66 @@ def _pad_to(n: int, chunk: int) -> int:
     return (n + chunk - 1) // chunk * chunk
 
 
+def _baseline_prep(tel, nfreq: int, nbase: int, chunk: int):
+    """Chunk-padded baseline-in-wavelengths tensor shared by both programs."""
+    npad = _pad_to(nbase, chunk)
+    nchunk = npad // chunk
+    bl3 = tel.baseline_vectors_3d().astype(np.float32)
+    blw_pad = np.zeros((nfreq, npad, 3), np.float32)
+    blw_pad[:, :nbase] = bl3[None] / tel.wavelengths[:, None, None]
+    return npad, nchunk, blw_pad
+
+
+def _beam_prep(bt, nfreq: int, npad: int, nbase: int, gather):
+    """Per-frequency deduped beam products, ``gather``-ed to the layout.
+
+    Returns (u_re, u_im, uidx_pad, uniform_real): the stacked real/imag
+    products, the padded baseline -> unique-product index, and whether
+    every baseline shares one real product (the identical-dish case the
+    fused programs specialise).
+    """
+    u_res, u_ims, uidx = [], [], None
+    for fi in range(nfreq):
+        u_idx, bprod = bt._beam_products(fi)
+        bw = gather(bprod)
+        u_res.append(bw.real.astype(np.float32))
+        u_ims.append(bw.imag.astype(np.float32))
+        uidx = u_idx
+    uidx_pad = np.zeros(npad, np.int32)
+    uidx_pad[:nbase] = uidx
+    u_re_h = np.stack(u_res)
+    u_im_h = np.stack(u_ims)
+    uniform_real = u_re_h.shape[1] == 1 and not u_im_h.any()
+    return u_re_h, u_im_h, uidx_pad, uniform_real
+
+
+def _make_run(program, consts, dims, s, mmax, nfreq, npad, nbase,
+              uniform_real):
+    """The shared run(sky, weight) closure over a prepared fused program."""
+
+    def run(sky, weight=None):
+        use_weight = weight is not None
+        if use_weight:
+            w_pad = np.zeros((mmax + 1, 2, nfreq, npad), np.float32)
+            w_pad[..., :nbase] = np.asarray(weight, dtype=np.float32)
+            w_dev = jnp.asarray(w_pad)
+        else:
+            w_dev = jnp.zeros((), _F32)
+        if not isinstance(sky, jax.Array):
+            sky = jnp.asarray(np.asarray(sky, dtype=np.float32))
+        return program(
+            sky,
+            *consts,
+            w_dev,
+            sht_obj=s,
+            dims=dims,
+            use_weight=use_weight,
+            uniform_real_beam=bool(uniform_real),
+        )
+
+    return run
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sht_obj", "dims", "use_weight", "uniform_real_beam"),
@@ -402,27 +462,10 @@ def fused_roundtrip_fn(bt, chunk: int = 512):
     vec = healpix.pix2vec(bt.beam_nside)
     vecw = jnp.asarray(vec[win.flat_index].astype(np.float32))
 
-    npad = _pad_to(nbase, chunk)
-    nchunk = npad // chunk
-
-    bl3 = tel.baseline_vectors_3d().astype(np.float32)
-    blw = bl3[None, :, :] / tel.wavelengths[:, None, None]
-    blw_pad = np.zeros((nfreq, npad, 3), np.float32)
-    blw_pad[:, :nbase] = blw
-
-    u_res, u_ims, uidx = [], [], None
-    for fi in range(nfreq):
-        u_idx, bprod = bt._beam_products(fi)
-        bw = bprod[..., win.flat_index]
-        u_res.append(bw.real.astype(np.float32))
-        u_ims.append(bw.imag.astype(np.float32))
-        uidx = u_idx
-    uidx_pad = np.zeros(npad, np.int32)
-    uidx_pad[:nbase] = uidx
-
-    u_re_h = np.stack(u_res)
-    u_im_h = np.stack(u_ims)
-    uniform_real = u_re_h.shape[1] == 1 and not u_im_h.any()
+    npad, nchunk, blw_pad = _baseline_prep(tel, nfreq, nbase, chunk)
+    u_re_h, u_im_h, uidx_pad, uniform_real = _beam_prep(
+        bt, nfreq, npad, nbase, lambda bprod: bprod[..., win.flat_index]
+    )
 
     consts = (
         lam,
@@ -439,28 +482,10 @@ def fused_roundtrip_fn(bt, chunk: int = 512):
         jnp.asarray(blw_pad),
     )
     dims = (nfreq, npol, chunk, nchunk, nbase, win.Kf, mmax)
-
-    def run(sky, weight=None):
-        use_weight = weight is not None
-        if use_weight:
-            w_pad = np.zeros((mmax + 1, 2, nfreq, npad), np.float32)
-            w_pad[..., :nbase] = np.asarray(weight, dtype=np.float32)
-            w_dev = jnp.asarray(w_pad)
-        else:
-            w_dev = jnp.zeros((), _F32)
-        if not isinstance(sky, jax.Array):
-            sky = jnp.asarray(np.asarray(sky, dtype=np.float32))
-        return _fused_roundtrip(
-            sky,
-            *consts,
-            w_dev,
-            sht_obj=s,
-            dims=dims,
-            use_weight=use_weight,
-            uniform_real_beam=bool(uniform_real),
-        )
-
-    return run
+    return _make_run(
+        _fused_roundtrip, consts, dims, s, mmax, nfreq, npad, nbase,
+        uniform_real,
+    )
 
 
 def _fullsphere_roundtrip_fn(bt, chunk: int):
@@ -480,25 +505,11 @@ def _fullsphere_roundtrip_fn(bt, chunk: int):
     )
     pw = s.belt_phase_weight(jnp.complex64)
 
-    npad = _pad_to(nbase, chunk)
-    nchunk = npad // chunk
-    bl3 = tel.baseline_vectors_3d().astype(np.float32)
-    blw_pad = np.zeros((nfreq, npad, 3), np.float32)
-    blw_pad[:, :nbase] = bl3[None] / tel.wavelengths[:, None, None]
-
-    u_res, u_ims, uidx = [], [], None
-    for fi in range(nfreq):
-        u_idx, bprod = bt._beam_products(fi)
-        bpad = np.where(layout >= 0, bprod[..., lclip], 0.0)
-        u_res.append(bpad.real.astype(np.float32))
-        u_ims.append(bpad.imag.astype(np.float32))
-        uidx = u_idx
-    uidx_pad = np.zeros(npad, np.int32)
-    uidx_pad[:nbase] = uidx
-
-    u_re_h = np.stack(u_res)
-    u_im_h = np.stack(u_ims)
-    uniform_real = u_re_h.shape[1] == 1 and not u_im_h.any()
+    npad, nchunk, blw_pad = _baseline_prep(tel, nfreq, nbase, chunk)
+    u_re_h, u_im_h, uidx_pad, uniform_real = _beam_prep(
+        bt, nfreq, npad, nbase,
+        lambda bprod: np.where(layout >= 0, bprod[..., lclip], 0.0),
+    )
 
     consts = (
         lam,
@@ -511,28 +522,10 @@ def _fullsphere_roundtrip_fn(bt, chunk: int):
         jnp.asarray(blw_pad),
     )
     dims = (nfreq, npol, chunk, nchunk, nbase, mmax)
-
-    def run(sky, weight=None):
-        use_weight = weight is not None
-        if use_weight:
-            w_pad = np.zeros((mmax + 1, 2, nfreq, npad), np.float32)
-            w_pad[..., :nbase] = np.asarray(weight, dtype=np.float32)
-            w_dev = jnp.asarray(w_pad)
-        else:
-            w_dev = jnp.zeros((), _F32)
-        if not isinstance(sky, jax.Array):
-            sky = jnp.asarray(np.asarray(sky, dtype=np.float32))
-        return _fused_roundtrip_fullsphere(
-            sky,
-            *consts,
-            w_dev,
-            sht_obj=s,
-            dims=dims,
-            use_weight=use_weight,
-            uniform_real_beam=bool(uniform_real),
-        )
-
-    return run
+    return _make_run(
+        _fused_roundtrip_fullsphere, consts, dims, s, mmax, nfreq, npad,
+        nbase, uniform_real,
+    )
 
 
 def fused_simulate_to_map(bt, sky, chunk: int = 512, weight=None):

@@ -117,6 +117,9 @@ def test_bench_baseline_sharding_matches(tmp_path):
             BENCH_NSIDE="16",
             BENCH_NFEED_SIDE="2",
             BENCH_CHUNK="8",
+            # both runs take the legacy spine (explicitly: BENCH_SHARD=0
+            # alone selects the library fused path)
+            BENCH_LEGACY="1",
             BENCH_SHARD=str(shard),
             BENCH_NRUN="1",
             BENCH_DUMP=str(dump),
