@@ -55,17 +55,22 @@ def _pad_to(n: int, chunk: int) -> int:
     return (n + chunk - 1) // chunk * chunk
 
 
-def _baseline_prep(tel, nfreq: int, nbase: int, chunk: int):
-    """Chunk-padded baseline-in-wavelengths tensor shared by both programs."""
+def _baseline_prep(tel, nfreq: int, nbase: int, chunk: int, order=None):
+    """Chunk-padded baseline-in-wavelengths tensor shared by both programs.
+
+    ``order`` optionally permutes the baseline axis (m-support sort).
+    """
     npad = _pad_to(nbase, chunk)
     nchunk = npad // chunk
     bl3 = tel.baseline_vectors_3d().astype(np.float32)
+    if order is not None:
+        bl3 = bl3[order]
     blw_pad = np.zeros((nfreq, npad, 3), np.float32)
     blw_pad[:, :nbase] = bl3[None] / tel.wavelengths[:, None, None]
     return npad, nchunk, blw_pad
 
 
-def _beam_prep(bt, nfreq: int, npad: int, nbase: int, gather):
+def _beam_prep(bt, nfreq: int, npad: int, nbase: int, gather, order=None):
     """Per-frequency deduped beam products, ``gather``-ed to the layout.
 
     Returns (u_re, u_im, uidx_pad, uniform_real): the stacked real/imag
@@ -81,7 +86,7 @@ def _beam_prep(bt, nfreq: int, npad: int, nbase: int, gather):
         u_ims.append(bw.imag.astype(np.float32))
         uidx = u_idx
     uidx_pad = np.zeros(npad, np.int32)
-    uidx_pad[:nbase] = uidx
+    uidx_pad[:nbase] = uidx if order is None else np.asarray(uidx)[order]
     u_re_h = np.stack(u_res)
     u_im_h = np.stack(u_ims)
     uniform_real = u_re_h.shape[1] == 1 and not u_im_h.any()
@@ -89,14 +94,22 @@ def _beam_prep(bt, nfreq: int, npad: int, nbase: int, gather):
 
 
 def _make_run(program, consts, dims, s, mmax, nfreq, npad, nbase,
-              uniform_real):
-    """The shared run(sky, weight) closure over a prepared fused program."""
+              uniform_real, order=None):
+    """The shared run(sky, weight) closure over a prepared fused program.
+
+    ``order`` carries the m-support baseline sort; user weights are
+    indexed by the ORIGINAL baseline order and permuted here (the map
+    output is a baseline sum, so nothing un-permutes).
+    """
 
     def run(sky, weight=None):
         use_weight = weight is not None
         if use_weight:
+            w = np.asarray(weight, dtype=np.float32)
+            if order is not None:
+                w = w[..., order]
             w_pad = np.zeros((mmax + 1, 2, nfreq, npad), np.float32)
-            w_pad[..., :nbase] = np.asarray(weight, dtype=np.float32)
+            w_pad[..., :nbase] = w
             w_dev = jnp.asarray(w_pad)
         else:
             w_dev = jnp.zeros((), _F32)
@@ -164,7 +177,7 @@ def _fused_roundtrip(
         traffic in the hot loop).
     """
     s = sht_obj
-    nfreq, npol, chunk, nchunk, npairs, Kf, mmax = dims
+    nfreq, npol, chunk, nchunk, npairs, Kf, mmax, groups = dims
     K = npol * Kf
     npad = nchunk * chunk
     scale = 1.0 / (4 * np.pi / s.npix)
@@ -230,40 +243,56 @@ def _fused_roundtrip(
         # chunk-sliceable layout [2, f, npad, M+1], transposed once
         weight_t = weight.transpose(1, 2, 3, 0)
 
-    def body(c, Y):
-        Yr, Yi = Y
-        re, im = fringe(c)
-        # natural-layout batched GEMMs [f, C, K] x [f, K, M]
-        G1 = _mm(re, a1)
-        G2 = _mm(im, a2)
-        G3 = _mm(re, a2)
-        G4 = _mm(im, a1)
-        vp = ((G1 - G2) + 1j * (G3 + G4)) * scale  # [f, C, M+1]
-        vm = ((G1 + G2) + 1j * (G3 - G4)) * scale
-        # padded baselines carry no data; m=0 has no negative mode
-        valid = (
-            c * chunk + jnp.arange(chunk) < npairs
-        ).astype(_F32)[None, :, None]
-        midx = jnp.arange(mmax + 1)
-        vp = vp * valid
-        vm = vm * valid * (midx > 0)[None, None, :]
-        if use_weight:
-            wc = jax.lax.dynamic_slice(
-                weight_t, (0, 0, c * chunk, 0), (2, nfreq, chunk, mmax + 1)
-            )
-            vp = vp * wc[0]
-            vm = vm * wc[1]
-        vs = vp + vm  # [f, C, M+1]
-        vd = vm - vp
-        Yr = Yr + _mmT(re, vs.real) - _mmT(im, vd.imag)
-        Yi = Yi + _mmT(re, vs.imag) + _mmT(im, vd.real)
-        return (Yr, Yi)
+    # Baselines are SORTED by their m-support bound (2 pi u_perp s_max +
+    # beam extent; see fused_roundtrip_fn) and chunks grouped by the
+    # rounded support Mb: a short baseline's visibility carries no power
+    # beyond ~2 pi |u_perp| (Bessel decay is super-exponential past the
+    # edge), so its chunk's eight GEMMs contract only the first Mb
+    # m-columns — typically ~40% fewer MXU flops on a grid array at
+    # float-level exactness.  ``groups`` is a static tuple of
+    # (chunk_start, chunk_end, Mb).
+    def make_body(Mb):
+        a1b = a1[:, :, :Mb]
+        a2b = a2[:, :, :Mb]
+        midx = jnp.arange(Mb)
 
-    Y0 = (
+        def body(c, Y):
+            Yr, Yi = Y
+            re, im = fringe(c)
+            # natural-layout batched GEMMs [f, C, K] x [f, K, Mb]
+            G1 = _mm(re, a1b)
+            G2 = _mm(im, a2b)
+            G3 = _mm(re, a2b)
+            G4 = _mm(im, a1b)
+            vp = ((G1 - G2) + 1j * (G3 + G4)) * scale  # [f, C, Mb]
+            vm = ((G1 + G2) + 1j * (G3 - G4)) * scale
+            # padded baselines carry no data; m=0 has no negative mode
+            valid = (
+                c * chunk + jnp.arange(chunk) < npairs
+            ).astype(_F32)[None, :, None]
+            vp = vp * valid
+            vm = vm * valid * (midx > 0)[None, None, :]
+            if use_weight:
+                wc = jax.lax.dynamic_slice(
+                    weight_t, (0, 0, c * chunk, 0), (2, nfreq, chunk, Mb)
+                )
+                vp = vp * wc[0]
+                vm = vm * wc[1]
+            vs = vp + vm  # [f, C, Mb]
+            vd = vm - vp
+            Yr = Yr.at[:, :, :Mb].add(_mmT(re, vs.real) - _mmT(im, vd.imag))
+            Yi = Yi.at[:, :, :Mb].add(_mmT(re, vs.imag) + _mmT(im, vd.real))
+            return (Yr, Yi)
+
+        return body
+
+    Y = (
         jnp.zeros((nfreq, K, mmax + 1), _F32),
         jnp.zeros((nfreq, K, mmax + 1), _F32),
     )
-    Yr, Yi = jax.lax.fori_loop(0, nchunk, body, Y0)
+    for c0, c1, Mb in groups:
+        Y = jax.lax.fori_loop(c0, c1, make_body(Mb), Y)
+    Yr, Yi = Y
     # per-pixel conjugate DFT factors, then pixel -> ring reduction as a
     # one-hot GEMM (Tr/Ti real parts of Ew * Y with Ew = Ecf - i Esf)
     Yr = Yr.reshape(nfreq, npol, Kf, mmax + 1)
@@ -435,7 +464,22 @@ def _fused_roundtrip_fullsphere(
     return s._synthesis_impl(a_dirty, lam=lam, plan=plan)
 
 
-def fused_roundtrip_fn(bt, chunk: int = 512):
+def _auto_chunk(nbase: int, nfreq: int, npol: int, per_pixel: int) -> int:
+    """Baselines per chunk from an HBM budget.
+
+    The per-chunk fringe tensors dominate the loop footprint at roughly
+    ``bytes ~ 4 x fringe_factor x nfreq x chunk x npol x per_pixel``
+    (re/im pairs, f32).  The budget defaults to 4 GB
+    (DRACO_TPU_CHUNK_BUDGET_GB) — large chunks keep the GEMMs wide on
+    the MXU while leaving headroom for the accumulators and workspace.
+    """
+    budget = float(os.environ.get("DRACO_TPU_CHUNK_BUDGET_GB", "4")) * 2**30
+    c = int(budget // max(1, 4 * 4 * nfreq * npol * per_pixel))
+    c = max(64, min(c, nbase))
+    return (c + 7) // 8 * 8
+
+
+def fused_roundtrip_fn(bt, chunk: int | None = None):
     """Build a reusable ``run(sky, weight=None)`` closure for ``bt``.
 
     All geometry/beam/Legendre device tensors are prepared and
@@ -445,7 +489,8 @@ def fused_roundtrip_fn(bt, chunk: int = 512):
     round trip on remote-TPU tunnels.
 
     Compact beams run the windowed program; wide beams (cylinders) the
-    full-sphere factorised one.
+    full-sphere factorised one.  ``chunk=None`` sizes the baseline chunk
+    automatically from the HBM budget (:func:`_auto_chunk`).
     """
     win = bt._beam_window()
     if win is None:
@@ -456,16 +501,54 @@ def fused_roundtrip_fn(bt, chunk: int = 512):
     npol = tel.num_pol_sky
     nfreq = tel.nfreq
     nbase = len(tel.uniquepairs)
+    if chunk is None:
+        chunk = _auto_chunk(nbase, nfreq, npol, win.Kf)
+
+    # m-support bound per baseline: the visibility of baseline u carries
+    # no power beyond m ~ 2 pi |u_perp| sin(theta)_max plus the beam
+    # product's own azimuthal band width (empirically ~the zero-baseline
+    # support; the margin is validated by tests/test_roundtrip.py).
+    # Sorting baselines by the bound lets chunks of short baselines
+    # truncate their GEMM m-columns.  DRACO_TPU_MCUT_MARGIN < 0 disables.
+    m_margin = int(os.environ.get("DRACO_TPU_MCUT_MARGIN", "128"))
+    bl3_all = tel.baseline_vectors_3d()
+    if m_margin >= 0:
+        u_perp = np.hypot(bl3_all[:, 0], bl3_all[:, 1]) / tel.wavelengths.min()
+        s_max = float(np.sin(win.sht.info.theta[win.band]).max())
+        m_cut = np.minimum(
+            np.ceil(2 * np.pi * u_perp * s_max).astype(int) + m_margin,
+            mmax + 1,
+        )
+        order = np.argsort(m_cut, kind="stable")
+    else:
+        m_cut = np.full(nbase, mmax + 1)
+        order = None
 
     _, lam, plan = bt._streaming_ops()
     lam_band = win._ensure_lam()
     vec = healpix.pix2vec(bt.beam_nside)
     vecw = jnp.asarray(vec[win.flat_index].astype(np.float32))
 
-    npad, nchunk, blw_pad = _baseline_prep(tel, nfreq, nbase, chunk)
-    u_re_h, u_im_h, uidx_pad, uniform_real = _beam_prep(
-        bt, nfreq, npad, nbase, lambda bprod: bprod[..., win.flat_index]
+    npad, nchunk, blw_pad = _baseline_prep(
+        tel, nfreq, nbase, chunk, order=order
     )
+    u_re_h, u_im_h, uidx_pad, uniform_real = _beam_prep(
+        bt, nfreq, npad, nbase, lambda bprod: bprod[..., win.flat_index],
+        order=order,
+    )
+
+    # group chunks by their (128-rounded) max m-support
+    mc_sorted = m_cut if order is None else m_cut[order]
+    group_list = []
+    for ci in range(nchunk):
+        in_chunk = mc_sorted[ci * chunk : (ci + 1) * chunk]
+        mb = int(in_chunk.max()) if len(in_chunk) else 1
+        mb = min(mmax + 1, (mb + 127) // 128 * 128)
+        if group_list and group_list[-1][2] == mb:
+            group_list[-1][1] = ci + 1
+        else:
+            group_list.append([ci, ci + 1, mb])
+    groups = tuple(tuple(g) for g in group_list)
 
     consts = (
         lam,
@@ -481,14 +564,14 @@ def fused_roundtrip_fn(bt, chunk: int = 512):
         jnp.asarray(uidx_pad),
         jnp.asarray(blw_pad),
     )
-    dims = (nfreq, npol, chunk, nchunk, nbase, win.Kf, mmax)
+    dims = (nfreq, npol, chunk, nchunk, nbase, win.Kf, mmax, groups)
     return _make_run(
         _fused_roundtrip, consts, dims, s, mmax, nfreq, npad, nbase,
-        uniform_real,
+        uniform_real, order=order,
     )
 
 
-def _fullsphere_roundtrip_fn(bt, chunk: int):
+def _fullsphere_roundtrip_fn(bt, chunk: int | None):
     """Prepared-run closure for the full-sphere fused program."""
     tel = bt.telescope
     s, lam, plan = bt._streaming_ops()
@@ -496,6 +579,9 @@ def _fullsphere_roundtrip_fn(bt, chunk: int):
     npol = tel.num_pol_sky
     nfreq = tel.nfreq
     nbase = len(tel.uniquepairs)
+    if chunk is None:
+        # the ring-analysed fringe sections cost a few padded spheres
+        chunk = _auto_chunk(nbase, nfreq, npol, 3 * len(s.padded_layout()))
 
     layout = s.padded_layout()
     lclip = np.clip(layout, 0, None)
@@ -528,7 +614,7 @@ def _fullsphere_roundtrip_fn(bt, chunk: int):
     )
 
 
-def fused_simulate_to_map(bt, sky, chunk: int = 512, weight=None):
+def fused_simulate_to_map(bt, sky, chunk: int | None = None, weight=None):
     """Run the full simulate -> dirty-map round trip in one XLA program.
 
     Parameters
@@ -576,7 +662,8 @@ class SimulateAndMap(_ContainerTask):
         Baselines per streamed chunk inside the fused program.
     """
 
-    baseline_chunk = _config.Property(proptype=int, default=512)
+    # 0 = size the chunk automatically from the HBM budget
+    baseline_chunk = _config.Property(proptype=int, default=0)
 
     def setup(self, bt):
         """Keep the beam-transfer manager."""
@@ -592,7 +679,7 @@ class SimulateAndMap(_ContainerTask):
 
         sky = np.asarray(map_.map[:])
         maps = fused_simulate_to_map(
-            self.beamtransfer, sky, chunk=self.baseline_chunk
+            self.beamtransfer, sky, chunk=self.baseline_chunk or None
         )
         out = containers.Map(
             nside=healpix.nside_of(sky.shape[-1]),

@@ -100,6 +100,30 @@ def test_fused_structured_weighting(compact_setup):
     assert np.allclose(got, want, atol=2e-5 * np.abs(want).max())
 
 
+def test_mcut_truncation_is_exact(compact_setup, monkeypatch):
+    """m-support GEMM truncation changes nothing beyond float noise.
+
+    The compact fixture's short baselines have m-support far below mmax,
+    so the sorted/grouped program genuinely truncates; the result must
+    match the untruncated program at float-epsilon level (the dropped
+    columns carry only Bessel-tail power).
+    """
+    import os
+
+    tel, bt, sky = compact_setup
+
+    bt.__dict__.pop("_fused_fns", None)
+    monkeypatch.setitem(os.environ, "DRACO_TPU_MCUT_MARGIN", "-1")
+    full = np.asarray(fused_simulate_to_map(bt, sky, chunk=4))
+
+    bt.__dict__.pop("_fused_fns", None)
+    monkeypatch.setitem(os.environ, "DRACO_TPU_MCUT_MARGIN", "64")
+    trunc = np.asarray(fused_simulate_to_map(bt, sky, chunk=4))
+    bt.__dict__.pop("_fused_fns", None)
+
+    assert np.allclose(trunc, full, atol=2e-6 * np.abs(full).max())
+
+
 def test_simulate_and_map_task(compact_setup):
     tel, bt, sky = compact_setup
     m = containers.Map(
