@@ -305,7 +305,19 @@ def main():
         f"{(mmax_hl + 1) * 2 * npairs / value:.3g}"
     )
 
-    if os.environ.get("BENCH_EXTRAS", "1") != "0":
+    # Wall-clock budget for the extra measurements: a fully cold compile
+    # cache over the remote-TPU tunnel costs minutes per program, and the
+    # headline metric must never be lost to an extra timing out.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2700))
+
+    def within_budget(tag):
+        if time.time() - t_start < budget_s:
+            return True
+        log(f"[{tag}] skipped: past the {budget_s:.0f}s bench budget")
+        extras.setdefault("skipped", []).append(tag)
+        return False
+
+    if os.environ.get("BENCH_EXTRAS", "1") != "0" and within_budget("extras"):
         # multi-frequency scaling (VERDICT r1 item 4): measure the
         # marginal per-frequency cost with freq-batched GEMMs
         nfreq = int(os.environ.get("BENCH_NFREQ", 8))
@@ -357,7 +369,9 @@ def main():
             "pairs x 1024 freqs / 8 chips"
         )
 
-    if os.environ.get("BENCH_CYLINDER", "1") != "0":
+    if os.environ.get("BENCH_CYLINDER", "1") != "0" and within_budget(
+        "cylinder"
+    ):
         # CHIME-class instrument: full-sphere fused path (no beam window)
         t_cyl, warm_cyl, npairs_cyl = run_cylinder()
         extras["cylinder"] = {
@@ -366,7 +380,9 @@ def main():
             "warmup_s": round(warm_cyl, 1),
         }
 
-    if os.environ.get("BENCH_DELAY", "1") != "0":
+    if os.environ.get("BENCH_DELAY", "1") != "0" and within_budget(
+        "delay_gibbs"
+    ):
         # The reference's other headline estimator: the delay power
         # spectrum Gibbs sampler, batched over baselines on device
         # (reference delay.py:905-931 loops baselines on the host).
