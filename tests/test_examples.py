@@ -84,3 +84,20 @@ def test_tutorial_workflow(tmp_path):
     out = ContainerBase.from_file(str(tmp_path / "ml_map.h5"))
     arr = np.asarray(out.map[:])
     assert np.isfinite(arr).all() and np.abs(arr).max() > 0
+
+
+def test_lint_all_example_and_doc_configs():
+    """Every shipped YAML config must pass the linter (reference CI lints
+    examples/*.yaml and doc/pipeline_params.yaml the same way)."""
+    import glob
+    import os
+
+    from draco_tpu.core.pipeline import main
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    configs = sorted(
+        glob.glob(os.path.join(repo, "examples", "*.yaml"))
+        + glob.glob(os.path.join(repo, "docs", "*.yaml"))
+    )
+    assert len(configs) >= 6
+    assert main(["lint", *configs]) == 0
