@@ -22,13 +22,34 @@ _BUILTIN_TELESCOPES = {
     "UnpolarisedCylinder": "draco_tpu.telescope.core.UnpolarisedCylinderTelescope",
     "PolarisedCylinder": "draco_tpu.telescope.core.PolarisedCylinderTelescope",
     "UnpolarisedDishArray": "draco_tpu.telescope.core.UnpolarisedDishArray",
+    "PolarisedDishArray": "draco_tpu.telescope.core.PolarisedDishArray",
     "SimpleUnpolarised": "draco_tpu.telescope.core.SimpleUnpolarisedTelescope",
     "SimplePolarised": "draco_tpu.telescope.core.SimplePolarisedTelescope",
 }
 
+# reference (drift-makeproducts) module paths accepted verbatim
+_MODULE_ALIASES = {
+    "drift.telescope.cylinder": "draco_tpu.telescope.core",
+    "drift.core.telescope": "draco_tpu.telescope.core",
+}
 
-def _resolve_telescope(type_name: str):
-    path = _BUILTIN_TELESCOPES.get(type_name, type_name)
+
+def _resolve_telescope(type_spec):
+    """Telescope class from a name, dotted path, or {class, module} dict.
+
+    The dict form mirrors the reference's product configs
+    (reference doc/product_params.yaml: ``type: {class: ..., module:
+    drift.telescope.cylinder}``); drift module paths map onto
+    draco_tpu.telescope.
+    """
+    if isinstance(type_spec, dict):
+        cls_name = type_spec["class"]
+        mod_name = type_spec.get("module")
+        if mod_name:
+            mod_name = _MODULE_ALIASES.get(mod_name, mod_name)
+            return getattr(importlib.import_module(mod_name), cls_name)
+        type_spec = cls_name
+    path = _BUILTIN_TELESCOPES.get(type_spec, type_spec)
     mod_name, _, cls_name = path.rpartition(".")
     return getattr(importlib.import_module(mod_name), cls_name)
 
@@ -100,6 +121,13 @@ class ProductManager:
             bt.load(bt_dir)
 
         man = cls(tel, bt, directory=directory)
+        # the drift config stanza's booleans select which products
+        # generate() computes (reference doc/product_params.yaml)
+        man._generate_flags = {
+            "beamtransfers": bool(drift_cfg.get("beamtransfers", True)),
+            "kltransform": bool(drift_cfg.get("kltransform", True)),
+            "psfisher": bool(drift_cfg.get("psfisher", True)),
+        }
 
         # KL transforms
         if cfg.get("kltransform"):
@@ -126,11 +154,15 @@ class ProductManager:
         return man
 
     def generate(self, regen: bool = False) -> "ProductManager":
-        self.beamtransfer.generate(regen=regen)
-        for kl in self.kltransforms.values():
-            kl.generate(regen=regen)
-        for ps in self.psestimators.values():
-            ps.generate(regen=regen)
+        flags = getattr(self, "_generate_flags", {})
+        if flags.get("beamtransfers", True):
+            self.beamtransfer.generate(regen=regen)
+        if flags.get("kltransform", True):
+            for kl in self.kltransforms.values():
+                kl.generate(regen=regen)
+        if flags.get("psfisher", True):
+            for ps in self.psestimators.values():
+                ps.generate(regen=regen)
         return self
 
     def save(self, directory: str | None = None):

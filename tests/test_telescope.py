@@ -198,3 +198,35 @@ def test_beamtransfer_save_load(tmp_path, dish_tel):
     bt2 = BeamTransfer(str(tmp_path / "bt"))
     assert np.allclose(np.asarray(bt2._bp), np.asarray(bt._bp))
     assert bt2.telescope.nfeed == dish_tel.nfeed
+
+
+def test_productmanager_reference_type_dict(tmp_path):
+    """The reference's {class, module} telescope spec resolves
+
+    (reference doc/product_params.yaml: module drift.telescope.cylinder).
+    """
+    import yaml
+
+    from draco_tpu.telescope.manager import ProductManager
+
+    cfg = {
+        "config": {"beamtransfers": True, "output_directory": "beams"},
+        "telescope": {
+            "type": {
+                "class": "PolarisedCylinderTelescope",
+                "module": "drift.telescope.cylinder",
+            },
+            "freq_lower": 400.0,
+            "freq_upper": 410.0,
+            "num_freq": 2,
+            "num_cylinders": 2,
+            "num_feeds": 2,
+            "feed_spacing": 0.3,
+            "cylinder_width": 10.0,
+        },
+    }
+    p = tmp_path / "prod.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    m = ProductManager.from_config(str(p))
+    assert type(m.telescope).__name__ == "PolarisedCylinderTelescope"
+    assert m.telescope.nfeed == 8
