@@ -111,6 +111,29 @@ class _TaskRunner:
         return len(self.in_labels) == 0
 
 
+def _assert_finite_product(task_name: str, label: str, obj) -> None:
+    """Raise PipelineRuntimeError if a routed product carries NaN/Inf."""
+    import numpy as np
+
+    def check(path, arr):
+        a = np.asarray(arr)
+        if a.dtype.kind in "fc" and not np.isfinite(a).all():
+            bad = int((~np.isfinite(a)).sum())
+            raise PipelineRuntimeError(
+                f"{task_name} -> '{label}'{path}: {bad} non-finite values"
+            )
+
+    if hasattr(obj, "datasets"):
+        from ..ops import tools as _t
+
+        for name, ds in obj.datasets.items():
+            check(f"/{name}", _t.device_to_numpy(ds[:]))
+    elif hasattr(obj, "shape"):
+        from ..ops import tools as _t
+
+        check("", _t.device_to_numpy(obj))
+
+
 class Manager(config_mod.Reader):
     """Round-robin task scheduler driven by a YAML config."""
 
@@ -139,6 +162,12 @@ class Manager(config_mod.Reader):
         # tensorboard/xprof)
         self.timing = bool(pipeline_cfg.get("timing", False))
         self.profile_dir = pipeline_cfg.get("profile")
+        # `validate_finite: true` checks every routed container/array
+        # product for NaN/Inf after the producing task and fails fast
+        # naming the task and dataset — numerical failure detection for
+        # long production chains (a poisoned weight propagates silently
+        # otherwise).
+        self.validate_finite = bool(pipeline_cfg.get("validate_finite", False))
         self.task_timing: dict[str, dict] = {}
 
     # -- constructors --------------------------------------------------------
@@ -271,6 +300,8 @@ class Manager(config_mod.Reader):
                     f"{len(runner.out_labels)} labels"
                 )
             for label, out in zip(runner.out_labels, outs):
+                if self.validate_finite:
+                    _assert_finite_product(runner.name, label, out)
                 self.products.setdefault(label, []).append(out)
                 for cons, j in consumers_req.get(label, []):
                     if not cons.requires_filled[j]:

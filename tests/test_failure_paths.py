@@ -90,3 +90,43 @@ def test_pipeline_surfaces_failing_task(monkeypatch):
     man = pipeline.Manager.from_yaml_str(_FAILING_CFG)
     with pytest.raises(Exception, match="synthetic task failure"):
         man.run()
+
+
+from draco_tpu.core import containers
+from draco_tpu.core.task import ContainerTask, PipelineStopIteration
+
+
+class NaNSource(ContainerTask):
+    """Source task emitting a container with a poisoned dataset."""
+
+    def process(self):
+        if self._count >= 1:
+            raise PipelineStopIteration()
+        c = containers.FrequencyStack(freq=np.array([400.0, 500.0]))
+        arr = np.ones(c.stack.shape, dtype=np.float32)
+        arr[0] = np.nan
+        c.stack[:] = arr
+        return c
+
+
+def test_validate_finite_fails_fast():
+    import yaml
+
+    from draco_tpu.core.pipeline import Manager, PipelineRuntimeError
+
+    cfg = """
+pipeline:
+  validate_finite: true
+  tasks:
+    - type: tests.test_failure_paths.NaNSource
+      out: poisoned
+"""
+    with pytest.raises(PipelineRuntimeError) as err:
+        Manager(yaml.safe_load(cfg)).run()
+    assert "poisoned" in str(err.value)
+    assert "non-finite" in str(err.value)
+
+    # without the flag the pipeline runs through
+    cfg_ok = cfg.replace("validate_finite: true", "validate_finite: false")
+    products = Manager(yaml.safe_load(cfg_ok)).run()
+    assert "poisoned" in products
