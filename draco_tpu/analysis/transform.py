@@ -958,10 +958,14 @@ class TransformJanskyToKelvin(ContainerTask):
         pxarea = 4 * np.pi / beam_pow.shape[0]
         omega = beam_pow.sum() * pxarea
 
-        ref_pix = healpix.ang2pix(
-            self.nside,
-            np.radians(90.0 - self.reference_declination),
-            0.0,
+        ref_pix = int(
+            np.asarray(
+                healpix.ang2pix(
+                    self.nside,
+                    np.radians(90.0 - self.reference_declination),
+                    0.0,
+                )
+            ).reshape(-1)[0]
         )
         omega *= float(np.asarray(invert_no_zero(beam_pow[ref_pix])))
         return float(omega)

@@ -111,7 +111,14 @@ def unpack_marray(mmodes, n: int | None = None, oddra: bool | None = None):
     mmax_plus = mmodes.shape[0] - 1
     if oddra is None:
         # The largest negative m is unfilled for an even RA count.
-        oddra = bool(np.any(np.asarray(mmodes[mmax_plus, 1]) != 0))
+        # NOTE: this autodetect is ambiguous when the m = -mmax mode is
+        # exactly zero in genuinely odd-RA data (it will then infer an
+        # even grid, one sample short) — callers that know the grid
+        # should pass ``oddra`` (the MModes container carries it).
+        from .tools import device_to_numpy
+
+        top = device_to_numpy(mmodes[mmax_plus, 1])
+        oddra = bool(np.any(top != 0))
     mmax_minus = mmax_plus if oddra else mmax_plus - 1
 
     if n is None:

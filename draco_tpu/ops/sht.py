@@ -123,6 +123,14 @@ class SHT:
         self.mmax = int(mmax) if mmax is not None else self.lmax
         if self.mmax > self.lmax:
             raise ValueError("mmax cannot exceed lmax")
+        if self.mmax >= 4 * nside:
+            # the belt has nphi = 4*nside azimuthal samples; higher m is
+            # not representable on the grid and the FFT fallbacks fail
+            # with opaque broadcast errors downstream
+            raise ValueError(
+                f"mmax={self.mmax} exceeds the nside={nside} azimuthal "
+                f"band limit (requires mmax < 4*nside = {4 * nside})"
+            )
         self.chunk_m = int(min(chunk_m, self.mmax + 1))
         self.npix = healpix.npix_of(nside)
         self.info = healpix.ring_info(nside)
@@ -140,10 +148,6 @@ class SHT:
         self._groups = self._build_groups()
 
         self._m = np.arange(self.mmax + 1)
-        # Phase factors exp(-i m phi0_r) per ring  [nring, mmax+1]
-        self._phase = np.exp(
-            -1j * info.phi0[:, None] * self._m[None, :]
-        )
 
         self._analysis_j = jax.jit(self._analysis_impl)
         self._synthesis_j = jax.jit(self._synthesis_impl)
@@ -855,8 +859,18 @@ class SHT:
         return self._ring_synthesis(G)
 
     def analysis(self, maps, iter: int = 0):
-        """map2alm with optional Jacobi iterations (healpy-style)."""
+        """map2alm with optional Jacobi iterations (healpy-style).
+
+        Complex maps iterate on their real and imaginary parts
+        separately (by linearity): the real-field synthesis used for the
+        Jacobi residual assumes a hermitian spectrum, so iterating a
+        complex map directly would add garbage instead of converging.
+        """
         maps = jnp.asarray(maps)
+        if iter > 0 and jnp.iscomplexobj(maps):
+            return self.analysis(maps.real, iter=iter) + 1j * self.analysis(
+                maps.imag, iter=iter
+            )
         alm = self._analysis_j(maps)
         for _ in range(iter):
             resid = maps - self._synthesis_j(alm)
@@ -873,10 +887,22 @@ class SHT:
         alm_pos[..., l, m] = f_{l m} for m >= 0 and
         alm_neg[..., l, m] = f_{l, -m}, computed via
         f_{l,-m} = (-1)^m conj((f*)_{l m}).
+
+        Analysis is linear, so both transforms derive from ONE stacked
+        real transform of [Re, Im]: alm(f) = A(re) + i A(im) and
+        alm(conj f) = A(re) - i A(im) — half the ring/Legendre GEMM work
+        of transforming f and conj(f) separately (the same trick the
+        beam-transfer generator and WindowedSHT.analysis_pair use).
         """
         maps = jnp.asarray(maps)
-        alm_pos = self._analysis_j(maps)
-        alm_conj = self._analysis_j(jnp.conj(maps))
+        if jnp.iscomplexobj(maps):
+            ri = self._analysis_j(jnp.stack([maps.real, maps.imag]))
+            a_re, a_im = ri[0], ri[1]
+        else:
+            a_re = self._analysis_j(maps)
+            a_im = jnp.zeros_like(a_re)
+        alm_pos = a_re + 1j * a_im
+        alm_conj = a_re - 1j * a_im
         msign = jnp.asarray((-1.0) ** self._m, dtype=alm_pos.real.dtype)
         alm_neg = msign * jnp.conj(alm_conj)
         return alm_pos, alm_neg

@@ -160,6 +160,12 @@ class BeamTransfer:
         return jnp.asarray(bprod * fringe[:, None, :] * omega_pix)
 
     def _beam_products(self, fi: int):
+        cache = self.__dict__.setdefault("_beam_products_cache", {})
+        if fi not in cache:
+            cache[fi] = self._beam_products_impl(fi)
+        return cache[fi]
+
+    def _beam_products_impl(self, fi: int):
         """Deduped beam-product maps per beamclass pair (host arrays).
 
         Returns ``(u_idx, bprod)``: ``bprod[u]`` is the [npol, npix]
@@ -277,6 +283,12 @@ class BeamTransfer:
             # Tunnel-safe: only REAL host->device transfers (complex
             # transfers and eager device ops are unsupported over remote
             # TPU tunnels), with the whole chunk fully jitted.
+            # The rectangular [Rb, W] box layout is the right structure
+            # HERE (unlike the streaming/fused paths, which use the flat
+            # layout): the windowed analysis contracts the W axis against
+            # Ec/Es [Rb, W, M+1] inside one einsum, never materialising a
+            # per-pixel [.., Kf, M+1] intermediate — which a flat-layout
+            # analysis would need (prohibitive at chunked-B scale).
             vec = healpix.pix2vec(self.beam_nside)
             vecw = jnp.asarray(
                 vec[win.window_index].astype(np.float32)
@@ -497,6 +509,14 @@ class BeamTransfer:
         # a jit ARGUMENT: device arrays captured in a jit closure are baked
         # into the HLO via a host readback, which remote-TPU tunnels do
         # not support (and which bloats compiles regardless).
+        #
+        # The jitted closures are cached on the instance — rebuilding them
+        # per call would miss the jit cache and recompile every streaming
+        # projection (the retrace-per-call bug class fixed elsewhere in
+        # the stackers).
+        cached = self.__dict__.get("_win_stream_cache")
+        if cached is not None and cached[0] is win:
+            return cached[1]
         s = win.sht
         mmax = s.mmax
         scale = 1.0 / (4 * np.pi / healpix.npix_of(self.beam_nside))
@@ -580,7 +600,10 @@ class BeamTransfer:
             ) * scale
             return jnp.stack([a.real, a.imag])
 
-        return consts, sky_phase_tensors, chunk_vis_win, chunk_Y_win, finish_Y_win
+        out = (consts, sky_phase_tensors, chunk_vis_win, chunk_Y_win,
+               finish_Y_win)
+        self._win_stream_cache = (win, out)
+        return out
 
     def _project_sky_streaming_windowed(self, alm, win, chunk=None):
         tel = self.telescope
@@ -870,7 +893,15 @@ class BeamTransfer:
         }
 
     def svd_len(self, m: int | None = None) -> int:
+        """Number of SVD modes: the per-m count, or the padded maximum.
+
+        With ``m`` given this is the true retained rank at that m (the
+        driftscan per-m semantics); without it, the uniform padded k
+        every batched tensor is allocated with.
+        """
         self._ensure_svd()
+        if m is not None:
+            return int(np.asarray(self._svd["nmode"])[:, m].max())
         return int(np.asarray(self._svd["s"]).shape[-1])
 
     def svd_spectrum(self) -> np.ndarray:

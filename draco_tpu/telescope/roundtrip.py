@@ -55,6 +55,48 @@ def _pad_to(n: int, chunk: int) -> int:
     return (n + chunk - 1) // chunk * chunk
 
 
+# Fringe phases are periodic, so only frac(b . n) matters — but a plain
+# f32 dot loses ~|b . n| * eps_f32 ABSOLUTE accuracy (2e-4 rad at
+# u ~ 500 wavelengths), above the 1e-5 end-to-end budget.  The builders
+# split the f64 baselines and pixel vectors into two-float (hi, lo)
+# f32 pairs and the phase evaluates with Dekker two-products plus an
+# exact per-term mod-1 reduction: frac error ~ eps_f32 regardless of
+# baseline length.  Purely elementwise — XLA fuses it into the trig.
+_SPLIT = 4097.0  # 2^12 + 1 (Dekker split constant for f32)
+
+
+def _twofloat_split(a64: np.ndarray):
+    hi = a64.astype(np.float32)
+    lo = (a64 - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def _phase_frac(bh, bl, vh, vl):
+    """frac(b . n) for two-float operands; bh/bl [..., 3], vh/vl [K, 3].
+
+    Returns [..., K] with ... broadcast against K.
+    """
+    r_sum = None
+    e_sum = None
+    for x in range(3):
+        b1 = bh[..., x][..., None]
+        v1 = vh[:, x]
+        p = b1 * v1
+        bs = b1 * _SPLIT
+        bhh = bs - (bs - b1)
+        bll = b1 - bhh
+        vs = v1 * _SPLIT
+        vhh = vs - (vs - v1)
+        vll = v1 - vhh
+        e = ((bhh * vhh - p) + bhh * vll + bll * vhh) + bll * vll
+        c = b1 * vl[:, x] + bl[..., x][..., None] * v1
+        r = p - jnp.round(p)
+        r_sum = r if r_sum is None else r_sum + r
+        e_sum = (e + c) if e_sum is None else e_sum + (e + c)
+    y = r_sum + e_sum
+    return y - jnp.round(y)
+
+
 def _baseline_prep(tel, nfreq: int, nbase: int, chunk: int, order=None):
     """Chunk-padded baseline-in-wavelengths tensor shared by both programs.
 
@@ -62,12 +104,13 @@ def _baseline_prep(tel, nfreq: int, nbase: int, chunk: int, order=None):
     """
     npad = _pad_to(nbase, chunk)
     nchunk = npad // chunk
-    bl3 = tel.baseline_vectors_3d().astype(np.float32)
+    bl3 = tel.baseline_vectors_3d().astype(np.float64)
     if order is not None:
         bl3 = bl3[order]
-    blw_pad = np.zeros((nfreq, npad, 3), np.float32)
-    blw_pad[:, :nbase] = bl3[None] / tel.wavelengths[:, None, None]
-    return npad, nchunk, blw_pad
+    blw = np.zeros((nfreq, npad, 3), np.float64)
+    blw[:, :nbase] = bl3[None] / tel.wavelengths[:, None, None]
+    blw_hi, blw_lo = _twofloat_split(blw)
+    return npad, nchunk, blw_hi, blw_lo
 
 
 def _beam_prep(bt, nfreq: int, npad: int, nbase: int, gather, order=None):
@@ -141,11 +184,13 @@ def _fused_roundtrip(
     Esf,
     flat_ring,
     ring_onehot,
-    vecw,
+    vecw_hi,
+    vecw_lo,
     u_re,
     u_im,
     uidx_pad,
-    blw_pad,
+    blw_hi,
+    blw_lo,
     weight,
     *,
     sht_obj,
@@ -200,12 +245,13 @@ def _fused_roundtrip(
 
     def fringe(c):
         """Windowed fringe x beam planes for baseline chunk ``c``."""
-        blc = jax.lax.dynamic_slice(
-            blw_pad, (0, c * chunk, 0), (nfreq, chunk, 3)
+        bh = jax.lax.dynamic_slice(
+            blw_hi, (0, c * chunk, 0), (nfreq, chunk, 3)
         )
-        phase = 2 * jnp.pi * jnp.einsum(
-            "fcx,kx->fck", blc, vecw, precision=prec
+        bl = jax.lax.dynamic_slice(
+            blw_lo, (0, c * chunk, 0), (nfreq, chunk, 3)
         )
+        phase = 2 * jnp.pi * _phase_frac(bh, bl, vecw_hi, vecw_lo)
         if uniform_real_beam:
             # u_re[:, 0] broadcasts over the chunk: two writes total
             b = u_re[:, 0][:, None]  # [f, 1, p, Kf]
@@ -322,11 +368,13 @@ def _fused_roundtrip_fullsphere(
     lam,
     plan,
     pw,
-    vecp,
+    vecp_hi,
+    vecp_lo,
     u_re,
     u_im,
     uidx_pad,
-    blw_pad,
+    blw_hi,
+    blw_lo,
     weight,
     *,
     sht_obj,
@@ -373,12 +421,13 @@ def _fused_roundtrip_fullsphere(
 
     def fringe_sections(c):
         """Ring-section coefficients of the chunk's fringe x beam pair."""
-        blc = jax.lax.dynamic_slice(
-            blw_pad, (0, c * chunk, 0), (nfreq, chunk, 3)
+        bh = jax.lax.dynamic_slice(
+            blw_hi, (0, c * chunk, 0), (nfreq, chunk, 3)
         )
-        phase = 2 * jnp.pi * jnp.einsum(
-            "fcx,px->fcp", blc, vecp, precision=prec
+        bl = jax.lax.dynamic_slice(
+            blw_lo, (0, c * chunk, 0), (nfreq, chunk, 3)
         )
+        phase = 2 * jnp.pi * _phase_frac(bh, bl, vecp_hi, vecp_lo)
         if uniform_real_beam:
             b = u_re[:, 0][:, None]  # [f, 1, p, npad_pix]
             re = b * jnp.cos(phase)[:, :, None]
@@ -527,9 +576,11 @@ def fused_roundtrip_fn(bt, chunk: int | None = None):
     _, lam, plan = bt._streaming_ops()
     lam_band = win._ensure_lam()
     vec = healpix.pix2vec(bt.beam_nside)
-    vecw = jnp.asarray(vec[win.flat_index].astype(np.float32))
+    vecw_hi, vecw_lo = _twofloat_split(
+        np.asarray(vec, dtype=np.float64)[win.flat_index]
+    )
 
-    npad, nchunk, blw_pad = _baseline_prep(
+    npad, nchunk, blw_hi, blw_lo = _baseline_prep(
         tel, nfreq, nbase, chunk, order=order
     )
     u_re_h, u_im_h, uidx_pad, uniform_real = _beam_prep(
@@ -558,11 +609,13 @@ def fused_roundtrip_fn(bt, chunk: int | None = None):
         win._Esf,
         win.flat_ring,
         win.ring_onehot,
-        vecw,
+        jnp.asarray(vecw_hi),
+        jnp.asarray(vecw_lo),
         jnp.asarray(u_re_h),
         jnp.asarray(u_im_h),
         jnp.asarray(uidx_pad),
-        jnp.asarray(blw_pad),
+        jnp.asarray(blw_hi),
+        jnp.asarray(blw_lo),
     )
     dims = (nfreq, npol, chunk, nchunk, nbase, win.Kf, mmax, groups)
     return _make_run(
@@ -586,12 +639,14 @@ def _fullsphere_roundtrip_fn(bt, chunk: int | None):
     layout = s.padded_layout()
     lclip = np.clip(layout, 0, None)
     vec = healpix.pix2vec(bt.beam_nside)
-    vecp = jnp.asarray(
-        np.where(layout[:, None] >= 0, vec[lclip], 0.0).astype(np.float32)
+    vecp_hi, vecp_lo = _twofloat_split(
+        np.where(
+            layout[:, None] >= 0, np.asarray(vec, dtype=np.float64)[lclip], 0.0
+        )
     )
     pw = s.belt_phase_weight(jnp.complex64)
 
-    npad, nchunk, blw_pad = _baseline_prep(tel, nfreq, nbase, chunk)
+    npad, nchunk, blw_hi, blw_lo = _baseline_prep(tel, nfreq, nbase, chunk)
     u_re_h, u_im_h, uidx_pad, uniform_real = _beam_prep(
         bt, nfreq, npad, nbase,
         lambda bprod: np.where(layout >= 0, bprod[..., lclip], 0.0),
@@ -601,11 +656,13 @@ def _fullsphere_roundtrip_fn(bt, chunk: int | None):
         lam,
         plan,
         pw,
-        vecp,
+        jnp.asarray(vecp_hi),
+        jnp.asarray(vecp_lo),
         jnp.asarray(u_re_h),
         jnp.asarray(u_im_h),
         jnp.asarray(uidx_pad),
-        jnp.asarray(blw_pad),
+        jnp.asarray(blw_hi),
+        jnp.asarray(blw_lo),
     )
     dims = (nfreq, npol, chunk, nchunk, nbase, mmax)
     return _make_run(

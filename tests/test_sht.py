@@ -203,3 +203,47 @@ def test_ring_plan_paths_match():
     m0 = np.asarray(s._synthesis_impl(jnp.asarray(alm), lam=lam))
     m1 = np.asarray(s._synthesis_impl(jnp.asarray(alm), lam=lam, plan=plan))
     assert np.allclose(m0, m1, atol=1e-6)
+
+
+def test_analysis_complex_iterated():
+    """Jacobi iterations on a complex map converge via re/im linearity."""
+    import numpy as np
+
+    from draco_tpu.ops import sht
+
+    nside = 16
+    lmax = nside  # well inside the reliable band
+    s = sht.get_sht(nside, 3 * nside - 1)
+    rng = np.random.default_rng(3)
+
+    def rand_alm():
+        a = rng.standard_normal((s.lmax + 1, s.mmax + 1)) + 1j * (
+            rng.standard_normal((s.lmax + 1, s.mmax + 1))
+        )
+        ls = np.arange(s.lmax + 1)[:, None]
+        ms = np.arange(s.mmax + 1)[None, :]
+        a *= (ms <= ls) & (ls <= lmax)
+        a[:, 0] = a[:, 0].real
+        return a
+
+    ar, ai = rand_alm(), rand_alm()
+    m = np.asarray(s.synthesis(ar)) + 1j * np.asarray(s.synthesis(ai))
+    truth = ar + 1j * ai  # the m >= 0 complex-map transform
+
+    e0 = np.abs(np.asarray(s.analysis(m)) - truth).max()
+    e3 = np.abs(np.asarray(s.analysis(m, iter=3)) - truth).max()
+    assert e3 < 0.35 * e0
+    # and the iterated complex path equals the per-part computation
+    ref = np.asarray(s.analysis(m.real, iter=3)) + 1j * np.asarray(
+        s.analysis(m.imag, iter=3)
+    )
+    assert np.allclose(np.asarray(s.analysis(m, iter=3)), ref)
+
+
+def test_sht_rejects_unrepresentable_mmax():
+    import pytest
+
+    from draco_tpu.ops import sht
+
+    with pytest.raises(ValueError, match="band limit"):
+        sht.SHT(8, lmax=40, mmax=40)
