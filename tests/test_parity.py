@@ -1,0 +1,83 @@
+"""Runtime parity: every PARITY.md mapping resolves to a live symbol.
+
+PARITY.md is an AST-level census (scripts/gen_parity.py) of every public
+class/function in the reference ``draco`` package and the draco_tpu
+module that re-provides it.  The census proves the *names* exist in the
+source; this test proves they survive import — each mapped module
+imports cleanly and exposes the symbol as a real attribute — so a
+refactor that renames or drops a re-provided symbol fails CI instead of
+silently eroding the parity claim.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import re
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PARITY = os.path.join(REPO, "PARITY.md")
+
+ROW = re.compile(r"^\| `(?P<ref>[^`]+)` `(?P<sym>[^`]+)` \| `(?P<loc>[^`]+)` \|")
+
+
+def _rows():
+    rows = []
+    with open(PARITY) as fh:
+        for line in fh:
+            m = ROW.match(line)
+            if m:
+                rows.append((m["ref"], m["sym"], m["loc"]))
+    return rows
+
+
+def test_parity_census_is_complete_and_resolves():
+    rows = _rows()
+    # The census is the whole point: a truncated PARITY.md must fail too.
+    assert len(rows) >= 396, f"PARITY.md census shrank to {len(rows)} rows"
+
+    missing = [r for r in rows if r[2] == "**MISSING**"]
+    assert not missing, f"PARITY.md records unresolved symbols: {missing}"
+
+    modcache: dict[str, object] = {}
+    bad = []
+    for ref, sym, loc in rows:
+        modname = loc[: -len(".py")].replace("/", ".")
+        mod = modcache.get(modname)
+        if mod is None:
+            mod = modcache[modname] = importlib.import_module(modname)
+        if not hasattr(mod, sym):
+            bad.append((ref, sym, modname))
+    assert not bad, f"{len(bad)} PARITY symbols missing at runtime: {bad[:10]}"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/draco"),
+    reason="reference tree not available",
+)
+def test_parity_census_is_current():
+    """Regenerating the census yields no new MISSING rows.
+
+    Catches reference symbols that PARITY.md predates (the table is
+    committed, so a stale one could hide a gap the generator would see).
+    """
+    import subprocess
+    import sys
+
+    gen = os.path.join(REPO, "scripts", "gen_parity.py")
+    src = open(gen).read().replace(
+        'with open("PARITY.md", "w") as fh:\n        fh.write("\\n".join(out) + "\\n")',
+        "pass",
+    )
+    # Run the generator with the file write disabled: only the return
+    # code (number of missing symbols) matters here.
+    proc = subprocess.run(
+        [sys.executable, "-c", src],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert "0 missing symbols" in proc.stdout, proc.stdout + proc.stderr
