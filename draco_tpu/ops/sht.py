@@ -123,14 +123,14 @@ class SHT:
         self.mmax = int(mmax) if mmax is not None else self.lmax
         if self.mmax > self.lmax:
             raise ValueError("mmax cannot exceed lmax")
-        if self.mmax >= 4 * nside:
-            # the belt has nphi = 4*nside azimuthal samples; higher m is
-            # not representable on the grid and the FFT fallbacks fail
-            # with opaque broadcast errors downstream
-            raise ValueError(
-                f"mmax={self.mmax} exceeds the nside={nside} azimuthal "
-                f"band limit (requires mmax < 4*nside = {4 * nside})"
-            )
+        # Synthesis at mmax >= 4*nside is exact point-sampling (a dense
+        # DFT evaluates e^{i m phi} at the true angles, and FFT-bin
+        # aliasing IS the correct sample value), so it is allowed —
+        # healpy-style map degrading depends on it.  ANALYSIS is not:
+        # the belt's 4*nside azimuthal samples cannot separate aliased
+        # m, so the analysis entry points reject it (see
+        # _require_analysis_band_limit).
+        self._analysis_band_limited = self.mmax < 4 * nside
         self.chunk_m = int(min(chunk_m, self.mmax + 1))
         self.npix = healpix.npix_of(nside)
         self.info = healpix.ring_info(nside)
@@ -272,11 +272,27 @@ class SHT:
     # ------------------------------------------------------------------
     # Ring Fourier steps
     # ------------------------------------------------------------------
+    def _require_analysis_band_limit(self):
+        """Analysis needs mmax < 4*nside (the belt sampling rate).
+
+        Raised at trace time from every ring-analysis funnel: aliased m
+        cannot be separated from 4*nside azimuthal samples, so analysis
+        beyond the band limit would silently mix modes.  (Synthesis is
+        exact point-sampling and has no such restriction.)
+        """
+        if not self._analysis_band_limited:
+            raise ValueError(
+                f"analysis requires mmax < 4*nside = {4 * self.nside} "
+                f"(got mmax={self.mmax}): the grid cannot separate "
+                f"aliased azimuthal modes. Synthesis-only use is fine."
+            )
+
     def _ring_analysis(self, maps):
         """Per-ring Fourier coefficients F[..., nring, mmax+1].
 
         F_m(r) = sum_j map[r, j] * exp(-i m phi_rj).
         """
+        self._require_analysis_band_limit()
         cdtype = jnp.result_type(maps.dtype, jnp.complex64)
         nring = self.info.nring
         ncap_n = self.nside - 1  # north cap ring count
@@ -376,12 +392,16 @@ class SHT:
             self._belt_rings, cdtype, conj=True
         )
         nphi = self._belt_nphi
-        if cdtype == jnp.complex64:
+        if cdtype == jnp.complex64 or self.mmax >= nphi:
             # Dense inverse DFT as two real GEMMs (MXU) — beats XLA's TPU
             # iFFT.  f(j) = Re sum_m c_m G_m e^{+i m phi_j} with c_0 = 1,
             # c_{m>0} = 2 (real-field hermitian doubling); the direct sum
-            # is exact for any mmax (no FFT-bin alias handling needed).
-            cm = np.ones(self.mmax + 1, dtype=np.float32)
+            # is exact for any mmax (no FFT-bin alias handling needed) —
+            # which is why the f64 path also routes here when mmax
+            # exceeds the belt's nphi (the iFFT bin-fill below cannot
+            # express m >= nphi).
+            rdt = np.float32 if cdtype == jnp.complex64 else np.float64
+            cm = np.ones(self.mmax + 1, dtype=rdt)
             cm[1:] = 2.0
             gd = g_belt * jnp.asarray(cm, dtype=cdtype)
             Wc = self._belt_dft_matrix(cdtype, conj=True)  # [nphi, M+1]
@@ -670,6 +690,7 @@ class SHT:
         from :meth:`precompute_ring_plan` (constants as arguments, not
         rebuilt per loop iteration).
         """
+        self._require_analysis_band_limit()
         rdt = jnp.float32 if cdtype == jnp.complex64 else jnp.float64
         W = plan["W"] if plan is not None else self._belt_dft_matrix(cdtype)
         if is_real and cdtype == jnp.complex64:

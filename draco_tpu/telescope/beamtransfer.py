@@ -159,10 +159,26 @@ class BeamTransfer:
         omega_pix = 4 * np.pi / healpix.npix_of(nside)
         return jnp.asarray(bprod * fringe[:, None, :] * omega_pix)
 
+    # Per-frequency beam products are reused within a build (support
+    # mask, window, streaming setup), but one entry is [nuniq, npol,
+    # npix] complex128 — tens of MB at beam_nside 256 — so an unbounded
+    # cache would pin O(nfreq) of host RAM on production managers with
+    # hundreds of frequencies.  Small LRU: recomputing on a miss is the
+    # round-1 behaviour, just rarer.
+    _BEAM_PRODUCTS_LRU = 4
+
     def _beam_products(self, fi: int):
-        cache = self.__dict__.setdefault("_beam_products_cache", {})
-        if fi not in cache:
+        from collections import OrderedDict
+
+        cache = self.__dict__.setdefault(
+            "_beam_products_cache", OrderedDict()
+        )
+        if fi in cache:
+            cache.move_to_end(fi)
+        else:
             cache[fi] = self._beam_products_impl(fi)
+            while len(cache) > self._BEAM_PRODUCTS_LRU:
+                cache.popitem(last=False)
         return cache[fi]
 
     def _beam_products_impl(self, fi: int):

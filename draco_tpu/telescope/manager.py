@@ -43,6 +43,13 @@ def _resolve_telescope(type_spec):
     draco_tpu.telescope.
     """
     if isinstance(type_spec, dict):
+        if "class" not in type_spec:
+            raise ValueError(
+                "dict-form telescope type spec needs a 'class' key "
+                f"(got keys {sorted(type_spec)}); e.g. "
+                "type: {class: UnpolarisedCylinder, "
+                "module: drift.telescope.cylinder}"
+            )
         cls_name = type_spec["class"]
         mod_name = type_spec.get("module")
         if mod_name:

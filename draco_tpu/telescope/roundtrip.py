@@ -528,6 +528,48 @@ def _auto_chunk(nbase: int, nfreq: int, npol: int, per_pixel: int) -> int:
     return (c + 7) // 8 * 8
 
 
+def _beam_m_support(bt, win, tau: float) -> int:
+    """Measured azimuthal band width of the deduped beam products.
+
+    Largest ``|m|`` at which any beam product's per-ring azimuthal
+    Fourier coefficient stays above ``tau`` relative to the global peak
+    coefficient, maxed over a sample of frequencies spanning the band
+    (beams vary smoothly with frequency; both edges are included).
+    This bounds the m-broadening the beam convolves onto each
+    baseline's fringe spectrum — measuring it replaces a guessed
+    constant, which under-covers azimuthally narrow beams.
+    """
+    tel = bt.telescope
+    info = win.sht.info
+    nfreq = tel.nfreq
+    fis = sorted(set(np.linspace(0, nfreq - 1, min(nfreq, 8)).astype(int)))
+    ring_specs = None
+    gmax = 0.0
+    for fi in fis:
+        _, bprod = bt._beam_products(fi)
+        flat = np.asarray(bprod).reshape(-1, bprod.shape[-1])
+        off = 0
+        specs = []
+        for r in range(info.nring):
+            n = int(info.nphi[r])
+            F = np.abs(np.fft.fft(flat[:, off : off + n], axis=-1)) / n
+            off += n
+            specs.append(F.max(axis=0))
+            gmax = max(gmax, float(F.max()))
+        if ring_specs is None:
+            ring_specs = specs
+        else:
+            ring_specs = [np.maximum(a, b) for a, b in zip(ring_specs, specs)]
+    m_sup = 0
+    for spec in ring_specs:
+        n = spec.shape[0]
+        above = spec > tau * gmax
+        if above.any():
+            m_abs = np.minimum(np.arange(n), n - np.arange(n))
+            m_sup = max(m_sup, int(m_abs[above].max()))
+    return m_sup
+
+
 def fused_roundtrip_fn(bt, chunk: int | None = None):
     """Build a reusable ``run(sky, weight=None)`` closure for ``bt``.
 
@@ -554,20 +596,28 @@ def fused_roundtrip_fn(bt, chunk: int | None = None):
         chunk = _auto_chunk(nbase, nfreq, npol, win.Kf)
 
     # m-support bound per baseline: the visibility of baseline u carries
-    # no power beyond m ~ 2 pi |u_perp| sin(theta)_max plus the beam
-    # product's own azimuthal band width (empirically ~the zero-baseline
-    # support; the margin is validated by tests/test_roundtrip.py).
-    # Sorting baselines by the bound lets chunks of short baselines
-    # truncate their GEMM m-columns.  DRACO_TPU_MCUT_MARGIN < 0 disables.
-    m_margin = int(os.environ.get("DRACO_TPU_MCUT_MARGIN", "128"))
+    # no power beyond m ~ 2 pi |u_perp| sin(theta)_max (the fringe's
+    # Jacobi-Anger band edge, Bessel tail ~4 x^(1/3) wide) plus the beam
+    # product's own azimuthal band width — MEASURED from the per-ring
+    # spectra (_beam_m_support), not guessed, so azimuthally narrow
+    # beams are covered.  Sorting baselines by the bound lets chunks of
+    # short baselines truncate their GEMM m-columns (float-exact;
+    # tests/test_roundtrip.py).  DRACO_TPU_MCUT_MARGIN: unset = derive
+    # from the beam, >= 0 = fixed margin override, < 0 = disable.
+    m_margin_env = os.environ.get("DRACO_TPU_MCUT_MARGIN")
     bl3_all = tel.baseline_vectors_3d()
-    if m_margin >= 0:
+    if m_margin_env is None or int(m_margin_env) >= 0:
         u_perp = np.hypot(bl3_all[:, 0], bl3_all[:, 1]) / tel.wavelengths.min()
         s_max = float(np.sin(win.sht.info.theta[win.band]).max())
-        m_cut = np.minimum(
-            np.ceil(2 * np.pi * u_perp * s_max).astype(int) + m_margin,
-            mmax + 1,
-        )
+        x = 2 * np.pi * u_perp * s_max
+        if m_margin_env is None:
+            tau = float(os.environ.get("DRACO_TPU_BT_WINDOW_TAU", "1e-6"))
+            m_margin = _beam_m_support(bt, win, tau) + np.ceil(
+                4.0 * np.cbrt(np.maximum(x, 1.0))
+            ).astype(int)
+        else:
+            m_margin = int(m_margin_env)
+        m_cut = np.minimum(np.ceil(x).astype(int) + m_margin, mmax + 1)
         order = np.argsort(m_cut, kind="stable")
     else:
         m_cut = np.full(nbase, mmax + 1)
@@ -692,13 +742,23 @@ def fused_simulate_to_map(bt, sky, chunk: int | None = None, weight=None):
     maps : jnp.ndarray [nfreq, npol_sky, npix]
         The dirty-map round trip of ``sky``.
 
-    The prepared device state is cached on ``bt`` per chunk size, so
-    repeated calls only transfer the sky.
+    The prepared device state is cached on ``bt`` keyed by the chunk
+    size AND the env knobs that parameterise the build (m-cut margin,
+    HBM chunk budget, window switches) — otherwise a process flipping
+    one of those mid-run (e.g. an accuracy cross-check disabling the
+    m-truncation) would silently reuse the stale program.
     """
+    key = (
+        chunk,
+        os.environ.get("DRACO_TPU_MCUT_MARGIN"),
+        os.environ.get("DRACO_TPU_CHUNK_BUDGET_GB"),
+        os.environ.get("DRACO_TPU_BT_WINDOW"),
+        os.environ.get("DRACO_TPU_BT_WINDOW_TAU"),
+    )
     cache = bt.__dict__.setdefault("_fused_fns", {})
-    if chunk not in cache:
-        cache[chunk] = fused_roundtrip_fn(bt, chunk=chunk)
-    return cache[chunk](sky, weight=weight)
+    if key not in cache:
+        cache[key] = fused_roundtrip_fn(bt, chunk=chunk)
+    return cache[key](sky, weight=weight)
 
 
 from ..core import config as _config

@@ -67,12 +67,15 @@ def test_parity_census_is_current():
     import sys
 
     gen = os.path.join(REPO, "scripts", "gen_parity.py")
-    src = open(gen).read().replace(
-        'with open("PARITY.md", "w") as fh:\n        fh.write("\\n".join(out) + "\\n")',
-        "pass",
+    orig = open(gen).read()
+    write_block = (
+        'with open("PARITY.md", "w") as fh:\n'
+        '        fh.write("\\n".join(out) + "\\n")'
     )
-    # Run the generator with the file write disabled: only the return
-    # code (number of missing symbols) matters here.
+    # Disable the file write; a silent no-op here would clobber the
+    # committed PARITY.md as a test side effect, so check it matched.
+    src = orig.replace(write_block, "pass")
+    assert src != orig, "gen_parity.py write block moved; update this test"
     proc = subprocess.run(
         [sys.executable, "-c", src],
         cwd=REPO,
@@ -80,4 +83,8 @@ def test_parity_census_is_current():
         text=True,
         timeout=120,
     )
-    assert "0 missing symbols" in proc.stdout, proc.stdout + proc.stderr
+    # Anchored: '10 missing symbols' must not satisfy a substring check.
+    assert re.search(r"; 0 missing symbols", proc.stdout), (
+        proc.stdout + proc.stderr
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr

@@ -119,9 +119,15 @@ def test_mcut_truncation_is_exact(compact_setup, monkeypatch):
     bt.__dict__.pop("_fused_fns", None)
     monkeypatch.setitem(os.environ, "DRACO_TPU_MCUT_MARGIN", "64")
     trunc = np.asarray(fused_simulate_to_map(bt, sky, chunk=4))
+
+    # default (env unset): margin derived from the measured beam
+    # azimuthal band width — must also be float-exact
+    monkeypatch.delitem(os.environ, "DRACO_TPU_MCUT_MARGIN", raising=False)
+    auto = np.asarray(fused_simulate_to_map(bt, sky, chunk=4))
     bt.__dict__.pop("_fused_fns", None)
 
     assert np.allclose(trunc, full, atol=2e-6 * np.abs(full).max())
+    assert np.allclose(auto, full, atol=2e-6 * np.abs(full).max())
 
 
 def test_simulate_and_map_task(compact_setup):

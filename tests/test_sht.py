@@ -240,10 +240,36 @@ def test_analysis_complex_iterated():
     assert np.allclose(np.asarray(s.analysis(m, iter=3)), ref)
 
 
-def test_sht_rejects_unrepresentable_mmax():
-    import pytest
+def test_synthesis_beyond_azimuthal_band_limit(rng):
+    """mmax >= 4*nside synthesis = exact point-sampling (map degrading).
 
-    from draco_tpu.ops import sht
+    Aliasing e^{i m phi_k} onto an nphi-point ring IS the correct sample
+    value, so healpy-style synthesis to a coarser grid must work — and
+    match brute-force scipy evaluation at the pixel centres.
+    """
+    nside, lmax = 8, 40  # mmax = 40 > 4*nside = 32
+    alm = random_alm(lmax, rng)
+    truth = direct_ylm_synthesis(alm, nside)
+    ours = np.asarray(sht.alm2map(alm, nside))
+    assert np.allclose(ours, truth, rtol=1e-4, atol=1e-4 * np.abs(truth).max())
+    # the f64 path routes the belt through the dense DFT (the iFFT
+    # bin-fill cannot express m >= nphi) — same answer, tighter tol
+    s = sht.SHT(nside, lmax)
+    ours64 = np.asarray(s._synthesis_impl(np.asarray(alm, np.complex128)))
+    assert np.allclose(ours64, truth, rtol=1e-8, atol=1e-8)
 
-    with pytest.raises(ValueError, match="band limit"):
-        sht.SHT(8, lmax=40, mmax=40)
+
+def test_analysis_rejects_aliased_mmax(rng):
+    """Analysis cannot separate aliased m: entry points raise."""
+    s = sht.SHT(8, lmax=40, mmax=40)
+    maps = np.asarray(rng.standard_normal(healpix.npix_of(8)), np.float32)
+    with pytest.raises(ValueError, match="analysis requires mmax"):
+        s.analysis(maps)
+    with pytest.raises(ValueError, match="analysis requires mmax"):
+        s._ring_analysis_parts(jnp_asarray(maps))
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
