@@ -107,16 +107,15 @@ class WindowedSHT:
             valid[k] = np.arange(self.W) < n
         self.window_index = idx  # [Rb, W] pixel indices
 
-        m = np.arange(s.mmax + 1)
         # quadrature weight (and the wrap mask) folded into the DFT
-        # factors (matches SHT._analysis_impl semantics)
-        w_rw = (info.weight[self.band][:, None] * valid)[..., None]
-        self._Ec = jnp.asarray(
-            (np.cos(phi[..., None] * m) * w_rw).astype(np.float32)
-        )
-        self._Es = jnp.asarray(
-            (np.sin(phi[..., None] * m) * w_rw).astype(np.float32)
-        )
+        # factors (matches SHT._analysis_impl semantics); the [Rb, W]
+        # trig tensors are built lazily on first use — the rectangular
+        # and flat layouts have disjoint consumers (windowed analysis vs
+        # fused/streaming projections), so an eager build of both would
+        # pin ~2x the needed HBM
+        self._phi_rw = phi
+        self._w_rw = info.weight[self.band][:, None] * valid
+        self._rect_cache = None
         self._lam_band = None
 
         # -- flat (ragged) layout ------------------------------------------
@@ -147,20 +146,64 @@ class WindowedSHT:
         self.flat_ring = jnp.asarray(
             np.concatenate([fring, np.zeros(kf_pad - kf)]).astype(np.int32)
         )
-        w_k = np.concatenate(
+        self._w_k = np.concatenate(
             [info.weight[self.band][fring], np.zeros(kf_pad - kf)]
-        )[:, None]
-        self._Ecf = jnp.asarray(
-            (np.cos(np.concatenate([fphi, np.zeros(kf_pad - kf)])[:, None] * m)
-             * w_k).astype(np.float32)
         )
-        self._Esf = jnp.asarray(
-            (np.sin(np.concatenate([fphi, np.zeros(kf_pad - kf)])[:, None] * m)
-             * w_k).astype(np.float32)
-        )
+        self._phi_k = np.concatenate([fphi, np.zeros(kf_pad - kf)])
+        self._flat_cache = None
         onehot = np.zeros((self.Rb, kf_pad), np.float32)
         onehot[fring, np.arange(kf)] = 1.0
         self.ring_onehot = jnp.asarray(onehot)
+
+    @staticmethod
+    def _trig_f32(phi_rows, m, w_rows):
+        """Weighted cos/sin(phi x m) as f32 [*rows, M+1] pairs.
+
+        The trig runs in f64 (phi*m reaches ~5e3 rad; f32 arguments
+        would lose ~3e-4 rad — the same error class the two-float
+        fringe phases remove) but stages in row chunks so the f64
+        intermediate never exceeds a small fraction of the output.
+        """
+        shape = phi_rows.shape + (m.shape[0],)
+        C = np.empty(shape, np.float32)
+        S = np.empty(shape, np.float32)
+        flat_phi = phi_rows.reshape(-1)
+        flat_w = w_rows.reshape(-1)
+        Cf = C.reshape(-1, shape[-1])
+        Sf = S.reshape(-1, shape[-1])
+        step = max(1, (1 << 22) // max(1, shape[-1]))
+        for i in range(0, flat_phi.shape[0], step):
+            arg = flat_phi[i : i + step, None] * m
+            w = flat_w[i : i + step, None]
+            Cf[i : i + step] = np.cos(arg) * w
+            Sf[i : i + step] = np.sin(arg) * w
+        return C, S
+
+    @property
+    def _Ec(self):
+        if self._rect_cache is None:
+            m = np.arange(self.sht.mmax + 1)
+            C, S = self._trig_f32(self._phi_rw, m, self._w_rw)
+            self._rect_cache = (jnp.asarray(C), jnp.asarray(S))
+        return self._rect_cache[0]
+
+    @property
+    def _Es(self):
+        _ = self._Ec
+        return self._rect_cache[1]
+
+    @property
+    def _Ecf(self):
+        if self._flat_cache is None:
+            m = np.arange(self.sht.mmax + 1)
+            C, S = self._trig_f32(self._phi_k, m, self._w_k)
+            self._flat_cache = (jnp.asarray(C), jnp.asarray(S))
+        return self._flat_cache[0]
+
+    @property
+    def _Esf(self):
+        _ = self._Ecf
+        return self._flat_cache[1]
 
     @property
     def coverage(self) -> float:

@@ -249,10 +249,19 @@ class BeamTransfer:
     def _beam_window(self):
         """WindowedSHT over the beam support, or None if not compact.
 
-        Cached on the instance; disable with DRACO_TPU_BT_WINDOW=0.
+        Cached on the instance, keyed by the env knobs that define it
+        (DRACO_TPU_BT_WINDOW to disable, DRACO_TPU_BT_WINDOW_TAU for the
+        threshold) — a mid-process flip of either must rebuild, not
+        reuse the latched window (accuracy cross-checks depend on it).
         """
-        if getattr(self, "_win_cache", "unset") != "unset":
+        env_key = (
+            os.environ.get("DRACO_TPU_BT_WINDOW"),
+            os.environ.get("DRACO_TPU_BT_WINDOW_TAU"),
+        )
+        cached = getattr(self, "_win_cache", "unset")
+        if cached != "unset" and self._win_cache_key == env_key:
             return self._win_cache
+        self._win_cache_key = env_key
         from ..ops.sht_window import WindowedSHT, support_fraction
 
         win = None
@@ -305,18 +314,20 @@ class BeamTransfer:
             # Ec/Es [Rb, W, M+1] inside one einsum, never materialising a
             # per-pixel [.., Kf, M+1] intermediate — which a flat-layout
             # analysis would need (prohibitive at chunked-B scale).
-            vec = healpix.pix2vec(self.beam_nside)
-            vecw = jnp.asarray(
-                vec[win.window_index].astype(np.float32)
-            )  # [Rb, W, 3]
+            vec = np.asarray(healpix.pix2vec(self.beam_nside), np.float64)
+            vw_hi, vw_lo = tools.twofloat_split(
+                vec[win.window_index].reshape(-1, 3)
+            )  # flat [Rb*W, 3] two-float pair (exact fringe phases)
+            vw_hi, vw_lo = jnp.asarray(vw_hi), jnp.asarray(vw_lo)
             lam_band = win._ensure_lam()
             Ec, Es = win._Ec, win._Es
 
             @jax.jit
-            def gen_chunk(bl_w, br_u, bi_u, uidx, vecw, Ec, Es, lam_band):
-                phase = 2 * jnp.pi * jnp.einsum(
-                    "bx,rwx->brw", bl_w, vecw, precision=_PREC
-                )
+            def gen_chunk(bl_h, bl_l, br_u, bi_u, uidx, vw_hi, vw_lo,
+                          Ec, Es, lam_band):
+                phase = 2 * jnp.pi * tools.phase_frac(
+                    bl_h, bl_l, vw_hi, vw_lo
+                ).reshape(bl_h.shape[0], Ec.shape[0], Ec.shape[1])
                 c = jnp.cos(phase)[:, None]
                 sn = jnp.sin(phase)[:, None]
                 br = br_u[uidx]
@@ -345,12 +356,15 @@ class BeamTransfer:
                 bl3 = tel.baseline_vectors_3d() / tel.wavelengths[fi]
                 bps, bms = [], []
                 for b0, b1 in self._stream_chunks(2048):
+                    bl_h, bl_l = tools.twofloat_split(bl3[b0:b1])
                     bp_c, bm_c = gen_chunk(
-                        jnp.asarray(bl3[b0:b1].astype(np.float32)),
+                        jnp.asarray(bl_h),
+                        jnp.asarray(bl_l),
                         br_u,
                         bi_u,
                         jnp.asarray(u_idx[b0:b1]),
-                        vecw,
+                        vw_hi,
+                        vw_lo,
                         Ec,
                         Es,
                         lam_band,
@@ -496,15 +510,23 @@ class BeamTransfer:
             yield b0, min(b0 + chunk, nbase)
 
     def _stream_geometry(self):
+        """Device (hi, lo) two-float pixel vectors for exact phases."""
         if getattr(self, "_stream_geo", None) is None:
-            vec = healpix.pix2vec(self.beam_nside).astype(np.float32)
-            self._stream_geo = jax.device_put(vec)
+            vec = np.asarray(healpix.pix2vec(self.beam_nside), np.float64)
+            hi, lo = tools.twofloat_split(vec)
+            self._stream_geo = (jax.device_put(hi), jax.device_put(lo))
         return self._stream_geo
 
     @staticmethod
     def _stream_bmaps(vec, bl_w, u_re, u_im, uidx):
-        """Device-side fringe x beam-product maps: ([C,p,npix] re, im)."""
-        phase = 2 * jnp.pi * jnp.matmul(bl_w, vec.T, precision=_PREC)
+        """Device-side fringe x beam-product maps: ([C,p,npix] re, im).
+
+        ``vec`` and ``bl_w`` are (hi, lo) two-float pairs — exact fringe
+        phases independent of baseline length (ops.tools.phase_frac).
+        """
+        vec_hi, vec_lo = vec
+        bl_h, bl_l = bl_w
+        phase = 2 * jnp.pi * tools.phase_frac(bl_h, bl_l, vec_hi, vec_lo)
         c = jnp.cos(phase)[:, None, :]
         sn = jnp.sin(phase)[:, None, :]
         br = u_re[uidx]
@@ -539,14 +561,19 @@ class BeamTransfer:
         vec = healpix.pix2vec(self.beam_nside)
         # flat (ragged) window layout: work scales with the true support
         # pixel count, not the Rb x W bounding box
-        vecw = jnp.asarray(vec[win.flat_index].astype(np.float32))
+        vw_hi, vw_lo = tools.twofloat_split(
+            np.asarray(vec, np.float64)[win.flat_index]
+        )
+        vw_hi, vw_lo = jnp.asarray(vw_hi), jnp.asarray(vw_lo)
         lam_band = win._ensure_lam()
         Ecf, Esf = win._Ecf, win._Esf  # quadrature weight folded in
-        consts = (Ecf, Esf, lam_band, vecw, win.flat_ring, win.ring_onehot)
+        consts = (
+            Ecf, Esf, lam_band, vw_hi, vw_lo, win.flat_ring, win.ring_onehot
+        )
 
         @jax.jit
         def sky_phase_tensors(alm_r, alm_i, consts):
-            Ecf, Esf, lam_band, _, flat_ring, _ = consts
+            Ecf, Esf, lam_band, _, _, flat_ring, _ = consts
             Sr = jnp.einsum(
                 "plm,lmr->prm", alm_r, lam_band, precision=_PREC
             )
@@ -559,22 +586,23 @@ class BeamTransfer:
             a2 = Ecf * Sik + Esf * Srk
             return a1.reshape(-1, mmax + 1), a2.reshape(-1, mmax + 1)
 
-        def fringe_win(bl_w, u_re_w, u_im_w, uidx, vecw):
-            phase = 2 * jnp.pi * jnp.einsum(
-                "cx,kx->ck", bl_w, vecw, precision=_PREC
-            )
+        def fringe_win(bl_w, u_re_w, u_im_w, uidx, vw_hi, vw_lo):
+            bl_h, bl_l = bl_w  # (hi, lo) pair: exact fringe phases
+            phase = 2 * jnp.pi * tools.phase_frac(bl_h, bl_l, vw_hi, vw_lo)
             cp = jnp.cos(phase)[:, None]
             sp = jnp.sin(phase)[:, None]
             br = u_re_w[uidx]  # [C, p, Kf]
             bi = u_im_w[uidx]
-            nc = bl_w.shape[0]
+            nc = bl_h.shape[0]
             re = (br * cp - bi * sp).reshape(nc, -1)
             im = (br * sp + bi * cp).reshape(nc, -1)
             return re, im
 
         @jax.jit
         def chunk_vis_win(bl_w, u_re_w, u_im_w, uidx, a1, a2, consts):
-            re, im = fringe_win(bl_w, u_re_w, u_im_w, uidx, consts[3])
+            re, im = fringe_win(
+                bl_w, u_re_w, u_im_w, uidx, consts[3], consts[4]
+            )
             G1 = jnp.matmul(re, a1, precision=_PREC)
             G2 = jnp.matmul(im, a2, precision=_PREC)
             G3 = jnp.matmul(re, a2, precision=_PREC)
@@ -588,7 +616,9 @@ class BeamTransfer:
             bl_w, u_re_w, u_im_w, uidx, vs_r, vs_i, vd_r, vd_i, Y_r, Y_i,
             consts,
         ):
-            re, im = fringe_win(bl_w, u_re_w, u_im_w, uidx, consts[3])
+            re, im = fringe_win(
+                bl_w, u_re_w, u_im_w, uidx, consts[3], consts[4]
+            )
             Y_r = Y_r + jnp.matmul(re.T, vs_r, precision=_PREC) - jnp.matmul(
                 im.T, vd_i, precision=_PREC
             )
@@ -601,7 +631,7 @@ class BeamTransfer:
 
         @jax.jit
         def finish_Y_win(Y_r, Y_i, consts):
-            Ecf, Esf, lam_band, _, _, ring_onehot = consts
+            Ecf, Esf, lam_band, _, _, _, ring_onehot = consts
             # conjugate per-pixel DFT factors, then the pixel -> ring
             # reduction as a one-hot GEMM (scatters don't tile on TPU)
             Y_r = Y_r.reshape(npol, win.Kf, mmax + 1)
@@ -625,7 +655,7 @@ class BeamTransfer:
         tel = self.telescope
         s = win.sht
         mmax = s.mmax
-        bl3 = tel.baseline_vectors_3d().astype(np.float32)
+        bl3 = tel.baseline_vectors_3d().astype(np.float64)
         nbase = len(tel.uniquepairs)
         consts, sky_phase_tensors, chunk_vis_win, _, _ = (
             self._windowed_stream_fns(win)
@@ -646,9 +676,10 @@ class BeamTransfer:
             u_im = jnp.asarray(bw.imag.astype(np.float32))
             lam_f = tel.wavelengths[fi]
             for b0, b1 in self._stream_chunks(chunk):
+                bl_h, bl_l = tools.twofloat_split(bl3[b0:b1] / lam_f)
                 out = np.asarray(
                     chunk_vis_win(
-                        jnp.asarray(bl3[b0:b1] / lam_f),
+                        (jnp.asarray(bl_h), jnp.asarray(bl_l)),
                         u_re,
                         u_im,
                         jnp.asarray(u_idx[b0:b1]),
@@ -667,7 +698,7 @@ class BeamTransfer:
         s = win.sht
         mmax = s.mmax
         npol = tel.num_pol_sky
-        bl3 = tel.baseline_vectors_3d().astype(np.float32)
+        bl3 = tel.baseline_vectors_3d().astype(np.float64)
         consts, _, _, chunk_Y_win, finish_Y_win = self._windowed_stream_fns(win)
         nwin = npol * win.Kf
 
@@ -685,8 +716,9 @@ class BeamTransfer:
                 v1 = wv[:, 1, fi, b0:b1]
                 vs = (v0 + v1).T  # [C, M+1]
                 vd = (v1 - v0).T
+                bl_h, bl_l = tools.twofloat_split(bl3[b0:b1] / lam_f)
                 Y_r, Y_i = chunk_Y_win(
-                    jnp.asarray(bl3[b0:b1] / lam_f),
+                    (jnp.asarray(bl_h), jnp.asarray(bl_l)),
                     u_re,
                     u_im,
                     jnp.asarray(u_idx[b0:b1]),
@@ -718,7 +750,7 @@ class BeamTransfer:
         s, lam, plan = self._streaming_ops()
         tel = self.telescope
         alm = jnp.asarray(alm)  # [nfreq, npol, L+1, M+1]
-        bl3 = tel.baseline_vectors_3d().astype(np.float32)
+        bl3 = tel.baseline_vectors_3d().astype(np.float64)
         nbase = len(tel.uniquepairs)
         mmax = s.mmax
         scale = 1.0 / (4 * np.pi / healpix.npix_of(self.beam_nside))
@@ -743,8 +775,8 @@ class BeamTransfer:
             F_belt, group_F = s._ring_analysis_parts(
                 jnp.stack([re, im]), plan=plan
             )  # each [2, C, p, r, M+1]
-            U = jnp.zeros((mmax + 1, bl_w.shape[0]), jnp.complex64)
-            V = jnp.zeros((mmax + 1, bl_w.shape[0]), jnp.complex64)
+            U = jnp.zeros((mmax + 1, bl_w[0].shape[0]), jnp.complex64)
+            V = jnp.zeros((mmax + 1, bl_w[0].shape[0]), jnp.complex64)
             for F2, S in zip([F_belt, *group_F], S_secs):
                 U = U + jnp.einsum(
                     "cprm,pmr->mc", jnp.conj(F2[0]), S, precision=_PREC
@@ -766,10 +798,11 @@ class BeamTransfer:
             u_im = jnp.asarray(bprod.imag.astype(np.float32))
             lam_f = tel.wavelengths[fi]
             for b0, b1 in self._stream_chunks(chunk):
+                bl_h, bl_l = tools.twofloat_split(bl3[b0:b1] / lam_f)
                 out = np.asarray(
                     chunk_vis(
                         self._stream_geometry(),
-                        jnp.asarray(bl3[b0:b1] / lam_f),
+                        (jnp.asarray(bl_h), jnp.asarray(bl_l)),
                         u_re,
                         u_im,
                         jnp.asarray(u_idx[b0:b1]),
@@ -800,7 +833,7 @@ class BeamTransfer:
         mmax = s.mmax
         scale = 1.0 / (4 * np.pi / healpix.npix_of(self.beam_nside))
 
-        bl3 = tel.baseline_vectors_3d().astype(np.float32)
+        bl3 = tel.baseline_vectors_3d().astype(np.float64)
 
         @jax.jit
         def chunk_T(vec, bl_w, u_re, u_im, uidx, vs_r, vs_i, vd_r, vd_i,
@@ -859,9 +892,10 @@ class BeamTransfer:
             for b0, b1 in self._stream_chunks(chunk):
                 v_sum = wv[:, 0, fi, b0:b1] + wv[:, 1, fi, b0:b1]
                 v_dif = wv[:, 1, fi, b0:b1] - wv[:, 0, fi, b0:b1]
+                bl_h, bl_l = tools.twofloat_split(bl3[b0:b1] / lam_f)
                 T_secs = chunk_T(
                     self._stream_geometry(),
-                    jnp.asarray(bl3[b0:b1] / lam_f),
+                    (jnp.asarray(bl_h), jnp.asarray(bl_l)),
                     u_re,
                     u_im,
                     jnp.asarray(u_idx[b0:b1]),

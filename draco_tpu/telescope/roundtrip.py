@@ -55,46 +55,10 @@ def _pad_to(n: int, chunk: int) -> int:
     return (n + chunk - 1) // chunk * chunk
 
 
-# Fringe phases are periodic, so only frac(b . n) matters — but a plain
-# f32 dot loses ~|b . n| * eps_f32 ABSOLUTE accuracy (2e-4 rad at
-# u ~ 500 wavelengths), above the 1e-5 end-to-end budget.  The builders
-# split the f64 baselines and pixel vectors into two-float (hi, lo)
-# f32 pairs and the phase evaluates with Dekker two-products plus an
-# exact per-term mod-1 reduction: frac error ~ eps_f32 regardless of
-# baseline length.  Purely elementwise — XLA fuses it into the trig.
-_SPLIT = 4097.0  # 2^12 + 1 (Dekker split constant for f32)
-
-
-def _twofloat_split(a64: np.ndarray):
-    hi = a64.astype(np.float32)
-    lo = (a64 - hi.astype(np.float64)).astype(np.float32)
-    return hi, lo
-
-
-def _phase_frac(bh, bl, vh, vl):
-    """frac(b . n) for two-float operands; bh/bl [..., 3], vh/vl [K, 3].
-
-    Returns [..., K] with ... broadcast against K.
-    """
-    r_sum = None
-    e_sum = None
-    for x in range(3):
-        b1 = bh[..., x][..., None]
-        v1 = vh[:, x]
-        p = b1 * v1
-        bs = b1 * _SPLIT
-        bhh = bs - (bs - b1)
-        bll = b1 - bhh
-        vs = v1 * _SPLIT
-        vhh = vs - (vs - v1)
-        vll = v1 - vhh
-        e = ((bhh * vhh - p) + bhh * vll + bll * vhh) + bll * vll
-        c = b1 * vl[:, x] + bl[..., x][..., None] * v1
-        r = p - jnp.round(p)
-        r_sum = r if r_sum is None else r_sum + r
-        e_sum = (e + c) if e_sum is None else e_sum + (e + c)
-    y = r_sum + e_sum
-    return y - jnp.round(y)
+# Exact fringe phases: see ops.tools.phase_frac (shared by every
+# fringe builder — fused round trip, streaming projections, generate).
+from ..ops.tools import phase_frac as _phase_frac
+from ..ops.tools import twofloat_split as _twofloat_split
 
 
 def _baseline_prep(tel, nfreq: int, nbase: int, chunk: int, order=None):
@@ -224,7 +188,6 @@ def _fused_roundtrip(
     s = sht_obj
     nfreq, npol, chunk, nchunk, npairs, Kf, mmax, groups = dims
     K = npol * Kf
-    npad = nchunk * chunk
     scale = 1.0 / (4 * np.pi / s.npix)
     prec = _PREC_RT
 
@@ -401,7 +364,6 @@ def _fused_roundtrip_fullsphere(
     """
     s = sht_obj
     nfreq, npol, chunk, nchunk, npairs, mmax = dims
-    npad = nchunk * chunk
     scale = 1.0 / (4 * np.pi / s.npix)
     prec = _PREC_RT
 
@@ -638,13 +600,16 @@ def fused_roundtrip_fn(bt, chunk: int | None = None):
         order=order,
     )
 
-    # group chunks by their (128-rounded) max m-support
+    # group chunks by their (128-rounded) max m-support; m_cut is an
+    # INCLUSIVE max-m bound, so mb + 1 columns are required before
+    # rounding (otherwise a chunk whose bound lands exactly on a
+    # multiple of 128 loses its band-edge column)
     mc_sorted = m_cut if order is None else m_cut[order]
     group_list = []
     for ci in range(nchunk):
         in_chunk = mc_sorted[ci * chunk : (ci + 1) * chunk]
         mb = int(in_chunk.max()) if len(in_chunk) else 1
-        mb = min(mmax + 1, (mb + 127) // 128 * 128)
+        mb = min(mmax + 1, (mb + 1 + 127) // 128 * 128)
         if group_list and group_list[-1][2] == mb:
             group_list[-1][1] = ci + 1
         else:
@@ -682,11 +647,10 @@ def _fullsphere_roundtrip_fn(bt, chunk: int | None):
     npol = tel.num_pol_sky
     nfreq = tel.nfreq
     nbase = len(tel.uniquepairs)
+    layout = s.padded_layout()
     if chunk is None:
         # the ring-analysed fringe sections cost a few padded spheres
-        chunk = _auto_chunk(nbase, nfreq, npol, 3 * len(s.padded_layout()))
-
-    layout = s.padded_layout()
+        chunk = _auto_chunk(nbase, nfreq, npol, 3 * len(layout))
     lclip = np.clip(layout, 0, None)
     vec = healpix.pix2vec(bt.beam_nside)
     vecp_hi, vecp_lo = _twofloat_split(
