@@ -177,6 +177,13 @@ class Dataset:
             return self
         if axis_name is not None and axis_name not in self.axes:
             return self
+        if pmesh.get_mesh() is None:
+            # metadata-only: with no mesh there is nothing to reshard,
+            # and forcing a host->device transfer here would change
+            # numpy in-place semantics for host-only flows as a side
+            # effect of a documented no-op
+            self.distributed_axis = axis_name
+            return self
         self._data = pmesh.shard_array_named(
             self._as_device(), self.axes, axis_name
         )
@@ -257,8 +264,10 @@ class ContainerBase:
         self.history: dict[str, Any] = {}
 
         # Stage 1: axes from explicit kwargs, falling back to axes_from.
+        overridden: set[str] = set()
         for ax in self.axes_spec():
             if ax in kwargs:
+                overridden.add(ax)
                 val = kwargs.pop(ax)
                 if val is not None and val is not _UNSET:
                     self.create_index_map(ax, self._convert_axis(ax, val))
@@ -272,7 +281,11 @@ class ContainerBase:
 
         if axes_from is not None:
             for name, rmap in axes_from.reverse_map.items():
-                if name in self.index_map and name not in kwargs:
+                # only for axes INHERITED from axes_from: a reverse_map
+                # indexes into its own axis, so copying it onto an axis
+                # the caller replaced (e.g. empty_like(x, stack=...))
+                # would leave a stale, out-of-range mapping
+                if name in self.index_map and name not in overridden:
                     self.reverse_map[name] = np.asarray(rmap).copy()
 
         # Stage 2: subclass hook for derived axes (stack from prod, ...).
@@ -508,7 +521,12 @@ class ContainerBase:
             for name, d in f.items():
                 if name in ("index_map", "reverse_map", "history"):
                     continue
-                axes = tuple(a.decode() for a in d.attrs["axis"])
+                # axis labels may be bytes (our writer) or vlen unicode
+                # (reference/caput-written files)
+                axes = tuple(
+                    a.decode() if isinstance(a, bytes) else str(a)
+                    for a in d.attrs["axis"]
+                )
                 arr = d[:]
                 for i, ax in enumerate(axes):
                     if ax in sel:
@@ -618,9 +636,27 @@ def copy_datasets_filter(
     """Copy datasets from source to dest applying per-axis selections.
 
     Mirrors the reference helper used to down-select containers
-    (reference test/test_containers.py:87-142).
+    (reference test/test_containers.py:87-142): ``axis`` names the
+    filtered axes; a non-dict ``selection`` applies to the single named
+    axis, and a dict selection's keys must match ``axis`` when given.
     """
-    selection = dict(selection or {})
+    axis = (axis,) if isinstance(axis, str) else tuple(axis)
+    if selection is None:
+        selection = {}
+    if not isinstance(selection, dict):
+        if len(axis) != 1:
+            raise ValueError(
+                "a non-dict selection needs exactly one axis name, got "
+                f"axis={axis!r}"
+            )
+        selection = {axis[0]: selection}
+    else:
+        selection = dict(selection)
+        if axis and set(axis) != set(selection):
+            raise ValueError(
+                f"axis argument {sorted(axis)} does not match selection "
+                f"keys {sorted(selection)}"
+            )
     exclude_axes = tuple(exclude_axes or ())
     for name, ds in source.datasets.items():
         if name not in dest.dataset_spec():

@@ -73,7 +73,7 @@ def _resolve_task_class(path: str):
 class _TaskRunner:
     """Book-keeping wrapper around one task instance in the pipeline."""
 
-    def __init__(self, spec: dict, index: int):
+    def __init__(self, spec: dict, index: int, compare_keys: bool = False):
         self.spec = spec
         self.index = index
         self.type_path = spec["type"]
@@ -84,7 +84,7 @@ class _TaskRunner:
         self.params = spec.get("params") or {}
 
         self.task = self.cls()
-        self.task.read_config(self.params)
+        self.task.read_config(self.params, compare_keys=compare_keys)
 
         self.queues: list[deque] = [deque() for _ in self.in_labels]
         self.requires_values: list[Any] = [None] * len(self.requires)
@@ -138,6 +138,11 @@ class Manager(config_mod.Reader):
     """Round-robin task scheduler driven by a YAML config."""
 
     def __init__(self, config_dict: dict, config_yaml: str | None = None):
+        if not isinstance(config_dict, dict):
+            raise config_mod.ConfigError(
+                "Pipeline config must be a mapping "
+                f"(got {type(config_dict).__name__}: empty file?)"
+            )
         self.config_dict = config_dict
         self.config_yaml = (
             config_yaml
@@ -168,6 +173,19 @@ class Manager(config_mod.Reader):
         # long production chains (a poisoned weight propagates silently
         # otherwise).
         self.validate_finite = bool(pipeline_cfg.get("validate_finite", False))
+        # `retain_products`: what run() keeps (and returns) in memory.
+        # "all" (default) retains every routed product — handy for tests
+        # and notebooks; "final" only labels no task consumes; "none"
+        # nothing (long production chains write with `save:` and must
+        # not pin every intermediate container for the whole run).
+        self.retain_products = str(
+            pipeline_cfg.get("retain_products", "all")
+        )
+        if self.retain_products not in ("all", "final", "none"):
+            raise config_mod.ConfigError(
+                "pipeline.retain_products must be one of "
+                f"'all'/'final'/'none', got {self.retain_products!r}"
+            )
         self.task_timing: dict[str, dict] = {}
 
     # -- constructors --------------------------------------------------------
@@ -199,12 +217,16 @@ class Manager(config_mod.Reader):
             return
         if isinstance(log_cfg, str):
             log_cfg = {"root": log_cfg}
+        def as_level(v):
+            # logging accepts ints (yaml: 20) and names (yaml: info)
+            return v if isinstance(v, int) else str(v).upper()
+
         root = log_cfg.get("root")
-        if root:
-            logging.basicConfig(level=root.upper())
+        if root is not None:
+            logging.basicConfig(level=as_level(root))
         for name, level in log_cfg.items():
             if name != "root":
-                logging.getLogger(name).setLevel(level.upper())
+                logging.getLogger(name).setLevel(as_level(level))
 
     # -- validation ------------------------------------------------------------
     def lint(self) -> list[str]:
@@ -220,14 +242,10 @@ class Manager(config_mod.Reader):
                 problems.append(f"task #{i} has no 'type'")
                 continue
             try:
-                runner = _TaskRunner(spec, i)
+                runner = _TaskRunner(spec, i, compare_keys=True)
             except (PipelineRuntimeError, config_mod.ConfigError) as e:
                 problems.append(str(e))
                 continue
-            try:
-                runner.task.read_config(runner.params, compare_keys=True)
-            except config_mod.ConfigError as e:
-                problems.append(f"{runner.name}: {e}")
             produced.update(runner.out_labels)
         for i, spec in enumerate(self.task_specs):
             for label in _as_list(spec.get("requires")) + _as_list(spec.get("in")):
@@ -281,6 +299,23 @@ class Manager(config_mod.Reader):
             for label in r.out_labels:
                 producers.setdefault(label, []).append(r)
 
+        # A consumed label with zero producers would otherwise retire its
+        # consumer on the first round with zero items — a silent
+        # wrong-result run (typo'd labels are the classic cause).
+        for r in runners:
+            missing = [
+                lab
+                for lab in (*r.requires, *r.in_labels)
+                if lab not in producers
+            ]
+            if missing:
+                raise PipelineRuntimeError(
+                    f"{r.name}: consumes labels {missing} that no task "
+                    "produces (check the 'out' lists)"
+                )
+
+        consumed_labels = set(consumers_req) | set(consumers_in)
+
         def route(runner: _TaskRunner, output):
             if output is None:
                 return
@@ -302,7 +337,11 @@ class Manager(config_mod.Reader):
             for label, out in zip(runner.out_labels, outs):
                 if self.validate_finite:
                     _assert_finite_product(runner.name, label, out)
-                self.products.setdefault(label, []).append(out)
+                if self.retain_products == "all" or (
+                    self.retain_products == "final"
+                    and label not in consumed_labels
+                ):
+                    self.products.setdefault(label, []).append(out)
                 for cons, j in consumers_req.get(label, []):
                     if not cons.requires_filled[j]:
                         cons.requires_values[j] = out

@@ -16,7 +16,6 @@ a no-op and arrays are ordinary single-device arrays.
 from __future__ import annotations
 
 import contextlib
-import threading
 
 import jax
 import numpy as np
@@ -25,7 +24,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 # Name of the default mesh axis that container distributed axes map onto.
 SHARD_AXIS = "shard"
 
-_state = threading.local()
+# Genuinely process-global (a plain module attribute, not thread-local):
+# container transfers and task work may run on worker threads, which must
+# see the mesh the main thread installed.
+_mesh: Mesh | None = None
 
 
 def make_mesh(devices=None, axis_name: str = SHARD_AXIS) -> Mesh:
@@ -72,12 +74,13 @@ def make_mesh2d(
 
 def set_mesh(mesh: Mesh | None) -> None:
     """Install ``mesh`` as the process-global mesh (None to clear)."""
-    _state.mesh = mesh
+    global _mesh
+    _mesh = mesh
 
 
 def get_mesh() -> Mesh | None:
     """Return the installed mesh, or None if running unsharded."""
-    return getattr(_state, "mesh", None)
+    return _mesh
 
 
 @contextlib.contextmanager

@@ -230,3 +230,23 @@ def test_hybrid_weight_exclusivity():
     )
     with pytest.raises(RuntimeError):
         hv.add_dataset("elevation_vis_weight")
+
+
+def test_empty_like_overridden_axis_drops_stale_reverse_map():
+    """Replacing an axis must not inherit its reverse_map (it indexes the
+    OLD axis — e.g. empty_like(stacked, stack=baselines) would carry a
+    reverse map pointing beyond the new stack length)."""
+    ss = make_stream()
+    nprod = len(ss.index_map["prod"])
+    rmap = np.zeros(nprod, dtype=[("stack", "<u4"), ("conjugate", "u1")])
+    rmap["stack"] = np.arange(nprod) % max(1, nprod - 1)
+    ss.reverse_map["stack"] = rmap
+
+    same = containers.empty_like(ss)
+    assert "stack" in same.reverse_map  # inherited axis: map inherited
+
+    smaller = ss.index_map["stack"][: nprod // 2]
+    new = containers.empty_like(ss, stack=smaller)
+    got = new.reverse_map.get("stack")
+    if got is not None:  # a rebuilt identity map is fine; the stale copy
+        assert got["stack"].max() < len(new.index_map["stack"])

@@ -188,3 +188,66 @@ def test_example_configs_lint():
         mgr = Manager.from_yaml_file(os.path.join(here, name))
         problems = mgr.lint()
         assert not problems, problems
+
+
+def test_unproduced_in_label_fails_fast():
+    """A typo'd 'in' label must raise, not silently retire the consumer."""
+    import pytest
+
+    from draco_tpu.core.pipeline import PipelineRuntimeError
+
+    cfg = """
+pipeline:
+  tasks:
+    - type: tests.test_pipeline.EmitNumbers
+      out: nums
+      params:
+        n_emit: 2
+    - type: tests.test_pipeline.Accumulate
+      in: nmus
+      out: total
+"""
+    with pytest.raises(PipelineRuntimeError, match="nmus"):
+        Manager.from_yaml_str(cfg).run()
+
+
+def test_retain_products_final():
+    """retain_products: final keeps only unconsumed labels in memory."""
+    cfg = """
+pipeline:
+  retain_products: final
+  tasks:
+    - type: tests.test_pipeline.EmitNumbers
+      out: nums
+      params:
+        n_emit: 3
+    - type: tests.test_pipeline.Accumulate
+      in: nums
+      out: total
+"""
+    products = Manager.from_yaml_str(cfg).run()
+    assert "nums" not in products  # consumed intermediate: released
+    assert len(products["total"]) == 1
+
+
+def test_manager_rejects_non_mapping_config():
+    import pytest
+
+    from draco_tpu.core import config as config_mod
+
+    with pytest.raises(config_mod.ConfigError, match="mapping"):
+        Manager(None)
+
+
+def test_logging_accepts_int_levels():
+    Manager.from_yaml_str(
+        """
+pipeline:
+  logging:
+    root: 20
+    draco_tpu: 10
+  tasks:
+    - type: tests.test_pipeline.EmitNumbers
+      out: nums
+"""
+    )
