@@ -83,6 +83,33 @@ def _configure_jax():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    # The remote-TPU tunnel occasionally wedges (backend init raises
+    # UNAVAILABLE) and recovers on its own within ~10 minutes.  The
+    # driver runs this bench unattended, so wait the wedge out (bounded)
+    # BEFORE the first in-process backend init — jax caches backend
+    # failures, so the probe runs in subprocesses.  Skipped for local
+    # BENCH_PLATFORM=cpu smoke tests.
+    if not os.environ.get("BENCH_PLATFORM"):
+        import subprocess
+
+        wait_s = float(os.environ.get("BENCH_BACKEND_WAIT_S", "900"))
+        deadline = time.time() + wait_s
+        while True:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True,
+                timeout=120,
+            )
+            if probe.returncode == 0:
+                break
+            if time.time() >= deadline:
+                log("TPU backend still unavailable after "
+                    f"{wait_s:.0f}s: {probe.stderr.decode()[-500:]}")
+                break  # let the real init raise with the full error
+            log("TPU backend unavailable; retrying in 30 s "
+                f"(deadline in {deadline - time.time():.0f}s)")
+            time.sleep(30)
     return jax
 
 
