@@ -96,16 +96,21 @@ def _configure_jax():
         wait_s = float(os.environ.get("BENCH_BACKEND_WAIT_S", "900"))
         deadline = time.time() + wait_s
         while True:
-            probe = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True,
-                timeout=120,
-            )
-            if probe.returncode == 0:
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    capture_output=True,
+                    timeout=120,
+                )
+                ok, err = probe.returncode == 0, probe.stderr.decode()
+            except subprocess.TimeoutExpired:
+                # a wedged tunnel HANGS dispatches rather than failing
+                ok, err = False, "probe timed out"
+            if ok:
                 break
             if time.time() >= deadline:
                 log("TPU backend still unavailable after "
-                    f"{wait_s:.0f}s: {probe.stderr.decode()[-500:]}")
+                    f"{wait_s:.0f}s: {err[-500:]}")
                 break  # let the real init raise with the full error
             log("TPU backend unavailable; retrying in 30 s "
                 f"(deadline in {deadline - time.time():.0f}s)")
