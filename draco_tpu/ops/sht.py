@@ -882,16 +882,17 @@ class SHT:
     def analysis(self, maps, iter: int = 0):
         """map2alm with optional Jacobi iterations (healpy-style).
 
-        Complex maps iterate on their real and imaginary parts
-        separately (by linearity): the real-field synthesis used for the
-        Jacobi residual assumes a hermitian spectrum, so iterating a
-        complex map directly would add garbage instead of converging.
+        Complex maps iterate on their real and imaginary parts by
+        linearity (the real-field synthesis used for the Jacobi residual
+        assumes a hermitian spectrum, so iterating a complex map
+        directly would add garbage instead of converging) — STACKED into
+        one batched transform, not two serial ones: same math, half the
+        dispatches and twice the GEMM batch.
         """
         maps = jnp.asarray(maps)
         if iter > 0 and jnp.iscomplexobj(maps):
-            return self.analysis(maps.real, iter=iter) + 1j * self.analysis(
-                maps.imag, iter=iter
-            )
+            ri = self.analysis(jnp.stack([maps.real, maps.imag]), iter=iter)
+            return ri[0] + 1j * ri[1]
         alm = self._analysis_j(maps)
         for _ in range(iter):
             resid = maps - self._synthesis_j(alm)

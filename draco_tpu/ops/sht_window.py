@@ -60,6 +60,11 @@ class WindowedSHT:
     """
 
     def __init__(self, s: SHT, support, tau: float = 1e-9, margin: int = 2):
+        # windowed ANALYSIS is a quadrature over uniformly-sampled ring
+        # points, which aliases m mod nphi exactly like the full-sphere
+        # transform — the band limit applies here too (a dense DFT does
+        # not un-alias a discrete sum)
+        s._require_analysis_band_limit()
         self.sht = s
         info = s.info
         a = np.abs(np.asarray(support, dtype=np.float64))

@@ -163,9 +163,11 @@ class BeamTransfer:
     # mask, window, streaming setup), but one entry is [nuniq, npol,
     # npix] complex128 — tens of MB at beam_nside 256 — so an unbounded
     # cache would pin O(nfreq) of host RAM on production managers with
-    # hundreds of frequencies.  Small LRU: recomputing on a miss is the
-    # round-1 behaviour, just rarer.
-    _BEAM_PRODUCTS_LRU = 4
+    # hundreds of frequencies.  Every in-repo consumer scans fi
+    # sequentially, so a deep LRU gets no hits anyway; two entries cover
+    # the same-fi adjacency between build phases (support mask ->
+    # m-support sampling) at minimal pinned RAM.
+    _BEAM_PRODUCTS_LRU = 2
 
     def _beam_products(self, fi: int):
         from collections import OrderedDict
@@ -749,7 +751,10 @@ class BeamTransfer:
             return self._project_sky_streaming_windowed(alm, win, chunk)
         s, lam, plan = self._streaming_ops()
         tel = self.telescope
-        alm = jnp.asarray(alm)  # [nfreq, npol, L+1, M+1]
+        # tunnel-safe: complex host arrays go through the real-pair
+        # transfer (eager complex host->device uploads are unsupported
+        # over remote-TPU tunnels)
+        alm = tools.as_device(alm)  # [nfreq, npol, L+1, M+1]
         bl3 = tel.baseline_vectors_3d().astype(np.float64)
         nbase = len(tel.uniquepairs)
         mmax = s.mmax
