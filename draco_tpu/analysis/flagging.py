@@ -215,11 +215,12 @@ class FindBeamformedOutliers(ContainerTask):
         if self.window is not None:
             from scipy.ndimage import maximum_filter
 
-            size = [
-                self.window[self.window.index(ax)] if ax in self.window else 1
-                for ax in axes
+            # reference semantics (flagging.py:411-440): the list gives
+            # the mask-extension width of the TRAILING len(window) axes
+            # (e.g. [nha] for FormedBeamHA), leading axes untouched
+            size = [1] * (mask.ndim - len(self.window)) + [
+                int(w) for w in self.window
             ]
-            size = [w if isinstance(w, int) else 1 for w in size]
             mask = maximum_filter(mask.astype(np.uint8), size=size).astype(bool)
 
         if isinstance(data, containers.FormedBeamHA):
@@ -583,16 +584,16 @@ class RFISensitivityMask(ContainerTask):
 
         percent_masked = 100.0 * np.sum(finalmask) / float(finalmask.size)
         self.log.info(
-            f"RFISensitivityMask leaves {percent_masked:0.2f} percent "
-            "of data will be masked."
+            f"RFISensitivityMask masks {percent_masked:0.2f} percent "
+            "of the data."
         )
 
         if self.sir:
             finalmask = self._apply_sir(finalmask, static_flag[:, None])
             percent_masked = 100.0 * np.sum(finalmask) / float(finalmask.size)
             self.log.info(
-                f"SIR dilation leaves {percent_masked:0.2f} percent "
-                "of data will be masked."
+                f"After SIR dilation {percent_masked:0.2f} percent "
+                "of the data is masked."
             )
 
         out = containers.RFIMask(axes_from=sensitivity, attrs_from=sensitivity)
@@ -640,14 +641,16 @@ class RFISensitivityMask(ContainerTask):
 
         return absd_medt_y > (self.nsigma_1d * mad_1d), medt_y
 
-    def _apply_sir(self, mask, baseflag, eta=0.2):
+    def _apply_sir(self, mask, baseflag, eta=None):
         """Expand the mask with SIR, excluding the static flag
-        (reference flagging.py:2105)."""
+        (reference flagging.py:2105).  ``eta`` defaults to the task's
+        configured value."""
+        eta = self.eta if eta is None else eta
         nobaseflag = np.copy(mask)
         nobaseflag[np.broadcast_to(baseflag, mask.shape)] = False
 
         axes = (-1,) if self.only_time else (0, -1)
-        nobaseflagsir = rfi.scale_invariant_rank(nobaseflag, eta=self.eta, axis=axes)
+        nobaseflagsir = rfi.scale_invariant_rank(nobaseflag, eta=eta, axis=axes)
         return nobaseflagsir | mask
 
 
@@ -1103,6 +1106,9 @@ def tv_channels_flag(x, freq, sigma=5, f=0.5, debug=False):
     x = np.asarray(x)
     null_p = sigma_to_p(sigma)
     half_ch = 0.5 * np.median(np.abs(np.diff(freq)))
+    # ones init: channels outside every TV band keep frac = 1 and are
+    # masked — reference-parity behaviour (reference flagging.py:3344;
+    # benign for bands fully inside [398, 800] MHz, surprising outside)
     bad_frac = np.ones_like(x, dtype=np.float32)
 
     for band_lo, band_hi in zip(_TV_BAND_EDGES[:-1], _TV_BAND_EDGES[1:]):
@@ -1485,11 +1491,6 @@ class RFIMaskChisqHighDelay(ContainerTask):
             stream.weight.shape[wax.index(ax)] if ax in wax else 1 for ax in dax
         ]
 
-        wshp_missing = [
-            sz for sz, ax in zip(stream.data.shape, dax) if ax not in wax
-        ]
-        wfactor = float(np.prod(wshp_missing)) if wshp_missing else 1.0
-
         keep_axis = ["freq", "time", "ra"]
         separate_pol = self.separate_pol and "pol" in dax
         if separate_pol:
@@ -1506,9 +1507,12 @@ class RFIMaskChisqHighDelay(ContainerTask):
             )
             weight = weight * np.asarray(self.flag_ew)[ew_slc]
 
-        wsum = wfactor * np.sum(
-            np.broadcast_to(weight, chisq.shape), axis=axsum
-        )
+        # summing the BROADCAST weight already counts each missing-axis
+        # element once (the reference reaches the same total as
+        # wfactor * sum(unbroadcast weight), flagging.py:1578);
+        # multiplying by wfactor on top would double-count and shrink
+        # the reported chisq deviations by sqrt(wfactor)
+        wsum = np.sum(np.broadcast_to(weight, chisq.shape), axis=axsum)
         chisq = np.sum(
             np.broadcast_to(weight, chisq.shape) * chisq, axis=axsum
         ) * np.asarray(invert_no_zero(wsum))
@@ -1575,6 +1579,8 @@ class RFIMaskChisqHighDelay(ContainerTask):
 
         baseline = ops_tools.arPLS_1d(med_y, mask=med_m, lam=self.reg_arpls)
         abs_dev = np.where(med_m, 0.0, np.abs(med_y - baseline))
+        # 1.48625 (not the usual 1.4826): deliberate reference parity
+        # (reference flagging.py:1665,1702,1754 uses this constant here)
         mad_v = 1.48625 * median_ops.weighted_median(abs_dev, med_w)
 
         return abs_dev > (self.nsigma_1d * mad_v)
@@ -2031,7 +2037,12 @@ def _convert_axis_nearest_interpolation(
         spread_factor = 0
 
     resolution = np.median(np.abs(np.diff(from_ax)))
-    window = dist < spread_factor * resolution
+    # Inclusive: with exactly-aligned axes (spread_factor forced to 0
+    # above) the window must keep the zero-distance diagonal — the
+    # documented nearest-neighbour pass-through.  A strict < (as in the
+    # reference implementation, contradicting its own docstring) makes
+    # the window all-False and silently erases every dataset.
+    window = dist <= spread_factor * resolution
 
     axes = {}
     for ax in to_type.axes_spec():

@@ -241,13 +241,14 @@ def _sir_device(mask, eta, axis: int):
     w = mask.astype(eta.dtype) + (eta - 1.0)
     p = jnp.cumsum(w, axis=-1)
     p0 = jnp.concatenate([jnp.zeros_like(p[..., :1]), p], axis=-1)
-    # best window start at or before i / best window end strictly after i.
-    # Note the reference's scan only lets the very last sample see the
-    # final prefix sum P[n] (windows ending at the array end); replicated
-    # here for bit-identical masks.
+    # best window start at or before i / best window end strictly after
+    # i, INCLUDING windows ending at the array end (every i sees P[n]).
+    # The reference's in-place reverse max-accumulate skips its final
+    # prefix sum for all but the last sample (draco/util/rfi.py:194-198),
+    # under-dilating runs that touch the right edge — here the
+    # definitional SIR (arXiv:1201.3364) is applied symmetrically.
     best_start = jax.lax.cummin(p0[..., :-1], axis=mask.ndim - 1)
-    body = jax.lax.cummax(p0[..., 1:-1], axis=mask.ndim - 1, reverse=True)
-    best_end = jnp.concatenate([body, p0[..., -1:]], axis=-1)
+    best_end = jax.lax.cummax(p0[..., 1:], axis=mask.ndim - 1, reverse=True)
     return jnp.moveaxis(mask | (best_end >= best_start), -1, axis)
 
 

@@ -217,3 +217,39 @@ def test_destripe_and_mad(rng):
     data[5, 5] = 100.0
     r = flagging.mad(data, np.zeros_like(data, dtype=bool))
     assert r[5, 5] > 10
+
+
+def test_sir_matches_bruteforce_definition():
+    """SIR equals the definitional operator, including right-edge runs.
+
+    A sample is flagged iff some window [a, b) containing it has flagged
+    fraction >= 1 - eta (arXiv:1201.3364).  The reference's scan skips
+    windows ending at the array end for all but the last sample; ours
+    must not (mask=[F]*8+[T,T] at eta=0.5 must flag sample 6).
+    """
+    from draco_tpu.ops.rfi import sir1d
+
+    def brute(mask, eta, slack=0.0):
+        n = len(mask)
+        w = mask.astype(float) + (eta - 1.0)
+        out = mask.copy()
+        for a in range(n):
+            for b in range(a + 1, n + 1):
+                if w[a:b].sum() >= -slack:
+                    out[a:b] = True
+        return out
+
+    rng = np.random.default_rng(7)
+    for eta in (0.2, 0.5):
+        edge = np.zeros(10, bool)
+        edge[8:] = True
+        assert (np.asarray(sir1d(edge, eta=eta)) == brute(edge, eta)).all()
+        for _ in range(60):
+            m = rng.random(rng.integers(1, 24)) < 0.3
+            got = np.asarray(sir1d(m, eta=eta))
+            # windows whose flagged fraction is EXACTLY 1 - eta sit on a
+            # float tie whose direction depends on summation order, so
+            # bracket: got must contain the strict brute force and be
+            # contained in the epsilon-slackened one
+            assert (got | brute(m, eta) == got).all()
+            assert (got | brute(m, eta, slack=1e-6) == brute(m, eta, 1e-6)).all()
