@@ -392,6 +392,12 @@ class SiderealRebinner(SiderealRegridder):
 
         weight = np.asarray(data.weight[:])
         vis_data = np.asarray(data.vis[:])
+        # the weight dataset may have fewer axes than vis (e.g.
+        # HybridVisStream's vis_weight has no 'el'): align by NAME so
+        # broadcasting never pairs unrelated axes
+        vax = list(data.vis.axes)
+        wax = list(data.weight.axes)
+        to_vis = tuple(slice(None) if ax in wax else None for ax in vax)
 
         width_t = np.median(np.abs(np.diff(timestamp_lsd)))
         target_lsd = np.linspace(self.start, self.end, self.samples, endpoint=False)
@@ -408,7 +414,7 @@ class SiderealRebinner(SiderealRegridder):
             w = weight
 
         norm = invert_no_zero(w @ Rt)
-        ssv = norm * ((vis_data * w) @ Rt)
+        ssv = norm[to_vis] * ((vis_data * w[to_vis]) @ Rt)
         ssn = m @ Rt
         effective_lsd = norm * ((timestamp_lsd * w) @ Rt)
         sera = 360 * (effective_lsd - self.start)
@@ -426,6 +432,49 @@ class SiderealRebinner(SiderealRegridder):
             sdata.datasets["nsample"].dtype
         )
         sdata.datasets["effective_ra"][:] = sera.astype(np.float32)
+
+        # Carry every auxiliary dataset through the rebin (reference
+        # sidereal.py:624-666): weighted mean with the same norm;
+        # freq_cov quadratically (one weight/norm factor per freq axis).
+        handled = {
+            data.vis.name,
+            data.weight.name,
+            "vis",
+            "weight",
+            "vis_weight",
+            "nsample",
+            "effective_ra",
+        }
+        for name, ds in data.datasets.items():
+            if name in handled or name not in sdata.dataset_spec():
+                continue
+            arr = np.asarray(ds[:])
+            if name not in sdata.datasets:
+                sdata.add_dataset(name)
+            axes_d = list(ds.axes)
+            if "ra" not in axes_d and "time" not in axes_d:
+                sdata.datasets[name][:] = arr
+                continue
+            if "freq_cov" in name:
+                # axes [pol, freq, freq_sum, ew, ra]: each freq axis
+                # carries its own weight and normalisation factor
+                new = (
+                    norm[:, :, None]
+                    * norm[:, None]
+                    * ((arr * w[:, :, None] * w[:, None]) @ Rtsq)
+                )
+            elif set(wax) <= set(axes_d):
+                to_d = tuple(
+                    slice(None) if ax in wax else None for ax in axes_d
+                )
+                new = norm[to_d] * ((arr * w[to_d]) @ Rt)
+            else:
+                # no compatible weight: plain (mask-free) mean rebin
+                uni = invert_no_zero(
+                    np.ones(arr.shape[-1], arr.real.dtype) @ Rt
+                )
+                new = uni * (arr @ Rt)
+            sdata.datasets[name][:] = new.astype(sdata.datasets[name].dtype)
         sdata.attrs["lsd"] = self.start
         sdata.attrs["tag"] = f"lsd_{self.start:.0f}"
         return sdata
@@ -523,9 +572,23 @@ class SiderealStacker(ContainerTask):
                     self.log.info(f"Creating {name} dataset in the stack.")
                     self.stack.add_dataset(name)
                     self.additional_datasets.append(name)
-                    self.weight_slice[name] = get_slice_to_broadcast(
-                        wax, dataset.axes
-                    )
+                    if "freq_cov" in name:
+                        # covariances accumulate QUADRATICALLY: one
+                        # coefficient per freq axis (reference
+                        # sidereal.py:922-926,1052-1058), finished with
+                        # a (norm_i * norm_j)^-1 normalisation — a
+                        # running mean would overestimate an N-day
+                        # stack's covariance by ~N
+                        self.weight_slice[name] = (
+                            get_slice_to_broadcast(wax, dataset.axes),
+                            get_slice_to_broadcast(
+                                wax, sdata.swapped_freq_cov_axis
+                            ),
+                        )
+                    else:
+                        self.weight_slice[name] = get_slice_to_broadcast(
+                            wax, dataset.axes
+                        )
             for ds in self.stack.datasets.values():
                 ds[:] = np.zeros(ds.shape, dtype=ds.dtype)
             self.lsd_list = []
@@ -595,10 +658,14 @@ class SiderealStacker(ContainerTask):
         for name in self.additional_datasets:
             ws = self.weight_slice[name]
             st = np.asarray(self.stack[name][:])
-            delta = coeff[ws] * (np.asarray(sdata[name][:]) - st)
-            self.stack[name][:] = (st + delta * inv_sum_coeff[ws]).astype(
-                self.stack[name].dtype
-            )
+            if "freq_cov" in name:
+                new = st + coeff[ws[0]] * coeff[ws[1]] * np.asarray(
+                    sdata[name][:]
+                )
+            else:
+                delta = coeff[ws] * (np.asarray(sdata[name][:]) - st)
+                new = st + delta * inv_sum_coeff[ws]
+            self.stack[name][:] = new.astype(self.stack[name].dtype)
 
     def process_finish(self):
         self.stack.attrs["tag"] = self.tag
@@ -642,6 +709,14 @@ class SiderealStacker(ContainerTask):
                 0.0,
             )[wslc]
             self.stack.sample_variance[:] = sv
+
+        # finish the quadratic covariance accumulation
+        for name in getattr(self, "additional_datasets", []):
+            if "freq_cov" in name:
+                ws = self.weight_slice[name]
+                fc = np.asarray(self.stack[name][:])
+                fc = fc * invert_no_zero(norm[ws[0]] * norm[ws[1]])
+                self.stack[name][:] = fc.astype(self.stack[name].dtype)
 
         # For samples with no data, effective ra falls back to the grid ra
         if "effective_ra" in self.stack.datasets:
@@ -729,8 +804,27 @@ def _match_stack_update(st_vis, st_weight, d, weight):
     return up(st_vis, st_weight, d, weight)
 
 
-def _match_stack_finish(st_vis, st_weight, Ni_s, Va):
-    """Crosstalk-marginalised deconvolution, batched over frequency."""
+def _match_stack_finish(st_vis, st_weight, Ni_s64, Va64):
+    """Crosstalk-marginalised deconvolution, batched over frequency.
+
+    ``M = I - V^T Ni V`` is structurally singular (the undetermined
+    per-day mean mode); its pinv MUST truncate that mode.  In f32 the
+    mode's singular value is roundoff at ~1e-7 sigma_max — ABOVE an
+    rcond of 1e-8 — so the pinv would invert it and amplify the mode by
+    ~1e7.  M is tiny ([nfreq, nday, nday]) and its inputs live on the
+    host in f64 already, so the pinv runs there faithfully; only the
+    large vis/weight correction applies on device.
+    """
+    import numpy as _np
+
+    nday = Va64.shape[-1]
+    N_s64 = np.asarray(invert_no_zero(Ni_s64))  # [f, ra]
+    V64 = Va64 * N_s64[:, :, None]  # [f, ra, nday]
+    M = _np.eye(nday)[None] - _np.einsum(
+        "frd,fr,fre->fde", V64, Ni_s64, V64
+    )
+    A64 = _np.linalg.pinv(M, rcond=1e-8)
+
     global _match_stack_finish_jit
     try:
         fin = _match_stack_finish_jit
@@ -739,14 +833,7 @@ def _match_stack_finish(st_vis, st_weight, Ni_s, Va):
         import jax.numpy as jnp
 
         @jax.jit
-        def fin(sv, sw, Ni_s, Va):
-            nday = Va.shape[-1]
-            N_s = invert_no_zero(Ni_s)  # [f, ra]
-            V = Va * N_s[:, :, None]  # [f, ra, nday]
-            M = jnp.eye(nday)[None] - jnp.einsum(
-                "frd,fr,fre->fde", V, Ni_s, V
-            )
-            A = jnp.linalg.pinv(M, rcond=1e-8)
+        def fin(sv, sw, Ni_s, N_s, V, A):
             Vc = V.astype(sv.dtype)
             X = jnp.einsum("fsr,frd->fsd", sv, Vc)
             Y = jnp.einsum("fde,fse->fds", A.astype(sv.dtype), X)
@@ -755,7 +842,16 @@ def _match_stack_finish(st_vis, st_weight, Ni_s, Va):
             return sv, sw
 
         _match_stack_finish_jit = fin
-    return fin(st_vis, st_weight, Ni_s, Va)
+    import jax.numpy as jnp
+
+    return fin(
+        st_vis,
+        st_weight,
+        jnp.asarray(Ni_s64.astype(np.float32)),
+        jnp.asarray(N_s64.astype(np.float32)),
+        jnp.asarray(V64.astype(np.float32)),
+        jnp.asarray(A64.astype(np.float32)),
+    )
 
 
 class SiderealStackerMatch(ContainerTask):
@@ -819,6 +915,34 @@ class SiderealStackerMatch(ContainerTask):
 
         self.Ni_s += Ni_d
         self.Vm.append(v)
+
+        # Track effective RA bin centres through the stack (reference
+        # sidereal.py:1168-1177, with the broadcasting written out: the
+        # reference multiplies [freq, ra] against [freq, stack, ra]
+        # directly, which only works when nfreq == nstack).  The running
+        # weight sum is mirrored on the host so the per-day update never
+        # fetches the device accumulator.
+        if "effective_ra" in sdata.datasets:
+            w_day = np.asarray(sdata.weight[:], dtype=np.float64)
+            if "effective_ra" not in self.stack.datasets:
+                self.stack.add_dataset("effective_ra")
+                self.stack.datasets["effective_ra"][:] = 0.0
+                self._wsum_host = np.zeros(w_day.shape, np.float64)
+            self._wsum_host += invert_no_zero(w_day) * (
+                Ni_d[:, None, :] ** 2
+            )
+            era = np.asarray(
+                self.stack.datasets["effective_ra"][:], dtype=np.float64
+            )
+            delta = Ni_d[:, None, :] * (
+                np.asarray(sdata.datasets["effective_ra"][:]) - era
+            )
+            sum_weight = invert_no_zero(self._wsum_host) * (
+                self.Ni_s[:, None, :] ** 2
+            )
+            era += delta * invert_no_zero(sum_weight.mean(axis=1))[:, None, :]
+            self.stack.datasets["effective_ra"][:] = era.astype(np.float32)
+
         input_lsd = sdata.attrs.get("lsd", sdata.attrs.get("csd", -1))
         self.lsd_list += _ensure_list(input_lsd)
         self.count += 1
@@ -830,10 +954,7 @@ class SiderealStackerMatch(ContainerTask):
         # batched deconvolution over all frequencies at once (the
         # reference runs a per-frequency host pinv loop)
         sv_dev, sw_dev = _match_stack_finish(
-            self._dev["vis"],
-            self._dev["weight"],
-            ops_tools.as_device(self.Ni_s.astype(np.float32)),
-            ops_tools.as_device(Va.astype(np.float32)),
+            self._dev["vis"], self._dev["weight"], self.Ni_s, Va
         )
         self._dev = None
         sv = ops_tools.device_to_numpy(sv_dev)

@@ -25,6 +25,23 @@ from ..ops.tools import invert_no_zero
 C_LIGHT = 299792458.0
 
 
+@partial(jax.jit, static_argnames=("mmax", "deconv", "nra"))
+def _mmode_pack(svis, mmax, deconv, nra):
+    """FFT + +/-m packing (+ optional window deconvolution), one program.
+
+    Module-scope so the jit cache persists across process() calls — a
+    closure defined per call has a fresh identity and recompiles the
+    same executable for every incoming container.
+    """
+    mvis = mmode.make_marray(svis, mmax=mmax)
+    if deconv:
+        m = jnp.arange(mmax + 1)
+        w_win = jnp.sinc(m / nra)
+        sl = (slice(None),) + (None,) * (mvis.ndim - 1)
+        mvis = mvis * invert_no_zero(w_win)[sl]
+    return mvis
+
+
 class FrequencyRebin(ContainerTask):
     """Rebin neighbouring frequency channels (reference transform.py:20).
 
@@ -130,13 +147,9 @@ class SelectFreq(ContainerTask):
         newdata = data.__class__(
             freq=freq_map[fsel], axes_from=data, attrs_from=data
         )
+        # copy_datasets_filter also carries freq-independent datasets
+        # across unchanged (the selection only applies to named axes)
         containers.copy_datasets_filter(data, newdata, selection={"freq": fsel})
-        # copy freq-independent datasets too
-        for name, ds in data.datasets.items():
-            if "freq" not in ds.axes and name in newdata.dataset_spec():
-                if name not in newdata.datasets:
-                    newdata.add_dataset(name)
-                newdata.datasets[name][:] = ds[:]
         return newdata
 
 
@@ -198,17 +211,7 @@ class MModeTransform(ContainerTask):
         )
         # one jitted call: eager complex ops are unsupported over
         # remote-TPU tunnels (and a single executable is faster anyway)
-        @partial(jax.jit, static_argnames=("mmax", "deconv"))
-        def _pack(svis, mmax, deconv):
-            mvis = mmode.make_marray(svis, mmax=mmax)
-            if deconv:
-                m = jnp.arange(mmax + 1)
-                w_win = jnp.sinc(m / nra)
-                sl = (slice(None),) + (None,) * (mvis.ndim - 1)
-                mvis = mvis * invert_no_zero(w_win)[sl]
-            return mvis
-
-        mvis = _pack(svis, mmax, self.remove_integration_window)
+        mvis = _mmode_pack(svis, mmax, self.remove_integration_window, nra)
         # weight shape: vis weight axes minus ra, broadcast over (m, msign)
         mw = np.broadcast_to(
             np.asarray(weight_sum)[None, None],
@@ -1191,6 +1194,8 @@ class Downselect(io.SelectionsMixin, ContainerTask):
     selection by index-map value.
     """
 
+    _sel_extra_suffixes = ("_map",)
+
     def process(self, data):
         """Apply the downselections."""
         sel = self._resolve_sel()
@@ -1333,8 +1338,11 @@ class ReduceVar(ReduceBase):
             weight = (np.asarray(weight) > 0).astype(np.float32)
 
         arr, weight, ws, mu = self._weighted_mean(arr, weight, axis)
+        # (arr - mu)**2, NOT |arr - mu|**2: for complex data the
+        # reference stores the complex pseudo-variance
+        # (transform.py:2087); ReduceChisq below uses the magnitude form
         v = jnp.sum(
-            weight * jnp.abs(arr - mu) ** 2, axis=axis, keepdims=True
+            weight * (arr - mu) ** 2, axis=axis, keepdims=True
         ) * invert_no_zero(ws)
         return v, ws
 

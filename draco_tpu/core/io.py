@@ -87,11 +87,17 @@ class SelectionsMixin:
 
     selections = config.Property(proptype=dict, default=None)
 
+    # selection-key suffixes a subclass handles itself (e.g. Downselect's
+    # <axis>_map) — _resolve_sel passes over them instead of raising
+    _sel_extra_suffixes: tuple = ()
+
     def _resolve_sel(self) -> dict:
         sel = {}
         if not self.selections:
             return sel
         for key, value in self.selections.items():
+            if any(key.endswith(sfx) for sfx in self._sel_extra_suffixes):
+                continue
             if key.endswith("_range"):
                 axis = key[: -len("_range")]
                 sel[axis] = slice(*value)

@@ -231,8 +231,10 @@ def test_reduce_var_and_chisq(rng):
     task.read_config({"axes": ["stack"], "dataset": "vis", "weighting": "weighted"})
     out = task.process(ss)
     assert out.vis.shape == (nfreq, 1, nra)
-    expect = np.mean(np.abs(vis - vis.mean(axis=1, keepdims=True)) ** 2, axis=1)
-    assert np.allclose(np.asarray(out.vis[:])[:, 0].real, expect, rtol=1e-5)
+    # reference semantics (transform.py:2087): the COMPLEX
+    # pseudo-variance sum(w (d - mu)^2) / sum(w), not |d - mu|^2
+    expect = np.mean((vis - vis.mean(axis=1, keepdims=True)) ** 2, axis=1)
+    assert np.allclose(np.asarray(out.vis[:])[:, 0], expect, rtol=1e-4, atol=1e-5)
 
     task2 = transform.ReduceChisq()
     task2.read_config({"axes": ["stack"], "dataset": "vis"})
