@@ -95,7 +95,7 @@ class DelayFilter(ContainerTask):
                 baseline = np.linalg.norm(baseline)
 
             # baseline / c in microseconds
-            baseline_delay_cut = self.za_cut * baseline / 299.792458e6 * 1e6
+            baseline_delay_cut = self.za_cut * baseline / C_US
             delay_cut = np.amax([baseline_delay_cut + self.extra_cut, self.delay_cut])
             number_cut = int(4.0 * bandwidth * delay_cut + 0.5)
 
@@ -377,7 +377,7 @@ class GeneralInputContainerMixin:
             data_dset = ss.data
         if (
             self.sample_axis not in ss.axes_spec()
-            and self.sample_axis not in data_dset.axes
+            or self.sample_axis not in data_dset.axes
         ):
             raise ValueError(
                 f"{type(ss)} has no axis named {self.sample_axis!r} "
@@ -568,7 +568,8 @@ class DelaySpectrumToPowerSpectrum(ContainerTask):
 class DelayPowerSpectrumBase(DelayPowerSpectrumContainerMixin, DelayTransformBase):
     """Base for direct power spectrum estimation (reference delay.py:1114)."""
 
-    def _evaluate(self, data_view, weight_view, out_cont, delays, channel_ind):
+    def _evaluate(self, data_view, weight_view, out_cont, delays, channel_ind,
+                  indices=None):
         nbase = out_cont.spectrum.shape[0]
         ndelay = len(delays)
         prior = self._get_prior(nbase, ndelay, delays.dtype)
@@ -585,7 +586,7 @@ class DelayPowerSpectrumBase(DelayPowerSpectrumContainerMixin, DelayTransformBas
             else None
         )
 
-        for bi in range(nbase):
+        for bi in range(nbase) if indices is None else indices:
             data = data_view[bi]
             weight = weight_view[bi]
             t = self._cut_data(data, weight)
@@ -671,26 +672,61 @@ class DelayPowerSpectrumGibbsBatched(DelayPowerSpectrumGibbs):
     """
 
     def _evaluate(self, data_view, weight_view, out_cont, delays, channel_ind):
-        nbase = out_cont.spectrum.shape[0]
-        ndelay = len(delays)
-
-        # Determine the common frequency mask
-        wmask = weight_view > 0  # [nbase, nsample, nfreq]
-        freq_ok = wmask.any(axis=(0, 1))
-        uniform = np.array(
-            [
-                (wm.any(axis=0) == freq_ok).all() and wm.any()
-                for wm in wmask
-            ]
-        )
-        if not uniform.any():
+        if self.scale_freq or not self.use_average_weights:
+            # per-baseline semantics that do not batch
+            self.log.info(
+                "scale_freq / use_average_weights=False configured: "
+                "taking the per-baseline sampler."
+            )
             return super()._evaluate(
                 data_view, weight_view, out_cont, delays, channel_ind
             )
 
+        ndelay = len(delays)
+        ntime, nfreq = data_view.shape[-2:]
+
+        # Mirror _cut_data across the batch: common dead-time pruning,
+        # then the per-baseline retained-channel criterion — the batch
+        # takes the rows whose channel mask equals the union
+        wmask = weight_view > 0  # [nbase, nsample, nfreq]
+        non_zero_time = (
+            wmask.mean(axis=-1).reshape(-1, ntime).mean(axis=0)
+            > self.time_frac
+        )
+        if not non_zero_time.any():
+            return super()._evaluate(
+                data_view, weight_view, out_cont, delays, channel_ind
+            )
+        wmask_t = wmask[..., non_zero_time, :]
+        fmask = wmask_t.mean(axis=-2) > self.freq_frac  # [nbase, nfreq]
+        freq_ok = fmask.any(axis=0)
+        uniform = (fmask == freq_ok).all(axis=-1) & wmask_t.any(axis=(1, 2))
+        if not freq_ok.any() or not uniform.any():
+            return super()._evaluate(
+                data_view, weight_view, out_cont, delays, channel_ind
+            )
+
+        # Baselines with their own frequency mask go through the
+        # per-baseline sampler (previously they were silently left at
+        # zero whenever at least one baseline was batchable)
+        rest = np.flatnonzero(~uniform)
+        if len(rest):
+            self.log.info(
+                f"{len(rest)} baselines have non-uniform frequency masks; "
+                "sampling them per baseline."
+            )
+            super()._evaluate(
+                data_view,
+                weight_view,
+                out_cont,
+                delays,
+                channel_ind,
+                indices=rest,
+            )
+
         sel = np.flatnonzero(uniform)
-        data = data_view[sel][..., freq_ok]
-        weight = weight_view[sel][..., freq_ok]
+        data = data_view[sel][..., non_zero_time, :][..., freq_ok]
+        weight = weight_view[sel][..., non_zero_time, :][..., freq_ok]
         if self.remove_mean:
             data = data - data.mean(axis=-2, keepdims=True)
         w = weight.mean(axis=-2) * self.weight_boost
@@ -712,6 +748,18 @@ class DelayPowerSpectrumGibbsBatched(DelayPowerSpectrumGibbs):
             np.median(samples[-nsamp_spec:], axis=0), axes=-1
         )
 
+        # jnp.linalg.cholesky does NOT raise on a non-PD system (unlike
+        # the scipy path) — it returns NaN.  Detect poisoned chains and
+        # mask them instead of writing garbage spectra.
+        bad = ~np.isfinite(spec).all(axis=-1)
+        bad |= (data.reshape(len(sel), -1) == 0).all(axis=-1)
+        if bad.any():
+            self.log.warning(
+                f"{int(bad.sum())} batched Gibbs chains produced "
+                "non-finite spectra; masking them."
+            )
+            spec = np.where(bad[:, None], 0.0, spec)
+
         spectrum = np.asarray(out_cont.spectrum[:])
         spectrum[sel] = spec
         out_cont.spectrum[:] = spectrum
@@ -722,7 +770,7 @@ class DelayPowerSpectrumGibbsBatched(DelayPowerSpectrumGibbs):
             out_cont.datasets["spectrum_samples"][:] = sd
         if self.save_spectrum_mask:
             md = np.asarray(out_cont.datasets["spectrum_mask"][:])
-            md[~uniform] = True
+            md[sel] = bad
             out_cont.datasets["spectrum_mask"][:] = md
         return out_cont
 
@@ -763,7 +811,9 @@ class DelayCrossPowerSpectrumEstimator(DelayPowerSpectrumGibbs):
         data_views, weight_views = [], []
         coord_axes = None
         for ss in sslist:
-            if (ss.freq != freq_ref).all() and len(sslist) > 1:
+            # ANY mismatched channel invalidates the cross-correlation
+            # (a .all() here would pass partially-overlapping axes)
+            if len(ss.freq) != len(freq_ref) or (ss.freq != freq_ref).any():
                 raise ValueError("Cross-spectrum inputs disagree on the frequency axis.")
             dv, wv, ca = GeneralInputContainerMixin._prepare_inputs(self, ss)
             if coord_axes is not None and coord_axes != ca:

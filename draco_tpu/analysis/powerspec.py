@@ -299,9 +299,12 @@ class ApplyWienerDelayTransform(ContainerTask):
         )
         sweight = invert_no_zero(svar)
 
-        # (pol, el, ra, delay) -> (pol*el, ra, delay)
-        spec = jnp.moveaxis(spec, 1, 2).reshape(npol * nel, nra, -1)
-        sweight = jnp.moveaxis(sweight, 1, 2).reshape(npol * nel, nra, -1)
+        # the einsum output is already (pol, el, ra, delay): flatten
+        # (pol, el) -> baseline directly.  (An intervening moveaxis here
+        # used to scramble ra into the baseline axis — reference layout
+        # is spec[pp * nel + ee, rr], powerspec.py:431.)
+        spec = spec.reshape(npol * nel, nra, -1)
+        sweight = sweight.reshape(npol * nel, nra, -1)
 
         out.spectrum[:] = np.asarray(spec).astype(out.spectrum.dtype)
         out.weight[:] = np.asarray(sweight).astype(out.weight.dtype)
@@ -616,9 +619,7 @@ class CylindricalPowerSpectrum2D(ContainerTask):
         bin_indx = np.digitize(ru, bins=kperp)
         nbins = len(kperp) - 1
 
-        g_uu, g_vv = np.meshgrid(v, u)
-        g_ru = np.sqrt(g_uu**2 + g_vv**2)
-        bl_idx = (g_ru >= u_min_lambda) & (g_ru <= u_max_lambda)
+        bl_idx, _, _ = baseline_mask(u, v, u_min_lambda, u_max_lambda)
 
         spec2d = np.zeros(pspec_2D.spectrum.shape, dtype=np.complex128)
         w2d = np.zeros(pspec_2D.weight.shape)
@@ -796,9 +797,7 @@ class SphericalPowerSpectrum3Dto1D(ContainerTask):
         )
         m_flat = m_flat.astype(bool)
 
-        g_uu, g_vv = np.meshgrid(v, u)
-        g_ru = np.sqrt(g_uu**2 + g_vv**2)
-        bl_idx = (g_ru >= u_min_lambda) & (g_ru <= u_max_lambda)
+        bl_idx, _, _ = baseline_mask(u, v, u_min_lambda, u_max_lambda)
 
         uu_flat = uu_flat[m_flat]
         vv_flat = vv_flat[m_flat]
@@ -1021,11 +1020,21 @@ def get_3D_ps(data_cube_1, data_cube_2, vol_norm_factor):
     return ps * vol_norm_factor
 
 
-def reshape_data_cube(data_cube, u, v, bl_min, bl_max):
-    """Flatten a uv cube keeping baselines in [bl_min, bl_max] (reference :1797)."""
+def baseline_mask(u, v, bl_min, bl_max):
+    """[nu, nv] mask of baselines whose |u| lies in [bl_min, bl_max].
+
+    The single source of the selection used by reshape_data_cube and
+    its callers — the [..., bl_idx] indexing downstream must align
+    bit-for-bit with the flattened uu/vv this module returns.
+    """
     g_uu, g_vv = np.meshgrid(v, u)
     g_ru = np.sqrt(g_uu**2 + g_vv**2)
-    bl_idx = (g_ru >= bl_min) & (g_ru <= bl_max)
+    return (g_ru >= bl_min) & (g_ru <= bl_max), g_uu, g_vv
+
+
+def reshape_data_cube(data_cube, u, v, bl_min, bl_max):
+    """Flatten a uv cube keeping baselines in [bl_min, bl_max] (reference :1797)."""
+    bl_idx, g_uu, g_vv = baseline_mask(u, v, bl_min, bl_max)
     return data_cube[..., bl_idx], g_uu[bl_idx], g_vv[bl_idx]
 
 
@@ -1090,10 +1099,12 @@ def get_1d_ps(
         nanarr = np.full(n, np.nan)
         return nanarr, nanarr.copy(), nanarr.copy(), nanarr.copy(), np.zeros(n)
 
-    kmin = k[k > 0].min()
-    kmax = k.max()
-
     if kbins is None:
+        # kmin/kmax are only needed to derive the bins; computing them
+        # unconditionally crashed on an empty selection with explicit
+        # bin edges
+        kmin = k[k > 0].min()
+        kmax = k.max()
         if logbins_3D:
             kbins = np.logspace(np.log10(kmin), np.log10(kmax), Nbins_3D)
         else:

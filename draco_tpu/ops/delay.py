@@ -300,25 +300,48 @@ def _delay_inputs_batched(data, N, Ni, fsel, window, complex_timedomain):
     Ni_r[:, 0::2] = np.where(is_real_freq, Ni, Ni * 2)
     Ni_r[:, 1::2] = np.where(is_real_freq, 0.0, Ni * 2)
 
-    @jax.jit
-    def build(F_dev, Nih, d_alt):
-        FTNih = F_dev.T[None] * Nih[:, None, :]  # [b, nd, 2F]
-        FTNiF = jnp.einsum(
-            "bdf,bef->bde", FTNih, FTNih, precision=jax.lax.Precision.HIGHEST
-        )
-        d = d_alt * Nih[:, :, None]
-        if w is not None:
-            d = d * jnp.asarray(w)[None, :, None]
-        return d, FTNih, FTNiF
-
     # dtype follows the jax x64 config (f64 under x64 for CPU
     # verification runs, f32 on accelerator defaults) — matching the
-    # per-baseline host prep this replaces
-    return build(
+    # per-baseline host prep this replaces.  The window folds into F on
+    # the host so the jitted build (module scope: one compile per shape,
+    # not one per call) has a single code path.
+    if w is not None:
+        d_alt = d_alt * w[None, :, None]
+    return _delay_build_batched(
         jnp.asarray(F),
         jnp.asarray(np.sqrt(Ni_r)),
         jnp.asarray(d_alt),
     )
+
+
+def _delay_build_batched(F_dev, Nih, d_alt):
+    """Noise-weighted design products for the batched Gibbs sampler.
+
+    Jitted once at module level (lazily — this module imports without
+    jax) so repeated calls reuse one executable per shape instead of
+    recompiling a per-call closure.
+    """
+    global _delay_build_batched_jit
+    try:
+        build = _delay_build_batched_jit
+    except NameError:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def build(F_dev, Nih, d_alt):
+            FTNih = F_dev.T[None] * Nih[:, None, :]  # [b, nd, 2F]
+            FTNiF = jnp.einsum(
+                "bdf,bef->bde",
+                FTNih,
+                FTNih,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            d = d_alt * Nih[:, :, None]
+            return d, FTNih, FTNiF
+
+        _delay_build_batched_jit = build
+    return build(F_dev, Nih, d_alt)
 
 
 def delay_power_spectrum_gibbs_batched(

@@ -200,3 +200,37 @@ def test_get_1d_ps_uniform():
     valid = np.isfinite(p1)
     assert np.allclose(p1[valid], 7.0)
     assert (neff[valid] >= 1).all()
+
+
+def test_wiener_apply_baseline_layout(ringmap_with_tone):
+    """spectrum[b, r] must map to (pol, el=b%nel, ra=r) exactly.
+
+    An amplitude pattern separable in (ra, el) pins the layout: a
+    moveaxis/reshape mix-up that folds ra into the baseline axis
+    (caught by review) passes any ra/el-uniform test.
+    """
+    rm = ringmap_with_tone
+    nra = len(rm.index_map["ra"])
+    el = np.asarray(rm.index_map["el"])
+    nel = len(el)
+    amp_ra = 1.0 + np.arange(nra)  # distinct per ra
+    amp_el = 1.0 + 10 * np.arange(nel)  # distinct per el
+    tone = np.cos(2 * np.pi * TAU0 * FREQ)
+    m = np.zeros(rm.map.shape)
+    m[0, 0] = tone[:, None, None] * amp_ra[None, :, None] * amp_el[None, None, :]
+    rm.map[:] = m
+
+    con = powerspec.ConstructWienerDelayTransform()
+    con.read_config({"prior_amp": 100.0, "window": "uniform"})
+    op = con.process(rm)
+    app = powerspec.ApplyWienerDelayTransform()
+    app.read_config({})
+    ds = app.process(rm, op)
+    spec = np.asarray(ds.spectrum[:])  # [pol*el, ra, delay]
+    delay = np.asarray(ds.index_map["delay"])
+    ipeak = int(np.argmin(np.abs(delay - TAU0)))
+
+    peak = np.abs(spec[:, :, ipeak])  # [nel, nra] for the single pol
+    expect = amp_el[:, None] * amp_ra[None, :]
+    ratio = peak / expect
+    assert np.allclose(ratio, ratio[0, 0], rtol=1e-3)
