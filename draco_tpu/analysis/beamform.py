@@ -218,13 +218,15 @@ class BeamFormBase(ContainerTask):
         )
         primary_beam = np.zeros((nfreq, ha.size), dtype=np.float64)
         tel = self.telescope
-        fa = self.map_pol_feed.get(pol[0], 0)
-        fb = self.map_pol_feed.get(pol[1], 0)
-        # find a representative feed of each polarisation class
-        feeds_a = np.where(tel.beamclass == fa)[0]
-        feeds_b = np.where(tel.beamclass == fb)[0]
-        fa_ind = int(feeds_a[0]) if len(feeds_a) else 0
-        fb_ind = int(feeds_b[0]) if len(feeds_b) else 0
+        # map_pol_feed values are FEED indices (the first feed of each
+        # polarisation, telescope.polarisation order) — use them
+        # directly as the representative feed for beam_at.  (They were
+        # previously compared against tel.beamclass, whose values are
+        # class labels, not feed indices: for block-ordered dual-pol
+        # telescopes the Y lookup never matched and silently fell back
+        # to an X feed's beam.)
+        fa_ind = int(self.map_pol_feed.get(pol[0], 0))
+        fb_ind = int(self.map_pol_feed.get(pol[1], 0))
         for ff, fi in enumerate(self.freq_local_telescope_index):
             bii = np.atleast_2d(tel.beam_at(fa_ind, fi, angpos))
             bjj = (
@@ -661,10 +663,12 @@ class BeamFormExternalMixin:
                 "Per-input external beams are not supported."
             )
         self._beam_freq = gbeam.freq
-        process_pol = getattr(self, "process_pol", list(gbeam.pol))
         pol_list = [
             p.decode() if isinstance(p, bytes) else str(p) for p in gbeam.pol
         ]
+        # decode the fallback the same way: pol_list holds str entries,
+        # so raw bytes from an HDF5 pol axis would never .index()
+        process_pol = getattr(self, "process_pol", pol_list)
         ipol = np.array([pol_list.index(p) for p in process_pol])
         self._beam_pol = [pol_list[ip] for ip in ipol]
 
@@ -777,20 +781,32 @@ class RingMapStack2D(RingMapBeamForm):
         Half-width in frequency bins around each source's 21cm frequency.
     freq_width : float
         Width in MHz for the output frequency offset axis.
-    weight : 'patch' | 'dec' | 'enemble'
-        Weighting scheme for the stack.
+    weight : 'input' | 'patch' | 'dec'
+        Weighting scheme (reference beamform.py:1110-1114): 'input'
+        uses the per-pixel map weights, 'patch' the inverse variance of
+        each extracted patch, 'dec' the inverse variance of each
+        declination strip.
     """
 
     num_ra = config.Property(proptype=int, default=10)
     num_dec = config.Property(proptype=int, default=10)
     num_freq = config.Property(proptype=int, default=256)
     freq_width = config.Property(proptype=float, default=100.0)
-    weight = config.enum(["patch", "dec", "enemble"], default="dec")
+    weight = config.enum(["patch", "dec", "input"], default="input")
 
     def process(self, catalog: containers.SourceCatalog) -> containers.Stack3D:
         ringmap = self.ringmap
         tel = self.telescope
         pos = np.asarray(catalog["position"][:])
+        # precess catalog positions to the map epoch, exactly as the
+        # per-source extraction in the parent class does — at the
+        # current epoch the ICRS->CIRS offset is ~0.35 deg, several
+        # pixels, which would de-centre every stacked patch
+        if "lsd" in ringmap.attrs:
+            epoch = tel.lsd_to_unix(np.mean(ringmap.attrs["lsd"]))
+            src_ra, src_dec = icrs_to_cirs(pos["ra"], pos["dec"], epoch)
+        else:
+            src_ra, src_dec = pos["ra"], pos["dec"]
         if "redshift" not in catalog:
             raise ValueError("Catalog must have redshifts for 3D stacking.")
         zs = np.asarray(catalog["redshift"][:]["z"])
@@ -816,10 +832,17 @@ class RingMapStack2D(RingMapBeamForm):
         stack = np.zeros(out.stack.shape)
         wsum = np.zeros(out.stack.shape)
 
+        # per-(pol, freq, el) declination-strip variance for weight='dec'
+        # (reference beamform.py:1196: strips of variance < 3e-7 masked)
+        rmvar = rm.var(axis=2)
+        w_global = np.asarray(
+            invert_no_zero(np.where(rmvar < 3e-7, 0.0, rmvar))
+        )
+
         for si in range(len(pos)):
             fi0 = np.argmin(np.abs(freq - src_freq[si]))
-            ri0 = np.argmin(np.abs((ra - pos["ra"][si] + 180) % 360 - 180))
-            e0 = np.sin(np.radians(pos["dec"][si] - tel.latitude))
+            ri0 = np.argmin(np.abs((ra - src_ra[si] + 180) % 360 - 180))
+            e0 = np.sin(np.radians(src_dec[si] - tel.latitude))
             ei0 = np.argmin(np.abs(el - e0))
 
             fsl = np.arange(fi0 - self.num_freq, fi0 + self.num_freq + 1)
@@ -833,6 +856,12 @@ class RingMapStack2D(RingMapBeamForm):
             es = esl[valid_e]
             patch = rm[:, fs][:, :, rsl][:, :, :, es]
             wpatch = rw[:, fs][:, :, rsl][:, :, :, es]
+            if self.weight == "patch":
+                wpatch = (wpatch != 0) * np.asarray(
+                    invert_no_zero(patch.var(axis=(2, 3)))
+                )[:, :, None, None]
+            elif self.weight == "dec":
+                wpatch = (wpatch != 0) * w_global[:, fs][:, :, None, es]
             # accumulate into [pol, dra, ddec, freq_offset]
             block = np.moveaxis(patch * wpatch, 1, -1)
             wblock = np.moveaxis(wpatch, 1, -1)
@@ -878,6 +907,21 @@ class HealpixBeamForm(ContainerTask):
             fb.add_dataset("redshift")
             fb["redshift"][:] = catalog["redshift"][:]
         m = np.asarray(self.map.map[:])  # [freq, pol, pixel]
+        if self.fwhm:
+            # Gaussian harmonic smoothing before extraction (the
+            # reference calls healpy.smoothing, beamform.py:1709); here
+            # the native SHT applies b_l = exp(-l(l+1) sigma^2 / 2)
+            import jax.numpy as jnp
+
+            from ..ops import sht as sht_mod
+
+            s = sht_mod.get_sht(nside, 3 * nside - 1)
+            sigma = np.radians(self.fwhm) / np.sqrt(8.0 * np.log(2.0))
+            ell = np.arange(s.lmax + 1)
+            bl = np.exp(-0.5 * ell * (ell + 1) * sigma**2)
+            alm = s.analysis(jnp.asarray(m.astype(np.float32)))
+            alm = alm * jnp.asarray(bl, dtype=alm.real.dtype)[:, None]
+            m = np.asarray(s.synthesis(alm))
         fb.beam[:] = m[:, :, pix].transpose(2, 1, 0)
         fb.weight[:] = np.ones(fb.weight.shape)
         return fb

@@ -281,7 +281,12 @@ class BeamformEW(ContainerTask):
             weight_ew = n_ew - np.arange(n_ew, dtype=np.float64)
         if self.exclude_intracyl:
             weight_ew[0] = 0.0
-        if self.flag_ew is not None and len(self.flag_ew) == n_ew:
+        if self.flag_ew is not None:
+            if len(self.flag_ew) != n_ew:
+                raise ValueError(
+                    f"flag_ew has {len(self.flag_ew)} entries but the "
+                    f"stream has {n_ew} EW separations."
+                )
             weight_ew *= np.asarray(self.flag_ew, dtype=bool)
         if self.single_beam:
             weight_ew[1:] *= 2
@@ -585,7 +590,11 @@ class DeconvolveHybridMBase(ContainerTask):
         lmbda = C_LIGHT / (freq[:, np.newaxis] * 1e6)
 
         ews = np.sort(np.abs(ew))
-        max_ew = ews[-1] + 0.5 * (ews[-1] - ews[-2])
+        if len(ews) < 2:
+            # a single remaining EW column has no spacing to pad by
+            max_ew = ews[-1] + 0.5 * max(ews[-1], 1.0)
+        else:
+            max_ew = ews[-1] + 0.5 * (ews[-1] - ews[-2])
         if np.min(ews) > 0.0:
             min_ew = 0.5 * ews[ews > 0.0][0]
         else:
@@ -642,11 +651,8 @@ class DeconvolveAnalyticalBeam(DeconvolveHybridMBase):
     telescope = None
 
     def setup(self, telescope):
-        """Set the telescope object."""
-        self.telescope = io.get_telescope(telescope)
-        if self.exclude_intracyl:
-            self.exclude_cyl = [*self.exclude_cyl, 0]
-        self.exclude_cyl = sorted(set(self.exclude_cyl))
+        """Set the telescope object (base-class cylinder exclusion)."""
+        super().setup(telescope)
 
     def process(self, hybrid_vis_m):
         """Compute the analytic beam m-modes, then deconvolve."""
@@ -1019,7 +1025,13 @@ class ReconstructVisNoiseBase(TelescopeStreamMixIn, ContainerTask):
                     window_generalised(x, window=self.weight)
                 )
 
-        if self.include_auto:
+        if not self.include_auto:
+            # match BeamformNS: the (ew=0, ns=0) auto sample is EXCLUDED
+            # unless include_auto is set — the reconstructed window must
+            # mirror the weights the beamformer actually applied.
+            # (Deliberate deviation: the reference's reconstructor has
+            # the condition inverted relative to its own beamformer,
+            # ringmapmaker.py:1501 vs :330.)
             window[:, :, 0, 0] = 0.0
 
         norm = np.sum(window, axis=-1, keepdims=True)
