@@ -131,7 +131,6 @@ class KLModeProject(_ProjectFilterBase):
         return self.product_manager.kltransforms[self.klname]
 
     def _forward(self, svdmodes):
-        bt = self.product_manager.beamtransfer
         kl = self._get_kl()
 
         nmode_in = np.asarray(svdmodes.nmode[:])

@@ -14,6 +14,8 @@ inverse SHT.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,7 +23,7 @@ import numpy as np
 from ..core import config, containers, io
 from ..core.task import ContainerTask
 from ..ops import sht
-from ..ops.tools import find_keys, numpy_to_device
+from ..ops.tools import find_keys
 
 
 class BaseMapMaker(ContainerTask):
@@ -43,6 +45,11 @@ class BaseMapMaker(ContainerTask):
     streaming = config.Property(proptype=bool, default=False)
     baseline_chunk = config.Property(proptype=int, default=256)
 
+    # Only makers that implement a factorised (never-materialised)
+    # projection support streaming; others must fail loudly instead of
+    # skipping bt.generate() and crashing deep in the solve.
+    _supports_streaming = False
+
     def setup(self, bt):
         """Set the beam transfer matrices (BeamTransfer or ProductManager)."""
         self.beamtransfer = io.get_beamtransfer(bt)
@@ -50,6 +57,12 @@ class BaseMapMaker(ContainerTask):
     def process(self, mmodes: containers.MModes) -> containers.Map:
         """Make a map from m-mode visibilities."""
         bt = self.beamtransfer
+        if self.streaming and not self._supports_streaming:
+            raise RuntimeError(
+                f"{type(self).__name__} does not support streaming "
+                "map-making (only the dirty-map adjoint factorises); "
+                "unset `streaming` or use DirtyMapMaker."
+            )
         if not self.streaming:
             bt.generate()
         tel = bt.telescope
@@ -108,6 +121,8 @@ class DirtyMapMaker(BaseMapMaker):
     (reference mapmaker.py:143-168) — a single batched adjoint einsum.
     """
 
+    _supports_streaming = True
+
     def _solve_all_m(self, vis, weight, freq_ind, mmax):
         if self.streaming:
             tel = self.beamtransfer.telescope
@@ -128,29 +143,30 @@ class DirtyMapMaker(BaseMapMaker):
             return alm[..., : mmax + 1]
         bp, bm = self._bt_tensors(freq_ind)
 
-        # one jitted call (eager complex ops are unsupported over
-        # remote-TPU tunnels)
-        @jax.jit
-        def adjoint(bp, bm, v_r, v_i, w):
-            wv = jax.lax.complex(v_r, v_i) * w
-            bp = bp[..., : mmax + 1]
-            bm = bm[..., : mmax + 1]
-            a = jnp.einsum(
-                "fbplm,mfb->fplm", jnp.conj(bp), wv[:, 0].astype(bp.dtype)
-            )
-            a += jnp.einsum(
-                "fbplm,mfb->fplm", jnp.conj(bm), wv[:, 1].astype(bm.dtype)
-            )
-            return a
-
         vis = np.asarray(vis)
-        return adjoint(
+        return _dirty_adjoint(
+            mmax,
             bp,
             bm,
             jnp.asarray(np.ascontiguousarray(vis.real, dtype=np.float32)),
             jnp.asarray(np.ascontiguousarray(vis.imag, dtype=np.float32)),
             jnp.asarray(np.asarray(weight, dtype=np.float32)),
         )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _dirty_adjoint(mmax, bp, bm, v_r, v_i, w):
+    """Noise-weighted adjoint over all m at once.
+
+    Module-scope jit (eager complex ops are unsupported over remote-TPU
+    tunnels; a per-call closure recompiled every container).
+    """
+    wv = jax.lax.complex(v_r, v_i) * w
+    bp = bp[..., : mmax + 1]
+    bm = bm[..., : mmax + 1]
+    a = jnp.einsum("fbplm,mfb->fplm", jnp.conj(bp), wv[:, 0].astype(bp.dtype))
+    a += jnp.einsum("fbplm,mfb->fplm", jnp.conj(bm), wv[:, 1].astype(bm.dtype))
+    return a
 
 
 def pinv_svd(M, acond: float = 1e-4, rcond: float = 1e-3):

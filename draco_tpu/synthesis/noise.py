@@ -217,9 +217,14 @@ class SampleNoise(ContainerTask, RandomTask):
         vis_mat = tools.unpack_product_array(vis, axis=1, nside=nfeed)
         vis_mat = jnp.moveaxis(vis_mat, 3, 1)  # [f, t, nfeed, nfeed]
 
-        # Regularise: the Cholesky needs strictly positive-definite inputs
+        # Regularise: the Cholesky needs strictly positive-definite
+        # inputs, and a noiseless/rank-deficient expectation matrix is
+        # only PSD — add a small diagonal scaled to the mean auto power
         key = self.next_key()
         n_dof = jnp.asarray(nsamp)[:, None]  # broadcast over time
+        diag_mean = jnp.einsum("...ii->...", vis_mat.real) / nfeed
+        eps = 1e-6 * jnp.maximum(diag_mean, 1e-30)[..., None, None]
+        vis_mat = vis_mat + eps * jnp.eye(nfeed, dtype=vis_mat.dtype)
         L = jnp.linalg.cholesky(vis_mat)
         A = drandom.standard_complex_wishart(
             key, nfeed, n_dof, batch_shape=(nfreq, ntime), dtype=vis.dtype
@@ -230,8 +235,18 @@ class SampleNoise(ContainerTask, RandomTask):
         # Repack the upper triangle
         iu = np.triu_indices(nfeed)
         samp_ut = samp[..., iu[0], iu[1]]  # [f, t, nprod]
-        vis_new = jnp.moveaxis(samp_ut, 1, 2)
-        data_exp.vis[:] = np.asarray(vis_new).astype(data_exp.vis.dtype)
+        vis_new = np.asarray(jnp.moveaxis(samp_ut, 1, 2))
+        if not np.isfinite(vis_new).all():
+            # jnp.linalg.cholesky returns NaN instead of raising on a
+            # non-PD matrix (the scipy path the reference uses raises
+            # LinAlgError) — fail loudly rather than writing NaN
+            raise RuntimeError(
+                "SampleNoise: Cholesky of the expectation visibility "
+                "matrix failed (non-positive-definite even after "
+                "regularisation); check for flagged feeds or a "
+                "rank-deficient sky model."
+            )
+        data_exp.vis[:] = vis_new.astype(data_exp.vis.dtype)
 
         if self.set_weights:
             autos = tools.extract_diagonal(vis_new, axis=1).real

@@ -25,6 +25,12 @@ from ..core.task import ContainerTask, PipelineStopIteration
 from ..ops import mmode, regrid, sht, tools
 from ..ops.tools import invert_no_zero
 
+# Module-scope jit: re-wrapping per call would give every process() a
+# fresh jit cache and recompile the inverse transform for each day.
+_mmodes_to_sidereal_jit = jax.jit(
+    mmode.mmodes_to_sidereal, static_argnames=("n", "oddra")
+)
+
 
 class SimulateSidereal(ContainerTask):
     """Create a simulated sidereal dataset from an input map.
@@ -88,9 +94,9 @@ class SimulateSidereal(ContainerTask):
         # one jitted call: eager dispatch of the inverse m-mode transform
         # is slow (and partly unsupported) over remote-TPU tunnels; the
         # simulated m-modes always fill the largest negative m (oddra).
-        vis_stream = jax.jit(
-            mmode.mmodes_to_sidereal, static_argnames=("n", "oddra")
-        )(vis_m, n=ntime, oddra=True)  # [f, b, t]
+        vis_stream = _mmodes_to_sidereal_jit(
+            vis_m, n=ntime, oddra=True
+        )  # [f, b, t]
 
         # Construct the output container
         try:
