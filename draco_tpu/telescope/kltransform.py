@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import config
+from ..ops import tools
 
 
 def _whitened_eigh(S, N):
@@ -184,13 +185,13 @@ class KLTransform(config.Reader):
         cache = getattr(self, "_svd_cov_cache", None)
         if cache is None or cache[0] is not C_lff:
             self._svd_cov_cache = (C_lff, self._svd_cov_all(C_lff[None]))
-        return np.asarray(self._svd_cov_cache[1][m, 0])
+        return tools.device_to_numpy(self._svd_cov_cache[1][m, 0])
 
     def _noise_svd(self, m: int) -> np.ndarray:
         """Single-m noise covariance (compat shim over the batch)."""
         if getattr(self, "_noise_svd_cache", None) is None:
             self._noise_svd_cache = self._noise_svd_all()
-        return np.asarray(self._noise_svd_cache[m])
+        return tools.device_to_numpy(self._noise_svd_cache[m])
 
     # -- KL modes -------------------------------------------------------------
     def generate(self, regen: bool = False):
@@ -216,52 +217,119 @@ class KLTransform(config.Reader):
         S = SC[:, 0]
         N = SC[:, 1] + self._noise_svd_all()
 
-        n = N.shape[-1]
-        absmax = jnp.maximum(
-            jnp.abs(N).reshape(N.shape[0], -1).max(axis=-1), 1e-30
-        )
-        N = N + (1e-12 * absmax)[:, None, None] * jnp.eye(n, dtype=N.dtype)
+        N = _regularise(N)
         evals, evecs, einv = _whitened_eigh(S, N)
+        self._store_modes(evals, evecs, einv)
+
+    def _store_modes(self, evals, evecs, einv):
+        """Cache (evals, bwd, fwd) per m — the STATISTICAL convention.
+
+        The data projection is fwd = V^H (rows = KL modes): with
+        v^H N v = I the projected covariance is V^H (S+N) V =
+        diag(lambda + 1) EXACTLY, which is what the quadratic estimator's
+        diagonal inverse-covariance weighting assumes (driftscan
+        convention).  bwd = V^{-H} (columns = KL modes) inverts it:
+        fwd @ bwd = I.  (Projecting with V^{-1} instead — a basis change
+        that also round-trips — gives a NON-diagonal covariance and
+        silently biases the band powers.)
+        """
         evals = np.asarray(evals.real)
-        evecs = np.asarray(evecs)
-        einv = np.asarray(einv)
+        fwd = tools.device_to_numpy(jnp.conj(jnp.swapaxes(evecs, -1, -2)))
+        bwd = tools.device_to_numpy(jnp.conj(jnp.swapaxes(einv, -1, -2)))
         for m in range(evals.shape[0]):
-            self._modes[m] = (evals[m], evecs[m], einv[m])
+            self._modes[m] = (evals[m], bwd[m], fwd[m])
 
     def modes_m(self, m: int, threshold: float | None = None):
-        """(eigenvalues, inverse-basis rows) for one m, high-S/N first."""
+        """(evals, bwd, fwd) for one m, high-S/N first.
+
+        ``fwd`` [nmode, n] projects SVD-basis data into the KL basis
+        (cov(fwd x) = diag(evals + 1)); ``bwd`` [n, nmode] maps back
+        (fwd @ bwd = I on the kept modes).
+        """
         if m not in self._modes:
             self._compute_all_modes()
-        evals, evecs, einv = self._modes[m]
+        evals, bwd, fwd = self._modes[m]
         thr = self.threshold if threshold is None else threshold
         nmode = int((evals > thr).sum()) if self.subset else len(evals)
-        return evals[:nmode], evecs[:, :nmode], einv[:nmode]
+        return evals[:nmode], bwd[:, :nmode], fwd[:nmode]
 
     def project_vector_svd_to_kl(self, m: int, vec, threshold=None):
         """SVD-basis vector(s) -> KL basis (truncated)."""
-        evals, evecs, einv = self.modes_m(m, threshold)
+        evals, bwd, fwd = self.modes_m(m, threshold)
         vec = np.asarray(vec)
-        n = einv.shape[1]
+        n = fwd.shape[1]
         v = np.zeros(n, dtype=complex) if vec.ndim == 1 else np.zeros(
             (n,) + vec.shape[1:], dtype=complex
         )
         v[: min(len(vec), n)] = vec[: min(len(vec), n)]
-        return einv @ v
+        return fwd @ v
 
     def project_vector_kl_to_svd(self, m: int, vec, threshold=None):
-        """KL-basis vector(s) -> SVD basis."""
-        evals, evecs, einv = self.modes_m(m, threshold)
+        """KL-basis vector(s) -> SVD basis (zero-padding short input)."""
+        evals, bwd, fwd = self.modes_m(m, threshold)
         vec = np.asarray(vec)
-        nkl = evecs.shape[1]
-        v = vec[:nkl]
-        return evecs @ v
+        nkl = bwd.shape[1]
+        v = np.zeros(
+            (nkl,) + vec.shape[1:], dtype=complex
+        )
+        v[: min(len(vec), nkl)] = vec[:nkl]
+        return bwd @ v
+
+
+def _regularise(X, eps: float = 1e-12):
+    """Add a relative-eps diagonal so the Cholesky stays PD."""
+    n = X.shape[-1]
+    absmax = jnp.maximum(jnp.abs(X).reshape(X.shape[0], -1).max(axis=-1), 1e-30)
+    return X + (eps * absmax)[:, None, None] * jnp.eye(n, dtype=X.dtype)
 
 
 class DoubleKL(KLTransform):
-    """Two-stage KL: foreground reject then signal-to-noise (driftscan DoubleKL).
+    """Two-stage KL (driftscan DoubleKL semantics).
 
-    Implemented as a single generalised eigenproblem with a stricter
-    foreground weighting; kept for config compatibility.
+    Stage 1 solves the signal/(foreground+noise) pencil and RETAINS only
+    modes with S/(F+N) above ``foreground_threshold`` — the foreground
+    rejection; stage 2 re-solves signal/noise inside that subspace, so
+    the final eigenvalues are true S/N ratios.  Batched over m: rejected
+    directions are zeroed out of the stage-2 pencil, where they pick up
+    ~0 eigenvalues, sort last, and fall to the threshold cut.
     """
 
     foreground_threshold = config.Property(proptype=float, default=100.0)
+
+    def _compute_all_modes(self):
+        bt = self.beamtransfer
+        tel = bt.telescope
+        freq = tel.frequencies
+        lmax = tel.lmax
+
+        C = np.stack(
+            [self.signal(lmax, freq), self.foreground(lmax, freq)]
+        )
+        SC = self._svd_cov_all(C)
+        S = SC[:, 0]
+        F = SC[:, 1]
+        Nt = self._noise_svd_all()
+
+        # Stage 1: signal vs foreground(+noise)
+        e1, v1, i1 = _whitened_eigh(S, _regularise(F + Nt))
+        keep1 = e1.real > self.foreground_threshold
+        P1 = jnp.where(
+            keep1[..., None], jnp.conj(jnp.swapaxes(v1, -1, -2)), 0.0
+        )
+        P1h = jnp.conj(jnp.swapaxes(P1, -1, -2))
+
+        # Stage 2: signal vs noise inside the retained subspace
+        S2 = P1 @ S.astype(P1.dtype) @ P1h
+        N2 = P1 @ Nt.astype(P1.dtype) @ P1h
+        e2, v2, i2 = _whitened_eigh(S2, _regularise(N2))
+
+        # Combined transforms: data fwd = V2^H P1, backward = its inverse
+        fwd = jnp.conj(jnp.swapaxes(v2, -1, -2)) @ P1
+        bwd = jnp.conj(jnp.swapaxes(i1, -1, -2)) @ jnp.conj(
+            jnp.swapaxes(i2, -1, -2)
+        )
+        evals = np.asarray(e2.real)
+        fwd = tools.device_to_numpy(fwd)
+        bwd = tools.device_to_numpy(bwd)
+        for m in range(evals.shape[0]):
+            self._modes[m] = (evals[m], bwd[m], fwd[m])

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..core import config
 from ..ops import cosmology as cosmo
+from ..ops import tools
 
 
 class PSEstimation(config.Reader):
@@ -66,7 +67,6 @@ class PSEstimation(config.Reader):
         self.kperp_bands = np.asarray(self.bands_kperp)
         self.nbands = (len(self.kpar_bands) - 1) * (len(self.kperp_bands) - 1)
         tel = self.beamtransfer.telescope
-        self._zmean = float(np.mean(cosmo.freq_to_z(tel.frequencies)))
         self._csm = cosmo.Cosmology()
         self._chi = self._csm.comoving_distance_h(
             cosmo.freq_to_z(tel.frequencies)
@@ -117,15 +117,24 @@ class PSEstimation(config.Reader):
         if not kl._modes:
             kl._compute_all_modes()
         evals = np.stack([kl._modes[m][0] for m in range(M)])  # [M, n]
-        einv = jnp.asarray(np.stack([kl._modes[m][2] for m in range(M)]))
+        # fwd = V^H rows: C_kl = V^H C V, the basis in which the total
+        # covariance is diag(evals + 1).  tunnel-safe complex upload.
+        fwd = tools.numpy_to_device(
+            np.stack([kl._modes[m][2] for m in range(M)])
+        )
         C_kl = jnp.einsum(
-            "mia,mxab,mjb->mxij", einv, C_svd, einv.conj(), optimize=True
+            "mia,mxab,mjb->mxij", fwd, C_svd, fwd.conj(), optimize=True
         )
         thr = kl.threshold if self.threshold is None else self.threshold
         if kl.subset:
             nmode = (evals > thr).sum(axis=1)
         else:
-            nmode = np.full(M, evals.shape[1])
+            # cap at the valid packed rank: padded / sub-svcut SVD dims
+            # are zeroed in the data by the beam-transfer keep mask, so
+            # counting them in the Fisher/bias traces would bias the
+            # band powers low
+            svd_n = np.asarray(self.beamtransfer._svd["nmode"])  # [f, M]
+            nmode = np.minimum(evals.shape[1], svd_n.sum(axis=0))
         keep = np.arange(evals.shape[1])[None] < nmode[:, None]
         ci = jnp.asarray(np.where(keep, 1.0 / (evals + 1.0), 0.0))
         self._batch = (C_kl, ci, nmode)
@@ -148,7 +157,7 @@ class PSEstimation(config.Reader):
         n = C_kl.shape[-1]
         x = np.zeros(n, dtype=complex)
         x[: min(len(vec), n)] = vec[:n]
-        xw = jnp.asarray(x) * ci[m]
+        xw = tools.numpy_to_device(x) * ci[m]
         q = jnp.einsum("i,xij,j->x", xw.conj(), C_kl[m], xw)
         return np.asarray(q.real)
 
@@ -166,7 +175,7 @@ class PSEstimation(config.Reader):
         m_avail = min(x.shape[0], vis.shape[0])
         w = min(n, vis.shape[1])
         x[:m_avail, :w] = vis[:m_avail, :w]
-        xw = jnp.asarray(x) * ci
+        xw = tools.numpy_to_device(x) * ci
         q = jnp.einsum("mi,mxij,mj->x", xw.conj(), C_kl, xw, optimize=True)
         return np.asarray(q.real)
 

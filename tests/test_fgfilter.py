@@ -212,3 +212,67 @@ def test_fisher_bias_matches_host_loop(setup):
     scale = np.abs(fisher_ref).max() + 1e-30
     assert np.allclose(fisher, fisher_ref, atol=1e-10 * scale)
     assert np.allclose(bias, bias_ref, atol=1e-10 * (np.abs(bias_ref).max() + 1e-30))
+
+
+def test_kl_projection_diagonalises_covariance(setup):
+    """cov(fwd x) = diag(evals + 1): the quadratic estimator's premise.
+
+    fwd must be V^H (driftscan convention).  Projecting with V^{-1}
+    also round-trips but leaves a NON-diagonal covariance, silently
+    biasing the band powers through the diagonal ci weighting.
+    """
+    tel, bt, mm = setup
+    # a mild pencil: at the default foreground_amp=100 / noise 1e-2 the
+    # eigenbasis condition number times f32 eps dominates the residuals
+    # and the assertions would only measure rounding, not conventions
+    kl = KLTransform.from_config(
+        {"threshold": 0.0, "subset": False, "foreground_amp": 2.0,
+         "noise_amp": 0.5},
+        bt,
+    )
+    kl.beamtransfer = bt
+    kl._compute_all_modes()
+
+    freq = tel.frequencies
+    C = np.stack([kl.signal(tel.lmax, freq), kl.foreground(tel.lmax, freq)])
+    SC = np.asarray(kl._svd_cov_all(C))
+    for m in (1, 3):
+        S = SC[m, 0]
+        N = SC[m, 1] + np.asarray(kl._noise_svd_all()[m])
+        evals, bwd, fwd = kl.modes_m(m)
+        cov = fwd @ (S + N) @ fwd.conj().T
+        want = np.diag(evals + 1.0)
+        # f32 eigh leaves ~1e-4-level residuals; the broken V^{-1}
+        # convention this pins against gives O(1) off-diagonals
+        assert np.allclose(cov, want, atol=1e-3 * np.abs(want).max())
+        # and fwd/bwd invert each other on the kept modes (f32 LU)
+        assert np.allclose(fwd @ bwd, np.eye(fwd.shape[0]), atol=1e-4)
+
+
+def test_double_kl_rejects_foreground_modes(setup):
+    """DoubleKL keeps no more modes than its stage-1 rejection allows."""
+    from draco_tpu.telescope.kltransform import DoubleKL
+
+    tel, bt, mm = setup
+    dk = DoubleKL.from_config(
+        {"threshold": 0.0, "subset": True, "foreground_threshold": 1e-3,
+         "foreground_amp": 2.0, "noise_amp": 0.5},
+        bt,
+    )
+    dk.beamtransfer = bt
+    kl = KLTransform.from_config(
+        {"threshold": 0.0, "subset": True, "foreground_amp": 2.0,
+         "noise_amp": 0.5},
+        bt,
+    )
+    kl.beamtransfer = bt
+    for m in (1, 2):
+        e2, bwd2, fwd2 = dk.modes_m(m, threshold=1e-8)
+        e1, _, _ = kl.modes_m(m, threshold=1e-8)
+        assert len(e2) <= len(e1)
+        assert np.isfinite(e2).all()
+        if len(e2):
+            # the combined two-stage transform still inverts itself
+            assert np.allclose(
+                fwd2 @ bwd2, np.eye(len(e2)), atol=1e-4
+            )
