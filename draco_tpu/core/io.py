@@ -196,7 +196,12 @@ class LoadMaps(ContainerTask):
             else:
                 if not np.array_equal(current.freq, map_stack.freq):
                     raise RuntimeError("Loaded maps disagree on their frequency axes.")
-                if len(current.index_map["pol"]) != len(map_stack.index_map["pol"]):
+                if not np.array_equal(
+                    np.asarray(current.index_map["pol"]),
+                    np.asarray(map_stack.index_map["pol"]),
+                ):
+                    # content, not just length: summing an [XX, YY] map
+                    # with an [I, Q] one must fail
                     raise RuntimeError("Loaded maps disagree on their polarisation axes.")
                 if len(current.index_map["pixel"]) != len(
                     map_stack.index_map["pixel"]
@@ -295,10 +300,10 @@ class LoadBeamTransfer(MPILoggedTask):
             raise RuntimeError("No beam-transfer products found in the product directory.")
         bt = beamtransfer.BeamTransfer(self.product_directory)
         tel = bt.telescope
+        # ALWAYS a 3-tuple (feeds may be None): the reference convention
+        # lets configs wire `out: [tel, bt, feeds]` for any telescope
         feeds = getattr(tel, "feeds", None)
-        if feeds is not None:
-            return tel, bt, feeds
-        return tel, bt
+        return tel, bt, feeds
 
     def process(self):
         raise PipelineStopIteration()
@@ -409,8 +414,14 @@ class SetMPILogging(MPILoggedTask):
     level_rank0 = config.Property(proptype=str, default="INFO")
     level_all = config.Property(proptype=str, default="WARNING")
 
-    def __init__(self):
-        super().__init__()
+    def read_config(self, config_dict, compare_keys=False):
+        """Apply the levels AFTER the config is read (__init__ runs
+        before configuration, so it only ever saw the defaults).
+
+        Single-process runtime: this process is rank 0, so level_rank0
+        wins; level_all is what every other rank would get.
+        """
+        super().read_config(config_dict, compare_keys=compare_keys)
         import logging
 
         logging.getLogger().setLevel(self.level_rank0.upper())

@@ -54,9 +54,17 @@ class MPILoggedTask(config.Reader):
     def __init__(self):
         self._name = type(self).__name__
         self.log = logging.getLogger(f"draco_tpu.{self._name}")
+        self._initialised = True
+
+    def read_config(self, config_dict, compare_keys=False):
+        """Read config, then apply the configured log level.
+
+        The pipeline constructs tasks BEFORE configuring them, so a
+        log_level read in __init__ always saw the default.
+        """
+        super().read_config(config_dict, compare_keys=compare_keys)
         if self.log_level:
             self.log.setLevel(self.log_level.upper())
-        self._initialised = True
 
     def __init_subclass__(cls, **kwargs):
         super().__init_subclass__(**kwargs)
@@ -102,6 +110,7 @@ class ContainerTask(MPILoggedTask):
     def __init__(self):
         super().__init__()
         self._count = 0
+        self._save_count = 0
         self.done = False
 
     # -- lifecycle driven by the Manager ------------------------------------
@@ -121,7 +130,10 @@ class ContainerTask(MPILoggedTask):
                 self._input_tag = inp.attrs["tag"]
                 break
         output = self.process(*inputs)
-        self._count += 1
+        if output is not None:
+            # count OUTPUTS, not process calls: accumulators returning
+            # None must not burn through limit_outputs
+            self._count += 1
         return self._process_output(output)
 
     def finish(self):
@@ -156,10 +168,14 @@ class ContainerTask(MPILoggedTask):
                 out.history.setdefault("versions", versions)
 
     def _outfile_name(self, output: ContainerBase) -> str:
-        tag = output.attrs.get("tag", self._count - 1)
+        # untagged outputs take a per-FILE sequence number — keyed on
+        # the process count they collide (a finish() output, or two
+        # untagged containers in one tuple, would clobber the previous
+        # cycle's file)
+        tag = output.attrs.get("tag", self._save_count)
         if self.output_name is not None:
             name = self.output_name.format(
-                output_root=self.output_root, tag=tag, count=self._count - 1
+                output_root=self.output_root, tag=tag, count=self._save_count
             )
         else:
             base = self.output_root if self.output_root else f"{self.name}_"
@@ -168,6 +184,7 @@ class ContainerTask(MPILoggedTask):
 
     def _save_output(self, output: ContainerBase):
         fname = self._outfile_name(output)
+        self._save_count += 1
         d = os.path.dirname(fname)
         if d:
             os.makedirs(d, exist_ok=True)
@@ -239,7 +256,10 @@ def group_tasks(*tasks):
                 self._subtasks.append(t)
 
         def read_config(self, cfg, compare_keys=False):
-            super().read_config(cfg, compare_keys=False)
+            # the grouped class inherits the UNION of member properties,
+            # so unknown-key linting happens here; members see the full
+            # merged config and must not compare keys individually
+            super().read_config(cfg, compare_keys=compare_keys)
             for t in self._subtasks:
                 t.read_config(cfg, compare_keys=False)
 
@@ -262,8 +282,10 @@ def group_tasks(*tasks):
                         and p.default is p.empty
                     ]
                 )
-                if nreq > 0 or (npar > 0 and len(args) > 0):
-                    t.setup(*args[: npar or None])
+                if npar == 0:
+                    t.setup()  # zero-arg setups still initialise state
+                else:
+                    t.setup(*args[:npar])
                 t._manager = self._manager
 
         def process(self, *inputs):
@@ -275,6 +297,25 @@ def group_tasks(*tasks):
                 if out is None:
                     return None
             return out
+
+        def finish(self):
+            """Retire each member in order, piping its final output
+            through the remainder of the chain (the members hold the
+            accumulated state, not the grouped instance)."""
+            out_final = None
+            for i, t in enumerate(self._subtasks):
+                out = t.finish()
+                if out is None:
+                    continue
+                for t2 in self._subtasks[i + 1 :]:
+                    if not isinstance(out, tuple):
+                        out = (out,)
+                    out = t2.process(*out)
+                    if out is None:
+                        break
+                if out is not None:
+                    out_final = self._process_output(out)
+            return out_final
 
     GroupedTask.__name__ = "Grouped" + "".join(t.__name__ for t in tasks)
     return GroupedTask

@@ -126,23 +126,49 @@ def pix2vec(nside: int, ipix=None):
 
 
 def ang2pix(nside: int, theta, phi):
-    """Nearest RING pixel for (theta, phi) (ring-row then nearest-phi)."""
-    info = ring_info(nside)
+    """RING pixel CONTAINING (theta, phi) — the exact HEALPix algorithm.
+
+    Standard diamond-boundary algebra (Gorski et al. 2005 / the healpy C
+    implementation), not a nearest-centre approximation: pixel
+    boundaries in the caps are not equidistant from centres, so a
+    nearest-ring/nearest-phi rule disagrees with healpy near edges.
+    """
     theta = np.atleast_1d(np.asarray(theta, dtype=np.float64))
     phi = np.mod(np.atleast_1d(np.asarray(phi, dtype=np.float64)), 2 * np.pi)
-    ring = np.clip(
-        np.searchsorted(info.theta, theta) - 0, 0, info.nring - 1
-    )
-    # choose closer of ring and ring-1
-    ring_m1 = np.clip(ring - 1, 0, info.nring - 1)
-    pick_prev = np.abs(info.theta[ring_m1] - theta) < np.abs(
-        info.theta[ring] - theta
-    )
-    ring = np.where(pick_prev, ring_m1, ring)
-    nphi = info.nphi[ring]
-    j = np.round((phi - info.phi0[ring]) * nphi / (2 * np.pi)).astype(np.int64)
-    j = np.mod(j, nphi)
-    return info.offset[ring] + j
+    z = np.cos(theta)
+    za = np.abs(z)
+    tt = np.mod(phi / (0.5 * np.pi), 4.0)
+    npix = npix_of(nside)
+    ncap = 2 * nside * (nside - 1)
+    pix = np.empty(theta.shape, dtype=np.int64)
+
+    eq = za <= 2.0 / 3.0
+    if eq.any():
+        temp1 = nside * (0.5 + tt[eq])
+        temp2 = nside * z[eq] * 0.75
+        jp = np.floor(temp1 - temp2).astype(np.int64)
+        jm = np.floor(temp1 + temp2).astype(np.int64)
+        ir = nside + 1 + jp - jm  # ring index in {1, ..., 2*nside+1}
+        kshift = 1 - (ir & 1)
+        ip = np.mod((jp + jm - nside + kshift + 1) // 2, 4 * nside)
+        pix[eq] = ncap + (ir - 1) * 4 * nside + ip
+
+    po = ~eq
+    if po.any():
+        tp = tt[po] - np.floor(tt[po])
+        tmp = nside * np.sqrt(3.0 * (1.0 - za[po]))
+        jp = np.floor(tp * tmp).astype(np.int64)
+        jm = np.floor((1.0 - tp) * tmp).astype(np.int64)
+        ir = jp + jm + 1  # ring counted from the nearer pole
+        ir = np.minimum(ir, nside)  # guard exactly-on-boundary rounding
+        ip = np.mod(np.floor(tt[po] * ir).astype(np.int64), 4 * ir)
+        north = z[po] > 0
+        pix[po] = np.where(
+            north,
+            2 * ir * (ir - 1) + ip,
+            npix - 2 * ir * (ir + 1) + ip,
+        )
+    return pix
 
 
 def nside2resol(nside: int) -> float:

@@ -234,3 +234,29 @@ def test_numpy_twins_match_semantics(rng):
     C = np.eye(3) * 2.0
     Wc = drandom.complex_wishart_np(C, 7, rng=rng)
     assert Wc.shape == (3, 3)
+
+
+def test_ang2pix_exact_containment():
+    """ang2pix returns pixel centres' own pixels and stays in-ring.
+
+    Pins the exact HEALPix diamond-boundary algorithm (a nearest-centre
+    approximation disagrees with healpy near cap pixel edges).
+    """
+    from draco_tpu.ops import healpix
+
+    for nside in (1, 4, 32):
+        theta, phi = healpix.pix2ang(nside)
+        got = np.asarray(healpix.ang2pix(nside, theta, phi))
+        assert (got == np.arange(healpix.npix_of(nside))).all()
+
+    # points just either side of an equatorial-belt phi boundary land in
+    # adjacent pixels (exact boundary algebra, not rounding)
+    nside = 8
+    info = healpix.ring_info(nside)
+    r = 2 * nside  # equatorial ring
+    th = info.theta[r]
+    step = 2 * np.pi / info.nphi[r]
+    edge = info.phi0[r] + 0.5 * step
+    lo, hi = edge - 1e-9, edge + 1e-9
+    p = np.asarray(healpix.ang2pix(nside, np.array([th, th]), np.array([lo, hi])))
+    assert p[1] == p[0] + 1
