@@ -403,49 +403,51 @@ class DayenuDelayFilterHybridVis(ContainerTask):
 
         npol, _, new, _, ntime = vis.shape
 
+        # One filter build for ALL (ew, time) cells: delay_filter groups
+        # identical flag patterns internally, so the typical stream (a
+        # handful of distinct masks) gets a few batched device eigh
+        # calls instead of new * ntime sequential ones.
+        flag_all = np.all(weight > 0.0, axis=0)  # [nfreq, new, ntime]
+        flag_cols = flag_all.reshape(len(freq), -1)
+        any_valid = flag_cols.any(axis=0)
+        NF, index = dayenu_ops.delay_filter(
+            freq,
+            flag_cols[:, any_valid] if any_valid.any() else flag_cols[:, :1],
+            tau_width=self.tauw,
+            tau_centre=self.tauc,
+            epsilon=self.epsilon,
+        )
+        col_of = np.flatnonzero(any_valid)
+        group_of = np.full(flag_cols.shape[1], -1)
+        for g, cols in enumerate(index):
+            group_of[col_of[cols]] = g
+
         for tt in range(ntime):
-            # Mask common to all pols (reference dayenu.py:505-506)
-            flag = np.all(weight[..., tt] > 0.0, axis=0)
-
             for xx in range(new):
-                flagx = flag[:, xx, np.newaxis]
-                if not np.any(flagx):
-                    continue
-
-                try:
-                    NF, _ = dayenu_ops.delay_filter(
-                        freq,
-                        flagx,
-                        tau_width=self.tauw,
-                        tau_centre=self.tauc,
-                        epsilon=self.epsilon,
-                    )
-                except np.linalg.LinAlgError as exc:
-                    self.log.error(f"Failed to converge at time {tt}: {exc}")
-                    if self.apply_filter:
-                        weight[:, :, xx, tt] = 0.0
+                g = group_of[xx * ntime + tt]
+                if g < 0:
                     continue
 
                 for pp in range(npol):
                     if self.save_filter:
-                        filt[pp, :, :, xx, tt] = NF[0]
+                        filt[pp, :, :, xx, tt] = NF[g]
                     if not self.apply_filter:
                         continue
 
                     tvar = invert_no_zero(weight[pp, :, xx, tt])
                     fv, fw = dayenu_ops.apply_filter_freq(
-                        NF[0], vis[pp, :, xx, :, tt], tvar
+                        NF[g], vis[pp, :, xx, :, tt], tvar
                     )
                     vis[pp, :, xx, :, tt] = np.asarray(fv)
                     weight[pp, :, xx, tt] = np.asarray(fw)
 
                     if self.calculate_cov:
                         fcov[pp, :, :, xx, tt] = np.matmul(
-                            NF[0] * tvar, NF[0].T.conj()
+                            NF[g] * tvar, NF[g].T.conj()
                         )
 
                     if self.atten_threshold > 0.0:
-                        fl = _atten_flag(NF[0], self.atten_threshold)
+                        fl = _atten_flag(NF[g], self.atten_threshold)
                         weight[pp, :, xx, tt] *= fl.astype(weight.dtype)
 
         stream.vis[:] = vis.astype(stream.vis.dtype)
@@ -498,9 +500,11 @@ class ApplyDelayFilterHybridVis(ContainerTask):
             hv.attrs["tag"] = source.attrs["tag"]
 
         if self.calculate_cov:
+            # dtype check only — materialising the full filter array
+            # here would read tens of GB just to inspect its kind
             name = (
                 "complex_freq_cov"
-                if np.iscomplexobj(np.asarray(source.filter[:]))
+                if source.filter.dtype.kind == "c"
                 else "freq_cov"
             )
             if name not in hv.datasets:

@@ -140,13 +140,21 @@ class DPSSFilter(ContainerTask):
             M = w > 0
             W = mobs[rows] if mobs is not None else M
 
-            if self.inpaint:
-                xf, wf = dpss.inpaint_batched(v, w, A, W, self.epsilon)
-            else:
-                xf, wf = dpss.filter_batched(v, w, A, W, self.epsilon)
+            # masked samples must not drive the Wiener fit: the dpss
+            # project() contract is Ni "with masked values set to zero"
+            # (with no mask container W == M so this is w unchanged)
+            Ni_fit = w * W
+            xf, wf = dpss.filter_batched(v, Ni_fit, A, W, self.epsilon)
             xf = np.asarray(xf)
-            wf = np.asarray(dpss.accumulate_variance(w, wf, W))
-            wf *= dpss.flag_above_cutoff(M, cutoff)
+            # accumulate the gap-interpolated original variance on the
+            # RAW filtered weights (reference order: filter ->
+            # accumulate -> keep-override; accumulating after the
+            # override doubles every valid sample's variance)
+            wf = np.asarray(dpss.accumulate_variance(w, np.asarray(wf), W))
+            if self.inpaint:
+                xf = np.where(W, v, xf)
+                wf = np.where(W, w, wf)
+            wf *= dpss.flag_above_cutoff(M, cutoff[bi])
 
             vinp[rows] = xf
             winp[rows] = wf
@@ -171,7 +179,7 @@ class DPSSFilter(ContainerTask):
         fs = 1 / np.median(abs(np.diff(samples)))
         cutoff = self.cutoff_frac * fs / np.max(self.halfwidths)
 
-        return [modes], amap, cutoff
+        return [modes], amap, [cutoff]
 
 
 class DPSSFilterBaseline(DPSSFilter):
@@ -213,9 +221,12 @@ class DPSSFilterBaseline(DPSSFilter):
             modes.append(dpss.get_basis(cov))
 
         fs = 1 / np.median(abs(np.diff(samples)))
-        cutoff = self.cutoff_frac * fs / np.max(cuts)
+        # one cutoff PER basis group: a short baseline (small delay cut)
+        # tolerates proportionally wider gaps than the longest one — a
+        # single max-cut threshold would zero its valid inpainted data
+        cutoffs = [self.cutoff_frac * fs / c for c in cuts]
 
-        return modes, amap, cutoff
+        return modes, amap, cutoffs
 
     def _get_baseline_cuts(self):
         raise NotImplementedError()
@@ -283,7 +294,15 @@ class StokesIMixin:
     """Baseline selection for Stokes-I stacked data (interpolate.py:354)."""
 
     def _set_sel(self, data):
-        self._baselines = np.asarray(data.stack)
+        bl = np.asarray(data.stack)
+        if bl.dtype.names is not None:
+            raise TypeError(
+                "Stokes-I DPSS filtering expects the stack index map to "
+                "hold baseline VECTORS (a StokesIVis output); this "
+                "container carries the (prod, conjugate) stack map — "
+                "run StokesIVis first or use the telescope-based task."
+            )
+        self._baselines = bl
 
 
 class DPSSFilterDelayStokesI(StokesIMixin, DPSSFilterDelay):

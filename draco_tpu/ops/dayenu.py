@@ -34,12 +34,34 @@ def hermitian_pinv_batched(ucov):
     ``jnp.linalg.pinv(hermitian=True)`` truncates differently on the
     1e12-condition DAYENU covariances (destroying the pass band), so the
     eigendecomposition + reciprocal is done explicitly.
+
+    The factorisation MUST run in f64: these covariances genuinely span
+    ~12 decades, so an f32 eigh's cutoff (max|w| * n * eps_f32 ~ 1e7)
+    would truncate every O(1) pass-band eigenvalue and turn the filter
+    into ~the zero operator.  When jax x64 is off (pipeline default —
+    TPUs have no f64), the eigh runs on the host in numpy instead.
     """
-    ucov = jnp.asarray(ucov)
-    w, v = jnp.linalg.eigh(ucov)
+    import jax
+
+    if jax.config.jax_enable_x64:
+        ucov = jnp.asarray(ucov)
+        w, v = jnp.linalg.eigh(ucov)
+        n = ucov.shape[-1]
+        cut = (
+            jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+            * n
+            * jnp.finfo(w.dtype).eps
+        )
+        iw = jnp.where(jnp.abs(w) > cut, 1.0 / w, 0.0)
+        return (v * iw[..., None, :].astype(v.dtype)) @ v.conj().swapaxes(
+            -1, -2
+        )
+
+    ucov = np.asarray(ucov, dtype=np.complex128 if np.iscomplexobj(ucov) else np.float64)
+    w, v = np.linalg.eigh(ucov)
     n = ucov.shape[-1]
-    cut = jnp.max(jnp.abs(w), axis=-1, keepdims=True) * n * jnp.finfo(w.dtype).eps
-    iw = jnp.where(jnp.abs(w) > cut, 1.0 / w, 0.0)
+    cut = np.max(np.abs(w), axis=-1, keepdims=True) * n * np.finfo(w.dtype).eps
+    iw = np.where(np.abs(w) > cut, 1.0 / np.where(w == 0, 1.0, w), 0.0)
     return (v * iw[..., None, :].astype(v.dtype)) @ v.conj().swapaxes(-1, -2)
 
 
@@ -60,8 +82,12 @@ def batched_masked_pinv(cov, uflag):
     """
     uflag = np.asarray(uflag, dtype=bool)
     mask2 = uflag[:, None, :] & uflag[:, :, None]
-    ucov = jnp.asarray(mask2) * jnp.asarray(cov)[None]
-    return np.asarray(hermitian_pinv_batched(ucov) * mask2)
+    # build on the host in f64/c128: hermitian_pinv_batched needs the
+    # full dynamic range BEFORE any device-precision cast
+    cov = np.asarray(cov)
+    dt = np.complex128 if np.iscomplexobj(cov) else np.float64
+    ucov = mask2 * cov.astype(dt)[None]
+    return np.asarray(hermitian_pinv_batched(ucov)) * mask2
 
 
 def delay_filter(freq, flag, tau_width, tau_centre=0.0, epsilon=1e-12):

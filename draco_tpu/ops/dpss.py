@@ -278,11 +278,22 @@ def solve(xp, Ni, A, Si: float = 1e-3):
 
     xp = np.asarray(xp)
     Ni = np.asarray(Ni)
-    # Move the mode / sample axes to the end
-    mi = list(xp.shape).index(nmodes)
-    xp2 = np.moveaxis(xp, mi, -1)
-    si = list(Ni.shape).index(nsamp)
-    Ni2 = np.moveaxis(Ni, si, -1)
+    # Reference layout: modes/samples on the FIRST axis (positional —
+    # locating them by size match silently picks a batch axis whenever
+    # nbatch happens to equal nmodes or nsamp)
+    if xp.shape[0] != nmodes:
+        raise ValueError(
+            f"xp must have modes on axis 0 (expected {nmodes}, got "
+            f"shape {xp.shape})"
+        )
+    if Ni.shape[0] != nsamp:
+        raise ValueError(
+            f"Ni must have samples on axis 0 (expected {nsamp}, got "
+            f"shape {Ni.shape})"
+        )
+    si = 0
+    xp2 = np.moveaxis(xp, 0, -1)
+    Ni2 = np.moveaxis(Ni, 0, -1)
 
     xf, wf = _solve_from_projection_batched(
         jnp.asarray(xp2.reshape(-1, nmodes)),
@@ -318,10 +329,19 @@ def _solve_from_projection_batched(xp, Ni, A, Si):
 
 
 def filter(x, Ni, A, W, Si: float = 1e-3):  # noqa: A001 - reference name
-    """Reference-layout DPSS filter (samples first; reference dpss.py:359)."""
-    x2 = np.moveaxis(np.asarray(x), 0, -1)
-    Ni2 = np.moveaxis(np.broadcast_to(np.asarray(Ni), np.asarray(x).shape), 0, -1)
-    W2 = np.moveaxis(np.broadcast_to(np.asarray(W), np.asarray(x).shape), 0, -1)
+    """Reference-layout DPSS filter (samples first; reference dpss.py:359).
+
+    ``Ni``/``W`` expand with TRAILING axes (atleast_Nd) before
+    broadcasting, so a 1-D Ni[nsamp] aligns with the sample axis of
+    x[nsamp, nbatch] — plain broadcast_to would pair it with the batch
+    axis.
+    """
+    x = np.asarray(x)
+    Ni_b, _ = atleast_Nd(np.asarray(Ni), x.ndim)
+    W_b, _ = atleast_Nd(np.asarray(W), x.ndim)
+    x2 = np.moveaxis(x, 0, -1)
+    Ni2 = np.moveaxis(np.broadcast_to(Ni_b, x.shape), 0, -1)
+    W2 = np.moveaxis(np.broadcast_to(W_b, x.shape), 0, -1)
 
     xf, wf = filter_batched(x2, Ni2, A, W2, Si)
     wf = accumulate_variance(Ni2, np.asarray(wf), W2)
@@ -331,10 +351,11 @@ def filter(x, Ni, A, W, Si: float = 1e-3):  # noqa: A001 - reference name
 def inpaint(x, Ni, A, W, Si: float = 1e-3):
     """Reference-layout DPSS inpainting (reference dpss.py:407)."""
     xinp, winp = filter(x, Ni, A, W, Si)
-    W = np.asarray(W)
     x = np.broadcast_to(np.asarray(x), xinp.shape)
-    Ni = np.broadcast_to(np.asarray(Ni), winp.shape)
-    Wb = np.broadcast_to(W, xinp.shape)
+    Ni_b, _ = atleast_Nd(np.asarray(Ni), winp.ndim)
+    W_b, _ = atleast_Nd(np.asarray(W), xinp.ndim)
+    Ni = np.broadcast_to(Ni_b, winp.shape)
+    Wb = np.broadcast_to(W_b, xinp.shape)
     xinp = np.where(Wb, x, xinp)
     winp = np.where(Wb, Ni, winp)
     return xinp, winp

@@ -266,3 +266,24 @@ def test_hpf_timestream(rng):
     resid = v[0, 0, mid] - fast[mid]
     assert np.sqrt(np.mean(resid**2)) < 0.3 * np.std(slow)
     assert np.std(v[0, 0, mid]) > 0.5 * np.std(fast)
+
+
+def test_dayenu_filter_survives_f32_default():
+    """The DAYENU pinv must not depend on jax x64 being enabled.
+
+    The covariance spans ~12 decades; an f32 eigh cutoff would truncate
+    every O(1) pass-band eigenvalue and zero the filter. The pipeline
+    never enables x64, so this pins the host-f64 fallback.
+    """
+    import jax
+
+    flag = np.ones((NFREQ, 1), dtype=bool)
+    NF_ref, _ = dayenu_ops.delay_filter(FREQ, flag, 0.05, 0.0, 1e-12)
+    try:
+        jax.config.update("jax_enable_x64", False)
+        NF_f32, _ = dayenu_ops.delay_filter(FREQ, flag, 0.05, 0.0, 1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    # the filter must remain ~the identity on the pass band
+    assert np.abs(np.diag(NF_f32[0])).mean() > 0.5
+    assert np.allclose(NF_f32, NF_ref, atol=1e-5)
