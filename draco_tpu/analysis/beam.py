@@ -139,8 +139,6 @@ class CreateBeamStream(ContainerTask):
         )
 
         out = containers.HybridVisStream(ra=nra, axes_from=data, attrs_from=data)
-        for dset in out.datasets.values():
-            dset[:] = np.zeros(dset.shape, dtype=dset.dtype)
 
         vis = np.asarray(out.vis[:])
         vis[..., map_ra] = np.asarray(re) + 1.0j * np.asarray(im)

@@ -126,22 +126,39 @@ class ApplyGain(ContainerTask):
         return tstream
 
     def _smooth(self, gain_arr, weight_arr, gain):
-        """Median smoothing of amplitude/phase over time (reference :102-139)."""
+        """WEIGHTED median smoothing of amplitude/phase over time.
+
+        (reference :102-139, caput median.moving_weighted_median):
+        flagged samples (weight 0, gains nan_to_num'd to 0) carry zero
+        weight so they cannot drag good neighbours' smoothed gain to
+        zero — an unweighted median zeroes any sample whose window is
+        >= 50% flagged, and ApplyGain then silently zeroes the
+        calibrated visibilities there.
+        """
+        from ..ops.median import moving_weighted_median
+
         tdiff = gain.time[1] - gain.time[0]
         samp = int(np.ceil(self.smoothing_length / tdiff))
         size = 2 * (samp // 2) + 1
         shp = gain_arr.shape
         gain_r = gain_arr.reshape(-1, shp[-1])
-        smooth_amp = median_filter(np.abs(gain_r), size=(1, size), mode="nearest")
-        smooth_phase = median_filter(
-            np.angle(gain_r), size=(1, size), mode="nearest"
+        if weight_arr is not None:
+            wmed = (weight_arr.reshape(-1, shp[-1]) > 0).astype(np.float64)
+        else:
+            wmed = np.ones_like(gain_r, dtype=np.float64)
+        smooth_amp = np.asarray(
+            moving_weighted_median(np.abs(gain_r), wmed, (1, size))
+        )
+        smooth_phase = np.asarray(
+            moving_weighted_median(np.angle(gain_r), wmed, (1, size))
         )
         gain_arr = (smooth_amp * np.exp(1.0j * smooth_phase)).reshape(shp)
         if weight_arr is not None:
-            wmask = (weight_arr.reshape(-1, shp[-1]) > 0).astype(np.float64)
             wshp = weight_arr.shape
-            weight_arr = median_filter(
-                weight_arr.reshape(-1, wshp[-1]), size=(1, size), mode="nearest"
+            weight_arr = np.asarray(
+                moving_weighted_median(
+                    weight_arr.reshape(-1, wshp[-1]), wmed, (1, size)
+                )
             ).reshape(wshp)
-            weight_arr[wmask.reshape(wshp) == 0] = 0.0
+            weight_arr[wmed.reshape(wshp) == 0] = 0.0
         return gain_arr, weight_arr

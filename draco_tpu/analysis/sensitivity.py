@@ -11,7 +11,6 @@ jitted XLA program.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -165,6 +164,15 @@ class ComputeSystemSensitivity(ContainerTask):
         in_a, in_b, pol_of_input, ew_of_input = self._classify_stacks(data)
         stack_pol = self._pol_label(pol_of_input, in_a, in_b)
 
+        if self.exclude_intracyl and not hasattr(
+            self.telescope, "cylinder_width"
+        ):
+            raise AttributeError(
+                "exclude_intracyl requires a telescope with a "
+                "cylinder_width attribute (the intracylinder separation "
+                "threshold); silently assuming 0 would make the measured "
+                "and radiometric estimates use different baseline sets."
+            )
         half_cyl = 0.5 * getattr(self.telescope, "cylinder_width", 0.0)
         ew_sep = np.abs(ew_of_input[in_a] - ew_of_input[in_b])
         allowed = ew_sep > half_cyl if self.exclude_intracyl else np.ones(
@@ -232,7 +240,10 @@ class ComputeSystemSensitivity(ContainerTask):
             else np.median(np.abs(np.diff(fmap)))
         ) * 1e6
 
-        if "flags" in data.datasets and "frac_lost" in data.datasets:
+        # a 'frac_lost' dataset (raw-data packet-loss fraction) is
+        # honoured when present; the reference reads it from the raw
+        # acquisition's flags group, which these containers don't model
+        if "frac_lost" in data.datasets:
             frac_lost = np.asarray(data.datasets["frac_lost"][:])
         else:
             frac_lost = np.zeros((nfreq, ntime), dtype=np.float32)
