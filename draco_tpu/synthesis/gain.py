@@ -210,11 +210,27 @@ class GainStacker(ContainerTask):
     def process(self, gain):
         """Fold one day's gains into the stack."""
         days = self._lsds_of(gain)
-        prod = self.stream.index_map["prod"]
+        # prodstack resolves the STACK axis the vis dataset carries
+        # (with conjugation applied for conjugated stack entries) —
+        # index_map['prod'] has nprod entries and broadcasts wrongly on
+        # stacked streams
+        prod = self.stream.prodstack
         g = np.asarray(gain.gain[:])
         gprod = g[:, prod["input_a"].astype(int)] * np.conjugate(
             g[:, prod["input_b"].astype(int)]
         )
+        if self.stream.is_stacked:
+            conj = self.stream.index_map["stack"]["conjugate"].astype(bool)
+            gprod = np.where(conj[None, :, None], gprod.conj(), gprod)
+
+        if gprod.shape[-1] != self.stream.vis.shape[-1]:
+            raise ValueError(
+                f"Gain time axis ({gprod.shape[-1]} samples) does not "
+                f"match the template stream ({self.stream.vis.shape[-1]}); "
+                "regrid the gains onto the stream's grid first. (The "
+                "reference's emit-gains-alone fallback was unreachable: "
+                "the stack buffer is shaped by the template.)"
+            )
 
         if self.gain_stack is None:
             self.log.info(f"New gain stack starting at LSD {days[0]}.")
@@ -234,12 +250,14 @@ class GainStacker(ContainerTask):
 
     def process_finish(self):
         """Normalise; emit gains or the gain-scaled template."""
+        if self.gain_stack is None:
+            self.log.info("No gain streams were received; nothing to emit.")
+            return None
         mean_g = np.asarray(self.gain_stack.vis[:]) * np.asarray(
             invert_no_zero(np.asarray(self.gain_stack.weight[:]))
         )
 
-        mismatched = self.stream.vis.shape[-1] != mean_g.shape[-1]
-        if mismatched or self.only_gains:
+        if self.only_gains:
             self.log.info("Emitting the stacked gain products alone.")
             self.gain_stack.vis[:] = mean_g.astype(self.gain_stack.vis.dtype)
             return self.gain_stack
@@ -281,6 +299,10 @@ def _realisation(C, n, rcond, rng=None):
         rng = np.random.default_rng()
     evals, evecs = np.linalg.eigh(C)
     num = int(np.sum(evals > rcond * evals[-1]))
+    if num == 0:
+        # a zero covariance draws zeros (evecs[:, -0:] would select ALL
+        # columns and break the matmul)
+        return np.zeros((n, C.shape[0]))
     R = evecs[:, -num:] * evals[np.newaxis, -num:] ** 0.5
     w = rng.standard_normal((n, num))
     return w @ R.T

@@ -48,8 +48,19 @@ class SelectionFunctionEstimator(ContainerTask):
     n_modes = config.Property(proptype=int, default=7)
     tracer = config.Property(proptype=str, default=None)
 
-    def process(self, cat):
-        """SVD the binned catalog and keep the first ``n_modes`` modes."""
+    def process(self, cat=None):
+        """SVD the binned catalog and keep the first ``n_modes`` modes.
+
+        ``bcat_path`` (when set) loads the base catalog from disk
+        instead of (or in place of) the piped one.
+        """
+        if self.bcat_path is not None:
+            cat = containers.ContainerBase.from_file(self.bcat_path)
+        if cat is None:
+            raise ValueError(
+                "SelectionFunctionEstimator needs a catalog: pipe one in "
+                "or set bcat_path."
+            )
         zlims_selfunc = np.linspace(self.z_min, self.z_max, self.n_z + 1)
         z_selfunc = (zlims_selfunc[:-1] + zlims_selfunc[1:]) * 0.5
         freq_selfunc = _zlims_to_freq(z_selfunc, zlims_selfunc)
@@ -138,9 +149,18 @@ class PdfGeneratorBase(ContainerTask):
 
     tracer = config.Property(proptype=str, default=None)
 
-    def make_pdf_map(self, source_map, z_weights, selfunc=None):
-        """Normalised PDF = (1 + delta) * selfunc, weighted per z bin."""
-        rho = np.asarray(source_map.map[:])[:, 0, :] + 1.0
+    def make_pdf_map(self, source_map, z_weights, selfunc=None,
+                     uniform=False):
+        """Normalised PDF = (1 + delta) * selfunc, weighted per z bin.
+
+        ``uniform=True`` ignores the map values (delta_g = 0) without
+        mutating the input container.
+        """
+        shape = np.asarray(source_map.map[:])[:, 0, :].shape
+        if uniform:
+            rho = np.ones(shape)
+        else:
+            rho = np.asarray(source_map.map[:])[:, 0, :] + 1.0
         if (rho < 0).any():
             self.log.error("The source map contains negative pixels.")
 
@@ -186,12 +206,14 @@ class PdfGeneratorUncorrelated(PdfGeneratorBase):
     """Uniform PDF for uncorrelated mocks (reference mockcatalog.py:389)."""
 
     def process(self, source_map):
-        """PDF with uniform z weights and delta_g = 0."""
-        z = np.zeros(source_map.map.shape)
-        source_map.map[:] = z
+        """PDF with uniform z weights and delta_g = 0.
+
+        The input container is NOT mutated (it may be shared with other
+        pipeline branches).
+        """
         gs = source_map.map.shape[0]
         z_weights = np.full(gs, 1.0 / gs)
-        return self.make_pdf_map(source_map, z_weights)
+        return self.make_pdf_map(source_map, z_weights, uniform=True)
 
 
 class PdfGeneratorWithSelectionFunction(PdfGeneratorBase):
@@ -267,7 +289,7 @@ class MockCatalogGenerator(ContainerTask, RandomTask):
         """Precompute per-z CDFs from the PDF map."""
         self.pdf = pdf_map
         self.nside = self.pdf.nside
-        self._count = 0
+        self._ncat_done = 0
 
         pdf = np.asarray(self.pdf.map[:])[:, 0, :]
         self.z_weights = np.sum(pdf, axis=1)
@@ -278,7 +300,10 @@ class MockCatalogGenerator(ContainerTask, RandomTask):
 
     def process(self):
         """Draw the next mock catalog."""
-        if self._count >= self.ncat:
+        # a dedicated counter: ContainerTask.next() increments
+        # self._count per output, so reusing it here advanced by 2 per
+        # catalog and produced only half the requested number
+        if self._ncat_done >= self.ncat:
             raise PipelineStopIteration
 
         source_numbers = self.rng.multinomial(self.nsource, self.z_weights)
@@ -329,7 +354,7 @@ class MockCatalogGenerator(ContainerTask, RandomTask):
         mock_catalog["position"][:] = pos
         mock_catalog["redshift"][:] = red
 
-        self._count += 1
+        self._ncat_done += 1
         return mock_catalog
 
 
@@ -365,10 +390,18 @@ class AddGaussianZErrorsToCatalog(ContainerTask, RandomTask):
                     "so no z errors will be added"
                 )
             z_err *= cat_z_err
-        elif self.sigma_type == "sigma_z":
-            z_err *= self.sigma
         else:
-            z_err *= self.sigma * (1 + cat_z)
+            if self.sigma is None or self.sigma_type is None:
+                raise ValueError(
+                    "AddGaussianZErrorsToCatalog requires both `sigma` "
+                    "and `sigma_type` when use_catalog_z_errors is "
+                    "false (an unset sigma_type silently picked the "
+                    "(1+z)-scaled model before)."
+                )
+            if self.sigma_type == "sigma_z":
+                z_err *= self.sigma
+            else:
+                z_err *= self.sigma * (1 + cat_z)
 
         red["z"] = cat_z + z_err
         cat["redshift"][:] = red
@@ -393,17 +426,24 @@ class AddEBOSSZErrorsToCatalog(ContainerTask, RandomTask):
         tracer = self.tracer
 
         if tracer is None:
+            # case-insensitive matching ('QSOalt' is mixed case), and
+            # longest key first so 'QSOALT_MOCK' resolves to QSOalt, not
+            # its QSO prefix
+            norm = {k.upper(): k for k in _velocity_error_function_lookup}
             if "tracer" in cat.attrs:
-                tracer = str(cat.attrs["tracer"]).upper()
-                if tracer not in _velocity_error_function_lookup:
+                t_up = str(cat.attrs["tracer"]).upper()
+                if t_up not in norm:
                     raise ValueError(
-                        f"Tracer explicitly set to '{tracer}' in catalog, "
+                        f"Tracer explicitly set to "
+                        f"'{cat.attrs['tracer']}' in catalog, "
                         "but value not supported."
                     )
+                tracer = norm[t_up]
             else:
-                for key in _velocity_error_function_lookup:
-                    if key in str(cat.attrs.get("tag", "")).upper():
-                        tracer = key
+                tag_up = str(cat.attrs.get("tag", "")).upper()
+                for k_up in sorted(norm, key=len, reverse=True):
+                    if k_up in tag_up:
+                        tracer = norm[k_up]
                         break
                 if tracer is None:
                     raise ValueError(

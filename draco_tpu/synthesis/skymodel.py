@@ -362,12 +362,15 @@ class GenerateGaussianSky(ContainerTask, RandomTask):
     num_realisations = config.Property(proptype=int, default=1)
 
     def setup(self):
-        self._count = 0
+        # a dedicated counter: ContainerTask.next() also advances
+        # self._count per output, so reusing it halved the number of
+        # realisations and skipped tag numbers
+        self._nreal_done = 0
 
     def process(self):
-        if self._count >= self.num_realisations:
+        if self._nreal_done >= self.num_realisations:
             raise PipelineStopIteration
-        self._count += 1
+        self._nreal_done += 1
         seed = int(self.rng.integers(0, 2**31 - 1))
         m = make_sky(
             model=self.model,
@@ -379,5 +382,5 @@ class GenerateGaussianSky(ContainerTask, RandomTask):
             pol=self.polarisation,
             lmax=self.lmax,
         )
-        m.attrs["tag"] = f"{self.model}_{self._count - 1}"
+        m.attrs["tag"] = f"{self.model}_{self._nreal_done - 1}"
         return m
