@@ -75,8 +75,14 @@ def banded_cholesky(ab, bw: int):
         mult = jnp.conj(H[row_sel, col_sel])[:, None]
         s = (picked * valid_j * mult).sum(axis=0)
         c = acol - s
-        eps = jnp.finfo(jnp.zeros((), dtype).real.dtype).tiny
-        diag = jnp.sqrt(jnp.maximum(c[0].real, eps)).astype(dtype)
+        # a non-positive pivot means the band is singular/indefinite:
+        # propagate NaN (sqrt of negative / 0-divide) so the failure is
+        # DETECTABLE downstream — clamping to tiny returned enormous
+        # finite garbage that validate_finite could not catch (the
+        # scipy path this replaces raises LinAlgError)
+        diag = jnp.sqrt(
+            jnp.where(c[0].real > 0, c[0].real, jnp.nan)
+        ).astype(dtype)
         lcol = jnp.concatenate([diag[None], c[1:] / diag])
         H_new = jnp.concatenate([lcol[None, :], H[:-1]], axis=0)
         return H_new, lcol
@@ -153,5 +159,12 @@ def solveh_banded_lower(ab, b, bw: int | None = None):
     """
     if bw is None:
         bw = ab.shape[0] - 1
+    if bw == 0:
+        # purely diagonal system (the scan carries bw previous columns
+        # and cannot run with an empty carry)
+        ab = jnp.asarray(ab)
+        d = ab[0].real
+        d = jnp.where(d > 0, d, jnp.nan)
+        return jnp.asarray(b) / d.astype(ab.dtype)
     lb = banded_cholesky(ab, bw)
     return banded_cholesky_solve(lb, jnp.asarray(b), bw)

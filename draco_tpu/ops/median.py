@@ -78,10 +78,20 @@ def quantile(x, w, q, axis: int = -1):
     tot = cw[..., -1:]
     target = q * tot
 
-    lo = np.argmax(cw >= target, axis=-1)
-    hi = np.argmax(cw > target, axis=-1)
-    # Beyond the last sample (q == 1), clamp to the top value.
-    hi = np.where((cw > target).any(axis=-1), hi, x.shape[-1] - 1)
+    # zero-weight samples are IGNORED at the extremes too: at q=0 the
+    # lower bracket must land on the first sample with weight (cw >= 0
+    # is satisfied by a leading flagged sample), and at q=1 the clamp
+    # must pick the LAST weighted sample, not whatever sorts after it
+    has_w = ws > 0
+    idx = np.arange(x.shape[-1])
+    first_valid = np.argmax(has_w, axis=-1)
+    last_valid = x.shape[-1] - 1 - np.argmax(has_w[..., ::-1], axis=-1)
+
+    lo = np.argmax((cw >= target) & has_w, axis=-1)
+    lo = np.where(((cw >= target) & has_w).any(axis=-1), lo, first_valid)
+    hi = np.argmax((cw > target) & has_w, axis=-1)
+    hi = np.where(((cw > target) & has_w).any(axis=-1), hi, last_valid)
+    del idx
     med = 0.5 * (
         np.take_along_axis(xs, lo[..., None], -1)[..., 0]
         + np.take_along_axis(xs, hi[..., None], -1)[..., 0]

@@ -86,6 +86,11 @@ def complex_wishart(key, C, n, batch_shape=(), dtype=None):
     if dtype is None:
         dtype = C.dtype
     m = C.shape[-1]
+    if batch_shape == ():
+        # independent draws PER batch element of C by default — a
+        # single [m, m] draw broadcast over the batch would make every
+        # 'sample' perfectly correlated
+        batch_shape = C.shape[:-2]
     L = jnp.linalg.cholesky(C)
     A = standard_complex_wishart(key, m, n, batch_shape=batch_shape, dtype=dtype)
     return L @ A @ jnp.conj(jnp.swapaxes(L, -1, -2))

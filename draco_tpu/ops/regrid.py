@@ -53,6 +53,14 @@ def band_wiener(R, Ni, Si, y, bw: int, use_pallas: bool | None = None):
     import jax
 
     R = jnp.asarray(R)
+    if jnp.iscomplexobj(R):
+        # the banded covariance below is built WITHOUT conjugation
+        # (C = R Ni R^T, the reference's real-R formula); factoring that
+        # under the Hermitian banded Cholesky would be silently wrong
+        raise TypeError(
+            "band_wiener requires a real transfer matrix R (the "
+            "reference's Lanczos/rebin operators are real)."
+        )
     Ni = jnp.atleast_2d(jnp.asarray(Ni))
     y = jnp.atleast_2d(jnp.asarray(y))
     Si = jnp.asarray(Si)
@@ -195,7 +203,12 @@ def taylor_coeff(
     For every location, a regularised weighted least-squares fit of an
     order-``M`` Taylor expansion to the ``2N+1`` nearest samples; the
     returned list holds one sparse CSR operator per expansion
-    coefficient.  Semantics of reference regrid.py:273-350.
+    coefficient.  Role of reference regrid.py:273-350, with two
+    DELIBERATE fixes over the reference: periodic offsets wrap into
+    [-period/2, period/2) before the Vandermonde fit (the reference
+    feeds ~±period offsets through stencils crossing the wrap), and the
+    non-periodic branch honours ``xc`` (the reference's re-centering is
+    dead code there).
 
     Parameters
     ----------

@@ -84,13 +84,23 @@ def wavelet_fourier(w, wavelet: str = "morl"):
         f = w / (2.0 * np.pi)
         return jnp.exp(-(np.pi**2) * B * (f - C) ** 2) * (w > 0)
     if kind == "mexh":
-        # psi(t) = 2/(sqrt(3) pi^(1/4)) (1 - t^2) exp(-t^2/2)
+        # psi(t) ~ (1 - t^2) exp(-t^2/2), normalised so that
+        # int |psihat|^2 dw = 1 — the same unit-energy convention the
+        # Morlet multiplier satisfies, keeping CWT amplitudes
+        # comparable across the wavelet zoo (the textbook prefactor
+        # 2/(sqrt(3) pi^(1/4)) carries energy 2*pi in this convention)
         return (
-            np.sqrt(8.0 / 3.0) * (np.pi**0.25) * (w**2) * jnp.exp(-0.5 * w**2)
+            np.sqrt(8.0 / 3.0)
+            * (np.pi**0.25)
+            / np.sqrt(2.0 * np.pi)
+            * (w**2)
+            * jnp.exp(-0.5 * w**2)
         )
-    # gausN: N-th derivative of a Gaussian, |psihat| ~ |w|^N exp(-w^2/2)
+    # gausN: N-th derivative of a Gaussian, |psihat| ~ |w|^N exp(-w^2/2),
+    # unit-energy normalised (int |psihat|^2 dw = 1) like the others
     n = p[0]
     norm = 1.0 / np.sqrt(float(math.factorial(2 * n)) / (2.0**n) * np.sqrt(np.pi))
+    norm *= np.sqrt(2.0**n * float(math.factorial(n)))
     return norm * (1j * w) ** n * jnp.exp(-0.5 * w**2)
 
 
