@@ -44,6 +44,25 @@ def _validate_axes(a, b):
                 f"{axis} does not match for hybrid visibilities."
             )
 
+def _get_delay_filter(hv, pf_hv):
+    """The delay-filter dataset, from whichever container carries it.
+
+    The DAYENU task stores `filter` on the stream it FILTERED (pf_hv);
+    reading it from the raw input (the old behaviour) raised KeyError in
+    standard pipelines.  Axis consistency is validated either way.
+    """
+    _validate_axes(hv, pf_hv)
+    for c in (pf_hv, hv):
+        try:
+            return np.asarray(c.filter[:])
+        except (KeyError, AttributeError):
+            continue
+    raise KeyError(
+        "Neither input carries a delay 'filter' dataset; run the DAYENU "
+        "delay filter with save_filter: true first."
+    )
+
+
 
 def _apply_filter_batch(vis, weight, filt, atten_threshold, log):
     """Apply a per-(pol, ew, time) spectral filter; one batched einsum.
@@ -80,7 +99,7 @@ def _apply_filter_batch(vis, weight, filt, atten_threshold, log):
         nz = diag > 0.0
         med = np.where(
             np.any(nz, axis=1, keepdims=True),
-            np.median(np.where(nz, diag, np.nan), axis=1, keepdims=True),
+            np.nanmedian(np.where(nz, diag, np.nan), axis=1, keepdims=True),
             0.0,
         )
         med = np.nan_to_num(med)
@@ -220,7 +239,7 @@ class HyFoReSBandpassHybridVis(DelayFilterHyFoReSBandpassHybridVis):
         vis = np.asarray(hv.vis[:])
         post_vis = np.asarray(pf_hv.vis[:])
         weight = np.asarray(pf_hv.weight[:])
-        filt = np.asarray(hv.filter[:])
+        filt = _get_delay_filter(hv, pf_hv)
 
         el_mask = self.aliased_el_mask(hv)
         y, W = _estimate_gains_window(vis, post_vis, weight, filt, el_mask)
@@ -238,7 +257,7 @@ class HyFoReSBandpassHybridVisMask(DelayFilterHyFoReSBandpassHybridVis):
         vis = np.asarray(hv.vis[:]).copy()
         post_vis = np.asarray(pf_hv.vis[:]).copy()
         weight = np.asarray(pf_hv.weight[:])
-        filt = np.asarray(hv.filter[:])
+        filt = _get_delay_filter(hv, pf_hv)
 
         mask = np.swapaxes(np.asarray(maskf.mask[:]), -1, -2)
         keep = ~mask[:, :, np.newaxis, :, :]
@@ -261,7 +280,7 @@ class HyFoReSBandpassHybridVisMaskKeepSource(DelayFilterHyFoReSBandpassHybridVis
         vis = np.asarray(hv.vis[:]).copy()
         post_vis = np.asarray(pf_hv.vis[:]).copy()
         weight = np.asarray(pf_hv.weight[:])
-        filt = np.asarray(hv.filter[:])
+        filt = _get_delay_filter(hv, pf_hv)
 
         mask = np.swapaxes(np.asarray(maskf.mask[:]), -1, -2)
         masks = np.swapaxes(np.asarray(masksf.mask[:]), -1, -2)
@@ -393,7 +412,7 @@ class DelayFilterHyFoReSBandpassHybridVisClean(ContainerTask):
             nz = diag > 0.0
             med = np.where(
                 np.any(nz, axis=1, keepdims=True),
-                np.median(np.where(nz, diag, np.nan), axis=1, keepdims=True),
+                np.nanmedian(np.where(nz, diag, np.nan), axis=1, keepdims=True),
                 0.0,
             )
             med = np.nan_to_num(med)

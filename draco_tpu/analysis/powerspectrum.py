@@ -62,7 +62,11 @@ class QuadraticPSEstimation(ContainerTask):
             Fh = la.cholesky(fisher)
             M = la.inv(Fh) / Fh.sum(axis=1)[:, np.newaxis]
         else:  # minimum_variance
-            M = np.diag(1.0 / np.where(fisher.sum(axis=1) == 0, 1, fisher.sum(axis=1)))
+            # a zero Fisher row means the band is unconstrained: its
+            # normalisation is ZERO (passing 1.0 would write the raw
+            # q - bias through as a plausible-looking band power)
+            rs = fisher.sum(axis=1)
+            M = np.diag(np.where(rs == 0, 0.0, 1.0 / np.where(rs == 0, 1, rs)))
 
         # q is indexed [kpar-band, kperp-band] flattened; reshape to
         # (nperp, npar) for the container layout

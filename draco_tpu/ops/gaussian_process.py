@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import logging
+
 import numpy as np
 
 from . import kernels
@@ -70,6 +72,14 @@ def resample(
     xm = _select_interp_samples(
         xi, xo, inp_mask, kwidth, cutoff_dist, cutoff_partition
     )
+    if not np.any(xm):
+        # reference-parity behaviour is to return silent zeros; at
+        # least say why (a kernel width <= 1 makes the strict
+        # kw_cutoff comparison unsatisfiable)
+        logging.getLogger(__name__).warning(
+            "GP resample: every output sample is outside the kernel "
+            f"support (kwidth={kwidth}); returning zeros."
+        )
 
     return interpolate_unweighted(data, weight, Ki, Ks, interp_samples=xm)
 
@@ -81,6 +91,8 @@ def _gp_project_batch(data, weight, K, Kstar):
     data, weight : [B, ns, nj]; K : [ns, ns]; Kstar : [nt, ns].
     Returns (xout [B, nt, nj], var [B, nt, nj]).
     """
+    # row mask collapsed over the trailing axis — reference parity
+    # (reference gaussian_process.py:90: mi = any(wi > 0, axis=-1))
     m = jnp.any(weight > 0, axis=-1)  # [B, ns]
     mf = m.astype(K.dtype)
 

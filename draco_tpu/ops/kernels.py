@@ -89,12 +89,15 @@ def moving_average_inverse(n: int, width: int, alpha: float = 1.0):
     (reference kernels.py:229): D^T D regulariser where D is a
     moving-average difference operator of the given width.
     """
-    D = np.eye(n) - np.ones((n, n)) / n
-    # local moving-average operator
+    # local moving-average operator over EXACTLY `width` samples
+    # (centred for odd widths, shifted for even — matching
+    # moving_average_inverse_kernel so the two entry points agree)
     M = np.zeros((n, n))
+    half_lo = (width - 1) // 2
+    half_hi = width - half_lo
     for i in range(n):
-        lo = max(0, i - width // 2)
-        hi = min(n, i + width // 2 + 1)
+        lo = max(0, i - half_lo)
+        hi = min(n, i + half_hi)
         M[i, lo:hi] = 1.0 / (hi - lo)
     D = np.eye(n) - M
     return alpha * (D.T @ D)
@@ -232,7 +235,13 @@ def get_kernel(spec=None, *, name=None, N=None, **params):
 
     if name is None:
         raise ValueError("Must provide either a spec dict or a kernel name.")
-    params.pop("banded", None)
+    banded = params.pop("banded", False)
     if N is not None:
         params["N"] = N
-    return _NAME_KERNELS[name](**params)
+    K = _NAME_KERNELS[name](**params)
+    if banded:
+        # reference API: return lower band-diagonal storage (ab, bw) —
+        # silently returning a dense matrix would be misread as band
+        # rows by a banded solver
+        return convert_band_diagonal(K)
+    return K

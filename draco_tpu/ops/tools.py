@@ -266,8 +266,21 @@ def unpack_product_array(utmat, axis: int = 1, nside: int | None = None):
     """
     utmat = jnp.asarray(utmat)
     nprod = utmat.shape[axis]
+    n_full = int((2 * nprod) ** 0.5)
+    if n_full * (n_full + 1) // 2 != nprod:
+        raise ValueError(
+            f"axis length {nprod} is not a triangular number."
+        )
     if nside is None:
-        nside = int((2 * nprod) ** 0.5)
+        nside = n_full
+    elif nside != n_full:
+        # indexing a feed SUBSET still requires cmap over the FULL
+        # packing n — computing it with the subset size gathers
+        # unrelated products with no error
+        raise NotImplementedError(
+            f"feed subsets (nside={nside} != packing n={n_full}) are "
+            "not supported; pass the full feed count."
+        )
     ii, jj = np.meshgrid(np.arange(nside), np.arange(nside), indexing="ij")
     pidx = cmap(ii, jj, nside)  # [n, n] product index (upper-tri symmetric)
     conj = (ii > jj)
@@ -484,37 +497,6 @@ def apply_hysteresis_threshold(image, low, high):
     good_label = sums > 0
     good_label[0] = False
     return good_label[labels]
-
-
-def taper_mask(mask, nwidth, outer=False):
-    """Taper a 2D mask along the last axis (reference tools.py:844-891)."""
-    from scipy.signal import oaconvolve
-
-    mask = np.atleast_2d(mask)
-    width = 2 * nwidth - 1
-
-    kernel = np.hanning(width)[np.newaxis]
-    kernel = kernel / np.sum(kernel)
-
-    tapered = np.zeros((mask.shape[0], mask.shape[-1] + 2 * width), dtype=np.float64)
-    tapered[:, width:-width] = mask.astype(np.float64)
-    tapered[:, :width] = tapered[:, width][:, np.newaxis]
-    tapered[:, -width:] = tapered[:, -width - 1][:, np.newaxis]
-
-    if outer:
-        tapered = 1.0 - tapered
-
-    tapered = np.isclose(
-        oaconvolve(tapered, kernel, axes=-1, mode="same"), 1.0
-    ).astype(np.float64)
-    tapered = oaconvolve(tapered, kernel, axes=-1, mode="same")
-
-    if outer:
-        tapered = 1.0 - tapered
-
-    return tapered[:, width:-width]
-
-
 def window_generalised(x, window: str = "nuttall"):
     """High-order apodisation windows at arbitrary locations in [0, 1].
 
