@@ -52,8 +52,16 @@ class Property:
             self.key = name
 
     def _default_value(self):
+        import copy
+
         d = self.default
-        return d() if callable(d) else d
+        d = d() if callable(d) else d
+        # a fresh copy per instance: handing out the class-level list/
+        # dict object itself lets one task's mutation leak into every
+        # other instance's default
+        if isinstance(d, (list, dict, set)):
+            return copy.copy(d)
+        return d
 
     def __get__(self, obj, objtype=None):
         if obj is None:
@@ -69,8 +77,23 @@ class Property:
     def _from_config(self, obj, config: dict):
         if self.key in config:
             raw = config[self.key]
+            # An explicit YAML null is only meaningful for properties
+            # whose DEFAULT is None (reset-to-unset); for any other
+            # declared default a blank value is almost always a
+            # trailing-colon accident, and silently bypassing the
+            # proptype would clobber the default and skip validation.
+            if raw is None:
+                if self._default_value() is None:
+                    self.__set__(obj, None)
+                    return
+                raise ConfigError(
+                    f"Property {self.propname!r} was given an explicit "
+                    "null (blank YAML value) but its default is "
+                    f"{self._default_value()!r}; set a real value or "
+                    "remove the key."
+                )
             try:
-                val = self.proptype(raw) if raw is not None else None
+                val = self.proptype(raw)
             except ConfigError:
                 raise
             except Exception as e:  # noqa: BLE001 - surface as config error
@@ -198,4 +221,7 @@ def logging_config(default=None):
             return dict(val)
         raise ConfigError(f"Cannot interpret logging config {val!r}")
 
-    return Property(proptype=_cast, default=default or {"root": "INFO"})
+    if default is None:
+        default = {"root": "INFO"}
+    # note: `default or {...}` would discard an explicit empty dict
+    return Property(proptype=_cast, default=default)

@@ -183,6 +183,13 @@ class ContainerTask(MPILoggedTask):
         return name
 
     def _save_output(self, output: ContainerBase):
+        from ..parallel.multihost import is_leader
+
+        if not is_leader():
+            # multi-process runs execute every task on every process;
+            # only the leader writes (N ranks writing one HDF5 path
+            # concurrently corrupts it)
+            return
         fname = self._outfile_name(output)
         self._save_count += 1
         d = os.path.dirname(fname)

@@ -96,14 +96,46 @@ def split_local(n: int, rank: int | None = None, size: int | None = None):
 def broadcast_from_leader(value):
     """Share a host value loaded by process 0 with every process.
 
-    Single-process: returns the value unchanged.  Distributed: uses the
-    jax multihost broadcast (arrays; pytrees of arrays).
+    Single-process: returns the value unchanged.  Distributed: the value
+    is pickled and broadcast as bytes, so arbitrary host objects work
+    and non-leader processes may pass ``None`` (the reference
+    ``comm.bcast`` catalog pattern) — a raw
+    ``multihost_utils.broadcast_one_to_all`` would require every
+    process to supply a structurally identical array pytree.
     """
     if process_count() == 1:
         return value
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return multihost_utils.broadcast_one_to_all(value)
+    leader = process_index() == 0
+    payload = pickle.dumps(value) if leader else b""
+    # phase 1: agree on the byte length (identical structure everywhere)
+    n = multihost_utils.broadcast_one_to_all(
+        np.array([len(payload)], dtype=np.int64)
+    )
+    n = int(np.asarray(n)[0])
+    # phase 2: the padded byte buffer
+    buf = np.zeros(n, dtype=np.uint8)
+    if leader:
+        buf[:] = np.frombuffer(payload, dtype=np.uint8)
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return pickle.loads(buf.tobytes())
+
+
+def is_leader() -> bool:
+    """True on process 0 (and in any single-process run).
+
+    Rank-gates side effects like task save outputs: in a multi-process
+    launch every process executes every task, so an ungated
+    ``output.save(fname)`` would have N ranks writing one HDF5 file
+    concurrently.
+    """
+    try:
+        return process_index() == 0
+    except Exception:
+        return True
 
 
 # ---------------------------------------------------------------------------
@@ -158,8 +190,22 @@ def save_sharded(
             for name, arr in container.reverse_map.items():
                 rm.create_dataset(name, data=_h5_safe(np.asarray(arr)))
 
+        if getattr(container, "history", None):
+            hg = f.create_group("history")
+            import json as _json
+
+            for k, v in container.history.items():
+                try:
+                    hg.attrs[k] = v
+                except TypeError:
+                    hg.attrs[k] = _json.dumps(v)
+
         for name, ds in container.datasets.items():
-            arr = np.asarray(ds[:])
+            from ..ops.tools import device_to_numpy
+
+            # tunnel-safe: complex device arrays cannot go through a
+            # bare np.asarray on remote-TPU backends
+            arr = device_to_numpy(ds[:])
             axis = ds.distributed_axis if ds.distributed else None
             if axis is not None and axis in ds.axes:
                 ai = ds.axes.index(axis)
@@ -188,16 +234,25 @@ def load_sharded(path: str):
     from ..core.containers import ContainerBase
 
     stem, ext = os.path.splitext(path)
-    parts = sorted(glob.glob(f"{stem}.part*of*{ext or '.h5'}"))
-    if not parts:
+    parts_all = sorted(glob.glob(f"{glob.escape(stem)}.part*of*{ext or '.h5'}"))
+    if not parts_all:
         raise FileNotFoundError(f"no shard parts found for {path!r}")
-    m = re.search(r"part(\d+)of(\d+)", parts[0])
-    size = int(m.group(2))
-    if len(parts) != size:
+    # group by declared shard count and pick a COMPLETE set (stale parts
+    # from a previous run with a different process count are ignored;
+    # the largest complete set wins)
+    by_size: dict = {}
+    for p in parts_all:
+        m = re.search(r"part(\d+)of(\d+)", p)
+        if m:
+            by_size.setdefault(int(m.group(2)), []).append(p)
+    complete = {n: ps for n, ps in by_size.items() if len(ps) == n}
+    if not complete:
+        counts = {n: len(ps) for n, ps in by_size.items()}
         raise FileNotFoundError(
-            f"incomplete shard set for {path!r}: "
-            f"{len(parts)} of {size} parts present"
+            f"incomplete shard set for {path!r}: present counts {counts}"
         )
+    size = max(complete)
+    parts = sorted(complete[size])
 
     # every part is self-describing except for the sharded dataset slabs:
     # load the first part via the standard reader, then stitch the slabs

@@ -85,6 +85,10 @@ def fingerprint(obj) -> dict[str, str]:
                 out[f"{path}/{name}"] = _digest(_as_host(ds[:]))
             for name, im in sorted(o.index_map.items()):
                 out[f"{path}/index_map/{name}"] = _digest(np.asarray(im))
+            for name, rm in sorted(o.reverse_map.items()):
+                # reverse maps are product data too: nondeterministic
+                # stack orderings must not escape the check
+                out[f"{path}/reverse_map/{name}"] = _digest(np.asarray(rm))
         elif isinstance(o, (list, tuple)):
             for i, v in enumerate(o):
                 visit(v, f"{path}[{i}]")
@@ -97,7 +101,18 @@ def fingerprint(obj) -> dict[str, str]:
             except Exception:  # non-array jax object
                 out[path] = "<unchecked>"
         elif np.isscalar(o) or o is None:
-            out[path] = _digest(np.asarray(o)) if o is not None else "<none>"
+            if o is None:
+                out[path] = "<none>"
+            else:
+                a = np.asarray(o)
+                if a.dtype == object:
+                    # tobytes() on an object array hashes PyObject
+                    # POINTERS — run-dependent; digest the repr instead
+                    out[path] = _digest(
+                        np.frombuffer(repr(o).encode(), dtype=np.uint8)
+                    )
+                else:
+                    out[path] = _digest(a)
         else:
             out[path] = "<unchecked>"
 
@@ -267,6 +282,13 @@ def check_pipeline_determinism(
     reference = None
     for i in range(runs):
         products = Manager(config).run()
+        if not products:
+            raise DeterminismError(
+                "the pipeline retained no products to compare — "
+                "retain_products is probably 'none'; rerun with "
+                "retain_products: all (a green check over zero arrays "
+                "would be vacuous)."
+            )
         if reference is None:
             reference = products
             continue
