@@ -190,6 +190,9 @@ def _fused_roundtrip(
     K = npol * Kf
     scale = 1.0 / (4 * np.pi / s.npix)
     prec = _PREC_RT
+    # accumulator dtype follows the input so the same program serves
+    # both the f32 production path and x64 truth runs
+    rdt = jnp.zeros(0, sky.dtype).real.dtype
 
     # -- forward: sky -> alm -> windowed phase tensors -------------------
     # unit (freq, pol) batch dims are squeezed around the SHT: batch-1
@@ -278,7 +281,7 @@ def _fused_roundtrip(
             # padded baselines carry no data; m=0 has no negative mode
             valid = (
                 c * chunk + jnp.arange(chunk) < npairs
-            ).astype(_F32)[None, :, None]
+            ).astype(rdt)[None, :, None]
             vp = vp * valid
             vm = vm * valid * (midx > 0)[None, None, :]
             if use_weight:
@@ -296,8 +299,8 @@ def _fused_roundtrip(
         return body
 
     Y = (
-        jnp.zeros((nfreq, K, mmax + 1), _F32),
-        jnp.zeros((nfreq, K, mmax + 1), _F32),
+        jnp.zeros((nfreq, K, mmax + 1), rdt),
+        jnp.zeros((nfreq, K, mmax + 1), rdt),
     )
     for c0, c1, Mb in groups:
         Y = jax.lax.fori_loop(c0, c1, make_body(Mb), Y)
@@ -366,6 +369,9 @@ def _fused_roundtrip_fullsphere(
     nfreq, npol, chunk, nchunk, npairs, mmax = dims
     scale = 1.0 / (4 * np.pi / s.npix)
     prec = _PREC_RT
+    # accumulator dtypes follow the input (f32 production / x64 truth)
+    rdt = jnp.zeros(0, sky.dtype).real.dtype
+    cdt = jnp.complex128 if rdt == jnp.float64 else jnp.complex64
 
     if nfreq * npol == 1:
         alm = s._analysis_impl(sky[0, 0], lam=lam, plan=plan)[None, None]
@@ -416,8 +422,8 @@ def _fused_roundtrip_fullsphere(
 
     def body(c, T_accs):
         F_belt, group_F = fringe_sections(c)
-        vp = jnp.zeros((nfreq, mmax + 1, chunk), jnp.complex64)
-        vm = jnp.zeros((nfreq, mmax + 1, chunk), jnp.complex64)
+        vp = jnp.zeros((nfreq, mmax + 1, chunk), cdt)
+        vm = jnp.zeros((nfreq, mmax + 1, chunk), cdt)
         # analysis is linear: with U = sum conj(F[0]) S, V = sum conj(F[1]) S
         # the two conjugate-beam branches are U + iV and U - iV
         for F2, S in zip([F_belt, *group_F], S_secs):
@@ -432,7 +438,7 @@ def _fused_roundtrip_fullsphere(
         # padded baselines carry no data; m=0 has no negative mode
         valid = (
             c * chunk + jnp.arange(chunk) < npairs
-        ).astype(jnp.float32)[None, None, :]
+        ).astype(rdt)[None, None, :]
         midx = jnp.arange(mmax + 1)
         vp = vp * (scale * valid)
         vm = vm * (scale * valid) * (midx > 0)[None, :, None]
@@ -457,13 +463,13 @@ def _fused_roundtrip_fullsphere(
         return out
 
     T0 = [
-        jnp.zeros((nfreq, npol, r, mmax + 1), jnp.complex64)
+        jnp.zeros((nfreq, npol, r, mmax + 1), cdt)
         for r in sec_rings
     ]
     T_accs = jax.lax.fori_loop(0, nchunk, body, T0)
     T_accs[0] = T_accs[0] * pw
 
-    a_dirty = jnp.zeros((nfreq, npol, s.lmax + 1, mmax + 1), jnp.complex64)
+    a_dirty = jnp.zeros((nfreq, npol, s.lmax + 1, mmax + 1), cdt)
     for T, lam_s in zip(T_accs, [lam["belt"], *lam["caps"]]):
         a_dirty = a_dirty + jax.lax.complex(
             jnp.einsum("lmr,fprm->fplm", lam_s, T.real, precision=prec),

@@ -276,3 +276,69 @@ def test_fused_freq_sharded_mesh(compact_setup):
         got = np.asarray(run(sky_sh))
 
     assert np.allclose(ref, got, atol=1e-5 * np.abs(ref).max())
+
+
+def test_fused_paths_support_x64(tmp_path):
+    """Both fused programs must run under jax_enable_x64.
+
+    The f64 placement is how truth maps for the accuracy policy are
+    produced (scripts/check_tpu_accuracy.py); the accumulator dtypes
+    must follow the input dtype rather than pin complex64 (a pinned
+    accumulator raises a fori_loop carry-type mismatch under x64).
+    Runs in a subprocess because x64 is a process-global switch.
+    """
+    import subprocess
+    import sys
+    import textwrap
+
+    prog = textwrap.dedent(
+        """
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        import numpy as np
+        import jax.numpy as jnp
+        from draco_tpu.ops import healpix
+        from draco_tpu.telescope import (
+            BeamTransfer, UnpolarisedCylinderTelescope, UnpolarisedDishArray
+        )
+        from draco_tpu.telescope.roundtrip import fused_simulate_to_map
+
+        nside = 8
+        rng = np.random.Generator(np.random.SFC64(3))
+        sky = rng.standard_normal((1, 1, healpix.npix_of(nside)))
+
+        # full-sphere program (cylinder)
+        tel = UnpolarisedCylinderTelescope(
+            num_cylinders=2, cylinder_width=10.0, cylinder_spacing=12.0,
+            num_feeds=2, feed_spacing=2.0, latitude=45.0,
+            freq_lower=400.0, freq_upper=400.0, num_freq=1,
+            auto_correlations=True,
+            force_lmax=3 * nside - 1, force_mmax=3 * nside - 1,
+        )
+        bt = BeamTransfer(telescope=tel, nside=nside)
+        out = np.asarray(fused_simulate_to_map(bt, jnp.asarray(sky), chunk=2))
+        assert out.dtype == np.float64, out.dtype
+        assert np.isfinite(out).all()
+
+        # windowed program (compact dish beam)
+        tel2 = UnpolarisedDishArray(
+            grid_ew=2, grid_ns=1, spacing_ew=4.0, spacing_ns=4.0,
+            latitude=30.0, freq_lower=400.0, freq_upper=400.0, num_freq=1,
+            dish_width=8.0, auto_correlations=True,
+            force_lmax=3 * nside - 1, force_mmax=3 * nside - 1,
+        )
+        bt2 = BeamTransfer(telescope=tel2, nside=nside)
+        assert bt2._beam_window() is not None
+        out2 = np.asarray(fused_simulate_to_map(bt2, jnp.asarray(sky), chunk=2))
+        assert out2.dtype == np.float64, out2.dtype
+        assert np.isfinite(out2).all()
+        print("x64 ok")
+        """
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", prog], capture_output=True, text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "x64 ok" in r.stdout
