@@ -244,7 +244,7 @@ def run_cylinder():
     warm = time.time() - t0
     log(f"[cylinder] warmup (incl. compile): {warm:.1f}s")
     times = []
-    for i in range(max(1, NRUN - 1)):
+    for i in range(max(2, NRUN - 1)):
         t0 = time.time()
         once()
         times.append(time.time() - t0)
@@ -287,10 +287,16 @@ def run_delay_gibbs():
     out = once()
     warm = time.time() - t0
     log(f"[delay_gibbs] warmup (incl. compile): {warm:.1f}s")
-    t0 = time.time()
-    out = once()
-    dt = time.time() - t0
-    log(f"[delay_gibbs] run 0: {dt:.3f}s")
+    # min over >= 3 timed runs: single samples are exposed to transient
+    # remote-TPU-tunnel stalls (observed 2 s -> 39 s on one dispatch, and
+    # a whole 2-sample window stalled at 6.7 s / 17.2 s on another day)
+    times = []
+    for i in range(max(3, NRUN - 1)):
+        t0 = time.time()
+        out = once()
+        times.append(time.time() - t0)
+        log(f"[delay_gibbs] run {i}: {times[-1]:.3f}s")
+    dt = min(times)
     assert np.isfinite(out).all()
     return {
         "nbase": nbase,
@@ -358,7 +364,7 @@ def main():
             nfeed_side=NFEED_SIDE,
             autos=True,
             chunk=CHUNK,
-            nrun=max(1, NRUN - 1),
+            nrun=max(2, NRUN - 1),
             tag=f"multifreq{nfreq}",
         )
         extras["multi_freq"] = {
@@ -379,7 +385,7 @@ def main():
             nfeed_side=big_side,
             autos=False,
             chunk=big_chunk,
-            nrun=max(1, NRUN - 1),
+            nrun=max(2, NRUN - 1),
             tag=f"feeds{big_side ** 2}x{big_nfreq}f",
         )
         extras["feeds256"] = {

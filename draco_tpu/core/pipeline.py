@@ -186,7 +186,130 @@ class Manager(config_mod.Reader):
                 "pipeline.retain_products must be one of "
                 f"'all'/'final'/'none', got {self.retain_products!r}"
             )
+        # `mesh:` installs a device mesh for the whole run, so the
+        # production (freq x m) layout — the reference's two MPI
+        # distributions bridged by parallel transposes (reference
+        # draco/synthesis/stream.py:96,119) — is selected from YAML:
+        #
+        #   pipeline:
+        #     mesh:
+        #       axes: {freq: 2, m: -1}   # -1 fills remaining devices
+        #       dcn: {freq: 2}           # optional multi-slice factor
+        #
+        # Shorthand `mesh: {freq: 2, m: 4}` (no `axes` key) also works.
+        self.mesh_cfg = self._parse_mesh_cfg(pipeline_cfg.get("mesh"))
         self.task_timing: dict[str, dict] = {}
+
+    @staticmethod
+    def _parse_mesh_cfg(cfg):
+        """Validate `pipeline.mesh` and return (axes, dcn) or None.
+
+        Static validation only (no jax import) so lint works on hosts
+        without the target device count.
+        """
+        if cfg is None:
+            return None
+        if not isinstance(cfg, dict) or not cfg:
+            raise config_mod.ConfigError(
+                "pipeline.mesh must be a non-empty mapping of axis "
+                f"name to size, got {cfg!r}"
+            )
+        axes = cfg.get("axes", None)
+        dcn = cfg.get("dcn", None) if axes is not None else None
+        if axes is None:
+            axes = cfg  # shorthand: the mapping IS the axes
+        if not isinstance(axes, dict) or not axes:
+            raise config_mod.ConfigError(
+                "pipeline.mesh.axes must be a non-empty mapping, "
+                f"got {axes!r}"
+            )
+        for name, size in axes.items():
+            if not isinstance(name, str) or not isinstance(size, int):
+                raise config_mod.ConfigError(
+                    "pipeline.mesh axes must map axis names to integer "
+                    f"sizes, got {name!r}: {size!r}"
+                )
+            if size != -1 and size < 1:
+                raise config_mod.ConfigError(
+                    f"pipeline.mesh axis {name!r} size must be a "
+                    f"positive integer or -1 (fill), got {size}"
+                )
+        n_fill = sum(1 for s in axes.values() if s == -1)
+        if n_fill > 1:
+            raise config_mod.ConfigError(
+                "pipeline.mesh allows at most one -1 (fill) axis size"
+            )
+        if dcn is not None:
+            if not isinstance(dcn, dict):
+                raise config_mod.ConfigError(
+                    "pipeline.mesh.dcn must be a mapping of axis name "
+                    f"to multi-slice factor, got {dcn!r}"
+                )
+            for name, fac in dcn.items():
+                if name not in axes:
+                    raise config_mod.ConfigError(
+                        f"pipeline.mesh.dcn names unknown axis {name!r}"
+                    )
+                if not isinstance(fac, int) or fac < 1:
+                    raise config_mod.ConfigError(
+                        f"pipeline.mesh.dcn factor for {name!r} must be "
+                        f"a positive integer, got {fac!r}"
+                    )
+                if axes[name] != -1 and axes[name] % fac != 0:
+                    raise config_mod.ConfigError(
+                        f"pipeline.mesh.dcn factor {fac} does not divide "
+                        f"axis {name!r} size {axes[name]}"
+                    )
+        return (dict(axes), dict(dcn) if dcn else None)
+
+    def _build_mesh(self):
+        """Construct the configured Mesh against the live device set."""
+        if self.mesh_cfg is None:
+            return None
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from ..parallel import make_hybrid_mesh
+
+        axes, dcn = self.mesh_cfg
+        ndev = len(jax.devices())
+        sizes = dict(axes)
+        fixed = 1
+        for s in sizes.values():
+            if s != -1:
+                fixed *= s
+        for name, s in sizes.items():
+            if s == -1:
+                if ndev % fixed != 0:
+                    raise config_mod.ConfigError(
+                        f"pipeline.mesh: fixed axis sizes {fixed} do not "
+                        f"divide the {ndev} available devices"
+                    )
+                sizes[name] = ndev // fixed
+        total = 1
+        for s in sizes.values():
+            total *= s
+        if total != ndev:
+            raise config_mod.ConfigError(
+                f"pipeline.mesh covers {total} devices but "
+                f"{ndev} are available"
+            )
+        names = tuple(sizes.keys())
+        if dcn:
+            for name, fac in dcn.items():
+                if sizes[name] % fac != 0:
+                    raise config_mod.ConfigError(
+                        f"pipeline.mesh.dcn factor {fac} does not divide "
+                        f"the resolved size {sizes[name]} of axis {name!r}"
+                    )
+            dcn_shape = tuple(dcn.get(n, 1) for n in names)
+            ici_shape = tuple(
+                sizes[n] // dcn.get(n, 1) for n in names
+            )
+            return make_hybrid_mesh(ici_shape, dcn_shape, names)
+        grid = np.asarray(jax.devices()).reshape(tuple(sizes.values()))
+        return Mesh(grid, names)
 
     # -- constructors --------------------------------------------------------
     @classmethod
@@ -263,12 +386,23 @@ class Manager(config_mod.Reader):
         profiler trace; with ``pipeline.timing: true`` a per-task
         wall-clock summary is logged and stored in ``self.task_timing``.
         """
-        if self.profile_dir:
-            import jax
+        import contextlib
 
-            with jax.profiler.trace(str(self.profile_dir)):
-                return self._run()
-        return self._run()
+        with contextlib.ExitStack() as stack:
+            mesh = self._build_mesh()
+            if mesh is not None:
+                from ..parallel import use_mesh
+
+                logger.info(
+                    "pipeline mesh: %s",
+                    dict(zip(mesh.axis_names, mesh.devices.shape)),
+                )
+                stack.enter_context(use_mesh(mesh))
+            if self.profile_dir:
+                import jax
+
+                stack.enter_context(jax.profiler.trace(str(self.profile_dir)))
+            return self._run()
 
     def _run(self) -> dict[str, list]:
         import time as _time

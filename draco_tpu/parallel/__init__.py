@@ -10,6 +10,7 @@ XLA) instead of an MPI all-to-all.
 from .mesh import (  # noqa: F401
     SHARD_AXIS,
     get_mesh,
+    make_hybrid_mesh,
     make_mesh,
     make_mesh2d,
     set_mesh,

@@ -72,6 +72,66 @@ def make_mesh2d(
     return Mesh(np.asarray(devices).reshape(shape), tuple(axis_names))
 
 
+def make_hybrid_mesh(
+    ici_shape: tuple[int, ...],
+    dcn_shape: tuple[int, ...],
+    axis_names: tuple[str, ...] = ("freq", "m"),
+    devices=None,
+) -> Mesh:
+    """Mesh spanning multiple TPU slices: DCN-parallel outer, ICI inner.
+
+    The multi-slice scale-out layout for the CHIME-scale problem
+    (BASELINE.json: 1024 frequencies): each mesh axis's global extent is
+    ``dcn_shape[i] * ici_shape[i]``, with the DCN factor outermost.
+    Put the **freq** axis on DCN — frequencies are embarrassingly
+    parallel through the whole m-mode spine (verified by the
+    freq-sharded SPMD tests), so the only cross-slice traffic is the
+    initial scatter and final gather, while the freq<->m parallel
+    transposes (the all-to-alls of reference
+    draco/synthesis/stream.py:96,119) ride each slice's ICI.
+
+    On real multi-slice hardware the device grid comes from
+    ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` (which
+    reads each device's slice topology); on single-slice or virtual
+    (CPU-mesh test) platforms a contiguous block layout stands in so
+    the same program shapes compile and run anywhere.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if len(ici_shape) != len(dcn_shape) or len(ici_shape) != len(axis_names):
+        raise ValueError(
+            "ici_shape, dcn_shape and axis_names must have equal length; "
+            f"got {ici_shape}, {dcn_shape}, {axis_names}"
+        )
+    total = int(np.prod(ici_shape)) * int(np.prod(dcn_shape))
+    if total != len(devices):
+        raise ValueError(
+            f"mesh of {total} positions does not cover the "
+            f"{len(devices)} devices provided"
+        )
+
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_slices > 1:
+        from jax.experimental import mesh_utils
+
+        dev_grid = mesh_utils.create_hybrid_device_mesh(
+            ici_shape, dcn_shape, devices=devices
+        )
+    else:
+        # single slice / virtual platform: contiguous blocks, DCN factors
+        # outermost so each ICI block is a contiguous device range
+        grid = np.asarray(devices).reshape(*dcn_shape, *ici_shape)
+        n = len(ici_shape)
+        # interleave (dcn_i, ici_i) per axis then merge the pairs
+        order = [
+            ax for i in range(n) for ax in (i, n + i)
+        ]
+        dev_grid = grid.transpose(order).reshape(
+            tuple(d * i for d, i in zip(dcn_shape, ici_shape))
+        )
+    return Mesh(dev_grid, tuple(axis_names))
+
+
 def set_mesh(mesh: Mesh | None) -> None:
     """Install ``mesh`` as the process-global mesh (None to clear)."""
     global _mesh

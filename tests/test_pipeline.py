@@ -251,3 +251,172 @@ pipeline:
       out: nums
 """
     )
+
+
+def test_checkpoint_restart_from_saved_products(tmp_path):
+    """The reference restart model: a later pipeline resumes from the
+    HDF5 products a previous run saved (reference doc/tutorial.rst
+    restart recipe; tasklib.io.LoadFilesFromParams as used in the
+    reference examples/test.yaml:9-12).  The two-stage run must equal
+    one uninterrupted pipeline."""
+    # Stage 1: emit + offset, saving every routed product
+    stage1 = f"""
+pipeline:
+  tasks:
+    - type: tests.test_pipeline.EmitNumbers
+      out: nums
+      params:
+        n_emit: 3
+        save: true
+        output_name: "{tmp_path}/ckpt_{{tag}}.h5"
+"""
+    Manager.from_yaml_str(stage1).run()
+    saved = sorted(tmp_path.glob("ckpt_*.h5"))
+    assert len(saved) == 3
+
+    # Stage 2: a NEW pipeline (fresh process state) reloads the saved
+    # products and continues with downstream work
+    stage2 = f"""
+pipeline:
+  tasks:
+    - type: draco_tpu.core.io.LoadFilesFromParams
+      out: nums
+      params:
+        files: "{tmp_path}/ckpt_*.h5"
+    - type: tests.test_pipeline.Accumulate
+      in: nums
+      out: total
+"""
+    mgr = Manager.from_yaml_str(stage2)
+    mgr.run()
+    total = mgr.products["total"][-1]
+    # 0 + 1 + 2 emitted values
+    assert float(np.asarray(total.stack[:])[0]) == 3.0
+
+    # The uninterrupted single pipeline gives the same answer
+    direct = f"""
+pipeline:
+  tasks:
+    - type: tests.test_pipeline.EmitNumbers
+      out: nums
+      params:
+        n_emit: 3
+    - type: tests.test_pipeline.Accumulate
+      in: nums
+      out: total
+"""
+    mgr2 = Manager.from_yaml_str(direct)
+    mgr2.run()
+    want = mgr2.products["total"][-1]
+    assert float(np.asarray(want.stack[:])[0]) == float(
+        np.asarray(total.stack[:])[0]
+    )
+
+
+class RecordMesh(ContainerTask):
+    """Test task that reports the mesh active during its process call.
+
+    The mesh layout is routed out through the product's attrs (a class
+    attribute would not survive pytest/importlib loading the test module
+    under two different module objects).
+    """
+
+    def process(self):
+        if self._count > 0:
+            raise PipelineStopIteration()
+        from draco_tpu.parallel import get_mesh
+
+        mesh = get_mesh()
+        c = containers.FrequencyStack(freq=np.array([400.0]))
+        c.stack[:] = 0.0
+        c.attrs["tag"] = "mesh"
+        c.attrs["mesh"] = (
+            "none"
+            if mesh is None
+            else repr(dict(zip(mesh.axis_names, mesh.devices.shape)))
+        )
+        return c
+
+
+def test_yaml_mesh_config_installs_mesh():
+    """`pipeline.mesh` builds and installs the device mesh for the run
+    (the YAML route to the production freq x m layout; the equivalence
+    of the sharded spine itself is tests/test_spmd.py)."""
+    from draco_tpu.parallel import get_mesh
+
+    cfg = """
+pipeline:
+  mesh:
+    axes:
+      freq: 2
+      m: -1
+  tasks:
+    - type: tests.test_pipeline.RecordMesh
+      out: nothing
+"""
+    def seen(mgr):
+        return mgr.products["nothing"][-1].attrs["mesh"]
+
+    mgr = Manager.from_yaml_str(cfg)
+    mgr.run()
+    assert seen(mgr) == repr({"freq": 2, "m": 4})
+    # the mesh is scoped to the run
+    assert get_mesh() is None
+
+    # shorthand (mapping IS the axes, no `axes:` key)
+    mgr = Manager.from_yaml_str(
+        """
+pipeline:
+  mesh: {shard: 8}
+  tasks:
+    - type: tests.test_pipeline.RecordMesh
+      out: nothing
+"""
+    )
+    mgr.run()
+    assert seen(mgr) == repr({"shard": 8})
+
+    # hybrid dcn factors (multi-slice layout)
+    mgr = Manager.from_yaml_str(
+        """
+pipeline:
+  mesh:
+    axes: {freq: 4, m: 2}
+    dcn: {freq: 2}
+  tasks:
+    - type: tests.test_pipeline.RecordMesh
+      out: nothing
+"""
+    )
+    mgr.run()
+    assert seen(mgr) == repr({"freq": 4, "m": 2})
+
+
+def test_yaml_mesh_config_validation():
+    import pytest
+
+    from draco_tpu.core.config import ConfigError
+
+    def mgr(mesh_yaml):
+        return Manager.from_yaml_str(
+            f"""
+pipeline:
+  mesh:
+{mesh_yaml}
+  tasks:
+    - type: tests.test_pipeline.RecordMesh
+      out: nothing
+"""
+        )
+
+    with pytest.raises(ConfigError):
+        mgr("    axes: {freq: 0}")
+    with pytest.raises(ConfigError):
+        mgr("    axes: {freq: -1, m: -1}")
+    with pytest.raises(ConfigError):
+        mgr("    axes: {freq: 4}\n    dcn: {m: 2}")
+    with pytest.raises(ConfigError):
+        mgr("    axes: {freq: 4}\n    dcn: {freq: 3}")
+    # sizes that don't cover the 8 virtual devices fail at run()
+    with pytest.raises(ConfigError):
+        mgr("    axes: {freq: 3, m: 2}").run()

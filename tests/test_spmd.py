@@ -202,3 +202,54 @@ def test_named_mesh_container_placement(setup):
         # vis axes are [m, msign, freq, stack]
         assert spec[0] == "m"
         assert spec[2] == "freq"
+
+
+def test_hybrid_mesh_layout():
+    """make_hybrid_mesh: DCN factor outermost, ICI blocks contiguous.
+
+    Multi-slice scale-out layout (SURVEY.md section 7 step 6): the freq
+    axis spans slices over DCN while m stays inside each slice's ICI.
+    On the virtual platform each (dcn position)'s ICI block must be a
+    contiguous device range, the stand-in for "one slice".
+    """
+    from draco_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(
+        ici_shape=(1, 4), dcn_shape=(2, 1), axis_names=("freq", "m")
+    )
+    assert mesh.shape == {"freq": 2, "m": 4}
+    ids = np.vectorize(lambda d: d.id)(mesh.devices)
+    # each freq row (one "slice") holds a contiguous ICI device block
+    for row in ids:
+        assert list(row) == list(range(row[0], row[0] + 4))
+    # DCN-outermost: rows come from disjoint consecutive blocks
+    assert ids[1, 0] == ids[0, -1] + 1
+
+    with pytest.raises(ValueError):
+        make_hybrid_mesh(ici_shape=(2,), dcn_shape=(2, 1))
+    with pytest.raises(ValueError):
+        make_hybrid_mesh(ici_shape=(2, 2), dcn_shape=(4, 1))
+
+
+def test_task_path_on_hybrid_mesh(setup):
+    """The task spine on a hybrid (2 slices x 4-device ICI) mesh equals
+    the unsharded run — the same invariant as the flat 2-D mesh test,
+    exercised through the multi-slice device layout."""
+    from draco_tpu.parallel import make_hybrid_mesh, use_mesh
+
+    tel, bt, m = setup
+    nside = bt.beam_nside
+
+    out_ref = _run_sim_to_map(bt, m, nside)
+
+    mesh = make_hybrid_mesh(
+        ici_shape=(1, 4), dcn_shape=(2, 1), axis_names=("freq", "m")
+    )
+    with use_mesh(mesh):
+        m2 = m.copy()
+        m2.redistribute("freq")
+        out_sh = _run_sim_to_map(bt, m2, nside)
+
+    a = np.asarray(out_ref.map[:])
+    b = np.asarray(out_sh.map[:])
+    assert np.allclose(a, b, atol=1e-5 * max(np.abs(a).max(), 1e-30))
