@@ -671,6 +671,22 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
+    if args.command in ("run", "verify", "makeproducts", "makesky"):
+        # Persistent XLA compilation cache: the big fused programs cost
+        # minutes to compile (especially over remote-TPU tunnels), and a
+        # production pipeline recompiles nothing on its second launch.
+        # JAX_CACHE_DIR overrides; empty disables.
+        import os as _os
+
+        cache_dir = _os.environ.get(
+            "JAX_CACHE_DIR", _os.path.expanduser("~/.cache/draco_tpu_xla")
+        )
+        if cache_dir:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.command == "run":
         # Multi-process launches configure DRACO_TPU_COORDINATOR /
         # _NUM_PROCESSES / _PROCESS_ID (the MPI-launcher-rank analogue);
