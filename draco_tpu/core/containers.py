@@ -434,9 +434,18 @@ class ContainerBase:
         return new
 
     # -- IO ------------------------------------------------------------------
-    def save(self, path: str, mode: str = "w") -> None:
-        """Write to HDF5 (layout mirrors the reference on-disk format)."""
+    def save(self, path: str, mode: str = "w", truncate: bool = False) -> None:
+        """Write to HDF5 (layout mirrors the reference on-disk format).
+
+        With ``truncate=True``, datasets whose spec carries a
+        ``truncate`` entry (mirroring reference containers.py:510-523)
+        have sub-noise mantissa bits rounded away before compression
+        (see :mod:`draco_tpu.core.truncate`). Off by default: unlike
+        the reference, saving is lossless unless explicitly requested.
+        """
         import h5py
+
+        from . import truncate as _trunc
 
         with h5py.File(path, mode) as f:
             f.attrs["__draco_tpu_container__"] = type(self).__name__
@@ -454,6 +463,16 @@ class ContainerBase:
                     rm.create_dataset(name, data=_h5_safe(arr))
             for name, ds in self.datasets.items():
                 arr = _h5_safe(np.asarray(ds._data))
+                tspec = ds.spec.get("truncate") if truncate else None
+                if tspec:
+                    wname = (
+                        tspec.get("weight_dataset")
+                        if isinstance(tspec, dict)
+                        else None
+                    )
+                    wds = self.datasets.get(wname) if wname else None
+                    weight = np.asarray(wds._data) if wds is not None else None
+                    arr = _trunc.truncate_dataset(arr, tspec, weight)
                 kwargs = {}
                 chunks = ds.spec.get("chunks")
                 if chunks is not None and arr.size:

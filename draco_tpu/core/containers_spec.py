@@ -2450,3 +2450,72 @@ class HorizonLimit(ContainerBase):
         return np.interp(
             az, self.azimuth, np.asarray(self.altitude[:]), period=360.0
         )
+
+
+# ---------------------------------------------------------------------------
+# Storage bit-truncation table.
+#
+# The reference marks these (container, dataset) pairs for lossy mantissa
+# truncation before compression (reference draco/core/containers.py:510,523,
+# 547,568,839,852,1055,1068,1079,1267,...). ``True`` requests a fixed
+# relative precision; a dict derives the per-element tolerance from the
+# named inverse-variance weight dataset (see draco_tpu.core.truncate).
+# Applied copy-on-write so mixin-owned spec entries are never mutated.
+# ---------------------------------------------------------------------------
+
+_TRUNCATE_SPEC = {
+    "SiderealStream": {
+        "vis": {"weight_dataset": "vis_weight"},
+        "vis_weight": True,
+        "sample_variance": True,
+        "effective_ra": True,
+    },
+    "TimeStream": {
+        "vis": {"weight_dataset": "vis_weight"},
+        "vis_weight": True,
+    },
+    "TrackBeam": {
+        "beam": {"weight_dataset": "weight"},
+        "weight": True,
+        "sample_variance": True,
+    },
+    # NB the reference points VisGridStream.vis at a "weight" dataset that
+    # does not exist there (its weights live in "vis_weight"); the save path
+    # degrades that to relative truncation, which is also what happens
+    # upstream.
+    "VisGridStream": {
+        "vis": {"weight_dataset": "weight"},
+        "vis_weight": True,
+    },
+    "RingMap": {
+        "map": {"weight_dataset": "weight"},
+        "weight": True,
+        "dirty_beam": True,
+        "dirty_beam_power": True,
+        "rms": True,
+    },
+    "DelayTransform": {
+        "spectrum": True,
+        "weight": True,
+    },
+    "LocalizedRFIMask": {"frac_rfi": True},
+    "LocalizedSiderealRFIMask": {"frac_rfi": True},
+}
+
+
+def _apply_truncate_spec() -> None:
+    g = globals()
+    for clsname, entries in _TRUNCATE_SPEC.items():
+        cls = g[clsname]
+        own = vars(cls).get("_dataset_spec")
+        if own is None:
+            own = {}
+            cls._dataset_spec = own
+        merged = cls.dataset_spec()
+        for dsname, tval in entries.items():
+            entry = dict(merged.get(dsname, {}))
+            entry["truncate"] = tval
+            own[dsname] = entry
+
+
+_apply_truncate_spec()

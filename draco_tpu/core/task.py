@@ -96,6 +96,9 @@ class ContainerTask(MPILoggedTask):
     """
 
     save = config.Property(proptype=bool, default=False)
+    # lossy mantissa truncation of spec-marked datasets on save
+    # (reference-parity storage feature; see draco_tpu.core.truncate)
+    truncate = config.Property(proptype=bool, default=False)
     output_root = config.Property(proptype=str, default="")
     output_name = config.Property(proptype=str, default=None)
     tag = config.Property(proptype=str, default=None)
@@ -196,7 +199,7 @@ class ContainerTask(MPILoggedTask):
         if d:
             os.makedirs(d, exist_ok=True)
         self.log.info("Saving output %s", fname)
-        output.save(fname)
+        output.save(fname, truncate=self.truncate)
 
 
 # Reference-compat alias: the pre-migration name for the container task base.
