@@ -387,40 +387,62 @@ def delay_power_spectrum_gibbs_batched(
     if key is None:
         key = jax.random.key(0)
 
-    nbase = data.shape[0]
     d_all, FTNih_all, FTNiF_all = _delay_inputs_batched(
         data, N, Ni, fsel, window, complex_timedomain
     )
 
-    nd = FTNiF_all.shape[-1]
-    nsamp = d_all.shape[-1]
-    rep = 2 if complex_timedomain else 1
-
-    def step(carry, key_i):
-        S = carry  # [b, nS]
-        k1, k2, k3 = jax.random.split(key_i, 3)
-        Si = jnp.where(S > 0, 1.0 / jnp.where(S > 0, S, 1.0), 0.0)
-        if complex_timedomain:
-            Si_e = 2.0 * jnp.repeat(Si, 2, axis=-1)
-        else:
-            Si_e = Si
-        Ci = FTNiF_all + jax.vmap(jnp.diag)(Si_e)
-        L = jnp.linalg.cholesky(Ci)
-        w1 = jax.random.normal(k1, (nbase, nd, nsamp))
-        w2 = jax.random.normal(k2, d_all.shape)
-        y = w1 * jnp.sqrt(Si_e)[:, :, None] + FTNih_all @ (d_all + w2)
-        dsamp = jax.scipy.linalg.cho_solve((L, True), y)
-        S_hat = dsamp.var(axis=-1)
-        if complex_timedomain:
-            S_hat = S_hat[:, ::2] + S_hat[:, 1::2]
-        df = nsamp
-        chi2 = 2.0 * jax.random.gamma(k3, df / 2.0, shape=S_hat.shape)
-        S_new = S_hat * df / chi2
-        return S_new, S_new
-
     keys = jax.random.split(key, niter)
-    _, samples = jax.lax.scan(step, jnp.asarray(initial_S), keys)
+    # The whole chain runs as ONE jitted program: an eager lax.scan at
+    # this shape measured ~10x slower than the identical jitted scan on
+    # a v5e (7.4 s vs 0.7 s for 128 x 1024 x 10 iters).
+    samples = _gibbs_scan(
+        d_all, FTNih_all, FTNiF_all, jnp.asarray(initial_S), keys,
+        complex_timedomain,
+    )
     return np.asarray(samples)
+
+
+def _gibbs_scan(d_all, FTNih_all, FTNiF_all, S0, keys, complex_timedomain):
+    """Jitted Gibbs chain (module-level executable cache, one per shape)."""
+    global _gibbs_scan_jit
+    try:
+        run = _gibbs_scan_jit
+    except NameError:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def run(d_all, FTNih_all, FTNiF_all, S0, keys, complex_timedomain):
+            nbase, nd, nsamp = FTNih_all.shape[0], FTNiF_all.shape[-1], d_all.shape[-1]
+
+            def step(S, key_i):
+                k1, k2, k3 = jax.random.split(key_i, 3)
+                Si = jnp.where(S > 0, 1.0 / jnp.where(S > 0, S, 1.0), 0.0)
+                if complex_timedomain:
+                    Si_e = 2.0 * jnp.repeat(Si, 2, axis=-1)
+                else:
+                    Si_e = Si
+                Ci = FTNiF_all + jax.vmap(jnp.diag)(Si_e)
+                L = jnp.linalg.cholesky(Ci)
+                w1 = jax.random.normal(k1, (nbase, nd, nsamp))
+                w2 = jax.random.normal(k2, d_all.shape)
+                y = w1 * jnp.sqrt(Si_e)[:, :, None] + FTNih_all @ (d_all + w2)
+                dsamp = jax.scipy.linalg.cho_solve((L, True), y)
+                S_hat = dsamp.var(axis=-1)
+                if complex_timedomain:
+                    S_hat = S_hat[:, ::2] + S_hat[:, 1::2]
+                df = nsamp
+                chi2 = 2.0 * jax.random.gamma(k3, df / 2.0, shape=S_hat.shape)
+                S_new = S_hat * df / chi2
+                return S_new, S_new
+
+            _, samples = jax.lax.scan(step, S0, keys)
+            return samples
+
+        _gibbs_scan_jit = run
+    return run(d_all, FTNih_all, FTNiF_all, S0, keys, bool(complex_timedomain))
 
 
 def delay_spectrum_gibbs_cross(
