@@ -151,3 +151,94 @@ def test_two_process_smoke(tmp_path):
     back = multihost.load_sharded(out_file)
     want = _make_stream()
     assert np.allclose(np.asarray(back.vis[:]), np.asarray(want.vis[:]))
+
+
+_PIPE_CFG = """
+pipeline:
+  tasks:
+    - type: draco_tpu.util.testing.RandomFreqData
+      out: data
+      params:
+        num_realisation: 1
+        num_ra: 16
+        num_base: 6
+        num_freq: 32
+        seed: 424242
+    - type: draco_tpu.analysis.transform.FrequencyRebin
+      in: data
+      params:
+        channel_bin: 4
+        save: true
+        output_name: "{out_file}"
+"""
+
+_PIPE_WORKER = textwrap.dedent(
+    """
+    import os
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from draco_tpu.parallel import multihost
+
+    assert multihost.initialize(), "distributed init did not engage"
+    rank = jax.process_index()
+    assert multihost.is_leader() == (rank == 0)
+
+    from draco_tpu.core.pipeline import Manager
+
+    Manager.from_yaml_str(os.environ["DRACO_TPU_TEST_CFG"]).run()
+    print(f"PIPE{rank} OK", flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_pipeline_matches_single(tmp_path):
+    """A YAML pipeline under 2 real processes equals the 1-process run.
+
+    The product-level analogue of the reference's ``mpirun -np 4
+    pytest`` CI gate (reference .github/workflows/main.yaml:84-87):
+    every process executes every task, only the leader writes, and the
+    written product is identical to an unsharded run.
+    """
+    port = 21000 + (os.getpid() % 10000)
+    out_multi = str(tmp_path / "multi.h5")
+    out_single = str(tmp_path / "single.h5")
+
+    procs = []
+    for rank in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+            DRACO_TPU_COORDINATOR=f"localhost:{port}",
+            DRACO_TPU_NUM_PROCESSES="2",
+            DRACO_TPU_PROCESS_ID=str(rank),
+            DRACO_TPU_TEST_CFG=_PIPE_CFG.format(out_file=out_multi),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _PIPE_WORKER],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+        assert f"PIPE{rank} OK" in out
+
+    from draco_tpu.core.pipeline import Manager
+
+    Manager.from_yaml_str(_PIPE_CFG.format(out_file=out_single)).run()
+
+    a = containers.ContainerBase.from_file(out_multi, distributed=False)
+    b = containers.ContainerBase.from_file(out_single, distributed=False)
+    assert type(a).__name__ == type(b).__name__
+    for name in b.datasets:
+        np.testing.assert_array_equal(
+            np.asarray(a.datasets[name][:]), np.asarray(b.datasets[name][:])
+        )
