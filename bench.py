@@ -196,7 +196,7 @@ def run_library(nfreq: int, nfeed_side: int, autos: bool, chunk: int,
     return min(times), warm, npairs
 
 
-def run_cylinder():
+def run_cylinder(ncyl=None, nfeed=None, chunk=None, tag="cylinder"):
     """Full-sphere fused round trip on a cylinder (CHIME-class) telescope."""
     import jax.numpy as jnp
 
@@ -204,8 +204,10 @@ def run_cylinder():
     from draco_tpu.telescope import BeamTransfer, UnpolarisedCylinderTelescope
     from draco_tpu.telescope.roundtrip import fused_roundtrip_fn
 
-    ncyl = int(os.environ.get("BENCH_CYL_N", 2))
-    nfeed = int(os.environ.get("BENCH_CYL_FEEDS", 64))
+    if ncyl is None:
+        ncyl = int(os.environ.get("BENCH_CYL_N", 2))
+    if nfeed is None:
+        nfeed = int(os.environ.get("BENCH_CYL_FEEDS", 64))
     f0 = 299.792458 / 0.6
     tel = UnpolarisedCylinderTelescope(
         num_cylinders=ncyl,
@@ -223,8 +225,9 @@ def run_cylinder():
     )
     bt = BeamTransfer(telescope=tel, nside=NSIDE)
     npairs = len(tel.uniquepairs)
-    chunk = int(os.environ.get("BENCH_CYL_CHUNK", min(64, npairs)))
-    log(f"[cylinder] nside={NSIDE} cylinders={ncyl}x{nfeed} "
+    if chunk is None:
+        chunk = int(os.environ.get("BENCH_CYL_CHUNK", min(64, npairs)))
+    log(f"[{tag}] nside={NSIDE} cylinders={ncyl}x{nfeed} "
         f"npairs={npairs} chunk={chunk} windowed={bt._beam_window() is not None}")
 
     rng = np.random.Generator(np.random.SFC64(1))
@@ -242,13 +245,13 @@ def run_cylinder():
     t0 = time.time()
     out = once()
     warm = time.time() - t0
-    log(f"[cylinder] warmup (incl. compile): {warm:.1f}s")
+    log(f"[{tag}] warmup (incl. compile): {warm:.1f}s")
     times = []
     for i in range(max(2, NRUN - 1)):
         t0 = time.time()
         once()
         times.append(time.time() - t0)
-        log(f"[cylinder] run {i}: {times[-1]:.3f}s")
+        log(f"[{tag}] run {i}: {times[-1]:.3f}s")
     assert np.isfinite(np.asarray(out[:, :, :1024])).all()
     return min(times), warm, npairs
 
@@ -417,6 +420,27 @@ def main():
             "seconds": round(t_cyl, 3),
             "warmup_s": round(warm_cyl, 1),
         }
+
+    if os.environ.get("BENCH_CHIME", "1") != "0" and within_budget(
+        "cylinder_chime"
+    ):
+        # the BASELINE.json CHIME-scale geometry: 4 cylinders x 256 feeds
+        # (1024 dual-pol-equivalent feeds), redundancy-stacked pairs,
+        # full-sphere path
+        try:
+            t_ch, warm_ch, npairs_ch = run_cylinder(
+                ncyl=int(os.environ.get("BENCH_CHIME_CYL", 4)),
+                nfeed=int(os.environ.get("BENCH_CHIME_FEEDS", 256)),
+                chunk=int(os.environ.get("BENCH_CHIME_CHUNK", 256)),
+                tag="cylinder_chime",
+            )
+            extras["cylinder_chime"] = {
+                "npairs": npairs_ch,
+                "seconds": round(t_ch, 3),
+                "warmup_s": round(warm_ch, 1),
+            }
+        except Exception as e:  # never fail the whole bench on an extra
+            extras["cylinder_chime"] = {"error": str(e)[:200]}
 
     if os.environ.get("BENCH_DELAY", "1") != "0" and within_budget(
         "delay_gibbs"

@@ -148,10 +148,15 @@ class Save(ContainerTask):
     root = config.Property(proptype=str, default="")
 
     def process(self, data):
+        from ..parallel.multihost import is_leader
+
         tag = data.attrs.get("tag", self._count)
         fname = f"{self.root}{tag}.h5"
-        self.log.info("Saving %s", fname)
-        data.save(fname)
+        if is_leader():
+            # multi-process runs execute every task on every process;
+            # only the leader writes (matching ContainerTask._save_output)
+            self.log.info("Saving %s", fname)
+            data.save(fname, truncate=self.truncate)
         return data
 
 
