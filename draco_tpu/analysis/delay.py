@@ -30,6 +30,7 @@ from ..ops.delay import (
     delay_power_spectrum_gibbs_batched,
     delay_spectrum_fft,
     delay_spectrum_gibbs_cross,
+    delay_spectrum_gibbs_cross_batched,
     delay_spectrum_wiener_filter,
     flatten_axes,
     match_axes,
@@ -853,7 +854,10 @@ class DelayCrossPowerSpectrumEstimator(DelayPowerSpectrumGibbs):
         delay_spec.attrs["freq"] = ssref.freq
         return delay_spec
 
-    def _evaluate(self, data_view, weight_view, out_cont, delays, channel_ind):
+    def _evaluate(
+        self, data_view, weight_view, out_cont, delays, channel_ind,
+        indices=None,
+    ):
         ndata = len(data_view)
         ndelay = len(delays)
         nbase = out_cont.spectrum.shape[-2]
@@ -871,7 +875,7 @@ class DelayCrossPowerSpectrumEstimator(DelayPowerSpectrumGibbs):
             else None
         )
 
-        for bi in range(nbase):
+        for bi in range(nbase) if indices is None else indices:
             data = np.array([d[bi] for d in data_view])
             weight = np.array([w[bi] for w in weight_view])
             t = self._cut_data(data, weight)
@@ -908,6 +912,140 @@ class DelayCrossPowerSpectrumEstimator(DelayPowerSpectrumGibbs):
         out_cont = self._create_output(sslist, delays, coord_axes)
         out_cont.attrs["window_los"] = self.window if self.apply_window else "None"
         return self._evaluate(data_view, weight_view, out_cont, delays, channel_ind)
+
+
+class DelayCrossPowerSpectrumEstimatorBatched(DelayCrossPowerSpectrumEstimator):
+    """Batched cross-PS Gibbs: all baselines' chains advance on device.
+
+    The TPU-native fast path for the cross estimator, mirroring
+    :class:`DelayPowerSpectrumGibbsBatched`: baselines whose retained
+    frequency mask equals the batch union run as one batched device
+    chain (chunked complex Cholesky over the coupled ``nd*N`` system);
+    the rest fall back to the per-baseline host sampler.
+
+    Attributes
+    ----------
+    bchunk : int
+        Baselines per device batch (bounds the Cholesky workspace).
+    """
+
+    bchunk = config.Property(proptype=int, default=32)
+
+    def _evaluate(self, data_view, weight_view, out_cont, delays, channel_ind):
+        if self.scale_freq or not self.use_average_weights:
+            self.log.info(
+                "scale_freq / use_average_weights=False configured: "
+                "taking the per-baseline sampler."
+            )
+            return super()._evaluate(
+                data_view, weight_view, out_cont, delays, channel_ind
+            )
+
+        ndelay = len(delays)
+        dv = np.stack(data_view, axis=1)  # [nbase, nd, nsample, nfreq]
+        wv = np.stack(weight_view, axis=1)
+        nbase, nd, ntime, nfreq = dv.shape
+
+        # Mirror _cut_data across the batch (common dead-time pruning,
+        # union frequency mask), as in the auto batched estimator
+        wmask = wv > 0
+        non_zero_time = (
+            wmask.mean(axis=-1).reshape(-1, ntime).mean(axis=0)
+            > self.time_frac
+        )
+        if not non_zero_time.any():
+            return super()._evaluate(
+                data_view, weight_view, out_cont, delays, channel_ind
+            )
+        wmask_t = wmask[..., non_zero_time, :]
+        fmask = wmask_t.mean(axis=(1, 2)) > self.freq_frac  # [nbase, nfreq]
+        freq_ok = fmask.any(axis=0)
+        uniform = (fmask == freq_ok).all(axis=-1) & wmask_t.any(axis=(1, 2, 3))
+        if not freq_ok.any() or not uniform.any():
+            return super()._evaluate(
+                data_view, weight_view, out_cont, delays, channel_ind
+            )
+
+        rest = np.flatnonzero(~uniform)
+        if len(rest):
+            self.log.info(
+                f"{len(rest)} baselines have non-uniform frequency masks; "
+                "sampling them per baseline."
+            )
+            super()._evaluate(
+                data_view,
+                weight_view,
+                out_cont,
+                delays,
+                channel_ind,
+                indices=rest,
+            )
+
+        sel = np.flatnonzero(uniform)
+        data = dv[sel][..., non_zero_time, :][..., freq_ok]
+        weight = wv[sel][..., non_zero_time, :][..., freq_ok]
+        if self.remove_mean:
+            data = data - data.mean(axis=-2, keepdims=True)
+        w = weight.mean(axis=-2) * self.weight_boost  # [bsel, nd, nfreq']
+
+        prior = self._get_prior(len(sel), ndelay, delays.dtype)
+        initial_S = (
+            np.identity(nd)[np.newaxis, ..., np.newaxis]
+            * prior[:, np.newaxis, np.newaxis]
+        )
+        samples = delay_spectrum_gibbs_cross_batched(
+            data,
+            ndelay,
+            w,
+            initial_S,
+            window=self.window if self.apply_window else None,
+            fsel=channel_ind[freq_ok],
+            niter=self.nsamp,
+            key=self.next_key(),
+            bchunk=self.bchunk,
+        )  # [niter, bsel, nd, nd, ndelay]
+
+        nsamp_spec = int(self.nsamp * self.median_frac)
+        spec = np.fft.fftshift(
+            np.median(samples[-nsamp_spec:], axis=0).real, axes=-1
+        )  # [bsel, nd, nd, ndelay]
+
+        # The coupled system's condition number is ~1 + S_prior x nfreq
+        # x Ni; past ~1e7 it exceeds what an f32 Cholesky can factor
+        # (breakdown, surfacing as NaNs — device linalg does not raise).
+        # Send those chains through the f64 host sampler instead.
+        bad = ~np.isfinite(spec).all(axis=(-3, -2, -1))
+        if bad.any():
+            self.log.info(
+                f"{int(bad.sum())} chains exceed f32 conditioning; "
+                "sampling them per baseline in f64."
+            )
+            spec = np.where(bad[:, None, None, None], 0.0, spec)
+
+        spectrum = np.asarray(out_cont.spectrum[:])
+        spectrum[..., sel, :] = np.moveaxis(spec, 0, -2)
+        out_cont.spectrum[:] = spectrum
+
+        if self.save_samples:
+            good = sel[~bad]
+            sd = np.asarray(out_cont.datasets["spectrum_samples"][:])
+            sd[-len(samples):][..., good, :] = np.fft.fftshift(
+                np.moveaxis(samples.real, 1, -2), axes=-1
+            )[..., ~bad, :]
+            out_cont.datasets["spectrum_samples"][:] = sd
+
+        if bad.any():
+            # the fallback overwrites the zeroed spectra (and samples)
+            # of the chains the f32 factorisation could not handle
+            super()._evaluate(
+                data_view,
+                weight_view,
+                out_cont,
+                delays,
+                channel_ind,
+                indices=sel[bad],
+            )
+        return out_cont
 
 
 class DelayPowerSpectrumStokesIEstimator(DelayPowerSpectrumGibbs):

@@ -28,6 +28,7 @@ __all__ = [
     "delay_power_spectrum_gibbs",
     "delay_power_spectrum_gibbs_batched",
     "delay_spectrum_gibbs_cross",
+    "delay_spectrum_gibbs_cross_batched",
     "match_axes",
     "flatten_axes",
 ]
@@ -415,6 +416,13 @@ def _gibbs_scan(d_all, FTNih_all, FTNiF_all, S0, keys, complex_timedomain):
 
         @functools.partial(jax.jit, static_argnums=(5,))
         def run(d_all, FTNih_all, FTNiF_all, S0, keys, complex_timedomain):
+            # f32-faithful dots throughout (see _gibbs_cross_scan): the
+            # default bf16 dot precision can push the high-SNR system
+            # indefinite inside the blocked Cholesky.
+            with jax.default_matmul_precision("highest"):
+                return impl(d_all, FTNih_all, FTNiF_all, S0, keys, complex_timedomain)
+
+        def impl(d_all, FTNih_all, FTNiF_all, S0, keys, complex_timedomain):
             nbase, nd, nsamp = FTNih_all.shape[0], FTNiF_all.shape[-1], d_all.shape[-1]
 
             def step(S, key_i):
@@ -443,6 +451,210 @@ def _gibbs_scan(d_all, FTNih_all, FTNiF_all, S0, keys, complex_timedomain):
 
         _gibbs_scan_jit = run
     return run(d_all, FTNih_all, FTNiF_all, S0, keys, bool(complex_timedomain))
+
+
+def delay_spectrum_gibbs_cross_batched(
+    data,
+    N,
+    Ni,
+    initial_S,
+    window="nuttall",
+    fsel=None,
+    niter=20,
+    key=None,
+    bchunk=None,
+):
+    """Batched cross-PS Gibbs: every baseline's multi-dataset chain on device.
+
+    The TPU-native replacement of the per-baseline host loop around
+    :func:`delay_spectrum_gibbs_cross` (reference delay.py:1907-2099 loops
+    baselines on the host with scipy solves): the coupled ``nd*N`` joint
+    signal draw runs as a batched complex Cholesky + cho_solve over a chunk
+    of baselines, and the per-delay inverse-Wishart power-spectrum draw
+    uses the device Bartlett sampler (:func:`..random.complex_wishart`).
+
+    Parameters
+    ----------
+    data : np.ndarray[nbase, nd, nsample, nfreq] (complex)
+    N : int
+        Number of delays.
+    Ni : np.ndarray[nbase, nd, nfreq]
+        Inverse noise variance.
+    initial_S : np.ndarray[nbase, nd, nd, ndelay]
+    window, fsel, niter
+        As in the host estimator.
+    key
+        jax PRNG key.
+    bchunk : int
+        Baselines per device batch (bounds the [bchunk, nd*N, nd*N]
+        Cholesky workspace); default min(nbase, 32).
+
+    Returns
+    -------
+    samples : np.ndarray[niter, nbase, nd, nd, ndelay] (complex)
+
+    Notes
+    -----
+    Chains follow the jax x64 setting (complex64 on accelerator
+    defaults).  A failed (non-positive-definite) chain surfaces as NaNs
+    in that baseline's samples instead of aborting every chain the way
+    the host variant's LinAlgError does.
+
+    The coupled system's condition number is ~``1 + S_prior * nfreq *
+    Ni``; past ~1e7 an f32 Cholesky genuinely breaks down (on any
+    backend — the spectrum exceeds f32), so extremely high-SNR chains
+    need the f64 host sampler.  The task wrapper
+    (:class:`draco_tpu.analysis.delay.DelayCrossPowerSpectrumEstimatorBatched`)
+    detects the NaNs and falls back per baseline automatically.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if key is None:
+        key = jax.random.key(0)
+
+    nbase, nd, nsamp, Nf = data.shape
+    if fsel is None:
+        fsel = np.arange(Nf)
+    else:
+        fsel = np.asarray(fsel)
+        if len(fsel) != Nf:
+            raise ValueError(
+                f"The frequency selection does not cover the data channels: "
+                f"{len(fsel)} selected vs {Nf} present"
+            )
+
+    F = fourier_matrix(N, fsel)  # [F, N] complex
+    d = np.asarray(data).transpose(0, 1, 3, 2)  # [b, nd, F, nsamp]
+    if window is not None:
+        x = fsel * 1.0 / N
+        w = np.asarray(tools.window_generalised(x, window=window))
+        F = F * w[:, np.newaxis]
+        d = d * w[None, None, :, None]
+
+    Nih = np.sqrt(np.asarray(Ni))  # [b, nd, F]
+    FTNih = F.T[None, None] * Nih[:, :, None, :]  # [b, nd, N, F]
+    d = d * Nih[:, :, :, None]
+
+    keys = jax.random.split(key, niter)
+    if bchunk is None:
+        bchunk = min(nbase, 32)
+
+    # the chain carry is complex (cross terms) even for a real prior
+    S_init = np.asarray(initial_S).astype(np.complex128)
+
+    outs = []
+    for b0 in range(0, nbase, bchunk):
+        sl = slice(b0, b0 + bchunk)
+        # complex host->device transfers are unsupported on some
+        # remote-TPU transports: ship float pairs, combine on device
+        outs.append(
+            np.asarray(
+                _gibbs_cross_scan(
+                    jnp.asarray(np.ascontiguousarray(d[sl].real)),
+                    jnp.asarray(np.ascontiguousarray(d[sl].imag)),
+                    jnp.asarray(np.ascontiguousarray(FTNih[sl].real)),
+                    jnp.asarray(np.ascontiguousarray(FTNih[sl].imag)),
+                    jnp.asarray(np.ascontiguousarray(S_init[sl].real)),
+                    jnp.asarray(np.ascontiguousarray(S_init[sl].imag)),
+                    keys,
+                )
+            )
+        )
+    return np.concatenate(outs, axis=1)
+
+
+def _gibbs_cross_scan(d_re, d_im, F_re, F_im, S_re, S_im, keys):
+    """Jitted cross-Gibbs chain (module-level executable cache per shape)."""
+    global _gibbs_cross_scan_jit
+    try:
+        run = _gibbs_cross_scan_jit
+    except NameError:
+        import jax
+        import jax.numpy as jnp
+
+        from . import random as drandom
+
+        @jax.jit
+        def run(d_re, d_im, F_re, F_im, S_re, S_im, keys):
+            # Every dot in the chain (including the blocked Cholesky /
+            # triangular solves XLA lowers internally) must run at f32
+            # fidelity: with the TPU's default single-pass-bf16 dots the
+            # ~1e-2-relative errors in the design blocks swamp the small
+            # S^-1 diagonal at high SNR, the system goes indefinite and
+            # the factorisation returns NaN.
+            with jax.default_matmul_precision("highest"):
+                return _cross_impl(d_re, d_im, F_re, F_im, S_re, S_im, keys)
+
+        def _cross_impl(d_re, d_im, F_re, F_im, S_re, S_im, keys):
+            d = jax.lax.complex(d_re, d_im)
+            FTNih = jax.lax.complex(F_re, F_im)
+            S0 = jax.lax.complex(S_re, S_im)
+            nbase, nd, N, nsamp = (
+                d.shape[0],
+                d.shape[1],
+                FTNih.shape[2],
+                d.shape[3],
+            )
+            cdt = d.dtype
+            ar = jnp.arange(N)
+
+            # the noise-weighted design blocks are chain-invariant:
+            # block-diagonal [nd*N, nd*N] built once outside the scan
+            G = jnp.einsum("bdnf,bdmf->bdnm", FTNih, jnp.conj(FTNih))
+            Ci0 = jnp.zeros((nbase, nd * N, nd * N), cdt)
+            for ii in range(nd):
+                Ci0 = Ci0.at[
+                    :, ii * N : (ii + 1) * N, ii * N : (ii + 1) * N
+                ].set(G[:, ii])
+
+            def step(S, key_i):
+                # S: [b, nd, nd, N]
+                k1, k2, k3 = jax.random.split(key_i, 3)
+                Smat = jnp.moveaxis(S, -1, 1)  # [b, N, nd, nd]
+                Si = jnp.linalg.inv(Smat)
+                L = jnp.linalg.cholesky(Smat)
+                Ci = Ci0
+                for ii in range(nd):
+                    for jj in range(nd):
+                        Ci = Ci.at[:, ii * N + ar, jj * N + ar].add(
+                            Si[:, :, ii, jj]
+                        )
+                w1 = drandom.standard_complex_normal(
+                    k1, (nbase, N, nd, nsamp), dtype=cdt
+                )
+                w2 = drandom.standard_complex_normal(k2, d.shape, dtype=cdt)
+                y = FTNih @ (d + w2)  # [b, nd, N, ns]
+                # x = L^{-H} w1 has covariance S^{-1} (perturbation term)
+                w1s = jax.scipy.linalg.solve_triangular(
+                    jnp.conj(jnp.swapaxes(L, -1, -2)), w1, lower=False
+                )
+                y = y + jnp.moveaxis(w1s, 1, 2)
+                Lc = jnp.linalg.cholesky(Ci)
+                dsamp = jax.scipy.linalg.cho_solve(
+                    (Lc, True), y.reshape(nbase, nd * N, nsamp)
+                ).reshape(nbase, nd, N, nsamp)
+                # per-delay sample covariance (biased, matching np.cov
+                # with bias=True in the host estimator)
+                X = jnp.moveaxis(dsamp, 2, 1)  # [b, N, nd, ns]
+                Xc = X - X.mean(axis=-1, keepdims=True)
+                Scov = (
+                    jnp.einsum("bnds,bnes->bnde", Xc, jnp.conj(Xc)) / nsamp
+                )
+                Wi = drandom.complex_wishart(
+                    k3, jnp.linalg.inv(Scov), nsamp
+                ) / nsamp
+                S_new = jnp.moveaxis(jnp.linalg.inv(Wi), 1, -1)
+                return S_new, S_new
+
+            _, samples = jax.lax.scan(step, S0, keys)
+            # float-pair output: complex readback is unsupported on some
+            # remote-TPU transports
+            return jnp.stack([samples.real, samples.imag])
+
+        _gibbs_cross_scan_jit = run
+    out = np.asarray(run(d_re, d_im, F_re, F_im, S_re, S_im, keys))
+    return out[0] + 1j * out[1]
 
 
 def delay_spectrum_gibbs_cross(
