@@ -61,12 +61,12 @@ class SVDModeProject(_ProjectFilterBase):
         vis = np.asarray(mmodes.vis[:])
         svis = np.zeros(svdmodes.vis.shape, dtype=np.complex128)
         nmode = np.zeros(len(svdmodes.index_map["m"]), dtype=np.int32)
-        for mi in range(vis.shape[0]):
-            tm = vis[mi].transpose(1, 0, 2).reshape(tel.nfreq, 2 * tel.npairs)
-            svdm = bt.project_vector_telescope_to_svd(mi, tm)  # [f, k]
-            flat = svdm.reshape(-1)
-            nmode[mi] = len(flat)
-            svis[mi, : len(flat)] = flat
+        # all m at once: one batched device einsum instead of the
+        # reference's per-m host loop (reference fgfilter.py:85-97)
+        svdm = np.asarray(bt.project_telescope_to_svd(vis))  # [M, f, k]
+        nfk = svdm.shape[1] * svdm.shape[2]
+        svis[:, :nfk] = svdm.reshape(svdm.shape[0], -1)
+        nmode[:] = nfk
         svdmodes.vis[:] = svis
         svdmodes.nmode[:] = nmode
         w = np.asarray(mmodes.weight[:])
@@ -92,12 +92,11 @@ class SVDModeProject(_ProjectFilterBase):
             axes_from=svdmodes,
         )
         svis = np.asarray(svdmodes.vis[:])
-        vis = np.zeros(mmodes.vis.shape, dtype=np.complex128)
-        for mi in range(svis.shape[0]):
-            svdm = svis[mi, : tel.nfreq * k].reshape(tel.nfreq, k)
-            tm = bt.project_vector_svd_to_telescope(mi, svdm)  # [f, ntel]
-            vis[mi] = tm.reshape(tel.nfreq, 2, tel.npairs).transpose(1, 0, 2)
-        mmodes.vis[:] = vis
+        # batched inverse: [M, f, k] -> [M, f, ntel] in one device einsum
+        svdm = svis[:, : tel.nfreq * k].reshape(-1, tel.nfreq, k)
+        tm = np.asarray(bt.project_svd_to_telescope(svdm))
+        vis = tm.reshape(-1, tel.nfreq, 2, tel.npairs).transpose(0, 2, 1, 3)
+        mmodes.vis[:] = vis.astype(np.complex128)
         w = np.asarray(svdmodes.weight[:])
         mmodes.weight[:] = np.median(w.reshape(w.shape[0], -1), axis=1)[
             :, np.newaxis, np.newaxis, np.newaxis
@@ -141,12 +140,13 @@ class KLModeProject(_ProjectFilterBase):
         )
         svis = np.asarray(svdmodes.vis[:])
         kvis = np.zeros(klmodes.vis.shape, dtype=np.complex128)
-        nmode = np.zeros(len(klmodes.index_map["m"]), dtype=np.int32)
-        for mi in range(svis.shape[0]):
-            sm = svis[mi, : nmode_in[mi]]
-            klm = kl.project_vector_svd_to_kl(mi, sm, threshold=self.threshold)
-            nmode[mi] = len(klm)
-            kvis[mi, : len(klm)] = klm
+        # all m at once (reference fgfilter.py:190-203 loops on the host);
+        # input rows past each m's mode count are already zero
+        mask = np.arange(svis.shape[1])[None, :] < nmode_in[:, None]
+        out, nmode = kl.project_svd_to_kl(
+            svis * mask, threshold=self.threshold
+        )
+        kvis[:, : out.shape[1]] = out
         klmodes.vis[:] = kvis
         klmodes.nmode[:] = nmode
         w = np.asarray(svdmodes.weight[:])
@@ -165,12 +165,10 @@ class KLModeProject(_ProjectFilterBase):
         )
         kvis = np.asarray(klmodes.vis[:])
         svis = np.zeros(svdmodes.vis.shape, dtype=np.complex128)
-        nmode = np.zeros(len(svdmodes.index_map["m"]), dtype=np.int32)
-        for mi in range(kvis.shape[0]):
-            klm = kvis[mi, : nmode_in[mi]]
-            sm = kl.project_vector_kl_to_svd(mi, klm, threshold=self.threshold)
-            nmode[mi] = len(sm)
-            svis[mi, : len(sm)] = sm
+        mask = np.arange(kvis.shape[1])[None, :] < nmode_in[:, None]
+        out = kl.project_kl_to_svd(kvis * mask, threshold=self.threshold)
+        nmode = np.full(len(svdmodes.index_map["m"]), out.shape[1], np.int32)
+        svis[:, : out.shape[1]] = out
         svdmodes.vis[:] = svis
         svdmodes.nmode[:] = nmode
         w = np.asarray(klmodes.weight[:])

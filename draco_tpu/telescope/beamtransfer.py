@@ -999,6 +999,21 @@ class BeamTransfer:
         out = jnp.einsum("fmtk,mft->mfk", jnp.conj(U), tm.astype(U.dtype), precision=_PREC)
         return out * jnp.moveaxis(self._svd["keep"], 0, 1)
 
+    def project_svd_to_telescope(self, svdm) -> jnp.ndarray:
+        """Batched SVD->telescope over every m (adjoint of the above).
+
+        svdm : [M+1, nfreq, k] -> [M+1, nfreq, ntel].  The vmapped
+        device inverse of the reference's per-m
+        ``project_vector_svd_to_telescope`` host loop.
+        """
+        self._ensure_svd()
+        U = self._svd["U"]  # [f, M1, ntel, k]
+        keep = jnp.moveaxis(self._svd["keep"], 0, 1)  # [M1, f, k]
+        svdm = jnp.asarray(svdm) * keep
+        return jnp.einsum(
+            "fmtk,mfk->mft", U, svdm.astype(U.dtype), precision=_PREC
+        )
+
     # -- persistence -----------------------------------------------------------
     def save(self, directory: str | None = None):
         """Save generated products (beam tensors + telescope config)."""

@@ -276,3 +276,42 @@ def test_double_kl_rejects_foreground_modes(setup):
             assert np.allclose(
                 fwd2 @ bwd2, np.eye(len(e2)), atol=1e-4
             )
+
+
+def test_batched_svd_projections_match_per_m(setup):
+    """The all-m batched device projections equal the per-m API."""
+    tel, bt, mm = setup
+    vis = np.asarray(mm.vis[:])  # [M, 2, f, npairs]
+    M = vis.shape[0]
+
+    batched = np.asarray(bt.project_telescope_to_svd(vis))  # [M, f, k]
+    for mi in (0, M // 2, M - 1):
+        tm = vis[mi].transpose(1, 0, 2).reshape(tel.nfreq, 2 * tel.npairs)
+        ref = bt.project_vector_telescope_to_svd(mi, tm)
+        np.testing.assert_allclose(batched[mi], ref, rtol=2e-5, atol=1e-6)
+
+    back = np.asarray(bt.project_svd_to_telescope(batched))  # [M, f, ntel]
+    for mi in (0, M // 2, M - 1):
+        ref = bt.project_vector_svd_to_telescope(mi, batched[mi])
+        np.testing.assert_allclose(back[mi], ref, rtol=2e-5, atol=1e-6)
+
+
+def test_batched_kl_projections_match_per_m(setup):
+    tel, bt, mm = setup
+    kl = KLTransform.from_config({"threshold": 0.1}, bt)
+    rng = np.random.Generator(np.random.SFC64(11))
+    evals, bwd, fwd, nmode = kl.modes_all()
+    M, n = evals.shape
+    vecs = rng.standard_normal((M, n)) + 1j * rng.standard_normal((M, n))
+
+    out, cnt = kl.project_svd_to_kl(vecs)
+    assert (cnt == nmode).all()
+    for mi in (0, M // 2, M - 1):
+        ref = kl.project_vector_svd_to_kl(mi, vecs[mi])
+        np.testing.assert_allclose(out[mi, : len(ref)], ref, rtol=1e-10)
+        assert (out[mi, len(ref):] == 0).all()
+
+    back = kl.project_kl_to_svd(out)
+    for mi in (0, M // 2, M - 1):
+        ref = kl.project_vector_kl_to_svd(mi, out[mi, : nmode[mi]])
+        np.testing.assert_allclose(back[mi], ref, rtol=1e-10)
