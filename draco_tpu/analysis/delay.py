@@ -663,6 +663,33 @@ class DelayPowerSpectrumGibbs(DelayPowerSpectrumBase, RandomTask):
         return spec, samples, success
 
 
+def _batch_cut_masks(wmask, time_frac, freq_frac):
+    """Batch analogue of ``_cut_data``'s pruning, shared by the batched
+    Gibbs estimators: common dead-time pruning, then the per-baseline
+    retained-channel criterion against the batch union.
+
+    wmask : bool [nbase, ..., ntime, nfreq] (any number of middle axes).
+    Returns (non_zero_time, freq_ok, uniform) or None when nothing
+    survives (callers fall back to the per-baseline sampler).
+    """
+    ntime = wmask.shape[-2]
+    non_zero_time = (
+        wmask.mean(axis=-1).reshape(-1, ntime).mean(axis=0) > time_frac
+    )
+    if not non_zero_time.any():
+        return None
+    wmask_t = wmask[..., non_zero_time, :]
+    axes = tuple(range(1, wmask_t.ndim - 1))
+    fmask = wmask_t.mean(axis=axes) > freq_frac  # [nbase, nfreq]
+    freq_ok = fmask.any(axis=0)
+    uniform = (fmask == freq_ok).all(axis=-1) & wmask_t.reshape(
+        wmask_t.shape[0], -1
+    ).any(axis=-1)
+    if not freq_ok.any() or not uniform.any():
+        return None
+    return non_zero_time, freq_ok, uniform
+
+
 class DelayPowerSpectrumGibbsBatched(DelayPowerSpectrumGibbs):
     """Batched-Gibbs power spectrum: all chains advance on device together.
 
@@ -684,28 +711,18 @@ class DelayPowerSpectrumGibbsBatched(DelayPowerSpectrumGibbs):
             )
 
         ndelay = len(delays)
-        ntime, nfreq = data_view.shape[-2:]
 
         # Mirror _cut_data across the batch: common dead-time pruning,
         # then the per-baseline retained-channel criterion — the batch
         # takes the rows whose channel mask equals the union
-        wmask = weight_view > 0  # [nbase, nsample, nfreq]
-        non_zero_time = (
-            wmask.mean(axis=-1).reshape(-1, ntime).mean(axis=0)
-            > self.time_frac
+        masks = _batch_cut_masks(
+            weight_view > 0, self.time_frac, self.freq_frac
         )
-        if not non_zero_time.any():
+        if masks is None:
             return super()._evaluate(
                 data_view, weight_view, out_cont, delays, channel_ind
             )
-        wmask_t = wmask[..., non_zero_time, :]
-        fmask = wmask_t.mean(axis=-2) > self.freq_frac  # [nbase, nfreq]
-        freq_ok = fmask.any(axis=0)
-        uniform = (fmask == freq_ok).all(axis=-1) & wmask_t.any(axis=(1, 2))
-        if not freq_ok.any() or not uniform.any():
-            return super()._evaluate(
-                data_view, weight_view, out_cont, delays, channel_ind
-            )
+        non_zero_time, freq_ok, uniform = masks
 
         # Baselines with their own frequency mask go through the
         # per-baseline sampler (previously they were silently left at
@@ -944,27 +961,16 @@ class DelayCrossPowerSpectrumEstimatorBatched(DelayCrossPowerSpectrumEstimator):
         ndelay = len(delays)
         dv = np.stack(data_view, axis=1)  # [nbase, nd, nsample, nfreq]
         wv = np.stack(weight_view, axis=1)
-        nbase, nd, ntime, nfreq = dv.shape
+        nd = dv.shape[1]
 
         # Mirror _cut_data across the batch (common dead-time pruning,
-        # union frequency mask), as in the auto batched estimator
-        wmask = wv > 0
-        non_zero_time = (
-            wmask.mean(axis=-1).reshape(-1, ntime).mean(axis=0)
-            > self.time_frac
-        )
-        if not non_zero_time.any():
+        # union frequency mask), shared with the auto batched estimator
+        masks = _batch_cut_masks(wv > 0, self.time_frac, self.freq_frac)
+        if masks is None:
             return super()._evaluate(
                 data_view, weight_view, out_cont, delays, channel_ind
             )
-        wmask_t = wmask[..., non_zero_time, :]
-        fmask = wmask_t.mean(axis=(1, 2)) > self.freq_frac  # [nbase, nfreq]
-        freq_ok = fmask.any(axis=0)
-        uniform = (fmask == freq_ok).all(axis=-1) & wmask_t.any(axis=(1, 2, 3))
-        if not freq_ok.any() or not uniform.any():
-            return super()._evaluate(
-                data_view, weight_view, out_cont, delays, channel_ind
-            )
+        non_zero_time, freq_ok, uniform = masks
 
         rest = np.flatnonzero(~uniform)
         if len(rest):

@@ -536,31 +536,47 @@ def delay_spectrum_gibbs_cross_batched(
     FTNih = F.T[None, None] * Nih[:, :, None, :]  # [b, nd, N, F]
     d = d * Nih[:, :, :, None]
 
-    keys = jax.random.split(key, niter)
     if bchunk is None:
         bchunk = min(nbase, 32)
 
     # the chain carry is complex (cross terms) even for a real prior
     S_init = np.asarray(initial_S).astype(np.complex128)
 
+    def pad(x):
+        # pad the tail chunk to bchunk so every chunk reuses ONE
+        # compiled executable (identity prior rows: keeps the padded
+        # chains' linear algebra well-posed; their output is discarded)
+        if x.shape[0] == bchunk:
+            return x
+        reps = [(0, bchunk - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, reps)
+
     outs = []
     for b0 in range(0, nbase, bchunk):
-        sl = slice(b0, b0 + bchunk)
+        sl = slice(b0, min(b0 + bchunk, nbase))
+        n_in = sl.stop - sl.start
+        Sc = pad(S_init[sl])
+        if n_in < bchunk:
+            # identity prior on padded rows (an all-zero S is singular)
+            Sc[n_in:] = np.eye(nd)[None, :, :, None]
+        # fold the chunk offset into the key: reusing one key array
+        # across chunks would hand chunk-aligned baselines
+        # byte-identical draws (perfectly correlated chains)
+        keys = jax.random.split(jax.random.fold_in(key, b0), niter)
         # complex host->device transfers are unsupported on some
         # remote-TPU transports: ship float pairs, combine on device
-        outs.append(
-            np.asarray(
-                _gibbs_cross_scan(
-                    jnp.asarray(np.ascontiguousarray(d[sl].real)),
-                    jnp.asarray(np.ascontiguousarray(d[sl].imag)),
-                    jnp.asarray(np.ascontiguousarray(FTNih[sl].real)),
-                    jnp.asarray(np.ascontiguousarray(FTNih[sl].imag)),
-                    jnp.asarray(np.ascontiguousarray(S_init[sl].real)),
-                    jnp.asarray(np.ascontiguousarray(S_init[sl].imag)),
-                    keys,
-                )
+        out = np.asarray(
+            _gibbs_cross_scan(
+                jnp.asarray(np.ascontiguousarray(pad(d[sl]).real)),
+                jnp.asarray(np.ascontiguousarray(pad(d[sl]).imag)),
+                jnp.asarray(np.ascontiguousarray(pad(FTNih[sl]).real)),
+                jnp.asarray(np.ascontiguousarray(pad(FTNih[sl]).imag)),
+                jnp.asarray(np.ascontiguousarray(Sc.real)),
+                jnp.asarray(np.ascontiguousarray(Sc.imag)),
+                keys,
             )
         )
+        outs.append(out[:, :n_in])
     return np.concatenate(outs, axis=1)
 
 

@@ -347,3 +347,31 @@ def test_cross_batched_f64_fallback_on_nan_chains(rng, monkeypatch):
     # the poisoned baseline was resampled, not left zeroed
     assert (spec[0, 0, 0] != 0).any()
     assert (spec[0, 0, 1] != 0).any()
+
+
+def test_cross_batched_chunks_draw_independent_randomness(rng):
+    """Chunk-aligned baselines must NOT share PRNG draws.
+
+    Reusing one key array across baseline chunks hands baseline i and
+    baseline i+bchunk byte-identical w1/w2/Wishart draws — perfectly
+    correlated Monte-Carlo errors that silently break cross-baseline
+    averaging.  Identical data in different chunks must still yield
+    distinct chains (and a non-multiple tail chunk must work).
+    """
+    freq = np.linspace(400.0, 408.0, 9)
+    d1, w1 = mock_freq_data(freq, ntime=16, delaycut=0.4, nbase=1, noise=0.05)
+    N = 2 * (len(freq) - 1)
+    nbase = 3  # bchunk=2 -> chunks of 2 and 1 (tail padding exercised)
+    data = np.broadcast_to(d1[0][None, None], (nbase, 1, 16, 9)).copy()
+    Ni = np.broadcast_to(w1[0][None, None], (nbase, 1, 9)).copy()
+    S0 = np.ones((nbase, 1, 1, N)) * 10.0
+
+    s = dops.delay_spectrum_gibbs_cross_batched(
+        data, N, Ni, S0, niter=6, bchunk=2
+    )
+    assert s.shape == (6, nbase, 1, 1, N)
+    assert np.isfinite(s).all()
+    # same data, same chunk-slot, different chunk: chains must differ
+    assert not np.allclose(s[:, 0], s[:, 2])
+    # and within one chunk the draws differ too
+    assert not np.allclose(s[:, 0], s[:, 1])
