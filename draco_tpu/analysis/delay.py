@@ -86,31 +86,53 @@ class DelayFilter(ContainerTask):
         ia, ib = ps["input_a"].astype(int), ps["input_b"].astype(int)
         baselines = tel.feedpositions[ia] - tel.feedpositions[ib]
 
+        if self.telescope_orientation == "NS":
+            bl = np.abs(baselines[:, 1])
+        elif self.telescope_orientation == "EW":
+            bl = np.abs(baselines[:, 0])
+        else:
+            bl = np.linalg.norm(baselines, axis=1)
+
+        # baseline / c in microseconds
+        delay_cuts = np.maximum(
+            self.za_cut * bl / C_US + self.extra_cut, self.delay_cut
+        )
+        number_cuts = (4.0 * bandwidth * delay_cuts + 0.5).astype(int)
+
+        wpos = ssw > 0.0
+        f_samp = wpos.sum(axis=2)  # [freq, stack]
+        f_mask = (f_samp == f_samp.max(axis=0, keepdims=True)).astype(
+            np.float64
+        )
+        t_samp = wpos.sum(axis=0)  # [stack, ra]
+        t_mask = (t_samp == t_samp.max(axis=1, keepdims=True)).astype(
+            np.float64
+        )
+
+        # Redundant arrays share baseline lengths and flag patterns:
+        # build ONE null-space projector per unique (cut, channel-mask)
+        # group and apply it as a batched matmul, instead of the
+        # reference's per-baseline SVD loop (reference delay.py:100-140)
+        groups: dict = {}
         for bi in range(ssv.shape[1]):
-            baseline = baselines[bi]
-            if self.telescope_orientation == "NS":
-                baseline = abs(baseline[1])
-            elif self.telescope_orientation == "EW":
-                baseline = abs(baseline[0])
-            else:
-                baseline = np.linalg.norm(baseline)
-
-            # baseline / c in microseconds
-            baseline_delay_cut = self.za_cut * baseline / C_US
-            delay_cut = np.amax([baseline_delay_cut + self.extra_cut, self.delay_cut])
-            number_cut = int(4.0 * bandwidth * delay_cut + 0.5)
-
-            f_samp = (ssw[:, bi] > 0.0).sum(axis=1)
-            f_mask = (f_samp == f_samp.max()).astype(np.float64)
-            t_samp = (ssw[:, bi] > 0.0).sum(axis=0)
-            t_mask = (t_samp == t_samp.max()).astype(np.float64)
-
+            key = (
+                float(delay_cuts[bi]),
+                int(number_cuts[bi]),
+                f_mask[:, bi].tobytes(),
+            )
+            groups.setdefault(key, []).append(bi)
+        self.log.debug(
+            "DelayFilter: %d baselines in %d filter groups",
+            ssv.shape[1], len(groups),
+        )
+        for (dcut, ncut, _), idx in groups.items():
             NF = filters.null_filter(
-                freq, delay_cut, f_mask, num_modes=max(number_cut, 1),
+                freq, dcut, f_mask[:, idx[0]], num_modes=max(ncut, 1),
                 window=self.window,
             )
-            ssv[:, bi] = NF @ ssv[:, bi]
-            ssw[:, bi] *= f_mask[:, np.newaxis] * t_mask[np.newaxis, :]
+            sel = np.asarray(idx)
+            ssv[:, sel] = np.einsum("fg,gbt->fbt", NF, ssv[:, sel])
+        ssw *= f_mask[:, :, np.newaxis] * t_mask[np.newaxis, :, :]
 
         ss.vis[:] = ssv.astype(ss.vis.dtype)
         ss.weight[:] = ssw.astype(ss.weight.dtype)
