@@ -16,12 +16,21 @@ Cholesky one identity-padded batched device factorisation.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core import config, containers, io
 from ..core.task import ContainerTask, group_tasks
-from ..ops.tools import calculate_redundancy, invert_no_zero, window_generalised
+from ..ops.tools import (
+    as_device,
+    calculate_redundancy,
+    device_to_numpy,
+    invert_no_zero,
+    window_generalised,
+)
 from .transform import TelescopeStreamMixIn
 
 C_LIGHT = 299792458.0
@@ -177,7 +186,11 @@ class BeamformNS(ContainerTask):
 
     def process(self, gstream):
         gstream.redistribute("freq")
-        gsv = jnp.asarray(np.asarray(gstream.vis[:]))  # [pol, f, ew, ns, ra]
+        # complex data moves as float pairs (remote-TPU transports
+        # reject complex buffers) and is only combined inside the jit
+        vis_host = np.asarray(gstream.vis[:])  # [pol, f, ew, ns, ra]
+        gsv_re = jnp.asarray(np.ascontiguousarray(vis_host.real))
+        gsv_im = jnp.asarray(np.ascontiguousarray(vis_host.imag))
         gsw = jnp.asarray(np.asarray(gstream.weight[:]))
 
         el = self.span * np.linspace(-1.0, 1.0, self.npix)
@@ -218,7 +231,7 @@ class BeamformNS(ContainerTask):
             gsr = jnp.asarray(
                 np.asarray(gstream.datasets["redundancy"][:]), dtype=rdtype
             )
-            gw = jnp.broadcast_to(gsr[:, None], gsv.shape).astype(rdtype)
+            gw = jnp.broadcast_to(gsr[:, None], vis_host.shape).astype(rdtype)
         else:
             vpos = nspos[np.newaxis, :] * iwv[:, np.newaxis]  # [f, ns]
             if self.scaled:
@@ -238,25 +251,50 @@ class BeamformNS(ContainerTask):
         norm = jnp.sum(gw, axis=-2)
         gw = gw * invert_no_zero(norm)[..., None, :]
 
-        # Phase tensor F[f, el, ns] and batched contraction over ns
-        phase = 2.0 * np.pi * nspos[np.newaxis, :] * el[:, np.newaxis]  # [el, ns]
-        F = jnp.exp(
-            -1.0j
-            * jnp.asarray(phase, dtype=rdtype)[None]
-            * jnp.asarray(iwv, dtype=rdtype)[:, None, None]
-        ).astype(cdtype)  # [f, el, ns]
-
-        gvw = (gsv.astype(cdtype) * gw)
-        hvv = jnp.einsum("fen,pfxnr->pfxer", F, gvw)
-        hv.vis[:] = np.asarray(hvv).astype(hv.vis.dtype)
+        # Phase angles [el, ns] (real); the complex beamforming runs as
+        # ONE jitted program — for fusion, and because eager complex
+        # arithmetic is unsupported on remote-TPU transports
+        phase = 2.0 * np.pi * nspos[np.newaxis, :] * el[:, np.newaxis]
+        hr, hi, hvb, t = _beamform_ns_core(
+            gsv_re.astype(rdtype),
+            gsv_im.astype(rdtype),
+            gw,
+            gsw.astype(rdtype),
+            jnp.asarray(phase, dtype=rdtype),
+            jnp.asarray(iwv, dtype=rdtype),
+            save_dirty_beam=self.save_dirty_beam,
+        )
+        hv.vis[:] = (np.asarray(hr) + 1j * np.asarray(hi)).astype(
+            hv.vis.dtype
+        )
 
         if self.save_dirty_beam:
-            hvb = jnp.einsum("fen,pfxnr->pfxer", F, gw.astype(cdtype)).real
             hv.dirty_beam[:] = np.asarray(hvb).astype(np.float32)
 
-        t = jnp.sum(invert_no_zero(gsw) * gw**2, axis=-2)
-        hv.weight[:] = np.asarray(invert_no_zero(t)).astype(hv.weight.dtype)
+        hv.weight[:] = np.asarray(t).astype(hv.weight.dtype)
         return hv
+
+
+@functools.partial(jax.jit, static_argnames=("save_dirty_beam",))
+def _beamform_ns_core(gsv_re, gsv_im, gw, gsw, phase, iwv, save_dirty_beam):
+    """The NS phase beamforming as one fused device program.
+
+    Jitted both for op fusion and because eager complex arithmetic is
+    unsupported on remote-TPU transports.  Returns float planes
+    (vis real, vis imag, dirty beam, weight).
+    """
+    rdt = gw.dtype
+    cdt = jnp.complex64 if rdt == jnp.float32 else jnp.complex128
+    ang = phase[None] * iwv[:, None, None]  # [f, el, ns]
+    F = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang)).astype(cdt)
+    gvw = jax.lax.complex(gsv_re, gsv_im).astype(cdt) * gw
+    hvv = jnp.einsum("fen,pfxnr->pfxer", F, gvw)
+    if save_dirty_beam:
+        hvb = jnp.einsum("fen,pfxnr->pfxer", F, gw.astype(cdt)).real
+    else:
+        hvb = jnp.zeros((), rdt)
+    t = jnp.sum(invert_no_zero(gsw) * gw**2, axis=-2)
+    return hvv.real, hvv.imag, hvb, invert_no_zero(t)
 
 
 class BeamformEW(ContainerTask):
@@ -269,6 +307,29 @@ class BeamformEW(ContainerTask):
     single_beam = config.Property(proptype=bool, default=False)
     weight_ew = config.enum(["natural", "uniform"], default="natural")
     flag_ew = config.Property(proptype=list, default=None)
+
+    @staticmethod
+    def _get_pol(pols):
+        """Output polarisations + rotation matrix (reference :500-531)."""
+        if ("XY" in pols) or ("YX" in pols):
+            if ("XY" in pols) ^ ("YX" in pols):
+                raise ValueError(
+                    f"Cross-polarisations must come as an XY/YX pair; found {pols}."
+                )
+            dpol = ["reXY", "imXY"]
+        else:
+            dpol = []
+        if "XX" in pols:
+            dpol = ["XX", *dpol]
+        if "YY" in pols:
+            dpol.append("YY")
+
+        P = np.eye(len(dpol), dtype=np.complex64)
+        if "reXY" in dpol:
+            i = dpol.index("reXY")
+            P[i, i : i + 2] = [0.5, 0.5]
+            P[i + 1, i : i + 2] = [-0.5j, 0.5j]
+        return np.array(dpol, dtype="U4"), P
 
     def process(self, hstream):
         hstream.redistribute("freq")
@@ -309,69 +370,133 @@ class BeamformEW(ContainerTask):
         if save_dirty_beam:
             rm.add_dataset("dirty_beam")
 
-        hvv = jnp.asarray(np.asarray(hstream.vis[:]))  # [pol, f, ew, el, ra]
-        hvw = jnp.asarray(np.asarray(hstream.weight[:]))  # [pol, f, ew, ra]
-        Pj = jnp.asarray(P)
-        wew = jnp.asarray(weight_ew)[None, None, :, None, None]
-
-        v = jnp.tensordot(Pj, hvv.astype(Pj.dtype), axes=(1, 0)) * wew
-        if self.single_beam:
-            bf = jnp.sum(v.real, axis=2)[:, :, None]  # [pol, f, 1, el, ra]
-        else:
-            bf = jnp.fft.irfft(v, nbeam, axis=2) * nbeam
+        vis_host = np.asarray(hstream.vis[:])  # [pol, f, ew, el, ra]
+        hvb_host = (
+            np.asarray(hstream.dirty_beam[:])
+            if save_dirty_beam
+            else np.zeros((), np.float64)
+        )
+        bf, rm_var, db = _beamform_ew_core(
+            jnp.asarray(np.ascontiguousarray(vis_host.real)),
+            jnp.asarray(np.ascontiguousarray(vis_host.imag)),
+            jnp.asarray(np.asarray(hstream.weight[:])),
+            jnp.asarray(np.ascontiguousarray(P.real)),
+            jnp.asarray(np.ascontiguousarray(P.imag)),
+            jnp.asarray(weight_ew),
+            jnp.asarray(hvb_host),
+            single_beam=self.single_beam,
+            nbeam=nbeam,
+            save_dirty_beam=save_dirty_beam,
+        )
         # [pol, f, beam, el, ra] -> map axes [beam, pol, freq, ra, el]
-        rm.map[:] = np.asarray(
-            jnp.transpose(bf, (2, 0, 1, 4, 3))
-        ).astype(rm.map.dtype)
-
-        var = jnp.tensordot(jnp.asarray(P2), invert_no_zero(hvw), axes=(1, 0))
-        rm_var = 0.5 * jnp.sum(
-            jnp.asarray(weight_ew**2)[None, None, :, None] * var, axis=2
-        )  # [pol, f, ra]
-        rm.datasets["weight"][:] = np.asarray(
-            invert_no_zero(rm_var)[..., None] * jnp.ones((1, 1, 1, len(hstream.index_map["el"])))
+        rm.map[:] = np.asarray(bf).astype(rm.map.dtype)
+        rm_var = np.asarray(rm_var)
+        rm.datasets["weight"][:] = (
+            np.where(rm_var > 0, 1.0 / np.where(rm_var > 0, rm_var, 1.0), 0.0)[
+                ..., None
+            ]
+            * np.ones((1, 1, 1, len(hstream.index_map["el"])))
         ).astype(np.float64)
-        rm.datasets["rms"][:] = np.asarray(rm_var**0.5).astype(np.float64)
+        rm.datasets["rms"][:] = (rm_var**0.5).astype(np.float64)
 
         if save_dirty_beam:
-            hvb = jnp.asarray(np.asarray(hstream.dirty_beam[:]))
-            b = jnp.tensordot(Pj, hvb.astype(Pj.dtype), axes=(1, 0)) * wew
-            if self.single_beam:
-                db = jnp.sum(b.real, axis=2)[:, :, None]
-            else:
-                db = jnp.fft.irfft(b, nbeam, axis=2) * nbeam
-            rm.dirty_beam[:] = np.asarray(
-                jnp.transpose(db, (2, 0, 1, 4, 3))
-            ).astype(np.float64)
+            rm.dirty_beam[:] = np.asarray(db).astype(np.float64)
 
         return rm
 
-    @staticmethod
-    def _get_pol(pols):
-        """Output polarisations + rotation matrix (reference :500-531)."""
-        if ("XY" in pols) or ("YX" in pols):
-            if ("XY" in pols) ^ ("YX" in pols):
-                raise ValueError(
-                    f"Cross-polarisations must come as an XY/YX pair; found {pols}."
-                )
-            dpol = ["reXY", "imXY"]
-        else:
-            dpol = []
-        if "XX" in pols:
-            dpol = ["XX", *dpol]
-        if "YY" in pols:
-            dpol.append("YY")
 
-        P = np.eye(len(dpol), dtype=np.complex64)
-        if "reXY" in dpol:
-            i = dpol.index("reXY")
-            P[i, i : i + 2] = [0.5, 0.5]
-            P[i + 1, i : i + 2] = [-0.5j, 0.5j]
-        return np.array(dpol, dtype="U4"), P
+@functools.partial(
+    jax.jit, static_argnames=("single_beam", "nbeam", "save_dirty_beam")
+)
+def _beamform_ew_core(
+    hv_re, hv_im, hvw, P_re, P_im, wew, hvb, single_beam, nbeam,
+    save_dirty_beam,
+):
+    """EW pol-rotation + irfft as one fused device program (see
+    _beamform_ns_core for why this must run under jit)."""
+    Pj = jax.lax.complex(P_re, P_im)
+    hvv = jax.lax.complex(hv_re, hv_im).astype(Pj.dtype)
+    wew5 = wew[None, None, :, None, None]
+
+    def form(x):
+        v = jnp.tensordot(Pj, x, axes=(1, 0)) * wew5
+        if single_beam:
+            b = jnp.sum(v.real, axis=2)[:, :, None]  # [pol, f, 1, el, ra]
+        else:
+            b = jnp.fft.irfft(v, nbeam, axis=2) * nbeam
+        # [pol, f, beam, el, ra] -> [beam, pol, freq, ra, el]
+        return jnp.transpose(b, (2, 0, 1, 4, 3))
+
+    bf = form(hvv)
+    P2 = jnp.abs(Pj) ** 2
+    var = jnp.tensordot(P2, invert_no_zero(hvw), axes=(1, 0))
+    rm_var = 0.5 * jnp.sum(
+        (wew**2)[None, None, :, None] * var, axis=2
+    )  # [pol, f, ra]
+    db = form(hvb.astype(Pj.dtype)) if save_dirty_beam else jnp.zeros((), hvw.dtype)
+    return bf, rm_var, db
+
 
 
 class RingMapMaker(group_tasks(MakeVisGrid, BeamformNS, BeamformEW)):
     """Make a ringmap from a sidereal stream (reference ringmapmaker.py:534)."""
+
+
+
+@functools.partial(
+    jax.jit, static_argnames=("skip_deconvolution", "nra", "iref")
+)
+def _deconvolve_core(
+    hv_re, hv_im, bv_re, bv_im, jw, inv_var, jwin, eps,
+    skip_deconvolution, nra, iref,
+):
+    """The m-space deconvolution as one fused device program (jitted for
+    fusion and because eager complex arithmetic is unsupported on
+    remote-TPU transports)."""
+    jb = jax.lax.complex(bv_re, bv_im)
+    jh = jax.lax.complex(hv_re, hv_im)
+    nm = hv_re.shape[0]
+
+    # Sum over (msign, ew) -> [m, pol, freq, el]
+    sum_weight = jnp.sum(jw * jnp.abs(jb) ** 2, axis=(1, -2))
+    if skip_deconvolution:
+        C_inv = jnp.ones_like(sum_weight)
+    else:
+        C_inv = eps + sum_weight
+    inv_C = invert_no_zero(C_inv)
+
+    map_m = jwin * jnp.sum(jb.conj() * jw * jh, axis=(1, -2)) * inv_C
+    dirty_beam_m = jwin * sum_weight * inv_C
+
+    # Normalisation: dirty beam at transit; [pol, freq, el]
+    norm = invert_no_zero(jnp.mean(dirty_beam_m, axis=0))
+    if skip_deconvolution:
+        norm = norm[:, :, iref, jnp.newaxis]
+
+    def to_ra(x):
+        # [m, pol, freq, el] -> [pol, freq, ra, el]
+        xr = jnp.fft.irfft(jnp.moveaxis(x, 0, -1), axis=-1, n=nra)
+        return jnp.moveaxis(xr, -1, 2)
+
+    map_ra = to_ra(map_m) * norm[:, :, jnp.newaxis, :]
+    dirty_beam_ra = to_ra(dirty_beam_m) * norm[:, :, jnp.newaxis, :]
+    db_power = jnp.sum(dirty_beam_ra**2, axis=2) / nra
+
+    # Noise propagation (reference ringmapmaker.py:801-823): ordering
+    # chosen to avoid overflow as the NS beam drops to zero
+    var = invert_no_zero(inv_var)
+    sigma = jnp.sqrt(jnp.sum((jw * jnp.abs(jb)) ** 2 * var, axis=(1, -2)))
+    sum_var_map_m = 0.5 * jnp.sum(
+        (
+            sigma
+            * jwin
+            * norm[jnp.newaxis, :, :, :]
+            * invert_no_zero(nm * C_inv)
+        )
+        ** 2,
+        axis=0,
+    )  # [pol, freq, el]
+    return map_ra, db_power, dirty_beam_ra, invert_no_zero(sum_var_map_m)
 
 
 class DeconvolveHybridMBase(ContainerTask):
@@ -490,14 +615,6 @@ class DeconvolveHybridMBase(ContainerTask):
         inv_var = hw[..., np.newaxis].copy()  # [m, msign, pol, freq, ew, 1]
         weight = np.asarray(self._get_weight(inv_var)) * (inv_var > 0.0)
 
-        jw = jnp.asarray(np.broadcast_to(weight, hv.shape).copy())
-        jb = jnp.asarray(bv)
-        jh = jnp.asarray(hv)
-        jwin = jnp.asarray(win)
-
-        # Sum over (msign, ew) -> [m, pol, freq, el]
-        sum_weight = jnp.sum(jw * jnp.abs(jb) ** 2, axis=(1, -2))
-
         if not self.skip_deconvolution:
             # [nm, 1(pol), nfreq, 1(el)]
             eps = np.stack(
@@ -510,57 +627,34 @@ class DeconvolveHybridMBase(ContainerTask):
                 ],
                 axis=2,
             )
-            C_inv = jnp.asarray(eps) + sum_weight
         else:
-            C_inv = jnp.ones_like(sum_weight)
-
-        inv_C = invert_no_zero(C_inv)
-
-        map_m = jwin * jnp.sum(jb.conj() * jw * jh, axis=(1, -2)) * inv_C
-        dirty_beam_m = jwin * sum_weight * inv_C
-
-        # Normalisation: dirty beam at transit; [pol, freq, el]
-        norm = invert_no_zero(jnp.mean(dirty_beam_m, axis=0))
-        if self.skip_deconvolution:
-            norm = norm[:, :, iref, jnp.newaxis]
-
-        def to_ra(x):
-            # [m, pol, freq, el] -> [pol, freq, ra, el]
-            xr = jnp.fft.irfft(jnp.moveaxis(x, 0, -1), axis=-1, n=nra)
-            return jnp.moveaxis(xr, -1, 2)
-
-        map_ra = to_ra(map_m) * norm[:, :, jnp.newaxis, :]
-        dirty_beam_ra = to_ra(dirty_beam_m) * norm[:, :, jnp.newaxis, :]
+            eps = np.zeros((1, 1, 1, 1))
+            # iref only exists on the skip path
+        map_ra, db_power, dirty_beam_ra, weight_out = _deconvolve_core(
+            jnp.asarray(np.ascontiguousarray(hv.real)),
+            jnp.asarray(np.ascontiguousarray(hv.imag)),
+            jnp.asarray(np.ascontiguousarray(bv.real)),
+            jnp.asarray(np.ascontiguousarray(bv.imag)),
+            jnp.asarray(np.broadcast_to(weight, hv.shape).copy()),
+            jnp.asarray(inv_var),
+            jnp.asarray(win),
+            jnp.asarray(eps),
+            skip_deconvolution=self.skip_deconvolution,
+            nra=int(nra),
+            iref=int(iref) if self.skip_deconvolution else 0,
+        )
 
         rm.map[:] = np.asarray(map_ra)[np.newaxis].astype(rm.map.dtype)
-        rm.dirty_beam_power[:] = np.asarray(
-            jnp.sum(dirty_beam_ra**2, axis=2) / nra
-        )[np.newaxis].astype(rm.dirty_beam_power.dtype)
+        rm.dirty_beam_power[:] = np.asarray(db_power)[np.newaxis].astype(
+            rm.dirty_beam_power.dtype
+        )
         if self.save_dirty_beam:
             rm.dirty_beam[:] = np.asarray(dirty_beam_ra)[np.newaxis].astype(
                 rm.dirty_beam.dtype
             )
-
-        # Noise propagation (reference ringmapmaker.py:801-823): ordering
-        # chosen to avoid overflow as the NS beam drops to zero
-        var = invert_no_zero(jnp.asarray(inv_var))
-        sigma = jnp.sqrt(
-            jnp.sum((jw * jnp.abs(jb)) ** 2 * var, axis=(1, -2))
+        rm.weight[:] = np.asarray(weight_out)[:, :, np.newaxis, :] * np.ones(
+            (1, 1, nra, 1)
         )
-        sum_var_map_m = 0.5 * jnp.sum(
-            (
-                sigma
-                * jwin
-                * norm[jnp.newaxis, :, :, :]
-                * invert_no_zero((mmax + 1) * C_inv)
-            )
-            ** 2,
-            axis=0,
-        )  # [pol, freq, el]
-
-        rm.weight[:] = np.asarray(
-            invert_no_zero(sum_var_map_m)[:, :, np.newaxis, :]
-        ) * np.ones((1, 1, nra, 1))
 
         return rm
 
@@ -710,8 +804,8 @@ class DeconvolveAnalyticalBeam(DeconvolveHybridMBase):
             sig_arr = sig[:, np.newaxis, :, np.newaxis]
 
             B_arr = B(phi_arr, u_arr, sig_arr)
-            bvis[:, :, :, fi] = np.asarray(
-                mmode_ops.make_marray(jnp.asarray(B_arr.conj()), mmax=mmax)
+            bvis[:, :, :, fi] = device_to_numpy(
+                mmode_ops.make_marray(as_device(B_arr.conj()), mmax=mmax)
             )
 
         hybrid_beam_m.vis[:] = bvis
@@ -1141,7 +1235,7 @@ class ReconstructVisFreqCov(ReconstructVisNoiseBase):
 
         eye = np.eye(nfreq)
         B = C_all * M2 + eye * (1.0 - M[..., None, :] * eye)
-        L = np.asarray(jnp.linalg.cholesky(jnp.asarray(B))) * M2
+        L = device_to_numpy(jnp.linalg.cholesky(as_device(B))) * M2
 
         out.freq_cov[:] = L.astype(out.freq_cov.dtype)
 
