@@ -14,6 +14,7 @@ filter application is a batched device matmul per group.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,6 +78,33 @@ def _grouped_highpass_filters(freq, cuts, masks, epsilon):
         pinv[g] *= np.outer(m, m)
 
     return pinv, gid
+
+
+
+@jax.jit
+def _apply_m_filter_core(F_re, F_im, v_re, v_im):
+    out = jnp.einsum(
+        "rt,bt->br", jax.lax.complex(F_re, F_im), jax.lax.complex(v_re, v_im)
+    )
+    return out.real, out.imag
+
+
+def _apply_m_filter(F, v):
+    """Apply an m-mode filter matrix to a block of complex time series.
+
+    Complex operands move as float pairs and combine inside the jit
+    (eager complex ops/transfers are unsupported on remote-TPU
+    transports; docs/design.md transport rules).
+    """
+    F = np.asarray(F)
+    v = np.asarray(v)
+    re, im = _apply_m_filter_core(
+        jnp.asarray(np.ascontiguousarray(F.real)),
+        jnp.asarray(np.ascontiguousarray(F.imag)),
+        jnp.asarray(np.ascontiguousarray(v.real)),
+        jnp.asarray(np.ascontiguousarray(v.imag)),
+    )
+    return np.asarray(re) + 1j * np.asarray(im)
 
 
 class DayenuDelayFilter(ContainerTask):
@@ -802,18 +830,11 @@ class DayenuMFilter(ContainerTask):
                 visfb = vis[ff, iub]
 
                 if np.abs(ub) < db:
-                    vis[ff, iub, :] = np.asarray(
-                        jnp.einsum("rt,bt->br", jnp.asarray(INTRA[0]), jnp.asarray(visfb))
-                    )
+                    vis[ff, iub, :] = _apply_m_filter(INTRA[0], visfb)
                 else:
                     m_center = self._get_cut(nu, ub)
                     mixer = np.exp(-1.0j * m_center * ra)[np.newaxis, :]
-                    vis_mixed = visfb * mixer
-                    filtered = np.asarray(
-                        jnp.einsum(
-                            "rt,bt->br", jnp.asarray(INTER[0]), jnp.asarray(vis_mixed)
-                        )
-                    )
+                    filtered = _apply_m_filter(INTER[0], visfb * mixer)
                     vis[ff, iub, :] = filtered * mixer.conj()
 
         stream.vis[:] = vis.astype(stream.vis.dtype)

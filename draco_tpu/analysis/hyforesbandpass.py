@@ -20,6 +20,7 @@ application is one batched einsum as well.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -85,13 +86,16 @@ def _apply_filter_batch(vis, weight, filt, atten_threshold, log):
 
     weight = weight * ~bad[:, np.newaxis]
 
-    post_vis = np.array(
-        jnp.einsum(
-            "pfgxt,pgxet->pfxet",
-            jnp.asarray(filt).astype(np.complex128),
-            jnp.asarray(vis).astype(np.complex128),
-        )
+    # complex data moves as float pairs and combines inside the jit
+    # (eager complex ops/transfers are unsupported on remote-TPU
+    # transports; see docs/design.md transport rules)
+    pr, pi = _filter_apply_core(
+        jnp.asarray(np.ascontiguousarray(np.asarray(filt).real)),
+        jnp.asarray(np.ascontiguousarray(np.asarray(filt).imag)),
+        jnp.asarray(np.ascontiguousarray(np.asarray(vis).real)),
+        jnp.asarray(np.ascontiguousarray(np.asarray(vis).imag)),
     )
+    post_vis = np.asarray(pr) + 1j * np.asarray(pi)
     post_vis *= ~bad[:, np.newaxis, :, np.newaxis, :]
 
     if atten_threshold > 0.0:
@@ -113,30 +117,69 @@ def _apply_filter_batch(vis, weight, filt, atten_threshold, log):
 def _estimate_gains_window(vis, post_vis, weight, filt, el_mask):
     """HyFoReS gain + window estimation as three device einsums.
 
-    (reference hyforesbandpass.py:196-294)
+    (reference hyforesbandpass.py:196-294).  Complex inputs/outputs move
+    as float pairs; the math runs as one jitted program (dtype follows
+    the x64 config: f64 on CPU truth runs, f32 on accelerators).
     """
-    wm = (jnp.asarray(weight) > 0.0).astype(jnp.float64)  # [p, f, x, t]
-    el = jnp.asarray(el_mask).astype(jnp.float64)  # [e]
 
-    v = jnp.asarray(vis).astype(jnp.complex128)
-    pv = jnp.asarray(post_vis).astype(jnp.complex128)
+    def pair(x):
+        x = np.asarray(x)
+        return (
+            jnp.asarray(np.ascontiguousarray(x.real)),
+            jnp.asarray(np.ascontiguousarray(x.imag)),
+        )
+
+    yr, yi, Wr, Wi = _gains_window_core(
+        *pair(vis),
+        *pair(post_vis),
+        jnp.asarray((np.asarray(weight) > 0.0).astype(np.float64)),
+        jnp.asarray(np.asarray(el_mask).astype(np.float64)),
+        *pair(filt),
+    )
+    return (
+        np.asarray(yr) + 1j * np.asarray(yi),
+        np.asarray(Wr) + 1j * np.asarray(Wi),
+    )
+
+
+@jax.jit
+def _freq_cov_core(f_re, f_im, cvar):
+    """Filtered frequency-frequency covariance NF C NF^H (fused)."""
+    filt = jax.lax.complex(f_re, f_im)
+    out = jnp.einsum(
+        "pfgxt,pgxt,phgxt->pfhxt", filt, cvar.astype(filt.dtype), filt.conj()
+    )
+    return out.real, out.imag
+
+
+@jax.jit
+def _filter_apply_core(f_re, f_im, v_re, v_im):
+    """One fused spectral-filter application (see transport rules)."""
+    out = jnp.einsum(
+        "pfgxt,pgxet->pfxet",
+        jax.lax.complex(f_re, f_im),
+        jax.lax.complex(v_re, v_im),
+    )
+    return out.real, out.imag
+
+
+@jax.jit
+def _gains_window_core(v_re, v_im, pv_re, pv_im, wm, el, f_re, f_im):
+    v = jax.lax.complex(v_re, v_im)
+    pv = jax.lax.complex(pv_re, pv_im)
+    filt = jax.lax.complex(f_re, f_im)
 
     m = wm[:, :, :, None, :] * el[None, None, None, :, None]
-    pv_m = pv * m
-    fg = v * m - pv_m
+    pv_m = pv * m.astype(pv.dtype)
+    fg = v * m.astype(v.dtype) - pv_m
 
     yN = jnp.einsum("pfxet,pfxet->pxf", fg.conj(), pv_m)
     D = jnp.einsum("pfxet,pfxet->pxf", fg.conj(), fg)
-    N = jnp.einsum(
-        "pfxet,pgxet,pfgxt->pxfg",
-        fg.conj(),
-        fg,
-        jnp.asarray(filt).astype(jnp.complex128),
-    )
+    N = jnp.einsum("pfxet,pgxet,pfgxt->pxfg", fg.conj(), fg, filt)
 
     y = yN * invert_no_zero(D)
     W = N * invert_no_zero(D)[:, :, :, None]
-    return np.asarray(y), np.asarray(W)
+    return y.real, y.imag, W.real, W.imag
 
 
 class DelayFilterHyFoReSBandpassHybridVis(ContainerTask):
@@ -397,14 +440,12 @@ class DelayFilterHyFoReSBandpassHybridVisClean(ContainerTask):
         out_weight = np.asarray(invert_no_zero(fvar)) * (new_weight > 0)
 
         if self.calculate_cov:
-            fcov = np.asarray(
-                jnp.einsum(
-                    "pfgxt,pgxt,phgxt->pfhxt",
-                    jnp.asarray(filt).astype(np.complex128),
-                    jnp.asarray(cvar).astype(np.complex128),
-                    jnp.asarray(filt).conj().astype(np.complex128),
-                )
+            cr, ci = _freq_cov_core(
+                jnp.asarray(np.ascontiguousarray(np.asarray(filt).real)),
+                jnp.asarray(np.ascontiguousarray(np.asarray(filt).imag)),
+                jnp.asarray(np.asarray(cvar)),
             )
+            fcov = np.asarray(cr) + 1j * np.asarray(ci)
             hv.freq_cov[:] = fcov.astype(hv.freq_cov.dtype)
 
         if self.atten_threshold > 0.0:

@@ -14,6 +14,7 @@ MXU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -221,14 +222,28 @@ def apply_filter_freq(NF, vis, var):
     """Apply an [nfreq, nfreq] filter over a leading freq axis, on device.
 
     Returns (filtered_vis, filtered_weight) where the weight is the
-    propagated inverse variance ``1 / (|NF|^2 @ var)``.
+    propagated inverse variance ``1 / (|NF|^2 @ var)``.  Complex data
+    moves as float pairs and combines inside the jit (eager complex
+    ops/transfers are unsupported on remote-TPU transports).
     """
+    NF = np.asarray(NF)
+    vis = np.asarray(vis)
+    re, im, fw = _apply_filter_freq_core(
+        jnp.asarray(np.ascontiguousarray(NF.real)),
+        jnp.asarray(np.ascontiguousarray(NF.imag)),
+        jnp.asarray(np.ascontiguousarray(vis.real)),
+        jnp.asarray(np.ascontiguousarray(vis.imag)),
+        jnp.asarray(np.asarray(var)),
+    )
+    return np.asarray(re) + 1j * np.asarray(im), np.asarray(fw)
+
+
+@jax.jit
+def _apply_filter_freq_core(NF_re, NF_im, v_re, v_im, var):
     from .tools import invert_no_zero
 
-    NF = jnp.asarray(NF)
-    vis = jnp.asarray(vis)
-    var = jnp.asarray(var)
-    nfv = NF.astype(jnp.result_type(NF.dtype, vis.dtype))
-    fvis = jnp.tensordot(nfv, vis, axes=(1, 0))
+    NF = jax.lax.complex(NF_re, NF_im)
+    vis = jax.lax.complex(v_re, v_im)
+    fvis = jnp.tensordot(NF, vis, axes=(1, 0))
     fw = invert_no_zero(jnp.tensordot(jnp.abs(NF) ** 2, var, axes=(1, 0)))
-    return fvis, fw
+    return fvis.real, fvis.imag, fw
