@@ -692,7 +692,9 @@ class DayenuDelayFilterMap(ContainerTask):
                         np.moveaxis(rm[:, pp, :, :, ee], 1, 0),
                         var[pp, :, :, ee],
                     )
-                    rm[:, pp, :, :, ee] = np.moveaxis(np.asarray(fv), 0, 1)
+                    # ring maps are real; the real filter leaves a zero
+                    # imaginary part on the complex transport dtype
+                    rm[:, pp, :, :, ee] = np.moveaxis(np.asarray(fv).real, 0, 1)
                     fw = np.asarray(fw)
                     if self.atten_threshold > 0.0:
                         fl = _atten_flag(nf, self.atten_threshold)
@@ -723,7 +725,7 @@ class DayenuDelayFilterMap(ContainerTask):
                         fv, fw = dayenu_ops.apply_filter_freq(
                             NF[ii], arr, var[pp, :, :, ee][:, ind]
                         )
-                        fv = np.asarray(fv)  # [freq, beam, nra_i]
+                        fv = np.asarray(fv).real  # [freq, beam, nra_i]
                         rm[:, pp, :, :, ee][:, :, ind] = np.moveaxis(fv, 0, 1)
                         fw = np.asarray(fw)
                         if self.atten_threshold > 0.0:
