@@ -43,12 +43,31 @@ _F32 = jnp.float32
 # GEMM precision of the fused projection loops.  The default six-pass
 # f32-faithful mode holds the end-to-end map error at the ~1e-5 level;
 # DRACO_TPU_ROUNDTRIP_PRECISION=high selects three-pass bf16 (~2x the
-# MXU throughput at the few-1e-5 error level) for throughput-bound
-# production sweeps.
-_PREC_RT = {
-    "high": jax.lax.Precision.HIGH,
-    "highest": jax.lax.Precision.HIGHEST,
-}[os.environ.get("DRACO_TPU_ROUNDTRIP_PRECISION", "highest").lower()]
+# MXU throughput) for throughput-bound production sweeps — measured on
+# the library path at nside=64: 1.5e-5 (highest) vs 4.4e-5 (high).
+#
+# DRACO_TPU_ROUNDTRIP_LOOP_PRECISION controls ONLY the per-chunk
+# baseline GEMMs (the contractions whose flops scale with npairs);
+# the Legendre/DFT contractions — where the large-cancellation sums
+# live — keep the main precision.  Defaults to the main precision.
+def _prec_env(name: str, default: str) -> jax.lax.Precision:
+    val = os.environ.get(name, default).lower()
+    table = {
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }
+    if val not in table:
+        raise ValueError(
+            f"{name} must be one of {sorted(table)}, got {val!r}"
+        )
+    return table[val]
+
+
+_PREC_RT = _prec_env("DRACO_TPU_ROUNDTRIP_PRECISION", "highest")
+_PREC_LOOP = _prec_env(
+    "DRACO_TPU_ROUNDTRIP_LOOP_PRECISION",
+    os.environ.get("DRACO_TPU_ROUNDTRIP_PRECISION", "highest"),
+)
 
 
 def _pad_to(n: int, chunk: int) -> int:
@@ -235,11 +254,11 @@ def _fused_roundtrip(
 
     def _mm(x, y):
         """[f, C, K] x [f, K, M] -> [f, C, M] batched GEMM."""
-        return jnp.einsum("fck,fkm->fcm", x, y, precision=prec)
+        return jnp.einsum("fck,fkm->fcm", x, y, precision=_PREC_LOOP)
 
     def _mmT(x, y):
         """[f, C, K] x [f, C, M] -> [f, K, M] batched GEMM."""
-        return jnp.einsum("fck,fcm->fkm", x, y, precision=prec)
+        return jnp.einsum("fck,fcm->fkm", x, y, precision=_PREC_LOOP)
 
     # The sidereal-stream round trip between simulation and mapping —
     # pack m-modes -> iFFT -> stream -> FFT -> pack — is algebraically
@@ -428,10 +447,10 @@ def _fused_roundtrip_fullsphere(
         # the two conjugate-beam branches are U + iV and U - iV
         for F2, S in zip([F_belt, *group_F], S_secs):
             U = jnp.einsum(
-                "fcprm,fpmr->fmc", jnp.conj(F2[0]), S, precision=prec
+                "fcprm,fpmr->fmc", jnp.conj(F2[0]), S, precision=_PREC_LOOP
             )
             V = jnp.einsum(
-                "fcprm,fpmr->fmc", jnp.conj(F2[1]), S, precision=prec
+                "fcprm,fpmr->fmc", jnp.conj(F2[1]), S, precision=_PREC_LOOP
             )
             vp = vp + (U + 1j * V)
             vm = vm + (U - 1j * V)
@@ -454,10 +473,10 @@ def _fused_roundtrip_fullsphere(
         # T += F[0] (v0 + v1) + i F[1] (v1 - v0)
         for F2, T in zip([F_belt, *group_F], T_accs):
             T = T + jnp.einsum(
-                "fcprm,mfc->fprm", F2[0], v_sum, precision=prec
+                "fcprm,mfc->fprm", F2[0], v_sum, precision=_PREC_LOOP
             )
             T = T + 1j * jnp.einsum(
-                "fcprm,mfc->fprm", F2[1], v_dif, precision=prec
+                "fcprm,mfc->fprm", F2[1], v_dif, precision=_PREC_LOOP
             )
             out.append(T)
         return out
