@@ -327,11 +327,12 @@ class BeamTransfer:
             @jax.jit
             def gen_chunk(bl_h, bl_l, br_u, bi_u, uidx, vw_hi, vw_lo,
                           Ec, Es, lam_band):
-                phase = 2 * jnp.pi * tools.phase_frac(
+                turns = tools.phase_frac(
                     bl_h, bl_l, vw_hi, vw_lo
                 ).reshape(bl_h.shape[0], Ec.shape[0], Ec.shape[1])
-                c = jnp.cos(phase)[:, None]
-                sn = jnp.sin(phase)[:, None]
+                c, sn = tools.sincos_turns(turns)
+                c = c[:, None]
+                sn = sn[:, None]
                 br = br_u[uidx]
                 bi = bi_u[uidx]
                 ri = jnp.stack([br * c - bi * sn, br * sn + bi * c])
@@ -528,9 +529,11 @@ class BeamTransfer:
         """
         vec_hi, vec_lo = vec
         bl_h, bl_l = bl_w
-        phase = 2 * jnp.pi * tools.phase_frac(bl_h, bl_l, vec_hi, vec_lo)
-        c = jnp.cos(phase)[:, None, :]
-        sn = jnp.sin(phase)[:, None, :]
+        c, sn = tools.sincos_turns(
+            tools.phase_frac(bl_h, bl_l, vec_hi, vec_lo)
+        )
+        c = c[:, None, :]
+        sn = sn[:, None, :]
         br = u_re[uidx]
         bi = u_im[uidx]
         return br * c - bi * sn, br * sn + bi * c
@@ -590,9 +593,11 @@ class BeamTransfer:
 
         def fringe_win(bl_w, u_re_w, u_im_w, uidx, vw_hi, vw_lo):
             bl_h, bl_l = bl_w  # (hi, lo) pair: exact fringe phases
-            phase = 2 * jnp.pi * tools.phase_frac(bl_h, bl_l, vw_hi, vw_lo)
-            cp = jnp.cos(phase)[:, None]
-            sp = jnp.sin(phase)[:, None]
+            cp, sp = tools.sincos_turns(
+                tools.phase_frac(bl_h, bl_l, vw_hi, vw_lo)
+            )
+            cp = cp[:, None]
+            sp = sp[:, None]
             br = u_re_w[uidx]  # [C, p, Kf]
             bi = u_im_w[uidx]
             nc = bl_h.shape[0]

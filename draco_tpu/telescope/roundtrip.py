@@ -77,6 +77,7 @@ def _pad_to(n: int, chunk: int) -> int:
 # Exact fringe phases: see ops.tools.phase_frac (shared by every
 # fringe builder — fused round trip, streaming projections, generate).
 from ..ops.tools import phase_frac as _phase_frac
+from ..ops.tools import sincos_turns as _sincos_turns
 from ..ops.tools import twofloat_split as _twofloat_split
 
 
@@ -236,16 +237,18 @@ def _fused_roundtrip(
         bl = jax.lax.dynamic_slice(
             blw_lo, (0, c * chunk, 0), (nfreq, chunk, 3)
         )
-        phase = 2 * jnp.pi * _phase_frac(bh, bl, vecw_hi, vecw_lo)
+        # phase_frac yields turns; the turns-based sincos skips XLA's
+        # full range reduction (trig dominated this builder's VPU time)
+        cph, sph = _sincos_turns(_phase_frac(bh, bl, vecw_hi, vecw_lo))
         if uniform_real_beam:
             # u_re[:, 0] broadcasts over the chunk: two writes total
             b = u_re[:, 0][:, None]  # [f, 1, p, Kf]
-            re = (b * jnp.cos(phase)[:, :, None]).reshape(nfreq, chunk, K)
-            im = (b * jnp.sin(phase)[:, :, None]).reshape(nfreq, chunk, K)
+            re = (b * cph[:, :, None]).reshape(nfreq, chunk, K)
+            im = (b * sph[:, :, None]).reshape(nfreq, chunk, K)
             return re, im
         idxc = jax.lax.dynamic_slice_in_dim(uidx_pad, c * chunk, chunk)
-        cp = jnp.cos(phase)[:, :, None]
-        sp = jnp.sin(phase)[:, :, None]
+        cp = cph[:, :, None]
+        sp = sph[:, :, None]
         br = u_re[:, idxc]  # [f, C, p, Kf]
         bi = u_im[:, idxc]
         re = (br * cp - bi * sp).reshape(nfreq, chunk, K)
@@ -414,15 +417,15 @@ def _fused_roundtrip_fullsphere(
         bl = jax.lax.dynamic_slice(
             blw_lo, (0, c * chunk, 0), (nfreq, chunk, 3)
         )
-        phase = 2 * jnp.pi * _phase_frac(bh, bl, vecp_hi, vecp_lo)
+        cph, sph = _sincos_turns(_phase_frac(bh, bl, vecp_hi, vecp_lo))
         if uniform_real_beam:
             b = u_re[:, 0][:, None]  # [f, 1, p, npad_pix]
-            re = b * jnp.cos(phase)[:, :, None]
-            im = b * jnp.sin(phase)[:, :, None]
+            re = b * cph[:, :, None]
+            im = b * sph[:, :, None]
         else:
             idxc = jax.lax.dynamic_slice_in_dim(uidx_pad, c * chunk, chunk)
-            cp = jnp.cos(phase)[:, :, None]
-            sp = jnp.sin(phase)[:, :, None]
+            cp = cph[:, :, None]
+            sp = sph[:, :, None]
             br = u_re[:, idxc]
             bi = u_im[:, idxc]
             re = br * cp - bi * sp

@@ -185,6 +185,25 @@ def test_find_contiguous_slices():
     assert sl == [slice(1, 4), slice(7, 9), slice(11, 12)]
 
 
+def test_sincos_turns_accuracy():
+    rng = np.random.default_rng(42)
+    t = rng.uniform(-0.75, 0.75, 50_000).astype(np.float32)
+    # exact quadrant boundaries and zero
+    edges = np.array(
+        [0, 0.125, 0.25, 0.375, 0.5, -0.5, -0.25, -0.125, 0.625, -0.625],
+        np.float32,
+    )
+    t = np.concatenate([t, edges])
+    c, s = jax.jit(tools.sincos_turns)(jnp.asarray(t))
+    t64 = t.astype(np.float64)
+    assert np.abs(np.asarray(c, np.float64) - np.cos(2 * np.pi * t64)).max() < 5e-7
+    assert np.abs(np.asarray(s, np.float64) - np.sin(2 * np.pi * t64)).max() < 5e-7
+    # float64 inputs take the exact path
+    c64, s64 = tools.sincos_turns(jnp.asarray(t64))
+    if c64.dtype == jnp.float64:  # only when x64 is enabled
+        assert np.allclose(np.asarray(c64), np.cos(2 * np.pi * t64), atol=1e-14)
+
+
 # ---------------------------------------------------------------------------
 # random
 # ---------------------------------------------------------------------------
