@@ -29,6 +29,8 @@ __all__ = [
     "correct_phase_wrap",
     "twofloat_split",
     "phase_frac",
+    "threefloat_split",
+    "phase_frac3",
     "taper_mask",
     "find_contiguous_slices",
     "unpack_product_array",
@@ -693,6 +695,59 @@ def phase_frac(bh, bl, vh, vl):
         r_sum = r if r_sum is None else r_sum + r
         e_sum = (e + c) if e_sum is None else e_sum + (e + c)
     y = r_sum + e_sum
+    return y - jnp.round(y)
+
+
+def threefloat_split(a64: np.ndarray):
+    """Split an f64 array into three f32 parts (12 + 12 + 24-bit mantissas).
+
+    ``a64 ~= a + b + c`` with ``a``/``b`` carrying at most 12 significant
+    bits each (the top and bottom halves of ``float32(a64)``'s mantissa)
+    and ``c`` the f32 of the remainder.  Products of two 12-bit parts
+    fit the 24-bit f32 significand EXACTLY, which makes downstream
+    compensated phase arithmetic immune to compiler FMA contraction —
+    XLA:CPU fuses ``mul``+``add`` pairs into FMAs, which silently breaks
+    classic runtime Dekker/TwoSum schemes (an FMA result differs from
+    the rounded product the compensation assumes), but cannot change
+    the value of an exactly-representable product.
+    """
+    a64 = np.asarray(a64, dtype=np.float64)
+    hi = a64.astype(np.float32)
+    # mask the low 12 explicit mantissa bits -> <= 12 significant bits
+    a = (hi.view(np.uint32) & np.uint32(0xFFFFF000)).view(np.float32)
+    b = hi - a  # exact: the masked-off low bits, <= 12 significant bits
+    c = (a64 - hi.astype(np.float64)).astype(np.float32)
+    return a, b, c
+
+
+def phase_frac3(ba, bb, bc, va, vb, vc):
+    """``frac(b . n)`` from three-part operands (:func:`threefloat_split`).
+
+    ba/bb/bc [..., 3] broadcast against va/vb/vc [K, 3] -> turns
+    [..., K].  The six high products per component (a*a, a*b, b*a) are
+    exact f32 values reduced mod 1 term by term; the remaining cross
+    terms are ~2^-24 relative and summed directly.  Unlike a runtime
+    Dekker split this is FMA-contraction-proof (see
+    :func:`threefloat_split`), so it is bit-stable across the TPU and
+    CPU backends.  Absolute error ~3e-7 turns independent of |b . n|.
+    """
+    y = None
+    for x in range(3):
+        b_a = ba[..., x][..., None]
+        b_b = bb[..., x][..., None]
+        b_c = bc[..., x][..., None]
+        v_a = va[:, x]
+        v_b = vb[:, x]
+        v_c = vc[:, x]
+        paa = b_a * v_a  # exact (12b x 12b)
+        pab = b_a * v_b  # exact
+        pba = b_b * v_a  # exact
+        r = (paa - jnp.round(paa)) + (pab - jnp.round(pab))
+        r = r + (pba - jnp.round(pba))
+        small = b_b * v_b + (b_a * v_c + b_c * v_a) + (b_b * v_c + b_c * v_b)
+        rc = r + small
+        rc = rc - jnp.round(rc)  # keep the running sum near [-0.5, 0.5]
+        y = rc if y is None else y + rc
     return y - jnp.round(y)
 
 

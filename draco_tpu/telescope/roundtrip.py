@@ -74,15 +74,34 @@ def _pad_to(n: int, chunk: int) -> int:
     return (n + chunk - 1) // chunk * chunk
 
 
-# Exact fringe phases: see ops.tools.phase_frac (shared by every
-# fringe builder — fused round trip, streaming projections, generate).
-from ..ops.tools import phase_frac as _phase_frac
+# Exact fringe phases: see ops.tools.phase_frac3 (shared by the fused
+# programs).  Baselines and pixel vectors are pre-split on the host
+# into three f32 parts so every high product on device is EXACTLY
+# representable — immune to compiler FMA contraction (which breaks
+# runtime Dekker/TwoSum schemes on the XLA:CPU truth path).  For the
+# (usual) uniformly-spaced frequency grid the per-frequency phases form
+# an arithmetic progression t_f = t_0 + f*dt, so the trig is evaluated
+# only for t_0 and dt and each further frequency is ONE complex
+# rotation — the per-frequency fringe build drops from ~100 VPU ops per
+# pixel to ~6.
+from ..ops.tools import phase_frac3 as _phase_frac3
 from ..ops.tools import sincos_turns as _sincos_turns
-from ..ops.tools import twofloat_split as _twofloat_split
+from ..ops.tools import threefloat_split as _threefloat_split
 
 
 def _baseline_prep(tel, nfreq: int, nbase: int, chunk: int, order=None):
-    """Chunk-padded baseline-in-wavelengths tensor shared by both programs.
+    """Chunk-padded baseline-phase tensors shared by both fused programs.
+
+    Returns ``(npad, nchunk, ba, bb, bc, uniform)`` where ba/bb/bc are
+    the three-part splits (:func:`threefloat_split`) of per-frequency
+    baseline phase coefficients in turns per unit direction:
+
+    - ``uniform=True`` (evenly spaced frequency grid): shape [2, npad,
+      3] holding ``b * nu_0 / c`` and ``b * dnu / c`` — the base phase
+      and the per-frequency-step phase increment of the arithmetic
+      progression.
+    - ``uniform=False``: shape [nfreq, npad, 3] holding ``b / lambda_f``
+      for every frequency.
 
     ``order`` optionally permutes the baseline axis (m-support sort).
     """
@@ -91,10 +110,55 @@ def _baseline_prep(tel, nfreq: int, nbase: int, chunk: int, order=None):
     bl3 = tel.baseline_vectors_3d().astype(np.float64)
     if order is not None:
         bl3 = bl3[order]
-    blw = np.zeros((nfreq, npad, 3), np.float64)
-    blw[:, :nbase] = bl3[None] / tel.wavelengths[:, None, None]
-    blw_hi, blw_lo = _twofloat_split(blw)
-    return npad, nchunk, blw_hi, blw_lo
+    blp = np.zeros((npad, 3), np.float64)
+    blp[:nbase] = bl3
+    inv_wl = 1.0 / np.asarray(tel.wavelengths, dtype=np.float64)  # nu/c
+    # Uniform frequency grid -> arithmetic-progression phases.  The
+    # tolerance keeps the linear-fit phase error well under the fringe
+    # builder's own ~3e-7-turn budget at u ~ 1e4 wavelengths.
+    uniform = nfreq == 1
+    if nfreq > 1:
+        step = (inv_wl[-1] - inv_wl[0]) / (nfreq - 1)
+        fit = inv_wl[0] + step * np.arange(nfreq)
+        dev = np.abs(inv_wl - fit).max()
+        uniform = bool(dev <= 1e-12 * np.abs(inv_wl).max())
+    if uniform:
+        step = 0.0 if nfreq == 1 else (inv_wl[-1] - inv_wl[0]) / (nfreq - 1)
+        coeff = np.stack([blp * inv_wl[0], blp * step])  # [2, npad, 3]
+    else:
+        coeff = blp[None] * inv_wl[:, None, None]  # [nfreq, npad, 3]
+    ba, bb, bc = _threefloat_split(coeff)
+    return npad, nchunk, ba, bb, bc, uniform
+
+
+def _fringe_trig(ba, bb, bc, va, vb, vc, c0, chunk, nfreq, uniform):
+    """(cos, sin) fringe planes [nfreq, chunk, K] for one baseline chunk.
+
+    ``ba``/``bb``/``bc`` are the :func:`_baseline_prep` coefficients;
+    ``va``/``vb``/``vc`` the three-part pixel direction vectors [K, 3].
+    Uniform grids rotate the base phasor by the per-step phasor per
+    frequency (error ~nfreq * eps_f32, negligible for the <= O(10)
+    frequencies a single program invocation batches).
+    """
+    G = ba.shape[0]
+    Ba = jax.lax.dynamic_slice(ba, (0, c0, 0), (G, chunk, 3))
+    Bb = jax.lax.dynamic_slice(bb, (0, c0, 0), (G, chunk, 3))
+    Bc = jax.lax.dynamic_slice(bc, (0, c0, 0), (G, chunk, 3))
+    if not uniform:
+        t = _phase_frac3(Ba, Bb, Bc, va, vb, vc)  # [nfreq, C, K]
+        return _sincos_turns(t)
+    t0 = _phase_frac3(Ba[0], Bb[0], Bc[0], va, vb, vc)  # [C, K]
+    c_f, s_f = _sincos_turns(t0)
+    if nfreq == 1:
+        return c_f[None], s_f[None]
+    td = _phase_frac3(Ba[1], Bb[1], Bc[1], va, vb, vc)
+    cd, sd = _sincos_turns(td)
+    cs, ss = [c_f], [s_f]
+    for _ in range(nfreq - 1):
+        c_f, s_f = cs[-1] * cd - ss[-1] * sd, cs[-1] * sd + ss[-1] * cd
+        cs.append(c_f)
+        ss.append(s_f)
+    return jnp.stack(cs), jnp.stack(ss)
 
 
 def _beam_prep(bt, nfreq: int, npad: int, nbase: int, gather, order=None):
@@ -121,7 +185,7 @@ def _beam_prep(bt, nfreq: int, npad: int, nbase: int, gather, order=None):
 
 
 def _make_run(program, consts, dims, s, mmax, nfreq, npad, nbase,
-              uniform_real, order=None):
+              uniform_real, order=None, uniform_freq=True):
     """The shared run(sky, weight) closure over a prepared fused program.
 
     ``order`` carries the m-support baseline sort; user weights are
@@ -150,6 +214,7 @@ def _make_run(program, consts, dims, s, mmax, nfreq, npad, nbase,
             dims=dims,
             use_weight=use_weight,
             uniform_real_beam=bool(uniform_real),
+            uniform_freq=bool(uniform_freq),
         )
 
     return run
@@ -157,7 +222,9 @@ def _make_run(program, consts, dims, s, mmax, nfreq, npad, nbase,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sht_obj", "dims", "use_weight", "uniform_real_beam"),
+    static_argnames=(
+        "sht_obj", "dims", "use_weight", "uniform_real_beam", "uniform_freq"
+    ),
 )
 def _fused_roundtrip(
     sky,
@@ -168,19 +235,22 @@ def _fused_roundtrip(
     Esf,
     flat_ring,
     ring_onehot,
-    vecw_hi,
-    vecw_lo,
+    va,
+    vb,
+    vc,
     u_re,
     u_im,
     uidx_pad,
-    blw_hi,
-    blw_lo,
+    bla,
+    blb,
+    blc,
     weight,
     *,
     sht_obj,
     dims,
     use_weight,
     uniform_real_beam,
+    uniform_freq,
 ):
     """The single-program round trip (see module docstring).
 
@@ -198,7 +268,8 @@ def _fused_roundtrip(
         as a GEMM; scatters don't tile on TPU)
     u_re/u_im : [nfreq, nuniq, npol, Kf] beam products (solid angle in)
     uidx_pad : [npad] unique-product index per (padded) baseline
-    blw_pad : [nfreq, npad, 3] baselines in wavelengths
+    bla/blb/blc : [2 or nfreq, npad, 3] three-part baseline phase
+        coefficients (see _baseline_prep)
     weight : [mmax+1, 2, nfreq, npad] (ignored unless use_weight)
     uniform_real_beam : every baseline shares one real beam product —
         the dominant identical-dish case; the per-baseline gather and
@@ -231,15 +302,9 @@ def _fused_roundtrip(
 
     def fringe(c):
         """Windowed fringe x beam planes for baseline chunk ``c``."""
-        bh = jax.lax.dynamic_slice(
-            blw_hi, (0, c * chunk, 0), (nfreq, chunk, 3)
-        )
-        bl = jax.lax.dynamic_slice(
-            blw_lo, (0, c * chunk, 0), (nfreq, chunk, 3)
-        )
-        # phase_frac yields turns; the turns-based sincos skips XLA's
-        # full range reduction (trig dominated this builder's VPU time)
-        cph, sph = _sincos_turns(_phase_frac(bh, bl, vecw_hi, vecw_lo))
+        cph, sph = _fringe_trig(
+            bla, blb, blc, va, vb, vc, c * chunk, chunk, nfreq, uniform_freq
+        )  # [f, C, Kf]
         if uniform_real_beam:
             # u_re[:, 0] broadcasts over the chunk: two writes total
             b = u_re[:, 0][:, None]  # [f, 1, p, Kf]
@@ -349,26 +414,31 @@ def _fused_roundtrip(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sht_obj", "dims", "use_weight", "uniform_real_beam"),
+    static_argnames=(
+        "sht_obj", "dims", "use_weight", "uniform_real_beam", "uniform_freq"
+    ),
 )
 def _fused_roundtrip_fullsphere(
     sky,
     lam,
     plan,
     pw,
-    vecp_hi,
-    vecp_lo,
+    va,
+    vb,
+    vc,
     u_re,
     u_im,
     uidx_pad,
-    blw_hi,
-    blw_lo,
+    bla,
+    blb,
+    blc,
     weight,
     *,
     sht_obj,
     dims,
     use_weight,
     uniform_real_beam,
+    uniform_freq,
 ):
     """Full-sphere variant of :func:`_fused_roundtrip`.
 
@@ -411,13 +481,9 @@ def _fused_roundtrip_fullsphere(
 
     def fringe_sections(c):
         """Ring-section coefficients of the chunk's fringe x beam pair."""
-        bh = jax.lax.dynamic_slice(
-            blw_hi, (0, c * chunk, 0), (nfreq, chunk, 3)
-        )
-        bl = jax.lax.dynamic_slice(
-            blw_lo, (0, c * chunk, 0), (nfreq, chunk, 3)
-        )
-        cph, sph = _sincos_turns(_phase_frac(bh, bl, vecp_hi, vecp_lo))
+        cph, sph = _fringe_trig(
+            bla, blb, blc, va, vb, vc, c * chunk, chunk, nfreq, uniform_freq
+        )  # [f, C, npad_pix]
         if uniform_real_beam:
             b = u_re[:, 0][:, None]  # [f, 1, p, npad_pix]
             re = b * cph[:, :, None]
@@ -616,11 +682,11 @@ def fused_roundtrip_fn(bt, chunk: int | None = None):
     _, lam, plan = bt._streaming_ops()
     lam_band = win._ensure_lam()
     vec = healpix.pix2vec(bt.beam_nside)
-    vecw_hi, vecw_lo = _twofloat_split(
+    va, vb, vc = _threefloat_split(
         np.asarray(vec, dtype=np.float64)[win.flat_index]
     )
 
-    npad, nchunk, blw_hi, blw_lo = _baseline_prep(
+    npad, nchunk, bla, blb, blc, uniform_freq = _baseline_prep(
         tel, nfreq, nbase, chunk, order=order
     )
     u_re_h, u_im_h, uidx_pad, uniform_real = _beam_prep(
@@ -652,18 +718,20 @@ def fused_roundtrip_fn(bt, chunk: int | None = None):
         win._Esf,
         win.flat_ring,
         win.ring_onehot,
-        jnp.asarray(vecw_hi),
-        jnp.asarray(vecw_lo),
+        jnp.asarray(va),
+        jnp.asarray(vb),
+        jnp.asarray(vc),
         jnp.asarray(u_re_h),
         jnp.asarray(u_im_h),
         jnp.asarray(uidx_pad),
-        jnp.asarray(blw_hi),
-        jnp.asarray(blw_lo),
+        jnp.asarray(bla),
+        jnp.asarray(blb),
+        jnp.asarray(blc),
     )
     dims = (nfreq, npol, chunk, nchunk, nbase, win.Kf, mmax, groups)
     return _make_run(
         _fused_roundtrip, consts, dims, s, mmax, nfreq, npad, nbase,
-        uniform_real, order=order,
+        uniform_real, order=order, uniform_freq=uniform_freq,
     )
 
 
@@ -681,14 +749,16 @@ def _fullsphere_roundtrip_fn(bt, chunk: int | None):
         chunk = _auto_chunk(nbase, nfreq, npol, 3 * len(layout))
     lclip = np.clip(layout, 0, None)
     vec = healpix.pix2vec(bt.beam_nside)
-    vecp_hi, vecp_lo = _twofloat_split(
+    va, vb, vc = _threefloat_split(
         np.where(
             layout[:, None] >= 0, np.asarray(vec, dtype=np.float64)[lclip], 0.0
         )
     )
     pw = s.belt_phase_weight(jnp.complex64)
 
-    npad, nchunk, blw_hi, blw_lo = _baseline_prep(tel, nfreq, nbase, chunk)
+    npad, nchunk, bla, blb, blc, uniform_freq = _baseline_prep(
+        tel, nfreq, nbase, chunk
+    )
     u_re_h, u_im_h, uidx_pad, uniform_real = _beam_prep(
         bt, nfreq, npad, nbase,
         lambda bprod: np.where(layout >= 0, bprod[..., lclip], 0.0),
@@ -698,18 +768,20 @@ def _fullsphere_roundtrip_fn(bt, chunk: int | None):
         lam,
         plan,
         pw,
-        jnp.asarray(vecp_hi),
-        jnp.asarray(vecp_lo),
+        jnp.asarray(va),
+        jnp.asarray(vb),
+        jnp.asarray(vc),
         jnp.asarray(u_re_h),
         jnp.asarray(u_im_h),
         jnp.asarray(uidx_pad),
-        jnp.asarray(blw_hi),
-        jnp.asarray(blw_lo),
+        jnp.asarray(bla),
+        jnp.asarray(blb),
+        jnp.asarray(blc),
     )
     dims = (nfreq, npol, chunk, nchunk, nbase, mmax)
     return _make_run(
         _fused_roundtrip_fullsphere, consts, dims, s, mmax, nfreq, npad,
-        nbase, uniform_real,
+        nbase, uniform_real, uniform_freq=uniform_freq,
     )
 
 

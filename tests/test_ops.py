@@ -204,6 +204,37 @@ def test_sincos_turns_accuracy():
         assert np.allclose(np.asarray(c64), np.cos(2 * np.pi * t64), atol=1e-14)
 
 
+def test_phase_frac3_accuracy():
+    """Three-part fringe phase matches f64 to ~3e-7 turns UNDER JIT.
+
+    phase_frac3 over threefloat_split operands is the fused-roundtrip
+    fringe path; compare against exact f64 at CHIME-scale baseline
+    lengths (~500 wavelengths) where a plain f32 dot loses ~2e-4 rad.
+    Run jitted on the CPU backend deliberately: XLA:CPU's FMA
+    contraction breaks runtime Dekker/TwoSum compensation, which this
+    scheme is immune to by using only exactly-representable products.
+    """
+    rng = np.random.default_rng(7)
+    bl = rng.uniform(-120.0, 120.0, (64, 3))
+    vec = rng.normal(size=(257, 3))
+    vec /= np.linalg.norm(vec, axis=1, keepdims=True)
+    wavelengths = np.array([0.21, 0.42, 0.7499])
+    blw = bl[None] / wavelengths[:, None, None]  # [nf, nb, 3]
+    ba, bb, bc = tools.threefloat_split(blw)
+    va, vb, vc = tools.threefloat_split(vec)
+    # the split reconstructs the f64 operand to f32-residual accuracy
+    rec = ba.astype(np.float64) + bb.astype(np.float64) + bc.astype(np.float64)
+    assert np.abs(rec - blw).max() < np.abs(blw).max() * 2e-14
+
+    turns = jax.jit(tools.phase_frac3)(
+        *map(jnp.asarray, (ba, bb, bc, va, vb, vc))
+    )
+    t64 = np.einsum("fbx,kx->fbk", blw, vec)
+    d = np.asarray(turns, np.float64) - (t64 - np.round(t64))
+    d = d - np.round(d)  # 0.5 / -0.5 are the same phase
+    assert np.abs(d).max() < 1e-6
+
+
 # ---------------------------------------------------------------------------
 # random
 # ---------------------------------------------------------------------------
