@@ -130,6 +130,52 @@ def test_mcut_truncation_is_exact(compact_setup, monkeypatch):
     assert np.allclose(auto, full, atol=2e-6 * np.abs(full).max())
 
 
+def test_fused_nonuniform_freq_grid():
+    """A non-uniform frequency grid takes the per-frequency phase path.
+
+    The fringe builder normally exploits the arithmetic progression of
+    phases on an evenly spaced grid (one complex rotation per extra
+    frequency); irregular channel centres must fall back to explicit
+    per-frequency phases and still match the composed streaming stages.
+    """
+    from draco_tpu.telescope.roundtrip import _baseline_prep
+
+    class _IrregularDish(UnpolarisedDishArray):
+        @property
+        def frequencies(self):
+            return np.array([400.0, 431.0, 487.0])
+
+    nside = 16
+    tel = _IrregularDish(
+        grid_ew=2,
+        grid_ns=2,
+        spacing_ew=4.0,
+        spacing_ns=4.0,
+        latitude=30.0,
+        freq_lower=400.0,
+        freq_upper=487.0,
+        num_freq=3,
+        dish_width=8.0,
+        auto_correlations=True,
+        force_lmax=3 * nside - 1,
+        force_mmax=3 * nside - 1,
+    )
+    nbase = len(tel.uniquepairs)
+    *_, uniform = _baseline_prep(tel, tel.nfreq, nbase, chunk=4)
+    assert uniform is False
+
+    bt = BeamTransfer(telescope=tel, nside=nside)
+    if bt._beam_window() is None:
+        pytest.skip("beam not compact enough for the windowed path")
+    rng = np.random.Generator(np.random.SFC64(23))
+    sky = rng.standard_normal((tel.nfreq, 1, healpix.npix_of(nside))).astype(
+        np.float32
+    )
+    want = _composed_roundtrip(bt, tel, sky)
+    got = np.asarray(fused_simulate_to_map(bt, sky, chunk=4))
+    assert np.allclose(got, want, atol=2e-5 * np.abs(want).max())
+
+
 def test_simulate_and_map_task(compact_setup):
     tel, bt, sky = compact_setup
     m = containers.Map(
