@@ -130,6 +130,47 @@ def test_mcut_truncation_is_exact(compact_setup, monkeypatch):
     assert np.allclose(auto, full, atol=2e-6 * np.abs(full).max())
 
 
+def test_fused_many_frequency_rotation_accuracy():
+    """Phasor-rotation error stays in budget over an 8-frequency batch.
+
+    On a uniform grid the fringe for frequency f is the base fringe
+    rotated f times by the per-step phasor, so rounding accumulates
+    linearly in nfreq; check the fused program still matches the
+    composed streaming stages (which build each frequency's phase
+    exactly) at the standard 2e-5 tolerance for the largest frequency
+    batch the bench uses.
+    """
+    nside = 16
+    tel = UnpolarisedDishArray(
+        grid_ew=2,
+        grid_ns=2,
+        spacing_ew=4.0,
+        spacing_ns=4.0,
+        latitude=30.0,
+        freq_lower=400.0,
+        freq_upper=500.0,
+        num_freq=8,
+        dish_width=8.0,
+        auto_correlations=True,
+        force_lmax=3 * nside - 1,
+        force_mmax=3 * nside - 1,
+    )
+    bt = BeamTransfer(telescope=tel, nside=nside)
+    if bt._beam_window() is None:
+        pytest.skip("beam not compact enough for the windowed path")
+    rng = np.random.Generator(np.random.SFC64(29))
+    sky = rng.standard_normal((tel.nfreq, 1, healpix.npix_of(nside))).astype(
+        np.float32
+    )
+    want = _composed_roundtrip(bt, tel, sky)
+    got = np.asarray(fused_simulate_to_map(bt, sky, chunk=4))
+    # per-frequency comparison so one bad rotation cannot hide in the norm
+    for f in range(tel.nfreq):
+        assert np.allclose(
+            got[f], want[f], atol=2e-5 * np.abs(want[f]).max()
+        ), f"frequency {f} out of tolerance"
+
+
 def test_fused_nonuniform_freq_grid():
     """A non-uniform frequency grid takes the per-frequency phase path.
 
