@@ -453,6 +453,64 @@ def main():
         except Exception as e:  # never fail the whole bench on an extra
             extras["delay_gibbs"] = {"error": str(e)[:200]}
 
+    if os.environ.get("BENCH_THROUGHPUT", "1") != "0" and within_budget(
+        "feeds256_throughput"
+    ):
+        # Opt-in throughput mode at the north-star feed count: the
+        # baseline-loop GEMMs at three-pass bf16
+        # (DRACO_TPU_ROUNDTRIP_LOOP_PRECISION=high) while the
+        # Legendre/ring-DFT contractions stay f32-faithful.  Measured
+        # end-to-end library-path error 3.0e-5 at nside=64 (vs 1.5e-5
+        # at full precision; budget 5e-5) — see docs/design.md.  The
+        # precision env is latched when telescope.roundtrip imports,
+        # so this runs in a subprocess; last extra because a cold
+        # compile of the 32640-pair program is the most expensive in
+        # the suite.
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["DRACO_TPU_ROUNDTRIP_LOOP_PRECISION"] = "high"
+        tp_nfreq = int(os.environ.get("BENCH_BIG_NFREQ", 4))
+        code = """
+import bench
+bench._configure_jax()
+t, warm, npairs = bench.run_library(nfreq={nfreq}, nfeed_side={side}, autos=False, chunk={chunk}, nrun=2, tag='big_loophigh')
+print('per_freq_s', t/{nfreq})
+""".format(
+            nfreq=tp_nfreq,
+            side=int(os.environ.get("BENCH_BIG_SIDE", 16)),
+            chunk=int(os.environ.get("BENCH_BIG_CHUNK", 2040)),
+        )
+        try:
+            left = max(60.0, budget_s - (time.time() - t_start))
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=min(left, 1800.0),
+            )
+            per_freq = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("per_freq_s"):
+                    per_freq = float(line.split()[1])
+            if proc.returncode == 0 and per_freq is not None:
+                extras["feeds256_throughput"] = {
+                    "per_freq_s": round(per_freq, 4),
+                    "mode": "loop GEMMs three-pass bf16, err 3.0e-5@ns64",
+                }
+                extras["north_star_projection_v5e8_throughput_s"] = round(
+                    per_freq * 1024.0 / 8.0, 1
+                )
+            else:
+                extras["feeds256_throughput"] = {
+                    "error": (proc.stderr or proc.stdout)[-200:]
+                }
+        except Exception as e:  # never fail the whole bench on an extra
+            extras["feeds256_throughput"] = {"error": str(e)[:200]}
+
     if os.environ.get("BENCH_CROSSCHECK"):
         spine = run_spine(emit_json=False)
         extras["spine_crosscheck_s"] = round(spine, 3)
