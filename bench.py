@@ -465,13 +465,17 @@ def main():
         # precision env is latched when telescope.roundtrip imports,
         # so this runs in a subprocess; last extra because a cold
         # compile of the 32640-pair program is the most expensive in
-        # the suite.
+        # the suite.  The frequency batch is deeper than the
+        # full-precision extra's (8 vs 4): the one-time fringe trig
+        # amortises across the batch (each extra frequency is a single
+        # complex rotation), measured 0.194 s/freq at 8 vs 0.222 at 4;
+        # 16 exceeds single-chip HBM (16.6 G > 15.75 G at chunk 2040).
         import subprocess
         import sys
 
         env = dict(os.environ)
         env["DRACO_TPU_ROUNDTRIP_LOOP_PRECISION"] = "high"
-        tp_nfreq = int(os.environ.get("BENCH_BIG_NFREQ", 4))
+        tp_nfreq = int(os.environ.get("BENCH_TP_NFREQ", 8))
         code = """
 import bench
 bench._configure_jax()
