@@ -377,12 +377,12 @@ def main():
         }
 
         # north-star feed count: 256 feeds, C(256,2) = 32640 cross pairs,
-        # with several frequencies batched so the per-frequency marginal
-        # cost is measured directly at scale (nfreq=4 holds the fringe
-        # intermediates within single-chip HBM)
+        # with 8 frequencies batched so the one-time fringe trig
+        # amortises (0.2825 s/freq vs 0.3169 at nfreq=4; nfreq=16
+        # exceeds single-chip HBM)
         big_side = int(os.environ.get("BENCH_BIG_SIDE", 16))
         big_chunk = int(os.environ.get("BENCH_BIG_CHUNK", 2040))
-        big_nfreq = int(os.environ.get("BENCH_BIG_NFREQ", 4))
+        big_nfreq = int(os.environ.get("BENCH_BIG_NFREQ", 8))
         t_big, warm_big, npairs_big = run_library(
             nfreq=big_nfreq,
             nfeed_side=big_side,
