@@ -196,12 +196,22 @@ def run_library(nfreq: int, nfeed_side: int, autos: bool, chunk: int,
     return min(times), warm, npairs
 
 
-def run_cylinder(ncyl=None, nfeed=None, chunk=None, tag="cylinder"):
-    """Full-sphere fused round trip on a cylinder (CHIME-class) telescope."""
+def run_cylinder(ncyl=None, nfeed=None, chunk=None, tag="cylinder", pol=False):
+    """Full-sphere fused round trip on a cylinder (CHIME-class) telescope.
+
+    ``pol=True`` selects the dual-pol instrument (X and Y feeds at every
+    position, full T/Q/U/V sky): ``nfeed`` then counts per-polarisation
+    feeds per cylinder, so 4 x 256 dual-pol is the BASELINE.json
+    2048-feed scale-up geometry (7155 stacked products).
+    """
     import jax.numpy as jnp
 
     from draco_tpu.ops import healpix
-    from draco_tpu.telescope import BeamTransfer, UnpolarisedCylinderTelescope
+    from draco_tpu.telescope import (
+        BeamTransfer,
+        PolarisedCylinderTelescope,
+        UnpolarisedCylinderTelescope,
+    )
     from draco_tpu.telescope.roundtrip import fused_roundtrip_fn
 
     if ncyl is None:
@@ -209,7 +219,8 @@ def run_cylinder(ncyl=None, nfeed=None, chunk=None, tag="cylinder"):
     if nfeed is None:
         nfeed = int(os.environ.get("BENCH_CYL_FEEDS", 64))
     f0 = 299.792458 / 0.6
-    tel = UnpolarisedCylinderTelescope(
+    cls = PolarisedCylinderTelescope if pol else UnpolarisedCylinderTelescope
+    tel = cls(
         num_cylinders=ncyl,
         cylinder_width=20.0,
         cylinder_spacing=22.0,
@@ -232,7 +243,9 @@ def run_cylinder(ncyl=None, nfeed=None, chunk=None, tag="cylinder"):
 
     rng = np.random.Generator(np.random.SFC64(1))
     sky = jnp.asarray(
-        rng.standard_normal((1, 1, healpix.npix_of(NSIDE))).astype(np.float32)
+        rng.standard_normal(
+            (1, tel.num_pol_sky, healpix.npix_of(NSIDE))
+        ).astype(np.float32)
     )
     run = fused_roundtrip_fn(bt, chunk=chunk)
 
@@ -441,6 +454,32 @@ def main():
             }
         except Exception as e:  # never fail the whole bench on an extra
             extras["cylinder_chime"] = {"error": str(e)[:200]}
+
+    if os.environ.get("BENCH_CHIME_POL", "1") != "0" and within_budget(
+        "cylinder_chime2048"
+    ):
+        # the full BASELINE.json scale-up instrument: 4 cylinders x 256
+        # DUAL-POL feeds = 2048 feeds, 7155 redundancy-stacked products,
+        # full T/Q/U/V sky through the full-sphere path
+        try:
+            ncyl_p = int(os.environ.get("BENCH_CHIME_CYL", 4))
+            nfeed_p = int(os.environ.get("BENCH_CHIME_FEEDS", 256))
+            t_cp, warm_cp, npairs_cp = run_cylinder(
+                ncyl=ncyl_p,
+                nfeed=nfeed_p,
+                chunk=int(os.environ.get("BENCH_CHIME_POL_CHUNK", 128)),
+                tag="cylinder_chime2048",
+                pol=True,
+            )
+            extras["cylinder_chime2048"] = {
+                "nfeed": 2 * ncyl_p * nfeed_p,
+                "npairs": npairs_cp,
+                "npol_sky": 4,
+                "seconds": round(t_cp, 3),
+                "warmup_s": round(warm_cp, 1),
+            }
+        except Exception as e:  # never fail the whole bench on an extra
+            extras["cylinder_chime2048"] = {"error": str(e)[:200]}
 
     if os.environ.get("BENCH_DELAY", "1") != "0" and within_budget(
         "delay_gibbs"

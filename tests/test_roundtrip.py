@@ -429,3 +429,38 @@ def test_fused_paths_support_x64(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "x64 ok" in r.stdout
+
+
+def test_fused_polarised_cylinder_matches_composed_stages():
+    """Dual-pol cylinders (the BASELINE scale-up instrument class) run the
+    full-sphere fused path with a T/Q/U/V sky and must match the composed
+    streaming stages — covers the polarised + full-sphere + redundancy-
+    stacked combination the 2048-feed bench extra measures."""
+    from draco_tpu.telescope import PolarisedCylinderTelescope
+
+    nside = 16
+    f0 = 299.792458 / 0.6
+    tel = PolarisedCylinderTelescope(
+        num_cylinders=2,
+        cylinder_width=20.0,
+        cylinder_spacing=22.0,
+        num_feeds=3,
+        feed_spacing=0.5,
+        latitude=49.0,
+        freq_lower=f0,
+        freq_upper=f0,
+        num_freq=1,
+        auto_correlations=True,
+        force_lmax=3 * nside - 1,
+        force_mmax=3 * nside - 1,
+    )
+    bt = BeamTransfer(telescope=tel, nside=nside)
+    assert tel.num_pol_sky == 4
+    rng = np.random.Generator(np.random.SFC64(37))
+    sky = rng.standard_normal((1, 4, healpix.npix_of(nside))).astype(
+        np.float32
+    )
+    want = _composed_roundtrip(bt, tel, sky)
+    got = np.asarray(fused_simulate_to_map(bt, sky, chunk=7))
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=3e-5 * np.abs(want).max())
