@@ -14,8 +14,6 @@ alm tensor is resharded freq <-> m between the SHT and projection stages
 
 from __future__ import annotations
 
-import inspect
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,14 +65,13 @@ class SimulateSidereal(ContainerTask):
         bt = self.beamtransfer
         tel = self.telescope
 
-        lmax = tel.lmax
-        mmax = tel.mmax
-        ntime = 2 * mmax + 1
-        if self.fast_ra:
-            ntime = mmode.fast_fft_size(ntime)
+        lmax, mmax = tel.lmax, tel.mmax
+        ntime = (
+            mmode.fast_fft_size(2 * mmax + 1) if self.fast_ra else 2 * mmax + 1
+        )
 
         freqmap = map_.index_map["freq"][:]
-        if (tel.frequencies != freqmap["centre"]).any():
+        if not np.array_equal(tel.frequencies, freqmap["centre"]):
             raise ValueError("The sky map and beam-transfer frequency axes disagree.")
 
         # Sky harmonics for every (freq, pol) map; trim to mmax
@@ -98,31 +95,30 @@ class SimulateSidereal(ContainerTask):
             vis_m, n=ntime, oddra=True
         )  # [f, b, t]
 
-        # Construct the output container
-        try:
-            feed_index = tel.input_index
-        except AttributeError:
-            feed_index = tel.nfeed
-
-        kwargs = {}
-        if tel.npairs != (tel.nfeed + 1) * tel.nfeed // 2 and self.stacked:
-            kwargs["prod"] = tel.index_map_prod
-            kwargs["stack"] = tel.index_map_stack
-            kwargs["reverse_map_stack"] = tel.reverse_map_stack
-        else:
-            prod_map = np.zeros(
-                tel.uniquepairs.shape[0], dtype=[("input_a", int), ("input_b", int)]
+        # Construct the output container.  A redundancy-stacked telescope
+        # (fewer unique pairs than the full triangle) carries its own
+        # prod/stack maps; otherwise label each unique pair directly.
+        full_triangle = tel.npairs == tel.nfeed * (tel.nfeed + 1) // 2
+        if self.stacked and not full_triangle:
+            pair_kwargs = dict(
+                prod=tel.index_map_prod,
+                stack=tel.index_map_stack,
+                reverse_map_stack=tel.reverse_map_stack,
             )
-            prod_map["input_a"] = tel.uniquepairs[:, 0]
-            prod_map["input_b"] = tel.uniquepairs[:, 1]
-            kwargs["prod"] = prod_map
+        else:
+            pairs = np.asarray(tel.uniquepairs)
+            prod_map = np.empty(
+                len(pairs), dtype=[("input_a", int), ("input_b", int)]
+            )
+            prod_map["input_a"], prod_map["input_b"] = pairs.T
+            pair_kwargs = {"prod": prod_map}
 
         sstream = containers.SiderealStream(
             freq=freqmap,
             ra=ntime,
-            input=feed_index,
+            input=getattr(tel, "input_index", tel.nfeed),
             distributed=True,
-            **kwargs,
+            **pair_kwargs,
         )
         sstream.vis[:] = tools.device_to_numpy(vis_stream).astype(np.complex64)
         sstream.weight[:] = np.ones(sstream.weight.shape, dtype=np.float32)
@@ -144,18 +140,15 @@ class ExpandProducts(ContainerTask):
     ) -> containers.SiderealStream:
         tel = self.telescope
         ninput = len(sstream.input)
-        prod = np.array(
-            [(fi, fj) for fi in range(ninput) for fj in range(fi, ninput)],
-            dtype=[("input_a", int), ("input_b", int)],
-        )
-        nprod = len(prod)
+        fi, fj = np.triu_indices(ninput)
+        nprod = fi.size
+        prod = np.empty(nprod, dtype=[("input_a", int), ("input_b", int)])
+        prod["input_a"], prod["input_b"] = fi, fj
 
         new_stream = containers.SiderealStream(
             prod=prod, stack=None, axes_from=sstream
         )
 
-        fi = prod["input_a"]
-        fj = prod["input_b"]
         unique_ind = tel.feedmap[fi, fj]  # [nprod]
         conj = tel.feedconj[fi, fj]
         valid = unique_ind >= 0
@@ -187,56 +180,65 @@ class MakeTimeStream(ContainerTask):
 
     lanczos_width = config.Property(proptype=int, default=5)
 
+    # output container per input type; checked in order so subclasses
+    # that appear in both rows resolve to the more specific mapping
+    _output_types = (
+        (containers.HybridVisStream, containers.HybridVisStream),
+        (containers.SiderealStream, containers.TimeStream),
+    )
+
     def setup(self, observer):
         self.observer = io.get_telescope(observer)
 
-    def process(self, sstream, tstream):
+    def _sample_times(self, tstream):
+        """(unix time, RA degrees) of the target samples."""
         if hasattr(tstream, "time") and "time" in tstream.index_map:
-            time = tstream.time[:]
-            tra = self.observer.unix_to_lsa(time)
-        else:
-            tra = tstream.ra[:]
-            lsd = tstream.attrs.get("lsd", tstream.attrs.get("csd"))
-            time = self.observer.lsd_to_unix(lsd + tra / 360.0)
+            t = tstream.time[:]
+            return t, self.observer.unix_to_lsa(t)
+        ra = tstream.ra[:]
+        day = tstream.attrs.get("lsd", tstream.attrs.get("csd"))
+        return self.observer.lsd_to_unix(day + ra / 360.0), ra
 
-        container_map = {
-            containers.SiderealStream: containers.TimeStream,
-            containers.HybridVisStream: containers.HybridVisStream,
-        }
-        OutputContainer = None
-        for cls in inspect.getmro(sstream.__class__):
-            if cls in container_map:
-                OutputContainer = container_map[cls]
+    def process(self, sstream, tstream):
+        time, tra = self._sample_times(tstream)
+
+        for in_type, out_type in self._output_types:
+            if isinstance(sstream, in_type):
                 break
-        if OutputContainer is None:
+        else:
             raise TypeError(
                 f"No valid container mapping for {sstream.__class__}."
             )
 
-        out = OutputContainer(
+        out = out_type(
             axes_from=sstream, attrs_from=sstream, time=time, ra=tra
         )
 
-        # Interpolation matrix (periodic Lanczos over RA)
-        R = regrid.lanczos_forward_matrix(
-            sstream.ra, tra % 360, self.lanczos_width, periodic=True
-        ).T.copy()
-        Rj = jnp.asarray(R)
+        # Periodic Lanczos interpolation matrix over RA, applied on
+        # device; weights combine as inverse variances.
+        R = jnp.asarray(
+            regrid.lanczos_forward_matrix(
+                sstream.ra, tra % 360, self.lanczos_width, periodic=True
+            ).T.copy()
+        )
 
-        axind = list(sstream.data.axes).index("ra")
-        data = jnp.moveaxis(jnp.asarray(np.asarray(sstream.data[:])), axind, -1)
-        out.data[:] = np.asarray(
-            jnp.moveaxis(data @ Rj.astype(data.dtype), -1, axind)
+        def along_ra(values, axis_names, f):
+            ax = list(axis_names).index("ra")
+            moved = jnp.moveaxis(jnp.asarray(np.asarray(values)), ax, -1)
+            return np.asarray(jnp.moveaxis(f(moved), -1, ax))
+
+        out.data[:] = along_ra(
+            sstream.data[:],
+            sstream.data.axes,
+            lambda x: x @ R.astype(x.dtype),
         ).astype(out.data.dtype)
-
-        waxind = list(sstream.weight.axes).index("ra")
-        var = jnp.moveaxis(
-            invert_no_zero(jnp.asarray(np.asarray(sstream.weight[:]))), waxind, -1
-        )
-        wout = invert_no_zero(var @ (Rj.astype(var.dtype) ** 2))
-        out.weight[:] = np.asarray(jnp.moveaxis(wout, -1, waxind)).astype(
-            out.weight.dtype
-        )
+        out.weight[:] = along_ra(
+            sstream.weight[:],
+            sstream.weight.axes,
+            lambda w: invert_no_zero(
+                invert_no_zero(w) @ (R.astype(w.dtype) ** 2)
+            ),
+        ).astype(out.weight.dtype)
         return out
 
 
@@ -244,8 +246,8 @@ class MakeTimeStreamFixedInput(MakeTimeStream):
     """Make multiple time streams from a single input (reference stream.py:346)."""
 
     def setup(self, observer, sstream):
-        self.sstream = sstream
         super().setup(observer)
+        self.sstream = sstream
 
     def process(self, tstream):
         return super().process(self.sstream, tstream)
@@ -255,8 +257,8 @@ class MakeTimeStreamFixedTime(MakeTimeStream):
     """Make multiple time streams for fixed time samples (reference stream.py:378)."""
 
     def setup(self, observer, tstream):
-        self.tstream = tstream
         super().setup(observer)
+        self.tstream = tstream
 
     def process(self, sstream):
         return super().process(sstream, self.tstream)
@@ -274,40 +276,51 @@ class MakeMultipleTimeStreams(MakeTimeStreamFixedInput):
     integration_frame_exp = config.Property(proptype=int, default=23)
     samples_per_file = config.Property(proptype=int, default=1024)
 
-    _cur_time = None
+    _time_axes = None
 
     def process(self):
-        if self._cur_time is None:
-            self._cur_time = self.start_time
-        if self._cur_time >= self.end_time:
-            raise PipelineStopIteration()
-        tstream = self._next_time_axis()
+        if self._time_axes is None:
+            self._time_axes = self._iter_time_axes()
+        try:
+            tstream = next(self._time_axes)
+        except StopIteration:
+            raise PipelineStopIteration() from None
         return super().process(tstream)
 
-    def _next_time_axis(self):
-        if self.integration_time is not None:
-            int_time = self.integration_time
-        else:
-            int_time = 2.56e-6 * 2**self.integration_frame_exp
-        nsamp = min(
-            int(np.ceil((self.end_time - self._cur_time) / int_time)),
-            self.samples_per_file,
+    def _iter_time_axes(self):
+        """Yield one TOD time axis per output file across the span.
+
+        Samples are spaced by ``integration_time`` seconds when given,
+        else by an FPGA frame count of ``2**integration_frame_exp``
+        (2.56 us frames); the FPGA case carries a structured
+        (fpga_count, ctime) axis like real correlator data.
+        """
+        fpga_frames = self.integration_time is None
+        step = (
+            2.56e-6 * 2**self.integration_frame_exp
+            if fpga_frames
+            else self.integration_time
         )
-        timestamps = self._cur_time + (np.arange(nsamp) + 1) * int_time
-        if self.integration_time is not None:
-            time = timestamps
-        else:
-            time = np.zeros(
-                nsamp, dtype=[("fpga_count", np.uint64), ("ctime", np.float64)]
+        cursor = self.start_time
+        while cursor < self.end_time:
+            n = min(
+                self.samples_per_file,
+                int(np.ceil((self.end_time - cursor) / step)),
             )
-            time["ctime"] = timestamps
-            time["fpga_count"] = (
-                (timestamps - self.start_time)
-                / int_time
-                * 2**self.integration_frame_exp
-            ).astype(np.uint64)
-        self._cur_time += nsamp * int_time
-        return containers.TODContainer(time=time, skip_datasets=True)
+            stamps = cursor + step * np.arange(1, n + 1)
+            cursor += n * step
+            if fpga_frames:
+                axis = np.zeros(
+                    n, dtype=[("fpga_count", np.uint64), ("ctime", np.float64)]
+                )
+                axis["ctime"] = stamps
+                frames = (stamps - self.start_time) / step
+                axis["fpga_count"] = (
+                    frames * 2**self.integration_frame_exp
+                ).astype(np.uint64)
+            else:
+                axis = stamps
+            yield containers.TODContainer(time=axis, skip_datasets=True)
 
 
 class MakeSiderealDayStream(ContainerTask):
@@ -320,24 +333,23 @@ class MakeSiderealDayStream(ContainerTask):
     end_time = config.utc_time()
 
     def setup(self, bt, sstream):
-        self.observer = io.get_telescope(bt)
-        self.lsd_start = self.observer.unix_to_lsd(self.start_time)
-        self.lsd_end = self.observer.unix_to_lsd(self.end_time)
+        observer = io.get_telescope(bt)
+        lsd_start = observer.unix_to_lsd(self.start_time)
+        lsd_end = observer.unix_to_lsd(self.end_time)
         self.log.info(
             "Simulating the sidereal range LSD %i..%i",
-            int(self.lsd_start),
-            int(self.lsd_end),
+            int(lsd_start),
+            int(lsd_end),
         )
-        self._current_lsd = None
+        # first full day after the start, through the last day before the end
+        self._days = iter(range(int(lsd_start + 1), int(np.ceil(lsd_end))))
         self.sstream = sstream
 
     def process(self):
-        if self._current_lsd is None:
-            self._current_lsd = int(self.lsd_start + 1)
-        if self._current_lsd >= self.lsd_end:
-            raise PipelineStopIteration()
-        ss = self.sstream.copy()
-        ss.attrs["tag"] = f"lsd_{self._current_lsd}"
-        ss.attrs["lsd"] = self._current_lsd
-        self._current_lsd += 1
-        return ss
+        try:
+            day = next(self._days)
+        except StopIteration:
+            raise PipelineStopIteration() from None
+        out = self.sstream.copy()
+        out.attrs.update(tag=f"lsd_{day}", lsd=day)
+        return out
