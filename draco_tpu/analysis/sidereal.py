@@ -13,7 +13,7 @@ sidereal.py:986-1015) with device-side arithmetic.
 
 from __future__ import annotations
 
-import inspect
+import itertools
 
 import numpy as np
 
@@ -54,51 +54,51 @@ class SiderealGrouper(ContainerTask):
 
     def __init__(self):
         super().__init__()
-        self._timestream_list = []
-        self._current_lsd = None
+        self._group = []
+        self._group_day = None
 
     def setup(self, manager):
         self.observer = io.get_telescope(manager)
 
-    def process(self, tstream):
-        lsd_start = int(
-            self.observer.unix_to_lsd(tstream.time[0] - self.padding - self.offset)
-        )
-        lsd_end = int(
-            self.observer.unix_to_lsd(tstream.time[-1] + self.padding - self.offset)
-        )
-        if self._current_lsd is None:
-            self._current_lsd = lsd_start
-        if self._current_lsd == lsd_start:
-            self._timestream_list.append(tstream)
-        self.log.info("Grouping another file under LSD %i", lsd_start)
+    def _day_of(self, unix_time, pad):
+        """Integer LSD containing ``unix_time`` padded by ``pad`` seconds."""
+        return int(self.observer.unix_to_lsd(unix_time + pad - self.offset))
 
-        if self._current_lsd < lsd_end:
-            self.log.info("Joining the collected files of LSD %i", self._current_lsd)
-            tstream_all = self._process_current_lsd()
-            self._timestream_list = [tstream]
-            self._current_lsd = lsd_end
-            return tstream_all
-        return None
+    def process(self, tstream):
+        first_day = self._day_of(tstream.time[0], -self.padding)
+        last_day = self._day_of(tstream.time[-1], self.padding)
+        if self._group_day is None:
+            self._group_day = first_day
+        if first_day == self._group_day:
+            self._group.append(tstream)
+        self.log.info("Grouping another file under LSD %i", first_day)
+
+        if last_day <= self._group_day:
+            return None
+        # the file crossed into a new day: the running group is complete
+        self.log.info("Joining the collected files of LSD %i", self._group_day)
+        finished = self._assemble()
+        self._group = [tstream]
+        self._group_day = last_day
+        return finished
 
     def process_finish(self):
-        return self._process_current_lsd() if self._timestream_list else None
+        return self._assemble() if self._group else None
 
-    def _process_current_lsd(self):
-        lsd = self._current_lsd
-        start = self.observer.unix_to_lsd(self._timestream_list[0].time[0])
-        end = self.observer.unix_to_lsd(self._timestream_list[-1].time[-1])
-        day_length = min(end, lsd + 1) - max(start, lsd)
-        if day_length < self.min_day_length:
-            return None
-        self.log.info(
-            "Assembling LSD %i from %i files", lsd, len(self._timestream_list)
+    def _assemble(self):
+        day = self._group_day
+        files = self._group
+        self._group = []
+        span = (
+            self.observer.unix_to_lsd(files[0].time[0]),
+            self.observer.unix_to_lsd(files[-1].time[-1]),
         )
-        ts = concatenate_tod(self._timestream_list)
-        ts.attrs["tag"] = f"lsd_{lsd:d}"
-        ts.attrs["lsd"] = lsd
-        self._timestream_list = []
-        return ts
+        if min(span[1], day + 1) - max(span[0], day) < self.min_day_length:
+            return None
+        self.log.info("Assembling LSD %i from %i files", day, len(files))
+        out = concatenate_tod(files)
+        out.attrs.update(tag=f"lsd_{day:d}", lsd=day)
+        return out
 
 
 class SiderealRegridder(LanczosRegridder):
@@ -148,143 +148,126 @@ class SiderealRegridder(LanczosRegridder):
         )
         sdata.vis[:] = sts.astype(sdata.vis.dtype)
         sdata.weight[:] = ni.astype(sdata.weight.dtype)
-        sdata.attrs["lsd"] = self.start
-        sdata.attrs["tag"] = f"lsd_{self.start:.0f}"
+        sdata.attrs.update(lsd=self.start, tag=f"lsd_{self.start:.0f}")
         return sdata
 
     def _get_phase(self, freq, prod, lsd):
         """Zenith fringe-rate sinusoid (reference sidereal.py:255-278)."""
-        aa, bb = prod["input_a"], prod["input_b"]
-        mask = self.observer.feedmask[(aa, bb)].astype(np.float32)[
-            np.newaxis, :, np.newaxis
-        ]
-        lmbda = C_MHZ_M / np.asarray(freq)
-        u = self.observer.baselines[np.newaxis, :, 0] / lmbda[:, np.newaxis]
-        omega = -2.0 * np.pi * u * np.cos(np.radians(self.observer.latitude))
-        dphi = 2.0 * np.pi * (np.asarray(lsd) - np.floor(lsd))
-        return mask * np.exp(
-            -1.0j * omega[:, :, np.newaxis] * dphi[np.newaxis, np.newaxis, :]
+        tel = self.observer
+        mask = tel.feedmask[prod["input_a"], prod["input_b"]]
+        # east-west fringe rate of the zenith-pointing phase centre, in
+        # rad per sidereal turn, per (freq, baseline)
+        u_ew = np.outer(np.asarray(freq) / C_MHZ_M, tel.baselines[:, 0])
+        omega = -2.0 * np.pi * u_ew * np.cos(np.radians(tel.latitude))
+        turns = 2.0 * np.pi * np.mod(np.asarray(lsd), 1.0)
+        return (
+            mask.astype(np.float32)[None, :, None]
+            * np.exp(-1.0j * omega[..., None] * turns)
         )
 
 
-def _search_nearest(x, xeval):
-    index_next = np.searchsorted(x, xeval, side="left")
-    index_previous = np.maximum(0, index_next - 1)
-    index_next = np.minimum(x.size - 1, index_next)
-    return np.where(
-        np.abs(xeval - x[index_previous]) < np.abs(xeval - x[index_next]),
-        index_previous,
-        index_next,
+def _apply_stencil(vis, weight, x, grid, taps, coeffs, invalid, reach):
+    """Shared gather-and-combine core of the stencil regridders.
+
+    One engine serves nearest/linear/cubic: each variant supplies its
+    tap indices ``taps`` [T, ngrid] (already clipped into range), tap
+    weights ``coeffs`` [T, ngrid], and a precomputed ``invalid`` column
+    mask for stencils that ran off the domain.  The engine adds the
+    distance rule — any tap farther than ``reach`` median input
+    spacings from its target zeroes that column — combines the variance
+    through the stencil, and requires every tap to be unflagged.
+    """
+    spacing = np.median(np.abs(np.diff(x)))
+    dead = invalid | (np.abs(x[taps] - grid[None]) > reach * spacing).any(
+        axis=0
     )
 
+    flagged = weight > 0.0
+    var = invert_no_zero(weight)
+    out_shape = (*vis.shape[:-1], grid.size)
+    out_vis = np.zeros(out_shape, dtype=vis.dtype)
+    out_var = np.zeros(out_shape, dtype=np.float64)
+    out_ok = np.ones(out_shape, dtype=bool)
+    for tap, cc in zip(taps, coeffs):
+        out_vis += cc * vis[..., tap]
+        out_var += cc**2 * var[..., tap]
+        out_ok &= flagged[..., tap]
+    out_weight = invert_no_zero(out_var) * (out_ok & ~dead)
+    return out_vis, out_weight.astype(np.float32)
 
-class SiderealRegridderNearest(SiderealRegridder):
-    """Nearest-neighbour regridding (reference sidereal.py:362)."""
+
+class _StencilRegridder(SiderealRegridder):
+    """Base for the fixed-stencil (nearest/linear/cubic) regridders."""
+
+    #: max tap distance from the target, in median input spacings
+    reach = 1.0
+
+    def _stencil(self, x, grid):
+        """Return (taps [T, ngrid], coeffs [T, ngrid], invalid [ngrid])."""
+        raise NotImplementedError()
 
     def _regrid(self, vis, weight, lsd):
-        interp_grid = np.arange(0, self.samples, dtype=np.float64) / self.samples
-        interp_grid = interp_grid * (self.end - self.start) + self.start
-        index = _search_nearest(lsd, interp_grid)
-        interp_vis = vis[..., index]
-        interp_weight = weight[..., index].copy()
-        delta = np.median(np.abs(np.diff(lsd)))
-        distant = np.flatnonzero(np.abs(lsd[index] - interp_grid) > delta)
-        interp_weight[..., distant] = 0.0
-        return interp_grid, interp_vis, interp_weight
+        grid = np.linspace(
+            self.start, self.end, self.samples, endpoint=False
+        )
+        taps, coeffs, invalid = self._stencil(np.asarray(lsd), grid)
+        out_vis, out_weight = _apply_stencil(
+            vis, weight, lsd, grid, taps, coeffs, invalid, self.reach
+        )
+        return grid, out_vis, out_weight
 
 
-class SiderealRegridderLinear(SiderealRegridder):
+class SiderealRegridderNearest(_StencilRegridder):
+    """Nearest-neighbour regridding (reference sidereal.py:362)."""
+
+    def _stencil(self, x, grid):
+        right = np.clip(np.searchsorted(x, grid), 0, x.size - 1)
+        left = np.clip(right - 1, 0, None)
+        pick = np.where(
+            np.abs(grid - x[left]) < np.abs(x[right] - grid), left, right
+        )
+        return pick[None], np.ones((1, grid.size)), np.zeros(grid.size, bool)
+
+
+class SiderealRegridderLinear(_StencilRegridder):
     """Linear-interpolation regridding (reference sidereal.py:386).
 
     Vectorised over all leading axes (the reference loops over freq).
     """
 
-    def _regrid(self, vis, weight, lsd):
-        interp_grid = np.arange(0, self.samples, dtype=np.float64) / self.samples
-        interp_grid = interp_grid * (self.end - self.start) + self.start
-        index = np.searchsorted(lsd, interp_grid, side="left")
-        ind1 = index - 1
-        ind2 = index
-
-        below = np.flatnonzero(ind1 == -1)
-        ind1[below] = 0
-        ind2[below] = 1
-        above = np.flatnonzero(ind2 == lsd.size)
-        ind1[above] = lsd.size - 2
-        ind2[above] = lsd.size - 1
-
-        delta = np.median(np.abs(np.diff(lsd)))
-        distant = np.flatnonzero(
-            (np.abs(lsd[ind1] - interp_grid) > delta)
-            | (np.abs(lsd[ind2] - interp_grid) > delta)
+    def _stencil(self, x, grid):
+        hi = np.searchsorted(x, grid)
+        invalid = (hi == 0) | (hi == x.size)
+        hi = np.clip(hi, 1, x.size - 1)
+        lo = hi - 1
+        span = invert_no_zero(x[hi] - x[lo])
+        return (
+            np.stack([lo, hi]),
+            np.stack([(x[hi] - grid) * span, (grid - x[lo]) * span]),
+            invalid,
         )
 
-        dx1 = interp_grid - lsd[ind1]
-        dx2 = lsd[ind2] - interp_grid
-        norm = invert_no_zero(dx1 + dx2)
-        coeff1 = dx2 * norm
-        coeff2 = dx1 * norm
 
-        flag = weight > 0.0
-        var = invert_no_zero(weight)
-        finterp_flag = flag[..., ind1] & flag[..., ind2]
-        interp_vis = coeff1 * vis[..., ind1] + coeff2 * vis[..., ind2]
-        interp_weight = invert_no_zero(
-            coeff1**2 * var[..., ind1] + coeff2**2 * var[..., ind2]
-        ) * finterp_flag.astype(np.float32)
+class SiderealRegridderCubic(_StencilRegridder):
+    """Cubic Hermite (Catmull-Rom) spline regridding (reference :464)."""
 
-        interp_weight[..., below] = 0.0
-        interp_weight[..., above] = 0.0
-        interp_weight[..., distant] = 0.0
-        return interp_grid, interp_vis, interp_weight
+    reach = 2.0
 
-
-class SiderealRegridderCubic(SiderealRegridder):
-    """Cubic Hermite spline regridding (reference sidereal.py:464)."""
-
-    def _regrid(self, vis, weight, lsd):
-        interp_grid = np.arange(0, self.samples, dtype=np.float64) / self.samples
-        interp_grid = interp_grid * (self.end - self.start) + self.start
-        index = np.searchsorted(lsd, interp_grid, side="left")
-        index = np.vstack([index + i for i in range(-2, 2)])
-
-        below = np.flatnonzero(np.any(index < 0, axis=0))
-        index = np.maximum(index, 0)
-        above = np.flatnonzero(np.any(index >= lsd.size, axis=0))
-        index = np.minimum(index, lsd.size - 1)
-
-        delta = np.median(np.abs(np.diff(lsd)))
-        distant = np.flatnonzero(
-            np.any(np.abs(interp_grid - lsd[index]) > (2.0 * delta), axis=0)
+    def _stencil(self, x, grid):
+        taps = np.searchsorted(x, grid)[None] + np.arange(-2, 2)[:, None]
+        invalid = ((taps < 0) | (taps >= x.size)).any(axis=0)
+        taps = np.clip(taps, 0, x.size - 1)
+        u = (grid - x[taps[1]]) * invert_no_zero(x[taps[2]] - x[taps[1]])
+        # Catmull-Rom basis at spline parameter u
+        coeffs = 0.5 * np.stack(
+            [
+                u * ((2 - u) * u - 1),
+                u * u * (3 * u - 5) + 2,
+                u * ((4 - 3 * u) * u + 1),
+                u * u * (u - 1),
+            ]
         )
-
-        u = (interp_grid - lsd[index[1]]) * invert_no_zero(
-            lsd[index[2]] - lsd[index[1]]
-        )
-        coeff = np.zeros((4, u.size), dtype=np.float64)
-        coeff[0] = u * ((2 - u) * u - 1)
-        coeff[1] = u**2 * (3 * u - 5) + 2
-        coeff[2] = u * ((4 - 3 * u) * u + 1)
-        coeff[3] = u**2 * (u - 1)
-        coeff *= 0.5
-
-        flag = weight > 0.0
-        var = invert_no_zero(weight)
-        shp = (*vis.shape[:-1], self.samples)
-        interp_vis = np.zeros(shp, dtype=vis.dtype)
-        finterp_var = np.zeros(shp, dtype=np.float64)
-        finterp_flag = np.ones(shp, dtype=bool)
-        for ii, cc in zip(index, coeff):
-            finterp_flag &= flag[..., ii]
-            finterp_var += cc**2 * var[..., ii]
-            interp_vis += cc * vis[..., ii]
-        interp_weight = invert_no_zero(finterp_var) * finterp_flag.astype(
-            np.float32
-        )
-        interp_weight[..., below] = 0.0
-        interp_weight[..., above] = 0.0
-        interp_weight[..., distant] = 0.0
-        return interp_grid, interp_vis, interp_weight
+        return taps, coeffs, invalid
 
 
 class SiderealRegridderGP(SiderealRegridder):
@@ -320,13 +303,13 @@ class SiderealRegridderGP(SiderealRegridder):
         vx = vx.reshape(vis.shape[0], vis.shape[-1], -1)
         wx = wx.reshape(weight.shape[0], weight.shape[-1], -1)
 
-        kernel_spec = {
-            "name": "matern",
-            "width": self.kernel_width,
-            "alpha": 1.0,
-            "nu": 2.5,
-            "epsilon": self.epsilon,
-        }
+        kernel_spec = dict(
+            name="matern",
+            width=self.kernel_width,
+            alpha=1.0,
+            nu=2.5,
+            epsilon=self.epsilon,
+        )
 
         vout, wout = gaussian_process.resample(
             vx,
@@ -360,21 +343,21 @@ class SiderealRebinner(SiderealRegridder):
 
     weight = config.enum(["uniform", "inverse_variance"], default="inverse_variance")
 
+    # output container per input type, most specific first
+    _output_types = (
+        (containers.HybridVisStream, containers.HybridVisStream),
+        (containers.TimeStream, containers.SiderealStream),
+        (containers.SiderealStream, containers.SiderealStream),
+    )
+
     def process(self, data):
         self.log.info(
             f"Rebin of LSD {data.attrs['lsd']:.0f} ({self.weight} weights)."
         )
-        container_map = {
-            containers.TimeStream: containers.SiderealStream,
-            containers.SiderealStream: containers.SiderealStream,
-            containers.HybridVisStream: containers.HybridVisStream,
-        }
-        OutputContainer = None
-        for cls in inspect.getmro(data.__class__):
-            if cls in container_map:
-                OutputContainer = container_map[cls]
+        for in_type, out_type in self._output_types:
+            if isinstance(data, in_type):
                 break
-        if OutputContainer is None:
+        else:
             raise TypeError(f"No valid container mapping for {data.__class__}.")
 
         data.redistribute("freq")
@@ -386,7 +369,7 @@ class SiderealRebinner(SiderealRegridder):
         else:
             timestamp_lsd = self.observer.unix_to_lsd(data.time)
 
-        sdata = OutputContainer(ra=self.samples, axes_from=data, attrs_from=data)
+        sdata = out_type(ra=self.samples, axes_from=data, attrs_from=data)
         sdata.add_dataset("effective_ra")
         sdata.add_dataset("nsample")
 
@@ -475,8 +458,7 @@ class SiderealRebinner(SiderealRegridder):
                 )
                 new = uni * (arr @ Rt)
             sdata.datasets[name][:] = new.astype(sdata.datasets[name].dtype)
-        sdata.attrs["lsd"] = self.start
-        sdata.attrs["tag"] = f"lsd_{self.start:.0f}"
+        sdata.attrs.update(lsd=self.start, tag=f"lsd_{self.start:.0f}")
         return sdata
 
 
@@ -511,20 +493,28 @@ class RebinGradientCorrection(ContainerTask):
         ref_vis = np.asarray(self.sstream_ref.vis[:])
         ref_weight = np.asarray(self.sstream_ref.weight[:])
 
-        for fi in range(vis.shape[0]):
-            if not np.any(weight[fi]):
+        # flatten every leading axis into one row loop
+        nra = vis.shape[-1]
+        rows = zip(
+            vis.reshape(-1, nra),
+            weight.reshape(-1, nra),
+            era.reshape(-1, nra),
+            ref_vis.reshape(-1, nra),
+            ref_weight.reshape(-1, nra),
+            (
+                ref_ra.reshape(-1, nra)
+                if np.ndim(ref_ra) > 1
+                else itertools.repeat(ref_ra)
+            ),
+        )
+        for v_row, w_row, e_row, rv_row, rw_row, rra_row in rows:
+            if not w_row.any():
                 continue
-            for vi in range(vis.shape[1]):
-                if not np.any(weight[fi, vi]):
-                    continue
-                rra = ref_ra[fi, vi] if np.ndim(ref_ra) > 1 else ref_ra
-                ref_mask = ref_weight[fi, vi] == 0.0
-                grad, ref_mask = regrid.grad_1d(
-                    ref_vis[fi, vi], rra, ref_mask, period=360.0
-                )
-                sel = weight[fi, vi] > 0.0
-                vis[fi, vi] -= grad * sel * (era[fi, vi] - sstream.ra)
-                weight[fi, vi] *= (~ref_mask).astype(weight.dtype)
+            grad, bad = regrid.grad_1d(
+                rv_row, rra_row, rw_row == 0.0, period=360.0
+            )
+            v_row -= grad * (w_row > 0.0) * (e_row - sstream.ra)
+            w_row *= ~bad
 
         sstream.vis[:] = vis.astype(sstream.vis.dtype)
         sstream.weight[:] = weight.astype(sstream.weight.dtype)
@@ -539,64 +529,62 @@ class SiderealStacker(ContainerTask):
     sample-variance dataset with Bessel correction.
     """
 
-    stack = None
-
     tag = config.Property(proptype=str, default="stack")
     weight = config.enum(["uniform", "inverse_variance"], default="inverse_variance")
     with_sample_variance = config.Property(proptype=bool, default=False)
 
+    stack = None
+
+    def _begin(self, sdata):
+        """Zero-filled stack container + broadcast slices, from day one."""
+        self.stack = empty_like(sdata)
+        stack_ds = self.stack.datasets
+        if "nsample" not in stack_ds:
+            self.stack.add_dataset("nsample")
+        if self.with_sample_variance and "sample_variance" not in stack_ds:
+            self.stack.add_dataset("sample_variance")
+
+        wax = sdata.weight.axes
+        self.weight_slice = {"vis": get_slice_to_broadcast(wax, sdata.vis.axes)}
+        # datasets beyond the container defaults ride along; frequency
+        # covariances accumulate QUADRATICALLY — one coefficient per
+        # freq axis (reference sidereal.py:922-926,1052-1058), finished
+        # with a (norm_i * norm_j)^-1 normalisation in process_finish; a
+        # running mean would overestimate an N-day stack's covariance ~N
+        self.additional_datasets = [
+            name for name in sdata.datasets if name not in stack_ds
+        ]
+        for name in self.additional_datasets:
+            self.log.info(f"Creating {name} dataset in the stack.")
+            self.stack.add_dataset(name)
+            slc = get_slice_to_broadcast(wax, sdata.datasets[name].axes)
+            if "freq_cov" in name:
+                slc = (
+                    slc,
+                    get_slice_to_broadcast(wax, sdata.swapped_freq_cov_axis),
+                )
+            self.weight_slice[name] = slc
+
+        for ds in stack_ds.values():
+            ds[:] = np.zeros(ds.shape, dtype=ds.dtype)
+        self.lsd_list = []
+        if self.with_sample_variance:
+            self.sum_coeff_sq = np.zeros(
+                self.stack.weight.shape, dtype=np.float32
+            )
+
     def process(self, sdata):
-        if (self.stack is not None) and not isinstance(sdata, type(self.stack)):
+        if self.stack is None:
+            self._begin(sdata)
+        elif not isinstance(sdata, type(self.stack)):
             raise TypeError(
                 f"Stacker input {type(sdata)} differs from the existing "
                 f"stack type {type(self.stack)}."
             )
-        input_lsd = sdata.attrs.get("lsd", sdata.attrs.get("csd", -1))
-        input_lsd = _ensure_list(input_lsd)
 
-        if self.stack is None:
-            self.stack = empty_like(sdata)
-            if "nsample" not in self.stack.datasets:
-                self.stack.add_dataset("nsample")
-            if self.with_sample_variance and (
-                "sample_variance" not in self.stack.datasets
-            ):
-                self.stack.add_dataset("sample_variance")
-            wax = sdata.weight.axes
-            self.weight_slice = {
-                "vis": get_slice_to_broadcast(wax, sdata.vis.axes)
-            }
-            self.additional_datasets = []
-            for name, dataset in sdata.datasets.items():
-                if name not in self.stack.datasets:
-                    self.log.info(f"Creating {name} dataset in the stack.")
-                    self.stack.add_dataset(name)
-                    self.additional_datasets.append(name)
-                    if "freq_cov" in name:
-                        # covariances accumulate QUADRATICALLY: one
-                        # coefficient per freq axis (reference
-                        # sidereal.py:922-926,1052-1058), finished with
-                        # a (norm_i * norm_j)^-1 normalisation — a
-                        # running mean would overestimate an N-day
-                        # stack's covariance by ~N
-                        self.weight_slice[name] = (
-                            get_slice_to_broadcast(wax, dataset.axes),
-                            get_slice_to_broadcast(
-                                wax, sdata.swapped_freq_cov_axis
-                            ),
-                        )
-                    else:
-                        self.weight_slice[name] = get_slice_to_broadcast(
-                            wax, dataset.axes
-                        )
-            for ds in self.stack.datasets.values():
-                ds[:] = np.zeros(ds.shape, dtype=ds.dtype)
-            self.lsd_list = []
-            if self.with_sample_variance:
-                self.sum_coeff_sq = np.zeros(
-                    self.stack.weight.shape, dtype=np.float32
-                )
-
+        input_lsd = _ensure_list(
+            sdata.attrs.get("lsd", sdata.attrs.get("csd", -1))
+        )
         self.log.info(
             f"Folding LSD {input_lsd} into the stack ({self.weight} weights)."
         )
@@ -862,28 +850,32 @@ class SiderealStackerMatch(ContainerTask):
     mean mode by zeroing the 24h median.
     """
 
+    tag = config.Property(proptype=str, default="stack")
+
     stack = None
     lsd_list = None
-    tag = config.Property(proptype=str, default="stack")
     count = 0
 
+    def _begin(self, sdata):
+        """Fresh zeroed stack plus the per-day mode bookkeeping."""
+        self.log.info("Starting new stack.")
+        self.stack = empty_like(sdata)
+        for ds in self.stack.datasets.values():
+            ds[:] = np.zeros(ds.shape, dtype=ds.dtype)
+        nfreq, _, nra = sdata.weight.shape
+        self.Ni_s = np.zeros((nfreq, nra), dtype=np.float64)
+        self.Vm = []
+        self.lsd_list = []
+        self.count = 0
+
     def process(self, sdata):
-        if (self.stack is not None) and not isinstance(sdata, type(self.stack)):
+        if self.stack is None:
+            self._begin(sdata)
+        elif not isinstance(sdata, type(self.stack)):
             raise TypeError(
                 f"Stacker input {type(sdata)} differs from the existing "
                 f"stack type {type(self.stack)}."
             )
-        if self.stack is None:
-            self.log.info("Starting new stack.")
-            self.stack = empty_like(sdata)
-            for ds in self.stack.datasets.values():
-                ds[:] = np.zeros(ds.shape, dtype=ds.dtype)
-            self.count = 0
-            self.Ni_s = np.zeros(
-                (sdata.weight.shape[0], sdata.weight.shape[2]), dtype=np.float64
-            )
-            self.Vm = []
-            self.lsd_list = []
 
         label = sdata.attrs.get("tag", f"stream_{self.count}")
         self.log.info(f"Adding {label} to stack.")
@@ -943,8 +935,9 @@ class SiderealStackerMatch(ContainerTask):
             era += delta * invert_no_zero(sum_weight.mean(axis=1))[:, None, :]
             self.stack.datasets["effective_ra"][:] = era.astype(np.float32)
 
-        input_lsd = sdata.attrs.get("lsd", sdata.attrs.get("csd", -1))
-        self.lsd_list += _ensure_list(input_lsd)
+        self.lsd_list.extend(
+            _ensure_list(sdata.attrs.get("lsd", sdata.attrs.get("csd", -1)))
+        )
         self.count += 1
 
     def process_finish(self):
