@@ -53,19 +53,19 @@ class BeamFormBase(ContainerTask):
     freqside); semantics are preserved.
     """
 
-    collapse_ha = config.Property(proptype=bool, default=True)
+    collapse_ha = config.bool_prop(True)
     polarization = config.enum(["I", "full", "copol", "stokes"], default="full")
     weight = config.enum(
         ["natural", "uniform", "inverse_variance"], default="natural"
     )
-    no_beam_model = config.Property(proptype=bool, default=False)
-    timetrack = config.Property(proptype=float, default=900.0)
-    variable_timetrack = config.Property(proptype=bool, default=False)
-    freqside = config.Property(proptype=int, default=None)
+    no_beam_model = config.bool_prop(False)
+    timetrack = config.float_prop(900.0)
+    variable_timetrack = config.bool_prop(False)
+    freqside = config.int_prop(None)
     # Sources per batched device call in the collapse-HA path (the
     # reference advances one source per Cython call, beamform.py:290);
     # 1 restores the per-source path.
-    source_batch = config.Property(proptype=int, default=32)
+    source_batch = config.int_prop(32)
     data_available = True
 
     def setup(self, manager):
@@ -788,10 +788,10 @@ class RingMapStack2D(RingMapBeamForm):
         declination strip.
     """
 
-    num_ra = config.Property(proptype=int, default=10)
-    num_dec = config.Property(proptype=int, default=10)
-    num_freq = config.Property(proptype=int, default=256)
-    freq_width = config.Property(proptype=float, default=100.0)
+    num_ra = config.int_prop(10)
+    num_dec = config.int_prop(10)
+    num_freq = config.int_prop(256)
+    freq_width = config.float_prop(100.0)
     weight = config.enum(["patch", "dec", "input"], default="input")
 
     def process(self, catalog: containers.SourceCatalog) -> containers.Stack3D:
@@ -885,7 +885,7 @@ class HealpixBeamForm(ContainerTask):
     (reference beamform.py:1676)
     """
 
-    fwhm = config.Property(proptype=float, default=0.0)
+    fwhm = config.float_prop(0.0)
 
     def setup(self, hpmap: containers.Map):
         self.map = hpmap
@@ -941,8 +941,8 @@ class HybridVisBeamForm(ContainerTask):
         Ignore the telescope rotation angle in the EW phases.
     """
 
-    window = config.Property(proptype=float, default=5.0)
-    ignore_rot = config.Property(proptype=bool, default=False)
+    window = config.float_prop(5.0)
+    ignore_rot = config.bool_prop(False)
 
     def setup(self, manager, catalog):
         """Set the observer and the source catalog."""
@@ -1093,10 +1093,10 @@ class FitBeamFormed(BeamFormExternalMixin, ContainerTask):
     """
 
     weight = config.enum(["uniform", "inverse_variance"], default="uniform")
-    max_ha = config.Property(proptype=float, default=None)
-    min_num_background = config.Property(proptype=int, default=5)
-    min_frac_beam = config.Property(proptype=float, default=0.50)
-    epsilon = config.Property(proptype=float, default=1.0e-10)
+    max_ha = config.float_prop(None)
+    min_num_background = config.int_prop(5)
+    min_frac_beam = config.float_prop(0.50)
+    epsilon = config.float_prop(1.0e-10)
 
     def process(self, data):
         """Fit the hour-angle transits in a FormedBeamHA(EW) container."""

@@ -30,9 +30,9 @@ class ApplyGain(ContainerTask):
         Median-smooth gains over this many seconds (time streams only).
     """
 
-    inverse = config.Property(proptype=bool, default=True)
-    update_weight = config.Property(proptype=bool, default=False)
-    smoothing_length = config.Property(proptype=float, default=None)
+    inverse = config.bool_prop(True)
+    update_weight = config.bool_prop(False)
+    smoothing_length = config.float_prop(None)
 
     def process(self, tstream, gain):
         tstream.redistribute("freq")

@@ -131,12 +131,12 @@ class DayenuDelayFilter(ContainerTask):
         the median (0 disables).
     """
 
-    za_cut = config.Property(proptype=float, default=1.0)
+    za_cut = config.float_prop(1.0)
     telescope_orientation = config.enum(["NS", "EW", "none"], default="NS")
-    epsilon = config.Property(proptype=float, default=1e-12)
-    tauw = config.Property(proptype=float, default=0.100)
-    single_mask = config.Property(proptype=bool, default=True)
-    atten_threshold = config.Property(proptype=float, default=0.0)
+    epsilon = config.float_prop(1e-12)
+    tauw = config.float_prop(0.100)
+    single_mask = config.bool_prop(True)
+    atten_threshold = config.float_prop(0.0)
 
     def setup(self, telescope):
         """Set the telescope used to obtain baselines."""
@@ -241,13 +241,13 @@ class DayenuDelayFilterFixedCutoff(transform.ReduceChisq):
         Mask baselines shorter than this many metres (needs a telescope).
     """
 
-    epsilon = config.Property(proptype=float, default=1e-12)
-    tauw = config.Property(proptype=float, default=0.450)
-    single_mask = config.Property(proptype=bool, default=True)
-    atten_threshold = config.Property(proptype=float, default=0.0)
+    epsilon = config.float_prop(1e-12)
+    tauw = config.float_prop(0.450)
+    single_mask = config.bool_prop(True)
+    atten_threshold = config.float_prop(0.0)
 
-    reduce_baseline = config.Property(proptype=bool, default=False)
-    mask_short = config.Property(proptype=float, default=None)
+    reduce_baseline = config.bool_prop(False)
+    mask_short = config.float_prop(None)
 
     dataset = "vis"
     axes = ("stack",)
@@ -391,10 +391,10 @@ class DayenuDelayFilterHybridVis(ContainerTask):
     tauc = config.Property(proptype=np.atleast_1d, default=0.0)
     epsilon = config.Property(proptype=np.atleast_1d, default=1e-12)
 
-    atten_threshold = config.Property(proptype=float, default=0.0)
-    apply_filter = config.Property(proptype=bool, default=True)
-    save_filter = config.Property(proptype=bool, default=False)
-    calculate_cov = config.Property(proptype=bool, default=False)
+    atten_threshold = config.float_prop(0.0)
+    apply_filter = config.bool_prop(True)
+    save_filter = config.bool_prop(False)
+    calculate_cov = config.bool_prop(False)
 
     def setup(self):
         """Validate the apply/save combination."""
@@ -505,10 +505,10 @@ class ApplyDelayFilterHybridVis(ContainerTask):
         Copy the tag from the filter container.
     """
 
-    atten_threshold = config.Property(proptype=float, default=0.0)
-    calculate_cov = config.Property(proptype=bool, default=False)
-    copy_weight = config.Property(proptype=bool, default=False)
-    copy_tag = config.Property(proptype=bool, default=False)
+    atten_threshold = config.float_prop(0.0)
+    calculate_cov = config.bool_prop(False)
+    copy_weight = config.bool_prop(False)
+    copy_tag = config.bool_prop(False)
 
     def process(self, hv, source):
         """Apply ``source``'s filter to ``hv``."""
@@ -630,11 +630,11 @@ class DayenuDelayFilterMap(ContainerTask):
         Low-attenuation frequency masking threshold.
     """
 
-    epsilon = config.Property(proptype=float, default=1e-12)
-    filename = config.Property(proptype=str, default=None)
-    tauw = config.Property(proptype=float, default=0.100)
-    single_mask = config.Property(proptype=bool, default=True)
-    atten_threshold = config.Property(proptype=float, default=0.0)
+    epsilon = config.float_prop(1e-12)
+    filename = config.str_prop(None)
+    tauw = config.float_prop(0.100)
+    single_mask = config.bool_prop(True)
+    atten_threshold = config.float_prop(0.0)
 
     def setup(self):
         """Build the el -> cutoff interpolator if a file was given."""
@@ -769,10 +769,10 @@ class DayenuMFilter(ContainerTask):
         Pass-band widths as fractions of the cylinder-width fringe rate.
     """
 
-    dec = config.Property(proptype=float, default=40.0)
-    epsilon = config.Property(proptype=float, default=1e-10)
-    fkeep_intra = config.Property(proptype=float, default=0.75)
-    fkeep_inter = config.Property(proptype=float, default=0.75)
+    dec = config.float_prop(40.0)
+    epsilon = config.float_prop(1e-10)
+    fkeep_intra = config.float_prop(0.75)
+    fkeep_inter = config.float_prop(0.75)
 
     def setup(self, telescope):
         """Set the telescope used to obtain baselines."""

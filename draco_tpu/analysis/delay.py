@@ -64,12 +64,12 @@ class DelayFilter(ContainerTask):
         Apply the window function while filtering.
     """
 
-    delay_cut = config.Property(proptype=float, default=0.1)
-    za_cut = config.Property(proptype=float, default=1.0)
-    extra_cut = config.Property(proptype=float, default=0.0)
-    weight_tol = config.Property(proptype=float, default=1e-4)
+    delay_cut = config.float_prop(0.1)
+    za_cut = config.float_prop(1.0)
+    extra_cut = config.float_prop(0.0)
+    weight_tol = config.float_prop(1e-4)
     telescope_orientation = config.enum(["NS", "EW", "none"], default="NS")
-    window = config.Property(proptype=bool, default=False)
+    window = config.bool_prop(False)
 
     def setup(self, telescope):
         self.telescope = io.get_telescope(telescope)
@@ -152,10 +152,10 @@ class DelayFilterBase(ContainerTask):
         Axis to iterate over and dataset to filter (container defaults).
     """
 
-    delay_cut = config.Property(proptype=float, default=0.1)
-    window = config.Property(proptype=bool, default=False)
-    axis = config.Property(proptype=str, default=None)
-    dataset = config.Property(proptype=str, default=None)
+    delay_cut = config.float_prop(0.1)
+    window = config.bool_prop(False)
+    axis = config.str_prop(None)
+    dataset = config.str_prop(None)
 
     def setup(self, telescope):
         self.telescope = io.get_telescope(telescope)
@@ -272,11 +272,11 @@ class DelayTransformBase(ContainerTask):
     mean removal, frequency scaling).
     """
 
-    freq_zero = config.Property(proptype=float, default=None)
-    freq_spacing = config.Property(proptype=float, default=None)
-    nfreq = config.Property(proptype=int, default=None)
-    skip_nyquist = config.Property(proptype=bool, default=True)
-    apply_window = config.Property(proptype=bool, default=True)
+    freq_zero = config.float_prop(None)
+    freq_spacing = config.float_prop(None)
+    nfreq = config.int_prop(None)
+    skip_nyquist = config.bool_prop(True)
+    apply_window = config.bool_prop(True)
     window = config.enum(
         [
             "uniform",
@@ -290,13 +290,13 @@ class DelayTransformBase(ContainerTask):
         ],
         default="nuttall",
     )
-    complex_timedomain = config.Property(proptype=bool, default=False)
-    use_average_weights = config.Property(proptype=bool, default=True)
-    weight_boost = config.Property(proptype=float, default=1.0)
-    freq_frac = config.Property(proptype=float, default=0.0)
-    time_frac = config.Property(proptype=float, default=0.0)
-    remove_mean = config.Property(proptype=bool, default=True)
-    scale_freq = config.Property(proptype=bool, default=False)
+    complex_timedomain = config.bool_prop(False)
+    use_average_weights = config.bool_prop(True)
+    weight_boost = config.float_prop(1.0)
+    freq_frac = config.float_prop(0.0)
+    time_frac = config.float_prop(0.0)
+    remove_mean = config.bool_prop(True)
+    scale_freq = config.bool_prop(False)
 
     def process(self, ss):
         """Estimate the delay spectrum or power spectrum of the input."""
@@ -384,8 +384,8 @@ class GeneralInputContainerMixin:
     (reference delay.py:675)
     """
 
-    dataset = config.Property(proptype=str, default=None)
-    sample_axis = config.Property(proptype=str, default="ra")
+    dataset = config.str_prop(None)
+    sample_axis = config.str_prop("ra")
 
     def _prepare_inputs(self, ss):
         ss.redistribute("freq")
@@ -416,9 +416,9 @@ class GeneralInputContainerMixin:
 class DelayPowerSpectrumContainerMixin(GeneralInputContainerMixin):
     """Create DelaySpectrum outputs (reference delay.py:744)."""
 
-    nsamp = config.Property(proptype=int, default=1)
-    save_samples = config.Property(proptype=bool, default=False)
-    save_spectrum_mask = config.Property(proptype=bool, default=False)
+    nsamp = config.int_prop(1)
+    save_samples = config.bool_prop(False)
+    save_spectrum_mask = config.bool_prop(False)
 
     def _create_output(self, ss, delays, coord_axes):
         if isinstance(coord_axes, np.ndarray):
@@ -448,7 +448,7 @@ class DelayPowerSpectrumContainerMixin(GeneralInputContainerMixin):
 class DelaySpectrumContainerMixin(GeneralInputContainerMixin):
     """Create DelayTransform outputs (reference delay.py:821)."""
 
-    save_spectrum_mask = config.Property(proptype=bool, default=False)
+    save_spectrum_mask = config.bool_prop(False)
 
     def _create_output(self, ss, delays, coord_axes):
         nbase = int(np.prod([len(ss.index_map[ax]) for ax in coord_axes]))
@@ -658,8 +658,8 @@ class DelayPowerSpectrumGibbs(DelayPowerSpectrumBase, RandomTask):
         Return the median over this final fraction of samples.
     """
 
-    initial_amplitude = config.Property(proptype=float, default=10.0)
-    median_frac = config.Property(proptype=float, default=0.5)
+    initial_amplitude = config.float_prop(10.0)
+    median_frac = config.float_prop(0.5)
 
     def _get_prior(self, nbase, ndelay, dtype):
         return np.ones((nbase, ndelay), dtype=dtype) * self.initial_amplitude
@@ -818,8 +818,8 @@ class DelayPowerSpectrumGibbsBatched(DelayPowerSpectrumGibbs):
 class DelayPowerSpectrumNRML(DelayPowerSpectrumBase):
     """Maximum-likelihood (NRML) power spectrum (reference delay.py:1270)."""
 
-    maxpost_tol = config.Property(proptype=float, default=1e-3)
-    nsamp = config.Property(proptype=int, default=100)
+    maxpost_tol = config.float_prop(1e-3)
+    nsamp = config.int_prop(100)
 
     def _get_prior(self, nbase, ndelay, dtype):
         return [None] * nbase
@@ -968,7 +968,7 @@ class DelayCrossPowerSpectrumEstimatorBatched(DelayCrossPowerSpectrumEstimator):
         Baselines per device batch (bounds the Cholesky workspace).
     """
 
-    bchunk = config.Property(proptype=int, default=32)
+    bchunk = config.int_prop(32)
 
     def _evaluate(self, data_view, weight_view, out_cont, delays, channel_ind):
         if self.scale_freq or not self.use_average_weights:

@@ -115,8 +115,8 @@ class KLModeProject(_ProjectFilterBase):
         Name of the KL transform in the product manager.
     """
 
-    threshold = config.Property(proptype=float, default=None)
-    klname = config.Property(proptype=str, default="kl")
+    threshold = config.float_prop(None)
+    klname = config.str_prop("kl")
 
     def setup(self, manager):
         self.product_manager = manager

@@ -195,7 +195,7 @@ class DelayFilterHyFoReSBandpassHybridVis(ContainerTask):
         median (0 disables).
     """
 
-    atten_threshold = config.Property(proptype=float, default=0.0)
+    atten_threshold = config.float_prop(0.0)
 
     def setup(self, manager):
         """Extract the minimum NS baseline separation (for alias masking)."""
@@ -354,9 +354,9 @@ class DelayFilterHyFoReSBandpassHybridVisClean(ContainerTask):
         Store the freq-freq noise covariance.
     """
 
-    cutoff = config.Property(proptype=float, default=1e-1)
-    atten_threshold = config.Property(proptype=float, default=0.0)
-    calculate_cov = config.Property(proptype=bool, default=False)
+    cutoff = config.float_prop(1e-1)
+    atten_threshold = config.float_prop(0.0)
+    calculate_cov = config.bool_prop(False)
 
     def process(self, hv, source, bp):
         """Apply the gain correction and the DAYENU filter."""

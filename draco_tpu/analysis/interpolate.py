@@ -47,14 +47,14 @@ class DPSSFilter(ContainerTask):
         Copy the container instead of writing in place.
     """
 
-    inpaint = config.Property(proptype=bool, default=True)
+    inpaint = config.bool_prop(True)
     axis = config.enum(["freq", "ra"], default="freq")
-    iter_axes = config.Property(proptype=list, default=["stack", "el"])
-    centres = config.Property(proptype=list)
-    halfwidths = config.Property(proptype=list)
-    epsilon = config.Property(proptype=float, default=1.0e-3)
-    cutoff_frac = config.Property(proptype=float, default=1.0)
-    copy = config.Property(proptype=bool, default=True)
+    iter_axes = config.list_prop(["stack", "el"])
+    centres = config.list_prop()
+    halfwidths = config.list_prop()
+    epsilon = config.float_prop(1.0e-3)
+    cutoff_frac = config.float_prop(1.0)
+    copy = config.bool_prop(True)
 
     def setup(self, mask=None):
         """Optionally use a mask container to select samples to inpaint.
@@ -247,8 +247,8 @@ class DPSSFilterDelay(DPSSFilterBaseline):
     """
 
     axis = config.enum(["freq"], default="freq")
-    za_cut = config.Property(proptype=float, default=1.0)
-    extra_cut = config.Property(proptype=float, default=0.0)
+    za_cut = config.float_prop(1.0)
+    extra_cut = config.float_prop(0.0)
 
     def _get_baseline_cuts(self):
         if self.telescope_orientation == "NS":

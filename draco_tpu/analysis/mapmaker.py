@@ -37,13 +37,13 @@ class BaseMapMaker(ContainerTask):
         Number of m values per batched solve (memory/throughput knob).
     """
 
-    nside = config.Property(proptype=int, default=256)
-    m_chunk = config.Property(proptype=int, default=32)
+    nside = config.int_prop(256)
+    m_chunk = config.int_prop(32)
     # Use the streaming (factorised) projection: the beam-transfer tensors
     # are never materialised — required when nbase x lmax x mmax exceeds
     # device memory.  Supported by the dirty map maker.
-    streaming = config.Property(proptype=bool, default=False)
-    baseline_chunk = config.Property(proptype=int, default=256)
+    streaming = config.bool_prop(False)
+    baseline_chunk = config.int_prop(256)
 
     # Only makers that implement a factorised (never-materialised)
     # projection support streaming; others must fail loudly instead of
@@ -198,8 +198,8 @@ class MaximumLikelihoodMapMaker(BaseMapMaker):
         (reference defaults, mapmaker.py:287).
     """
 
-    acond = config.Property(proptype=float, default=1e-4)
-    rcond = config.Property(proptype=float, default=1e-3)
+    acond = config.float_prop(1e-4)
+    rcond = config.float_prop(1e-3)
 
     def _solve_all_m(self, vis, weight, freq_ind, mmax):
         bp, bm = self._bt_tensors(freq_ind)
@@ -241,8 +241,8 @@ class WienerMapMaker(BaseMapMaker):
         Power-law prior: C_l = prior_amp^2 * l^(-prior_tilt).
     """
 
-    prior_amp = config.Property(proptype=float, default=1.0)
-    prior_tilt = config.Property(proptype=float, default=0.5)
+    prior_amp = config.float_prop(1.0)
+    prior_tilt = config.float_prop(0.5)
 
     def _solve_all_m(self, vis, weight, freq_ind, mmax):
         bt = self.beamtransfer

@@ -72,8 +72,8 @@ class TransformJyPerBeamToKelvin(ContainerTask):
         Cylinder separations included in the max-baseline PSF estimate.
     """
 
-    in_place = config.Property(proptype=bool, default=True)
-    ncyl = config.Property(proptype=int, default=3)
+    in_place = config.bool_prop(True)
+    ncyl = config.int_prop(3)
 
     def setup(self, telescope):
         """Set the telescope used for the maximum baseline."""
@@ -135,8 +135,8 @@ class ConstructWienerDelayTransform(ContainerTask):
         Window support bounds in MHz.
     """
 
-    prior_amp = config.Property(proptype=float, default=2.8e-5)
-    prior_scale = config.Property(proptype=float, default=0.0)
+    prior_amp = config.float_prop(2.8e-5)
+    prior_scale = config.float_prop(0.0)
 
     window = config.enum(
         [
@@ -145,8 +145,8 @@ class ConstructWienerDelayTransform(ContainerTask):
         ],
         default="uniform",
     )
-    window_lower_freq = config.Property(proptype=float)
-    window_upper_freq = config.Property(proptype=float)
+    window_lower_freq = config.float_prop()
+    window_upper_freq = config.float_prop()
 
     def process(self, data):
         """Construct the operator from a filtered ringmap."""
@@ -332,7 +332,7 @@ class ScaleDelayTransform(ContainerTask):
         Modify the input container.
     """
 
-    in_place = config.Property(proptype=bool, default=True)
+    in_place = config.bool_prop(True)
 
     def process(self, ds, rm):
         """Multiply the per-baseline scale factor into the spectrum."""
@@ -370,7 +370,7 @@ class SpatialTransformDelayMap(ContainerTask):
         Baseline limits in metres defining the uv mask.
     """
 
-    apply_spatial_window = config.Property(proptype=bool, default=True)
+    apply_spatial_window = config.bool_prop(True)
     spatial_window = config.enum(
         [
             "uniform", "hann", "hanning", "hamming", "blackman", "nuttall",
@@ -378,9 +378,9 @@ class SpatialTransformDelayMap(ContainerTask):
         ],
         default="tukey-0.5",
     )
-    ew_min = config.Property(proptype=float, default=14.0)
-    ew_max = config.Property(proptype=float, default=76.0)
-    ns_bl = config.Property(proptype=float, default=60.0)
+    ew_min = config.float_prop(14.0)
+    ew_max = config.float_prop(76.0)
+    ns_bl = config.float_prop(60.0)
 
     def setup(self, telescope):
         """Set the telescope (for its latitude) and the cosmology."""
@@ -545,11 +545,11 @@ class CylindricalPowerSpectrum2D(ContainerTask):
         Mask delays below this (seconds) in the stored signal mask.
     """
 
-    bl_min = config.Property(proptype=float, default=20.0)
-    bl_max = config.Property(proptype=float, default=66.0)
-    Nbins_2D = config.Property(proptype=int, default=35)
-    logbins_2D = config.Property(proptype=bool, default=False)
-    delay_cut = config.Property(proptype=float, default=300.0e-9)
+    bl_min = config.float_prop(20.0)
+    bl_max = config.float_prop(66.0)
+    Nbins_2D = config.int_prop(35)
+    logbins_2D = config.bool_prop(False)
+    delay_cut = config.float_prop(300.0e-9)
 
     def setup(self, weight=None):
         """Optional 1-sigma noise power spectrum used as inverse variance."""
@@ -677,9 +677,9 @@ class SphericalPowerSpectrum2Dto1D(ContainerTask):
         Explicit bin edges (overrides the other two).
     """
 
-    Nbins_3D = config.Property(proptype=int, default=8)
-    logbins_3D = config.Property(proptype=bool, default=True)
-    bin_edges = config.Property(proptype=list, default=None)
+    Nbins_3D = config.int_prop(8)
+    logbins_3D = config.bool_prop(True)
+    bin_edges = config.list_prop(None)
 
     def process(self, ps2D):
         """Bin |k| spherically per polarisation."""
@@ -749,11 +749,11 @@ class SphericalPowerSpectrum3Dto1D(ContainerTask):
         Delay mask threshold in seconds.
     """
 
-    bl_min = config.Property(proptype=float, default=20.0)
-    bl_max = config.Property(proptype=float, default=66.0)
-    Nbins_3D = config.Property(proptype=int, default=9)
-    logbins_3D = config.Property(proptype=bool, default=True)
-    delay_cut = config.Property(proptype=float, default=300.0e-9)
+    bl_min = config.float_prop(20.0)
+    bl_max = config.float_prop(66.0)
+    Nbins_3D = config.int_prop(9)
+    logbins_3D = config.bool_prop(True)
+    delay_cut = config.float_prop(300.0e-9)
 
     def setup(self, weight=None):
         """Optional 1-sigma noise power spectrum used as inverse variance."""

@@ -26,7 +26,7 @@ class QuadraticPSEstimation(ContainerTask):
     pstype : 'unwindowed' | 'minimum_variance' | 'uncorrelated'
     """
 
-    psname = config.Property(proptype=str, default="ps")
+    psname = config.str_prop("ps")
     pstype = config.enum(
         ["unwindowed", "minimum_variance", "uncorrelated"], default="unwindowed"
     )

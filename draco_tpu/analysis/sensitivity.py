@@ -70,7 +70,7 @@ class ComputeSystemSensitivity(ContainerTask):
         cylinder information to still be present in the stack.
     """
 
-    exclude_intracyl = config.Property(proptype=bool, default=False)
+    exclude_intracyl = config.bool_prop(False)
 
     def setup(self, telescope):
         """Keep the telescope model used to classify inputs."""

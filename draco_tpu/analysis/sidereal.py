@@ -48,9 +48,9 @@ class SiderealGrouper(ContainerTask):
     (reference sidereal.py:27-157)
     """
 
-    padding = config.Property(proptype=float, default=0.0)
-    offset = config.Property(proptype=float, default=0.0)
-    min_day_length = config.Property(proptype=float, default=0.10)
+    padding = config.float_prop(0.0)
+    offset = config.float_prop(0.0)
+    min_day_length = config.float_prop(0.10)
 
     def __init__(self):
         super().__init__()
@@ -108,7 +108,7 @@ class SiderealRegridder(LanczosRegridder):
     banded Wiener filter, with optional fringe-rate down-mixing.
     """
 
-    down_mix = config.Property(proptype=bool, default=False)
+    down_mix = config.bool_prop(False)
 
     def process(self, data):
         self.log.info(f"Regrid of LSD {data.attrs['lsd']}")
@@ -166,6 +166,15 @@ class SiderealRegridder(LanczosRegridder):
         )
 
 
+def _search_nearest(x, xeval):
+    """Index of the element of sorted ``x`` nearest each value in ``xeval``."""
+    right = np.clip(np.searchsorted(x, xeval), 0, x.size - 1)
+    left = np.clip(right - 1, 0, None)
+    return np.where(
+        np.abs(xeval - x[left]) < np.abs(x[right] - xeval), left, right
+    )
+
+
 def _apply_stencil(vis, weight, x, grid, taps, coeffs, invalid, reach):
     """Shared gather-and-combine core of the stencil regridders.
 
@@ -221,11 +230,7 @@ class SiderealRegridderNearest(_StencilRegridder):
     """Nearest-neighbour regridding (reference sidereal.py:362)."""
 
     def _stencil(self, x, grid):
-        right = np.clip(np.searchsorted(x, grid), 0, x.size - 1)
-        left = np.clip(right - 1, 0, None)
-        pick = np.where(
-            np.abs(grid - x[left]) < np.abs(x[right] - grid), left, right
-        )
+        pick = _search_nearest(x, grid)
         return pick[None], np.ones((1, grid.size)), np.zeros(grid.size, bool)
 
 
@@ -285,8 +290,8 @@ class SiderealRegridderGP(SiderealRegridder):
         Which nearest sample (0-indexed) the cutoff applies to.
     """
 
-    mask_cutoff = config.Property(proptype=float, default=1.7)
-    mask_cutoff_partition = config.Property(proptype=int, default=1)
+    mask_cutoff = config.float_prop(1.7)
+    mask_cutoff_partition = config.int_prop(1)
 
     def _regrid(self, vis, weight, times):
         from ..ops import gaussian_process
@@ -529,9 +534,9 @@ class SiderealStacker(ContainerTask):
     sample-variance dataset with Bessel correction.
     """
 
-    tag = config.Property(proptype=str, default="stack")
+    tag = config.str_prop("stack")
     weight = config.enum(["uniform", "inverse_variance"], default="inverse_variance")
-    with_sample_variance = config.Property(proptype=bool, default=False)
+    with_sample_variance = config.bool_prop(False)
 
     stack = None
 
@@ -850,7 +855,7 @@ class SiderealStackerMatch(ContainerTask):
     mean mode by zeroing the 24h median.
     """
 
-    tag = config.Property(proptype=str, default="stack")
+    tag = config.str_prop("stack")
 
     stack = None
     lsd_list = None

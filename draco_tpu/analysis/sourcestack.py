@@ -68,9 +68,9 @@ class SourceStack(ContainerTask):
         variance.
     """
 
-    freqside = config.Property(proptype=int, default=50)
-    single_source_bin_index = config.Property(proptype=int, default=None)
-    uniform_weight = config.Property(proptype=bool, default=False)
+    freqside = config.int_prop(50)
+    single_source_bin_index = config.int_prop(None)
+    uniform_weight = config.bool_prop(False)
 
     def _offset_axis(self, formed_beam, nfreq):
         """Offset-frequency axis: the central ``2 freqside + 1`` channels
@@ -157,8 +157,8 @@ class RandomSubset(ContainerTask, RandomTask):
         Objects in each draw (without replacement).
     """
 
-    number = config.Property(proptype=int)
-    size = config.Property(proptype=int)
+    number = config.int_prop()
+    size = config.int_prop()
 
     def __init__(self):
         super().__init__()
@@ -210,7 +210,7 @@ class GroupSourceStacks(ContainerTask):
         Inputs gathered into each emitted container.
     """
 
-    ngroup = config.Property(proptype=int, default=100)
+    ngroup = config.int_prop(100)
 
     _PROMOTE = {
         containers.FrequencyStack: containers.MockFrequencyStack,

@@ -101,7 +101,7 @@ def _mmode_matrices(mmodes):
 class SVDSpectrumEstimator(ContainerTask):
     """Calculate the per-m SVD spectrum of m-modes (reference svdfilter.py:11)."""
 
-    niter = config.Property(proptype=int, default=5)
+    niter = config.int_prop(5)
 
     def process(self, mmodes):
         mmodes.redistribute("m")
@@ -144,9 +144,9 @@ class SVDFilter(ContainerTask):
         singular value.
     """
 
-    niter = config.Property(proptype=int, default=5)
-    global_threshold = config.Property(proptype=float, default=1e-3)
-    local_threshold = config.Property(proptype=float, default=1e-2)
+    niter = config.int_prop(5)
+    global_threshold = config.float_prop(1e-3)
+    local_threshold = config.float_prop(1e-2)
 
     def process(self, mmodes):
         mmodes.redistribute("m")

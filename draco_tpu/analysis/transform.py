@@ -51,7 +51,7 @@ class FrequencyRebin(ContainerTask):
         Number of channels to merge.
     """
 
-    channel_bin = config.Property(proptype=int, default=1)
+    channel_bin = config.int_prop(1)
 
     def process(self, ss):
         if "freq" not in ss.index_map:
@@ -117,10 +117,10 @@ class SelectFreq(ContainerTask):
         [low, high] physical frequency bounds.
     """
 
-    freq_physical = config.Property(proptype=list, default=[])
-    channel_range = config.Property(proptype=list, default=[])
-    channel_index = config.Property(proptype=list, default=[])
-    freq_physical_range = config.Property(proptype=list, default=[])
+    freq_physical = config.list_prop([])
+    channel_range = config.list_prop([])
+    channel_index = config.list_prop([])
+    freq_physical_range = config.list_prop([])
 
     def process(self, data):
         freq_map = data.index_map["freq"]
@@ -165,10 +165,10 @@ class MModeTransform(ContainerTask):
         Deconvolve the finite-width rectangular RA integration window.
     """
 
-    remove_integration_window = config.Property(proptype=bool, default=False)
+    remove_integration_window = config.bool_prop(False)
     # Accepted for reference-config compatibility (transform.py:555); the
     # transform always runs as a batched on-device XLA FFT here.
-    use_fftw = config.Property(proptype=bool, default=True)
+    use_fftw = config.bool_prop(True)
 
     def setup(self, manager=None):
         """Optionally set the telescope to define mmax."""
@@ -238,8 +238,8 @@ class MModeInverseTransform(ContainerTask):
         Re-apply the rectangular integration window.
     """
 
-    nra = config.Property(proptype=int, default=None)
-    apply_integration_window = config.Property(proptype=bool, default=False)
+    nra = config.int_prop(None)
+    apply_integration_window = config.bool_prop(False)
 
     def process(self, mmodes: containers.MContainer):
         mmodes.redistribute("freq")
@@ -291,8 +291,8 @@ class ShiftRA(ContainerTask):
         Wrap and roll so the axis stays in [0, 360).
     """
 
-    delta = config.Property(proptype=float, default=0.0)
-    periodic = config.Property(proptype=bool, default=False)
+    delta = config.float_prop(0.0)
+    periodic = config.bool_prop(False)
 
     def process(self, sscont: containers.SiderealContainer):
         if not isinstance(sscont, containers.SiderealContainer):
@@ -332,12 +332,12 @@ class LanczosRegridder(ContainerTask):
         Zero output weights where the input weights were all zero.
     """
 
-    samples = config.Property(proptype=int, default=1024)
-    start = config.Property(proptype=float, default=None)
-    end = config.Property(proptype=float, default=None)
-    kernel_width = config.Property(proptype=int, default=5)
-    epsilon = config.Property(proptype=float, default=1e-3)
-    mask_zero_weight = config.Property(proptype=bool, default=False)
+    samples = config.int_prop(1024)
+    start = config.float_prop(None)
+    end = config.float_prop(None)
+    kernel_width = config.int_prop(5)
+    epsilon = config.float_prop(1e-3)
+    mask_zero_weight = config.bool_prop(False)
 
     def setup(self, observer):
         self.observer = io.get_telescope(observer)
@@ -617,7 +617,7 @@ class GenerateSubBands(SelectFreq):
         per entry.
     """
 
-    sub_band_spec = config.Property(proptype=dict)
+    sub_band_spec = config.dict_prop()
 
     def setup(self, data):
         """Cache the container to sub-divide."""
@@ -683,7 +683,7 @@ class SelectPol(ContainerTask):
         Subset of ["I", "Q", "U", "V"].
     """
 
-    pol = config.Property(proptype=list)
+    pol = config.list_prop()
 
     P = {
         "I": {"XX": 1, "YY": 1},
@@ -935,10 +935,10 @@ class TransformJanskyToKelvin(ContainerTask):
         Healpix resolution for the beam-area integral.
     """
 
-    convert_Jy_to_K = config.Property(proptype=bool, default=True)
-    reference_declination = config.Property(proptype=float, default=None)
+    convert_Jy_to_K = config.bool_prop(True)
+    reference_declination = config.float_prop(None)
     share = config.enum(["none", "all"], default="all")
-    nside = config.Property(proptype=int, default=256)
+    nside = config.int_prop(256)
 
     def setup(self, telescope):
         """Set the telescope object."""
@@ -1047,9 +1047,9 @@ class MixData(ContainerTask):
     data_coeff = config.list_type(type_=float)
     weight_coeff = config.list_type(type_=float)
     tag_coeff = config.list_type(type_=bool)
-    aux_coeff = config.Property(proptype=dict, default={})
-    invert_weight = config.Property(proptype=bool, default=False)
-    require_nonzero_weight = config.Property(proptype=bool, default=False)
+    aux_coeff = config.dict_prop({})
+    invert_weight = config.bool_prop(False)
+    require_nonzero_weight = config.bool_prop(False)
 
     mixed_data = None
 
@@ -1161,8 +1161,8 @@ class Jackknife(MixData):
     data_coeff = config.list_type(type_=float, default=[0.5, -0.5])
     weight_coeff = config.list_type(type_=float, default=[0.25, 0.25])
     tag_coeff = config.list_type(type_=bool, default=[True, True])
-    invert_weight = config.Property(proptype=bool, default=True)
-    require_nonzero_weight = config.Property(proptype=bool, default=True)
+    invert_weight = config.bool_prop(True)
+    require_nonzero_weight = config.bool_prop(True)
 
 
 class MixTwoDatasets(MixData):
@@ -1239,8 +1239,8 @@ class ReduceBase(ContainerTask):
     weighting : "none" | "masked" | "weighted"
     """
 
-    axes = config.Property(proptype=list)
-    dataset = config.Property(proptype=str)
+    axes = config.list_prop()
+    dataset = config.str_prop()
     weighting = config.enum(["none", "masked", "weighted"], default="none")
 
     _op = None
@@ -1415,10 +1415,10 @@ class HPFTimeStream(ContainerTask):
         Expected scale of the slow fluctuations (regulariser).
     """
 
-    tau = config.Property(proptype=float)
-    pad = config.Property(proptype=float, default=2)
-    window = config.Property(proptype=bool, default=True)
-    prior = config.Property(proptype=float, default=1e2)
+    tau = config.float_prop()
+    pad = config.float_prop(2)
+    window = config.bool_prop(True)
+    prior = config.float_prop(1e2)
 
     def process(self, tstream):
         if "time" != tuple(tstream.data.attrs["axis"])[-1]:

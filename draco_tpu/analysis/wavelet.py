@@ -36,11 +36,11 @@ class WaveletSpectrumEstimator(ContainerTask):
         Scale-bank chunks (memory control on very large inputs).
     """
 
-    dataset = config.Property(proptype=str, default="vis")
-    average_axis = config.Property(proptype=str)
-    ndelay = config.Property(proptype=int, default=128)
-    wavelet = config.Property(proptype=str, default="morl")
-    chunks = config.Property(proptype=int, default=4)
+    dataset = config.str_prop("vis")
+    average_axis = config.str_prop()
+    ndelay = config.int_prop(128)
+    wavelet = config.str_prop("morl")
+    chunks = config.int_prop(4)
 
     def process(self, data, dspec):
         """Estimate the wavelet power spectrum.

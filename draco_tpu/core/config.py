@@ -147,6 +147,36 @@ class Reader:
         """Hook run after config binding; override for validation."""
 
 
+def float_prop(default=None):
+    """A float-typed config property (shorthand)."""
+    return Property(proptype=float, default=default)
+
+
+def int_prop(default=None):
+    """An int-typed config property (shorthand)."""
+    return Property(proptype=int, default=default)
+
+
+def bool_prop(default=None):
+    """A bool-typed config property (shorthand)."""
+    return Property(proptype=bool, default=default)
+
+
+def str_prop(default=None):
+    """A str-typed config property (shorthand)."""
+    return Property(proptype=str, default=default)
+
+
+def list_prop(default=None):
+    """A list-typed config property (shorthand)."""
+    return Property(proptype=list, default=default)
+
+
+def dict_prop(default=None):
+    """A dict-typed config property (shorthand)."""
+    return Property(proptype=dict, default=default)
+
+
 def utc_time(default=None):
     """Property accepting a UNIX float or an ISO/datetime UTC time."""
 

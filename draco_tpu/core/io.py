@@ -85,7 +85,7 @@ class SelectionsMixin:
     draco/analysis/transform.py:1848).
     """
 
-    selections = config.Property(proptype=dict, default=None)
+    selections = config.dict_prop(None)
 
     # selection-key suffixes a subclass handles itself (e.g. Downselect's
     # <axis>_map) — _resolve_sel passes over them instead of raising
@@ -122,7 +122,7 @@ class LoadFilesFromParams(SelectionsMixin, ContainerTask):
     """
 
     files = config.Property(proptype=list_or_glob)
-    distributed = config.Property(proptype=bool, default=True)
+    distributed = config.bool_prop(True)
 
     def process(self):
         if not self.files:
@@ -145,7 +145,7 @@ LoadBasicCont = LoadFilesFromParams
 class Save(ContainerTask):
     """Explicitly save the incoming container to disk and pass it through."""
 
-    root = config.Property(proptype=str, default="")
+    root = config.str_prop("")
 
     def process(self, data):
         from ..parallel.multihost import is_leader
@@ -296,7 +296,7 @@ class LoadFITSCatalog(ContainerTask):
 class LoadBeamTransfer(MPILoggedTask):
     """Load a beam transfer manager from disk (reference draco/core/io.py:175)."""
 
-    product_directory = config.Property(proptype=str)
+    product_directory = config.str_prop()
 
     def setup(self):
         from ..telescope import beamtransfer
@@ -317,7 +317,7 @@ class LoadBeamTransfer(MPILoggedTask):
 class LoadProductManager(MPILoggedTask):
     """Load a telescope product manager from disk (reference draco/core/io.py:215)."""
 
-    product_directory = config.Property(proptype=str)
+    product_directory = config.str_prop()
 
     def setup(self):
         from ..telescope import manager
@@ -376,7 +376,7 @@ class SaveModuleVersions(ContainerTask):
     (reference test/test_write_metadata.py:49)
     """
 
-    root = config.Property(proptype=str, default="versions")
+    root = config.str_prop("versions")
 
     done = False
 
@@ -399,7 +399,7 @@ class SaveConfig(ContainerTask):
     (reference test/test_write_metadata.py:52)
     """
 
-    root = config.Property(proptype=str, default="config")
+    root = config.str_prop("config")
 
     done = False
 
@@ -416,8 +416,8 @@ class SaveConfig(ContainerTask):
 class SetMPILogging(MPILoggedTask):
     """Configure global logging levels (historical reference task name)."""
 
-    level_rank0 = config.Property(proptype=str, default="INFO")
-    level_all = config.Property(proptype=str, default="WARNING")
+    level_rank0 = config.str_prop("INFO")
+    level_all = config.str_prop("WARNING")
 
     def read_config(self, config_dict, compare_keys=False):
         """Apply the levels AFTER the config is read (__init__ runs

@@ -49,7 +49,7 @@ class MPILoggedTask(config.Reader):
     there is no MPI here — logging is just process-local.
     """
 
-    log_level = config.Property(proptype=str, default=None)
+    log_level = config.str_prop(None)
 
     def __init__(self):
         self._name = type(self).__name__
@@ -95,17 +95,17 @@ class ContainerTask(MPILoggedTask):
     reference examples/test.yaml:25-27, test/test_write_metadata.py:16-24).
     """
 
-    save = config.Property(proptype=bool, default=False)
+    save = config.bool_prop(False)
     # lossy mantissa truncation of spec-marked datasets on save
     # (reference-parity storage feature; see draco_tpu.core.truncate)
-    truncate = config.Property(proptype=bool, default=False)
-    output_root = config.Property(proptype=str, default="")
-    output_name = config.Property(proptype=str, default=None)
-    tag = config.Property(proptype=str, default=None)
+    truncate = config.bool_prop(False)
+    output_root = config.str_prop("")
+    output_name = config.str_prop(None)
+    tag = config.str_prop(None)
     save_versions = config.Property(default=False)
-    save_config = config.Property(proptype=bool, default=True)
+    save_config = config.bool_prop(True)
     # limit total process calls (None = unlimited)
-    limit_outputs = config.Property(proptype=int, default=None)
+    limit_outputs = config.int_prop(None)
 
     # set by the Manager
     _manager = None
@@ -215,7 +215,7 @@ class RandomTask(MPILoggedTask):
     device-side sampling, advanced deterministically per call.
     """
 
-    seed = config.Property(proptype=int, default=None)
+    seed = config.int_prop(None)
 
     _rng = None
     _key = None

@@ -40,13 +40,13 @@ class SelectionFunctionEstimator(ContainerTask):
         Optional tracer label stored on the output.
     """
 
-    bcat_path = config.Property(proptype=str, default=None)
-    nside = config.Property(proptype=int, default=16)
-    n_z = config.Property(proptype=int, default=32)
-    z_min = config.Property(proptype=float, default=0.8)
-    z_max = config.Property(proptype=float, default=2.5)
-    n_modes = config.Property(proptype=int, default=7)
-    tracer = config.Property(proptype=str, default=None)
+    bcat_path = config.str_prop(None)
+    nside = config.int_prop(16)
+    n_z = config.int_prop(32)
+    z_min = config.float_prop(0.8)
+    z_max = config.float_prop(2.5)
+    n_modes = config.int_prop(7)
+    tracer = config.str_prop(None)
 
     def process(self, cat=None):
         """SVD the binned catalog and keep the first ``n_modes`` modes.
@@ -101,7 +101,7 @@ class ResizeSelectionFunctionMap(ContainerTask):
         imprint of the coarse pixelisation).
     """
 
-    smooth = config.Property(proptype=bool, default=False)
+    smooth = config.bool_prop(False)
 
     def process(self, selfunc, source_map):
         """Interpolate in redshift and regrade in angle."""
@@ -147,7 +147,7 @@ class PdfGeneratorBase(ContainerTask):
     (reference mockcatalog.py:299-386)
     """
 
-    tracer = config.Property(proptype=str, default=None)
+    tracer = config.str_prop(None)
 
     def make_pdf_map(self, source_map, z_weights, selfunc=None,
                      uniform=False):
@@ -236,7 +236,7 @@ class PdfGeneratorNoSelectionFunction(PdfGeneratorBase):
         Weight z bins by their comoving voxel volume.
     """
 
-    use_voxel_volumes = config.Property(proptype=bool, default=False)
+    use_voxel_volumes = config.bool_prop(False)
 
     def process(self, source_map):
         """Uniform or volume-weighted z weights."""
@@ -280,10 +280,10 @@ class MockCatalogGenerator(ContainerTask, RandomTask):
         Place sources exactly at bin/pixel centres instead of dithering.
     """
 
-    nsource = config.Property(proptype=int)
-    ncat = config.Property(proptype=int)
-    z_at_channel_centers = config.Property(proptype=bool, default=False)
-    srcs_at_pixel_centers = config.Property(proptype=bool, default=False)
+    nsource = config.int_prop()
+    ncat = config.int_prop()
+    z_at_channel_centers = config.bool_prop(False)
+    srcs_at_pixel_centers = config.bool_prop(False)
 
     def setup(self, pdf_map):
         """Precompute per-z CDFs from the PDF map."""
@@ -372,8 +372,8 @@ class AddGaussianZErrorsToCatalog(ContainerTask, RandomTask):
     sigma_type : "sigma_z" | "sigma_z_over_1plusz"
     """
 
-    use_catalog_z_errors = config.Property(proptype=bool, default=False)
-    sigma = config.Property(proptype=float)
+    use_catalog_z_errors = config.bool_prop(False)
+    sigma = config.float_prop()
     sigma_type = config.enum(["sigma_z", "sigma_z_over_1plusz"])
 
     def process(self, cat):
@@ -528,7 +528,7 @@ class MapPixelLocationGenerator(ContainerTask):
         Frequency channel assigned to every "source".
     """
 
-    freq_idx = config.Property(proptype=int)
+    freq_idx = config.int_prop()
 
     def setup(self, in_map):
         """Pre-load map geometry."""

@@ -41,7 +41,7 @@ def _time_interval(data) -> tuple[float, int]:
 class ReceiverTemperature(ContainerTask):
     """Add a receiver temperature offset to the autos (reference noise.py:21)."""
 
-    recv_temp = config.Property(proptype=float, default=0.0)
+    recv_temp = config.float_prop(0.0)
 
     def process(self, data):
         autos = _auto_mask(data.prodstack)
@@ -57,8 +57,8 @@ class GaussianNoiseDataset(ContainerTask, RandomTask):
     (reference noise.py:48)
     """
 
-    dataset = config.Property(proptype=str, default=None)
-    in_place = config.Property(proptype=bool, default=True)
+    dataset = config.str_prop(None)
+    in_place = config.bool_prop(True)
 
     def process(self, data):
         if self.dataset is None:
@@ -103,7 +103,7 @@ class GaussianNoiseDataset(ContainerTask, RandomTask):
 class MultipleNoiseRealizationsMixin:
     """Generate multiple noise realizations (reference noise.py:127)."""
 
-    niter = config.Property(proptype=int, default=1)
+    niter = config.int_prop(1)
     in_place = False
 
     def setup(self, data1, data2=None):
@@ -133,10 +133,10 @@ class GaussianNoise(ContainerTask, RandomTask):
         std = recv_temp / sqrt(nsamp) (reference noise.py:260-261).
     """
 
-    recv_temp = config.Property(proptype=float, default=50.0)
-    ndays = config.Property(proptype=float, default=733.0)
-    set_weights = config.Property(proptype=bool, default=True)
-    add_noise = config.Property(proptype=bool, default=True)
+    recv_temp = config.float_prop(50.0)
+    ndays = config.float_prop(733.0)
+    set_weights = config.bool_prop(True)
+    add_noise = config.bool_prop(True)
 
     def setup(self, manager=None):
         self.telescope = io.get_telescope(manager) if manager is not None else None
@@ -198,8 +198,8 @@ class SampleNoise(ContainerTask, RandomTask):
         Set the weights appropriately afterwards.
     """
 
-    sample_frac = config.Property(proptype=float, default=1.0)
-    set_weights = config.Property(proptype=bool, default=True)
+    sample_frac = config.float_prop(1.0)
+    set_weights = config.bool_prop(True)
 
     def process(self, data_exp):
         data_exp.redistribute("freq")
@@ -274,7 +274,7 @@ class FreqCorrelatedNoise(ContainerTask, RandomTask):
         Save the redundancy of each visibility.
     """
 
-    save_redundancy = config.Property(proptype=bool, default=False)
+    save_redundancy = config.bool_prop(False)
 
     def process(self, noise_model: containers.FreqNoiseModel):
         noise_model.redistribute("ra")

@@ -353,13 +353,13 @@ class GenerateGaussianSky(ContainerTask, RandomTask):
     """
 
     model = config.enum(sorted(_SKY_MODELS), default="foreground")
-    nside = config.Property(proptype=int, default=64)
-    freq_start = config.Property(proptype=float, default=400.0)
-    freq_end = config.Property(proptype=float, default=500.0)
-    nfreq = config.Property(proptype=int, default=32)
-    polarisation = config.Property(proptype=bool, default=False)
-    lmax = config.Property(proptype=int, default=None)
-    num_realisations = config.Property(proptype=int, default=1)
+    nside = config.int_prop(64)
+    freq_start = config.float_prop(400.0)
+    freq_end = config.float_prop(500.0)
+    nfreq = config.int_prop(32)
+    polarisation = config.bool_prop(False)
+    lmax = config.int_prop(None)
+    num_realisations = config.int_prop(1)
 
     def setup(self):
         # a dedicated counter: ContainerTask.next() also advances

@@ -42,18 +42,18 @@ class SimulateSidereal(ContainerTask):
         reverse_map/stack from the telescope) rather than a down-selection.
     """
 
-    stacked = config.Property(proptype=bool, default=True)
+    stacked = config.bool_prop(True)
     # Round the sidereal axis up to the next 2/3/5-smooth length.  The
     # natural minimal length 2*mmax + 1 often has a large prime factor
     # (e.g. 1535 = 5 x 307) which forces XLA's TPU FFT into a Bluestein
     # fallback; the extra samples carry no extra information (the m-mode
     # content is identical) but keep the iFFT on the radix path.
-    fast_ra = config.Property(proptype=bool, default=False)
+    fast_ra = config.bool_prop(False)
     # Streaming (factorised) projection: never materialises the beam
     # transfer — required at production scales where the B tensors exceed
     # device memory.
-    streaming = config.Property(proptype=bool, default=False)
-    baseline_chunk = config.Property(proptype=int, default=256)
+    streaming = config.bool_prop(False)
+    baseline_chunk = config.int_prop(256)
 
     def setup(self, bt):
         """Set the beam transfer manager (BeamTransfer or ProductManager)."""
@@ -178,7 +178,7 @@ class MakeTimeStream(ContainerTask):
     (reference stream.py:249-343) — Lanczos interpolation of the RA axis.
     """
 
-    lanczos_width = config.Property(proptype=int, default=5)
+    lanczos_width = config.int_prop(5)
 
     # output container per input type; checked in order so subclasses
     # that appear in both rows resolve to the more specific mapping
@@ -272,9 +272,9 @@ class MakeMultipleTimeStreams(MakeTimeStreamFixedInput):
 
     start_time = config.utc_time()
     end_time = config.utc_time()
-    integration_time = config.Property(proptype=float, default=None)
-    integration_frame_exp = config.Property(proptype=int, default=23)
-    samples_per_file = config.Property(proptype=int, default=1024)
+    integration_time = config.float_prop(None)
+    integration_frame_exp = config.int_prop(23)
+    samples_per_file = config.int_prop(1024)
 
     _time_axes = None
 

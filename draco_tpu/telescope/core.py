@@ -35,32 +35,32 @@ class TransitTelescope(config.Reader):
     this base derives baselines, redundancy, index maps and band limits.
     """
 
-    latitude = config.Property(proptype=float, default=45.0)
-    longitude = config.Property(proptype=float, default=0.0)
-    altitude = config.Property(proptype=float, default=0.0)
+    latitude = config.float_prop(45.0)
+    longitude = config.float_prop(0.0)
+    altitude = config.float_prop(0.0)
     # Telescope rotation from true north in degrees (used by the hybrid
     # beamformed deconvolution path, reference analysis/beam.py:119)
-    rotation_angle = config.Property(proptype=float, default=0.0)
+    rotation_angle = config.float_prop(0.0)
 
-    freq_lower = config.Property(proptype=float, default=400.0)
-    freq_upper = config.Property(proptype=float, default=800.0)
-    num_freq = config.Property(proptype=int, default=4)
+    freq_lower = config.float_prop(400.0)
+    freq_upper = config.float_prop(800.0)
+    num_freq = config.int_prop(4)
     freq_mode = config.enum(["centre", "edge"], default="centre")
 
-    auto_correlations = config.Property(proptype=bool, default=False)
+    auto_correlations = config.bool_prop(False)
     # Band-limit boosts (driftscan's accuracy_boost/l_boost equivalents)
-    accuracy_boost = config.Property(proptype=float, default=1.0)
-    l_boost = config.Property(proptype=float, default=1.0)
+    accuracy_boost = config.float_prop(1.0)
+    l_boost = config.float_prop(1.0)
     # Explicit band limits (override the derived values when set)
-    force_lmax = config.Property(proptype=int, default=None)
-    force_mmax = config.Property(proptype=int, default=None)
+    force_lmax = config.int_prop(None)
+    force_mmax = config.int_prop(None)
 
-    tsys_flat = config.Property(proptype=float, default=50.0)
-    ndays = config.Property(proptype=float, default=733.0)
+    tsys_flat = config.float_prop(50.0)
+    ndays = config.float_prop(733.0)
 
     # Minimum |baseline| to include (metres)
-    minlength = config.Property(proptype=float, default=0.0)
-    maxlength = config.Property(proptype=float, default=1.0e7)
+    minlength = config.float_prop(0.0)
+    maxlength = config.float_prop(1.0e7)
 
     def __init__(self, latitude=None, longitude=None, **kwargs):
         if latitude is not None:
@@ -438,8 +438,8 @@ class SimpleUnpolarisedTelescope(TransitTelescope):
     beamclass, scalar beams, num_pol_sky = 1.
     """
 
-    dish_width = config.Property(proptype=float, default=5.0)
-    fwhm_factor = config.Property(proptype=float, default=1.0)
+    dish_width = config.float_prop(5.0)
+    fwhm_factor = config.float_prop(1.0)
 
     @property
     def num_pol_sky(self) -> int:
@@ -462,8 +462,8 @@ class SimplePolarisedTelescope(TransitTelescope):
     Feeds 0..nfeed/2-1 are X, the rest Y (beamclass 0/1); num_pol_sky = 4.
     """
 
-    dish_width = config.Property(proptype=float, default=5.0)
-    fwhm_factor = config.Property(proptype=float, default=1.0)
+    dish_width = config.float_prop(5.0)
+    fwhm_factor = config.float_prop(1.0)
 
     @property
     def num_pol_sky(self) -> int:
@@ -511,12 +511,12 @@ class _DishGridMixin:
     distinct).
     """
 
-    grid_ew = config.Property(proptype=int, default=4)
-    grid_ns = config.Property(proptype=int, default=4)
-    spacing_ew = config.Property(proptype=float, default=6.0)
-    spacing_ns = config.Property(proptype=float, default=6.0)
-    jitter = config.Property(proptype=float, default=0.0)
-    jitter_seed = config.Property(proptype=int, default=0)
+    grid_ew = config.int_prop(4)
+    grid_ns = config.int_prop(4)
+    spacing_ew = config.float_prop(6.0)
+    spacing_ns = config.float_prop(6.0)
+    jitter = config.float_prop(0.0)
+    jitter_seed = config.int_prop(0)
 
     @property
     def _single_pol_positions(self) -> np.ndarray:
@@ -565,11 +565,11 @@ class PolarisedDishArray(_DishGridMixin, SimplePolarisedTelescope):
 class _CylinderMixin:
     """Feed layout along the focal lines of N-S oriented cylinders."""
 
-    num_cylinders = config.Property(proptype=int, default=2)
-    cylinder_width = config.Property(proptype=float, default=20.0)
-    cylinder_spacing = config.Property(proptype=float, default=20.0)
-    num_feeds = config.Property(proptype=int, default=8)
-    feed_spacing = config.Property(proptype=float, default=0.5)
+    num_cylinders = config.int_prop(2)
+    cylinder_width = config.float_prop(20.0)
+    cylinder_spacing = config.float_prop(20.0)
+    num_feeds = config.int_prop(8)
+    feed_spacing = config.float_prop(0.5)
 
     @property
     def _single_pol_positions(self) -> np.ndarray:

@@ -75,15 +75,15 @@ class KLTransform(config.Reader):
         Thermal noise variance in the telescope basis.
     """
 
-    subset = config.Property(proptype=bool, default=True)
-    threshold = config.Property(proptype=float, default=0.1)
-    signal_amp = config.Property(proptype=float, default=1.0)
-    signal_tilt = config.Property(proptype=float, default=1.0)
-    signal_corr_freq = config.Property(proptype=float, default=2.0)
-    foreground_amp = config.Property(proptype=float, default=100.0)
-    foreground_tilt = config.Property(proptype=float, default=3.0)
-    foreground_spec_corr = config.Property(proptype=float, default=0.999)
-    noise_amp = config.Property(proptype=float, default=1e-2)
+    subset = config.bool_prop(True)
+    threshold = config.float_prop(0.1)
+    signal_amp = config.float_prop(1.0)
+    signal_tilt = config.float_prop(1.0)
+    signal_corr_freq = config.float_prop(2.0)
+    foreground_amp = config.float_prop(100.0)
+    foreground_tilt = config.float_prop(3.0)
+    foreground_spec_corr = config.float_prop(0.999)
+    noise_amp = config.float_prop(1e-2)
 
     def __init__(self, bt=None):
         self.beamtransfer = bt
@@ -345,7 +345,7 @@ class DoubleKL(KLTransform):
     ~0 eigenvalues, sort last, and fall to the threshold cut.
     """
 
-    foreground_threshold = config.Property(proptype=float, default=100.0)
+    foreground_threshold = config.float_prop(100.0)
 
     def _compute_all_modes(self):
         bt = self.beamtransfer

@@ -39,9 +39,9 @@ class PSEstimation(config.Reader):
         KL threshold used when building the band covariances.
     """
 
-    bands_kpar = config.Property(proptype=list, default=None)
-    bands_kperp = config.Property(proptype=list, default=None)
-    threshold = config.Property(proptype=float, default=None)
+    bands_kpar = config.list_prop(None)
+    bands_kperp = config.list_prop(None)
+    threshold = config.float_prop(None)
 
     def __init__(self, bt=None, kl=None):
         self.beamtransfer = bt

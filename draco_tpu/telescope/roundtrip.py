@@ -844,7 +844,7 @@ class SimulateAndMap(_ContainerTask):
     """
 
     # 0 = size the chunk automatically from the HBM budget
-    baseline_chunk = _config.Property(proptype=int, default=0)
+    baseline_chunk = _config.int_prop(0)
 
     def setup(self, bt):
         """Keep the beam-transfer manager."""

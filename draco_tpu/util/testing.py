@@ -28,7 +28,7 @@ class DummyTask(ContainerTask):
     """
 
     total_len = config.Property(default=1, proptype=int)
-    tag = config.Property(proptype=str)
+    tag = config.str_prop()
 
     def process(self):
         """Next empty container; stops after ``total_len``."""
@@ -107,18 +107,18 @@ class RandomFreqData(RandomTask):
         White-noise RMS.
     """
 
-    num_realisation = config.Property(proptype=int, default=1)
-    num_correlated = config.Property(proptype=int, default=None)
+    num_realisation = config.int_prop(1)
+    num_correlated = config.int_prop(None)
 
-    num_ra = config.Property(proptype=int)
-    num_base = config.Property(proptype=int)
+    num_ra = config.int_prop()
+    num_base = config.int_prop()
 
-    freq_start = config.Property(proptype=float, default=800.0)
-    freq_end = config.Property(proptype=float, default=400.0)
-    num_freq = config.Property(proptype=int, default=1024)
+    freq_start = config.float_prop(800.0)
+    freq_end = config.float_prop(400.0)
+    num_freq = config.int_prop(1024)
 
-    delay_cut = config.Property(proptype=float, default=0.2)
-    noise = config.Property(proptype=float, default=1e-5)
+    delay_cut = config.float_prop(0.2)
+    noise = config.float_prop(1e-5)
 
     def next(self):
         """Produce the next realisation (or correlated set)."""
