@@ -29,17 +29,81 @@ from ..ops import tools as ops_tools
 STELLAR_S = 86164.0905 / 86400.0
 
 
+def _pct(mask) -> float:
+    """Percentage of True samples in a boolean array."""
+    return 100.0 * float(np.mean(mask))
+
+
+def _rfi_mask_for(stream, by_pol: bool = False):
+    """An (optionally per-pol) RFI-mask container on the stream's axes.
+
+    Picks the sidereal variant when the stream carries an ``ra`` axis.
+    """
+    sid = "ra" in stream.index_map
+    if by_pol:
+        cls = containers.SiderealRFIMaskByPol if sid else containers.RFIMaskByPol
+    else:
+        cls = containers.SiderealRFIMask if sid else containers.RFIMask
+    return cls(axes_from=stream, attrs_from=stream)
+
+
+def _writable_copy(data, share: str):
+    """The container a weight-editing task should write into.
+
+    ``share="all"`` edits in place; ``"none"`` deep-copies; any other
+    value copies with that dataset shared.
+    """
+    if share == "all":
+        return data
+    return data.copy() if share == "none" else data.copy(shared=(share,))
+
+
+def _align_to(arr, src_axes, dst_axes):
+    """Reorder ``arr`` (axis names ``src_axes``) to broadcast over ``dst_axes``.
+
+    Transposes the source axes into destination order and inserts
+    length-1 dimensions for destination axes the source lacks.
+    """
+    src_axes = list(src_axes)
+    order = tuple(src_axes.index(ax) for ax in dst_axes if ax in src_axes)
+    grow = tuple(slice(None) if ax in src_axes else None for ax in dst_axes)
+    return arr.transpose(order)[grow]
+
+
+def _sample_unix_times(stream, observer=None):
+    """UNIX timestamps of each sample of a time- or sidereal-stream.
+
+    Sidereal streams need an ``observer`` for the LSD -> unix mapping and
+    an ``lsd``/``csd`` day attribute.  Returns ``(times, spans_days)``.
+    """
+    if "ra" not in stream.index_map:
+        return np.asarray(stream.time), False
+    if observer is None:
+        raise RuntimeError(
+            "For sidereal streams, must provide telescope object during setup."
+        )
+    day = stream.attrs.get("lsd", stream.attrs.get("csd"))
+    if day is None:
+        raise ValueError(
+            "Cannot find a day number (`lsd`/`csd` attribute) on the data."
+        )
+    many = not np.isscalar(day)
+    if many:
+        day = np.floor(np.mean(day))
+    return observer.lsd_to_unix(day + np.asarray(stream.ra) / 360.0), many
+
+
 class DayMask(ContainerTask):
     """Mask out a daytime RA band with smooth transitions.
 
     (reference flagging.py:33-110)
     """
 
-    start = config.Property(proptype=float, default=90.0)
-    end = config.Property(proptype=float, default=270.0)
-    width = config.Property(proptype=float, default=60.0)
-    zero_data = config.Property(proptype=bool, default=True)
-    remove_average = config.Property(proptype=bool, default=True)
+    start = config.float_prop(90.0)
+    end = config.float_prop(270.0)
+    width = config.float_prop(60.0)
+    zero_data = config.bool_prop(True)
+    remove_average = config.bool_prop(True)
 
     def process(self, sstream):
         sstream.redistribute("freq")
@@ -75,11 +139,11 @@ class DayMask(ContainerTask):
 class MaskMModeData(ContainerTask):
     """Mask m-mode data ahead of map making (reference flagging.py:113-173)."""
 
-    auto_correlations = config.Property(proptype=bool, default=False)
-    m_zero = config.Property(proptype=bool, default=False)
-    positive_m = config.Property(proptype=bool, default=True)
-    negative_m = config.Property(proptype=bool, default=True)
-    mask_low_m = config.Property(proptype=int, default=None)
+    auto_correlations = config.bool_prop(False)
+    m_zero = config.bool_prop(False)
+    positive_m = config.bool_prop(True)
+    negative_m = config.bool_prop(True)
+    mask_low_m = config.int_prop(None)
 
     def process(self, mmodes):
         mmodes.redistribute("freq")
@@ -113,14 +177,14 @@ class MaskBaselines(ContainerTask):
     for the parameter list.
     """
 
-    mask_long_ns = config.Property(proptype=float, default=None)
-    mask_short = config.Property(proptype=float, default=None)
-    mask_short_ew = config.Property(proptype=float, default=None)
-    mask_short_ns = config.Property(proptype=float, default=None)
-    mask_pol = config.Property(proptype=list, default=None)
-    weight_threshold = config.Property(proptype=float, default=None)
-    missing_threshold = config.Property(proptype=float, default=None)
-    zero_data = config.Property(proptype=bool, default=False)
+    mask_long_ns = config.float_prop(None)
+    mask_short = config.float_prop(None)
+    mask_short_ew = config.float_prop(None)
+    mask_short_ns = config.float_prop(None)
+    mask_pol = config.list_prop(None)
+    weight_threshold = config.float_prop(None)
+    missing_threshold = config.float_prop(None)
+    zero_data = config.bool_prop(False)
     share = config.enum(["none", "vis", "all"], default="all")
     combine_method = config.enum(["and", "or"], default="or")
 
@@ -131,68 +195,46 @@ class MaskBaselines(ContainerTask):
 
     def process(self, ss):
         ss.redistribute("freq")
-        baselines = self.telescope.baselines
+        ew, ns = self.telescope.baselines.T
         weight = np.asarray(ss.weight[:])
 
-        if self.combine_method == "or":
-            combine = np.logical_or
-            mask = np.zeros_like(weight, dtype=bool)
-        else:
-            combine = np.logical_and
-            mask = np.ones_like(weight, dtype=bool)
-
-        def bl_mask(sel):
-            return sel[np.newaxis, :, np.newaxis]
-
+        # Each enabled criterion contributes one boolean slab; they are
+        # then folded together with the configured AND/OR rule.  Most
+        # criteria are per-baseline [nstack]; the weight criteria are
+        # [nstack, nsample] / [nstack].
+        slabs = []
         if self.mask_long_ns is not None:
-            mask = combine(mask, bl_mask(np.abs(baselines[:, 1]) > self.mask_long_ns))
+            slabs.append(np.abs(ns) > self.mask_long_ns)
         if self.mask_short is not None:
-            mask = combine(
-                mask, bl_mask(np.hypot(*baselines.T) < self.mask_short)
-            )
+            slabs.append(np.hypot(ew, ns) < self.mask_short)
         if self.mask_short_ew is not None:
-            mask = combine(
-                mask, bl_mask(np.abs(baselines[:, 0]) < self.mask_short_ew)
-            )
+            slabs.append(np.abs(ew) < self.mask_short_ew)
         if self.mask_short_ns is not None:
-            mask = combine(
-                mask, bl_mask(np.abs(baselines[:, 1]) < self.mask_short_ns)
-            )
+            slabs.append(np.abs(ns) < self.mask_short_ns)
         if self.weight_threshold is not None:
-            weight_sum = weight.sum(axis=0)
-            mask = combine(
-                mask,
-                (weight_sum < self.weight_threshold * len(ss.freq))[np.newaxis],
-            )
+            per_sample = weight.sum(axis=0)
+            slabs.append(per_sample < self.weight_threshold * len(ss.freq))
         if self.missing_threshold is not None:
-            nsamp = (weight > 0).sum(axis=-1).sum(axis=0)
-            ratio = 1 - nsamp / nsamp.max()
-            mask = combine(
-                mask, bl_mask(ratio > self.missing_threshold)
-            )
+            nsamp = np.count_nonzero(weight, axis=-1).sum(axis=0)
+            slabs.append(1 - nsamp / nsamp.max() > self.missing_threshold)
         if self.mask_pol is not None:
-            pols = np.char.array(self.telescope.polarisation)[
+            names = np.char.array(self.telescope.polarisation)[
                 self.telescope.uniquepairs
             ]
-            pols = pols[:, 0] + pols[:, 1]
-            for p in self.mask_pol:
-                mask = combine(mask, bl_mask(pols == p))
+            names = names[:, 0] + names[:, 1]
+            slabs.extend(names == p for p in self.mask_pol)
 
-        if self.share == "all":
-            ssc = ss
-        elif self.share == "vis":
-            ssc = ss.copy(shared=("vis",))
-        else:
-            ssc = ss.copy()
+        fold = np.logical_or if self.combine_method == "or" else np.logical_and
+        mask = np.full(weight.shape[1:], self.combine_method != "or")
+        for slab in slabs:
+            mask = fold(mask, slab if slab.ndim > 1 else slab[:, np.newaxis])
+        mask = np.broadcast_to(mask[np.newaxis], weight.shape)
 
-        w = np.asarray(ssc.weight[:]).copy()
-        w[mask] = 0.0
-        ssc.weight[:] = w
+        out = _writable_copy(ss, self.share)
+        out.weight[:] = np.where(mask, 0.0, np.asarray(out.weight[:]))
         if self.zero_data:
-            v = np.asarray(ssc.vis[:]).copy()
-            v[mask] = 0.0
-            ssc.vis[:] = v
-        return ssc
+            out.vis[:] = np.where(mask, 0.0, np.asarray(out.vis[:]))
+        return out
 
 
 class FindBeamformedOutliers(ContainerTask):
@@ -202,8 +244,8 @@ class FindBeamformedOutliers(ContainerTask):
     an optional window to widen the mask along given axes.
     """
 
-    nsigma = config.Property(proptype=float, default=3.0)
-    window = config.Property(proptype=list, default=None)
+    nsigma = config.float_prop(3.0)
+    window = config.list_prop(None)
 
     def process(self, data):
         axes = list(data.data.axes)
@@ -239,7 +281,7 @@ class RadiometerWeight(ContainerTask):
     weight_ij = nsamp / (V_ii V_jj)  (reference flagging.py:552-611)
     """
 
-    replace = config.Property(proptype=bool, default=True)
+    replace = config.bool_prop(True)
 
     def process(self, stream):
         stream.redistribute("freq")
@@ -272,8 +314,8 @@ class RadiometerWeight(ContainerTask):
 class SanitizeWeights(ContainerTask):
     """Zero weights outside a valid range (reference flagging.py:614-663)."""
 
-    max_thresh = config.Property(proptype=float, default=1e30)
-    min_thresh = config.Property(proptype=float, default=1e-30)
+    max_thresh = config.float_prop(1e30)
+    min_thresh = config.float_prop(1e-30)
 
     def _finalise_config(self):
         if self.min_thresh >= self.max_thresh:
@@ -297,26 +339,20 @@ class NegativeAutosMask(ContainerTask):
     def process(self, data):
         data.redistribute("freq")
         ps = data.prodstack
-        autos_sel = ps["input_a"] == ps["input_b"]
-        autos = np.asarray(data.vis[:])[:, autos_sel].real
-        mask = np.any(autos < 0.0, axis=1)
+        autos = np.asarray(data.vis[:])[:, ps["input_a"] == ps["input_b"]].real
+        out = _rfi_mask_for(data)
+        out.mask[:] = (autos < 0.0).any(axis=1)
         self.log.debug(
-            f"Negative autocorrelations flagged {100.0 * mask.mean():.2f}% of the data."
+            f"Negative autocorrelations flagged {_pct(out.mask[:]):.2f}% of the data."
         )
-        mask_cont = (
-            containers.SiderealRFIMask(axes_from=data, attrs_from=data)
-            if "ra" in data.index_map
-            else containers.RFIMask(axes_from=data, attrs_from=data)
-        )
-        mask_cont.mask[:] = mask
-        return mask_cont
+        return out
 
 
 class SmoothVisWeight(ContainerTask):
     """Median-smooth the visibility weights in time (reference flagging.py:702)."""
 
-    kernel_size = config.Property(proptype=int, default=31)
-    mask_zeros = config.Property(proptype=bool, default=False)
+    kernel_size = config.int_prop(31)
+    mask_zeros = config.bool_prop(False)
 
     def process(self, data):
         data.redistribute("freq")
@@ -336,45 +372,40 @@ class ThresholdVisWeightFrequency(ContainerTask):
     (reference flagging.py:763-832)
     """
 
-    absolute_threshold = config.Property(proptype=float, default=1e-7)
-    relative_threshold = config.Property(proptype=float, default=0.9)
+    absolute_threshold = config.float_prop(1e-7)
+    relative_threshold = config.float_prop(0.9)
 
     def process(self, stream):
         stream.redistribute("freq")
-        if "ra" in stream.index_map:
-            mask_cont = containers.SiderealRFIMask(axes_from=stream, attrs_from=stream)
-        elif "time" in stream.index_map:
-            mask_cont = containers.RFIMask(axes_from=stream, attrs_from=stream)
-        else:
-            raise TypeError(f"Need a TimeStream or SiderealStream here, not {type(stream)}")
+        if not (
+            "ra" in stream.index_map or "time" in stream.index_map
+        ):
+            raise TypeError(
+                f"Need a TimeStream or SiderealStream here, not {type(stream)}"
+            )
 
-        weight = np.asarray(stream.weight[:])
-        mean_baseline = np.mean(weight, axis=1, keepdims=True)
-        threshold = np.where(
-            mean_baseline > self.absolute_threshold, mean_baseline, np.nan
-        )
+        # mean over baselines [freq, 1, nsample], then over the samples
+        # where it clears the absolute floor
+        over_bl = np.asarray(stream.weight[:]).mean(axis=1, keepdims=True)
+        valid = np.where(over_bl > self.absolute_threshold, over_bl, np.nan)
         with warnings.catch_warnings():
             warnings.filterwarnings(action="ignore", message="Mean of empty slice")
-            threshold = np.nanmean(threshold, axis=2, keepdims=True)
-        mask = ~(
-            mean_baseline
-            > np.fmax(threshold * self.relative_threshold, self.absolute_threshold)
-        )[:, 0, :]
-        drop_frac = np.sum(mask) / np.prod(mask.shape)
-        self.log.info(
-            "weight cut drops %0.5f%% of the data" % (100.0 * drop_frac)
-        )
-        mask_cont.mask[:] = mask
-        return mask_cont
+            per_freq = np.nanmean(valid, axis=2, keepdims=True)
+
+        cut = np.fmax(per_freq * self.relative_threshold, self.absolute_threshold)
+        out = _rfi_mask_for(stream)
+        out.mask[:] = ~(over_bl > cut)[:, 0, :]
+        self.log.info(f"weight cut drops {_pct(out.mask[:]):0.5f}% of the data")
+        return out
 
 
 class ThresholdVisWeightBaseline(ContainerTask):
     """Baseline-dependent low-weight mask (reference flagging.py:835-982)."""
 
     average_type = config.enum(["median", "mean"], default="median")
-    absolute_threshold = config.Property(proptype=float, default=1e-7)
-    relative_threshold = config.Property(proptype=float, default=1e-6)
-    ignore_absolute_threshold = config.Property(proptype=float, default=0.0)
+    absolute_threshold = config.float_prop(1e-7)
+    relative_threshold = config.float_prop(1e-6)
+    ignore_absolute_threshold = config.float_prop(0.0)
     pols_to_flag = config.enum(["all", "copol"], default="all")
 
     def setup(self, telescope):
@@ -382,73 +413,60 @@ class ThresholdVisWeightBaseline(ContainerTask):
 
     def process(self, stream):
         if "ra" in stream.index_map:
-            mask_cont = containers.SiderealBaselineMask(
+            out = containers.SiderealBaselineMask(
                 axes_from=stream, attrs_from=stream
             )
         elif "time" in stream.index_map:
-            mask_cont = containers.BaselineMask(axes_from=stream, attrs_from=stream)
+            out = containers.BaselineMask(axes_from=stream, attrs_from=stream)
         else:
             raise TypeError(
                 f"Task requires TimeStream or SiderealStream. Got {type(stream)}"
             )
 
         weight = np.asarray(stream.weight[:])
-        avg = np.moveaxis(weight, 1, 0).reshape(weight.shape[1], -1)
-        sel = avg > self.ignore_absolute_threshold
+        # per-baseline typical weight over all (freq, sample) cells that
+        # clear the ignore floor
+        rows = np.moveaxis(weight, 1, 0).reshape(weight.shape[1], -1)
+        live = rows > self.ignore_absolute_threshold
         if self.average_type == "mean":
-            average_weight = np.sum(avg * sel, axis=-1) * invert_no_zero(
-                np.sum(sel, axis=-1)
+            typical = (rows * live).sum(axis=-1) * invert_no_zero(
+                live.sum(axis=-1)
             )
         else:
-            average_weight = np.array(
-                [
-                    np.median(row[s]) if s.any() else 0.0
-                    for row, s in zip(avg, sel)
-                ]
+            typical = np.array(
+                [np.median(r[s]) if s.any() else 0.0 for r, s in zip(rows, live)]
             )
-        threshold = np.maximum(
-            self.absolute_threshold, self.relative_threshold * average_weight
-        )
-        mask = weight < threshold[np.newaxis, :, np.newaxis]
-        mask &= weight > self.ignore_absolute_threshold
+
+        cut = np.maximum(
+            self.absolute_threshold, self.relative_threshold * typical
+        )[np.newaxis, :, np.newaxis]
+        mask = (weight < cut) & (weight > self.ignore_absolute_threshold)
 
         if self.pols_to_flag == "copol":
-            prod = stream.prod
-            stack = stream.stack
-            pol_a = self.telescope.polarisation[
-                prod[stack["prod"]]["input_a"].astype(int)
-            ]
-            pol_b = self.telescope.polarisation[
-                prod[stack["prod"]]["input_b"].astype(int)
-            ]
-            mask &= (pol_a == pol_b)[np.newaxis, :, np.newaxis]
+            inputs = stream.prod[stream.stack["prod"]]
+            pols = self.telescope.polarisation
+            copol = (
+                pols[inputs["input_a"].astype(int)]
+                == pols[inputs["input_b"].astype(int)]
+            )
+            mask &= copol[np.newaxis, :, np.newaxis]
 
-        mask_frac = mask.sum() / float(np.prod(weight.shape))
-        self.log.info(f"weight cut drops {100.0 * mask_frac:.5f} of the data")
-        mask_cont.mask[:] = mask
-        return mask_cont
+        self.log.info(f"weight cut drops {_pct(mask):.5f} of the data")
+        out.mask[:] = mask
+        return out
 
 
 class CollapseBaselineMask(ContainerTask):
     """Collapse a baseline mask over the baseline axis (reference flagging.py:985)."""
 
     def process(self, baseline_mask):
-        if isinstance(baseline_mask, containers.SiderealBaselineMask):
-            mask_cont = containers.SiderealRFIMask(
-                axes_from=baseline_mask, attrs_from=baseline_mask
-            )
-        else:
-            mask_cont = containers.RFIMask(
-                axes_from=baseline_mask, attrs_from=baseline_mask
-            )
-        full_mask = np.any(np.asarray(baseline_mask.mask[:]), axis=1)
-        drop_frac = np.sum(full_mask) / np.prod(full_mask.shape)
+        out = _rfi_mask_for(baseline_mask)
+        out.mask[:] = np.asarray(baseline_mask.mask[:]).any(axis=1)
         self.log.info(
             f"weight cut after collapsing baselines drops "
-            f"{100.0 * drop_frac:.1f}%% of the data"
+            f"{_pct(out.mask[:]):.1f}%% of the data"
         )
-        mask_cont.mask[:] = full_mask
-        return mask_cont
+        return out
 
 
 class RFISensitivityMask(ContainerTask):
@@ -469,22 +487,22 @@ class RFISensitivityMask(ContainerTask):
     mask_type = config.enum(["mad", "sumthreshold", "combine"], default="combine")
     include_pol = config.list_type(str, default=None)
 
-    nsigma_1d = config.Property(proptype=float, default=5.0)
-    quantile_1d = config.Property(proptype=float, default=0.15)
-    win_f_1d = config.Property(proptype=int, default=191)
+    nsigma_1d = config.float_prop(5.0)
+    quantile_1d = config.float_prop(0.15)
+    win_f_1d = config.int_prop(191)
 
-    nsigma = config.Property(proptype=float, default=5.0)
-    niter = config.Property(proptype=int, default=5)
-    rho = config.Property(proptype=float, default=1.5)
+    nsigma = config.float_prop(5.0)
+    niter = config.int_prop(5)
+    rho = config.float_prop(1.5)
 
     base_size = config.list_type(int, length=2, default=(37, 181))
     mad_size = config.list_type(int, length=2, default=(101, 31))
-    tv_fraction = config.Property(proptype=float, default=0.5)
-    max_m = config.Property(proptype=int, default=64)
+    tv_fraction = config.float_prop(0.5)
+    max_m = config.int_prop(64)
 
-    sir = config.Property(proptype=bool, default=False)
-    eta = config.Property(proptype=float, default=0.2)
-    only_time = config.Property(proptype=bool, default=False)
+    sir = config.bool_prop(False)
+    eta = config.float_prop(0.2)
+    only_time = config.bool_prop(False)
 
     # Convert MAD to RMS (reference flagging.py:1885)
     MAD_TO_RMS = 1.4826
@@ -516,89 +534,93 @@ class RFISensitivityMask(ContainerTask):
         if self.mask_type == "combine":
             madtimes = self._combine_st_mad_hook(times, freq)
 
-        nfreq, _, ntime = metric.shape
-        finalmask = np.zeros((npol, nfreq, ntime), dtype=bool)
-
+        per_pol = []
         for pi in range(npol):
             if self.include_pol and pol[pi] not in self.include_pol:
                 continue
-
-            y = metric[:, pi, :]
-            current_flag = flag[:, pi, :] | static_flag[:, None]
-
-            # Static per-channel mask from the time quantile
-            if self.nsigma_1d is not None:
-                flag_1d, y_static = self._mask_1d(y, current_flag)
-                current_flag = current_flag | flag_1d[:, None]
-                y = y - y_static[:, None]
-
-            # Slowly reduce the threshold, re-estimating background and
-            # deviation with the current mask each round
-            for nsig in self.threshold:
-                med_y = filters.medfilt(y, current_flag, tuple(self.base_size))
-                dy = y - med_y
-
-                ady = np.abs(dy)
-                med_ady = self.MAD_TO_RMS * filters.medfilt(
-                    ady, current_flag, tuple(self.mad_size)
+            per_pol.append(
+                self._flag_one_pol(
+                    metric[:, pi, :],
+                    flag[:, pi, :] | static_flag[:, None],
+                    freq,
+                    madtimes if self.mask_type == "combine" else None,
                 )
-                ady_nsigma = ady * np.asarray(invert_no_zero(med_ady))
+            )
 
-                madmask = ady_nsigma > nsig
-                tvmask = tv_channels_flag(
-                    ady_nsigma, freq, sigma=nsig, f=self.tv_fraction
-                )
-                madmask |= tvmask
-
-                if self.mask_type == "mad":
-                    current_flag = current_flag | madmask
-                    continue
-
-                stmask = rfi.sumthreshold(
-                    dy,
-                    self.max_m,
-                    start_flag=current_flag | tvmask,
-                    threshold1=nsig,
-                    remove_median=False,
-                    correct_for_missing=True,
-                    rho=1.0,
-                    variance=med_ady**2,
-                )
-
-                if self.mask_type == "sumthreshold":
-                    current_flag = current_flag | stmask
-                else:  # combine: MAD around transits, SumThreshold elsewhere
-                    tempmask = np.where(madtimes, madmask, stmask)
-                    if not self.sir:
-                        # Extend the sumthreshold mask in time across the
-                        # transits if SIR will not run on the final mask
-                        expanded = rfi.scale_invariant_rank(
-                            tempmask, eta=0.2, axis=-1
-                        )
-                        tempmask = np.where(madtimes, expanded, tempmask)
-                    current_flag = current_flag | tempmask
-
-            finalmask[pi] = current_flag
-
-        finalmask = finalmask.any(axis=0)
-
-        percent_masked = 100.0 * np.sum(finalmask) / float(finalmask.size)
+        finalmask = np.logical_or.reduce(per_pol) if per_pol else (
+            np.zeros(metric.shape[::2], dtype=bool)
+        )
         self.log.info(
-            f"RFISensitivityMask masks {percent_masked:0.2f} percent "
-            "of the data."
+            f"RFISensitivityMask masks {_pct(finalmask):0.2f} percent of the data."
         )
 
         if self.sir:
             finalmask = self._apply_sir(finalmask, static_flag[:, None])
-            percent_masked = 100.0 * np.sum(finalmask) / float(finalmask.size)
             self.log.info(
-                f"After SIR dilation {percent_masked:0.2f} percent "
+                f"After SIR dilation {_pct(finalmask):0.2f} percent "
                 "of the data is masked."
             )
 
         out = containers.RFIMask(axes_from=sensitivity, attrs_from=sensitivity)
         out.mask[:] = finalmask
         return out
+
+    def _flag_one_pol(self, y, flagged, freq, madtimes):
+        """Run the iterated threshold schedule on one polarisation.
+
+        ``y`` is the radiometer metric [freq, time]; ``flagged`` the
+        starting mask; ``madtimes`` selects the MAD mask over the
+        SumThreshold one (combine mode only).
+        """
+        # Static per-channel mask from the time quantile
+        if self.nsigma_1d is not None:
+            bad_channels, channel_level = self._mask_1d(y, flagged)
+            flagged = flagged | bad_channels[:, None]
+            y = y - channel_level[:, None]
+
+        # Slowly reduce the threshold, re-estimating background and
+        # deviation with the current mask each round
+        for nsig in self.threshold:
+            resid = y - filters.medfilt(y, flagged, tuple(self.base_size))
+            noise = self.MAD_TO_RMS * filters.medfilt(
+                np.abs(resid), flagged, tuple(self.mad_size)
+            )
+            significance = np.abs(resid) * np.asarray(invert_no_zero(noise))
+
+            tv_bands = tv_channels_flag(
+                significance, freq, sigma=nsig, f=self.tv_fraction
+            )
+            by_mad = (significance > nsig) | tv_bands
+
+            if self.mask_type == "mad":
+                flagged = flagged | by_mad
+                continue
+
+            by_st = rfi.sumthreshold(
+                resid,
+                self.max_m,
+                start_flag=flagged | tv_bands,
+                threshold1=nsig,
+                remove_median=False,
+                correct_for_missing=True,
+                rho=1.0,
+                variance=noise**2,
+            )
+
+            if self.mask_type == "sumthreshold":
+                flagged = flagged | by_st
+                continue
+
+            # combine: MAD around transits, SumThreshold elsewhere
+            blended = np.where(madtimes, by_mad, by_st)
+            if not self.sir:
+                # Extend the sumthreshold mask in time across the
+                # transits if SIR will not run on the final mask
+                widened = rfi.scale_invariant_rank(blended, eta=0.2, axis=-1)
+                blended = np.where(madtimes, widened, blended)
+            flagged = flagged | blended
+
+        return flagged
 
     def _combine_st_mad_hook(self, times, freq):
         """Blending mask between SumThreshold and MAD flagged data.
@@ -617,161 +639,129 @@ class RFISensitivityMask(ContainerTask):
         """Mask channels whose time quantile deviates from the rolling
         frequency median by more than ``nsigma_1d`` MADs
         (reference flagging.py:2084)."""
-        y = np.ascontiguousarray(rad.astype(np.float64))
-        w = np.ascontiguousarray((~mask).astype(np.float64))
+        good = np.ascontiguousarray((~mask).astype(np.float64))
 
-        medt_y = median.quantile(y, w, self.quantile_1d)
-        medt_w = np.any(w > 0, axis=-1).astype(np.float64)
+        # per-channel time quantile, then its deviation from a (rolling)
+        # median over frequency in MAD units
+        channel = median.quantile(
+            np.ascontiguousarray(rad.astype(np.float64)), good, self.quantile_1d
+        )
+        alive = (good > 0).any(axis=-1).astype(np.float64)
 
-        if self.win_f_1d is None:
-            medf_medt_y = median.weighted_median(medt_y, medt_w)
-        else:
-            medf_medt_y = median.moving_weighted_median(
-                medt_y, medt_w, self.win_f_1d
-            )
+        def freq_median(x):
+            if self.win_f_1d is None:
+                return median.weighted_median(x, alive)
+            return median.moving_weighted_median(x, alive, self.win_f_1d)
 
-        absd_medt_y = np.abs(medt_y - medf_medt_y)
-
-        if self.win_f_1d is None:
-            mad_1d = self.MAD_TO_RMS * median.weighted_median(absd_medt_y, medt_w)
-        else:
-            mad_1d = self.MAD_TO_RMS * median.moving_weighted_median(
-                absd_medt_y, medt_w, self.win_f_1d
-            )
-
-        return absd_medt_y > (self.nsigma_1d * mad_1d), medt_y
+        excess = np.abs(channel - freq_median(channel))
+        scale = self.MAD_TO_RMS * freq_median(excess)
+        return excess > (self.nsigma_1d * scale), channel
 
     def _apply_sir(self, mask, baseflag, eta=None):
         """Expand the mask with SIR, excluding the static flag
         (reference flagging.py:2105).  ``eta`` defaults to the task's
         configured value."""
         eta = self.eta if eta is None else eta
-        nobaseflag = np.copy(mask)
-        nobaseflag[np.broadcast_to(baseflag, mask.shape)] = False
-
+        dynamic = mask & ~np.broadcast_to(baseflag, mask.shape)
         axes = (-1,) if self.only_time else (0, -1)
-        nobaseflagsir = rfi.scale_invariant_rank(nobaseflag, eta=eta, axis=axes)
-        return nobaseflagsir | mask
+        return rfi.scale_invariant_rank(dynamic, eta=eta, axis=axes) | mask
 
 
 class RFIMask(ContainerTask):
     """MAD + TV-channel RFI masking on a single stack (reference flagging.py:2120)."""
 
-    sigma = config.Property(proptype=float, default=5.0)
-    tv_fraction = config.Property(proptype=float, default=0.5)
-    stack_ind = config.Property(proptype=int, default=0)
+    sigma = config.float_prop(5.0)
+    tv_fraction = config.float_prop(0.5)
+    stack_ind = config.int_prop(0)
 
     def process(self, sstream):
-        output_type = (
-            containers.SiderealRFIMask
-            if "ra" in sstream.index_map
-            else containers.RFIMask
-        )
-        ssv = np.asarray(sstream.vis[:])
-        ssw = np.asarray(sstream.weight[:])
+        vis = np.asarray(sstream.vis[:])[:, self.stack_ind]
+        wgt = np.asarray(sstream.weight[:])[:, self.stack_ind]
 
-        wf = ssv[:, self.stack_ind]
-        ww = ssw[:, self.stack_ind]
+        # deviation in MAD units, with unestimable cells treated as bad
+        low_weight = wgt < 1e-4 * wgt.mean()
+        dev = mad(vis, low_weight)
+        dev = np.where(np.isnan(dev), 2 * self.sigma, dev)
 
-        weight_cut = 1e-4 * ww.mean()
-        wm = ww < weight_cut
-        maddev = mad(wf, wm)
-        maddev = np.where(np.isnan(maddev), 2 * self.sigma, maddev)
-        tvmask = tv_channels_flag(
-            maddev, sstream.freq, sigma=self.sigma, f=self.tv_fraction
+        tv_bands = tv_channels_flag(
+            dev, sstream.freq, sigma=self.sigma, f=self.tv_fraction
         )
-        mask = tvmask | (maddev > self.sigma)
-        self.log.info(
-            "RFI cut removes %0.2f%% of the data."
-            % (100.0 * np.sum(mask) / float(mask.size))
-        )
-        mask_cont = output_type(axes_from=sstream, attrs_from=sstream)
-        mask_cont.mask[:] = mask
-        return mask_cont
+        out = _rfi_mask_for(sstream)
+        out.mask[:] = tv_bands | (dev > self.sigma)
+        self.log.info(f"RFI cut removes {_pct(out.mask[:]):0.2f}% of the data.")
+        return out
 
 
 class ApplyTimeFreqMask(ContainerTask):
     """Zero weights at masked (freq, time) samples (reference flagging.py:2222)."""
 
     share = config.enum(["none", "vis", "map", "all"], default="all")
-    collapse_pol = config.Property(proptype=bool, default=False)
-    match_axes = config.Property(proptype=bool, default=True)
+    collapse_pol = config.bool_prop(False)
+    match_axes = config.bool_prop(True)
+
+    #: mask container family -> (required stream axis, sample-axis getter)
+    _family = (
+        ((containers.RFIMask, containers.RFIMaskByPol), "time"),
+        (
+            (containers.SiderealRFIMask, containers.SiderealRFIMaskByPol),
+            "ra",
+        ),
+    )
 
     def process(self, tstream, rfimask):
-        if isinstance(rfimask, (containers.RFIMask, containers.RFIMaskByPol)):
-            if "time" not in tstream.index_map:
-                raise TypeError(f"A time-like container is needed; received {type(tstream)}.")
-            timelike_ax = "time"
-            timelike_data = tstream.time
-            timelike_mask = rfimask.time
-        elif isinstance(
-            rfimask, (containers.SiderealRFIMask, containers.SiderealRFIMaskByPol)
-        ):
-            if "ra" not in tstream.index_map:
-                raise TypeError(
-                    f"A sidereal-like container is needed; received {type(tstream)}."
-                )
-            timelike_ax = "ra"
-            timelike_data = tstream.ra
-            timelike_mask = rfimask.ra
+        for classes, ax in self._family:
+            if isinstance(rfimask, classes):
+                tax = ax
+                break
         else:
-            raise TypeError(f"The mask must be an RFIMask or SiderealRFIMask, not {type(rfimask)}.")
+            raise TypeError(
+                f"The mask must be an RFIMask or SiderealRFIMask, not {type(rfimask)}."
+            )
+        if tax not in tstream.index_map:
+            kind = "time" if tax == "time" else "sidereal"
+            raise TypeError(
+                f"A {kind}-like container is needed; received {type(tstream)}."
+            )
+        stream_samples = tstream.index_map[tax]
+        mask_samples = rfimask.index_map[tax]
 
         if not np.array_equal(tstream.freq, rfimask.freq):
             raise ValueError("Stream and mask disagree on the freq axis.")
 
         if self.match_axes:
-            if not np.array_equal(timelike_data, timelike_mask):
-                raise ValueError(
-                    "Stream and mask disagree on the time-like axis."
-                )
-            data_sel = slice(None)
-            mask_sel = slice(None)
+            if not np.array_equal(stream_samples, mask_samples):
+                raise ValueError("Stream and mask disagree on the time-like axis.")
+            pick_stream = pick_mask = slice(None)
         else:
-            data_sel = np.isin(timelike_data, timelike_mask)
-            mask_sel = np.isin(timelike_mask, timelike_data)
-            if not np.any(data_sel):
+            pick_stream = np.isin(stream_samples, mask_samples)
+            pick_mask = np.isin(mask_samples, stream_samples)
+            if not pick_stream.any():
                 raise ValueError("The stream and mask time axes do not overlap.")
 
         tstream.redistribute("freq")
-        t_axes = list(tstream.weight.axes)
-        m_axes = list(rfimask.mask.axes)
+        waxes = list(tstream.weight.axes)
+        maxes = list(rfimask.mask.axes)
         mask = np.asarray(rfimask.mask[:])
 
-        if isinstance(
-            rfimask, (containers.RFIMaskByPol, containers.SiderealRFIMaskByPol)
-        ):
-            if self.collapse_pol or "pol" not in t_axes:
-                mask = np.any(mask, axis=m_axes.index("pol"))
-                m_axes.remove("pol")
-            elif "pol" in t_axes:
-                if not np.array_equal(
-                    tstream.index_map["pol"], rfimask.index_map["pol"]
-                ):
-                    raise ValueError(
-                        "Stream and mask disagree on the pol axis."
-                    )
+        if "pol" in maxes:
+            if self.collapse_pol or "pol" not in waxes:
+                mask = mask.any(axis=maxes.index("pol"))
+                maxes.remove("pol")
+            elif not np.array_equal(
+                tstream.index_map["pol"], rfimask.index_map["pol"]
+            ):
+                raise ValueError("Stream and mask disagree on the pol axis.")
 
-        bcast_slice = [slice(None) if ax in m_axes else np.newaxis for ax in t_axes]
-        inp_slice = [slice(None) for _ in t_axes]
-        inp_slice[t_axes.index(timelike_ax)] = data_sel
-        bcast_slice[t_axes.index(timelike_ax)] = mask_sel
-        inp_slice = tuple(inp_slice)
-        bcast_slice = tuple(bcast_slice)
+        grow = [slice(None) if ax in maxes else np.newaxis for ax in waxes]
+        grow[waxes.index(tax)] = pick_mask
+        into = [slice(None)] * len(waxes)
+        into[waxes.index(tax)] = pick_stream
 
-        if self.share == "all":
-            tsc = tstream
-        elif self.share == "vis":
-            tsc = tstream.copy(shared=("vis",))
-        elif self.share == "map":
-            tsc = tstream.copy(shared=("map",))
-        else:
-            tsc = tstream.copy()
-
-        w = np.asarray(tsc.weight[:]).copy()
-        w[inp_slice] *= ~mask[bcast_slice]
-        tsc.weight[:] = w
-        return tsc
+        out = _writable_copy(tstream, self.share)
+        w = np.asarray(out.weight[:]).copy()
+        w[tuple(into)] *= ~mask[tuple(grow)]
+        out.weight[:] = w
+        return out
 
 
 # Compatibility alias (reference flagging.py:3227)
@@ -787,17 +777,16 @@ class ApplyGenericMask(ContainerTask):
     def process(self, data, mask):
         daxes = list(data.weight.axes)
         maxes = list(mask.mask.axes)
-        if any(ax not in daxes for ax in maxes):
-            missing = [ax for ax in maxes if ax not in daxes]
+        missing = [ax for ax in maxes if ax not in daxes]
+        if missing:
             raise NameError(
                 f"Mask has axes {missing} which are not found in data."
                 f"\naxes of the data: {daxes}\naxes of the mask: {maxes}"
             )
-        tinds = tuple(maxes.index(ax) for ax in daxes if ax in maxes)
-        marr = np.asarray(mask.mask[:]).transpose(tinds)
-        bcast = tuple(slice(None) if ax in maxes else np.newaxis for ax in daxes)
-        w = np.asarray(data.weight[:]) * (~marr[bcast]).astype(data.weight.dtype)
-        data.weight[:] = w
+        keep = ~_align_to(np.asarray(mask.mask[:]), maxes, daxes)
+        data.weight[:] = np.asarray(data.weight[:]) * keep.astype(
+            data.weight.dtype
+        )
         return data
 
 
@@ -807,7 +796,7 @@ MaskBeamformedOutliers = ApplyGenericMask
 class GeneralCombineMasks(ContainerTask):
     """Combine masks with a logical expression over A..Z (reference flagging.py:2442)."""
 
-    expression = config.Property(proptype=str, default="A")
+    expression = config.str_prop("A")
 
     _dataset_name = "mask"
     _operators: ClassVar[set] = set("&|~^()")
@@ -853,27 +842,22 @@ class CombineMasks(GeneralCombineMasks):
 class ApplyTaper(ContainerTask):
     """Multiply a taper container into a dataset (reference flagging.py:2542)."""
 
-    update_weight = config.Property(proptype=bool, default=False)
+    update_weight = config.bool_prop(False)
 
     def process(self, data, taper):
         daxes = list(data.data.axes)
         taxes = list(taper.taper.axes)
-        if any(ax not in daxes for ax in taxes):
-            missing = [ax for ax in taxes if ax not in daxes]
+        missing = [ax for ax in taxes if ax not in daxes]
+        if missing:
             raise NameError(f"Taper has axes {missing} not found in data.")
-        tinds = tuple(taxes.index(ax) for ax in daxes if ax in taxes)
-        tarr = np.asarray(taper.taper[:]).transpose(tinds)
-        bcast = tuple(slice(None) if ax in taxes else np.newaxis for ax in daxes)
-        data.data[:] = (np.asarray(data.data[:]) * tarr[bcast]).astype(
-            data.data.dtype
-        )
+        t = np.asarray(taper.taper[:])
+        data.data[:] = (
+            np.asarray(data.data[:]) * _align_to(t, taxes, daxes)
+        ).astype(data.data.dtype)
         if self.update_weight:
-            waxes = list(data.weight.axes)
-            tindsw = tuple(taxes.index(ax) for ax in waxes if ax in taxes)
-            tw = np.asarray(taper.taper[:]).transpose(tindsw)
-            bcw = tuple(slice(None) if ax in taxes else np.newaxis for ax in waxes)
+            tw = _align_to(t, taxes, list(data.weight.axes))
             data.weight[:] = (
-                np.asarray(data.weight[:]) * invert_no_zero(tw[bcw] ** 2)
+                np.asarray(data.weight[:]) * invert_no_zero(tw**2)
             ).astype(data.weight.dtype)
         return data
 
@@ -881,50 +865,46 @@ class ApplyTaper(ContainerTask):
 class MaskFreq(ContainerTask):
     """Make a frequency(-time) mask (reference flagging.py:2894-3043)."""
 
-    bad_freq_ind = config.Property(proptype=list, default=None)
-    factorize = config.Property(proptype=bool, default=False)
-    all_time = config.Property(proptype=bool, default=False)
-    mask_missing_data = config.Property(proptype=bool, default=False)
-    freq_frac = config.Property(proptype=float, default=None)
+    bad_freq_ind = config.list_prop(None)
+    factorize = config.bool_prop(False)
+    all_time = config.bool_prop(False)
+    mask_missing_data = config.bool_prop(False)
+    freq_frac = config.float_prop(None)
 
     def process(self, data):
         data.redistribute("freq")
-        maskcls = (
-            containers.SiderealRFIMask
-            if isinstance(data, containers.SiderealContainer)
-            else containers.RFIMask
-        )
-        maskcont = maskcls(axes_from=data, attrs_from=data)
 
+        # count of unmasked cells per (freq, sample), collapsing every
+        # other weight axis
         waxes = list(data.weight.axes)
-        axis_sum = tuple(
-            ii for ii, ax in enumerate(waxes) if ax not in ["freq", "time", "ra"]
+        collapse = tuple(
+            ii for ii, ax in enumerate(waxes) if ax not in ("freq", "time", "ra")
         )
-        present = (np.asarray(data.weight[:]) > 0).sum(axis=axis_sum)
-        mask = present == 0
-        self.log.info(f"Starting mask covers {100.0 * mask.mean():.2f}%.")
+        live = np.count_nonzero(np.asarray(data.weight[:]) > 0, axis=collapse)
 
+        mask = live < live.max() if self.mask_missing_data else live == 0
         if self.mask_missing_data:
-            mask = present < present.max()
-            self.log.info(
-                f"All-baseline requirement brings the mask to {100.0 * mask.mean():.2f}%."
-            )
+            self.log.info(f"All-baseline requirement: mask at {_pct(mask):.2f}%.")
+        else:
+            self.log.info(f"Starting mask covers {_pct(mask):.2f}%.")
+
         if self.bad_freq_ind is not None:
-            nfreq = len(data.freq)
-            mask |= self._bad_freq_mask(nfreq)[:, np.newaxis]
-            self.log.info(f"Channel cut brings the mask to {100.0 * mask.mean():.2f}%.")
+            mask |= self._bad_freq_mask(len(data.freq))[:, np.newaxis]
+            self.log.info(f"Channel cut: mask at {_pct(mask):.2f}%.")
         if self.freq_frac is not None:
-            mask |= mask.mean(axis=1)[:, np.newaxis] > (1.0 - self.freq_frac)
-            self.log.info(f"Fraction cut brings the mask to {100.0 * mask.mean():.2f}%.")
+            mostly_gone = mask.mean(axis=1) > (1.0 - self.freq_frac)
+            mask |= mostly_gone[:, np.newaxis]
+            self.log.info(f"Fraction cut: mask at {_pct(mask):.2f}%.")
         if self.all_time:
             mask |= mask.any(axis=1)[:, np.newaxis]
-            self.log.info(f"Fully-masked-channel cut brings the mask to {100.0 * mask.mean():.2f}%.")
+            self.log.info(f"Fully-masked-channel cut: mask at {_pct(mask):.2f}%.")
         elif self.factorize:
             mask = self._optimal_mask(mask)
-            self.log.info(f"Factorisation brings the mask to {100.0 * mask.mean():.2f}%.")
+            self.log.info(f"Factorisation: mask at {_pct(mask):.2f}%.")
 
-        maskcont.mask[:] = mask
-        return maskcont
+        out = _rfi_mask_for(data)
+        out.mask[:] = mask
+        return out
 
     def _bad_freq_mask(self, nfreq):
         mask = np.zeros(nfreq, dtype=bool)
@@ -966,10 +946,10 @@ class BlendStack(ContainerTask):
     (reference flagging.py:3046-3223)
     """
 
-    frac = config.Property(proptype=float, default=1e-4)
-    match_median = config.Property(proptype=bool, default=True)
-    subtract = config.Property(proptype=bool, default=False)
-    mask_freq = config.Property(proptype=bool, default=False)
+    frac = config.float_prop(1e-4)
+    match_median = config.bool_prop(True)
+    subtract = config.bool_prop(False)
+    mask_freq = config.bool_prop(False)
 
     def setup(self, data_stack):
         self.data_stack = data_stack
@@ -993,60 +973,59 @@ class BlendStack(ContainerTask):
         if not isinstance(data, _supported):
             raise TypeError(f"Only {_supported} supported. Got {type(data)}.")
 
-        dset_stack = np.asarray(self.data_stack.data[:])
-        dset = np.asarray(data.data[:]).copy()
-        if dset_stack.shape != dset.shape:
+        ref = np.asarray(self.data_stack.data[:])
+        day = np.asarray(data.data[:]).copy()
+        if ref.shape != day.shape:
             raise ValueError(
-                f"Shape mismatch between the input ({dset.shape}) and the "
-                f"stack being blended ({dset_stack.shape})"
+                f"Shape mismatch between the input ({day.shape}) and the "
+                f"stack being blended ({ref.shape})"
             )
 
         dax = list(data.data.axes)
         wax = list(data.weight.axes)
-        slobj = tuple(slice(None) if ax in wax else np.newaxis for ax in dax)
-        weight_stack = np.asarray(self.data_stack.weight[:])[slobj].astype(
-            np.float64
-        )
-        weight = np.asarray(data.weight[:])[slobj].astype(np.float64).copy()
+        grow = tuple(slice(None) if ax in wax else np.newaxis for ax in dax)
+        wref = np.asarray(self.data_stack.weight[:])[grow].astype(np.float64)
+        wday = np.asarray(data.weight[:])[grow].astype(np.float64).copy()
 
         if self.match_median:
-            common = (weight > 0) & (weight_stack > 0)
-            ind = dax.index("ra")
-            dss = np.moveaxis(dset_stack, ind, -1)
-            ds = np.moveaxis(dset, ind, -1)
-            cm = np.broadcast_to(np.moveaxis(common, ind, -1), dss.shape)
-
-            def wmed(arr):
-                return complex_med(np.where(cm, arr, np.nan), axis=-1)
-
-            stack_offset = np.nan_to_num(wmed(ds) - wmed(dss))
-            stack_offset = np.moveaxis(
-                stack_offset[..., np.newaxis], -1, ind
+            # per-(everything but RA) median offset over mutually valid
+            # samples, so the blend doesn't drag the daily level around
+            ra_ax = dax.index("ra")
+            both = np.broadcast_to(
+                np.moveaxis((wday > 0) & (wref > 0), ra_ax, -1),
+                np.moveaxis(ref, ra_ax, -1).shape,
             )
+
+            def ra_median(arr):
+                arr = np.moveaxis(arr, ra_ax, -1)
+                return complex_med(np.where(both, arr, np.nan), axis=-1)
+
+            offset = np.nan_to_num(ra_median(day) - ra_median(ref))
+            offset = np.moveaxis(offset[..., np.newaxis], -1, ra_ax)
         else:
-            stack_offset = 0
+            offset = 0
 
         if self.mask_freq:
-            axes = tuple(ii for ii, ax in enumerate(dax) if ax != "freq")
-            fsel = np.any(weight, axis=axes, keepdims=True)
-            weight_stack = weight_stack * fsel.astype(np.float64)
+            others = tuple(ii for ii, ax in enumerate(dax) if ax != "freq")
+            has_any = np.any(wday, axis=others, keepdims=True)
+            wref = wref * has_any.astype(np.float64)
 
         if self.subtract:
-            dset -= dset_stack + stack_offset
-            dset *= (weight > 0).astype(np.float32)
-            weight = np.asarray(invert_no_zero(weight + weight_stack)) * weight
-            weight += (weight == 0) * self.frac
-            weight *= weight_stack
+            day -= ref + offset
+            day *= (wday > 0).astype(np.float32)
+            wday = np.asarray(invert_no_zero(wday + wref)) * wday
+            wday += (wday == 0) * self.frac
+            wday *= wref
         else:
-            dset *= weight
-            dset += weight_stack * self.frac * (dset_stack + stack_offset)
-            weight += weight_stack * self.frac
-            dset *= np.asarray(invert_no_zero(weight))
+            day *= wday
+            day += wref * self.frac * (ref + offset)
+            wday += wref * self.frac
+            day *= np.asarray(invert_no_zero(wday))
 
-        data.data[:] = dset.astype(data.data.dtype)
+        data.data[:] = day.astype(data.data.dtype)
         # reduce the weight back to its own axes
-        wout = weight[tuple(0 if s is np.newaxis else slice(None) for s in slobj)]
-        data.weight[:] = wout.astype(data.weight.dtype)
+        shrink = tuple(0 if s is np.newaxis else slice(None) for s in grow)
+        data.weight[:] = wday[shrink].astype(data.weight.dtype)
         return data
 
 
@@ -1159,8 +1138,8 @@ class MaskBadGains(ContainerTask):
         Gains <= threshold (+tol) across all inputs are flagged.
     """
 
-    threshold = config.Property(proptype=float, default=1.0)
-    threshold_tol = config.Property(proptype=float, default=1e-5)
+    threshold = config.float_prop(1.0)
+    threshold_tol = config.float_prop(1e-5)
 
     def process(self, data):
         """Generate a time-frequency mask from the gain dataset."""
@@ -1183,7 +1162,7 @@ class MaskBeamformedWeights(ContainerTask):
         Weights above ``nmed`` times the per-pol median are zeroed.
     """
 
-    nmed = config.Property(proptype=float, default=8.0)
+    nmed = config.float_prop(8.0)
 
     def process(self, data):
         """Mask large weights in a FormedBeam container."""
@@ -1216,7 +1195,7 @@ class RFIVisMask(ContainerTask):
         Flag on Stokes-I-combined visibilities (factor ~4 fewer baselines).
     """
 
-    stokes_i = config.Property(proptype=bool, default=True)
+    stokes_i = config.bool_prop(True)
 
     def setup(self, telescope):
         """Set the telescope object."""
@@ -1226,24 +1205,12 @@ class RFIVisMask(ContainerTask):
         """Build a time-frequency mask from the data."""
         from . import transform
 
-        if "time" in stream.index_map:
-            times = np.asarray(stream.time)
-            out = containers.RFIMask(axes_from=stream, attrs_from=stream)
-        elif "ra" in stream.index_map:
-            csd = stream.attrs.get("lsd", stream.attrs.get("csd"))
-            if csd is None:
-                raise ValueError(
-                    "Cannot find a day number (`lsd`/`csd` attribute) on the dataset."
-                )
-            times = self.telescope.lsd_to_unix(
-                csd + np.asarray(stream.ra) / 360.0
-            )
-            out = containers.SiderealRFIMask(axes_from=stream, attrs_from=stream)
-        else:
+        if "time" not in stream.index_map and "ra" not in stream.index_map:
             raise TypeError(
                 f"A `time` or `ra` axis is required; {type(stream)} has neither."
             )
-
+        times, _ = _sample_unix_times(stream, self.telescope)
+        out = _rfi_mask_for(stream)
         freq = np.asarray(stream.freq)
 
         if self.stokes_i:
@@ -1255,16 +1222,12 @@ class RFIVisMask(ContainerTask):
             weight = np.asarray(stream.weight[:])
             baselines = self.telescope.baselines
 
-        mask = (weight == 0).all(axis=1)
-        mask |= self._static_rfi_mask_hook(freq, times[0])[:, np.newaxis]
+        seed = (weight == 0).all(axis=1)
+        seed |= self._static_rfi_mask_hook(freq, times[0])[:, np.newaxis]
+        self.log.debug(f"{_pct(seed):.2f}% of data initially flagged.")
 
-        self.log.debug(f"{100.0 * mask.mean():.2f}% of data initially flagged.")
-
-        out.mask[:] = self.generate_mask(vis, weight, mask, freq, baselines, times)
-
-        self.log.debug(
-            f"{100.0 * np.asarray(out.mask[:]).mean():.2f}% of data flagged."
-        )
+        out.mask[:] = self.generate_mask(vis, weight, seed, freq, baselines, times)
+        self.log.debug(f"{_pct(out.mask[:]):.2f}% of data flagged.")
         return out
 
     def generate_mask(self, vis, weight, mask, freq, baselines, times):
@@ -1293,9 +1256,9 @@ class RFITransientVisMask(RFIVisMask):
 
     mad_base_size = config.list_type(int, length=2, default=[1, 101])
     mad_dev_size = config.list_type(int, length=2, default=[1, 51])
-    sigma_high = config.Property(proptype=float, default=8.0)
-    sigma_low = config.Property(proptype=float, default=2.0)
-    frac_samples = config.Property(proptype=float, default=0.01)
+    sigma_high = config.float_prop(8.0)
+    sigma_low = config.float_prop(2.0)
+    frac_samples = config.float_prop(0.01)
 
     def generate_mask(self, vis, weight, mask, freq, baselines, times):
         """Flag isolated transient RFI events."""
@@ -1349,7 +1312,7 @@ class RFIInverseRedundancyChisqFreqMask(RFIVisMask):
         Median filter window for the smooth background.
     """
 
-    nsigma = config.Property(proptype=float, default=15.0)
+    nsigma = config.float_prop(15.0)
     winsize = config.Property(proptype=tuple, default=(15, 11))
 
     def generate_mask(self, vis, weight, mask, freq, baselines, times):
@@ -1439,20 +1402,20 @@ class RFIMaskChisqHighDelay(ContainerTask):
 
     flag_ew = config.Property(proptype=np.array, default=None)
 
-    reg_arpls = config.Property(proptype=float, default=1e5)
-    nsigma_1d = config.Property(proptype=float, default=5.0)
+    reg_arpls = config.float_prop(1e5)
+    nsigma_1d = config.float_prop(5.0)
 
-    win_t = config.Property(proptype=int, default=601)
-    win_f = config.Property(proptype=int, default=1)
-    nsigma_2d = config.Property(proptype=float, default=5.0)
-    estimate_var = config.Property(proptype=bool, default=False)
-    only_positive = config.Property(proptype=bool, default=False)
-    separate_pol = config.Property(proptype=bool, default=False)
+    win_t = config.int_prop(601)
+    win_f = config.int_prop(1)
+    nsigma_2d = config.float_prop(5.0)
+    estimate_var = config.bool_prop(False)
+    only_positive = config.bool_prop(False)
+    separate_pol = config.bool_prop(False)
 
     mask_type = config.enum(["mad", "sumthreshold"], default="mad")
-    niter = config.Property(proptype=int, default=5)
-    rho = config.Property(proptype=float, default=1.5)
-    max_m = config.Property(proptype=int, default=32)
+    niter = config.int_prop(5)
+    rho = config.float_prop(1.5)
+    max_m = config.int_prop(32)
 
     def setup(self, telescope=None):
         """Optionally save the telescope (needed for sidereal streams)."""
@@ -1463,186 +1426,143 @@ class RFIMaskChisqHighDelay(ContainerTask):
     def process(self, stream):
         """Generate a time/freq mask from a chi-squared-like dataset."""
         freq = np.asarray(stream.freq)
-
-        multiple_days = False
-        if "ra" in stream.index_map:
-            if self.telescope is None:
-                raise RuntimeError(
-                    "For sidereal streams, must provide telescope object "
-                    "during setup."
-                )
-            csd = stream.attrs.get("lsd", stream.attrs.get("csd"))
-            if csd is None:
-                raise ValueError(
-                    "Cannot find a day number (`lsd`/`csd` attribute) on the data."
-                )
-            if not np.isscalar(csd):
-                csd = np.floor(np.mean(csd))
-                multiple_days = True
-            timestamp = self.telescope.lsd_to_unix(
-                csd + np.asarray(stream.ra) / 360.0
-            )
-        else:
-            timestamp = np.asarray(stream.time)
+        when, spans_days = _sample_unix_times(stream, self.telescope)
 
         dax = list(stream.data.attrs["axis"])
         wax = list(stream.weight.attrs["axis"])
-        wshp = [
-            stream.weight.shape[wax.index(ax)] if ax in wax else 1 for ax in dax
-        ]
 
-        keep_axis = ["freq", "time", "ra"]
-        separate_pol = self.separate_pol and "pol" in dax
-        if separate_pol:
-            keep_axis.append("pol")
+        by_pol = self.separate_pol and "pol" in dax
+        keep = ("freq", "time", "ra", "pol") if by_pol else ("freq", "time", "ra")
+        collapse = tuple(ii for ii, ax in enumerate(dax) if ax not in keep)
 
-        axsum = tuple(ii for ii, ax in enumerate(dax) if ax not in keep_axis)
-
-        chisq = np.asarray(stream.data[:]).real
-        weight = np.asarray(stream.weight[:]).reshape(*wshp)
-
+        stat = np.asarray(stream.data[:]).real
+        wgt = _align_to(np.asarray(stream.weight[:]), wax, dax)
         if self.flag_ew is not None and "ew" in dax:
-            ew_slc = tuple(
-                slice(None) if ax == "ew" else None for ax in dax
-            )
-            weight = weight * np.asarray(self.flag_ew)[ew_slc]
+            wgt = wgt * _align_to(np.asarray(self.flag_ew), ["ew"], dax)
 
         # summing the BROADCAST weight already counts each missing-axis
         # element once (the reference reaches the same total as
         # wfactor * sum(unbroadcast weight), flagging.py:1578);
         # multiplying by wfactor on top would double-count and shrink
         # the reported chisq deviations by sqrt(wfactor)
-        wsum = np.sum(np.broadcast_to(weight, chisq.shape), axis=axsum)
-        chisq = np.sum(
-            np.broadcast_to(weight, chisq.shape) * chisq, axis=axsum
-        ) * np.asarray(invert_no_zero(wsum))
+        wgt = np.broadcast_to(wgt, stat.shape)
+        wtot = wgt.sum(axis=collapse)
+        stat = (wgt * stat).sum(axis=collapse) * np.asarray(
+            invert_no_zero(wtot)
+        )
 
-        mask_input = wsum == 0.0
+        missing = wtot == 0.0
+        daytime = (
+            np.zeros(when.size, dtype=bool)
+            if spans_days
+            else self._day_flag_hook(when)
+        )
+        transits = self._source_flag_hook(when, freq)
 
-        if multiple_days:
-            mask_daytime = np.zeros(timestamp.size, dtype=bool)
-        else:
-            mask_daytime = self._day_flag_hook(timestamp)
+        output = _rfi_mask_for(stream, by_pol=by_pol)
+        flagged = np.zeros(output.mask.shape, dtype=bool)
 
-        mask_sources = self._source_flag_hook(timestamp, freq)
-
-        if separate_pol:
-            OutputContainer = (
-                containers.SiderealRFIMaskByPol
-                if "ra" in stream.index_map
-                else containers.RFIMaskByPol
-            )
-        elif "ra" in stream.index_map:
-            OutputContainer = containers.SiderealRFIMask
-        else:
-            OutputContainer = containers.RFIMask
-
-        output = OutputContainer(axes_from=stream, attrs_from=stream)
-        omask = np.zeros(output.mask.shape, dtype=bool)
-
-        pol_slice = (
+        slabs = (
             np.arange(len(stream.index_map["pol"]))
-            if separate_pol
+            if by_pol
             else [slice(None)]
         )
-        for pslc in pol_slice:
-            mask = mask_input[pslc] | mask_sources
+        for sl in slabs:
+            known_bad = missing[sl] | transits
 
             if self.nsigma_1d > 0.0:
-                mask_1d = self.mask_1d(chisq[pslc], mask | mask_daytime)[
-                    :, np.newaxis
-                ]
-                mask = mask | mask_1d
-                omask[pslc] |= mask_1d
+                bad_channels = self._flag_channels(
+                    stat[sl], known_bad | daytime
+                )[:, np.newaxis]
+                known_bad = known_bad | bad_channels
+                flagged[sl] |= bad_channels
 
             if self.nsigma_2d > 0.0:
-                w = ~mask * wsum[pslc] / 2.0
-                if self.mask_type == "mad":
-                    mask_2d = self.mask_2d(chisq[pslc], w)
-                else:
-                    mask_2d = self.mask_2d_sumthreshold(chisq[pslc], w)
-                omask[pslc] |= mask_2d & ~mask_daytime
+                w2d = ~known_bad * wtot[sl] / 2.0
+                flag2d = (
+                    self._flag_local_mad(stat[sl], w2d)
+                    if self.mask_type == "mad"
+                    else self._flag_sumthreshold(stat[sl], w2d)
+                )
+                flagged[sl] |= flag2d & ~daytime
 
-        output.mask[:] = omask
+        output.mask[:] = flagged
         return output
 
-    def mask_1d(self, y, m):
+    def _flag_channels(self, stat, bad):
         """Flag channels whose time-median deviates from the baseline."""
         from ..ops import median as median_ops
 
-        y = y.astype(np.float64)
-        w = (~m).astype(np.float64)
+        good = (~bad).astype(np.float64)
+        level = median_ops.weighted_median(stat.astype(np.float64), good)
+        dead = bad.all(axis=-1)
+        alive = (~dead).astype(np.float64)
 
-        med_y = median_ops.weighted_median(y, w)
-        med_m = np.all(m, axis=-1)
-        med_w = (~med_m).astype(np.float64)
-
-        baseline = ops_tools.arPLS_1d(med_y, mask=med_m, lam=self.reg_arpls)
-        abs_dev = np.where(med_m, 0.0, np.abs(med_y - baseline))
+        smooth = ops_tools.arPLS_1d(level, mask=dead, lam=self.reg_arpls)
+        excess = np.where(dead, 0.0, np.abs(level - smooth))
         # 1.48625 (not the usual 1.4826): deliberate reference parity
         # (reference flagging.py:1665,1702,1754 uses this constant here)
-        mad_v = 1.48625 * median_ops.weighted_median(abs_dev, med_w)
+        scale = 1.48625 * median_ops.weighted_median(excess, alive)
 
-        return abs_dev > (self.nsigma_1d * mad_v)
+        return excess > (self.nsigma_1d * scale)
 
-    def mask_2d(self, y, w):
-        """Flag samples deviating from a local moving median."""
+    def _local_deviation(self, stat, w, win):
+        """(stat - rolling median) * sqrt(w), optionally MAD-normalised."""
         from ..ops import median as median_ops
 
-        y = y.astype(np.float64)
-        w = w.astype(np.float64)
-        win_size = (self.win_f, self.win_t)
-
-        med_y = median_ops.moving_weighted_median(y, w, win_size)
-        dy = (y - med_y) * np.sqrt(w)
-
+        background = median_ops.moving_weighted_median(stat, w, win)
+        dev = (stat - background) * np.sqrt(w)
         if self.estimate_var:
-            f = (w > 0.0).astype(np.float64)
-            mad_y = 1.48625 * median_ops.moving_weighted_median(
-                np.abs(dy), f, win_size
+            counted = (w > 0.0).astype(np.float64)
+            scale = 1.48625 * median_ops.moving_weighted_median(
+                np.abs(dev), counted, win
             )
-            dy *= np.asarray(invert_no_zero(mad_y))
+            return dev * np.asarray(invert_no_zero(scale)), scale
+        return dev, None
 
+    def _flag_local_mad(self, stat, w):
+        """Flag samples deviating from a local moving median."""
+        dev, _ = self._local_deviation(
+            stat.astype(np.float64), w.astype(np.float64), (self.win_f, self.win_t)
+        )
         if not self.only_positive:
-            dy = np.abs(dy)
+            dev = np.abs(dev)
+        return dev > self.nsigma_2d
 
-        return dy > self.nsigma_2d
-
-    def mask_2d_sumthreshold(self, y, w):
+    def _flag_sumthreshold(self, stat, w):
         """Iterative SumThreshold masking of the chi-squared."""
         from ..ops import median as median_ops
 
-        y = np.ascontiguousarray(y, dtype=np.float64)
-        win_size = (self.win_f, self.win_t)
+        stat = np.ascontiguousarray(stat, dtype=np.float64)
+        win = (self.win_f, self.win_t)
 
-        if not self.estimate_var:
-            mad_y = np.ones_like(y)
-
-        mask = w == 0.0
+        flag = w == 0.0
         for nsigma in self.threshold:
-            f = (~mask * w).astype(np.float64)
-            med_y = median_ops.moving_weighted_median(y, f, win_size)
-            dy = (y - med_y) * np.sqrt(w)
+            live = (~flag * w).astype(np.float64)
+            background = median_ops.moving_weighted_median(stat, live, win)
+            dev = (stat - background) * np.sqrt(w)
             if self.estimate_var:
-                f = (f > 0.0).astype(np.float64)
-                mad_y = 1.48625 * median_ops.moving_weighted_median(
-                    np.abs(dy), f, win_size
+                counted = (live > 0.0).astype(np.float64)
+                scale = 1.48625 * median_ops.moving_weighted_median(
+                    np.abs(dev), counted, win
                 )
+                var = scale**2
+            else:
+                var = np.ones_like(stat)
 
-            stmask = rfi.sumthreshold(
-                dy,
+            flag |= rfi.sumthreshold(
+                dev,
                 self.max_m,
-                start_flag=mask,
+                start_flag=flag,
                 threshold1=nsigma,
                 remove_median=False,
                 correct_for_missing=True,
                 rho=1.0,
-                variance=mad_y**2,
+                variance=var,
                 only_positive=self.only_positive,
             )
-            mask |= stmask
 
-        return mask
+        return flag
 
     def _source_flag_hook(self, times, freq):
         """Override to mask bright sources."""
@@ -1687,7 +1607,7 @@ class MaskFromTaper(ContainerTask):
         Mask where taper < 1 (True) or taper == 0 (False).
     """
 
-    outer = config.Property(proptype=bool, default=False)
+    outer = config.bool_prop(False)
 
     def process(self, taper):
         """Generate the boolean mask from the taper."""
@@ -1708,7 +1628,7 @@ class TaperDelayTransform(ContainerTask):
         Scale the weights by 1/taper^2 in unmasked regions.
     """
 
-    update_weight = config.Property(proptype=bool, default=False)
+    update_weight = config.bool_prop(False)
 
     def process(self, data, apply):
         """Apply the taper or mask in place."""
@@ -1791,21 +1711,12 @@ class ApplyBaselineMask(ContainerTask):
         if not np.array_equal(np.asarray(data.stack), np.asarray(mask.stack)):
             raise ValueError("Data and mask disagree on the baseline axis.")
 
-        if self.share == "all":
-            tsc = data
-        elif self.share == "vis":
-            tsc = data.copy(shared=("vis",))
-        elif self.share == "map":
-            tsc = data.copy(shared=("map",))
-        else:
-            tsc = data.copy()
-
-        tsc.weight[:] = (
-            np.asarray(tsc.weight[:])
+        out = _writable_copy(data, self.share)
+        out.weight[:] = (
+            np.asarray(out.weight[:])
             * (~np.asarray(mask.mask[:])).astype(np.float32)
-        ).astype(tsc.weight.dtype)
-
-        return tsc
+        ).astype(out.weight.dtype)
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -1826,9 +1737,9 @@ class RFIMaskSiderealRegridderNearest(ContainerTask):
         Keep only the main CSD of the input.
     """
 
-    spread_factor = config.Property(proptype=float, default=1)
-    npix = config.Property(proptype=int, default=4096)
-    single_CSD = config.Property(proptype=bool, default=True)
+    spread_factor = config.float_prop(1)
+    npix = config.int_prop(4096)
+    single_CSD = config.bool_prop(True)
 
     def setup(self, manager):
         """Set the observer used for the time -> LSA mapping."""
@@ -1882,7 +1793,7 @@ class RFIMaskTimeRegridderNearest(ContainerTask):
         Conservative spreading width in time-resolution units.
     """
 
-    spread_factor = config.Property(proptype=float, default=1.0)
+    spread_factor = config.float_prop(1.0)
 
     def setup(self, tstream):
         """Save the target time axis."""
@@ -1916,7 +1827,7 @@ class ReduceMaskEl(ContainerTask):
         Minimum number of flagged el samples to flag the output.
     """
 
-    el_threshold = config.Property(proptype=int, default=1)
+    el_threshold = config.int_prop(1)
 
     def process(self, rfimask):
         """Produce the el-collapsed RFI mask."""
@@ -1971,46 +1882,33 @@ class ApplyLocalizedRFIMask(ContainerTask):
         if not np.array_equal(np.asarray(tstream.freq), np.asarray(rfimask.freq)):
             raise ValueError("Stream and mask disagree on the freq axis.")
 
-        if self.share == "all":
-            tsc = tstream
-        elif self.share == "map":
-            tsc = tstream.copy(shared=("map",))
-        else:
-            tsc = tstream.copy()
+        def overlap(name, a, b):
+            _, ia, ib = np.intersect1d(
+                np.asarray(a), np.asarray(b), return_indices=True
+            )
+            if ia.size == 0:
+                raise ValueError(
+                    f"The stream and mask {name} ranges do not overlap."
+                )
+            return ia, ib
 
-        mask = np.asarray(rfimask.mask[:])
-        nfreq, nra, nel = mask.shape
+        s_ra, m_ra = overlap("RA", tstream.ra, rfimask.ra)
+        s_el, m_el = overlap(
+            "el", tstream.index_map["el"], rfimask.index_map["el"]
+        )
+
+        mask = np.asarray(rfimask.mask[:])[np.newaxis]  # [1, freq, ra, el]
+        nfreq = mask.shape[1]
         npol = tstream.weight.shape[0]
+        every_freq = np.arange(nfreq)
 
-        ra_overlap = np.intersect1d(
-            np.asarray(tstream.ra), np.asarray(rfimask.ra), return_indices=True
-        )
-        el_overlap = np.intersect1d(
-            np.asarray(tstream.index_map["el"]),
-            np.asarray(rfimask.index_map["el"]),
-            return_indices=True,
-        )
-
-        if len(ra_overlap[0]) == 0:
-            raise ValueError("The stream and mask RA ranges do not overlap.")
-        if len(el_overlap[0]) == 0:
-            raise ValueError("The stream and mask el ranges do not overlap.")
-
-        _, t_ra_index, m_ra_index = ra_overlap
-        _, t_el_index, m_el_index = el_overlap
-
-        t_pol_index = np.arange(npol)
-        tm_freq_index = np.arange(nfreq)
-
-        mask = mask.reshape(1, nfreq, nra, nel)
-
-        w = np.asarray(tsc.weight[:])
-        w[np.ix_(t_pol_index, tm_freq_index, t_ra_index, t_el_index)] *= (
-            ~mask[np.ix_([0], tm_freq_index, m_ra_index, m_el_index)]
+        out = _writable_copy(tstream, self.share)
+        w = np.asarray(out.weight[:])
+        w[np.ix_(np.arange(npol), every_freq, s_ra, s_el)] *= (
+            ~mask[np.ix_([0], every_freq, m_ra, m_el)]
         ).astype(np.float32)
-        tsc.weight[:] = w
-
-        return tsc
+        out.weight[:] = w
+        return out
 
 
 def _convert_axis_nearest_interpolation(

@@ -36,6 +36,38 @@ from .transform import TelescopeStreamMixIn
 C_LIGHT = 299792458.0
 
 
+def _ew_weighting(scheme, template, exclude_cyl=()):
+    """Unnormalised per-EW-column weights, broadcastable over ``template``.
+
+    ``template`` is an array whose ``-2`` axis indexes EW separation.
+    ``scheme = "inverse_variance"`` returns (a copy of) the template
+    itself; ``"uniform"`` equal weights; ``"natural"`` a linear fall-off
+    with cylinder separation.  Columns listed in ``exclude_cyl`` are
+    zeroed.  Shared by the deconvolving map makers and the RA-dependence
+    reconstruction (reference ringmapmaker.py:1094-1121,1252-1270).
+    """
+    if scheme == "inverse_variance":
+        w = np.array(template, dtype=float, copy=True)
+    else:
+        n_ew = template.shape[-2]
+        col = (
+            np.ones(n_ew)
+            if scheme == "uniform"
+            else (n_ew - np.arange(n_ew)).astype(float)
+        )
+        shape = [1] * template.ndim
+        shape[-2] = n_ew
+        w = col.reshape(shape).copy()
+    for cyl in exclude_cyl:
+        w[..., cyl, :] = 0.0
+    return w
+
+
+def _sum_normalised(w, axis=-2):
+    """Normalise weights to unit sum along ``axis`` (zero-safe)."""
+    return w * np.asarray(invert_no_zero(np.sum(w, axis=axis, keepdims=True)))
+
+
 def find_basis(baselines):
     """Unit vectors of the (mostly-X, mostly-Y) grid axes.
 
@@ -80,38 +112,43 @@ class MakeVisGrid(ContainerTask):
     (reference ringmapmaker.py:38-183)
     """
 
-    centered = config.Property(proptype=bool, default=False)
-    save_redundancy = config.Property(proptype=bool, default=True)
+    centered = config.bool_prop(False)
+    save_redundancy = config.bool_prop(True)
 
     def setup(self, tel):
         self.telescope = io.get_telescope(tel)
 
     def process(self, sstream):
         tel = self.telescope
-        ps_s = sstream.prodstack
-        ps_t = tel.uniquepairs
+        table = sstream.prodstack
         if not np.array_equal(
-            np.stack([ps_s["input_a"], ps_s["input_b"]], axis=-1), ps_t
+            np.stack([table["input_a"], table["input_b"]], axis=-1),
+            tel.uniquepairs,
         ):
             raise ValueError(
                 "The stream's product table differs from the beam-transfer one."
             )
 
-        polprod = np.asarray(tel.polarisation)[tel.uniquepairs]
-        polpair = np.char.add(polprod[:, 0], polprod[:, 1])
-        pol, pind = np.unique(polpair, return_inverse=True)
+        # polarisation label of every unique pair, and its slot on the
+        # output pol axis; the conjugate-slot map handles intracylinder
+        # mirror products below
+        feedpol = np.asarray(tel.polarisation)[tel.uniquepairs]
+        pol, pind = np.unique(
+            np.char.add(feedpol[:, 0], feedpol[:, 1]), return_inverse=True
+        )
         if len(pol) != 4:
-            raise RuntimeError(f"Four polarisation products are required; the input has {pol}")
-        pconjmap = np.unique([pj + pi for pi, pj in pol], return_inverse=True)[1]
+            raise RuntimeError(
+                f"Four polarisation products are required; the input has {pol}"
+            )
+        pconjmap = np.unique([b + a for a, b in pol], return_inverse=True)[1]
 
         xind, yind, min_xsep, min_ysep = find_grid_indices(tel.baselines)
-        nx = np.abs(xind).max() + 1
-        max_yind = np.abs(yind).max()
-        ny = 2 * max_yind + 1
-        vis_pos_x = np.arange(nx) * min_xsep
+        half_ns = np.abs(yind).max()
+        ny = 2 * half_ns + 1
+        vis_pos_x = np.arange(np.abs(xind).max() + 1) * min_xsep
         if self.centered:
-            vis_pos_y = np.arange(-max_yind, max_yind + 1) * min_ysep
-            ns_offset = max_yind
+            vis_pos_y = np.arange(-half_ns, half_ns + 1) * min_ysep
+            ns_offset = half_ns
         else:
             vis_pos_y = np.fft.fftfreq(ny, d=(1.0 / (ny * min_ysep)))
             ns_offset = 0
@@ -141,31 +178,35 @@ class MakeVisGrid(ContainerTask):
 
         ssv = np.asarray(sstream.vis[:])
         ssw = np.asarray(sstream.weight[:])
-        gsv = np.zeros(grid.vis.shape, dtype=grid.vis.dtype)
-        gsw = np.zeros(grid.weight.shape, dtype=grid.weight.dtype)
-        gsr = (
-            np.zeros(grid.datasets["redundancy"].shape, dtype=np.int32)
-            if self.save_redundancy
-            else None
-        )
 
-        # Scatter; vis index maps to (pol, x, y) grid coordinates
-        for vis_ind, (p_ind, x_ind, y_ind) in enumerate(zip(pind, xind, yind)):
-            gsv[p_ind, :, x_ind, ns_offset + y_ind, :] = ssv[:, vis_ind]
-            gsw[p_ind, :, x_ind, ns_offset + y_ind, :] = ssw[:, vis_ind]
-            if gsr is not None:
-                gsr[p_ind, x_ind, ns_offset + y_ind, :] = redundancy[vis_ind]
-            if x_ind == 0:
-                pc_ind = pconjmap[p_ind]
-                gsv[pc_ind, :, x_ind, ns_offset - y_ind, :] = ssv[:, vis_ind].conj()
-                gsw[pc_ind, :, x_ind, ns_offset - y_ind, :] = ssw[:, vis_ind]
-                if gsr is not None:
-                    gsr[pc_ind, x_ind, ns_offset - y_ind, :] = redundancy[vis_ind]
+        # Vectorised scatter onto the grid.  Intracylinder (x == 0)
+        # products ALSO land at the mirrored NS position under the
+        # conjugate polarisation, so the scatter runs over an index list
+        # extended with those mirror entries.
+        # mirrors go first so measured products always win a collision
+        intra = np.flatnonzero(xind == 0)
+        s_vis = np.arange(len(pind))  # source product index
+        scatter = [
+            (pconjmap[pind[intra]], xind[intra], ns_offset - yind[intra], intra, True),
+            (pind, xind, ns_offset + yind, s_vis, False),
+        ]
 
-        grid.vis[:] = gsv
-        grid.weight[:] = gsw
-        if gsr is not None:
-            grid.datasets["redundancy"][:] = gsr
+        def place(dataset, source, freq_axis):
+            """dataset axes [pol, (freq,), ew, ns, ...]; scatter source rows."""
+            buf = np.zeros(dataset.shape, dtype=dataset.dtype)
+            # move the grid axes in front of freq for one fancy assignment
+            view = np.moveaxis(buf, (0, 2, 3), (0, 1, 2)) if freq_axis else buf
+            for p, x, y, src, conj in scatter:
+                rows = source[:, src] if freq_axis else source[src]
+                rows = np.moveaxis(rows, 0, 1) if freq_axis else rows
+                view[p, x, y] = np.conj(rows) if conj else rows
+            dataset[:] = buf
+
+        place(grid.vis, ssv, freq_axis=True)
+        # weights and redundancy are real: the mirror conj is a no-op
+        place(grid.weight, ssw, freq_axis=True)
+        if self.save_redundancy:
+            place(grid.datasets["redundancy"], redundancy, freq_axis=False)
         return grid
 
 
@@ -176,12 +217,12 @@ class BeamformNS(ContainerTask):
     the NS axis, here a single batched device einsum over (pol, freq, ew).
     """
 
-    npix = config.Property(proptype=int, default=512)
-    span = config.Property(proptype=float, default=1.0)
-    weight = config.Property(proptype=str, default="natural")
-    scaled = config.Property(proptype=bool, default=False)
-    include_auto = config.Property(proptype=bool, default=False)
-    save_dirty_beam = config.Property(proptype=bool, default=False)
+    npix = config.int_prop(512)
+    span = config.float_prop(1.0)
+    weight = config.str_prop("natural")
+    scaled = config.bool_prop(False)
+    include_auto = config.bool_prop(False)
+    save_dirty_beam = config.bool_prop(False)
     precision = config.enum([32, 64], default=64)
 
     def process(self, gstream):
@@ -303,10 +344,10 @@ class BeamformEW(ContainerTask):
     (reference ringmapmaker.py:356-531)
     """
 
-    exclude_intracyl = config.Property(proptype=bool, default=False)
-    single_beam = config.Property(proptype=bool, default=False)
+    exclude_intracyl = config.bool_prop(False)
+    single_beam = config.bool_prop(False)
     weight_ew = config.enum(["natural", "uniform"], default="natural")
-    flag_ew = config.Property(proptype=list, default=None)
+    flag_ew = config.list_prop(None)
 
     @staticmethod
     def _get_pol(pols):
@@ -331,27 +372,33 @@ class BeamformEW(ContainerTask):
             P[i + 1, i : i + 2] = [-0.5j, 0.5j]
         return np.array(dpol, dtype="U4"), P
 
-    def process(self, hstream):
-        hstream.redistribute("freq")
-        n_ew = len(hstream.index_map["ew"])
-        nbeam = 1 if self.single_beam else 2 * n_ew - 1
-
-        if self.weight_ew == "uniform":
-            weight_ew = np.ones(n_ew)
-        else:
-            weight_ew = n_ew - np.arange(n_ew, dtype=np.float64)
+    def _ew_column_weights(self, n_ew):
+        """Normalised per-EW-separation weights for the final transform."""
+        w = (
+            np.ones(n_ew)
+            if self.weight_ew == "uniform"
+            else n_ew - np.arange(n_ew, dtype=np.float64)
+        )
         if self.exclude_intracyl:
-            weight_ew[0] = 0.0
+            w[0] = 0.0
         if self.flag_ew is not None:
             if len(self.flag_ew) != n_ew:
                 raise ValueError(
                     f"flag_ew has {len(self.flag_ew)} entries but the "
                     f"stream has {n_ew} EW separations."
                 )
-            weight_ew *= np.asarray(self.flag_ew, dtype=bool)
+            w *= np.asarray(self.flag_ew, dtype=bool)
         if self.single_beam:
-            weight_ew[1:] *= 2
-        weight_ew = weight_ew / weight_ew.sum()
+            # both fringe signs of every non-intracylinder column fold
+            # into the single synthesized beam
+            w[1:] *= 2
+        return w / w.sum()
+
+    def process(self, hstream):
+        hstream.redistribute("freq")
+        n_ew = len(hstream.index_map["ew"])
+        nbeam = 1 if self.single_beam else 2 * n_ew - 1
+        weight_ew = self._ew_column_weights(n_ew)
 
         pol, P = self._get_pol(
             [
@@ -524,10 +571,10 @@ class DeconvolveHybridMBase(ContainerTask):
     """
 
     exclude_cyl = config.list_type(int, maxlength=3, default=[])
-    exclude_intracyl = config.Property(proptype=bool, default=False)
-    skip_deconvolution = config.Property(proptype=bool, default=False)
-    reference_declination = config.Property(proptype=float, default=None)
-    save_dirty_beam = config.Property(proptype=bool, default=False)
+    exclude_intracyl = config.bool_prop(False)
+    skip_deconvolution = config.bool_prop(False)
+    reference_declination = config.float_prop(None)
+    save_dirty_beam = config.bool_prop(False)
 
     window_type = config.enum(
         [
@@ -536,8 +583,8 @@ class DeconvolveHybridMBase(ContainerTask):
         ],
         default="none",
     )
-    window_size = config.Property(proptype=float, default=1.0)
-    window_scaled = config.Property(proptype=bool, default=False)
+    window_size = config.float_prop(1.0)
+    window_scaled = config.bool_prop(False)
 
     def setup(self, manager=None):
         """Set the telescope instance (needed for windows / normalisation)."""
@@ -705,18 +752,17 @@ class DeconvolveHybridMBase(ContainerTask):
             min_m = np.max(min_m, axis=0, keepdims=True)
             max_m = np.min(max_m, axis=0, keepdims=True)
 
-        nfreq, nel = min_m.shape
-        window = np.zeros((nfreq, m.size, nel), dtype=np.float32)
-
-        for ff in range(nfreq):
-            for ee in range(nel):
-                mmin, mmax_w = min_m[ff, ee], max_m[ff, ee]
-                in_range = np.flatnonzero((m >= mmin) & (m <= mmax_w))
-                if in_range.size > 0:
-                    x = (m[in_range] - mmin) / (mmax_w - mmin)
-                    window[ff, in_range, ee] = np.asarray(
-                        window_generalised(x, window=self.window_type)
-                    )
+        # Evaluate the window over the whole (freq, m, el) block at once:
+        # normalised coordinate u in [0, 1] inside the band, zero outside.
+        lo = min_m[:, np.newaxis, :]  # [freq, 1, el]
+        hi = max_m[:, np.newaxis, :]
+        mm = m[np.newaxis, :, np.newaxis].astype(float)
+        span = hi - lo
+        u = np.clip((mm - lo) * np.asarray(invert_no_zero(span)), 0.0, 1.0)
+        inside = (mm >= lo) & (mm <= hi)
+        window = (
+            np.asarray(window_generalised(u, window=self.window_type)) * inside
+        ).astype(np.float32)
 
         if self.window_scaled:
             window = np.repeat(window, nlocal, axis=0)
@@ -753,27 +799,17 @@ class DeconvolveAnalyticalBeam(DeconvolveHybridMBase):
         hybrid_beam_m = self._get_beam_mmodes(hybrid_vis_m)
         return super().process(hybrid_vis_m, hybrid_beam_m)
 
+    #: EW voltage beam width prefactors per feed polarisation, in
+    #: MHz-degrees-of-sigma units (CHIME-like fits)
+    _EW_SIGMA_PREFACTOR = {"X": 14.87857614, "Y": 9.95746878}
+
     def _get_beam_mmodes(self, hybrid_vis_m):
         from ..ops import mmode as mmode_ops
 
-        # EW voltage beam widths (sigma) per pol (CHIME-like fits)
-        def sig_chime_X(freq, dec):
-            return 14.87857614 / freq / np.cos(dec)
-
-        def sig_chime_Y(freq, dec):
-            return 9.95746878 / freq / np.cos(dec)
-
-        beam_width = {"X": sig_chime_X, "Y": sig_chime_Y}
-
-        def A(phi, sigma):
-            return np.exp(-((2 * np.tan(phi / 2)) ** 2) / (2 * sigma**2))
-
-        def B(phi, u, sigma):
-            return np.exp(2.0j * np.pi * u * np.sin(phi)) * A(phi, sigma)
-
         mmax = hybrid_vis_m.mmax
         nra = 2 * mmax + int(hybrid_vis_m.oddra)
-
+        freqs = np.asarray(hybrid_vis_m.freq)
+        ewpos = np.asarray(hybrid_vis_m.index_map["ew"])
         dec = np.arcsin(np.asarray(hybrid_vis_m.index_map["el"])) + np.radians(
             self.telescope.latitude
         )
@@ -782,31 +818,44 @@ class DeconvolveAnalyticalBeam(DeconvolveHybridMBase):
             for p in hybrid_vis_m.index_map["pol"]
         ]
 
-        ra = np.linspace(0.0, 360.0, nra, endpoint=False)
-        phi_arr = np.radians(ra)[np.newaxis, np.newaxis, np.newaxis, :]
+        # Per-(pol, freq, el) Gaussian width: the product pair's sigmas
+        # combine as sig_a sig_b / sqrt(sig_a^2 + sig_b^2)
+        base = np.array(
+            [[self._EW_SIGMA_PREFACTOR[c] for c in p] for p in pol]
+        )  # [pol, 2]
+        per_fd = 1.0 / (freqs[:, None] * np.cos(dec)[None, :])  # [freq, el]
+        sa, sb = (
+            base[:, i, None, None] * per_fd[None] for i in (0, 1)
+        )  # each [pol, freq, el]
+        sigma = sa * sb / np.hypot(sa, sb)
+
+        phi = np.radians(np.linspace(0.0, 360.0, nra, endpoint=False))
+        taper_arg = -0.5 * (2 * np.tan(phi / 2)) ** 2  # [ra]
+        u = ewpos[None, :] * (freqs[:, None] * 1e6 / C_LIGHT)  # [freq, ew]
 
         hybrid_beam_m = containers.empty_like(hybrid_vis_m)
         bvis = np.zeros(hybrid_beam_m.vis.shape, dtype=np.complex64)
 
-        freqs = np.asarray(hybrid_vis_m.freq)
-        ewpos = np.asarray(hybrid_vis_m.index_map["ew"])
-        for fi, freq in enumerate(freqs):
-            wv = C_LIGHT * 1e-6 / freq
-            u = ewpos / wv
-            u_dec = u[:, np.newaxis] * np.cos(dec)[np.newaxis, :]
-            u_arr = u_dec[np.newaxis, :, :, np.newaxis]
-
-            sig = np.zeros((len(pol), dec.size), dtype=dec.dtype)
-            for pi, p in enumerate(pol):
-                sig_a = beam_width[p[0]](freq, dec)
-                sig_b = beam_width[p[1]](freq, dec)
-                sig[pi] = sig_a * sig_b / (sig_a**2 + sig_b**2) ** 0.5
-            sig_arr = sig[:, np.newaxis, :, np.newaxis]
-
-            B_arr = B(phi_arr, u_arr, sig_arr)
-            bvis[:, :, :, fi] = device_to_numpy(
-                mmode_ops.make_marray(as_device(B_arr.conj()), mmax=mmax)
-            )
+        # beam[p, f, x, e, r] = EW fringe at projected baseline
+        # u cos(dec) times a Gaussian envelope in tan(phi/2); batched in
+        # frequency chunks to bound the transient f64 footprint
+        step = max(1, int(np.ceil(8 / max(len(pol), 1))))
+        for f0 in range(0, freqs.size, step):
+            fs = slice(f0, min(f0 + step, freqs.size))
+            envelope = np.exp(
+                taper_arg / sigma[:, fs, None, :, None] ** 2
+            )  # [pol, f, 1, el, ra]
+            fringe = np.exp(
+                2.0j
+                * np.pi
+                * u[fs, :, None, None]
+                * np.cos(dec)[None, None, :, None]
+                * np.sin(phi)
+            )  # [f, ew, el, ra]
+            beam = fringe[None] * envelope  # [pol, f, ew, el, ra]
+            bvis[:, :, :, fs] = device_to_numpy(
+                mmode_ops.make_marray(as_device(np.conj(beam)), mmax=mmax)
+            )  # -> [m, msign, pol, f, ew, el]
 
         hybrid_beam_m.vis[:] = bvis
         return hybrid_beam_m
@@ -828,26 +877,11 @@ class TikhonovRingMapMaker(DeconvolveHybridMBase):
     weight_ew = config.enum(
         ["natural", "uniform", "inverse_variance"], default="natural"
     )
-    inv_SN = config.Property(proptype=float, default=1e-6)
+    inv_SN = config.float_prop(1e-6)
 
     def _get_weight(self, inv_var):
-        if self.weight_ew == "inverse_variance":
-            weight_ew = inv_var
-        else:
-            n_ew = inv_var.shape[-2]
-            if self.weight_ew == "uniform":
-                weight_ew = np.ones(n_ew)
-            else:  # natural
-                weight_ew = (n_ew - np.arange(n_ew)).astype(float)
-            expand = [None] * inv_var.ndim
-            expand[-2] = slice(None)
-            weight_ew = weight_ew[tuple(expand)].copy()
-
-        for cyl in self.exclude_cyl:
-            weight_ew[..., cyl, :] = 0.0
-
-        return weight_ew * np.asarray(
-            invert_no_zero(np.sum(weight_ew, axis=-2, keepdims=True))
+        return _sum_normalised(
+            _ew_weighting(self.weight_ew, inv_var, self.exclude_cyl)
         )
 
     def _get_regularisation(self, *args):
@@ -868,12 +902,12 @@ class WienerRingMapMaker(DeconvolveHybridMBase):
         Point source prior.
     """
 
-    gal_amp = config.Property(proptype=float, default=1.41)
-    gal_alpha = config.Property(proptype=float, default=-1.75)
-    gal_beta = config.Property(proptype=float, default=-0.75)
+    gal_amp = config.float_prop(1.41)
+    gal_alpha = config.float_prop(-1.75)
+    gal_beta = config.float_prop(-0.75)
 
-    psrc_amp = config.Property(proptype=float, default=0.045)
-    psrc_alpha = config.Property(proptype=float, default=-1.0)
+    psrc_amp = config.float_prop(0.045)
+    psrc_alpha = config.float_prop(-1.0)
 
     pivot_freq = 600.0
     weight_ew = "inverse_variance"
@@ -891,10 +925,7 @@ class WienerRingMapMaker(DeconvolveHybridMBase):
         )
 
     def _get_weight(self, inv_var):
-        weight_ew = inv_var
-        for cyl in self.exclude_cyl:
-            weight_ew[..., cyl, :] = 0.0
-        return weight_ew
+        return _ew_weighting("inverse_variance", inv_var, self.exclude_cyl)
 
 
 class TikhonovRingMapMakerAnalytical(DeconvolveAnalyticalBeam, TikhonovRingMapMaker):
@@ -952,20 +983,13 @@ class RADependentWeights(ContainerTask):
         var = np.asarray(invert_no_zero(np.asarray(hybrid_vis.weight[:])))
         var_time_avg = np.mean(var, axis=-1, keepdims=True)
 
-        if weight_scheme == "inverse_variance":
-            weight_ew = np.asarray(invert_no_zero(var_time_avg))
-        else:
-            n_ew = var.shape[-2]
-            if weight_scheme == "uniform":
-                weight_ew = np.ones(n_ew)
-            else:  # natural
-                weight_ew = (n_ew - np.arange(n_ew)).astype(float)
-            expand = [None] * var.ndim
-            expand[-2] = slice(None)
-            weight_ew = weight_ew[tuple(expand)].copy()
-
-        for cyl in exclude_cyl:
-            weight_ew[..., cyl, :] = 0.0
+        weight_ew = _ew_weighting(
+            weight_scheme,
+            np.asarray(invert_no_zero(var_time_avg))
+            if weight_scheme == "inverse_variance"
+            else var,
+            exclude_cyl,
+        )
 
         ra_dependence = np.sum(
             weight_ew**2 * var_time_avg, axis=-2
@@ -977,8 +1001,7 @@ class RADependentWeights(ContainerTask):
 
         if save_filter:
             filt = np.asarray(hybrid_vis.filter[:])
-            sum_wew = np.sum(weight_ew, axis=-2, keepdims=True)
-            wew = (weight_ew * np.asarray(invert_no_zero(sum_wew)))[:, :, np.newaxis]
+            wew = _sum_normalised(weight_ew)[:, :, np.newaxis]
             ringmap.filter[:] = np.sum(wew * filt, axis=-2).astype(
                 ringmap.filter.dtype
             )
@@ -1024,44 +1047,42 @@ class ReconstructVisNoiseBase(TelescopeStreamMixIn, ContainerTask):
 
     def _compute_layout(self, hv):
         """Baseline grid layout + redundancy (reference :1375-1463)."""
-        polprod = self.telescope.polarisation[self.telescope.uniquepairs]
-        polpair = np.char.add(polprod[:, 0], polprod[:, 1])
-        polpair, pind = np.unique(polpair, return_inverse=True)
-
-        pol = [
+        tel = self.telescope
+        out_pol = [
             p.decode() if isinstance(p, bytes) else str(p)
             for p in hv.index_map["pol"]
         ]
-        npol = len(pol)
+        npol = len(out_pol)
 
-        pol_lookup = {key: ind for ind, key in enumerate(pol)}
-        pol_remap = np.array([pol_lookup.get(p, -1) for p in polpair[pind]])
-        pol_flag = pol_remap >= 0
+        # map each unique pair's polarisation product onto the output
+        # pol axis; pairs whose product isn't in the output get -1
+        pair_pols = tel.polarisation[tel.uniquepairs]
+        labels, inverse = np.unique(
+            np.char.add(pair_pols[:, 0], pair_pols[:, 1]), return_inverse=True
+        )
+        slot = {name: i for i, name in enumerate(out_pol)}
+        pol_of_pair = np.array([slot.get(p, -1) for p in labels[inverse]])
 
-        xind, yind, min_xsep, min_ysep = find_grid_indices(
-            self.telescope.baselines
-        )
-        baseline_flag = np.abs(yind * min_ysep) <= (
-            self.nsmax + 0.5 * min_ysep
-        )
+        xind, yind, min_xsep, min_ysep = find_grid_indices(tel.baselines)
+        within_ns = np.abs(yind * min_ysep) <= (self.nsmax + 0.5 * min_ysep)
 
         ny = 2 * np.abs(yind).max() + 1
         nspos = np.fft.fftfreq(ny, d=(1.0 / (ny * min_ysep)))
 
-        vis_pos_x = np.arange(np.max(np.abs(xind)) + 1) * min_xsep
         ewpos = np.asarray(hv.index_map["ew"])
         nx = ewpos.size
-        if not np.allclose(vis_pos_x, ewpos):
+        full_x = np.arange(np.abs(xind).max() + 1) * min_xsep
+        if not np.allclose(full_x, ewpos):
             raise RuntimeError("A truncated ew axis cannot be processed here.")
 
-        flag = pol_flag & baseline_flag
-        xind, yind, pind = xind[flag], yind[flag], pol_remap[flag]
+        keep = (pol_of_pair >= 0) & within_ns
+        xind, yind, pind = xind[keep], yind[keep], pol_of_pair[keep]
 
         pconjmap = np.unique(
-            [p[1] + p[0] for p in pol], return_inverse=True
+            [p[1] + p[0] for p in out_pol], return_inverse=True
         )[1]
 
-        input_flags = np.all(self.telescope.feedmask, axis=-1, keepdims=True)
+        input_flags = np.all(tel.feedmask, axis=-1, keepdims=True)
         nbaseline = np.asarray(
             calculate_redundancy(
                 input_flags.astype(np.float32),
@@ -1072,16 +1093,12 @@ class ReconstructVisNoiseBase(TelescopeStreamMixIn, ContainerTask):
                 len(self.bt_stack),
             )
         )[:, 0]
+        kept_counts = nbaseline[keep]
 
-        nbaseline_valid = nbaseline[flag]
-
-        nbaseline_grid = np.zeros((npol, nx, ny), dtype=float)
-        nbaseline_grid[pind, np.abs(xind), yind] = nbaseline_valid
-
+        counts_grid = np.zeros((npol, nx, ny), dtype=float)
+        counts_grid[pind, np.abs(xind), yind] = kept_counts
         intra = np.flatnonzero(xind == 0)
-        nbaseline_grid[pconjmap[pind[intra]], 0, -yind[intra]] = (
-            nbaseline_valid[intra]
-        )
+        counts_grid[pconjmap[pind[intra]], 0, -yind[intra]] = kept_counts[intra]
 
         return {
             "xind": xind,
@@ -1089,9 +1106,9 @@ class ReconstructVisNoiseBase(TelescopeStreamMixIn, ContainerTask):
             "pind": pind,
             "ewpos": ewpos,
             "nspos": nspos,
-            "nbaseline_grid": nbaseline_grid,
+            "nbaseline_grid": counts_grid,
             "nbaseline": nbaseline,
-            "flag": flag,
+            "flag": keep,
             "pconjmap": pconjmap,
             "npol": npol,
             "nx": nx,
@@ -1108,16 +1125,17 @@ class ReconstructVisNoiseBase(TelescopeStreamMixIn, ContainerTask):
         if self.weight == "natural":
             window[:] = layout["nbaseline_grid"][:, np.newaxis]
         else:
-            wavelength = C_LIGHT * 1e-6 / freq
-            for ff, wv in enumerate(wavelength):
-                vpos = layout["nspos"] / wv
-                vmax = (
-                    self.nsmax / self.wvmin if self.scaled else self.nsmax / wv
-                )
-                x = 0.5 * (vpos / vmax + 1)
-                window[:, ff, :, :] = np.asarray(
-                    window_generalised(x, window=self.weight)
-                )
+            # [nfreq, ny] fringe coordinates in wavelengths, folded into
+            # the window's [0, 1] argument; broadcast over (pol, ew)
+            per_wv = freq * 1e6 / C_LIGHT
+            vpos = layout["nspos"][np.newaxis, :] * per_wv[:, np.newaxis]
+            vmax = self.nsmax * (
+                (1.0 / self.wvmin) if self.scaled else per_wv[:, np.newaxis]
+            )
+            arg = 0.5 * (vpos / vmax + 1)
+            window[:] = np.asarray(
+                window_generalised(arg, window=self.weight)
+            )[np.newaxis, :, np.newaxis, :]
 
         if not self.include_auto:
             # match BeamformNS: the (ew=0, ns=0) auto sample is EXCLUDED
