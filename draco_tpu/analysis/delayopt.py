@@ -150,6 +150,26 @@ class AddFunctions(OptFunc):
         return sum(f.hessian(x) for f in self.funcs)
 
 
+def _windowed_projection(ndelay, chans, window, data, noise_inv):
+    """(Fourier matrix, windowed data) for the likelihood, f64.
+
+    Applies the apodisation to both the projection matrix and the data
+    rows, and zeroes fully-missing channels out of the matrix.
+    """
+    from ..ops.delay import fourier_matrix
+
+    proj = fourier_matrix(ndelay, chans).astype(np.complex128, copy=False)
+    rows = data.astype(proj.dtype, copy=True)
+    if window is not None:
+        taper = np.asarray(
+            tools.window_generalised(chans / ndelay, window=window)
+        )
+        proj = proj * taper[:, np.newaxis]
+        rows = rows * taper[np.newaxis, :]
+    proj[noise_inv == 0] = 0.0
+    return proj, rows
+
+
 def delay_power_spectrum_maxpost(
     data,
     N,
@@ -165,51 +185,47 @@ def delay_power_spectrum_maxpost(
 
     Returns (list of samples including the initial guess, success flag).
     """
-    from ..ops.delay import fourier_matrix
-
-    nsamp, Nf = data.shape
+    nsamp, nchan = data.shape
     if fsel is None:
-        fsel = np.arange(Nf)
-    elif len(fsel) != Nf:
+        fsel = np.arange(nchan)
+    elif len(fsel) != nchan:
         raise ValueError(
             f"The frequency selection ({len(fsel)}) does not cover the "
             f"data's {data.shape[-1]} channels."
         )
 
-    F = fourier_matrix(N, fsel).astype(np.complex128, copy=False)
-    data = data.astype(F.dtype, copy=True)
-
-    if window is not None:
-        w = np.asarray(tools.window_generalised(fsel / N, window=window))
-        F = F * w[:, np.newaxis]
-        data = data * w[np.newaxis, :]
-
-    X = (data.T @ data.conj()) / nsamp
-    Nm = np.asarray(tools.invert_no_zero(Ni))
-    F[Ni == 0] = 0.0
+    proj, rows = _windowed_projection(N, fsel, window, data, Ni)
 
     if initial_S is None:
-        initial_S = (data @ la.pinv(F.T, rtol=1e-3)).var(axis=0)
-    initial_S = np.maximum(np.abs(initial_S), bounds[0])
+        initial_S = (rows @ la.pinv(proj.T, rtol=1e-3)).var(axis=0)
+    guess = np.maximum(np.abs(initial_S), bounds[0])
 
-    samples = [initial_S]
-    optfunc = AddFunctions(
+    posterior = AddFunctions(
         [
-            LogLikePS(X, F, Nm, nsamp, exact_hessian=True, bounds=bounds),
+            LogLikePS(
+                (rows.T @ rows.conj()) / nsamp,
+                proj,
+                np.asarray(tools.invert_no_zero(Ni)),
+                nsamp,
+                exact_hessian=True,
+                bounds=bounds,
+            ),
             GaussianProcessPrior(N, width=5, alpha=1.0, kernel="matern", nu=1.5),
         ]
     )
+
+    samples = [guess]
     try:
-        res = minimize(
-            optfunc.value,
-            x0=np.log(initial_S),
-            jac=optfunc.gradient,
-            hess=optfunc.hessian,
+        fit = minimize(
+            posterior.value,
+            x0=np.log(guess),
+            jac=posterior.gradient,
+            hess=posterior.hessian,
             method="Newton-CG",
             options={"maxiter": maxiter, "xtol": tol},
             callback=lambda xk: samples.append(np.exp(xk)),
         )
-        success = res.success
+        success = fit.success
     except (la.LinAlgError, ValueError):
         success = False
     return samples, success
