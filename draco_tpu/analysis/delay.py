@@ -40,6 +40,27 @@ from .delayopt import delay_power_spectrum_maxpost
 C_US = 299.792458  # m / us (c such that baseline[m] / C_US is in us)
 
 
+def _mode_count(bandwidth: float, cut_us: float) -> int:
+    """Fourier modes spanned by a delay cut over a bandwidth (>= 1)."""
+    return max(int(4.0 * bandwidth * cut_us + 0.5), 1)
+
+
+# Per-container defaults for the generic filter: (loop axis, dataset)
+_FILTER_DEFAULTS = (
+    (containers.SiderealStream, "stack", "vis"),
+    (containers.HybridVisMModes, "m", "vis"),
+    (containers.RingMap, "el", "map"),
+    (containers.GridBeam, "theta", "beam"),
+)
+
+
+def _filter_defaults_for(ss):
+    for cls, ax, dset in _FILTER_DEFAULTS:
+        if isinstance(ss, cls):
+            return ax, dset
+    raise ValueError(f"No default filter axes known for {type(ss)}.")
+
+
 # ---------------------
 # Delay filter classes
 # ---------------------
@@ -74,68 +95,64 @@ class DelayFilter(ContainerTask):
     def setup(self, telescope):
         self.telescope = io.get_telescope(telescope)
 
+    def _horizon_cuts(self, ss):
+        """Per-stack delay cuts in microseconds from the array geometry."""
+        pairs = ss.prodstack
+        pos = self.telescope.feedpositions
+        sep = (
+            pos[pairs["input_a"].astype(int)]
+            - pos[pairs["input_b"].astype(int)]
+        )
+        component = {
+            "NS": lambda s: np.abs(s[:, 1]),
+            "EW": lambda s: np.abs(s[:, 0]),
+            "none": lambda s: np.linalg.norm(s, axis=1),
+        }[self.telescope_orientation]
+        horizon = self.za_cut * component(sep) / C_US + self.extra_cut
+        return np.maximum(horizon, self.delay_cut)
+
     def process(self, ss):
-        tel = self.telescope
         freq = ss.freq[:]
         bandwidth = np.ptp(freq)
+        cuts = self._horizon_cuts(ss)
 
-        ssv = np.asarray(ss.vis[:]).copy()
-        ssw = np.asarray(ss.weight[:]).copy()
+        vis = np.array(ss.vis[:])
+        wgt = np.array(ss.weight[:])
+        live = wgt > 0.0
 
-        ps = ss.prodstack
-        ia, ib = ps["input_a"].astype(int), ps["input_b"].astype(int)
-        baselines = tel.feedpositions[ia] - tel.feedpositions[ib]
-
-        if self.telescope_orientation == "NS":
-            bl = np.abs(baselines[:, 1])
-        elif self.telescope_orientation == "EW":
-            bl = np.abs(baselines[:, 0])
-        else:
-            bl = np.linalg.norm(baselines, axis=1)
-
-        # baseline / c in microseconds
-        delay_cuts = np.maximum(
-            self.za_cut * bl / C_US + self.extra_cut, self.delay_cut
-        )
-        number_cuts = (4.0 * bandwidth * delay_cuts + 0.5).astype(int)
-
-        wpos = ssw > 0.0
-        f_samp = wpos.sum(axis=2)  # [freq, stack]
-        f_mask = (f_samp == f_samp.max(axis=0, keepdims=True)).astype(
-            np.float64
-        )
-        t_samp = wpos.sum(axis=0)  # [stack, ra]
-        t_mask = (t_samp == t_samp.max(axis=1, keepdims=True)).astype(
-            np.float64
-        )
+        # Keep only channels sampled as often as the best channel of each
+        # stack, and only times sampled as often as each stack's best time
+        per_chan = live.sum(axis=2)
+        chan_keep = (per_chan == per_chan.max(axis=0, keepdims=True)) * 1.0
+        per_time = live.sum(axis=0)
+        time_keep = (per_time == per_time.max(axis=1, keepdims=True)) * 1.0
 
         # Redundant arrays share baseline lengths and flag patterns:
         # build ONE null-space projector per unique (cut, channel-mask)
         # group and apply it as a batched matmul, instead of the
         # reference's per-baseline SVD loop (reference delay.py:100-140)
         groups: dict = {}
-        for bi in range(ssv.shape[1]):
-            key = (
-                float(delay_cuts[bi]),
-                int(number_cuts[bi]),
-                f_mask[:, bi].tobytes(),
-            )
+        for bi in range(vis.shape[1]):
+            key = (float(cuts[bi]), chan_keep[:, bi].tobytes())
             groups.setdefault(key, []).append(bi)
         self.log.debug(
             "DelayFilter: %d baselines in %d filter groups",
-            ssv.shape[1], len(groups),
+            vis.shape[1], len(groups),
         )
-        for (dcut, ncut, _), idx in groups.items():
-            NF = filters.null_filter(
-                freq, dcut, f_mask[:, idx[0]], num_modes=max(ncut, 1),
+        for (cut, _), members in groups.items():
+            proj = filters.null_filter(
+                freq,
+                cut,
+                chan_keep[:, members[0]],
+                num_modes=_mode_count(bandwidth, cut),
                 window=self.window,
             )
-            sel = np.asarray(idx)
-            ssv[:, sel] = np.einsum("fg,gbt->fbt", NF, ssv[:, sel])
-        ssw *= f_mask[:, :, np.newaxis] * t_mask[np.newaxis, :, :]
+            sel = np.asarray(members)
+            vis[:, sel] = np.einsum("fg,gbt->fbt", proj, vis[:, sel])
+        wgt *= chan_keep[:, :, np.newaxis] * time_keep[np.newaxis, :, :]
 
-        ss.vis[:] = ssv.astype(ss.vis.dtype)
-        ss.weight[:] = ssw.astype(ss.weight.dtype)
+        ss.vis[:] = vis.astype(ss.vis.dtype)
+        ss.weight[:] = wgt.astype(ss.weight.dtype)
         return ss
 
 
@@ -164,103 +181,102 @@ class DelayFilterBase(ContainerTask):
         """Delay cut in microseconds for one element of the loop axis."""
         return self.delay_cut
 
+    def _filter_slice(self, vis_2d, wgt_2d, freq, cut, bandwidth):
+        """Filter one [freq, flat-rest] slice; returns (filtered, mask)."""
+        chan_keep = _best_sampled_mask(wgt_2d, axis=1)
+        time_keep = _best_sampled_mask(wgt_2d, axis=0)
+        proj = filters.null_filter(
+            freq,
+            cut,
+            chan_keep,
+            num_modes=_mode_count(bandwidth, cut),
+            window=self.window,
+        )
+        mask = np.outer(chan_keep, time_keep)
+        return proj @ vis_2d, mask
+
     def process(self, ss):
         if not isinstance(ss, containers.FreqContainer):
             raise TypeError(
                 f"A FreqContainer subclass is required here, not {type(ss)}."
             )
-        _default_axis = {
-            containers.SiderealStream: "stack",
-            containers.HybridVisMModes: "m",
-            containers.RingMap: "el",
-            containers.GridBeam: "theta",
-        }
-        _default_dataset = {
-            containers.SiderealStream: "vis",
-            containers.HybridVisMModes: "vis",
-            containers.RingMap: "map",
-            containers.GridBeam: "beam",
-        }
-        axis = self.axis
-        if axis is None:
-            for cls, ax in _default_axis.items():
-                if isinstance(ss, cls):
-                    axis = ax
-                    break
-            else:
-                raise ValueError(f"No default axis known for {type(ss)}.")
-        dset = self.dataset
-        if dset is None:
-            for cls, dataset in _default_dataset.items():
-                if isinstance(ss, cls):
-                    dset = dataset
-                    break
-            else:
-                raise ValueError(f"No default dataset known for {type(ss)}.")
+        default_ax, default_ds = (
+            _filter_defaults_for(ss)
+            if self.axis is None or self.dataset is None
+            else (None, None)
+        )
+        loop_axis = self.axis or default_ax
+        dset_name = self.dataset or default_ds
 
         freq = ss.freq[:]
         bandwidth = np.ptp(freq)
 
-        ssv = np.asarray(ss.datasets[dset][:]).copy()
-        ssw = np.broadcast_to(
-            match_axes(ss.datasets[dset], ss.weight), ssv.shape
-        )
-        mask_full = np.ones(ssv.shape, dtype=np.float64)
+        target = ss.datasets[dset_name]
+        values = np.array(target[:])
+        wgt_full = np.broadcast_to(match_axes(target, ss.weight), values.shape)
+        keep_full = np.ones(values.shape, dtype=np.float64)
 
-        dset_axes = list(ss.datasets[dset].axes)
-        dist_axis_pos = dset_axes.index(axis)
-        freq_axis_pos = dset_axes.index("freq")
-        sel_freq_axis_pos = (
-            freq_axis_pos if freq_axis_pos < dist_axis_pos else freq_axis_pos - 1
-        )
+        layout = list(target.axes)
+        loop_pos = layout.index(loop_axis)
+        freq_pos = layout.index("freq")
+        inner_freq_pos = freq_pos - (1 if freq_pos > loop_pos else 0)
 
-        for bi in range(ssv.shape[dist_axis_pos]):
-            vis_local = _take_view(ssv, bi, dist_axis_pos)
-            vis_2D = _move_front(vis_local, sel_freq_axis_pos, vis_local.shape)
-            weight_local = _take_view(ssw, bi, dist_axis_pos)
-            weight_2D = _move_front(
-                np.ascontiguousarray(weight_local), sel_freq_axis_pos,
-                weight_local.shape,
+        for bi in range(values.shape[loop_pos]):
+            block = _take_view(values, bi, loop_pos)
+            block_2d = _move_front(block, inner_freq_pos, block.shape)
+            w_block = _take_view(wgt_full, bi, loop_pos)
+            w_2d = _move_front(
+                np.ascontiguousarray(w_block), inner_freq_pos, w_block.shape
+            )
+            filtered, mask = self._filter_slice(
+                block_2d, w_2d, freq, self._delay_cut(ss, loop_axis, bi),
+                bandwidth,
+            )
+            block[:] = _inv_move_front(filtered, inner_freq_pos, block.shape)
+            keep_block = _take_view(keep_full, bi, loop_pos)
+            keep_block[:] = _inv_move_front(
+                mask, inner_freq_pos, keep_block.shape
             )
 
-            delay_cut = self._delay_cut(ss, axis, bi)
-            number_cut = int(4.0 * bandwidth * delay_cut + 0.5)
-            f_samp = (weight_2D > 0.0).sum(axis=1)
-            f_mask = (f_samp == f_samp.max()).astype(np.float64)
-            t_samp = (weight_2D > 0.0).sum(axis=0)
-            t_mask = (t_samp == t_samp.max()).astype(np.float64)
-
-            NF = filters.null_filter(
-                freq, delay_cut, f_mask, num_modes=max(number_cut, 1),
-                window=self.window,
-            )
-            vis_local[:] = _inv_move_front(
-                NF @ vis_2D, sel_freq_axis_pos, vis_local.shape
-            )
-            mask_local = _take_view(mask_full, bi, dist_axis_pos)
-            mask_local[:] = _inv_move_front(
-                (f_mask[:, np.newaxis] * t_mask[np.newaxis, :])
-                * np.ones((len(f_mask), weight_2D.shape[1])),
-                sel_freq_axis_pos,
-                mask_local.shape,
-            )
-
-        ss.datasets[dset][:] = ssv.astype(ss.datasets[dset].dtype)
+        target[:] = values.astype(target.dtype)
         # Reduce the combined mask onto the weight axes and apply it
-        waxes = tuple(ss.weight.axes)
-        reduce_ax = tuple(
-            i for i, ax in enumerate(dset_axes) if ax not in waxes
-        )
-        mask_w = mask_full.min(axis=reduce_ax) if reduce_ax else mask_full
-        ss.weight[:] = (np.asarray(ss.weight[:]) * mask_w).astype(
+        waxes = set(ss.weight.axes)
+        extra = tuple(i for i, ax in enumerate(layout) if ax not in waxes)
+        keep_w = keep_full.min(axis=extra) if extra else keep_full
+        ss.weight[:] = (np.asarray(ss.weight[:]) * keep_w).astype(
             ss.weight.dtype
         )
         return ss
 
 
+def _best_sampled_mask(weight_2d, axis):
+    """1.0 where a row/column is sampled as often as the best one."""
+    counts = (weight_2d > 0.0).sum(axis=axis)
+    return (counts == counts.max()) * 1.0
+
+
 # -----------------------------
 # Delay transform base classes
 # -----------------------------
+
+
+def _spectral_grid(freq, *, zero, spacing, nchan, skip_nyquist, complex_td):
+    """(delay axis [us], effective channel indices) for a frequency axis.
+
+    Infers the underlying regular channel grid the samples sit on
+    (reference delay.py:461 semantics).
+    """
+    if complex_td:
+        n = len(freq)
+        return (
+            np.fft.fftshift(np.fft.fftfreq(n, d=spacing)),
+            np.arange(n),
+        )
+    chans = (np.abs(freq - zero) / spacing).astype(np.int64)
+    if nchan is None:
+        nchan = int(chans[-1]) + 1 + (1 if skip_nyquist else 0)
+    ntap = 2 * (nchan - 1)
+    return np.fft.fftshift(np.fft.fftfreq(ntap, d=spacing)), chans
 
 
 class DelayTransformBase(ContainerTask):
@@ -298,15 +314,20 @@ class DelayTransformBase(ContainerTask):
     remove_mean = config.bool_prop(True)
     scale_freq = config.bool_prop(False)
 
+    # window name actually applied (recorded in output attrs)
+    @property
+    def _window_name(self):
+        return self.window if self.apply_window else None
+
     def process(self, ss):
         """Estimate the delay spectrum or power spectrum of the input."""
-        delays, channel_ind = self._calculate_delays(ss)
-        data_view, weight_view, coord_axes = self._prepare_inputs(ss)
-        out_cont = self._create_output(ss, delays, coord_axes)
-        out_cont.attrs["window_los"] = self.window if self.apply_window else "None"
-        return self._evaluate(data_view, weight_view, out_cont, delays, channel_ind)
+        delays, chans = self._spectral_axis(ss)
+        rows, wrows, coords = self._gather_rows(ss)
+        out = self._blank_output(ss, delays, coords)
+        out.attrs["window_los"] = str(self._window_name)
+        return self._fill_output(rows, wrows, out, delays, chans)
 
-    def _calculate_delays(self, ss):
+    def _spectral_axis(self, ss):
         """Delay grid + effective channel indices (reference delay.py:461)."""
         if isinstance(ss, containers.FreqContainer):
             freq = ss.freq
@@ -314,68 +335,75 @@ class DelayTransformBase(ContainerTask):
             freq = ss[0].freq
         else:
             raise TypeError("The input carries no freq axis to transform.")
-
-        freq_zero = freq[0] if self.freq_zero is None else self.freq_zero
-        freq_spacing = self.freq_spacing
-        if freq_spacing is None:
-            freq_spacing = np.abs(np.diff(freq)).min()
-
-        nfreq = self.nfreq
-        if self.complex_timedomain:
-            nfreq = len(freq)
-            channel_ind = np.arange(nfreq)
-            ndelay = nfreq
-        else:
-            channel_ind = (np.abs(freq - freq_zero) / freq_spacing).astype(np.int64)
-            if nfreq is None:
-                nfreq = channel_ind[-1] + 1
-                if self.skip_nyquist:
-                    nfreq += 1
-            ndelay = 2 * (nfreq - 1)
-
-        delays = np.fft.fftshift(np.fft.fftfreq(ndelay, d=freq_spacing))
-        return delays, channel_ind
-
-    def _cut_data(self, data, weight):
-        """Prune all-zero channels/times + clean data (reference delay.py:516)."""
-        ntime, nfreq = data.shape[-2:]
-        weight_mask = weight > 0
-        if not weight_mask.any():
-            return None
-        non_zero_time = (
-            weight_mask.mean(axis=-1).reshape(-1, ntime).mean(axis=0) > self.time_frac
+        return _spectral_grid(
+            freq,
+            zero=freq[0] if self.freq_zero is None else self.freq_zero,
+            spacing=(
+                np.abs(np.diff(freq)).min()
+                if self.freq_spacing is None
+                else self.freq_spacing
+            ),
+            nchan=len(freq) if self.complex_timedomain else self.nfreq,
+            skip_nyquist=self.skip_nyquist,
+            complex_td=self.complex_timedomain,
         )
-        weight_mask = weight_mask[..., non_zero_time, :]
-        non_zero_freq = (
-            weight_mask.mean(axis=-2).reshape(-1, nfreq).mean(axis=0) > self.freq_frac
-        )
-        if not non_zero_freq.any():
+
+    def _trim_block(self, data, weight):
+        """Prune dead channels/times + clean data (reference delay.py:516).
+
+        Returns (data, weight, kept_freq, kept_time) or None when nothing
+        usable remains.
+        """
+        ntime, nchan = data.shape[-2:]
+        live = weight > 0
+        if not live.any():
             return None
-        data = data[..., non_zero_time, :][..., non_zero_freq]
-        weight = weight[..., non_zero_time, :][..., non_zero_freq]
+        t_occ = live.mean(axis=-1).reshape(-1, ntime).mean(axis=0)
+        t_keep = t_occ > self.time_frac
+        live = np.compress(t_keep, live, axis=-2)
+        f_occ = live.mean(axis=-2).reshape(-1, nchan).mean(axis=0)
+        f_keep = f_occ > self.freq_frac
+        if not f_keep.any():
+            return None
+        data = np.compress(f_keep, np.compress(t_keep, data, axis=-2), axis=-1)
+        weight = np.compress(
+            f_keep, np.compress(t_keep, weight, axis=-2), axis=-1
+        )
         if self.remove_mean:
             data = data - data.mean(axis=-2, keepdims=True)
-        if (data == 0.0).all():
+        if not data.any():
             return None
         if self.scale_freq:
-            dscl = (
-                data.std(axis=-2)[..., np.newaxis, :]
-                / data.std(axis=(-1, -2))[..., np.newaxis, np.newaxis]
-            )
-            data = data * np.asarray(tools.invert_no_zero(dscl))
+            per_chan = data.std(axis=-2)[..., np.newaxis, :]
+            overall = data.std(axis=(-1, -2))[..., np.newaxis, np.newaxis]
+            data = data * np.asarray(tools.invert_no_zero(per_chan / overall))
         if self.use_average_weights:
-            weight = np.mean(weight, axis=-2)
-        weight = weight * self.weight_boost
-        return data, weight, non_zero_freq, non_zero_time
+            weight = weight.mean(axis=-2)
+        return data, weight * self.weight_boost, f_keep, t_keep
 
-    def _prepare_inputs(self, ss):
+    # subclass hooks ---------------------------------------------------
+    def _gather_rows(self, ss):
         raise NotImplementedError()
 
-    def _evaluate(self, data_view, weight_view, out_cont, delays, channel_ind):
+    def _fill_output(self, rows, wrows, out, delays, chans):
         raise NotImplementedError()
 
-    def _create_output(self, ss, delays, coord_axes):
+    def _blank_output(self, ss, delays, coords):
         raise NotImplementedError()
+
+
+def _attach_coords(out, source, coords):
+    """Copy the flattened coordinate index maps onto an output container."""
+    for ax in coords:
+        out.create_index_map(ax, source.index_map[ax])
+    out.attrs["baseline_axes"] = coords
+
+
+def _flat_row_count(source, coords) -> int:
+    n = 1
+    for ax in coords:
+        n *= len(source.index_map[ax])
+    return n
 
 
 class GeneralInputContainerMixin:
@@ -387,30 +415,29 @@ class GeneralInputContainerMixin:
     dataset = config.str_prop(None)
     sample_axis = config.str_prop("ra")
 
-    def _prepare_inputs(self, ss):
+    def _gather_rows(self, ss):
         ss.redistribute("freq")
-        if self.dataset is not None:
-            if self.dataset not in ss.datasets:
-                raise ValueError(
-                    f"Specified dataset to delay transform ({self.dataset}) "
-                    f"missing from container type {type(ss)}."
-                )
-            data_dset = ss[self.dataset]
+        if self.dataset is None:
+            target = ss.data
+        elif self.dataset in ss.datasets:
+            target = ss[self.dataset]
         else:
-            data_dset = ss.data
+            raise ValueError(
+                f"Specified dataset to delay transform ({self.dataset}) "
+                f"missing from container type {type(ss)}."
+            )
         if (
             self.sample_axis not in ss.axes_spec()
-            or self.sample_axis not in data_dset.axes
+            or self.sample_axis not in target.axes
         ):
             raise ValueError(
                 f"{type(ss)} has no axis named {self.sample_axis!r} "
                 f"to average over."
             )
-        data_view, bl_axes = flatten_axes(data_dset, [self.sample_axis, "freq"])
-        weight_view, _ = flatten_axes(
-            ss.weight, [self.sample_axis, "freq"], match_dset=data_dset
-        )
-        return data_view, weight_view, bl_axes
+        keep = [self.sample_axis, "freq"]
+        rows, coords = flatten_axes(target, keep)
+        wrows, _ = flatten_axes(ss.weight, keep, match_dset=target)
+        return rows, wrows, coords
 
 
 class DelayPowerSpectrumContainerMixin(GeneralInputContainerMixin):
@@ -420,29 +447,30 @@ class DelayPowerSpectrumContainerMixin(GeneralInputContainerMixin):
     save_samples = config.bool_prop(False)
     save_spectrum_mask = config.bool_prop(False)
 
-    def _create_output(self, ss, delays, coord_axes):
-        if isinstance(coord_axes, np.ndarray):
-            bl = coord_axes
-        elif len(coord_axes) == 1:
-            bl = ss.index_map[coord_axes[0]]
+    def _blank_output(self, ss, delays, coords):
+        if isinstance(coords, np.ndarray):
+            baseline = coords
+        elif len(coords) == 1:
+            baseline = ss.index_map[coords[0]]
         else:
-            bl = np.arange(
-                int(np.prod([len(ss.index_map[ax]) for ax in coord_axes]))
-            )
-        delay_spec = containers.DelaySpectrum(
-            baseline=bl, delay=delays, sample=self.nsamp, attrs_from=ss
+            baseline = np.arange(_flat_row_count(ss, coords))
+        out = containers.DelaySpectrum(
+            baseline=baseline,
+            delay=delays,
+            sample=self.nsamp,
+            attrs_from=ss,
         )
-        delay_spec.spectrum[:] = 0.0
-        if isinstance(coord_axes, list):
-            for ax in coord_axes:
-                delay_spec.create_index_map(ax, ss.index_map[ax])
-            delay_spec.attrs["baseline_axes"] = coord_axes
-        if self.save_samples:
-            delay_spec.add_dataset("spectrum_samples")
-        if self.save_spectrum_mask:
-            delay_spec.add_dataset("spectrum_mask")
-        delay_spec.attrs["freq"] = ss.freq
-        return delay_spec
+        out.spectrum[:] = 0.0
+        if isinstance(coords, list):
+            _attach_coords(out, ss, coords)
+        for name, wanted in (
+            ("spectrum_samples", self.save_samples),
+            ("spectrum_mask", self.save_spectrum_mask),
+        ):
+            if wanted:
+                out.add_dataset(name)
+        out.attrs["freq"] = ss.freq
+        return out
 
 
 class DelaySpectrumContainerMixin(GeneralInputContainerMixin):
@@ -450,23 +478,20 @@ class DelaySpectrumContainerMixin(GeneralInputContainerMixin):
 
     save_spectrum_mask = config.bool_prop(False)
 
-    def _create_output(self, ss, delays, coord_axes):
-        nbase = int(np.prod([len(ss.index_map[ax]) for ax in coord_axes]))
-        delay_spec = containers.DelayTransform(
-            baseline=np.arange(nbase),
+    def _blank_output(self, ss, delays, coords):
+        out = containers.DelayTransform(
+            baseline=np.arange(_flat_row_count(ss, coords)),
             sample=ss.index_map[self.sample_axis],
             delay=delays,
             attrs_from=ss,
             weight_boost=self.weight_boost,
         )
-        delay_spec.spectrum[:] = 0.0
-        for ax in coord_axes:
-            delay_spec.create_index_map(ax, ss.index_map[ax])
-        delay_spec.attrs["baseline_axes"] = coord_axes
+        out.spectrum[:] = 0.0
+        _attach_coords(out, ss, coords)
         if self.save_spectrum_mask:
-            delay_spec.add_dataset("spectrum_mask")
-        delay_spec.attrs["freq"] = ss.freq
-        return delay_spec
+            out.add_dataset("spectrum_mask")
+        out.attrs["freq"] = ss.freq
+        return out
 
 
 # -------------------------------------
@@ -477,54 +502,48 @@ class DelaySpectrumContainerMixin(GeneralInputContainerMixin):
 class DelaySpectrumBase(DelaySpectrumContainerMixin, DelayTransformBase):
     """Base for per-baseline delay transforms (reference delay.py:874)."""
 
-    def _evaluate(self, data_view, weight_view, out_cont, delays, channel_ind):
-        nbase = out_cont.spectrum.shape[0]
-        ndelay = len(delays)
-        prior = self._get_prior(nbase)
+    def _fill_output(self, rows, wrows, out, delays, chans):
+        nrow = out.spectrum.shape[0]
+        priors = self._initial_spectra(nrow, len(delays), delays.dtype)
 
-        spectrum = np.asarray(out_cont.spectrum[:])
+        spectrum = np.asarray(out.spectrum[:])
         mask_ds = (
-            np.asarray(out_cont.datasets["spectrum_mask"][:])
+            np.asarray(out.datasets["spectrum_mask"][:])
             if self.save_spectrum_mask
             else None
         )
-        for bi in range(nbase):
-            data = data_view[bi]
-            weight = weight_view[bi]
-            t = self._cut_data(data, weight)
-            if t is None:
+        for bi in range(nrow):
+            trimmed = self._trim_block(rows[bi], wrows[bi])
+            if trimmed is None:
                 if mask_ds is not None:
                     mask_ds[bi] = True
                 continue
-            data, weight, nzf, nzt = t
-            y_spec = self._estimator(data, weight, prior[bi], ndelay, channel_ind[nzf])
-            spectrum[bi, nzt] = y_spec
+            block, w, f_keep, t_keep = trimmed
+            spectrum[bi, t_keep] = self._row_spectrum(
+                block, w, priors[bi], len(delays), chans[f_keep]
+            )
             if mask_ds is not None:
-                mask_ds[bi][~nzt] = True
+                mask_ds[bi][~t_keep] = True
 
-        out_cont.spectrum[:] = spectrum
+        out.spectrum[:] = spectrum
         if mask_ds is not None:
-            out_cont.datasets["spectrum_mask"][:] = mask_ds
-        return out_cont
+            out.datasets["spectrum_mask"][:] = mask_ds
+        return out
 
-    def _get_prior(self, nbase):
-        raise NotImplementedError()
+    def _initial_spectra(self, nrow, ndelay, dtype):
+        return [None] * nrow
 
-    def _estimator(self, data, weight, S, ndelay, channel_ind):
+    def _row_spectrum(self, block, w, prior, ndelay, chans):
         raise NotImplementedError()
 
 
 class DelaySpectrumFFT(DelaySpectrumBase):
     """Delay spectrum via inverse FFT (reference delay.py:960)."""
 
-    def _get_prior(self, nbase):
-        return [None] * nbase
-
-    def _estimator(self, data, weight, S, ndelay, channel_ind):
-        y_spec = delay_spectrum_fft(
-            data, ndelay, self.window if self.apply_window else None
+    def _row_spectrum(self, block, w, prior, ndelay, chans):
+        return np.fft.fftshift(
+            delay_spectrum_fft(block, ndelay, self._window_name), axes=-1
         )
-        return np.fft.fftshift(y_spec, axes=-1)
 
 
 class DelaySpectrumWienerFilter(DelaySpectrumBase):
@@ -536,20 +555,20 @@ class DelaySpectrumWienerFilter(DelaySpectrumBase):
     def setup(self, dps=None):
         self.dps = dps
 
-    def _get_prior(self, nbase):
+    def _initial_spectra(self, nrow, ndelay, dtype):
         return np.asarray(self.dps.spectrum[:])
 
-    def _estimator(self, data, weight, S, ndelay, channel_ind):
-        y_spec = delay_spectrum_wiener_filter(
-            np.fft.fftshift(S),
-            data,
+    def _row_spectrum(self, block, w, prior, ndelay, chans):
+        filtered = delay_spectrum_wiener_filter(
+            np.fft.fftshift(prior),
+            block,
             ndelay,
-            weight,
-            window=self.window if self.apply_window else None,
-            fsel=channel_ind,
+            w,
+            window=self._window_name,
+            fsel=chans,
             complex_timedomain=self.complex_timedomain,
         )
-        return np.fft.fftshift(y_spec, axes=-1)
+        return np.fft.fftshift(filtered, axes=-1)
 
 
 class DelaySpectrumWienerFilterIteratePS(DelaySpectrumWienerFilter):
@@ -591,59 +610,55 @@ class DelaySpectrumToPowerSpectrum(ContainerTask):
 class DelayPowerSpectrumBase(DelayPowerSpectrumContainerMixin, DelayTransformBase):
     """Base for direct power spectrum estimation (reference delay.py:1114)."""
 
-    def _evaluate(self, data_view, weight_view, out_cont, delays, channel_ind,
-                  indices=None):
-        nbase = out_cont.spectrum.shape[0]
+    def _fill_output(self, rows, wrows, out, delays, chans, subset=None):
+        nrow = out.spectrum.shape[0]
         ndelay = len(delays)
-        prior = self._get_prior(nbase, ndelay, delays.dtype)
+        priors = self._initial_spectra(nrow, ndelay, delays.dtype)
 
-        spectrum = np.asarray(out_cont.spectrum[:])
+        spectrum = np.asarray(out.spectrum[:])
         mask_ds = (
-            np.asarray(out_cont.datasets["spectrum_mask"][:])
+            np.asarray(out.datasets["spectrum_mask"][:])
             if self.save_spectrum_mask
             else None
         )
         samples_ds = (
-            np.asarray(out_cont.datasets["spectrum_samples"][:])
+            np.asarray(out.datasets["spectrum_samples"][:])
             if self.save_samples
             else None
         )
 
-        for bi in range(nbase) if indices is None else indices:
-            data = data_view[bi]
-            weight = weight_view[bi]
-            t = self._cut_data(data, weight)
-            if t is None:
+        for bi in range(nrow) if subset is None else subset:
+            trimmed = self._trim_block(rows[bi], wrows[bi])
+            if trimmed is None:
                 if mask_ds is not None:
                     mask_ds[bi] = True
                 continue
-            data, weight, nzf, _ = t
-            spec, samples, success = self._estimator(
-                data, weight, prior[bi], ndelay, channel_ind[nzf]
+            block, w, f_keep, _ = trimmed
+            spec, draws, converged = self._row_spectrum(
+                block, w, priors[bi], ndelay, chans[f_keep]
             )
             spectrum[bi] = spec
-            if mask_ds is not None and not success:
+            if mask_ds is not None and not converged:
                 mask_ds[bi] = True
-            if samples_ds is not None and samples:
-                nsamp = len(samples)
+            if samples_ds is not None and draws:
                 samples_ds[:, bi] = 0.0
-                samples_ds[-nsamp:, bi] = np.array(
-                    [np.fft.fftshift(s) for s in samples]
+                samples_ds[-len(draws):, bi] = np.array(
+                    [np.fft.fftshift(s) for s in draws]
                 )
 
-        out_cont.spectrum[:] = spectrum
+        out.spectrum[:] = spectrum
         if mask_ds is not None:
-            out_cont.datasets["spectrum_mask"][:] = mask_ds
-            n_conv = nbase - mask_ds.sum()
-            self.log.debug(f"Gibbs converged on {n_conv} of {nbase} valid baselines.")
+            out.datasets["spectrum_mask"][:] = mask_ds
+            n_conv = nrow - mask_ds.sum()
+            self.log.debug(f"Gibbs converged on {n_conv} of {nrow} valid baselines.")
         if samples_ds is not None:
-            out_cont.datasets["spectrum_samples"][:] = samples_ds
-        return out_cont
+            out.datasets["spectrum_samples"][:] = samples_ds
+        return out
 
-    def _get_prior(self, nbase, ndelay, dtype):
+    def _initial_spectra(self, nrow, ndelay, dtype):
         raise NotImplementedError()
 
-    def _estimator(self, data, weight, S, ndelay, channel_ind):
+    def _row_spectrum(self, block, w, prior, ndelay, chans):
         raise NotImplementedError()
 
 
@@ -661,32 +676,30 @@ class DelayPowerSpectrumGibbs(DelayPowerSpectrumBase, RandomTask):
     initial_amplitude = config.float_prop(10.0)
     median_frac = config.float_prop(0.5)
 
-    def _get_prior(self, nbase, ndelay, dtype):
-        return np.ones((nbase, ndelay), dtype=dtype) * self.initial_amplitude
+    def _initial_spectra(self, nrow, ndelay, dtype):
+        return np.full((nrow, ndelay), self.initial_amplitude, dtype=dtype)
 
-    def _estimator(self, data, weight, S, ndelay, channel_ind):
-        samples, success = delay_power_spectrum_gibbs(
-            data,
+    def _row_spectrum(self, block, w, prior, ndelay, chans):
+        draws, converged = delay_power_spectrum_gibbs(
+            block,
             ndelay,
-            weight,
-            S,
-            window=self.window if self.apply_window else None,
-            fsel=channel_ind,
+            w,
+            prior,
+            window=self._window_name,
+            fsel=chans,
             niter=self.nsamp,
             rng=self.rng,
             complex_timedomain=self.complex_timedomain,
         )
-        nsamp_spec = int(self.nsamp * self.median_frac)
-        if samples:
-            spec = np.fft.fftshift(np.median(samples[-nsamp_spec:], axis=0))
-        else:
-            success = False
-            spec = S
-        return spec, samples, success
+        keep = int(self.nsamp * self.median_frac)
+        if not draws:
+            return prior, draws, False
+        spec = np.fft.fftshift(np.median(draws[-keep:], axis=0))
+        return spec, draws, converged
 
 
 def _batch_cut_masks(wmask, time_frac, freq_frac):
-    """Batch analogue of ``_cut_data``'s pruning, shared by the batched
+    """Batch analogue of ``_trim_block``'s pruning, shared by the batched
     Gibbs estimators: common dead-time pruning, then the per-baseline
     retained-channel criterion against the batch union.
 
@@ -716,34 +729,28 @@ class DelayPowerSpectrumGibbsBatched(DelayPowerSpectrumGibbs):
     """Batched-Gibbs power spectrum: all chains advance on device together.
 
     The TPU-native fast path: requires the retained frequency mask to be
-    identical across baselines (which `_cut_data` per baseline would
+    identical across baselines (which per-baseline trimming would
     otherwise vary); baselines failing that fall back to the per-baseline
     sampler of the parent class.
     """
 
-    def _evaluate(self, data_view, weight_view, out_cont, delays, channel_ind):
+    def _fill_output(self, rows, wrows, out, delays, chans):
         if self.scale_freq or not self.use_average_weights:
             # per-baseline semantics that do not batch
             self.log.info(
                 "scale_freq / use_average_weights=False configured: "
                 "taking the per-baseline sampler."
             )
-            return super()._evaluate(
-                data_view, weight_view, out_cont, delays, channel_ind
-            )
+            return super()._fill_output(rows, wrows, out, delays, chans)
 
         ndelay = len(delays)
 
-        # Mirror _cut_data across the batch: common dead-time pruning,
-        # then the per-baseline retained-channel criterion — the batch
-        # takes the rows whose channel mask equals the union
-        masks = _batch_cut_masks(
-            weight_view > 0, self.time_frac, self.freq_frac
-        )
+        # Mirror the per-baseline trimming across the batch: common
+        # dead-time pruning, then the per-baseline retained-channel
+        # criterion — the batch takes the rows whose mask equals the union
+        masks = _batch_cut_masks(wrows > 0, self.time_frac, self.freq_frac)
         if masks is None:
-            return super()._evaluate(
-                data_view, weight_view, out_cont, delays, channel_ind
-            )
+            return super()._fill_output(rows, wrows, out, delays, chans)
         non_zero_time, freq_ok, uniform = masks
 
         # Baselines with their own frequency mask go through the
@@ -755,38 +762,29 @@ class DelayPowerSpectrumGibbsBatched(DelayPowerSpectrumGibbs):
                 f"{len(rest)} baselines have non-uniform frequency masks; "
                 "sampling them per baseline."
             )
-            super()._evaluate(
-                data_view,
-                weight_view,
-                out_cont,
-                delays,
-                channel_ind,
-                indices=rest,
-            )
+            super()._fill_output(rows, wrows, out, delays, chans, subset=rest)
 
         sel = np.flatnonzero(uniform)
-        data = data_view[sel][..., non_zero_time, :][..., freq_ok]
-        weight = weight_view[sel][..., non_zero_time, :][..., freq_ok]
+        data = rows[sel][..., non_zero_time, :][..., freq_ok]
+        weight = wrows[sel][..., non_zero_time, :][..., freq_ok]
         if self.remove_mean:
             data = data - data.mean(axis=-2, keepdims=True)
         w = weight.mean(axis=-2) * self.weight_boost
 
-        prior = self._get_prior(len(sel), ndelay, delays.dtype)
-        samples = delay_power_spectrum_gibbs_batched(
+        priors = self._initial_spectra(len(sel), ndelay, delays.dtype)
+        draws = delay_power_spectrum_gibbs_batched(
             data,
             ndelay,
             w,
-            prior,
-            window=self.window if self.apply_window else None,
-            fsel=channel_ind[freq_ok],
+            priors,
+            window=self._window_name,
+            fsel=chans[freq_ok],
             niter=self.nsamp,
             key=self.next_key(),
             complex_timedomain=self.complex_timedomain,
         )  # [niter, nbase_sel, ndelay]
-        nsamp_spec = int(self.nsamp * self.median_frac)
-        spec = np.fft.fftshift(
-            np.median(samples[-nsamp_spec:], axis=0), axes=-1
-        )
+        keep = int(self.nsamp * self.median_frac)
+        spec = np.fft.fftshift(np.median(draws[-keep:], axis=0), axes=-1)
 
         # jnp.linalg.cholesky does NOT raise on a non-PD system (unlike
         # the scipy path) — it returns NaN.  Detect poisoned chains and
@@ -800,19 +798,19 @@ class DelayPowerSpectrumGibbsBatched(DelayPowerSpectrumGibbs):
             )
             spec = np.where(bad[:, None], 0.0, spec)
 
-        spectrum = np.asarray(out_cont.spectrum[:])
+        spectrum = np.asarray(out.spectrum[:])
         spectrum[sel] = spec
-        out_cont.spectrum[:] = spectrum
+        out.spectrum[:] = spectrum
 
         if self.save_samples:
-            sd = np.asarray(out_cont.datasets["spectrum_samples"][:])
-            sd[-len(samples):, sel] = np.fft.fftshift(samples, axes=-1)
-            out_cont.datasets["spectrum_samples"][:] = sd
+            sd = np.asarray(out.datasets["spectrum_samples"][:])
+            sd[-len(draws):, sel] = np.fft.fftshift(draws, axes=-1)
+            out.datasets["spectrum_samples"][:] = sd
         if self.save_spectrum_mask:
-            md = np.asarray(out_cont.datasets["spectrum_mask"][:])
+            md = np.asarray(out.datasets["spectrum_mask"][:])
             md[sel] = bad
-            out_cont.datasets["spectrum_mask"][:] = md
-        return out_cont
+            out.datasets["spectrum_mask"][:] = md
+        return out
 
 
 class DelayPowerSpectrumNRML(DelayPowerSpectrumBase):
@@ -821,136 +819,132 @@ class DelayPowerSpectrumNRML(DelayPowerSpectrumBase):
     maxpost_tol = config.float_prop(1e-3)
     nsamp = config.int_prop(100)
 
-    def _get_prior(self, nbase, ndelay, dtype):
-        return [None] * nbase
+    def _initial_spectra(self, nrow, ndelay, dtype):
+        return [None] * nrow
 
-    def _estimator(self, data, weight, S, ndelay, channel_ind):
-        samples, success = delay_power_spectrum_maxpost(
-            data,
+    def _row_spectrum(self, block, w, prior, ndelay, chans):
+        draws, converged = delay_power_spectrum_maxpost(
+            block,
             ndelay,
-            weight,
-            S,
-            window=self.window if self.apply_window else None,
-            fsel=channel_ind,
+            w,
+            prior,
+            window=self._window_name,
+            fsel=chans,
             maxiter=self.nsamp,
             tol=self.maxpost_tol,
         )
-        spec = np.fft.fftshift(samples[-1])
-        return spec, samples, success
+        return np.fft.fftshift(draws[-1]), draws, converged
 
 
 class DelayCrossPowerSpectrumEstimator(DelayPowerSpectrumGibbs):
     """Pairwise delay cross-power spectra (reference delay.py:1304)."""
 
-    def _prepare_inputs(self, sslist):
+    def _gather_rows(self, sslist):
         if not isinstance(sslist, (list, tuple)):
             sslist = [sslist]
         if len(sslist) == 0:
             raise ValueError("No datasets passed.")
         freq_ref = sslist[0].freq
-        data_views, weight_views = [], []
-        coord_axes = None
+        all_rows, all_wrows = [], []
+        coords = None
         for ss in sslist:
             # ANY mismatched channel invalidates the cross-correlation
             # (a .all() here would pass partially-overlapping axes)
             if len(ss.freq) != len(freq_ref) or (ss.freq != freq_ref).any():
-                raise ValueError("Cross-spectrum inputs disagree on the frequency axis.")
-            dv, wv, ca = GeneralInputContainerMixin._prepare_inputs(self, ss)
-            if coord_axes is not None and coord_axes != ca:
-                raise ValueError("Cross-spectrum inputs disagree on their axis layout.")
-            data_views.append(dv)
-            weight_views.append(wv)
-            coord_axes = ca
-        return data_views, weight_views, coord_axes
+                raise ValueError(
+                    "Cross-spectrum inputs disagree on the frequency axis."
+                )
+            rows, wrows, ca = GeneralInputContainerMixin._gather_rows(self, ss)
+            if coords is not None and coords != ca:
+                raise ValueError(
+                    "Cross-spectrum inputs disagree on their axis layout."
+                )
+            all_rows.append(rows)
+            all_wrows.append(wrows)
+            coords = ca
+        return all_rows, all_wrows, coords
 
-    def _calculate_delays(self, ss):
+    def _spectral_axis(self, ss):
         if isinstance(ss, (list, tuple)):
             ss = ss[0]
-        return super()._calculate_delays(ss)
+        return super()._spectral_axis(ss)
 
-    def _create_output(self, ss, delays, coord_axes):
-        ssref = ss[0] if isinstance(ss, (list, tuple)) else ss
-        ndata = len(ss) if isinstance(ss, (list, tuple)) else 1
-        if len(coord_axes) == 1:
-            bl = ssref.index_map[coord_axes[0]]
-        else:
-            bl = np.arange(
-                int(np.prod([len(ssref.index_map[ax]) for ax in coord_axes]))
-            )
-        delay_spec = containers.DelayCrossSpectrum(
-            baseline=bl,
-            dataset=np.arange(ndata),
+    def _blank_output(self, ss, delays, coords):
+        first = ss[0] if isinstance(ss, (list, tuple)) else ss
+        nstream = len(ss) if isinstance(ss, (list, tuple)) else 1
+        baseline = (
+            first.index_map[coords[0]]
+            if len(coords) == 1
+            else np.arange(_flat_row_count(first, coords))
+        )
+        out = containers.DelayCrossSpectrum(
+            baseline=baseline,
+            dataset=np.arange(nstream),
             delay=delays,
             sample=self.nsamp,
-            attrs_from=ssref,
+            attrs_from=first,
         )
-        delay_spec.spectrum[:] = 0.0
-        for ax in coord_axes:
-            delay_spec.create_index_map(ax, ssref.index_map[ax])
-        delay_spec.attrs["baseline_axes"] = coord_axes
+        out.spectrum[:] = 0.0
+        _attach_coords(out, first, coords)
         if self.save_samples:
-            delay_spec.add_dataset("spectrum_samples")
-        delay_spec.attrs["freq"] = ssref.freq
-        return delay_spec
+            out.add_dataset("spectrum_samples")
+        out.attrs["freq"] = first.freq
+        return out
 
-    def _evaluate(
-        self, data_view, weight_view, out_cont, delays, channel_ind,
-        indices=None,
-    ):
-        ndata = len(data_view)
+    def _fill_output(self, rows, wrows, out, delays, chans, subset=None):
+        nstream = len(rows)
         ndelay = len(delays)
-        nbase = out_cont.spectrum.shape[-2]
-        initial_S = self._get_prior(nbase, ndelay, delays.dtype)
-        initial_S = (
-            np.identity(ndata)[np.newaxis, ..., np.newaxis]
-            * initial_S[:, np.newaxis, np.newaxis]
+        nrow = out.spectrum.shape[-2]
+        priors = self._initial_spectra(nrow, ndelay, delays.dtype)
+        priors = (
+            np.identity(nstream)[np.newaxis, ..., np.newaxis]
+            * priors[:, np.newaxis, np.newaxis]
         )
-        rng = self.rng
 
-        spectrum = np.asarray(out_cont.spectrum[:])
+        spectrum = np.asarray(out.spectrum[:])
         samples_ds = (
-            np.asarray(out_cont.datasets["spectrum_samples"][:])
+            np.asarray(out.datasets["spectrum_samples"][:])
             if self.save_samples
             else None
         )
 
-        for bi in range(nbase) if indices is None else indices:
-            data = np.array([d[bi] for d in data_view])
-            weight = np.array([w[bi] for w in weight_view])
-            t = self._cut_data(data, weight)
-            if t is None:
+        for bi in range(nrow) if subset is None else subset:
+            block = np.array([r[bi] for r in rows])
+            w_block = np.array([w[bi] for w in wrows])
+            trimmed = self._trim_block(block, w_block)
+            if trimmed is None:
                 continue
-            data, weight, nzf, _ = t
-            spec = delay_spectrum_gibbs_cross(
-                data,
+            block, w, f_keep, _ = trimmed
+            draws = delay_spectrum_gibbs_cross(
+                block,
                 ndelay,
-                weight,
-                initial_S[bi],
-                window=self.window if self.apply_window else None,
-                fsel=channel_ind[nzf],
+                w,
+                priors[bi],
+                window=self._window_name,
+                fsel=chans[f_keep],
                 niter=self.nsamp,
-                rng=rng,
+                rng=self.rng,
             )
-            spec_av = np.median(spec[-(self.nsamp // 2):], axis=0)
-            spectrum[..., bi, :] = np.fft.fftshift(spec_av.real, axes=-1)
+            middle = np.median(draws[-(self.nsamp // 2):], axis=0)
+            spectrum[..., bi, :] = np.fft.fftshift(middle.real, axes=-1)
             if samples_ds is not None:
                 samples_ds[..., bi, :] = np.fft.fftshift(
-                    np.array(spec).real, axes=-1
+                    np.array(draws).real, axes=-1
                 )
 
-        out_cont.spectrum[:] = spectrum
+        out.spectrum[:] = spectrum
         if samples_ds is not None:
-            out_cont.datasets["spectrum_samples"][:] = samples_ds
-        return out_cont
+            out.datasets["spectrum_samples"][:] = samples_ds
+        return out
 
     def process(self, *sslist):
         """Estimate the cross power spectra of several containers."""
         sslist = list(sslist)
-        delays, channel_ind = self._calculate_delays(sslist)
-        data_view, weight_view, coord_axes = self._prepare_inputs(sslist)
-        out_cont = self._create_output(sslist, delays, coord_axes)
-        out_cont.attrs["window_los"] = self.window if self.apply_window else "None"
-        return self._evaluate(data_view, weight_view, out_cont, delays, channel_ind)
+        delays, chans = self._spectral_axis(sslist)
+        rows, wrows, coords = self._gather_rows(sslist)
+        out = self._blank_output(sslist, delays, coords)
+        out.attrs["window_los"] = str(self._window_name)
+        return self._fill_output(rows, wrows, out, delays, chans)
 
 
 class DelayCrossPowerSpectrumEstimatorBatched(DelayCrossPowerSpectrumEstimator):
@@ -970,28 +964,25 @@ class DelayCrossPowerSpectrumEstimatorBatched(DelayCrossPowerSpectrumEstimator):
 
     bchunk = config.int_prop(32)
 
-    def _evaluate(self, data_view, weight_view, out_cont, delays, channel_ind):
+    def _fill_output(self, rows, wrows, out, delays, chans):
         if self.scale_freq or not self.use_average_weights:
             self.log.info(
                 "scale_freq / use_average_weights=False configured: "
                 "taking the per-baseline sampler."
             )
-            return super()._evaluate(
-                data_view, weight_view, out_cont, delays, channel_ind
-            )
+            return super()._fill_output(rows, wrows, out, delays, chans)
 
         ndelay = len(delays)
-        dv = np.stack(data_view, axis=1)  # [nbase, nd, nsample, nfreq]
-        wv = np.stack(weight_view, axis=1)
-        nd = dv.shape[1]
+        dv = np.stack(rows, axis=1)  # [nbase, nd, nsample, nfreq]
+        wv = np.stack(wrows, axis=1)
+        nstream = dv.shape[1]
 
-        # Mirror _cut_data across the batch (common dead-time pruning,
-        # union frequency mask), shared with the auto batched estimator
+        # Mirror the per-baseline trimming across the batch (common
+        # dead-time pruning, union frequency mask), shared with the auto
+        # batched estimator
         masks = _batch_cut_masks(wv > 0, self.time_frac, self.freq_frac)
         if masks is None:
-            return super()._evaluate(
-                data_view, weight_view, out_cont, delays, channel_ind
-            )
+            return super()._fill_output(rows, wrows, out, delays, chans)
         non_zero_time, freq_ok, uniform = masks
 
         rest = np.flatnonzero(~uniform)
@@ -1000,14 +991,7 @@ class DelayCrossPowerSpectrumEstimatorBatched(DelayCrossPowerSpectrumEstimator):
                 f"{len(rest)} baselines have non-uniform frequency masks; "
                 "sampling them per baseline."
             )
-            super()._evaluate(
-                data_view,
-                weight_view,
-                out_cont,
-                delays,
-                channel_ind,
-                indices=rest,
-            )
+            super()._fill_output(rows, wrows, out, delays, chans, subset=rest)
 
         sel = np.flatnonzero(uniform)
         data = dv[sel][..., non_zero_time, :][..., freq_ok]
@@ -1016,26 +1000,26 @@ class DelayCrossPowerSpectrumEstimatorBatched(DelayCrossPowerSpectrumEstimator):
             data = data - data.mean(axis=-2, keepdims=True)
         w = weight.mean(axis=-2) * self.weight_boost  # [bsel, nd, nfreq']
 
-        prior = self._get_prior(len(sel), ndelay, delays.dtype)
-        initial_S = (
-            np.identity(nd)[np.newaxis, ..., np.newaxis]
-            * prior[:, np.newaxis, np.newaxis]
+        priors = self._initial_spectra(len(sel), ndelay, delays.dtype)
+        coupled = (
+            np.identity(nstream)[np.newaxis, ..., np.newaxis]
+            * priors[:, np.newaxis, np.newaxis]
         )
-        samples = delay_spectrum_gibbs_cross_batched(
+        draws = delay_spectrum_gibbs_cross_batched(
             data,
             ndelay,
             w,
-            initial_S,
-            window=self.window if self.apply_window else None,
-            fsel=channel_ind[freq_ok],
+            coupled,
+            window=self._window_name,
+            fsel=chans[freq_ok],
             niter=self.nsamp,
             key=self.next_key(),
             bchunk=self.bchunk,
         )  # [niter, bsel, nd, nd, ndelay]
 
-        nsamp_spec = int(self.nsamp * self.median_frac)
+        keep = int(self.nsamp * self.median_frac)
         spec = np.fft.fftshift(
-            np.median(samples[-nsamp_spec:], axis=0).real, axes=-1
+            np.median(draws[-keep:], axis=0).real, axes=-1
         )  # [bsel, nd, nd, ndelay]
 
         # The coupled system's condition number is ~1 + S_prior x nfreq
@@ -1050,30 +1034,25 @@ class DelayCrossPowerSpectrumEstimatorBatched(DelayCrossPowerSpectrumEstimator):
             )
             spec = np.where(bad[:, None, None, None], 0.0, spec)
 
-        spectrum = np.asarray(out_cont.spectrum[:])
+        spectrum = np.asarray(out.spectrum[:])
         spectrum[..., sel, :] = np.moveaxis(spec, 0, -2)
-        out_cont.spectrum[:] = spectrum
+        out.spectrum[:] = spectrum
 
         if self.save_samples:
             good = sel[~bad]
-            sd = np.asarray(out_cont.datasets["spectrum_samples"][:])
-            sd[-len(samples):][..., good, :] = np.fft.fftshift(
-                np.moveaxis(samples.real, 1, -2), axes=-1
+            sd = np.asarray(out.datasets["spectrum_samples"][:])
+            sd[-len(draws):][..., good, :] = np.fft.fftshift(
+                np.moveaxis(draws.real, 1, -2), axes=-1
             )[..., ~bad, :]
-            out_cont.datasets["spectrum_samples"][:] = sd
+            out.datasets["spectrum_samples"][:] = sd
 
         if bad.any():
             # the fallback overwrites the zeroed spectra (and samples)
             # of the chains the f32 factorisation could not handle
-            super()._evaluate(
-                data_view,
-                weight_view,
-                out_cont,
-                delays,
-                channel_ind,
-                indices=sel[bad],
+            super()._fill_output(
+                rows, wrows, out, delays, chans, subset=sel[bad]
             )
-        return out_cont
+        return out
 
 
 class DelayPowerSpectrumStokesIEstimator(DelayPowerSpectrumGibbs):
