@@ -8,11 +8,34 @@ the vectorised gather kernel in :func:`draco_tpu.ops.tools.apply_gain`.
 from __future__ import annotations
 
 import numpy as np
-from scipy.ndimage import median_filter
 
 from ..core import config, containers
 from ..core.task import ContainerTask
 from ..ops import tools
+
+# Gain containers resolved over the stack axis rather than per input
+_COMMON_MODE = (
+    containers.CommonModeGainData,
+    containers.CommonModeSiderealGainData,
+)
+# Gain containers carrying a sidereal (RA) sample axis
+_SIDEREAL = (
+    containers.SiderealGainData,
+    containers.CommonModeSiderealGainData,
+)
+
+
+def _sample_axis_check(gain, tstream):
+    """Raise when the gain and stream sample grids differ."""
+    if isinstance(gain, _SIDEREAL):
+        if (gain.ra != tstream.ra).any():
+            raise RuntimeError(
+                "Gain and sidereal stream sample different RA points."
+            )
+    elif (gain.time != tstream.time).any():
+        raise RuntimeError(
+            "Gain and timestream sample different time points."
+        )
 
 
 class ApplyGain(ContainerTask):
@@ -34,98 +57,80 @@ class ApplyGain(ContainerTask):
     update_weight = config.bool_prop(False)
     smoothing_length = config.float_prop(None)
 
+    def _load_gain(self, gain, tstream):
+        """Extract (gain values, gain weights) broadcastable over time."""
+        if isinstance(gain, containers.StaticGainData):
+            g = np.asarray(gain.gain[:])[..., np.newaxis]
+            gw = gain.weight
+            return g, (np.asarray(gw[:])[..., np.newaxis] if gw is not None else None)
+
+        known = (
+            containers.GainData,
+            containers.SiderealGainData,
+        ) + _COMMON_MODE
+        if not isinstance(gain, known):
+            raise RuntimeError("Unrecognised gain container layout.")
+
+        g = np.nan_to_num(np.asarray(gain.gain[:]))
+        gw = None if gain.weight is None else np.asarray(gain.weight[:])
+        _sample_axis_check(gain, tstream)
+        if self.smoothing_length is not None and not isinstance(
+            gain, _SIDEREAL
+        ):
+            g, gw = self._smooth(g, gw, gain)
+        return g, gw
+
     def process(self, tstream, gain):
         tstream.redistribute("freq")
         gain.redistribute("freq")
 
-        common = isinstance(
-            gain,
-            (containers.CommonModeGainData, containers.CommonModeSiderealGainData),
-        )
+        common = isinstance(gain, _COMMON_MODE)
         if tstream.is_stacked and not common:
             raise ValueError(
                 f"Per-input gains cannot be pushed onto stacked data ({tstream!s})"
             )
 
-        if isinstance(gain, containers.StaticGainData):
-            gain_arr = np.asarray(gain.gain[:])[..., np.newaxis]
-            weight_arr = (
-                np.asarray(gain.weight[:])[..., np.newaxis]
-                if gain.weight is not None
-                else None
-            )
-        elif isinstance(
-            gain,
-            (
-                containers.GainData,
-                containers.SiderealGainData,
-                containers.CommonModeGainData,
-                containers.CommonModeSiderealGainData,
-            ),
-        ):
-            gain_arr = np.nan_to_num(np.asarray(gain.gain[:]))
-            weight_arr = (
-                np.asarray(gain.weight[:]) if gain.weight is not None else None
-            )
-            if isinstance(
-                gain,
-                (containers.SiderealGainData, containers.CommonModeSiderealGainData),
-            ):
-                if (gain.ra != tstream.ra).any():
-                    raise RuntimeError(
-                        "Gain data and sidereal stream defined at different "
-                        "RA samples."
-                    )
-            else:
-                if (gain.time != tstream.time).any():
-                    raise RuntimeError(
-                        "Gain data and timestream defined at different time "
-                        "samples."
-                    )
-                if self.smoothing_length is not None:
-                    gain_arr, weight_arr = self._smooth(gain_arr, weight_arr, gain)
-        else:
-            raise RuntimeError("Unrecognised gain container layout.")
-
-        gain_arr = np.nan_to_num(gain_arr)
-        inverse_gain_arr = tools.invert_no_zero(gain_arr)
+        g, gw = self._load_gain(gain, tstream)
+        g = np.nan_to_num(g)
+        g_inv = tools.invert_no_zero(g)
 
         self.log.info(
             "Applying inverse gain." if self.inverse else "Applying gain."
         )
-        gvis = inverse_gain_arr if self.inverse else gain_arr
-        vis = np.asarray(tstream.vis[:])
-        if common:
-            vis = vis * np.abs(gvis[:, np.newaxis, :]) ** 2
-        else:
-            vis = np.asarray(
-                tools.apply_gain(vis, gvis, prod_map=tstream.prod)
-            )
+
+        def rescale(values, factor, power):
+            if common:
+                return values * np.abs(factor[:, np.newaxis, :]) ** power
+            out = tools.apply_gain(values, factor, prod_map=tstream.prod)
+            return np.asarray(out)
+
+        vis = rescale(np.asarray(tstream.vis[:]), g_inv if self.inverse else g, 2)
         tstream.vis[:] = vis.astype(tstream.vis.dtype)
 
         if self.update_weight:
             self.log.info("Applying gain to weight.")
-            gweight = np.abs(gain_arr if self.inverse else inverse_gain_arr) ** 2
+            wfac = np.abs(g if self.inverse else g_inv) ** 2
         else:
-            gweight = np.ones_like(gain_arr, dtype=np.float64)
-        if weight_arr is not None:
-            gweight = gweight * (weight_arr > 0.0).astype(np.float64)
+            wfac = np.ones_like(g, dtype=np.float64)
+        if gw is not None:
+            wfac = wfac * (gw > 0.0)
 
-        w = np.asarray(tstream.weight[:])
         if common:
-            w = w * gweight[:, np.newaxis, :] ** 2
+            w = np.asarray(tstream.weight[:]) * wfac[:, np.newaxis, :] ** 2
         else:
             w = np.asarray(
-                tools.apply_gain(w, gweight, prod_map=tstream.prod)
+                tools.apply_gain(
+                    np.asarray(tstream.weight[:]), wfac, prod_map=tstream.prod
+                )
             ).real
         tstream.weight[:] = w.astype(tstream.weight.dtype)
 
-        convert_units_to = gain.gain.attrs.get("convert_units_to")
-        if convert_units_to is not None:
-            tstream.vis.attrs["units"] = convert_units_to
+        new_units = gain.gain.attrs.get("convert_units_to")
+        if new_units is not None:
+            tstream.vis.attrs["units"] = new_units
         return tstream
 
-    def _smooth(self, gain_arr, weight_arr, gain):
+    def _smooth(self, g, gw, gain):
         """WEIGHTED median smoothing of amplitude/phase over time.
 
         (reference :102-139, caput median.moving_weighted_median):
@@ -137,28 +142,28 @@ class ApplyGain(ContainerTask):
         """
         from ..ops.median import moving_weighted_median
 
-        tdiff = gain.time[1] - gain.time[0]
-        samp = int(np.ceil(self.smoothing_length / tdiff))
-        size = 2 * (samp // 2) + 1
-        shp = gain_arr.shape
-        gain_r = gain_arr.reshape(-1, shp[-1])
-        if weight_arr is not None:
-            wmed = (weight_arr.reshape(-1, shp[-1]) > 0).astype(np.float64)
-        else:
-            wmed = np.ones_like(gain_r, dtype=np.float64)
-        smooth_amp = np.asarray(
-            moving_weighted_median(np.abs(gain_r), wmed, (1, size))
+        cadence = gain.time[1] - gain.time[0]
+        half = int(np.ceil(self.smoothing_length / cadence)) // 2
+        window = (1, 2 * half + 1)
+
+        ntime = g.shape[-1]
+        rows = g.reshape(-1, ntime)
+        flags = (
+            np.ones(rows.shape, dtype=np.float64)
+            if gw is None
+            else (gw.reshape(-1, ntime) > 0) * 1.0
         )
-        smooth_phase = np.asarray(
-            moving_weighted_median(np.angle(gain_r), wmed, (1, size))
+
+        amp = np.asarray(moving_weighted_median(np.abs(rows), flags, window))
+        phase = np.asarray(
+            moving_weighted_median(np.angle(rows), flags, window)
         )
-        gain_arr = (smooth_amp * np.exp(1.0j * smooth_phase)).reshape(shp)
-        if weight_arr is not None:
-            wshp = weight_arr.shape
-            weight_arr = np.asarray(
-                moving_weighted_median(
-                    weight_arr.reshape(-1, wshp[-1]), wmed, (1, size)
-                )
-            ).reshape(wshp)
-            weight_arr[wmed.reshape(wshp) == 0] = 0.0
-        return gain_arr, weight_arr
+        g = (amp * np.exp(1.0j * phase)).reshape(g.shape)
+
+        if gw is not None:
+            shape = gw.shape
+            gw = np.asarray(
+                moving_weighted_median(gw.reshape(-1, ntime), flags, window)
+            ).reshape(shape)
+            gw[flags.reshape(shape) == 0] = 0.0
+        return g, gw

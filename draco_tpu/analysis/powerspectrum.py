@@ -14,6 +14,31 @@ from ..core import config, containers
 from ..core.task import ContainerTask
 
 
+def _unwindowed_mixing(fisher):
+    return la.pinv(fisher, rtol=1e-8)
+
+
+def _uncorrelated_mixing(fisher):
+    root = la.cholesky(fisher)
+    return la.inv(root) / root.sum(axis=1)[:, np.newaxis]
+
+
+def _minvar_mixing(fisher):
+    # a zero Fisher row means the band is unconstrained: its
+    # normalisation is ZERO (passing 1.0 would write the raw
+    # q - bias through as a plausible-looking band power)
+    rowsum = fisher.sum(axis=1)
+    safe = np.where(rowsum == 0, 1.0, rowsum)
+    return np.diag(np.where(rowsum == 0, 0.0, 1.0 / safe))
+
+
+_MIXING = {
+    "unwindowed": _unwindowed_mixing,
+    "uncorrelated": _uncorrelated_mixing,
+    "minimum_variance": _minvar_mixing,
+}
+
+
 class QuadraticPSEstimation(ContainerTask):
     """Estimate a 2D band power spectrum from KLModes.
 
@@ -27,9 +52,7 @@ class QuadraticPSEstimation(ContainerTask):
     """
 
     psname = config.str_prop("ps")
-    pstype = config.enum(
-        ["unwindowed", "minimum_variance", "uncorrelated"], default="unwindowed"
-    )
+    pstype = config.enum(sorted(_MIXING), default="unwindowed")
 
     def setup(self, manager):
         self.manager = manager
@@ -40,39 +63,24 @@ class QuadraticPSEstimation(ContainerTask):
                 f"A KLModes container is required here, "
                 f"not {klmodes.__class__!s}"
             )
-        pse = self.manager.psestimators[self.psname]
-        pse.genbands()
+        estimator = self.manager.psestimators[self.psname]
+        estimator.genbands()
 
-        vis = np.asarray(klmodes.vis[:])
-        nmode = np.asarray(klmodes.nmode[:])
         # one batched device contraction over every m at once
-        q = pse.q_estimator_all(vis, nmode)
-
-        fisher, bias = pse.fisher_bias()
-
-        ps = containers.Powerspectrum2D(
-            kperp_edges=pse.kperp_bands, kpar_edges=pse.kpar_bands
+        q = estimator.q_estimator_all(
+            np.asarray(klmodes.vis[:]), np.asarray(klmodes.nmode[:])
         )
-        npar = len(ps.index_map["kpar"])
-        nperp = len(ps.index_map["kperp"])
+        fisher, bias = estimator.fisher_bias()
+        bands = _MIXING[self.pstype](fisher) @ (q - bias)
 
-        if self.pstype == "unwindowed":
-            M = la.pinv(fisher, rtol=1e-8)
-        elif self.pstype == "uncorrelated":
-            Fh = la.cholesky(fisher)
-            M = la.inv(Fh) / Fh.sum(axis=1)[:, np.newaxis]
-        else:  # minimum_variance
-            # a zero Fisher row means the band is unconstrained: its
-            # normalisation is ZERO (passing 1.0 would write the raw
-            # q - bias through as a plausible-looking band power)
-            rs = fisher.sum(axis=1)
-            M = np.diag(np.where(rs == 0, 0.0, 1.0 / np.where(rs == 0, 1, rs)))
-
-        # q is indexed [kpar-band, kperp-band] flattened; reshape to
-        # (nperp, npar) for the container layout
-        power = (M @ (q - bias)).reshape(npar, nperp).T
-        ps.powerspectrum[:] = power
-        ps.C_inv[:] = fisher.reshape(npar, nperp, npar, nperp).transpose(
+        out = containers.Powerspectrum2D(
+            kperp_edges=estimator.kperp_bands,
+            kpar_edges=estimator.kpar_bands,
+        )
+        npar, nperp = (len(out.index_map[k]) for k in ("kpar", "kperp"))
+        # band index runs kpar-major; the container stores [kperp, kpar]
+        out.powerspectrum[:] = bands.reshape(npar, nperp).T
+        out.C_inv[:] = fisher.reshape(npar, nperp, npar, nperp).transpose(
             1, 0, 3, 2
         )
-        return ps
+        return out
