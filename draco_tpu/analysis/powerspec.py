@@ -108,14 +108,11 @@ class TransformJyPerBeamToKelvin(ContainerTask):
         return out_map
 
     def _get_max_baseline(self):
-        prod = self.telescope.prodstack
-        baselines = (
-            self.telescope.feedpositions[prod["input_a"], :]
-            - self.telescope.feedpositions[prod["input_b"], :]
-        )
-        xind = find_grid_indices(baselines)[0]
-        baselines = baselines[xind <= self.ncyl]
-        return np.sqrt(np.sum(baselines**2, axis=-1)).max()
+        pos = self.telescope.feedpositions
+        pairs = self.telescope.prodstack
+        sep = pos[pairs["input_a"], :] - pos[pairs["input_b"], :]
+        near = find_grid_indices(sep)[0] <= self.ncyl
+        return np.linalg.norm(sep[near], axis=-1).max()
 
 
 class ConstructWienerDelayTransform(ContainerTask):
@@ -153,22 +150,26 @@ class ConstructWienerDelayTransform(ContainerTask):
         npol, nfreq, nra, nel = data.weight.shape
 
         freq = np.asarray(data.freq)
-        dfreq = np.median(np.abs(np.diff(freq)))
-
         window = self._get_window(freq)
         win_mask = window > 0
 
-        ntau = int(np.sum(win_mask))
-        tau = np.fft.fftshift(np.fft.fftfreq(ntau, d=dfreq))
-        tau = tau[tau >= 0.0]
+        # Non-negative delay grid over the windowed band
+        ntau = int(win_mask.sum())
+        grid = np.fft.fftshift(
+            np.fft.fftfreq(ntau, d=np.median(np.abs(np.diff(freq))))
+        )
+        tau = grid[grid >= 0.0]
 
         out = containers.DelayTransformOperator(
             delay=tau, axes_from=data, attrs_from=data
         )
         D = np.zeros(out.filter.shape, dtype=out.filter.dtype)
 
-        for attr in ["window", "window_lower_freq", "window_upper_freq"]:
-            out.attrs[attr] = getattr(self, attr)
+        out.attrs.update(
+            window=self.window,
+            window_lower_freq=self.window_lower_freq,
+            window_upper_freq=self.window_upper_freq,
+        )
 
         # Delay -> frequency DFT operator
         F = np.exp(2.0j * np.pi * np.outer(freq, tau)) / np.sqrt(ntau)
@@ -210,25 +211,27 @@ class ConstructWienerDelayTransform(ContainerTask):
 
     def _get_prior(self, delay):
         """Exponential-decay delay prior (reference powerspec.py:328)."""
-        return self.prior_amp * np.exp(
-            -2.0 * np.pi * self.prior_scale * np.abs(delay)
-        )
+        decay = 2.0 * np.pi * self.prior_scale
+        return self.prior_amp * np.exp(-decay * np.abs(delay))
 
     def _get_window(self, freq):
         """Spectral window over the configured band (reference :344)."""
-        frng = np.percentile(freq, [0, 100])
-        if self.window_lower_freq is not None:
-            frng[0] = self.window_lower_freq
-        if self.window_upper_freq is not None:
-            frng[1] = self.window_upper_freq
-
-        self.log.info(
-            f"Windowing ({self.window}) the band "
-            f"{frng[0]:0.2f}-{frng[1]:0.2f} MHz."
+        lo = (
+            freq.min()
+            if self.window_lower_freq is None
+            else self.window_lower_freq
         )
-
-        x = (freq - frng[0]) / (frng[1] - frng[0])
-        return np.asarray(window_generalised(x, window=self.window))
+        hi = (
+            freq.max()
+            if self.window_upper_freq is None
+            else self.window_upper_freq
+        )
+        self.log.info(
+            f"Windowing ({self.window}) the band {lo:0.2f}-{hi:0.2f} MHz."
+        )
+        return np.asarray(
+            window_generalised((freq - lo) / (hi - lo), window=self.window)
+        )
 
 
 @jax.jit
@@ -277,15 +280,14 @@ class ApplyWienerDelayTransform(ContainerTask):
         )
         out.add_dataset("weight")
 
-        bl_axes = np.array(["pol", "el"])
-        for ax in bl_axes:
-            out.create_index_map(ax, data.index_map[ax])
-        out.attrs["baseline_axes"] = bl_axes
+        out.create_index_map("pol", data.index_map["pol"])
+        out.create_index_map("el", data.index_map["el"])
+        out.attrs["baseline_axes"] = np.array(["pol", "el"])
         out.attrs["freq"] = np.asarray(data.freq)
-        for attr in ["window", "window_lower_freq", "window_upper_freq"]:
-            out.attrs[attr.replace("window", "window_los")] = operator.attrs[
-                attr
-            ]
+        # carry the operator's window provenance under window_los* names
+        for src in ("window", "window_lower_freq", "window_upper_freq"):
+            dst = src.replace("window", "window_los")
+            out.attrs[dst] = operator.attrs[src]
 
         weight = jnp.asarray(np.asarray(data.weight[:]))
         maps = jnp.asarray(np.asarray(data.map[:])[0])
@@ -397,61 +399,54 @@ class SpatialTransformDelayMap(ContainerTask):
 
         delay = np.asarray(ds.index_map["delay"])
         el = np.asarray(ds.index_map["el"])
-        pol = ds.index_map["pol"]
         ra = np.asarray(ds.index_map["sample"])
         dec = self.tel.latitude + np.degrees(np.arcsin(el))
         freq = np.asarray(ds.attrs["freq"])
         wl = C_LIGHT / (freq * 1e6)
 
-        # Unpack the baseline axis into (pol, el), reshape to
-        # (pol, delay, ra, el)
-        axes = list(ds.attrs["baseline_axes"])
-        shp = tuple(len(ds.index_map[ax]) for ax in axes)
-        data_view = np.asarray(ds.spectrum[:]).reshape(*shp, ra.size, -1)
-        if "beam" in axes:
-            bind = axes.index("beam")
-            data_view = data_view[(slice(None),) * bind + (0,)]
-        data_view = np.swapaxes(data_view, 1, 3)  # (pol, delay, ra, el)
+        cube = self._unpack_spectrum(ds, ra.size)
 
         nu_c = freq[freq.size // 2]
-        redshift = NU21 / nu_c - 1
+        redshift = f2z(nu_c)
         kx, ky, u, v, kpara = get_fourier_modes(
             ra, dec, delay * 1e-6, redshift, self.cosmology
         )
 
-        uv_mask = spatial_mask(
-            kx, ky, self.ew_min, self.ew_max, self.ns_bl,
-            wl.min(), wl.max(), redshift, self.cosmology,
-        )
-
-        vol_cube = vol_normalization(ra, dec, freq, redshift, self.cosmology)
+        taper = self.spatial_window if self.apply_spatial_window else None
 
         vis_cube = containers.SpatialDelayCube(
             u=u, v=v, attrs_from=ds, axes_from=ds, cosmology=self.cosmology
         )
         vis_cube.kx[:] = kx
         vis_cube.ky[:] = ky
-        vis_cube.uv_mask[:] = uv_mask
         vis_cube.kpara[:] = kpara
-
-        vis_cube.attrs["freq_center"] = nu_c
-        vis_cube.attrs["redshift"] = redshift
-        vis_cube.attrs["volume"] = vol_cube
-        vis_cube.attrs["window_spatial"] = (
-            self.spatial_window if self.apply_spatial_window else "None"
+        vis_cube.uv_mask[:] = spatial_mask(
+            kx, ky, self.ew_min, self.ew_max, self.ns_bl,
+            wl.min(), wl.max(), redshift, self.cosmology,
         )
 
         # One batched FFT over all (pol, delay)
-        data_uv, NEB_ra, NEB_dec = image_to_uv(
-            data_view, ra=ra, dec=dec,
-            window=self.spatial_window if self.apply_spatial_window else None,
-        )
+        data_uv, NEB_ra, NEB_dec = image_to_uv(cube, ra=ra, dec=dec, window=taper)
         vis_cube.vis[:] = np.asarray(data_uv).astype(vis_cube.vis.dtype)
 
-        vis_cube.attrs["effective_ra"] = NEB_ra
-        vis_cube.attrs["effective_dec"] = NEB_dec
-
+        vis_cube.attrs.update(
+            freq_center=nu_c,
+            redshift=redshift,
+            volume=vol_normalization(ra, dec, freq, redshift, self.cosmology),
+            window_spatial=str(taper),
+            effective_ra=NEB_ra,
+            effective_dec=NEB_dec,
+        )
         return vis_cube
+
+    def _unpack_spectrum(self, ds, nra):
+        """Spectrum as a (pol, delay, ra, el) cube (beam axis sliced at 0)."""
+        axes = list(ds.attrs["baseline_axes"])
+        lead = tuple(len(ds.index_map[ax]) for ax in axes)
+        cube = np.asarray(ds.spectrum[:]).reshape(*lead, nra, -1)
+        if "beam" in axes:
+            cube = cube[(slice(None),) * axes.index("beam") + (0,)]
+        return np.swapaxes(cube, 1, 3)
 
 
 class CrossPowerSpectrum3D(ContainerTask):
@@ -551,9 +546,9 @@ class CylindricalPowerSpectrum2D(ContainerTask):
     logbins_2D = config.bool_prop(False)
     delay_cut = config.float_prop(300.0e-9)
 
-    def setup(self, weight=None):
+    def setup(self, noise_ps=None):
         """Optional 1-sigma noise power spectrum used as inverse variance."""
-        self.weight = weight
+        self.noise_ps = noise_ps
 
     def process(self, ps):
         """Bin |k_perp| cylindrically for every (pol, delay)."""
@@ -575,78 +570,63 @@ class CylindricalPowerSpectrum2D(ContainerTask):
         nu_c = ps.attrs["freq_center"]
         wl = C_LIGHT / (nu_c * 1e6)
 
-        u_min_lambda = self.bl_min / wl
-        u_max_lambda = self.bl_max / wl
-        kperp_min = u_to_kperp(u_min_lambda, redshift, cosmo)
-        kperp_max = u_to_kperp(u_max_lambda, redshift, cosmo)
-
-        if self.logbins_2D:
-            kperp = np.logspace(
-                np.log10(kperp_min), np.log10(kperp_max), self.Nbins_2D
-            )
-        else:
-            kperp = np.linspace(kperp_min, kperp_max, self.Nbins_2D)
-
-        kperp_cent = 0.5 * (kperp[1:] + kperp[:-1])
-        uv_dist = kperp_to_u(kperp_cent, redshift, cosmo)
+        u_lo = self.bl_min / wl
+        u_hi = self.bl_max / wl
+        edges = _k_edges(
+            u_to_kperp(u_lo, redshift, cosmo),
+            u_to_kperp(u_hi, redshift, cosmo),
+            self.Nbins_2D,
+            self.logbins_2D,
+        )
+        centres = 0.5 * (edges[1:] + edges[:-1])
 
         ps_3D = np.asarray(ps.spectrum[:])
-        if self.weight is None:
-            weight = np.ones(ps_3D.shape, dtype=float)
-        else:
-            weight = np.asarray(
-                invert_no_zero(np.abs(np.asarray(self.weight.spectrum[:])) ** 2)
-            )
+        weight = self._inverse_variance(ps_3D.shape)
 
         pspec_2D = containers.PowerSpectrum2D(
-            pol=pol, delay=delay, uv_dist=uv_dist, attrs_from=ps,
+            pol=pol,
+            delay=delay,
+            uv_dist=kperp_to_u(centres, redshift, cosmo),
+            attrs_from=ps,
             cosmology=cosmo,
         )
         pspec_2D.kpara[:] = kpara
-        pspec_2D.kperp[:] = kperp_cent
+        pspec_2D.kperp[:] = centres
         pspec_2D.attrs["delay_cut"] = self.delay_cut
 
         # Flatten uv (common for all pol/delay), mask and bin once
         flat, uu, vv = reshape_data_cube(
-            np.broadcast_to(uv_mask, ps_3D.shape[-2:]),
-            u, v, u_min_lambda, u_max_lambda,
+            np.broadcast_to(uv_mask, ps_3D.shape[-2:]), u, v, u_lo, u_hi
         )
-        mask_flat = flat.astype(bool)
+        radius = np.hypot(
+            u_to_kperp(uu, redshift, cosmo), u_to_kperp(vv, redshift, cosmo)
+        )
+        raw_bin = np.digitize(radius, bins=edges)
+        nbins = len(edges) - 1
+        keep = flat.astype(bool) & (raw_bin >= 1) & (raw_bin <= nbins)
+        bidx = raw_bin[keep] - 1
 
-        ku = u_to_kperp(uu, redshift, cosmo)
-        kv = u_to_kperp(vv, redshift, cosmo)
-        ru = np.sqrt(ku**2 + kv**2)
-        bin_indx = np.digitize(ru, bins=kperp)
-        nbins = len(kperp) - 1
+        bl_idx, _, _ = baseline_mask(u, v, u_lo, u_hi)
 
-        bl_idx, _, _ = baseline_mask(u, v, u_min_lambda, u_max_lambda)
+        # One flat bincount per (pol, delay) plane via offset bins
+        ndelay = ps_3D.shape[1]
+        planes = np.arange(ndelay)[:, np.newaxis] * nbins + bidx
+
+        def binned(rows):
+            return np.bincount(
+                planes.ravel(), weights=rows.ravel(), minlength=ndelay * nbins
+            ).reshape(ndelay, nbins)
 
         spec2d = np.zeros(pspec_2D.spectrum.shape, dtype=np.complex128)
         w2d = np.zeros(pspec_2D.weight.shape)
         neff2d = np.zeros(pspec_2D.neff.shape)
-
-        sel = mask_flat & (bin_indx >= 1) & (bin_indx <= nbins)
-        bidx = bin_indx[sel] - 1
-
         for pp in range(len(pol)):
-            d = ps_3D[pp][:, bl_idx][:, sel]  # (ndelay, nsel)
-            w = weight[pp][:, bl_idx][:, sel]
-
-            wsum = np.array(
-                [np.bincount(bidx, weights=w[dd], minlength=nbins)
-                 for dd in range(d.shape[0])]
-            )
-            wp = np.array(
-                [np.bincount(bidx, weights=(w[dd] * d[dd]).real, minlength=nbins)
-                 for dd in range(d.shape[0])]
-            )
-            w2sum = np.array(
-                [np.bincount(bidx, weights=w[dd] ** 2, minlength=nbins)
-                 for dd in range(d.shape[0])]
-            )
+            d = ps_3D[pp][:, bl_idx][:, keep]  # (ndelay, nsel)
+            w = weight[pp][:, bl_idx][:, keep]
+            wsum = binned(w)
             with np.errstate(divide="ignore", invalid="ignore"):
-                spec2d[pp] = wp / wsum
-                neff2d[pp] = wsum**2 / w2sum
+                spec2d[pp] = binned((w * d).real) / wsum
+                neff2d[pp] = wsum**2 / binned(w**2)
             w2d[pp] = wsum
 
         pspec_2D.spectrum[:] = spec2d
@@ -660,6 +640,13 @@ class CylindricalPowerSpectrum2D(ContainerTask):
         pspec_2D.mask[:] = mask
 
         return pspec_2D
+
+    def _inverse_variance(self, shape):
+        """Inverse-variance weights from the optional noise PS."""
+        if self.noise_ps is None:
+            return np.ones(shape, dtype=float)
+        noise = np.abs(np.asarray(self.noise_ps.spectrum[:]))
+        return np.asarray(invert_no_zero(noise**2))
 
 
 class SphericalPowerSpectrum2Dto1D(ContainerTask):
@@ -708,14 +695,8 @@ class SphericalPowerSpectrum2Dto1D(ContainerTask):
             cosmology=_resolve_cosmo(ps2D.cosmology),
         )
 
-        k1 = np.zeros(pspec_1D.k1D.shape)
-        s1 = np.zeros(pspec_1D.spectrum.shape, dtype=np.complex128)
-        sv1 = np.zeros(pspec_1D.samp_var.shape)
-        v1 = np.zeros(pspec_1D.var.shape)
-        n1 = np.zeros(pspec_1D.neff.shape)
-
-        for pp in range(len(pol)):
-            k1[pp], s1[pp], sv1[pp], v1[pp], n1[pp] = get_1d_ps(
+        per_pol = [
+            get_1d_ps(
                 ps_2D[pp], kperp, kpara,
                 signal_window=mask_2D[pp],
                 kbins=kbins,
@@ -723,13 +704,9 @@ class SphericalPowerSpectrum2Dto1D(ContainerTask):
                 weight_cube=weight_2D[pp],
                 logbins_3D=self.logbins_3D,
             )
-
-        pspec_1D.k1D[:] = k1
-        pspec_1D.spectrum[:] = s1
-        pspec_1D.samp_var[:] = sv1
-        pspec_1D.var[:] = v1
-        pspec_1D.neff[:] = n1
-
+            for pp in range(len(pol))
+        ]
+        _store_1d(pspec_1D, per_pol)
         return pspec_1D
 
 
@@ -755,9 +732,9 @@ class SphericalPowerSpectrum3Dto1D(ContainerTask):
     logbins_3D = config.bool_prop(True)
     delay_cut = config.float_prop(300.0e-9)
 
-    def setup(self, weight=None):
+    def setup(self, noise_ps=None):
         """Optional 1-sigma noise power spectrum used as inverse variance."""
-        self.weight = weight
+        self.noise_ps = noise_ps
 
     def process(self, ps):
         """Flatten uv, mask, and bin |k| per polarisation."""
@@ -774,67 +751,49 @@ class SphericalPowerSpectrum3Dto1D(ContainerTask):
         v = np.asarray(ps.index_map["v"])
         uv_mask = np.asarray(ps.uv_mask[:])
         redshift = ps.attrs["redshift"]
-        nu_c = ps.attrs["freq_center"]
-        wl = C_LIGHT / (nu_c * 1e6)
+        wl = C_LIGHT / (ps.attrs["freq_center"] * 1e6)
 
-        u_min_lambda = self.bl_min / wl
-        u_max_lambda = self.bl_max / wl
+        u_lo = self.bl_min / wl
+        u_hi = self.bl_max / wl
 
         ps_3D = np.asarray(ps.spectrum[:])
-        if self.weight is None:
-            weight = np.ones(ps_3D.shape, dtype=float)
-        else:
-            weight = np.asarray(
-                invert_no_zero(np.abs(np.asarray(self.weight.spectrum[:])) ** 2)
-            )
+        weight = CylindricalPowerSpectrum2D._inverse_variance(
+            self, ps_3D.shape
+        )
 
         pspec_1D = containers.PowerSpectrum1D(
             k=self.Nbins_3D - 1, axes_from=ps, attrs_from=ps, cosmology=cosmo
         )
 
-        m_flat, uu_flat, vv_flat = reshape_data_cube(
-            uv_mask, u, v, u_min_lambda, u_max_lambda
-        )
+        m_flat, uu_flat, vv_flat = reshape_data_cube(uv_mask, u, v, u_lo, u_hi)
         m_flat = m_flat.astype(bool)
+        bl_idx, _, _ = baseline_mask(u, v, u_lo, u_hi)
 
-        bl_idx, _, _ = baseline_mask(u, v, u_min_lambda, u_max_lambda)
+        kperp = np.hypot(
+            u_to_kperp(uu_flat[m_flat], redshift, cosmo),
+            u_to_kperp(vv_flat[m_flat], redshift, cosmo),
+        )
 
-        uu_flat = uu_flat[m_flat]
-        vv_flat = vv_flat[m_flat]
+        # Mask delays inside the cut out of the signal window (same for
+        # every pol)
+        window = np.ones((kpara.size, int(m_flat.sum())), dtype=bool)
+        if self.delay_cut > 0.0:
+            kpar_lim = delays_to_kpara(self.delay_cut, redshift, cosmo)
+            window[kpara < kpar_lim, :] = False
 
-        ku = u_to_kperp(uu_flat, redshift, cosmo)
-        kv = u_to_kperp(vv_flat, redshift, cosmo)
-        kperp = np.sqrt(ku**2 + kv**2)
-
-        k1 = np.zeros(pspec_1D.k1D.shape)
-        s1 = np.zeros(pspec_1D.spectrum.shape, dtype=np.complex128)
-        sv1 = np.zeros(pspec_1D.samp_var.shape)
-        v1 = np.zeros(pspec_1D.var.shape)
-        n1 = np.zeros(pspec_1D.neff.shape)
-
-        for pp in range(len(pol)):
-            ps3D_flat = ps_3D[pp][:, bl_idx][:, m_flat]
-            weight_flat = weight[pp][:, bl_idx][:, m_flat]
-
-            signal_mask = np.ones_like(ps3D_flat, dtype=bool)
-            if self.delay_cut > 0.0:
-                kpar_lim = delays_to_kpara(self.delay_cut, redshift, cosmo)
-                signal_mask[kpara < kpar_lim, :] = False
-
-            k1[pp], s1[pp], sv1[pp], v1[pp], n1[pp] = get_1d_ps(
-                ps3D_flat, kperp, kpara,
-                signal_window=signal_mask,
+        per_pol = [
+            get_1d_ps(
+                ps_3D[pp][:, bl_idx][:, m_flat],
+                kperp,
+                kpara,
+                signal_window=window,
                 Nbins_3D=self.Nbins_3D,
-                weight_cube=weight_flat,
+                weight_cube=weight[pp][:, bl_idx][:, m_flat],
                 logbins_3D=self.logbins_3D,
             )
-
-        pspec_1D.k1D[:] = k1
-        pspec_1D.spectrum[:] = s1
-        pspec_1D.samp_var[:] = sv1
-        pspec_1D.var[:] = v1
-        pspec_1D.neff[:] = n1
-
+            for pp in range(len(pol))
+        ]
+        _store_1d(pspec_1D, per_pol)
         return pspec_1D
 
 
@@ -855,29 +814,26 @@ def z2f(z):
 
 def dRperp_dtheta(z, cosmo=None):
     """Transverse comoving distance per radian, [h^-1 Mpc / rad]."""
-    if cosmo is None:
-        cosmo = get_cosmo()
-    return cosmo.comoving_distance_h(z)
+    return (cosmo or get_cosmo()).comoving_distance_h(z)
 
 
 def dRpara_df(z, cosmo=None):
     """Radial comoving distance per Hz, [h^-1 Mpc / Hz] (Liu+14 Eq. A9)."""
-    if cosmo is None:
-        cosmo = get_cosmo()
-    # H(z) in (km*h) / (Mpc*s): H[km/s/Mpc] * (100 / H0) * ... = 100 E(z)
-    h = cosmo.H0 / 100.0
-    H_z = cosmo.H(z) / h  # km/s per (h^-1 Mpc)... units: km h / (s Mpc)
-    return (1 + z) ** 2.0 / H_z * (C_LIGHT / 1e3) / (NU21 * 1e6)
+    cosmo = cosmo or get_cosmo()
+    # H(z)/h has units km h / (s Mpc); c/(nu21 * H) then gives h^-1 Mpc/Hz
+    hubble_over_h = cosmo.H(z) * (100.0 / cosmo.H0)
+    rest_hz = NU21 * 1e6
+    return (C_LIGHT / 1e3) * (1 + z) ** 2.0 / (hubble_over_h * rest_hz)
 
 
 def delays_to_kpara(delay, z, cosmo=None):
     """Delay (s) -> k_parallel [h/Mpc] (Liu+14 Eq. A10)."""
-    return (delay * 2 * np.pi) / dRpara_df(z, cosmo=cosmo)
+    return 2 * np.pi * delay / dRpara_df(z, cosmo=cosmo)
 
 
 def kpara_to_delay(kpara, z, cosmo=None):
     """k_parallel [h/Mpc] -> delay (s)."""
-    return kpara * dRpara_df(z, cosmo=cosmo) / (2 * np.pi)
+    return dRpara_df(z, cosmo=cosmo) * kpara / (2 * np.pi)
 
 
 def u_to_kperp(u, z, cosmo=None):
@@ -887,27 +843,30 @@ def u_to_kperp(u, z, cosmo=None):
 
 def kperp_to_u(kperp, z, cosmo=None):
     """k_perp [h/Mpc] -> baseline u (wavelengths)."""
-    return kperp * dRperp_dtheta(z, cosmo=cosmo) / (2 * np.pi)
+    return dRperp_dtheta(z, cosmo=cosmo) * kperp / (2 * np.pi)
 
 
 def jy_per_beam_to_kelvin(freq, bl_length):
     """Jy/beam -> Kelvin factor for a Gaussian PSF (reference :1470)."""
-    Jy = 1.0e-26
     wl = C_LIGHT / (freq * 1e6)
-
-    PSF = 1.22 * wl / bl_length
-    PSF = np.degrees(PSF)
-    omega_psf = (np.pi * PSF**2) / (4 * np.log(2))
-    omega_psf_sr = omega_psf * (np.pi / 180.0) ** 2
-
-    return wl**2 * Jy / (2 * KB * omega_psf_sr)
+    # Rayleigh FWHM of the longest-baseline PSF, as a Gaussian solid angle
+    fwhm_rad = 1.22 * wl / bl_length
+    beam_sr = np.pi * fwhm_rad**2 / (4 * np.log(2))
+    return 1.0e-26 * wl**2 / (2 * KB * beam_sr)
 
 
 def noise_equivalent_bandwidth(N, window):
     """Relative equivalent noise bandwidth of a window (reference :1502)."""
-    x = np.arange(N) / N
-    w = np.asarray(window_generalised(x, window=window))
-    return np.sum(w) ** 2 / (np.sum(w**2) * len(w))
+    taper = np.asarray(window_generalised(np.arange(N) / N, window=window))
+    return taper.sum() ** 2 / (N * (taper**2).sum())
+
+
+def _map_resolution(ra, dec, redshift, cosmo):
+    """Comoving pixel sizes (d_RA, d_DEC) in h^-1 Mpc of an (ra, dec) grid."""
+    dist = dRperp_dtheta(redshift, cosmo=cosmo)
+    pix_ra = np.deg2rad(np.diff(ra).mean()) * np.cos(np.deg2rad(dec)).mean()
+    pix_dec = np.deg2rad(np.diff(dec).mean())
+    return dist * pix_ra, dist * pix_dec
 
 
 def get_fourier_modes(ra, dec, delays, redshift, cosmo=None):
@@ -915,24 +874,21 @@ def get_fourier_modes(ra, dec, delays, redshift, cosmo=None):
 
     Returns (kx, ky, u, v, kpara).
     """
-    if cosmo is None:
-        cosmo = get_cosmo()
+    cosmo = cosmo or get_cosmo()
+    d_ra, d_dec = _map_resolution(ra, dec, redshift, cosmo)
 
-    res_ra_radian = np.deg2rad(np.mean(np.diff(ra)))
-    res_dec_radian = np.deg2rad(np.mean(np.diff(dec)))
+    def k_axis(n, d):
+        return 2 * np.pi * np.fft.fftshift(np.fft.fftfreq(n, d=d))
 
-    DMz = dRperp_dtheta(redshift, cosmo=cosmo)
-    d_RA = DMz * res_ra_radian * np.mean(np.cos(np.deg2rad(dec)))
-    d_DEC = DMz * res_dec_radian
-
-    k_x = 2 * np.pi * np.fft.fftshift(np.fft.fftfreq(ra.size, d=d_RA))
-    k_y = 2 * np.pi * np.fft.fftshift(np.fft.fftfreq(dec.size, d=d_DEC))
-
-    u = kperp_to_u(k_x, redshift, cosmo)
-    v = kperp_to_u(k_y, redshift, cosmo)
-    kpara = delays_to_kpara(delays, redshift, cosmo)
-
-    return k_x, k_y, u, v, kpara
+    k_x = k_axis(ra.size, d_ra)
+    k_y = k_axis(dec.size, d_dec)
+    return (
+        k_x,
+        k_y,
+        kperp_to_u(k_x, redshift, cosmo),
+        kperp_to_u(k_y, redshift, cosmo),
+        delays_to_kpara(delays, redshift, cosmo),
+    )
 
 
 def image_to_uv(data, ra, dec, window="tukey-0.5"):
@@ -963,49 +919,35 @@ def image_to_uv(data, ra, dec, window="tukey-0.5"):
 
 def vol_normalization(ra, dec, freq, redshift, cosmo=None):
     """Survey volume normalisation in h^-3 Mpc^3 (reference :1628)."""
-    if cosmo is None:
-        cosmo = get_cosmo()
-
-    res_ra_radian = np.deg2rad(np.mean(np.diff(ra)))
-    res_dec_radian = np.deg2rad(np.mean(np.diff(dec)))
-
-    DMz = dRperp_dtheta(redshift, cosmo=cosmo)
-    Lx = ra.size * DMz * res_ra_radian * np.mean(np.cos(np.deg2rad(dec)))
-    Ly = dec.size * DMz * res_dec_radian
-
-    chan_width = np.abs(np.diff(freq)).mean() * 1e6
-    Lz = dRpara_df(redshift, cosmo=cosmo) * chan_width * freq.size
-
-    return Lx * Ly * Lz
+    cosmo = cosmo or get_cosmo()
+    d_ra, d_dec = _map_resolution(ra, dec, redshift, cosmo)
+    depth_per_hz = dRpara_df(redshift, cosmo=cosmo)
+    band_hz = np.abs(np.diff(freq)).mean() * 1e6 * freq.size
+    return (ra.size * d_ra) * (dec.size * d_dec) * (depth_per_hz * band_hz)
 
 
 def nanaverage(d, w, axis=None):
     """Weighted average ignoring NaNs (reference :1677)."""
-    return np.sum(d * w, axis=axis, where=~np.isnan(d)) / np.sum(w, axis=axis)
+    num = np.sum(d * w, axis=axis, where=~np.isnan(d))
+    return num / np.sum(w, axis=axis)
+
+
+def _band_zone(k, lo, hi):
+    """Mask of |k| within [lo, hi] (two-sided)."""
+    mag = np.abs(k)
+    return (mag >= min(lo, hi)) & (mag <= max(lo, hi))
 
 
 def spatial_mask(k_x, k_y, ew_min, ew_max, ns_bl, wl_min, wl_max, redshift, cosmo=None):
     """uv-domain mask covering the instrument's baseline zones (reference :1697)."""
-    if cosmo is None:
-        cosmo = get_cosmo()
+    cosmo = cosmo or get_cosmo()
 
-    ux_min = ew_min / wl_max
-    ux_max = ew_max / wl_min
-    vy_min = -ns_bl / wl_max
-    vy_max = abs(vy_min)
+    def to_k(u):
+        return u_to_kperp(u, redshift, cosmo=cosmo)
 
-    kx_min = u_to_kperp(ux_min, redshift, cosmo=cosmo)
-    kx_max = u_to_kperp(ux_max, redshift, cosmo=cosmo)
-    ky_min = u_to_kperp(vy_min, redshift, cosmo=cosmo)
-    ky_max = u_to_kperp(vy_max, redshift, cosmo=cosmo)
-
-    zone_x = ((k_x >= kx_min) & (k_x <= kx_max)) | (
-        (k_x >= -kx_max) & (k_x <= -kx_min)
-    )
-    zone_y = ((k_y >= ky_min) & (k_y <= ky_max)) | (
-        (k_y >= -ky_max) & (k_y <= -ky_min)
-    )
-
+    zone_x = _band_zone(k_x, to_k(ew_min / wl_max), to_k(ew_max / wl_min))
+    # the NS zone is symmetric about zero and includes k_y = 0
+    zone_y = np.abs(k_y) <= abs(to_k(ns_bl / wl_max))
     return zone_x[:, None] * zone_y[None, :]
 
 
@@ -1014,10 +956,8 @@ def get_3D_ps(data_cube_1, data_cube_2, vol_norm_factor):
     if data_cube_1 is None and data_cube_2 is None:
         raise NameError("Provide at least one data cube")
     if data_cube_2 is None:
-        ps = (np.conj(data_cube_1) * data_cube_1).real
-    else:
-        ps = (data_cube_1 * np.conj(data_cube_2)).real
-    return ps * vol_norm_factor
+        data_cube_2 = data_cube_1
+    return (data_cube_1 * np.conj(data_cube_2)).real * vol_norm_factor
 
 
 def baseline_mask(u, v, bl_min, bl_max):
@@ -1027,9 +967,9 @@ def baseline_mask(u, v, bl_min, bl_max):
     its callers — the [..., bl_idx] indexing downstream must align
     bit-for-bit with the flattened uu/vv this module returns.
     """
-    g_uu, g_vv = np.meshgrid(v, u)
-    g_ru = np.sqrt(g_uu**2 + g_vv**2)
-    return (g_ru >= bl_min) & (g_ru <= bl_max), g_uu, g_vv
+    g_vv, g_uu = np.meshgrid(u, v, indexing="ij")
+    radius = np.hypot(g_uu, g_vv)
+    return (radius >= bl_min) & (radius <= bl_max), g_uu, g_vv
 
 
 def reshape_data_cube(data_cube, u, v, bl_min, bl_max):
@@ -1038,35 +978,52 @@ def reshape_data_cube(data_cube, u, v, bl_min, bl_max):
     return data_cube[..., bl_idx], g_uu[bl_idx], g_vv[bl_idx]
 
 
+def _store_1d(cont, per_pol):
+    """Write per-pol (k, ps, err, var, neff) rows into a PowerSpectrum1D."""
+    k1, s1, sv1, v1, n1 = (np.array(col) for col in zip(*per_pol))
+    cont.k1D[:] = k1
+    cont.spectrum[:] = s1
+    cont.samp_var[:] = sv1
+    cont.var[:] = v1
+    cont.neff[:] = n1
+
+
+def _bin_select(values, edges):
+    """(in-range selector, zero-based bin of each selected value)."""
+    raw = np.digitize(values, bins=edges)
+    inside = (raw >= 1) & (raw < len(edges))
+    return inside, raw[inside] - 1
+
+
+def _bin_sums(b, nbins, columns):
+    """bincount each column of weights onto nbins bins."""
+    return [np.bincount(b, weights=c, minlength=nbins) for c in columns]
+
+
+def _k_edges(lo, hi, n, log):
+    if log:
+        return np.logspace(np.log10(lo), np.log10(hi), n)
+    return np.linspace(lo, hi, n)
+
+
 def get_2d_ps(ps_cube, weight, kperp_bins, uu, vv, redshift, cosmo=None):
     """Cylindrically bin a flattened spectrum (reference :1836).
 
     One flat bincount instead of a per-bin scan.
     """
-    if cosmo is None:
-        cosmo = get_cosmo()
-
-    ku = u_to_kperp(uu, redshift, cosmo=cosmo)
-    kv = u_to_kperp(vv, redshift, cosmo=cosmo)
-    ru = np.sqrt(ku**2 + kv**2)
-
-    bin_indx = np.digitize(ru, bins=kperp_bins)
+    cosmo = cosmo or get_cosmo()
+    radius = np.hypot(
+        u_to_kperp(uu, redshift, cosmo=cosmo),
+        u_to_kperp(vv, redshift, cosmo=cosmo),
+    )
+    inside, b = _bin_select(radius, kperp_bins)
     nbins = len(kperp_bins) - 1
-    sel = (bin_indx >= 1) & (bin_indx <= nbins)
-    b = bin_indx[sel] - 1
-
-    w = weight[sel]
-    d = ps_cube[sel]
-
-    wsum = np.bincount(b, weights=w, minlength=nbins)
-    wp = np.bincount(b, weights=(w * d).real, minlength=nbins)
-    w2 = np.bincount(b, weights=w**2, minlength=nbins)
-
+    w = weight[inside]
+    wsum, wp, w2 = _bin_sums(
+        b, nbins, (w, (w * ps_cube[inside]).real, w**2)
+    )
     with np.errstate(divide="ignore", invalid="ignore"):
-        ps_2D = wp / wsum
-        n_eff = wsum**2 / w2
-
-    return ps_2D, wsum, n_eff
+        return wp / wsum, wsum, wsum**2 / w2
 
 
 def get_1d_ps(
@@ -1083,52 +1040,38 @@ def get_1d_ps(
 
     Returns (k1d, ps, sample-variance error, variance, n_eff).
     """
-    kpp, kll = np.meshgrid(kperp, kpara)
-    k = np.sqrt(kpp**2 + kll**2)
-
+    k = np.hypot(kperp[np.newaxis, :], kpara[:, np.newaxis])
+    w = weight_cube
     if signal_window is not None:
-        k = k[signal_window]
-        ps_2D = ps_2D[signal_window]
-        w = weight_cube[signal_window]
-    else:
-        w = weight_cube
-
-    if kbins is None and (k.size == 0 or not np.any(k > 0)):
-        # Nothing selected: return empty (NaN) bins
-        n = Nbins_3D - 1
-        nanarr = np.full(n, np.nan)
-        return nanarr, nanarr.copy(), nanarr.copy(), nanarr.copy(), np.zeros(n)
+        k, ps_2D, w = (a[signal_window] for a in (k, ps_2D, w))
 
     if kbins is None:
-        # kmin/kmax are only needed to derive the bins; computing them
-        # unconditionally crashed on an empty selection with explicit
-        # bin edges
-        kmin = k[k > 0].min()
-        kmax = k.max()
-        if logbins_3D:
-            kbins = np.logspace(np.log10(kmin), np.log10(kmax), Nbins_3D)
-        else:
-            kbins = np.linspace(kmin, kmax, Nbins_3D)
+        # bin edges are derived from the selection; an empty selection
+        # yields NaN bins rather than a crash
+        positive = k > 0
+        if not positive.any():
+            n = Nbins_3D - 1
+            nanarr = np.full(n, np.nan)
+            return (
+                nanarr, nanarr.copy(), nanarr.copy(), nanarr.copy(),
+                np.zeros(n),
+            )
+        kbins = _k_edges(k[positive].min(), k.max(), Nbins_3D, logbins_3D)
 
-    p1D = ps_2D.flatten()
-    w1D = w.flatten()
-    k1D = k.flatten()
-
-    indices = np.digitize(k1D, kbins)
+    kf, pf, wf = (np.ravel(a) for a in (k, ps_2D, w))
+    inside, b = _bin_select(kf, kbins)
     nbins = len(kbins) - 1
-    sel = (indices >= 1) & (indices <= nbins)
-    b = indices[sel] - 1
-
-    wsum = np.bincount(b, weights=w1D[sel], minlength=nbins)
-    w2sum = np.bincount(b, weights=w1D[sel] ** 2, minlength=nbins)
-    wp = np.bincount(b, weights=(w1D[sel] * p1D[sel]).real, minlength=nbins)
-    wk = np.bincount(b, weights=w1D[sel] * k1D[sel], minlength=nbins)
+    wi, pi, ki = wf[inside], pf[inside], kf[inside]
+    wsum, w2sum, wp, wk = _bin_sums(
+        b, nbins, (wi, wi**2, (wi * pi).real, wi * ki)
+    )
 
     with np.errstate(divide="ignore", invalid="ignore"):
         ps_3D = wp / wsum
-        k3D = wk / wsum
-        ps_3D_err = np.sqrt(w2sum * np.abs(ps_3D) ** 2 / wsum**2)
-        variance = 1 / wsum
-        n_eff = wsum**2 / w2sum
-
-    return k3D, ps_3D, ps_3D_err, variance, n_eff
+        return (
+            wk / wsum,
+            ps_3D,
+            np.sqrt(w2sum * np.abs(ps_3D) ** 2 / wsum**2),
+            1 / wsum,
+            wsum**2 / w2sum,
+        )
