@@ -122,28 +122,28 @@ class SelectFreq(ContainerTask):
     channel_index = config.list_prop([])
     freq_physical_range = config.list_prop([])
 
+    def _chosen_channels(self, freq):
+        """Resolve the configured selection to an index/slice."""
+        if self.freq_physical:
+            nearest = {np.argmin(np.abs(freq - fp)) for fp in self.freq_physical}
+            return sorted(nearest)
+        if self.channel_range and (len(self.channel_range) <= 3):
+            return slice(*self.channel_range)
+        if self.channel_index:
+            return self.channel_index
+        if self.freq_physical_range:
+            low, high = sorted(self.freq_physical_range)
+            return np.where((freq >= low) & (freq < high))[0]
+        raise ValueError(
+            "Must specify one of freq_physical, channel_range, "
+            "channel_index or freq_physical_range."
+        )
+
     def process(self, data):
         freq_map = data.index_map["freq"]
         freq = freq_map["centre"] if freq_map.dtype.names else freq_map
 
-        if self.freq_physical:
-            newindex = sorted(
-                {np.argmin(np.abs(freq - fp)) for fp in self.freq_physical}
-            )
-        elif self.channel_range and (len(self.channel_range) <= 3):
-            newindex = slice(*self.channel_range)
-        elif self.channel_index:
-            newindex = self.channel_index
-        elif self.freq_physical_range:
-            low, high = sorted(self.freq_physical_range)
-            newindex = np.where((freq >= low) & (freq < high))[0]
-        else:
-            raise ValueError(
-                "Must specify one of freq_physical, channel_range, "
-                "channel_index or freq_physical_range."
-            )
-
-        fsel = np.arange(len(freq))[newindex]
+        fsel = np.arange(len(freq))[self._chosen_channels(freq)]
         newdata = data.__class__(
             freq=freq_map[fsel], axes_from=data, attrs_from=data
         )
@@ -194,14 +194,14 @@ class MModeTransform(ContainerTask):
         # Noise variance of the m-modes: sum of per-sample variances
         # (reference transform.py:599-602)
         nra = sweight.shape[-1]
-        weight_sum = nra**2 * invert_no_zero(
-            invert_no_zero(sweight).sum(axis=-1)
-        )
+        var_sum = invert_no_zero(sweight).sum(axis=-1)
+        weight_sum = nra**2 * invert_no_zero(var_sum)
 
-        if self.telescope is not None:
-            mmax = self.telescope.mmax
-        else:
-            mmax = svis.shape[-1] // 2
+        mmax = (
+            svis.shape[-1] // 2
+            if self.telescope is None
+            else self.telescope.mmax
+        )
 
         ma = out_cont(
             mmax=mmax,
@@ -243,8 +243,10 @@ class MModeInverseTransform(ContainerTask):
 
     def process(self, mmodes: containers.MContainer):
         mmodes.redistribute("freq")
-        nra_cont = 2 * mmodes.mmax + (1 if mmodes.oddra else 0)
-        nra = self.nra if self.nra is not None else nra_cont
+        nra = self.nra
+        if nra is None:
+            # critically-sampled RA count for the stored mmax
+            nra = 2 * mmodes.mmax + int(bool(mmodes.oddra))
 
         mvis = tools.as_device(mmodes.vis[:])
         mweight = jnp.asarray(np.asarray(mmodes.weight[:]))
@@ -375,34 +377,34 @@ class LanczosRegridder(ContainerTask):
     def _regrid(self, vis_data, weight, times):
         from ..ops import regrid as regrid_ops
 
+        # Padded output grid (trimmed after the solve to kill edge wrap)
         pad = 5 * self.kernel_width
-        interp_grid = (
-            np.arange(-pad, self.samples + pad, dtype=np.float64) / self.samples
-        )
-        interp_grid = interp_grid * (self.end - self.start) + self.start
+        span = self.end - self.start
+        ticks = np.arange(-pad, self.samples + pad, dtype=np.float64)
+        grid = self.start + span * ticks / self.samples
 
-        lzf = regrid_ops.lanczos_forward_matrix(
-            interp_grid, times, self.kernel_width
+        projector = regrid_ops.lanczos_forward_matrix(
+            grid, times, self.kernel_width
         ).T.copy()
 
-        vr = vis_data.reshape(-1, vis_data.shape[-1])
-        nr = weight.reshape(-1, vis_data.shape[-1])
-        Si = np.ones_like(interp_grid) * self.epsilon
-
-        sts, ni = regrid_ops.band_wiener(
-            lzf, nr, Si, vr, 2 * self.kernel_width - 1
+        ntime = vis_data.shape[-1]
+        solved, ni = regrid_ops.band_wiener(
+            projector,
+            weight.reshape(-1, ntime),
+            np.full(grid.size, self.epsilon),
+            vis_data.reshape(-1, ntime),
+            2 * self.kernel_width - 1,
         )
-        sts = np.asarray(sts)[:, pad:-pad]
-        ni = np.asarray(ni)[:, pad:-pad]
-        interp_grid = interp_grid[pad:-pad].copy()
 
-        sts = sts.reshape((*vis_data.shape[:-1], self.samples))
-        ni = ni.reshape((*vis_data.shape[:-1], self.samples))
+        core = slice(pad, -pad)
+        out_shape = (*vis_data.shape[:-1], self.samples)
+        solved = np.asarray(solved)[:, core].reshape(out_shape)
+        ni = np.asarray(ni)[:, core].reshape(out_shape)
 
         if self.mask_zero_weight:
-            w_mask = weight.sum(axis=-1) != 0.0
-            ni = ni * w_mask[..., np.newaxis]
-        return interp_grid, sts, ni
+            had_data = weight.sum(axis=-1) != 0.0
+            ni = ni * had_data[..., np.newaxis]
+        return grid[core].copy(), solved, ni
 
 
 # Alias for compatibility
@@ -421,37 +423,38 @@ class TelescopeStreamMixIn:
         """Set the telescope instance and precompute index maps."""
         from ..ops import tools
 
-        self.telescope = io.get_telescope(tel)
+        self.telescope = tel = io.get_telescope(tel)
+        nfeed = tel.nfeed
 
-        nfeed = self.telescope.nfeed
-        self.bt_stack = np.array(
-            [
-                (
-                    (tools.cmap(upp[0], upp[1], nfeed), 0)
-                    if upp[0] <= upp[1]
-                    else (tools.cmap(upp[1], upp[0], nfeed), 1)
-                )
-                for upp in self.telescope.uniquepairs
-            ],
-            dtype=[("prod", "<u4"), ("conjugate", "u1")],
+        # stack map: each unique pair's upper-triangle product id, with a
+        # conjugation bit when the pair is stored lower-triangle
+        pairs = np.asarray(tel.uniquepairs)
+        lo = pairs.min(axis=1)
+        hi = pairs.max(axis=1)
+        self.bt_stack = np.zeros(
+            len(pairs), dtype=[("prod", "<u4"), ("conjugate", "u1")]
         )
+        self.bt_stack["prod"] = [
+            tools.cmap(a, b, nfeed) for a, b in zip(lo, hi)
+        ]
+        self.bt_stack["conjugate"] = pairs[:, 0] > pairs[:, 1]
 
-        triu = np.triu_indices(nfeed)
-        dt_prod = np.dtype([("input_a", "<u2"), ("input_b", "<u2")])
-        self.bt_prod = (
-            np.array(triu).astype("<u2").T.copy().view(dt_prod).reshape(-1)
+        # full upper-triangle product map
+        ia, ib = np.triu_indices(nfeed)
+        self.bt_prod = np.zeros(
+            ia.size, dtype=[("input_a", "<u2"), ("input_b", "<u2")]
         )
+        self.bt_prod["input_a"] = ia
+        self.bt_prod["input_b"] = ib
 
-        feedmask = self.telescope.feedmask[triu]
-        self.bt_rev = np.empty(
-            feedmask.size, dtype=[("stack", "<u4"), ("conjugate", "u1")]
+        # reverse map: product -> stack (masked products park one past
+        # the end)
+        ok = tel.feedmask[ia, ib]
+        self.bt_rev = np.zeros(
+            ok.size, dtype=[("stack", "<u4"), ("conjugate", "u1")]
         )
-        self.bt_rev["stack"] = np.where(
-            feedmask, self.telescope.feedmap[triu], self.telescope.npairs
-        )
-        self.bt_rev["conjugate"] = np.where(
-            feedmask, self.telescope.feedconj[triu], 0
-        )
+        self.bt_rev["stack"] = np.where(ok, tel.feedmap[ia, ib], tel.npairs)
+        self.bt_rev["conjugate"] = ok & (tel.feedconj[ia, ib] != 0)
 
 
 class CollateProducts(TelescopeStreamMixIn, ContainerTask):
@@ -472,43 +475,46 @@ class CollateProducts(TelescopeStreamMixIn, ContainerTask):
         ["natural", "uniform", "inverse_variance"], default="natural"
     )
 
+    def _incoming_products(self, ss):
+        """(product pairs, conjugation flags) of the incoming stream."""
+        from ..ops import tools
+
+        if not ss.is_stacked:
+            return ss.prod, np.zeros(ss.prod.size, dtype=bool)
+        stack_new, stack_flag = tools.redefine_stack_index_map(
+            self.telescope,
+            ss.input,
+            ss.prod,
+            ss.stack,
+            ss.reverse_map["stack"],
+        )
+        dropped = int((~stack_flag).sum())
+        if dropped:
+            self.log.warning(
+                f"{dropped} stacks are flagged out by the telescope model."
+            )
+        return ss.prod[stack_new["prod"]], stack_new["conjugate"].astype(bool)
+
     def process(self, ss):
         """Select and reorder products to match the telescope config."""
         from ..ops import tools
 
+        tel = self.telescope
         input_ind = tools.find_inputs(
-            self.telescope.input_index, ss.input, require_match=False
+            tel.input_index, ss.input, require_match=False
         )
         rev_input_ind = tools.find_inputs(
-            ss.input, self.telescope.input_index, require_match=True
+            ss.input, tel.input_index, require_match=True
         )
         freq_ind = tools.find_keys(
-            np.asarray(ss.freq), self.telescope.frequencies, require_match=True
+            np.asarray(ss.freq), tel.frequencies, require_match=True
         )
-        bt_freq = ss.index_map["freq"][freq_ind]
 
-        if ss.is_stacked:
-            stack_new, stack_flag = tools.redefine_stack_index_map(
-                self.telescope,
-                ss.input,
-                ss.prod,
-                ss.stack,
-                ss.reverse_map["stack"],
-            )
-            if not np.all(stack_flag):
-                self.log.warning(
-                    f"{np.sum(~stack_flag):0.0f} stacks are flagged out by the "
-                    "telescope model."
-                )
-            ss_prod = ss.prod[stack_new["prod"]]
-            ss_conj = stack_new["conjugate"].astype(bool)
-        else:
-            ss_prod = ss.prod
-            ss_conj = np.zeros(ss_prod.size, dtype=bool)
+        ss_prod, ss_conj = self._incoming_products(ss)
 
         sp = ss.__class__(
-            freq=bt_freq,
-            input=self.telescope.input_index,
+            freq=ss.index_map["freq"][freq_ind],
+            input=tel.input_index,
             prod=self.bt_prod,
             stack=self.bt_stack,
             reverse_map_stack=self.bt_rev,
@@ -536,28 +542,24 @@ class CollateProducts(TelescopeStreamMixIn, ContainerTask):
         else:
             nprod_in_stack = None
 
-        # Build gather/scatter indices on the host
-        src, dst, conj = [], [], []
-        for ss_pi, ((ii, ij), cj) in enumerate(
-            zip(
-                np.stack([ss_prod["input_a"], ss_prod["input_b"]], axis=-1),
-                ss_conj,
-            )
-        ):
-            bi, bj = input_ind[ii], input_ind[ij]
-            if bi is None or bj is None:
-                continue
-            sp_pi = self.telescope.feedmap[bi, bj]
-            if sp_pi < 0:
-                continue
-            feedconj = self.telescope.feedconj[bi, bj]
-            src.append(ss_pi)
-            dst.append(sp_pi)
-            conj.append(feedconj != cj)
+        # Build gather/scatter indices on the host: map each incoming
+        # product onto a telescope feed pair, then onto its output stack
+        fa = np.array(
+            [-1 if x is None else x for x in input_ind], dtype=int
+        )
+        bi = fa[ss_prod["input_a"].astype(int)]
+        bj = fa[ss_prod["input_b"].astype(int)]
+        known = (bi >= 0) & (bj >= 0)
+        stack_of = np.where(
+            known, self.telescope.feedmap[bi, bj], -1
+        )
+        usable = known & (stack_of >= 0)
 
-        src = np.asarray(src, dtype=int)
-        dst = np.asarray(dst, dtype=int)
-        conj = np.asarray(conj, dtype=bool)
+        src = np.flatnonzero(usable)
+        dst = stack_of[src]
+        conj = (
+            self.telescope.feedconj[bi[src], bj[src]] != ss_conj[src]
+        )
         nstack_out = len(self.bt_stack)
 
         ssv = tools.as_device(ss.vis[:])[jnp.asarray(freq_ind)]
@@ -621,35 +623,29 @@ class GenerateSubBands(SelectFreq):
 
     def setup(self, data):
         """Cache the container to sub-divide."""
-        self.default_parameters = {
-            key: val._default_value()
-            for key, val in vars(SelectFreq).items()
-            if isinstance(val, config.Property)
-        }
         self.data = data
-        self.base_tag = self.data.attrs.get("tag", None)
-        self.sub_bands = list(self.sub_band_spec.keys())[::-1]
+        self.base_tag = data.attrs.get("tag", None)
+        self._pending = list(self.sub_band_spec)
 
     def process(self):
         """Emit the next sub-band."""
         from ..core.task import PipelineStopIteration
 
-        if len(self.sub_bands) == 0:
+        if not self._pending:
             raise PipelineStopIteration
 
-        tag = self.sub_bands.pop()
-        self._set_freq_selection(**self.sub_band_spec[tag])
-
-        if self.base_tag is not None:
-            self.data.attrs["tag"] = f"{self.base_tag}_{tag}"
-        else:
-            self.data.attrs["tag"] = tag
-
+        tag = self._pending.pop(0)
+        self._configure_band(self.sub_band_spec[tag])
+        self.data.attrs["tag"] = (
+            tag if self.base_tag is None else f"{self.base_tag}_{tag}"
+        )
         return super().process(self.data)
 
-    def _set_freq_selection(self, **kwargs):
-        for key, default in self.default_parameters.items():
-            setattr(self, key, kwargs.get(key, default))
+    def _configure_band(self, spec):
+        """Reset every SelectFreq property, then apply this band's spec."""
+        for key, prop in vars(SelectFreq).items():
+            if isinstance(prop, config.Property):
+                setattr(self, key, spec.get(key, prop._default_value()))
 
 
 class ElevationDependentHybridVisWeight(ContainerTask):
@@ -671,6 +667,16 @@ class ElevationDependentHybridVisWeight(ContainerTask):
         return data
 
 
+def _clone_for_pol(polcont, pol_labels):
+    """Clone a container with a new pol axis, mirroring its datasets."""
+    out = containers.empty_like(polcont, pol=np.array(pol_labels))
+    known = out.dataset_spec()
+    for name in polcont.datasets:
+        if name not in out.datasets and name in known:
+            out.add_dataset(name)
+    return out
+
+
 class SelectPol(ContainerTask):
     """Extract Stokes parameters from beamformed data.
 
@@ -685,6 +691,7 @@ class SelectPol(ContainerTask):
 
     pol = config.list_prop()
 
+    # Stokes parameter -> {instrumental pol: sign} recipe
     P = {
         "I": {"XX": 1, "YY": 1},
         "Q": {"XX": 1, "YY": -1},
@@ -694,14 +701,55 @@ class SelectPol(ContainerTask):
 
     def setup(self):
         """Validate the requested polarisations."""
-        missing_pol = [p for p in self.pol if p not in self.P]
-        if missing_pol:
+        unknown = set(self.pol) - set(self.P)
+        if unknown:
             raise ValueError(
-                f"Cannot form {missing_pol}; supported selections are "
-                f"{list(self.P.keys())}."
+                f"Cannot form {sorted(unknown)}; supported selections are "
+                f"{list(self.P)}."
             )
         if len(set(self.pol)) != len(self.pol):
             raise ValueError("`pol` lists the same Stokes parameter twice.")
+
+    def _combine_pol(self, name, arr, pax, input_pol, kind):
+        """Combine the pol axis of one dataset into the requested Stokes.
+
+        kind: 'data' (signed sum / N), 'weight' (inverse-variance
+        composition with a joint positivity flag), or 'other'.
+        """
+        at = lambda i: (slice(None),) * pax + (i,)  # noqa: E731
+        out_shape = arr.shape[:pax] + (len(self.pol),) + arr.shape[pax + 1:]
+        out = np.zeros(out_shape, dtype=arr.dtype)
+        boolean = np.issubdtype(arr.dtype, np.bool_)
+
+        for oo, stokes in enumerate(self.pol):
+            recipe = self.P[stokes]
+            nsum = len(recipe)
+            dst = out[at(oo)]
+            live = np.ones(dst.shape, dtype=bool)
+
+            for pname, sign in recipe.items():
+                row = arr[at(input_pol.index(pname))]
+                if kind == "data":
+                    dst += sign * row
+                elif kind == "weight":
+                    live &= row > 0.0
+                    dst += np.asarray(invert_no_zero(row))
+                elif boolean:
+                    dst |= row
+                else:
+                    dst += row
+
+            if kind == "weight":
+                out[at(oo)] = live * nsum**2 * np.asarray(invert_no_zero(dst))
+            elif np.issubdtype(arr.dtype, np.integer):
+                out[at(oo)] = dst // nsum
+            elif boolean:
+                pass
+            elif "freq_cov" in name:
+                out[at(oo)] = dst / nsum**2
+            else:
+                out[at(oo)] = dst / nsum
+        return out
 
     def process(self, polcont):
         """Extract the requested Stokes parameters."""
@@ -714,73 +762,40 @@ class SelectPol(ContainerTask):
             for p in polcont.index_map["pol"]
         ]
 
-        required_pol = [pol for pstr in self.pol for pol in self.P[pstr]]
-        missing_pol = [
-            p for p in np.unique(required_pol) if p not in input_pol
-        ]
-        if len(missing_pol) > 0:
+        needed = {p for stokes in self.pol for p in self.P[stokes]}
+        absent = sorted(needed - set(input_pol))
+        if absent:
             raise ValueError(
-                f"Forming {self.pol} requires polarisations {missing_pol}, "
+                f"Forming {self.pol} requires polarisations {absent}, "
                 f"which the input lacks."
             )
 
-        data_dset_name = getattr(polcont, "_data_dset_name", None)
-        weight_dset_name = getattr(polcont, "_weight_dset_name", None)
+        data_name = getattr(polcont, "_data_dset_name", None)
+        weight_name = getattr(polcont, "_weight_dset_name", None)
 
-        outcont = containers.empty_like(polcont, pol=np.array(self.pol))
-        for name in polcont.datasets.keys():
-            if name not in outcont.datasets and name in outcont.dataset_spec():
-                outcont.add_dataset(name)
-
-        def make_slice(index, axis_pos):
-            return (slice(None),) * axis_pos + (index,)
+        outcont = _clone_for_pol(polcont, self.pol)
 
         for name, dset in polcont.datasets.items():
             if name not in outcont.datasets:
                 continue
             out_dset = outcont.datasets[name]
-            if "pol" not in dset.attrs["axis"]:
+            axis_names = list(dset.attrs["axis"])
+            if "pol" not in axis_names:
                 out_dset[:] = dset[:]
                 continue
-
-            arr = np.asarray(dset[:])
-            out = np.zeros(out_dset.shape, dtype=arr.dtype)
-            pax = list(dset.attrs["axis"]).index("pol")
-
-            if name == weight_dset_name:
-                flag = np.ones(out_dset.shape, dtype=bool)
-
-            for oo, po in enumerate(self.pol):
-                oslc = make_slice(oo, pax)
-                pol_to_sum = self.P[po]
-                nsum = len(pol_to_sum)
-
-                for pi, sign in pol_to_sum.items():
-                    islc = make_slice(input_pol.index(pi), pax)
-                    if name == data_dset_name:
-                        out[oslc] += sign * arr[islc]
-                    elif name == weight_dset_name:
-                        flag[oslc] &= arr[islc] > 0.0
-                        out[oslc] += np.asarray(invert_no_zero(arr[islc]))
-                    elif np.issubdtype(out.dtype, np.bool_):
-                        out[oslc] |= arr[islc]
-                    else:
-                        out[oslc] += arr[islc]
-
-                if name == weight_dset_name:
-                    out[oslc] = flag[oslc] * nsum**2 * np.asarray(
-                        invert_no_zero(out[oslc])
-                    )
-                elif np.issubdtype(out.dtype, np.integer):
-                    out[oslc] //= nsum
-                elif np.issubdtype(out.dtype, np.bool_):
-                    pass
-                elif "freq_cov" in name:
-                    out[oslc] /= nsum**2
-                else:
-                    out[oslc] /= nsum
-
-            out_dset[:] = out.astype(out_dset.dtype)
+            kind = (
+                "data"
+                if name == data_name
+                else "weight" if name == weight_name else "other"
+            )
+            combined = self._combine_pol(
+                name,
+                np.asarray(dset[:]),
+                axis_names.index("pol"),
+                input_pol,
+                kind,
+            )
+            out_dset[:] = combined.astype(out_dset.dtype)
 
         return outcont
 
@@ -808,48 +823,46 @@ class PolWeightedAverage(ContainerTask):
             p.decode() if isinstance(p, bytes) else str(p)
             for p in polcont.index_map["pol"]
         ]
-        if "XX" not in input_pol or "YY" not in input_pol:
+        try:
+            ixx = input_pol.index("XX")
+            iyy = input_pol.index("YY")
+        except ValueError:
             raise ValueError(
                 "Stokes I needs the XX and YY polarisations present."
-            )
+            ) from None
 
-        ixx, iyy = input_pol.index("XX"), input_pol.index("YY")
-        start, stride = min(ixx, iyy), abs(iyy - ixx)
-        pol_slice = slice(start, start + stride + 1, stride)
+        # slice picking exactly the XX and YY entries of the pol axis
+        step = abs(iyy - ixx)
+        first = min(ixx, iyy)
+        copol = slice(first, first + step + 1, step)
 
-        def make_pol_slice(axis_names):
+        def pol_axis_of(axis_names):
             axis = list(axis_names).index("pol")
-            return axis, (slice(None),) * axis + (pol_slice,)
+            return axis, (slice(None),) * axis + (copol,)
 
-        outcont = containers.empty_like(polcont, pol=np.array(["I"]))
-        for name in polcont.datasets.keys():
-            if name not in outcont.datasets and name in outcont.dataset_spec():
-                outcont.add_dataset(name)
+        outcont = _clone_for_pol(polcont, ["I"])
 
         waxis = polcont.weight.attrs["axis"]
-        wpax, wslc = make_pol_slice(waxis)
+        wpax, wslc = pol_axis_of(waxis)
 
         weight = np.asarray(polcont.weight[:])[wslc]
-        wsum = np.sum(weight, axis=wpax, keepdims=True)
+        wsum = weight.sum(axis=wpax, keepdims=True)
         outcont.weight[:] = wsum.astype(outcont.weight.dtype)
         norm = np.asarray(invert_no_zero(wsum))
 
         for name, dset in polcont.datasets.items():
             if name == polcont._weight_dset_name or name not in outcont.datasets:
                 continue
+            target = outcont.datasets[name]
             if "pol" not in dset.attrs["axis"]:
-                outcont.datasets[name][:] = dset[:]
+                target[:] = dset[:]
                 continue
-            pax, dslc = make_pol_slice(dset.attrs["axis"])
+            pax, dslc = pol_axis_of(dset.attrs["axis"])
             wexp = tools.broadcast_weights(waxis, dset.attrs["axis"])
-            outcont.datasets[name][:] = (
-                np.sum(
-                    weight[wexp] * np.asarray(dset[:])[dslc],
-                    axis=pax,
-                    keepdims=True,
-                )
-                * norm[wexp]
-            ).astype(outcont.datasets[name].dtype)
+            averaged = (
+                weight[wexp] * np.asarray(dset[:])[dslc]
+            ).sum(axis=pax, keepdims=True) * norm[wexp]
+            target[:] = averaged.astype(target.dtype)
 
         return outcont
 
@@ -881,18 +894,20 @@ def stokes_I(sstream, tel):
 
     Returns (vis_I [freq, nbase, time], weight_I, ubase [nbase, 2]).
     """
-    bl_round = np.around(tel.baselines[:, 0] + 1.0j * tel.baselines[:, 1], 4)
-    ubase, uinv, ucount = np.unique(
-        bl_round, return_inverse=True, return_counts=True
+    # Group stacks by their (rounded) baseline vector; complex packing
+    # gives a single sortable key per 2-vector
+    key = np.around(tel.baselines @ np.array([1.0, 1.0j]), 4)
+    uniq, uinv, ucount = np.unique(
+        key, return_inverse=True, return_counts=True
     )
-    ubase = ubase.astype(np.complex128, copy=False).view(np.float64).reshape(-1, 2)
+    ubase = np.stack([uniq.real, uniq.imag], axis=-1)
     nbase = ubase.shape[0]
 
     pairs = tel.uniquepairs
-    pols = tel.polarisation[pairs]
-    is_copol = pols[:, 0] == pols[:, 1]
+    pol_a, pol_b = tel.polarisation[pairs].T
+    # co-pol stacks whose baseline group has all four pol products
     good = (
-        is_copol
+        (pol_a == pol_b)
         & (ucount[uinv] >= 4)
         & (tel.feedmap[pairs[:, 0], pairs[:, 1]] != -1)
     )
@@ -973,55 +988,57 @@ class TransformJanskyToKelvin(ContainerTask):
         omega *= float(np.asarray(invert_no_zero(beam_pow[ref_pix])))
         return float(omega)
 
+    def _omega_per_pair(self, sstream, freqs):
+        """sqrt(omega_i * omega_j) per (freq, prodstack) entry.
+
+        Solid angles are cached per (beamclass, freq); only one feed per
+        beamclass is ever integrated.
+        """
+        tel = self.telescope
+        pairs = sstream.prodstack
+        bc = tel.beamclass[
+            np.stack([pairs["input_a"], pairs["input_b"]], axis=-1)
+        ]
+
+        channel = {f: int(np.argmin(np.abs(tel.frequencies - f))) for f in freqs}
+        # one representative feed index per beamclass
+        flat_feeds = np.stack(
+            [pairs["input_a"], pairs["input_b"]], axis=-1
+        ).ravel()
+        rep = dict(zip(bc.ravel(), flat_feeds))
+        for klass, feed in rep.items():
+            for f, fi in channel.items():
+                self._omega_cache.setdefault(
+                    (klass, f), self._beam_area(feed, fi)
+                )
+
+        lookup = np.vectorize(
+            lambda klass, f: self._omega_cache[(klass, f)]
+        )
+        om = np.empty((len(freqs), len(pairs)))
+        for fi, f in enumerate(freqs):
+            om[fi] = np.sqrt(lookup(bc[:, 0], f) * lookup(bc[:, 1], f))
+        return om
+
     def process(self, sstream):
         """Apply the conversion to the data and weights."""
         kB = 1.380649e-23
+        freqs = np.asarray(sstream.freq)
 
-        local_freq = np.asarray(sstream.freq)
-        local_freq_inds = [
-            int(np.argmin(np.abs(self.telescope.frequencies - f)))
-            for f in local_freq
-        ]
-
-        ps = sstream.prodstack
-        feedpairs = np.stack([ps["input_a"], ps["input_b"]], axis=-1)
-        beamclass_pairs = self.telescope.beamclass[feedpairs]
-
-        unique_beamclass, bc_index = np.unique(
-            beamclass_pairs, return_index=True
-        )
-        for beamclass, bc_ind in zip(unique_beamclass, bc_index):
-            feed_ind = feedpairs.ravel()[bc_ind]
-            for freq, freq_ind in zip(local_freq, local_freq_inds):
-                key = (beamclass, freq)
-                if key not in self._omega_cache:
-                    self._omega_cache[key] = self._beam_area(feed_ind, freq_ind)
-
-        om_ij = np.zeros((len(local_freq), sstream.vis.shape[1]))
-        for fi, freq in enumerate(local_freq):
-            for bi, (bci, bcj) in enumerate(beamclass_pairs):
-                om_i = self._omega_cache[(bci, freq)]
-                om_j = self._omega_cache[(bcj, freq)]
-                om_ij[fi, bi] = (om_i * om_j) ** 0.5
-
-        wavelength = (C_LIGHT / (local_freq * 1e6))[:, np.newaxis, np.newaxis]
+        om_ij = self._omega_per_pair(sstream, freqs)
+        wavelength = (C_LIGHT / (freqs * 1e6))[:, np.newaxis, np.newaxis]
         K_to_Jy = 2 * 1e26 * kB * om_ij[:, :, np.newaxis] / wavelength**2
         Jy_to_K = np.asarray(invert_no_zero(K_to_Jy))
 
-        new_stream = sstream if self.share == "all" else sstream.copy()
-
-        vis = np.asarray(new_stream.vis[:])
-        weight = np.asarray(new_stream.weight[:])
-        if self.convert_Jy_to_K:
-            vis = vis * Jy_to_K
-            weight = weight * K_to_Jy**2
-        else:
-            vis = vis * K_to_Jy
-            weight = weight * Jy_to_K**2
-        new_stream.vis[:] = vis.astype(new_stream.vis.dtype)
-        new_stream.weight[:] = weight.astype(new_stream.weight.dtype)
-
-        return new_stream
+        out = sstream if self.share == "all" else sstream.copy()
+        d_fac, w_fac = (
+            (Jy_to_K, K_to_Jy) if self.convert_Jy_to_K else (K_to_Jy, Jy_to_K)
+        )
+        out.vis[:] = (np.asarray(out.vis[:]) * d_fac).astype(out.vis.dtype)
+        out.weight[:] = (np.asarray(out.weight[:]) * w_fac**2).astype(
+            out.weight.dtype
+        )
+        return out
 
 
 class MixData(ContainerTask):
@@ -1044,9 +1061,9 @@ class MixData(ContainerTask):
         Zero the output weight wherever any input weight was zero.
     """
 
-    data_coeff = config.list_type(type_=float)
-    weight_coeff = config.list_type(type_=float)
-    tag_coeff = config.list_type(type_=bool)
+    data_coeff = config.list_type(float)
+    weight_coeff = config.list_type(float)
+    tag_coeff = config.list_type(bool)
     aux_coeff = config.dict_prop({})
     invert_weight = config.bool_prop(False)
     require_nonzero_weight = config.bool_prop(False)
@@ -1063,71 +1080,65 @@ class MixData(ContainerTask):
         self._tags = []
         self._wfunc = invert_no_zero if self.invert_weight else (lambda x: x)
 
+    def _start_mix(self, data):
+        """Zero-initialised accumulator shaped like the first input."""
+        acc = containers.empty_like(data)
+        targets = ["data", "weight", *self.aux_coeff]
+        for key in targets:
+            if key in ("data", "weight"):
+                ds = getattr(acc, key)
+            else:
+                if key not in acc.datasets:
+                    acc.add_dataset(key)
+                ds = acc.datasets[key]
+            ds[:] = np.zeros(ds.shape, dtype=ds.dtype)
+        if self.require_nonzero_weight:
+            self._flag = np.ones(acc.weight.shape, dtype=bool)
+        return acc
+
+    def _accumulate(self, target, coeff, values):
+        if coeff != 0.0:
+            target[:] = np.asarray(target[:]) + coeff * np.asarray(values)
+
     def process(self, data):
         """Add one container into the mix."""
-        if self._data_ind >= len(self.data_coeff):
+        step = self._data_ind
+        if step >= len(self.data_coeff):
             raise RuntimeError(
                 "This task cannot accept more items than there are "
                 "coefficients set."
             )
 
         if self.mixed_data is None:
-            self.mixed_data = containers.empty_like(data)
-            for key in self.aux_coeff.keys():
-                if key not in self.mixed_data.datasets:
-                    self.mixed_data.add_dataset(key)
-                self.mixed_data.datasets[key][:] = np.zeros(
-                    self.mixed_data.datasets[key].shape,
-                    dtype=self.mixed_data.datasets[key].dtype,
-                )
-            self.mixed_data.data[:] = np.zeros(
-                self.mixed_data.data.shape, dtype=self.mixed_data.data.dtype
-            )
-            self.mixed_data.weight[:] = np.zeros(
-                self.mixed_data.weight.shape,
-                dtype=self.mixed_data.weight.dtype,
-            )
-            if self.require_nonzero_weight:
-                self._flag = np.ones(self.mixed_data.weight.shape, dtype=bool)
+            self.mixed_data = self._start_mix(data)
+        acc = self.mixed_data
 
-        if type(self.mixed_data) is not type(data):
+        if type(acc) is not type(data):
             raise TypeError(
                 f"Mixed containers disagree: {type(data)} vs "
-                f"type(data_stack) (={type(self.mixed_data)})"
+                f"type(data_stack) (={type(acc)})"
             )
-        if tuple(self.mixed_data.data.shape) != tuple(data.data.shape):
+        if tuple(acc.data.shape) != tuple(data.data.shape):
             raise ValueError(
                 f"Mixed datasets disagree in shape: {data.data.shape} vs "
-                f"{self.mixed_data.data.shape}"
+                f"{acc.data.shape}"
             )
 
-        dco = self.data_coeff[self._data_ind]
-        if dco != 0.0:
-            self.mixed_data.data[:] = np.asarray(
-                self.mixed_data.data[:]
-            ) + dco * np.asarray(data.data[:])
+        self._accumulate(acc.data, self.data_coeff[step], data.data[:])
+        wco = self.weight_coeff[step]
+        self._accumulate(
+            acc.weight, wco, self._wfunc(np.asarray(data.weight[:]))
+        )
+        if wco != 0.0 and self.require_nonzero_weight:
+            self._flag &= np.asarray(data.weight[:]) > 0.0
+        for key, coeffs in self.aux_coeff.items():
+            self._accumulate(acc.datasets[key], coeffs[step], data.datasets[key][:])
 
-        wco = self.weight_coeff[self._data_ind]
-        if wco != 0.0:
-            self.mixed_data.weight[:] = np.asarray(
-                self.mixed_data.weight[:]
-            ) + wco * np.asarray(self._wfunc(np.asarray(data.weight[:])))
-            if self.require_nonzero_weight:
-                self._flag &= np.asarray(data.weight[:]) > 0.0
-
-        for key, aux_coeff in self.aux_coeff.items():
-            aco = aux_coeff[self._data_ind]
-            if aco != 0.0:
-                self.mixed_data.datasets[key][:] = np.asarray(
-                    self.mixed_data.datasets[key][:]
-                ) + aco * np.asarray(data.datasets[key][:])
-
-        if "tag" in data.attrs and (
-            self.tag_coeff is None or self.tag_coeff[self._data_ind]
-        ):
+        take_tag = self.tag_coeff is None or self.tag_coeff[step]
+        if take_tag and "tag" in data.attrs:
             self._tags.append(data.attrs["tag"])
 
-        self._data_ind += 1
+        self._data_ind = step + 1
 
     def _make_output(self):
         if self._data_ind != len(self.data_coeff):
@@ -1138,15 +1149,13 @@ class MixData(ContainerTask):
         data = self.mixed_data
         self.mixed_data = None
 
+        final_w = np.asarray(data.weight[:])
         if self.require_nonzero_weight:
-            data.weight[:] = np.asarray(data.weight[:]) * self._flag.astype(
-                data.weight.dtype
-            )
+            final_w = final_w * self._flag
             self._flag = None
-
-        data.weight[:] = np.asarray(
-            self._wfunc(np.asarray(data.weight[:]))
-        ).astype(data.weight.dtype)
+        data.weight[:] = np.asarray(self._wfunc(final_w)).astype(
+            data.weight.dtype
+        )
         data.attrs["tag"] = "_".join(self._tags)
         return data
 
@@ -1158,9 +1167,9 @@ class MixData(ContainerTask):
 class Jackknife(MixData):
     """Half-difference jackknife of two datasets (reference transform.py:1800)."""
 
-    data_coeff = config.list_type(type_=float, default=[0.5, -0.5])
-    weight_coeff = config.list_type(type_=float, default=[0.25, 0.25])
-    tag_coeff = config.list_type(type_=bool, default=[True, True])
+    data_coeff = config.list_type(float, default=[0.5, -0.5])
+    weight_coeff = config.list_type(float, default=[0.25, 0.25])
+    tag_coeff = config.list_type(bool, default=[True, True])
     invert_weight = config.bool_prop(True)
     require_nonzero_weight = config.bool_prop(True)
 
@@ -1168,14 +1177,14 @@ class Jackknife(MixData):
 class MixTwoDatasets(MixData):
     """Mix exactly two datasets per iteration (reference transform.py:1814)."""
 
-    data_coeff = config.list_type(type_=float, length=2)
-    weight_coeff = config.list_type(type_=float, length=2)
-    tag_coeff = config.list_type(type_=bool, length=2)
+    data_coeff = config.list_type(float, 2)
+    weight_coeff = config.list_type(float, 2)
+    tag_coeff = config.list_type(bool, 2)
 
     def process(self, data1, data2):
         """Combine the two inputs and emit the result immediately."""
-        super().process(data1)
-        super().process(data2)
+        for d in (data1, data2):
+            super().process(d)
         out = self._make_output()
         self._data_ind = 0
         self._tags = []
@@ -1283,32 +1292,32 @@ class ReduceBase(ContainerTask):
 
     def _get_weights(self, data):
         """Weights for the reduction (reference transform.py:2016)."""
-        if not hasattr(data, "weight") and self.weighting != "none":
+        if hasattr(data, "weight"):
+            return data.weight[:], list(data.weight.attrs["axis"])
+        if self.weighting != "none":
             raise RuntimeError(
                 "Weighted/masked averaging needs a weight dataset, which is absent."
             )
-        if hasattr(data, "weight"):
-            return data.weight[:], list(data.weight.attrs["axis"])
         return None, None
 
     def _make_output_container(self, data):
         """Same container type with the reduced axes collapsed to one entry."""
-        output_axes = {
-            ax: np.array([data.index_map[ax][0]]) for ax in self.axes
-        }
+        collapsed = {}
+        for ax in self.axes:
+            collapsed[ax] = np.asarray(data.index_map[ax])[:1]
         out = data.__class__(
-            axes_from=data, attrs_from=data, skip_datasets=True, **output_axes
+            axes_from=data, attrs_from=data, skip_datasets=True, **collapsed
         )
-        out.attrs["reduced"] = True
-        out.attrs["reduction_axes"] = np.array(self.axes)
-        out.attrs["reduced_dataset"] = self.dataset
-        out.attrs["reduction_op"] = self._op
-
-        if "weight" in data.datasets:
-            out.add_dataset("weight")
-        elif "vis_weight" in data.datasets:
-            out.add_dataset("vis_weight")
-
+        out.attrs.update(
+            reduced=True,
+            reduction_axes=np.array(self.axes),
+            reduced_dataset=self.dataset,
+            reduction_op=self._op,
+        )
+        for wname in ("weight", "vis_weight"):
+            if wname in data.datasets:
+                out.add_dataset(wname)
+                break
         return out
 
     def reduction(self, arr, weight, axis):
@@ -1358,15 +1367,12 @@ class ReduceChisq(ReduceBase):
     def reduction(self, arr, weight, axis):
         arr = jnp.asarray(arr)
         weight = jnp.asarray(weight)
-        num = jnp.maximum(
-            jnp.sum(weight > 0, axis=axis, keepdims=True) - 1, 0
-        ).astype(arr.real.dtype)
-        iws = invert_no_zero(jnp.sum(weight, axis=axis, keepdims=True))
-        mu = jnp.sum(weight * arr, axis=axis, keepdims=True) * iws
-        v = jnp.sum(
-            weight * jnp.abs(arr - mu) ** 2, axis=axis, keepdims=True
-        ) * invert_no_zero(num)
-        return v, num
+        dof = jnp.sum(weight > 0, axis=axis, keepdims=True) - 1
+        dof = jnp.maximum(dof, 0).astype(arr.real.dtype)
+        _, _, _, mu = self._weighted_mean(arr, weight, axis)
+        resid2 = jnp.abs(arr - mu) ** 2
+        chisq = jnp.sum(weight * resid2, axis=axis, keepdims=True)
+        return chisq * invert_no_zero(dof), dof
 
 
 class _InverseStackRedundancyWeights(ReduceBase):
@@ -1379,16 +1385,17 @@ class _InverseStackRedundancyWeights(ReduceBase):
             )
         from ..ops import tools as _tools
 
-        redundancy = _tools.calculate_redundancy(
+        counts = _tools.calculate_redundancy(
             np.asarray(data.input_flags[:]),
             np.asarray(data.index_map["prod"][:]),
             np.asarray(data.reverse_map["stack"]["stack"][:]),
             len(data.index_map["stack"]),
         )
-        weight = np.asarray(data.weight[:]) * np.asarray(
-            invert_no_zero(redundancy**2)
-        )[np.newaxis]
-        return weight, list(data.weight.attrs["axis"])
+        descaled = np.asarray(invert_no_zero(counts**2))[np.newaxis]
+        return (
+            np.asarray(data.weight[:]) * descaled,
+            list(data.weight.attrs["axis"]),
+        )
 
 
 class ReduceChisqInverseRedundancy(ReduceChisq, _InverseStackRedundancyWeights):
@@ -1435,13 +1442,13 @@ class HPFTimeStream(ContainerTask):
                 "Irregular sample spacing detected; results may degrade."
             )
 
-        total_T = times[-1] - times[0] + 2 * tau
-        nmodes = int(np.ceil(total_T / tau))
-        t_freq = np.arange(-nmodes, nmodes) / total_T
+        span = 2 * tau + times[-1] - times[0]
+        nmodes = int(np.ceil(span / tau))
+        low_freqs = np.arange(-nmodes, nmodes) / span
 
-        F = np.exp(2.0j * np.pi * times[:, np.newaxis] * t_freq[np.newaxis, :])
+        F = np.exp(2.0j * np.pi * np.outer(times, low_freqs))
         if self.window:
-            F *= np.blackman(2 * nmodes)[np.newaxis, :]
+            F = F * np.blackman(2 * nmodes)
 
         d = np.asarray(tstream.data[:])
         w = np.asarray(tstream.weight[:])
