@@ -68,21 +68,21 @@ class BeamFormBase(ContainerTask):
     source_batch = config.int_prop(32)
     data_available = True
 
+    # polarization mode -> (stacks processed, outputs produced)
+    _POL_MODES = {
+        "I": (["XX", "YY"], ["I"]),
+        "full": (["XX", "XY", "YX", "YY"], None),
+        "copol": (["XX", "YY"], None),
+    }
+
     def setup(self, manager):
         self.telescope = io.get_telescope(manager)
         self.latitude = np.deg2rad(self.telescope.latitude)
 
-        if self.polarization == "I":
-            self.process_pol = ["XX", "YY"]
-            self.return_pol = ["I"]
-        elif self.polarization == "full":
-            self.process_pol = ["XX", "XY", "YX", "YY"]
-            self.return_pol = self.process_pol
-        elif self.polarization == "copol":
-            self.process_pol = ["XX", "YY"]
-            self.return_pol = self.process_pol
-        else:
+        if self.polarization not in self._POL_MODES:
             raise RuntimeError("Stokes-parameter beamforming is not available")
+        self.process_pol, ret = self._POL_MODES[self.polarization]
+        self.return_pol = self.process_pol if ret is None else ret
         self.npol = len(self.process_pol)
 
         pol_list = list(np.asarray(self.telescope.polarisation))
@@ -99,14 +99,15 @@ class BeamFormBase(ContainerTask):
     # -- data/catalog parsing (reference beamform.py:515-665) -----------------
     def _process_data(self, data):
         self.tag_data = data.attrs.get("tag")
-        if "ra" in data.index_map:
-            self.is_sstream = True
+        self.is_sstream = "ra" in data.index_map
+        if self.is_sstream:
             self.ra = data.ra
-            lsd = np.mean(data.attrs.get("lsd", 0))
-            self.epoch = self.telescope.lsd_to_unix(lsd)
+            self.epoch = self.telescope.lsd_to_unix(
+                np.mean(data.attrs.get("lsd", 0))
+            )
+            # seconds per sample: 240 s of solar time per sidereal degree
             dt = 240.0 * SIDEREAL_S * np.median(np.abs(np.diff(self.ra)))
         else:
-            self.is_sstream = False
             self.ra = self.telescope.unix_to_lsa(data.time)
             self.epoch = data.time.mean()
             dt = np.median(np.abs(np.diff(data.time)))
@@ -177,18 +178,25 @@ class BeamFormBase(ContainerTask):
         if "position" not in catalog:
             raise ValueError("The catalog carries no position table.")
         if not hasattr(self, "epoch"):
-            self.log.warning("No epoch on the catalog positions; proceeding without precession.")
+            self.log.warning(
+                "No epoch on the catalog positions; proceeding without "
+                "precession."
+            )
             self.data_available = False
             return
-        coord = catalog.attrs.get("coordinates", None)
         pos = np.asarray(catalog["position"][:])
-        if coord == "CIRS":
-            self.sra, self.sdec = pos["ra"], pos["dec"]
-        else:
-            self.sra, self.sdec = icrs_to_cirs(pos["ra"], pos["dec"], self.epoch)
+        already_cirs = catalog.attrs.get("coordinates", None) == "CIRS"
+        self.sra, self.sdec = (
+            (pos["ra"], pos["dec"])
+            if already_cirs
+            else icrs_to_cirs(pos["ra"], pos["dec"], self.epoch)
+        )
         if self.freqside is not None:
             if "redshift" not in catalog:
-                raise ValueError("The catalog carries no redshift table, which this mode needs.")
+                raise ValueError(
+                    "The catalog carries no redshift table, which this "
+                    "mode needs."
+                )
             self.sfreq = NU21 / (np.asarray(catalog["redshift"][:]["z"]) + 1.0)
         self.source_cat = catalog
         self.nsource = len(self.sra)
@@ -197,26 +205,26 @@ class BeamFormBase(ContainerTask):
     # -- beam model ------------------------------------------------------------
     def _initialize_beam_with_data(self):
         if not self.no_beam_model:
-            self.freq_local_telescope_index = np.array(
-                [
-                    np.argmin(np.abs(nu - self.telescope.frequencies))
-                    for nu in self.freq_local
-                ]
+            # nearest telescope channel for each local frequency
+            gap = np.abs(
+                self.freq_local[:, np.newaxis]
+                - self.telescope.frequencies[np.newaxis, :]
             )
+            self.freq_local_telescope_index = gap.argmin(axis=1)
 
     def _beamfunc(self, pol, dec, ha):
         """Primary beam power vs (freq, ha) at the source declination.
 
         (reference beamform.py:473-513)
         """
-        nfreq = self.freq_local.size
+        shape = (self.freq_local.size, ha.size)
         if self.no_beam_model:
-            return np.ones((nfreq, ha.size), dtype=np.float64)
+            return np.ones(shape, dtype=np.float64)
 
         angpos = np.stack(
             [(0.5 * np.pi - dec) * np.ones_like(ha), ha], axis=-1
         )
-        primary_beam = np.zeros((nfreq, ha.size), dtype=np.float64)
+        primary_beam = np.zeros(shape, dtype=np.float64)
         tel = self.telescope
         # map_pol_feed values are FEED indices (the first feed of each
         # polarisation, telescope.polarisation order) — use them
@@ -242,47 +250,69 @@ class BeamFormBase(ContainerTask):
 
     def _ha_array(self, ra, source_ra_index, source_ra, ha_side, is_sstream=True):
         """HA array + RA indices for one source (reference beamform.py:399)."""
-        ra_index_range = np.arange(
-            source_ra_index - ha_side, source_ra_index + ha_side + 1, dtype=np.int32
+        window = np.arange(
+            source_ra_index - ha_side,
+            source_ra_index + ha_side + 1,
+            dtype=np.int32,
         )
         nra = len(ra)
         if is_sstream:
-            ra_index_range = ra_index_range % nra
-            ha_array = np.deg2rad(ra[ra_index_range] - source_ra)
-            ha_array = (ha_array + np.pi) % (2.0 * np.pi) - np.pi
-            ha_mask = np.ones(len(ra_index_range), dtype=bool)
+            # sidereal data wraps around the RA circle
+            window %= nra
+            ha_mask = np.ones(window.size, dtype=bool)
         else:
-            ha_mask = (ra_index_range >= 0) & (ra_index_range < nra)
-            ra_index_range = ra_index_range[ha_mask]
-            ha_array = np.deg2rad(ra[ra_index_range] - source_ra)
-            ha_array = (ha_array + np.pi) % (2.0 * np.pi) - np.pi
-        return ha_array, ra_index_range, ha_mask
+            # timestream data clips at the observation edges
+            ha_mask = (window >= 0) & (window < nra)
+            window = window[ha_mask]
+        hour_angle = np.deg2rad(ra[window] - source_ra)
+        hour_angle = (hour_angle + np.pi) % (2.0 * np.pi) - np.pi
+        return hour_angle, window, ha_mask
+
+    def _transit_index(self, source_ra):
+        """Nearest RA sample to a source transit, or None when outside
+        the observation (timestream inputs only)."""
+        if self.is_sstream:
+            return np.searchsorted(self.ra, source_ra) % len(self.ra)
+        gap = abs(self.ra - source_ra)
+        best = np.argmin(gap)
+        cadence = self.ra[1] - self.ra[0]
+        return None if gap[best] > 1.5 * abs(cadence) else best
+
+    def _source_freq_mask(self, src):
+        """Frequency flag mask around a source's 21cm line (freqside mode)."""
+        centre = np.argmin(abs(self.freq["centre"] - self.sfreq[src]))
+        flag = np.ones(self.nfreq, dtype=bool)
+        lo = max(0, centre - self.freqside)
+        hi = min(self.nfreq, centre + self.freqside + 1)
+        flag[lo:hi] = False
+        return flag
 
     # -- main loop -----------------------------------------------------------
+    def _new_output(self):
+        """FormedBeam(HA) container annotated from the catalog."""
+        kwargs = dict(
+            freq=self.freq,
+            object_id=self.source_cat.index_map["object_id"],
+            pol=np.array(self.return_pol),
+        )
+        if self.collapse_ha:
+            fb = containers.FormedBeam(**kwargs)
+        else:
+            fb = containers.FormedBeamHA(
+                ha=np.arange(self.nha, dtype=np.int64), **kwargs
+            )
+        tags = [t for t in (self.tag_data, self.tag_catalog) if t is not None]
+        fb.attrs["tag"] = "_".join(tags)
+        fb["position"][:] = self.source_cat["position"][:]
+        if "redshift" in self.source_cat:
+            fb.add_dataset("redshift")
+            fb["redshift"][:] = self.source_cat["redshift"][:]
+        return fb
+
     def process(self):
         """Beamform every catalog source (reference beamform.py:139-385)."""
         self._initialize_beam_with_data()
-
-        if self.collapse_ha:
-            formed_beam = containers.FormedBeam(
-                freq=self.freq,
-                object_id=self.source_cat.index_map["object_id"],
-                pol=np.array(self.return_pol),
-            )
-        else:
-            formed_beam = containers.FormedBeamHA(
-                freq=self.freq,
-                ha=np.arange(self.nha, dtype=np.int64),
-                object_id=self.source_cat.index_map["object_id"],
-                pol=np.array(self.return_pol),
-            )
-        formed_beam.attrs["tag"] = "_".join(
-            [t for t in [self.tag_data, self.tag_catalog] if t is not None]
-        )
-        formed_beam["position"][:] = self.source_cat["position"][:]
-        if "redshift" in self.source_cat:
-            formed_beam.add_dataset("redshift")
-            formed_beam["redshift"][:] = self.source_cat["redshift"][:]
+        formed_beam = self._new_output()
 
         if self.source_batch > 1:
             fbb, fbw, fbha = self._process_sources_batched()
@@ -300,7 +330,6 @@ class BeamFormBase(ContainerTask):
             else None
         )
 
-        f_all = np.arange(self.ls, dtype=np.int32)
         for src in range(self.nsource):
             if src % 1000 == 0:
                 self.log.info(f"Beamforming source {src} of {self.nsource}")
@@ -308,23 +337,13 @@ class BeamFormBase(ContainerTask):
 
             f_mask = np.zeros(self.ls, dtype=bool)
             if self.freqside is not None:
-                freq_diff = abs(self.freq["centre"] - self.sfreq[src])
-                sfreq_index = np.argmin(freq_diff)
-                idx0 = max(0, sfreq_index - self.freqside)
-                idx1 = min(self.nfreq, sfreq_index + self.freqside + 1)
-                f_mask = np.ones(self.nfreq, dtype=bool)
-                f_mask[idx0:idx1] = False
+                f_mask = self._source_freq_mask(src)
                 if f_mask.all():
                     continue
 
-            if self.is_sstream:
-                sra_index = np.searchsorted(self.ra, self.sra[src]) % len(self.ra)
-            else:
-                transit_diff = abs(self.ra - self.sra[src])
-                sra_index = np.argmin(transit_diff)
-                ra_cadence = self.ra[1] - self.ra[0]
-                if transit_diff[sra_index] > 1.5 * abs(ra_cadence):
-                    continue
+            sra_index = self._transit_index(self.sra[src])
+            if sra_index is None:
+                continue
 
             ha_side = (
                 int(self.ha_side / np.cos(dec))
@@ -458,28 +477,16 @@ class BeamFormBase(ContainerTask):
         windows = []
         for src in range(nsrc):
             if self.freqside is not None:
-                freq_diff = abs(self.freq["centre"] - self.sfreq[src])
-                sfreq_index = np.argmin(freq_diff)
-                idx0 = max(0, sfreq_index - self.freqside)
-                idx1 = min(self.nfreq, sfreq_index + self.freqside + 1)
-                f_masks[src] = True
-                f_masks[src, idx0:idx1] = False
+                f_masks[src] = self._source_freq_mask(src)
                 if f_masks[src].all():
                     keep[src] = False
                     windows.append(None)
                     continue
-            if self.is_sstream:
-                sra_index = np.searchsorted(
-                    self.ra, self.sra[src]
-                ) % len(self.ra)
-            else:
-                transit_diff = abs(self.ra - self.sra[src])
-                sra_index = np.argmin(transit_diff)
-                ra_cadence = self.ra[1] - self.ra[0]
-                if transit_diff[sra_index] > 1.5 * abs(ra_cadence):
-                    keep[src] = False
-                    windows.append(None)
-                    continue
+            sra_index = self._transit_index(self.sra[src])
+            if sra_index is None:
+                keep[src] = False
+                windows.append(None)
+                continue
             ha_side = (
                 int(self.ha_side / np.cos(decs[src]))
                 if self.variable_timetrack
@@ -614,9 +621,7 @@ class BeamForm(BeamFormBase):
     def process(self, data):
         self._process_data(data)
         self._process_catalog(self.catalog)
-        if not self.data_available:
-            return None
-        return super().process()
+        return BeamFormBase.process(self) if self.data_available else None
 
 
 class BeamFormCat(BeamFormBase):
@@ -628,9 +633,7 @@ class BeamFormCat(BeamFormBase):
 
     def process(self, source_cat):
         self._process_catalog(source_cat)
-        if not self.data_available:
-            return None
-        return super().process()
+        return BeamFormBase.process(self) if self.data_available else None
 
 
 class BeamFormExternalMixin:
@@ -681,39 +684,28 @@ class BeamFormExternalMixin:
         ha = np.radians(ha[isort])
         dec = np.radians(np.asarray(gbeam.theta))
 
-        nfreq = len(self._beam_freq)
-        npol = len(ipol)
-        self._beam = [
-            [
-                scipy.interpolate.RectBivariateSpline(
-                    dec, ha, beam[ff, pp][:, isort]
-                )
-                for pp in range(npol)
+        def spline_table(cube):
+            return [
+                [
+                    scipy.interpolate.RectBivariateSpline(
+                        dec, ha, plane[:, isort]
+                    )
+                    for plane in rows
+                ]
+                for rows in cube
             ]
-            for ff in range(nfreq)
-        ]
-        self._beam_flag = [
-            [
-                scipy.interpolate.RectBivariateSpline(
-                    dec, ha, flag[ff, pp][:, isort].astype(np.float32)
-                )
-                for pp in range(npol)
-            ]
-            for ff in range(nfreq)
-        ]
+
+        self._beam = spline_table(beam)
+        self._beam_flag = spline_table(flag.astype(np.float32))
         self.log.info("Grid beam initialized.")
 
     def _grid_beam(self, pol, dec, ha):
         pp = self._beam_pol.index(pol)
-        nf = len(self._beam_freq)
-        pb = np.array([self._beam[ff][pp](dec, ha)[0] for ff in range(nf)])
-        flag = np.array(
-            [
-                np.abs(self._beam_flag[ff][pp](dec, ha)[0] - 1.0) < 0.01
-                for ff in range(nf)
-            ]
-        )
-        return np.where(flag, pb, 0.0)
+        rows, ok = [], []
+        for bspl, fspl in zip(self._beam, self._beam_flag):
+            rows.append(bspl[pp](dec, ha)[0])
+            ok.append(np.abs(fspl[pp](dec, ha)[0] - 1.0) < 0.01)
+        return np.where(ok, rows, 0.0)
 
 
 class BeamFormExternal(BeamFormExternalMixin, BeamForm):
@@ -948,41 +940,45 @@ class HybridVisBeamForm(ContainerTask):
         """Set the observer and the source catalog."""
         self.telescope = io.get_telescope(manager)
         self.latitude = np.radians(self.telescope.latitude)
-        if not self.ignore_rot and getattr(self.telescope, "rotation_angle", 0.0):
+        self.rot = 0.0
+        tilt = getattr(self.telescope, "rotation_angle", 0.0)
+        if tilt and not self.ignore_rot:
             self.log.info(
                 f"Compensating the NS phase arising from the telescope's "
-                f"{self.telescope.rotation_angle:0.2f} deg rotation."
+                f"{tilt:0.2f} deg rotation."
             )
-            self.rot = np.radians(self.telescope.rotation_angle)
-        else:
-            self.rot = 0.0
+            self.rot = np.radians(tilt)
         self.catalog = catalog
+
+    def _precessed_positions(self, hvis):
+        """Catalog (ra, dec) precessed to the data epoch(s)."""
+        pos = np.asarray(self.catalog["position"][:])
+        ra, dec = pos["ra"].copy(), pos["dec"].copy()
+        lsd = hvis.attrs.get("lsd", hvis.attrs.get("csd"))
+        if lsd is None:
+            return ra, dec
+        epochs = np.atleast_1d(self.telescope.lsd_to_unix(lsd))
+        moved = [icrs_to_cirs(ra, dec, ep) for ep in epochs]
+        return (
+            np.mean([m[0] for m in moved], axis=0),
+            np.mean([m[1] for m in moved], axis=0),
+        )
 
     def process(self, hvis):
         """Finish beamforming in the east-west direction."""
         from ..ops.tools import correct_phase_wrap, find_contiguous_slices
 
         fringestopped = hvis.attrs.get("fringestopped", False)
-        lsd = hvis.attrs.get("lsd", hvis.attrs.get("csd"))
-
-        pos = np.asarray(self.catalog["position"][:])
-        src_ra, src_dec = pos["ra"].copy(), pos["dec"].copy()
-        if lsd is not None:
-            epoch = np.atleast_1d(self.telescope.lsd_to_unix(lsd))
-            coords = [icrs_to_cirs(src_ra, src_dec, ep) for ep in epoch]
-            src_ra = np.mean([c[0] for c in coords], axis=0)
-            src_dec = np.mean([c[1] for c in coords], axis=0)
+        src_ra, src_dec = self._precessed_positions(hvis)
 
         dec = np.degrees(
             np.arcsin(np.asarray(hvis.index_map["el"])) + self.latitude
         )
-        nearest_dec = _search_nearest(dec, src_dec)
-
-        delta_dec = np.max(np.abs(np.diff(dec)))
-        valid_src = np.abs(src_dec - dec[nearest_dec]) < delta_dec
-
+        dec_row = _search_nearest(dec, src_dec)
+        dec_step = np.max(np.abs(np.diff(dec)))
+        on_grid = np.abs(src_dec - dec[dec_row]) < dec_step
         self.log.info(
-            f"There are {np.sum(valid_src)} catalog sources in this "
+            f"There are {np.sum(on_grid)} catalog sources in this "
             "declination range."
         )
 
@@ -990,14 +986,10 @@ class HybridVisBeamForm(ContainerTask):
         ha_arr = np.asarray(
             correct_phase_wrap(ra[np.newaxis, :] - src_ra[:, np.newaxis], deg=True)
         )
-        valid = np.abs(ha_arr) <= self.window
-        nha = np.sum(valid, axis=-1)
+        in_window = np.abs(ha_arr) <= self.window
 
         ra_rad = np.radians(ra)
-
-        freq = np.asarray(hvis.freq)
-        lmbda = C / (freq * 1e6)
-
+        lmbda = C / (np.asarray(hvis.freq) * 1e6)
         ew = np.asarray(hvis.index_map["ew"])
         u = ew[np.newaxis, :, np.newaxis] / lmbda[:, np.newaxis, np.newaxis]
         v = np.sin(self.rot) * u
@@ -1007,7 +999,7 @@ class HybridVisBeamForm(ContainerTask):
 
         out = containers.FormedBeamHAEW(
             object_id=self.catalog.index_map["object_id"],
-            ha=np.arange(np.max(nha), dtype=int),
+            ha=np.arange(in_window.sum(axis=-1).max(), dtype=int),
             axes_from=hvis,
             attrs_from=hvis,
         )
@@ -1025,28 +1017,25 @@ class HybridVisBeamForm(ContainerTask):
         owe = np.zeros(out.weight.shape, dtype=np.float64)
         oha = np.zeros(out.ha.shape, dtype=np.float64)
 
-        for ss, (idec, sdec) in enumerate(zip(nearest_dec, np.radians(src_dec))):
-            in_range = np.flatnonzero(valid[ss])
-            if (in_range.size == 0) or not valid_src[ss]:
+        for si in np.flatnonzero(on_grid):
+            row = dec_row[si]
+            sdec = np.radians(src_dec[si])
+            samples = np.flatnonzero(in_window[si])
+            if samples.size == 0:
                 continue
 
-            cos_dec = np.cos(np.radians(dec[idec]))
+            cos_dec = np.cos(np.radians(dec[row]))
+            samples = samples[np.argsort(ha_arr[si, samples])]
 
-            isort = np.argsort(ha_arr[ss, in_range])
-            in_range = in_range[isort]
-
-            islcs = find_contiguous_slices(in_range)
-            count = 0
-            for islc in islcs:
-                svis = vis[..., idec, islc]  # pol, freq, ew, ha
-                sweight = weight[..., islc]
-
+            filled = 0
+            for islc in find_contiguous_slices(samples):
+                svis = vis[..., row, islc]  # pol, freq, ew, ha
                 nsample = svis.shape[-1]
-                oslc = slice(count, count + nsample)
-                count += nsample
+                oslc = slice(filled, filled + nsample)
+                filled += nsample
 
-                oha[ss, oslc] = ha_arr[ss, islc]
-                ha = np.radians(ha_arr[ss, islc])
+                oha[si, oslc] = ha_arr[si, islc]
+                ha = np.radians(ha_arr[si, islc])
 
                 # Vectorised over (freq, ew, ha)
                 phi = np.asarray(
@@ -1055,14 +1044,16 @@ class HybridVisBeamForm(ContainerTask):
                     )
                 )
                 if fringestopped:
-                    omega = 2.0 * np.pi * ew[np.newaxis, :] / lmbda[:, np.newaxis]
-                    omega = omega * cos_dec
+                    omega = (
+                        2.0 * np.pi * cos_dec * ew[np.newaxis, :]
+                        / lmbda[:, np.newaxis]
+                    )
                     phi = phi * np.exp(
                         -1.0j * omega[..., np.newaxis] * ra_rad[islc]
                     )
 
-                owe[ss, :, :, :, oslc] = sweight
-                ofb[ss, :, :, :, oslc] = svis * phi[np.newaxis]
+                owe[si, :, :, :, oslc] = weight[..., islc]
+                ofb[si, :, :, :, oslc] = svis * phi[np.newaxis]
 
         out.beam[:] = ofb.astype(out.beam.dtype)
         out.weight[:] = owe.astype(out.weight.dtype)
@@ -1150,56 +1141,52 @@ class FitBeamFormed(BeamFormExternalMixin, ContainerTask):
             sha = np.radians(src_ha[ss, slc])
 
             for pp, pol in enumerate(pol_list):
-                b = beam[ss, pp, ..., slc]
+                transit = beam[ss, pp, ..., slc]
                 w = weight[ss, pp, ..., slc].astype(np.float64)
 
+                sigma = None
                 if self.weight == "uniform":
                     sigma = np.sqrt(np.asarray(invert_no_zero(w)))
-                    w = (w > 0.0).astype(np.float64)
+                    w = (w > 0.0) * 1.0
 
+                flag_ha = np.ones(nhal, dtype=bool)
                 if self.max_ha is not None:
                     flag_ha = np.abs(sha) <= np.radians(self.max_ha)
                     w = w * flag_ha
-                else:
-                    flag_ha = np.ones(nhal, dtype=bool)
 
                 X = self.get_template(pol, sdec, sha)
                 if "ew" in out.index_map:
                     X = X[:, np.newaxis, :, :]
+                template = X[..., 1]
 
-                f = w > 0
-                offsrc = X[..., 1] < 0.05
-                flag_background = (
-                    np.sum(f * offsrc, axis=-1) > self.min_num_background
+                sampled = w > 0
+                # enough off-source samples to anchor the background, and
+                # enough of the beam template covered to fit its amplitude
+                n_off = np.sum(sampled * (template < 0.05), axis=-1)
+                covered = np.sum(sampled * template, axis=-1) * np.asarray(
+                    invert_no_zero(np.sum(flag_ha * template, axis=-1))
                 )
-                flag_beam = (
-                    np.sum(f * X[..., 1], axis=-1)
-                    * np.asarray(
-                        invert_no_zero(np.sum(flag_ha * X[..., 1], axis=-1))
-                    )
-                ) > self.min_frac_beam
-
-                flag = flag_background & flag_beam
+                flag = (n_off > self.min_num_background) & (
+                    covered > self.min_frac_beam
+                )
                 if not np.any(flag):
                     continue
 
                 XT = np.swapaxes(X, -2, -1)
-                A = np.matmul(XT, w[..., np.newaxis] * X) + np.eye(2) * self.epsilon
-
-                proj_wb = np.sum(
-                    XT * (w * b)[..., np.newaxis, :], axis=-1, keepdims=True
+                A = XT @ (w[..., np.newaxis] * X) + np.eye(2) * self.epsilon
+                rhs = np.sum(
+                    XT * (w * transit)[..., np.newaxis, :],
+                    axis=-1,
+                    keepdims=True,
                 )
-
-                coeff = np.linalg.solve(A, proj_wb)[..., 0]
+                coeff = np.linalg.solve(A, rhs)[..., 0]
                 cov = np.linalg.inv(A)
+                if sigma is not None:
+                    # propagate the true noise through the uniform fit
+                    B = cov @ (XT * (w * sigma)[..., np.newaxis, :])
+                    cov = B @ np.swapaxes(B, -2, -1)
 
-                obeam[ss, pp] = coeff[..., 1]
-                obkg[ss, pp] = coeff[..., 0]
-
-                if self.weight == "uniform":
-                    B = np.matmul(cov, XT * (w * sigma)[..., np.newaxis, :])
-                    cov = np.matmul(B, np.swapaxes(B, -2, -1))
-
+                obkg[ss, pp], obeam[ss, pp] = coeff[..., 0], coeff[..., 1]
                 oweight[ss, pp] = flag * np.asarray(
                     invert_no_zero(cov[..., 1, 1])
                 )
@@ -1226,6 +1213,5 @@ class FitBeamFormed(BeamFormExternalMixin, ContainerTask):
 
     def get_template(self, pol, dec, ha):
         """Transit template: column 0 = offset, column 1 = beam model."""
-        t = np.ones((self.freq_local.size, ha.size, 2), dtype=float)
-        t[..., 1] = self._beamfunc(pol, dec, ha)
-        return t
+        offset = np.ones((self.freq_local.size, ha.size), dtype=float)
+        return np.stack([offset, self._beamfunc(pol, dec, ha)], axis=-1)
