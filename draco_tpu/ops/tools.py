@@ -94,12 +94,12 @@ def unique_pair_indices(n: int, autos: bool = True) -> np.ndarray:
 def find_key(key_list, key):
     """Index of ``key`` in ``key_list`` or None (tools.py:66)."""
     try:
-        return [tuple(x) for x in key_list].index(tuple(key))
+        entries = [tuple(x) for x in key_list]
+        key = tuple(key)
     except TypeError:
-        try:
-            return list(key_list).index(key)
-        except ValueError:
-            return None
+        entries = list(key_list)
+    try:
+        return entries.index(key)
     except ValueError:
         return None
 
@@ -126,14 +126,14 @@ def find_keys(key_list, keys, require_match: bool = False):
         return tuple(_norm_key(x) for x in kk)
 
     try:
-        dct = {_tup(kk): ii for ii, kk in enumerate(key_list)}
-        index = [dct.get(_tup(key)) for key in keys]
+        positions = {_tup(kk): ii for ii, kk in enumerate(key_list)}
+        found = [positions.get(_tup(key)) for key in keys]
     except TypeError:
-        dct = {_norm_key(kk): ii for ii, kk in enumerate(key_list)}
-        index = [dct.get(_norm_key(key)) for key in keys]
-    if require_match and any(ind is None for ind in index):
+        positions = {_norm_key(kk): ii for ii, kk in enumerate(key_list)}
+        found = [positions.get(_norm_key(key)) for key in keys]
+    if require_match and None in found:
         raise ValueError("Some requested keys are absent.")
-    return index
+    return found
 
 
 def find_inputs(input_index, inputs, require_match: bool = False):
@@ -165,26 +165,28 @@ def redefine_stack_index_map(telescope, inputs, prod, stack, reverse_stack):
 
     stack_new = stack.copy()
     stack_flag = np.zeros(stack_new.size, dtype=bool)
-
     prod_pairs = np.stack([prod["input_a"], prod["input_b"]], axis=-1)
-    for sind, (ii, jj) in enumerate(prod_pairs[stack["prod"]]):
-        bi, bj = tel_index[ii], tel_index[jj]
-        if (bi is None) or (bj is None) or not telescope.feedmask[bi, bj]:
-            this_stack = np.flatnonzero(reverse_stack["stack"] == sind)
-            for ts in this_stack:
-                ti = tel_index[prod_pairs[ts][0]]
-                tj = tel_index[prod_pairs[ts][1]]
-                if (
-                    (ti is not None)
-                    and (tj is not None)
-                    and telescope.feedmask[ti, tj]
-                ):
-                    stack_new[sind]["prod"] = ts
-                    stack_new[sind]["conjugate"] = reverse_stack[ts]["conjugate"]
-                    stack_flag[sind] = True
-                    break
-        else:
+
+    def product_ok(pind):
+        a, b = prod_pairs[pind]
+        ta, tb = tel_index[a], tel_index[b]
+        return (
+            ta is not None and tb is not None and telescope.feedmask[ta, tb]
+        )
+
+    for sind in range(stack_new.size):
+        if product_ok(stack["prod"][sind]):
             stack_flag[sind] = True
+            continue
+        # representative masked out: pick any surviving member product
+        for member in np.flatnonzero(reverse_stack["stack"] == sind):
+            if product_ok(member):
+                stack_new["prod"][sind] = member
+                stack_new["conjugate"][sind] = reverse_stack[member][
+                    "conjugate"
+                ]
+                stack_flag[sind] = True
+                break
 
     return stack_new, stack_flag
 
@@ -194,16 +196,17 @@ def broadcast_weights(waxis_names, daxis_names):
 
     (tools.py:173)
     """
-    if not set(waxis_names).issubset(daxis_names):
-        extra = set(waxis_names) - set(daxis_names)
+    extra = set(waxis_names) - set(daxis_names)
+    if extra:
         raise ValueError(f"The weight carries axes the data lacks: {extra}")
-    filtered = [ax for ax in daxis_names if ax in waxis_names]
-    if list(filtered) != list(waxis_names):
+    in_data_order = [ax for ax in daxis_names if ax in waxis_names]
+    if in_data_order != list(waxis_names):
         raise ValueError(
             f"Weight axes {waxis_names} do not appear in data axes "
             f"{daxis_names} in the correct order."
         )
-    return tuple(slice(None) if ax in waxis_names else None for ax in daxis_names)
+    kept = set(waxis_names)
+    return tuple(slice(None) if ax in kept else None for ax in daxis_names)
 
 
 def apply_gain(vis, gain, axis: int = 1, out=None, prod_map=None):
@@ -405,56 +408,58 @@ def penalized_least_squares_1d(
     if y.ndim != 1:
         raise ValueError(f"Expected 1D data array - got shape {y.shape}")
 
-    N = y.shape[0]
+    n = y.shape[0]
 
     if mask is None:
-        mask = np.zeros(N, dtype=bool)
+        mask = np.zeros(n, dtype=bool)
     elif np.all(mask):
         warnings.warn("Every sample is masked; nothing to fit.")
         return np.zeros_like(y)
     mask = np.squeeze(np.asarray(mask, dtype=bool))
 
-    D = np.array([[1, -2, 1]]).T.repeat(N - 1, axis=1)
-    D = dia_array((D, [-2, -1, 0]), shape=(N, N - 2))
-    Hp = lam * D @ D.T
+    # lower-banded lam * D2 D2^T for the second-difference operator D2
+    stencil = np.tile([[1.0], [-2.0], [1.0]], (1, n - 1))
+    d2 = dia_array((stencil, [-2, -1, 0]), shape=(n, n - 2))
+    smooth = lam * (d2 @ d2.T)
+    bands = np.ones((3, n), dtype=np.float64)
+    for off in range(3):
+        bands[off, : n - off] = smooth.diagonal(off)
 
-    H = np.ones((3, N), dtype=np.float64)
-    W = np.zeros_like(H)
-    for i in range(H.shape[0]):
-        H[i, : N - i] = Hp.diagonal(i)
-    W[0] = 1.0
+    weights = np.zeros((3, n), dtype=np.float64)
+    weights[0] = 1.0
 
-    z = np.zeros_like(y)
-    for ii in range(max_iter):
-        W[:, mask] = 0.0
-        w = W[0]
-        z = la.solveh_banded(H + W, w * y, lower=True, check_finite=False)
-
-        wt = reweight_func(y - z, mask, ii)
-        if la.norm(w - wt) / max(la.norm(w), 1e-30) < epsilon:
+    fit = np.zeros_like(y)
+    for it in range(max_iter):
+        weights[:, mask] = 0.0
+        w = weights[0]
+        fit = la.solveh_banded(
+            bands + weights, w * y, lower=True, check_finite=False
+        )
+        w_next = reweight_func(y - fit, mask, it)
+        if la.norm(w - w_next) / max(la.norm(w), 1e-30) < epsilon:
             break
-        W[0] = wt
+        weights[0] = w_next
     else:
         warnings.warn(f"Baseline fit still moving after {max_iter} iterations.")
 
-    return z
+    return fit
 
 
 def arPLS_1d(y, mask=None, lam: float = 1e2, epsilon: float = 1e-2,
              max_iter: int = 100):
     """Asymmetrically reweighted PLS baseline (reference tools.py:717-780)."""
     y = np.asarray(y, dtype=np.float64)
-    _maxpwr = np.log(np.finfo(y.dtype).max)
+    exp_cap = np.log(np.finfo(y.dtype).max)
 
-    def _reweight(d, m, ii):
-        sel = (d < 0) & ~m
-        if not sel.any():
-            return np.full_like(d, 0.5)
-        mu = np.mean(d, where=sel)
-        sigma = np.std(d, where=sel)
-        x = 2 * (d - (2 * sigma - mu)) * np.asarray(invert_no_zero(sigma))
-        np.clip(x, -_maxpwr, _maxpwr, out=x)
-        return np.asarray(invert_no_zero(np.exp(x) + 1.0))
+    def _reweight(resid, m, it):
+        below = (resid < 0) & ~m
+        if not below.any():
+            return np.full_like(resid, 0.5)
+        mu = np.mean(resid, where=below)
+        sigma = np.std(resid, where=below)
+        arg = 2 * (resid - (2 * sigma - mu)) * np.asarray(invert_no_zero(sigma))
+        arg = np.clip(arg, -exp_cap, exp_cap)
+        return np.asarray(invert_no_zero(np.exp(arg) + 1.0))
 
     return penalized_least_squares_1d(y, _reweight, mask, lam, epsilon, max_iter)
 
@@ -463,16 +468,17 @@ def IarPLS_1d(y, mask=None, lam: float = 1e2, epsilon: float = 1e-2,
               max_iter: int = 100):
     """Improved asymmetrically reweighted PLS baseline (tools.py:783-841)."""
     y = np.asarray(y, dtype=np.float64)
-    _maxsqr = np.finfo(y.dtype).max ** 0.5
-    _maxpwr = np.log(np.finfo(y.dtype).max)
+    sqr_cap = np.finfo(y.dtype).max ** 0.5
+    exp_cap = np.log(np.finfo(y.dtype).max)
 
-    def _reweight(d, m, ii):
-        sel = (d < 0) & ~m
-        sigma = np.std(d, where=sel) if sel.any() else 0.0
-        t = np.clip(ii + 1, -_maxpwr, _maxpwr)
-        x = np.exp(t) * (d - 2 * sigma) * np.asarray(invert_no_zero(sigma))
-        np.clip(x, -_maxsqr, _maxsqr, out=x)
-        return 0.5 * (1 - x * np.asarray(invert_no_zero((1 + x**2) ** 0.5)))
+    def _reweight(resid, m, it):
+        below = (resid < 0) & ~m
+        sigma = np.std(resid, where=below) if below.any() else 0.0
+        gain = np.exp(np.clip(it + 1, -exp_cap, exp_cap))
+        arg = gain * (resid - 2 * sigma) * np.asarray(invert_no_zero(sigma))
+        arg = np.clip(arg, -sqr_cap, sqr_cap)
+        shrink = arg * np.asarray(invert_no_zero(np.hypot(1.0, arg)))
+        return 0.5 * (1 - shrink)
 
     return penalized_least_squares_1d(y, _reweight, mask, lam, epsilon, max_iter)
 
@@ -520,22 +526,24 @@ def window_generalised(x, window: str = "nuttall"):
             w,
         )
     else:
-        a_table = {
-            "uniform": np.array([1, 0, 0, 0]),
-            "hann": np.array([0.5, -0.5, 0, 0]),
-            "hanning": np.array([0.5, -0.5, 0, 0]),
-            "hamming": np.array([0.53836, -0.46164, 0, 0]),
-            "blackman": np.array([0.42, -0.5, 0.08, 0]),
-            "nuttall": np.array([0.355768, -0.487396, 0.144232, -0.012604]),
-            "blackman_nuttall": np.array(
-                [0.3635819, -0.4891775, 0.1365995, -0.0106411]
-            ),
-            "blackman_harris": np.array([0.35875, -0.48829, 0.14128, -0.01168]),
-        }
-        a = jnp.asarray(a_table[window], dtype=x.dtype)
+        a = jnp.asarray(_COSINE_WINDOW_COEFFS[window], dtype=x.dtype)
         t = 2 * jnp.pi * jnp.arange(4)[:, None] * x.reshape(-1)[None, :]
         w = (a[:, None] * jnp.cos(t)).sum(axis=0).reshape(x.shape)
     return jnp.where((x >= 0) & (x <= 1), w, jnp.zeros_like(w))
+
+
+# Generalised-cosine window coefficient table (a0..a3); values follow the
+# standard published definitions of each window
+_COSINE_WINDOW_COEFFS = {
+    "uniform": (1.0, 0.0, 0.0, 0.0),
+    "hann": (0.5, -0.5, 0.0, 0.0),
+    "hamming": (0.53836, -0.46164, 0.0, 0.0),
+    "blackman": (0.42, -0.5, 0.08, 0.0),
+    "nuttall": (0.355768, -0.487396, 0.144232, -0.012604),
+    "blackman_nuttall": (0.3635819, -0.4891775, 0.1365995, -0.0106411),
+    "blackman_harris": (0.35875, -0.48829, 0.14128, -0.01168),
+}
+_COSINE_WINDOW_COEFFS["hanning"] = _COSINE_WINDOW_COEFFS["hann"]
 
 
 def correct_phase_wrap(phi, deg: bool = False):
