@@ -170,16 +170,17 @@ class DPSSFilter(ContainerTask):
     def _set_sel(self, data):
         """Hook for subclasses to extract per-row metadata."""
 
+    def _sample_rate(self, samples):
+        return 1 / np.median(abs(np.diff(samples)))
+
     def _get_basis(self, samples, ngroup):
         """One shared basis for every row (reference interpolate.py:175)."""
         cov = dpss.make_covariance(samples, self.halfwidths, self.centres)
-        modes = dpss.get_basis(cov)
-        amap = [0] * ngroup
-
-        fs = 1 / np.median(abs(np.diff(samples)))
-        cutoff = self.cutoff_frac * fs / np.max(self.halfwidths)
-
-        return [modes], amap, [cutoff]
+        cutoff = (
+            self.cutoff_frac * self._sample_rate(samples)
+            / np.max(self.halfwidths)
+        )
+        return [dpss.get_basis(cov)], [0] * ngroup, [cutoff]
 
 
 class DPSSFilterBaseline(DPSSFilter):
@@ -209,24 +210,35 @@ class DPSSFilterBaseline(DPSSFilter):
 
     def _get_basis(self, samples, ngroup):
         """A basis per unique baseline cut (reference interpolate.py:237)."""
-        cuts = self._get_baseline_cuts()
-        cuts, amap = np.unique(cuts, return_inverse=True)
+        cuts, amap = np.unique(
+            self._get_baseline_cuts(), return_inverse=True
+        )
 
         modes = []
         for ii, cut in enumerate(cuts):
             self.log.debug(
                 f"Building covariance {ii + 1}/{len(cuts)} (delay cut {cut})."
             )
-            cov = dpss.make_covariance(samples, cut, 0.0)
-            modes.append(dpss.get_basis(cov))
+            modes.append(dpss.get_basis(dpss.make_covariance(samples, cut, 0.0)))
 
-        fs = 1 / np.median(abs(np.diff(samples)))
         # one cutoff PER basis group: a short baseline (small delay cut)
         # tolerates proportionally wider gaps than the longest one — a
         # single max-cut threshold would zero its valid inpainted data
-        cutoffs = [self.cutoff_frac * fs / c for c in cuts]
+        scale = self.cutoff_frac * self._sample_rate(samples)
+        return modes, amap, [scale / c for c in cuts]
 
-        return modes, amap, cutoffs
+    def _component_lengths(self, fringe_axis=False):
+        """|baseline| along the configured orientation per stack row.
+
+        fringe_axis swaps the component convention (m cuts scale with the
+        EW extent for an NS orientation and vice versa).
+        """
+        column = {"NS": 1, "EW": 0}.get(self.telescope_orientation)
+        if column is None:
+            return np.linalg.norm(self._baselines, axis=1)
+        if fringe_axis:
+            column = 1 - column
+        return abs(self._baselines[:, column])
 
     def _get_baseline_cuts(self):
         raise NotImplementedError()
@@ -251,17 +263,11 @@ class DPSSFilterDelay(DPSSFilterBaseline):
     extra_cut = config.float_prop(0.0)
 
     def _get_baseline_cuts(self):
-        if self.telescope_orientation == "NS":
-            blen = abs(self._baselines[:, 1])
-        elif self.telescope_orientation == "EW":
-            blen = abs(self._baselines[:, 0])
-        else:
-            blen = np.linalg.norm(self._baselines, axis=1)
-
-        delay_cut = self.za_cut * blen / C_LIGHT * 1.0e6 + self.extra_cut
-        delay_cut = np.maximum(delay_cut, self.halfwidths[0])
-
-        return np.round(delay_cut, decimals=3)
+        blen = self._component_lengths()
+        horizon_us = self.za_cut * blen / C_LIGHT * 1.0e6 + self.extra_cut
+        return np.round(
+            np.maximum(horizon_us, self.halfwidths[0]), decimals=3
+        )
 
 
 class DPSSFilterMMode(DPSSFilterBaseline):
@@ -274,20 +280,12 @@ class DPSSFilterMMode(DPSSFilterBaseline):
     axis = config.enum(["ra"], default="ra")
 
     def _get_baseline_cuts(self):
-        if self.telescope_orientation == "NS":
-            blen = abs(self._baselines[:, 0])
-        elif self.telescope_orientation == "EW":
-            blen = abs(self._baselines[:, 1])
-        else:
-            blen = np.linalg.norm(self._baselines, axis=1)
-
+        blen = self._component_lengths(fringe_axis=True)
         freq = self.telescope.freq_start
         dec = np.deg2rad(self.telescope.latitude)
         # Max m per baseline, compensating for RA samples in degrees
         mcut = (np.pi / 180) * freq * 1e6 * blen / (C_LIGHT * np.cos(dec))
-        mcut = np.maximum(mcut, self.halfwidths[0])
-
-        return np.round(mcut, decimals=2)
+        return np.round(np.maximum(mcut, self.halfwidths[0]), decimals=2)
 
 
 class StokesIMixin:

@@ -39,27 +39,31 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
+def _dft_angles(N: int, fsel, nchan_default: int) -> np.ndarray:
+    """Phase table 2*pi*f*t/N, [nsel, N]."""
+    chans = np.arange(nchan_default) if fsel is None else np.array(fsel)
+    return 2 * np.pi * np.outer(chans, np.arange(N)) / N
+
+
 def fourier_matrix_r2c(N: int, fsel=None) -> np.ndarray:
     """Real-to-complex FFT matrix, alternating re/im rows (delay.py:1480)."""
-    fa = np.arange(N // 2 + 1) if fsel is None else np.array(fsel)
-    fa = fa[:, np.newaxis]
-    ta = np.arange(N)[np.newaxis, :]
-    Fr = np.zeros((2 * fa.shape[0], N), dtype=np.float64)
-    Fr[0::2] = np.cos(2 * np.pi * ta * fa / N)
-    Fr[1::2] = -np.sin(2 * np.pi * ta * fa / N)
-    return Fr
+    arg = _dft_angles(N, fsel, N // 2 + 1)
+    out = np.zeros((2 * arg.shape[0], N), dtype=np.float64)
+    out[0::2] = np.cos(arg)
+    out[1::2] = -np.sin(arg)
+    return out
 
 
 def fourier_matrix_c2r(N: int, fsel=None) -> np.ndarray:
     """Complex-to-real inverse FFT matrix (delay.py:1513)."""
-    fa = np.arange(N // 2 + 1) if fsel is None else np.array(fsel)
-    fa = fa[np.newaxis, :]
-    mul = np.where((fa == 0) | (fa == N // 2), 1.0, 2.0) / N
-    ta = np.arange(N)[:, np.newaxis]
-    Fr = np.zeros((N, 2 * fa.shape[1]), dtype=np.float64)
-    Fr[:, 0::2] = np.cos(2 * np.pi * ta * fa / N) * mul
-    Fr[:, 1::2] = -np.sin(2 * np.pi * ta * fa / N) * mul
-    return Fr
+    chans = np.arange(N // 2 + 1) if fsel is None else np.array(fsel)
+    # DC and Nyquist rows carry no doubled conjugate partner
+    scale = np.where((chans == 0) | (chans == N // 2), 1.0, 2.0) / N
+    arg = _dft_angles(N, fsel, N // 2 + 1).T
+    out = np.zeros((N, 2 * chans.shape[0]), dtype=np.float64)
+    out[:, 0::2] = np.cos(arg) * scale
+    out[:, 1::2] = -np.sin(arg) * scale
+    return out
 
 
 def fourier_matrix_c2c(N: int, fsel=None) -> np.ndarray:
@@ -67,22 +71,19 @@ def fourier_matrix_c2c(N: int, fsel=None) -> np.ndarray:
 
     (delay.py:1549)
     """
-    fa = np.arange(N) if fsel is None else np.array(fsel)
-    fa = fa[:, np.newaxis]
-    ta = np.arange(N)[np.newaxis, :]
-    F = np.zeros((2 * fa.shape[0], 2 * N), dtype=np.float64)
-    arg = 2 * np.pi * ta * fa / N
-    F[0::2, 0::2] = np.cos(arg)
-    F[0::2, 1::2] = np.sin(arg)
-    F[1::2, 0::2] = -np.sin(arg)
-    F[1::2, 1::2] = np.cos(arg)
-    return F
+    arg = _dft_angles(N, fsel, N)
+    c, s = np.cos(arg), np.sin(arg)
+    out = np.zeros((2 * arg.shape[0], 2 * N), dtype=np.float64)
+    out[0::2, 0::2] = c
+    out[0::2, 1::2] = s
+    out[1::2, 0::2] = -s
+    out[1::2, 1::2] = c
+    return out
 
 
 def fourier_matrix(N: int, fsel=None) -> np.ndarray:
     """Complex Fourier matrix exp(-2 pi i t f / N) (delay.py:1588)."""
-    fa = np.arange(N) if fsel is None else np.array(fsel)
-    return np.exp(-2.0j * np.pi * np.arange(N)[np.newaxis, :] * fa[:, np.newaxis] / N)
+    return np.exp(-1.0j * _dft_angles(N, fsel, N))
 
 
 def _complex_to_alternating_real(array):
@@ -98,37 +99,51 @@ def _alternating_real_to_complex(array):
 # ---------------------------------------------------------------------------
 
 
+def _chan_taper(fsel, total_freq, window):
+    """Apodisation over the selected channels, doubled for re/im rows."""
+    taper = np.asarray(
+        tools.window_generalised(fsel / total_freq, window=window)
+    )
+    return np.repeat(taper, 2)
+
+
+def _alternating_noise_inverse(Ni, fsel, N, complex_timedomain):
+    """Per-alternating-row inverse noise.
+
+    Purely-real channels (DC/Nyquist of a real transform) put all their
+    information in the re row; every other channel splits across re/im
+    with doubled weight.  Ni may be [nfreq] or [..., nfreq].
+    """
+    if complex_timedomain:
+        lone_real = np.zeros(fsel.shape, dtype=bool)
+    else:
+        lone_real = (fsel == 0) | (fsel == N // 2)
+    out = np.zeros(Ni.shape[:-1] + (2 * Ni.shape[-1],))
+    out[..., 0::2] = np.where(lone_real, Ni, Ni * 2)
+    out[..., 1::2] = np.where(lone_real, 0.0, Ni * 2)
+    return out
+
+
 def _compute_delay_spectrum_inputs(data, N, Ni, fsel, window, complex_timedomain):
     """Pre-whitened alternating-real data + noise-weighted Fourier matrices."""
     total_freq = N if complex_timedomain else N // 2 + 1
-    if fsel is None:
-        fsel = np.arange(total_freq)
-    else:
-        fsel = np.asarray(fsel)
-
-    F = fourier_matrix_c2c(N, fsel) if complex_timedomain else fourier_matrix_r2c(N, fsel)
-    data = _complex_to_alternating_real(data).T.copy()
-
-    if window is not None:
-        x = fsel / total_freq
-        w = np.asarray(tools.window_generalised(x, window=window))
-        w = np.repeat(w, 2)
-        F = F * w[:, np.newaxis]
-        data = data * w[:, np.newaxis]
+    fsel = np.arange(total_freq) if fsel is None else np.asarray(fsel)
 
     if complex_timedomain:
-        is_real_freq = np.zeros(fsel.shape, dtype=bool)
+        F = fourier_matrix_c2c(N, fsel)
     else:
-        is_real_freq = (fsel == 0) | (fsel == N // 2)
+        F = fourier_matrix_r2c(N, fsel)
+    rows = _complex_to_alternating_real(data).T.copy()
 
-    Ni_r = np.zeros(2 * Ni.shape[0])
-    Ni_r[0::2] = np.where(is_real_freq, Ni, Ni * 2)
-    Ni_r[1::2] = np.where(is_real_freq, 0.0, Ni * 2)
+    if window is not None:
+        taper = _chan_taper(fsel, total_freq, window)
+        F = F * taper[:, np.newaxis]
+        rows = rows * taper[:, np.newaxis]
 
-    FTNih = F.T * Ni_r[np.newaxis, :] ** 0.5
-    FTNiF = FTNih @ FTNih.T
-    data = data * Ni_r[:, np.newaxis] ** 0.5
-    return data, FTNih, FTNiF, fsel
+    Ni_r = _alternating_noise_inverse(Ni, fsel, N, complex_timedomain)
+    root = Ni_r**0.5
+    FTNih = F.T * root[np.newaxis, :]
+    return rows * root[:, np.newaxis], FTNih, FTNih @ FTNih.T, fsel
 
 
 # ---------------------------------------------------------------------------
@@ -160,17 +175,25 @@ def delay_spectrum_wiener_filter(
     data, FTNih, FTNiF, fsel = _compute_delay_spectrum_inputs(
         data, N, Ni, fsel, window, complex_timedomain
     )
-    y = FTNih @ data
     Si = np.asarray(tools.invert_no_zero(np.asarray(delay_PS)))
     if complex_timedomain:
         Si = 2.0 * np.repeat(Si, 2)
-    Ci = FTNiF.copy()
-    np.einsum("ii->i", Ci)[:] += Si
-    CiL = la.cho_factor(Ci, check_finite=False, lower=False, overwrite_a=True)
-    y_spec = la.cho_solve(CiL, y, check_finite=False, overwrite_b=True).T
+    y_spec = _solve_regularised(FTNiF, Si, FTNih @ data).T
     if complex_timedomain:
         y_spec = _alternating_real_to_complex(y_spec)
     return y_spec
+
+
+def _solve_regularised(FTNiF, Si_diag, rhs):
+    """cho_solve of (FTNiF + diag(Si)) x = rhs (both overwritten)."""
+    import scipy.linalg as la
+
+    system = FTNiF.copy()
+    system[np.diag_indices_from(system)] += Si_diag
+    factor = la.cho_factor(
+        system, check_finite=False, lower=False, overwrite_a=True
+    )
+    return la.cho_solve(factor, rhs, check_finite=False, overwrite_b=True)
 
 
 def delay_power_spectrum_gibbs(
@@ -190,67 +213,64 @@ def delay_power_spectrum_gibbs(
     form depending on dimensions, delay.py:1884-1886) with an inverse-chi^2
     power spectrum draw.  Returns (list of samples, success flag).
     """
-    import scipy.linalg as la
-
     if rng is None:
         rng = np.random.default_rng()
 
-    spec = []
+    draws = []
     data, FTNih, FTNiF, fsel = _compute_delay_spectrum_inputs(
         data, N, Ni, fsel, window, complex_timedomain
     )
-    S_samp = initial_S
+    ndelay_rows = 2 * N if complex_timedomain else N
+    nsamp = data.shape[1]
 
-    def _draw_signal_sample_f(S):
+    def _noise():
+        return (
+            rng.standard_normal((ndelay_rows, nsamp)),
+            rng.standard_normal(data.shape),
+        )
+
+    def _signal_via_delay_basis(S):
+        # "frequency" form of the perturbed-Wiener draw (delay.py:1884):
+        # solve in the ndelay x ndelay system — cheap when most channels
+        # are retained
         Si = np.asarray(tools.invert_no_zero(S))
         if complex_timedomain:
             Si = 2.0 * np.repeat(Si, 2)
-        Ci = FTNiF.copy()
-        np.einsum("ii->i", Ci)[:] += Si
-        CiL = la.cho_factor(Ci, check_finite=False, lower=False, overwrite_a=True)
-        nd = 2 * N if complex_timedomain else N
-        w1 = rng.standard_normal((nd, data.shape[1]))
-        w2 = rng.standard_normal(data.shape)
-        w2d = data + w2
-        y = w1 * (Si**0.5)[:, np.newaxis] + (FTNih @ w2d)
-        return la.cho_solve(CiL, y, check_finite=False, overwrite_b=True)
+        eps_s, eps_n = _noise()
+        rhs = eps_s * (Si**0.5)[:, np.newaxis] + FTNih @ (data + eps_n)
+        return _solve_regularised(FTNiF, Si, rhs)
 
-    def _draw_signal_sample_t(S):
+    def _signal_via_chan_basis(S):
+        # "time" form: solve in the (smaller) retained-channel system
         Sh = S**0.5
         if complex_timedomain:
             Sh = (0.5**0.5) * np.repeat(Sh, 2)
-        nd = 2 * N if complex_timedomain else N
-        w1 = rng.standard_normal((nd, data.shape[1]))
-        w2 = rng.standard_normal(data.shape)
+        eps_s, eps_n = _noise()
         Rt = FTNih * Sh[:, np.newaxis]
         R = Rt.T.conj()
-        y = w2 - R @ w1 + data
-        Ci = R @ Rt
-        np.einsum("ii->i", Ci)[:] += 1.0
-        CiL = la.cho_factor(Ci, check_finite=False, lower=False, overwrite_a=True)
-        x = la.cho_solve(CiL, y, check_finite=False, overwrite_b=True)
-        return Sh[:, np.newaxis] * ((Rt @ x) + w1)
+        rhs = eps_n - R @ eps_s + data
+        x = _solve_regularised(R @ Rt, np.ones(R.shape[0]), rhs)
+        return Sh[:, np.newaxis] * ((Rt @ x) + eps_s)
 
-    def _draw_ps_sample(d):
+    def _spectrum_draw(d):
+        # inverse-chi^2 draw about the realised sample variance
         S_hat = d.var(axis=-1)
         if complex_timedomain:
             S_hat = S_hat[::2] + S_hat[1::2]
-        df = d.shape[1]
-        chi2 = rng.chisquare(df, size=S_hat.shape[0])
-        return S_hat * df / chi2
+        return S_hat * nsamp / rng.chisquare(nsamp, size=S_hat.shape[0])
 
-    _draw_signal_sample = (
-        _draw_signal_sample_f if (len(fsel) > 0.25 * N) else _draw_signal_sample_t
-    )
+    dense = len(fsel) > 0.25 * N
+    _signal_draw = _signal_via_delay_basis if dense else _signal_via_chan_basis
 
+    S_samp = initial_S
     for _ in range(niter):
         try:
-            d_samp = _draw_signal_sample(S_samp)
+            d_samp = _signal_draw(S_samp)
         except np.linalg.LinAlgError:
-            return spec, False
-        S_samp = _draw_ps_sample(d_samp)
-        spec.append(S_samp)
-    return spec, True
+            return draws, False
+        S_samp = _spectrum_draw(d_samp)
+        draws.append(S_samp)
+    return draws, True
 
 
 def _delay_inputs_batched(data, N, Ni, fsel, window, complex_timedomain):
@@ -280,26 +300,17 @@ def _delay_inputs_batched(data, N, Ni, fsel, window, complex_timedomain):
         if complex_timedomain
         else fourier_matrix_r2c(N, fsel)
     )  # [2F, nd]
+    w = None
     if window is not None:
-        x = fsel / total_freq
-        w = np.asarray(tools.window_generalised(x, window=window))
-        w = np.repeat(w, 2)
+        w = _chan_taper(fsel, total_freq, window)
         F = F * w[:, np.newaxis]
-    else:
-        w = None
 
     # alternating-real data [b, nsamp, 2F] -> [b, 2F, nsamp]
     d_alt = _complex_to_alternating_real(
         np.ascontiguousarray(data)
     ).transpose(0, 2, 1)
 
-    if complex_timedomain:
-        is_real_freq = np.zeros(fsel.shape, dtype=bool)
-    else:
-        is_real_freq = (fsel == 0) | (fsel == N // 2)
-    Ni_r = np.zeros((Ni.shape[0], 2 * Ni.shape[1]))
-    Ni_r[:, 0::2] = np.where(is_real_freq, Ni, Ni * 2)
-    Ni_r[:, 1::2] = np.where(is_real_freq, 0.0, Ni * 2)
+    Ni_r = _alternating_noise_inverse(Ni, fsel, N, complex_timedomain)
 
     # dtype follows the jax x64 config (f64 under x64 for CPU
     # verification runs, f32 on accelerator defaults) — matching the
@@ -695,78 +706,88 @@ def delay_spectrum_gibbs_cross(
     if rng is None:
         rng = np.random.default_rng()
 
-    spec = []
-    nd, nsamp, Nf = data.shape
+    nd, nsamp, nchan = data.shape
+    if nd == 0:
+        raise ValueError("At least one dataset is required")
     if fsel is None:
-        fsel = np.arange(Nf)
-    elif len(fsel) != Nf:
+        fsel = np.arange(nchan)
+    elif len(fsel) != nchan:
         raise ValueError(
             f"The frequency selection does not cover the data channels: "
             f"{len(fsel)} selected vs {data.shape[-1]} present"
         )
 
     F = fourier_matrix(N, fsel)
-    if nd == 0:
-        raise ValueError("At least one dataset is required")
-
-    data = data.transpose(0, 2, 1)
+    rows = data.transpose(0, 2, 1)
     if window is not None:
-        x = fsel * 1.0 / N
-        w = np.asarray(tools.window_generalised(x, window=window))
-        F = F * w[:, np.newaxis]
-        data = data * w[:, np.newaxis]
+        taper = np.asarray(
+            tools.window_generalised(fsel * 1.0 / N, window=window)
+        )
+        F = F * taper[:, np.newaxis]
+        rows = rows * taper[:, np.newaxis]
 
+    # block-diagonal design products, one block per dataset
     FTNih = F.T[np.newaxis, :, :] * Ni[:, np.newaxis, :] ** 0.5
     FTNiF = np.zeros((nd, N, nd, N), dtype=np.complex128)
-    for ii in range(nd):
-        FTNiF[ii, :, ii] = FTNih[ii] @ FTNih[ii].T.conj()
-    data = data * Ni[:, :, np.newaxis] ** 0.5
+    for di in range(nd):
+        FTNiF[di, :, di] = FTNih[di] @ FTNih[di].T.conj()
+    rows = rows * Ni[:, :, np.newaxis] ** 0.5
 
-    S_samp = initial_S
-
-    def _draw_signal_sample_f(S):
+    def _joint_signal_draw(S):
+        # perturbed-Wiener draw over the coupled (dataset x delay) system
         Si = np.empty_like(S)
         Sh = np.empty((N, nd, nd), dtype=S.dtype)
-        for ii in range(N):
-            Si[:, :, ii] = la.inv(S[:, :, ii])
-            Sh[ii] = la.cholesky(S[:, :, ii], lower=False)
-        Ci = FTNiF.copy()
-        for ii in range(nd):
-            for jj in range(nd):
-                Ci[ii, :, jj] += np.diag(Si[ii, jj])
-        w1 = drandom.complex_normal_np(size=(N, nd, nsamp), rng=rng)
-        w2 = drandom.complex_normal_np(size=data.shape, rng=rng)
-        y = FTNih @ (data + w2)
-        for ii in range(N):
-            w1s = la.solve_triangular(
-                Sh[ii], w1[ii], overwrite_b=True, lower=False, check_finite=False
+        for di in range(N):
+            Si[:, :, di] = la.inv(S[:, :, di])
+            Sh[di] = la.cholesky(S[:, :, di], lower=False)
+        coupled = FTNiF.copy()
+        for a in range(nd):
+            for b in range(nd):
+                coupled[a, :, b] += np.diag(Si[a, b])
+        eps_s = drandom.complex_normal_np(size=(N, nd, nsamp), rng=rng)
+        eps_n = drandom.complex_normal_np(size=rows.shape, rng=rng)
+        y = FTNih @ (rows + eps_n)
+        for di in range(N):
+            y[:, di] += la.solve_triangular(
+                Sh[di],
+                eps_s[di],
+                overwrite_b=True,
+                lower=False,
+                check_finite=False,
             )
-            y[:, ii] += w1s
-        cf = la.cho_factor(
-            Ci.reshape(nd * N, nd * N), overwrite_a=True, check_finite=False
+        factor = la.cho_factor(
+            coupled.reshape(nd * N, nd * N),
+            overwrite_a=True,
+            check_finite=False,
         )
-        return la.cho_solve(
-            cf, y.reshape(nd * N, nsamp), overwrite_b=True, check_finite=False
-        ).reshape(nd, N, nsamp)
+        flat = la.cho_solve(
+            factor, y.reshape(nd * N, nsamp),
+            overwrite_b=True,
+            check_finite=False,
+        )
+        return flat.reshape(nd, N, nsamp)
 
-    def _draw_ps_sample(d):
+    def _wishart_ps_draw(d):
+        # per-delay inverse-Wishart draw about the realised covariance
         S = np.empty((nd, nd, N), dtype=np.complex128)
-        for ii in range(N):
-            S[:, :, ii] = np.cov(d[:, ii], bias=True)
-        for ii in range(N):
-            Si = la.inv(S[:, :, ii])
-            Si_samp = drandom.complex_wishart_np(Si, nsamp, rng=rng) / nsamp
-            S[:, :, ii] = la.inv(Si_samp)
+        for di in range(N):
+            S[:, :, di] = np.cov(d[:, di], bias=True)
+        for di in range(N):
+            scatter = la.inv(S[:, :, di])
+            draw = drandom.complex_wishart_np(scatter, nsamp, rng=rng)
+            S[:, :, di] = la.inv(draw / nsamp)
         return S
 
+    draws = []
+    S_samp = initial_S
     try:
         for _ in range(niter):
-            d_samp = _draw_signal_sample_f(S_samp)
-            S_samp = _draw_ps_sample(d_samp)
-            spec.append(S_samp)
+            d_samp = _joint_signal_draw(S_samp)
+            S_samp = _wishart_ps_draw(d_samp)
+            draws.append(S_samp)
     except la.LinAlgError as e:
         raise RuntimeError("Stopping the chain early: singular system") from e
-    return spec
+    return draws
 
 
 # ---------------------------------------------------------------------------
@@ -776,12 +797,12 @@ def delay_spectrum_gibbs_cross(
 
 def match_axes(dset1, dset2):
     """View of dset2 broadcastable against dset1 (reference delay.py:2209)."""
-    axes1 = dset1.attrs["axis"]
-    axes2 = dset2.attrs["axis"]
-    bcast_slice = tuple(
-        slice(None) if ax in tuple(axes2) else np.newaxis for ax in axes1
+    have = set(tuple(dset2.attrs["axis"]))
+    expand = tuple(
+        slice(None) if ax in have else np.newaxis
+        for ax in dset1.attrs["axis"]
     )
-    return np.asarray(dset2[:])[bcast_slice]
+    return np.asarray(dset2[:])[expand]
 
 
 def flatten_axes(dset, axes_to_keep, match_dset=None):
@@ -791,50 +812,46 @@ def flatten_axes(dset, axes_to_keep, match_dset=None):
     In the mesh model the flattened axis is the natural shard axis
     (SURVEY.md section 2.5 'flatten-and-shard').
     """
-    data_axes = list(dset.attrs["axis"])
-    for axis in axes_to_keep:
-        if axis not in data_axes:
-            raise ValueError(f"No axis called {axis} in this dataset.")
+    names = list(dset.attrs["axis"])
+    missing = [ax for ax in axes_to_keep if ax not in names]
+    if missing:
+        raise ValueError(f"No axis called {missing[0]} in this dataset.")
 
     arr = np.asarray(dset[:])
-    if match_dset is not None and tuple(data_axes) != tuple(
+    if match_dset is not None and tuple(names) != tuple(
         match_dset.attrs["axis"]
     ):
+        # broadcast up to the reference dataset's full layout first
         full = np.empty(match_dset.shape, dtype=arr.dtype)
         full[:] = match_axes(match_dset, dset)
         arr = full
-        data_axes = list(match_dset.attrs["axis"])
+        names = list(match_dset.attrs["axis"])
 
-    axes_ind = [data_axes.index(axis) for axis in axes_to_keep]
-    other_axes = [ax for ax in range(len(data_axes)) if ax not in axes_ind]
-    arr = arr.transpose(other_axes + axes_ind)
-    kept_shape = arr.shape[len(other_axes):]
-    arr = arr.reshape((-1, *kept_shape))
-    other_axes_names = [data_axes[ax] for ax in other_axes]
-    return arr, other_axes_names
+    back = [names.index(ax) for ax in axes_to_keep]
+    front = [i for i in range(len(names)) if i not in back]
+    arr = arr.transpose(front + back)
+    arr = arr.reshape((-1,) + arr.shape[len(front):])
+    return arr, [names[i] for i in front]
 
 
 def _move_front(arr: np.ndarray, axis, shape: tuple) -> np.ndarray:
     """Move axis (or axes) to the front and flatten to 2D (delay.py:2305)."""
-    if isinstance(axis, tuple):
-        new_arr = np.moveaxis(arr, axis, range(len(axis)))
-        lead = int(np.prod([shape[a] for a in axis]))
-        return new_arr.reshape(lead, -1)
-    new_arr = np.moveaxis(arr, axis, 0)
-    return new_arr.reshape(shape[axis], -1)
+    if not isinstance(axis, tuple):
+        return np.moveaxis(arr, axis, 0).reshape(shape[axis], -1)
+    lead = int(np.prod([shape[a] for a in axis]))
+    return np.moveaxis(arr, axis, range(len(axis))).reshape(lead, -1)
 
 
 def _inv_move_front(arr: np.ndarray, axis, shape: tuple) -> np.ndarray:
     """Inverse of :func:`_move_front` (delay.py:2311)."""
-    if isinstance(axis, tuple):
-        lead = tuple(shape[a] for a in axis)
-        rest = tuple(s for i, s in enumerate(shape) if i not in [a % len(shape) for a in axis])
-        new_arr = arr.reshape((*lead, *rest))
-        return np.moveaxis(new_arr, range(len(axis)), axis).reshape(shape)
-    rshape = (shape[axis], *shape[:axis], *shape[axis + 1:])
-    new_arr = arr.reshape(rshape)
-    new_arr = np.moveaxis(new_arr, 0, axis)
-    return new_arr.reshape(shape)
+    if not isinstance(axis, tuple):
+        interim = (shape[axis], *shape[:axis], *shape[axis + 1:])
+        return np.moveaxis(arr.reshape(interim), 0, axis).reshape(shape)
+    lead = tuple(shape[a] for a in axis)
+    norm = {a % len(shape) for a in axis}
+    rest = tuple(s for i, s in enumerate(shape) if i not in norm)
+    stacked = arr.reshape((*lead, *rest))
+    return np.moveaxis(stacked, range(len(axis)), axis).reshape(shape)
 
 
 def _take_view(arr: np.ndarray, ind: int, axis: int) -> np.ndarray:
