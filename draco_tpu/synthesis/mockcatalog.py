@@ -61,18 +61,17 @@ class SelectionFunctionEstimator(ContainerTask):
                 "SelectionFunctionEstimator needs a catalog: pipe one in "
                 "or set bcat_path."
             )
-        zlims_selfunc = np.linspace(self.z_min, self.z_max, self.n_z + 1)
-        z_selfunc = (zlims_selfunc[:-1] + zlims_selfunc[1:]) * 0.5
-        freq_selfunc = _zlims_to_freq(z_selfunc, zlims_selfunc)
+        edges = np.linspace(self.z_min, self.z_max, self.n_z + 1)
+        centres = 0.5 * (edges[1:] + edges[:-1])
 
         selfunc = containers.Map(
             nside=self.nside,
             polarisation=False,
-            freq=freq_selfunc,
+            freq=_zlims_to_freq(centres, edges),
             attrs_from=cat,
         )
 
-        maps = _cat_to_maps(cat, self.nside, zlims_selfunc)
+        maps = _cat_to_maps(cat, self.nside, edges)
 
         u, s, vt = np.linalg.svd(maps, full_matrices=False)
         k = self.n_modes
@@ -83,9 +82,7 @@ class SelectionFunctionEstimator(ContainerTask):
         out[:, 0, :] = rec
         selfunc.map[:] = out
 
-        if self.tracer is not None:
-            selfunc.attrs["tracer"] = self.tracer
-
+        _label_tracer(selfunc, self.tracer)
         return selfunc
 
 
@@ -107,18 +104,19 @@ class ResizeSelectionFunctionMap(ContainerTask):
         """Interpolate in redshift and regrade in angle."""
         from ..ops import regrid
 
-        z_selfunc = _freq_to_z(selfunc.index_map["freq"])
-        z_source = _freq_to_z(source_map.index_map["freq"])
+        z_from = _freq_to_z(selfunc.index_map["freq"])
+        z_onto = _freq_to_z(source_map.index_map["freq"])
 
         new_selfunc = containers.Map(
             polarisation=False, axes_from=source_map, attrs_from=source_map
         )
 
-        interp_m = regrid.lanczos_forward_matrix(
-            z_selfunc["centre"], z_source["centre"]
+        # bin-width ratio keeps the interpolation density-conserving
+        stencil = np.asarray(
+            regrid.lanczos_forward_matrix(z_from["centre"], z_onto["centre"])
         )
-        interp_m = np.asarray(interp_m) * (
-            z_source["width"][:, np.newaxis] / z_selfunc["width"][np.newaxis, :]
+        interp_m = stencil * np.outer(
+            z_onto["width"], 1.0 / z_from["width"]
         )
 
         # Interpolate the frequency axis, then regrade the pixel axis
@@ -190,9 +188,7 @@ class PdfGeneratorBase(ContainerTask):
         out[:, 0, :] = pdf
         pdf_map.map[:] = out
 
-        if self.tracer is not None:
-            pdf_map.attrs["tracer"] = self.tracer
-
+        _label_tracer(pdf_map, self.tracer)
         return pdf_map
 
     def process(self):
@@ -339,21 +335,9 @@ class MockCatalogGenerator(ContainerTask, RandomTask):
             mock_dec[sl] = dec
             offset += nbin
 
-        mock_catalog = containers.SpectroscopicCatalog(
-            object_id=np.arange(self.nsource, dtype=np.uint64),
-            attrs_from=self.pdf,
+        mock_catalog = _spectroscopic_catalog(
+            mock_ra, mock_dec, mock_zs, attrs_from=self.pdf
         )
-        pos = np.zeros(
-            self.nsource, dtype=[("ra", np.float64), ("dec", np.float64)]
-        )
-        pos["ra"], pos["dec"] = mock_ra, mock_dec
-        red = np.zeros(
-            self.nsource, dtype=[("z", np.float64), ("z_error", np.float64)]
-        )
-        red["z"] = mock_zs
-        mock_catalog["position"][:] = pos
-        mock_catalog["redshift"][:] = red
-
         self._ncat_done += 1
         return mock_catalog
 
@@ -380,16 +364,16 @@ class AddGaussianZErrorsToCatalog(ContainerTask, RandomTask):
         """Perturb the catalog redshifts."""
         red = np.asarray(cat["redshift"][:]).copy()
         cat_z = red["z"]
-        cat_z_err = red["z_error"]
 
         z_err = self.rng.normal(size=cat_z.shape[0])
         if self.use_catalog_z_errors:
-            if not np.any(cat_z_err):
+            scale = red["z_error"]
+            if not np.any(scale):
                 self.log.error(
                     "Warning: no existing z_error information in catalog, "
                     "so no z errors will be added"
                 )
-            z_err *= cat_z_err
+            z_err *= scale
         else:
             if self.sigma is None or self.sigma_type is None:
                 raise ValueError(
@@ -482,7 +466,8 @@ class AddEBOSSZErrorsToCatalog(ContainerTask, RandomTask):
         QSO_F_highz, QSO_ztrans, QSO_zwidth = 35.0, 1.0, 0.05
 
         def smooth_step(z, zt, zw, fl, fh):
-            return (1 + np.tanh((z - zt) / zw)) * (fh - fl) / 2 + fl
+            ramp = 0.5 * (1 + np.tanh((z - zt) / zw))
+            return fl + ramp * (fh - fl)
 
         invf = smooth_step(z, QSO_ztrans, QSO_zwidth, 0, 1 / QSO_F_highz)
         sig1 = smooth_step(
@@ -506,9 +491,9 @@ class AddEBOSSZErrorsToCatalog(ContainerTask, RandomTask):
         import scipy.stats
 
         ELG_SIG, ELG_LAMBDA = 11.877, -0.4028
-        dist = scipy.stats.tukeylambda
-        dist.random_state = rng
-        return dist.rvs(ELG_LAMBDA, scale=ELG_SIG, size=len(z))
+        return scipy.stats.tukeylambda.rvs(
+            ELG_LAMBDA, scale=ELG_SIG, size=len(z), random_state=rng
+        )
 
 
 _velocity_error_function_lookup = {
@@ -545,21 +530,7 @@ class MapPixelLocationGenerator(ContainerTask):
             raise PipelineStopIteration
 
         pix_dec, pix_ra = _pix_to_radec(np.arange(self.npix), self.nside)
-
-        mock_catalog = containers.SpectroscopicCatalog(
-            object_id=np.arange(self.npix, dtype=np.uint64)
-        )
-        pos = np.zeros(
-            self.npix, dtype=[("ra", np.float64), ("dec", np.float64)]
-        )
-        pos["ra"], pos["dec"] = pix_ra, pix_dec
-        red = np.zeros(
-            self.npix, dtype=[("z", np.float64), ("z_error", np.float64)]
-        )
-        red["z"] = self.z
-        mock_catalog["position"][:] = pos
-        mock_catalog["redshift"][:] = red
-
+        mock_catalog = _spectroscopic_catalog(pix_ra, pix_dec, self.z)
         self._done = True
         return mock_catalog
 
@@ -569,14 +540,33 @@ class MapPixelLocationGenerator(ContainerTask):
 # ---------------------------------------------------------------------------
 
 
+def _spectroscopic_catalog(ra, dec, z, attrs_from=None):
+    """SpectroscopicCatalog with filled position/redshift tables."""
+    n = len(np.atleast_1d(ra))
+    cat = containers.SpectroscopicCatalog(
+        object_id=np.arange(n, dtype=np.uint64), attrs_from=attrs_from
+    )
+    pos = np.zeros(n, dtype=[("ra", np.float64), ("dec", np.float64)])
+    pos["ra"], pos["dec"] = ra, dec
+    red = np.zeros(n, dtype=[("z", np.float64), ("z_error", np.float64)])
+    red["z"] = z
+    cat["position"][:] = pos
+    cat["redshift"][:] = red
+    return cat
+
+
+def _label_tracer(cont, tracer):
+    """Record the tracer name on a container when one is configured."""
+    if tracer is not None:
+        cont.attrs["tracer"] = tracer
+
+
 def _zlims_to_freq(z, zlims):
     """Redshift bins -> structured frequency axis (reference :1177)."""
-    freqcentre = NU21 / (z + 1)
-    freqlims = NU21 / (np.asarray(zlims) + 1)
-    freqwidth = abs(freqlims[:-1] - freqlims[1:])
+    edges = NU21 / (np.asarray(zlims) + 1)
     out = np.zeros(len(z), dtype=[("centre", "<f8"), ("width", "<f8")])
-    out["centre"] = freqcentre
-    out["width"] = freqwidth
+    out["centre"] = NU21 / (np.asarray(z) + 1)
+    out["width"] = abs(np.diff(edges))
     return out
 
 
@@ -584,24 +574,23 @@ def _freq_to_z(freq):
     """Structured frequency axis -> redshift bins (reference :1201)."""
     fc = freq["centre"]
     fw = freq["width"]
-    z = NU21 / fc - 1.0
 
-    sgn = np.sign(fc[-1] - fc[0])
-    flims = fc - sgn * 0.5 * fw
-    flims = np.append(flims, fc[-1] + sgn * 0.5 * fw[-1])
-    zlims = NU21 / flims - 1.0
-    z_width = abs(zlims[:-1] - zlims[1:])
+    direction = np.sign(fc[-1] - fc[0])
+    edges = np.append(
+        fc - direction * 0.5 * fw, fc[-1] + direction * 0.5 * fw[-1]
+    )
+    z_edges = NU21 / edges - 1.0
 
-    out = np.zeros(len(z), dtype=[("centre", "<f8"), ("width", "<f8")])
-    out["centre"] = z
-    out["width"] = z_width
+    out = np.zeros(len(fc), dtype=[("centre", "<f8"), ("width", "<f8")])
+    out["centre"] = NU21 / fc - 1.0
+    out["width"] = abs(np.diff(z_edges))
     return out
 
 
 def _pix_to_radec(index, nside):
     """RING pixel indices -> (dec, RA) in degrees (reference :1231)."""
     theta, phi = hpx.pix2ang(nside, np.asarray(index))
-    return -np.degrees(theta - np.pi / 2.0), np.degrees(phi)
+    return 90.0 - np.degrees(theta), np.degrees(phi)
 
 
 def _radec_to_pix(ra, dec, nside):
