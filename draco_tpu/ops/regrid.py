@@ -104,7 +104,8 @@ def band_wiener(R, Ni, Si, y, bw: int, use_pallas: bool | None = None):
 def lanczos_kernel(x, a: int):
     """Lanczos kernel (regrid.py:91)."""
     x = np.asarray(x)
-    return np.where(np.abs(x) < a, np.sinc(x) * np.sinc(x / a), np.zeros_like(x))
+    inside = np.abs(x) < a
+    return np.where(inside, np.sinc(x) * np.sinc(x / a), 0.0)
 
 
 def lanczos_forward_matrix(x, y, a: int = 5, periodic: bool = False):
@@ -114,12 +115,13 @@ def lanczos_forward_matrix(x, y, a: int = 5, periodic: bool = False):
     """
     x = np.asarray(x)
     y = np.asarray(y)
-    dx = x[1] - x[0]
-    sep = (x[np.newaxis, :] - y[:, np.newaxis]) / dx
+    step = x[1] - x[0]
+    offsets = np.subtract.outer(-y, -x) / step
     if periodic:
         n = len(x)
-        sep = np.where(np.abs(sep) > n // 2, n - np.abs(sep), sep)
-    return lanczos_kernel(sep, a)
+        far = np.abs(offsets) > n // 2
+        offsets = np.where(far, n - np.abs(offsets), offsets)
+    return lanczos_kernel(offsets, a)
 
 
 def lanczos_inverse_matrix(x, y, a: int = 5, cond: float = 1e-1):
@@ -136,23 +138,29 @@ def rebin_matrix(tra: np.ndarray, ra: np.ndarray, width_t: float = 0.0) -> np.nd
     """
     tra = np.asarray(tra)
     ra = np.asarray(ra)
-    R = np.zeros((ra.shape[0], tra.shape[0]))
-    inds = np.searchsorted(ra, tra)
-    width_ra = np.median(np.abs(np.diff(ra)))
-    lowest_ra = ra[0] - width_ra / 2
-    highest_ra = ra[-1] + width_ra / 2
-    if width_t == 0:
-        width_t = 1e-10
-    for ii, (jj, t) in enumerate(zip(inds, tra)):
-        lower_edge = t - width_t / 2.0
-        upper_edge = t + width_t / 2.0
-        if upper_edge > lowest_ra and jj < len(ra):
-            ra_edge = ra[jj] - width_ra / 2
-            R[jj, ii] = np.clip((upper_edge - ra_edge) / width_t, 0.0, 1.0)
-        if lower_edge < highest_ra and jj > 0:
-            ra_edge = ra[jj - 1] + width_ra / 2
-            R[jj - 1, ii] = np.clip((ra_edge - lower_edge) / width_t, 0.0, 1.0)
-    return R
+    width_t = width_t or 1e-10
+    half_t = width_t / 2.0
+    half_ra = np.median(np.abs(np.diff(ra))) / 2.0
+
+    # vectorised fractional-overlap assignment of each time sample onto
+    # the bin at/after it and the bin before it
+    above = np.searchsorted(ra, tra)
+    below = above - 1
+    out = np.zeros((ra.shape[0], tra.shape[0]))
+
+    cols = np.arange(tra.shape[0])
+    up_ok = (above < len(ra)) & (tra + half_t > ra[0] - half_ra)
+    frac_up = np.clip(
+        (tra + half_t - (ra[above % len(ra)] - half_ra)) / width_t, 0.0, 1.0
+    )
+    out[above[up_ok], cols[up_ok]] = frac_up[up_ok]
+
+    dn_ok = (below >= 0) & (tra - half_t < ra[-1] + half_ra)
+    frac_dn = np.clip(
+        ((ra[below] + half_ra) - (tra - half_t)) / width_t, 0.0, 1.0
+    )
+    out[below[dn_ok], cols[dn_ok]] = frac_dn[dn_ok]
+    return out
 
 
 def grad_1d(x, si, mask, period: float | None = None):
