@@ -68,25 +68,29 @@ def _sum_normalised(w, axis=-2):
     return w * np.asarray(invert_no_zero(np.sum(w, axis=axis, keepdims=True)))
 
 
+def _ns_fft_axis(ny, min_ysep):
+    """NS positions in FFT ordering for an ny-point grid."""
+    return np.fft.fftfreq(ny, d=1.0 / (ny * min_ysep))
+
+
 def find_basis(baselines):
     """Unit vectors of the (mostly-X, mostly-Y) grid axes.
 
     (reference ringmapmaker.py:1715-1742)
     """
     baselines = np.asarray(baselines)
-    bl = np.sum(baselines**2, axis=1)
-    bl = np.where(bl == 0, 1e30, bl)
-    ind = int(np.argmin(bl))
+    norms = np.einsum("ij,ij->i", baselines, baselines)
+    shortest = int(np.argmin(np.where(norms == 0, 1e30, norms)))
 
-    e1 = baselines[ind]
-    e2 = np.array([e1[1], -e1[0]])
+    first = baselines[shortest]
+    perp = np.array([first[1], -first[0]])
+    xh, yh = (first, perp) if abs(first[0]) > abs(perp[0]) else (perp, first)
 
-    xh, yh = (e1, e2) if abs(e1[0]) > abs(e2[0]) else (e2, e1)
+    def unit(v, component):
+        direction = np.sign(v[component]) or 1.0
+        return direction * v / np.linalg.norm(v)
 
-    xh = xh / np.dot(xh, xh) ** 0.5 * np.sign(xh[0] if xh[0] != 0 else 1.0)
-    yh = yh / np.dot(yh, yh) ** 0.5 * np.sign(yh[1] if yh[1] != 0 else 1.0)
-
-    return xh, yh
+    return unit(xh, 0), unit(yh, 1)
 
 
 def find_grid_indices(baselines):
@@ -150,7 +154,7 @@ class MakeVisGrid(ContainerTask):
             vis_pos_y = np.arange(-half_ns, half_ns + 1) * min_ysep
             ns_offset = half_ns
         else:
-            vis_pos_y = np.fft.fftfreq(ny, d=(1.0 / (ny * min_ysep)))
+            vis_pos_y = _ns_fft_axis(ny, min_ysep)
             ns_offset = 0
 
         if "ra" in sstream.index_map:
@@ -251,11 +255,13 @@ class BeamformNS(ContainerTask):
         )
         self.log.info(f"Longest NS separation: {nsmax:.2f} m")
 
-        hv.attrs["beamform_ns_weight"] = self.weight
-        hv.attrs["beamform_ns_scaled"] = self.scaled
-        hv.attrs["beamform_ns_include_auto"] = self.include_auto
-        hv.attrs["beamform_ns_freqmin"] = freq.min()
-        hv.attrs["beamform_ns_nsmax"] = nsmax
+        hv.attrs.update(
+            beamform_ns_weight=self.weight,
+            beamform_ns_scaled=self.scaled,
+            beamform_ns_include_auto=self.include_auto,
+            beamform_ns_freqmin=freq.min(),
+            beamform_ns_nsmax=nsmax,
+        )
 
         cdtype = jnp.complex64 if self.precision == 32 else jnp.complex128
         rdtype = jnp.float32 if self.precision == 32 else jnp.float64
@@ -352,21 +358,20 @@ class BeamformEW(ContainerTask):
     @staticmethod
     def _get_pol(pols):
         """Output polarisations + rotation matrix (reference :500-531)."""
-        if ("XY" in pols) or ("YX" in pols):
-            if ("XY" in pols) ^ ("YX" in pols):
-                raise ValueError(
-                    f"Cross-polarisations must come as an XY/YX pair; found {pols}."
-                )
-            dpol = ["reXY", "imXY"]
-        else:
-            dpol = []
-        if "XX" in pols:
-            dpol = ["XX", *dpol]
+        have_cross = {"XY", "YX"} & set(pols)
+        if len(have_cross) == 1:
+            raise ValueError(
+                f"Cross-polarisations must come as an XY/YX pair; found {pols}."
+            )
+        dpol = (["XX"] if "XX" in pols else []) + (
+            ["reXY", "imXY"] if have_cross else []
+        )
         if "YY" in pols:
             dpol.append("YY")
 
+        # rotation: identity on co-pol rows, re/im split on the cross pair
         P = np.eye(len(dpol), dtype=np.complex64)
-        if "reXY" in dpol:
+        if have_cross:
             i = dpol.index("reXY")
             P[i, i : i + 2] = [0.5, 0.5]
             P[i + 1, i : i + 2] = [-0.5j, 0.5j]
@@ -588,16 +593,16 @@ class DeconvolveHybridMBase(ContainerTask):
 
     def setup(self, manager=None):
         """Set the telescope instance (needed for windows / normalisation)."""
-        if manager is not None:
-            self.telescope = io.get_telescope(manager)
-        elif self.window_type != "none":
-            raise RuntimeError("Applying a window requires a product manager at setup.")
-        else:
-            self.telescope = None
+        self.telescope = None if manager is None else io.get_telescope(manager)
+        if self.telescope is None and self.window_type != "none":
+            raise RuntimeError(
+                "Applying a window requires a product manager at setup."
+            )
 
+        dropped = set(self.exclude_cyl)
         if self.exclude_intracyl:
-            self.exclude_cyl = [*self.exclude_cyl, 0]
-        self.exclude_cyl = sorted(set(self.exclude_cyl))
+            dropped.add(0)
+        self.exclude_cyl = sorted(dropped)
 
     def process(self, hybrid_vis_m, hybrid_beam_m):
         """Deconvolve the beam m-modes from the visibility m-modes."""
@@ -731,22 +736,18 @@ class DeconvolveHybridMBase(ContainerTask):
         lmbda = C_LIGHT / (freq[:, np.newaxis] * 1e6)
 
         ews = np.sort(np.abs(ew))
-        if len(ews) < 2:
-            # a single remaining EW column has no spacing to pad by
-            max_ew = ews[-1] + 0.5 * max(ews[-1], 1.0)
-        else:
-            max_ew = ews[-1] + 0.5 * (ews[-1] - ews[-2])
-        if np.min(ews) > 0.0:
-            min_ew = 0.5 * ews[ews > 0.0][0]
-        else:
-            min_ew = -max_ew
+        # pad the band edge by half the outermost column spacing
+        pad = 0.5 * (ews[-1] - ews[-2]) if len(ews) > 1 else 0.5 * max(ews[-1], 1.0)
+        hi_ew = ews[-1] + pad
+        positive = ews[ews > 0.0]
+        lo_ew = 0.5 * positive[0] if np.min(ews) > 0.0 else -hi_ew
 
-        center = 0.5 * (min_ew + max_ew)
-        width = self.window_size * (max_ew - min_ew)
+        centre_ew = 0.5 * (lo_ew + hi_ew)
+        half_band = 0.5 * self.window_size * (hi_ew - lo_ew)
 
         ew_to_m = 2.0 * np.pi * np.abs(np.cos(dec)) / lmbda
-        min_m = ew_to_m * (center - 0.5 * width)
-        max_m = ew_to_m * (center + 0.5 * width)
+        min_m = ew_to_m * (centre_ew - half_band)
+        max_m = ew_to_m * (centre_ew + half_band)
 
         if self.window_scaled:
             min_m = np.max(min_m, axis=0, keepdims=True)
@@ -913,16 +914,12 @@ class WienerRingMapMaker(DeconvolveHybridMBase):
     weight_ew = "inverse_variance"
 
     def _get_regularisation(self, freq, m, *args):
-        gal = (
-            self.gal_amp
-            * (freq / self.pivot_freq) ** self.gal_alpha
-            * np.where(m > 0.0, m, 1.0) ** self.gal_beta
-        )
-        psrc = self.psrc_amp * (freq / self.pivot_freq) ** self.psrc_alpha
-        spectrum = gal**2 + psrc**2
-        return np.asarray(
-            invert_no_zero(spectrum[:, np.newaxis, np.newaxis])
-        )
+        nu = freq / self.pivot_freq
+        m_slope = np.where(m > 0.0, m, 1.0) ** self.gal_beta
+        gal = self.gal_amp * nu**self.gal_alpha * m_slope
+        psrc = self.psrc_amp * nu**self.psrc_alpha
+        prior = gal**2 + psrc**2
+        return np.asarray(invert_no_zero(prior[:, np.newaxis, np.newaxis]))
 
     def _get_weight(self, inv_var):
         return _ew_weighting("inverse_variance", inv_var, self.exclude_cyl)
@@ -1036,13 +1033,13 @@ class ReconstructVisNoiseBase(TelescopeStreamMixIn, ContainerTask):
         return self._fill_output(hv, window, layout)
 
     def _parse_attrs(self, attrs):
-        self.weight = attrs["beamform_ns_weight"]
+        for name in ("weight", "scaled", "include_auto", "freqmin", "nsmax"):
+            setattr(self, name, attrs[f"beamform_ns_{name}"])
         if self.weight == "inverse_variance":
-            raise ValueError("The inverse_variance weighting mode has no RA reconstruction.")
-        self.include_auto = attrs["beamform_ns_include_auto"]
-        self.scaled = attrs["beamform_ns_scaled"]
-        self.freqmin = attrs["beamform_ns_freqmin"]
-        self.nsmax = attrs["beamform_ns_nsmax"]
+            raise ValueError(
+                "The inverse_variance weighting mode has no RA "
+                "reconstruction."
+            )
         self.wvmin = C_LIGHT * 1e-6 / self.freqmin
 
     def _compute_layout(self, hv):
@@ -1064,10 +1061,11 @@ class ReconstructVisNoiseBase(TelescopeStreamMixIn, ContainerTask):
         pol_of_pair = np.array([slot.get(p, -1) for p in labels[inverse]])
 
         xind, yind, min_xsep, min_ysep = find_grid_indices(tel.baselines)
-        within_ns = np.abs(yind * min_ysep) <= (self.nsmax + 0.5 * min_ysep)
+        ns_extent = np.abs(yind) * min_ysep
+        within_ns = ns_extent <= self.nsmax + 0.5 * min_ysep
 
         ny = 2 * np.abs(yind).max() + 1
-        nspos = np.fft.fftfreq(ny, d=(1.0 / (ny * min_ysep)))
+        nspos = _ns_fft_axis(ny, min_ysep)
 
         ewpos = np.asarray(hv.index_map["ew"])
         nx = ewpos.size
@@ -1100,20 +1098,20 @@ class ReconstructVisNoiseBase(TelescopeStreamMixIn, ContainerTask):
         intra = np.flatnonzero(xind == 0)
         counts_grid[pconjmap[pind[intra]], 0, -yind[intra]] = kept_counts[intra]
 
-        return {
-            "xind": xind,
-            "yind": yind,
-            "pind": pind,
-            "ewpos": ewpos,
-            "nspos": nspos,
-            "nbaseline_grid": counts_grid,
-            "nbaseline": nbaseline,
-            "flag": keep,
-            "pconjmap": pconjmap,
-            "npol": npol,
-            "nx": nx,
-            "ny": ny,
-        }
+        return dict(
+            xind=xind,
+            yind=yind,
+            pind=pind,
+            ewpos=ewpos,
+            nspos=nspos,
+            nbaseline_grid=counts_grid,
+            nbaseline=nbaseline,
+            flag=keep,
+            pconjmap=pconjmap,
+            npol=npol,
+            nx=nx,
+            ny=ny,
+        )
 
     def _compute_window(self, freq, layout):
         """Normalised NS beamforming window (reference :1465-1506)."""
