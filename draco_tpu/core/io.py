@@ -193,9 +193,9 @@ class LoadMaps(ContainerTask):
             raise PipelineStopIteration()
         group = self.maps.pop(0)
         map_stack = None
-        for mfile in group["files"]:
-            self.log.debug("Loading file %s", mfile)
-            current = Map.from_file(mfile)
+        for path in group["files"]:
+            self.log.debug("Loading file %s", path)
+            current = Map.from_file(path)
             if map_stack is None:
                 map_stack = current
             else:
@@ -227,29 +227,34 @@ class LoadFITSCatalog(ContainerTask):
     """
 
     catalogs = config.Property(proptype=list_of_filegroups)
-    z_range = config.list_type(type_=float, length=2, default=None)
-    freq_range = config.list_type(type_=float, length=2, default=None)
+    z_range = config.list_type(float, 2, default=None)
+    freq_range = config.list_type(float, 2, default=None)
+
+    def _redshift_window(self):
+        """Resolve the configured frequency/redshift bounds (or None)."""
+        if self.freq_range:
+            hi, lo = self.freq_range[1], self.freq_range[0]
+            self.z_range = [NU21 / hi - 1, NU21 / lo - 1]
+        if self.z_range:
+            self.log.info(
+                "Applying redshift selection %.2f <= z <= %.2f",
+                *self.z_range,
+            )
+        return self.z_range
 
     def process(self):
         if not self.catalogs:
             raise PipelineStopIteration()
         group = self.catalogs.pop(0)
-
-        if self.freq_range:
-            zl = NU21 / self.freq_range[1] - 1
-            zh = NU21 / self.freq_range[0] - 1
-            self.z_range = [zl, zh]
-        if self.z_range:
-            zl, zh = self.z_range
-            self.log.info("Applying redshift selection %.2f <= z <= %.2f", zl, zh)
+        window = self._redshift_window()
 
         stack = []
-        for cfile in group["files"]:
-            self.log.debug("Loading file %s", cfile)
-            pos = self._read_catalog(cfile)
-            if self.z_range:
-                zsel = (pos[2] >= self.z_range[0]) & (pos[2] <= self.z_range[1])
-                pos = pos[:, zsel]
+        for path in group["files"]:
+            self.log.debug("Loading file %s", path)
+            pos = self._read_catalog(path)
+            if window:
+                keep = (pos[2] >= window[0]) & (pos[2] <= window[1])
+                pos = pos[:, keep]
             stack.append(pos)
         cat_array = np.ascontiguousarray(
             np.concatenate(stack, axis=-1).astype(np.float64)
@@ -275,9 +280,8 @@ class LoadFITSCatalog(ContainerTask):
                     "astropy is required to read FITS catalogs"
                 ) from e
             with fits.open(cfile, mode="readonly") as cat:
-                return np.array(
-                    [cat[1].data[col] for col in ["RA", "DEC", "Z"]]
-                )
+                table = cat[1].data
+                return np.array([table["RA"], table["DEC"], table["Z"]])
         if cfile.endswith(".npy"):
             return np.load(cfile)
         if cfile.endswith((".h5", ".hdf5")):
@@ -293,6 +297,13 @@ class LoadFITSCatalog(ContainerTask):
 # ---------------------------------------------------------------------------
 
 
+def _require_products(directory):
+    if not os.path.exists(directory):
+        raise RuntimeError(
+            f"No telescope products found at {directory!r}."
+        )
+
+
 class LoadBeamTransfer(MPILoggedTask):
     """Load a beam transfer manager from disk (reference draco/core/io.py:175)."""
 
@@ -301,8 +312,7 @@ class LoadBeamTransfer(MPILoggedTask):
     def setup(self):
         from ..telescope import beamtransfer
 
-        if not os.path.exists(self.product_directory):
-            raise RuntimeError("No beam-transfer products found in the product directory.")
+        _require_products(self.product_directory)
         bt = beamtransfer.BeamTransfer(self.product_directory)
         tel = bt.telescope
         # ALWAYS a 3-tuple (feeds may be None): the reference convention
@@ -322,8 +332,7 @@ class LoadProductManager(MPILoggedTask):
     def setup(self):
         from ..telescope import manager
 
-        if not os.path.exists(self.product_directory):
-            raise RuntimeError("Products do not exist.")
+        _require_products(self.product_directory)
         return manager.ProductManager.from_config(self.product_directory)
 
     def process(self):
