@@ -105,32 +105,36 @@ class DayMask(ContainerTask):
     zero_data = config.bool_prop(True)
     remove_average = config.bool_prop(True)
 
+    @staticmethod
+    def _half_cosine(x, width):
+        return 0.5 * (1 + np.cos(np.pi * x / width))
+
     def process(self, sstream):
         sstream.redistribute("freq")
-        ra_shift = (sstream.ra[:] - self.start) % 360.0
-        end_shift = (self.end - self.start) % 360.0
+        # angles measured from the band start, so the band is [0, span]
+        phase = (sstream.ra[:] - self.start) % 360.0
+        span = (self.end - self.start) % 360.0
 
-        mask_bool = ra_shift > end_shift
-        mask = np.where(
-            ra_shift < self.width,
-            0.5 * (1 + np.cos(np.pi * (ra_shift / self.width))),
-            mask_bool,
+        is_night = phase > span
+        taper = np.where(
+            phase < self.width,
+            self._half_cosine(phase, self.width),
+            is_night,
         )
-        mask = np.where(
-            np.logical_and(ra_shift > end_shift - self.width, ra_shift <= end_shift),
-            0.5 * (1 + np.cos(np.pi * ((ra_shift - end_shift) / self.width))),
-            mask,
+        leaving = (phase > span - self.width) & (phase <= span)
+        taper = np.where(
+            leaving, self._half_cosine(phase - span, self.width), taper
         )
 
         vis = np.asarray(sstream.vis[:])
         if self.remove_average:
-            nanvis = vis * np.where(mask_bool, 1.0, np.nan)[np.newaxis, np.newaxis, :]
-            average = complex_med(nanvis, axis=-1)[:, :, np.newaxis]
-            vis = vis - average
+            night_only = np.where(is_night, 1.0, np.nan)
+            nanvis = vis * night_only[np.newaxis, np.newaxis, :]
+            vis = vis - complex_med(nanvis, axis=-1)[:, :, np.newaxis]
         if self.zero_data:
-            vis = vis * mask
+            vis = vis * taper
         sstream.vis[:] = vis.astype(sstream.vis.dtype)
-        sstream.weight[:] = (np.asarray(sstream.weight[:]) * mask**2).astype(
+        sstream.weight[:] = (np.asarray(sstream.weight[:]) * taper**2).astype(
             sstream.weight.dtype
         )
         return sstream
@@ -150,17 +154,18 @@ class MaskMModeData(ContainerTask):
         mw = np.asarray(mmodes.weight[:]).copy()
 
         if not self.auto_correlations:
-            ps = mmodes.prodstack
-            autos = np.array([p[0] == p[1] for p in ps])
-            mw[..., autos] = 0.0
-        if not self.m_zero:
-            mw[0] = 0.0
-        if not self.positive_m:
-            mw[1:, 0] = 0.0
-        if not self.negative_m:
-            mw[1:, 1] = 0.0
-        if self.mask_low_m:
-            mw[: self.mask_low_m] = 0.0
+            pairs = mmodes.prodstack
+            mw[..., pairs["input_a"] == pairs["input_b"]] = 0.0
+        # zero out the configured m / msign regions
+        regions = [
+            (not self.m_zero, np.s_[0]),
+            (not self.positive_m, np.s_[1:, 0]),
+            (not self.negative_m, np.s_[1:, 1]),
+            (bool(self.mask_low_m), np.s_[: self.mask_low_m]),
+        ]
+        for enabled, slot in regions:
+            if enabled:
+                mw[slot] = 0.0
 
         mmodes.weight[:] = mw.astype(mmodes.weight.dtype)
         return mmodes
@@ -283,20 +288,23 @@ class RadiometerWeight(ContainerTask):
 
     replace = config.bool_prop(True)
 
+    @staticmethod
+    def _integration_time(stream):
+        """Median sample integration time in seconds."""
+        if isinstance(stream, containers.SiderealStream):
+            # 240 s of solar time per sidereal degree
+            return np.median(np.abs(np.diff(stream.ra))) * 240 * STELLAR_S
+        return np.median(np.abs(np.diff(stream.time)))
+
     def process(self, stream):
         stream.redistribute("freq")
         ninput = len(stream.index_map["input"])
-        nprod = len(stream.index_map["prod"])
-        if nprod != (ninput * (ninput + 1) // 2):
+        if len(stream.index_map["prod"]) != (ninput * (ninput + 1) // 2):
             raise RuntimeError(
                 "This task needs the full (unstacked) correlation triangle."
             )
         freq_width = np.median(stream.index_map["freq"]["width"])
-        if isinstance(stream, containers.SiderealStream):
-            RA_S = 240 * STELLAR_S
-            int_time = np.median(np.abs(np.diff(stream.ra))) * RA_S
-        else:
-            int_time = np.median(np.abs(np.diff(stream.time)))
+        int_time = self._integration_time(stream)
 
         if self.replace:
             stream.weight[:] = np.ones(stream.weight.shape, dtype=np.float32)
@@ -908,36 +916,39 @@ class MaskFreq(ContainerTask):
 
     def _bad_freq_mask(self, nfreq):
         mask = np.zeros(nfreq, dtype=bool)
-        for s in self.bad_freq_ind:
-            if isinstance(s, int):
-                if s < nfreq:
-                    mask[s] = True
-            elif isinstance(s, (tuple, list)) and len(s) == 2:
-                mask[s[0] : s[1]] = True
+        for entry in self.bad_freq_ind:
+            if isinstance(entry, int):
+                if entry < nfreq:
+                    mask[entry] = True
+            elif isinstance(entry, (tuple, list)) and len(entry) == 2:
+                lo, hi = entry
+                mask[lo:hi] = True
             else:
                 raise ValueError(
                     "Each `bad_freq_ind` entry must be an int or a 2-tuple. "
-                    f"Got {type(s)}."
+                    f"Got {type(entry)}."
                 )
         return mask
 
     def _optimal_mask(self, mask):
         from scipy.optimize import minimize_scalar
 
-        def genmask(f):
-            time_mask = mask.mean(axis=0) > f
-            freq_mask = mask[:, ~time_mask].any(axis=1)
-            return time_mask[np.newaxis, :] | freq_mask[:, np.newaxis]
+        def factorised(threshold):
+            # times over-threshold are masked whole; remaining bad
+            # samples promote their whole frequency row
+            bad_time = mask.mean(axis=0) > threshold
+            bad_freq = mask[:, ~bad_time].any(axis=1)
+            return bad_time[np.newaxis, :] | bad_freq[:, np.newaxis]
 
         res = minimize_scalar(
-            fun=lambda f: genmask(f).mean(),
+            fun=lambda f: factorised(f).mean(),
             bounds=(0, 1),
             method="bounded",
             options={"maxiter": 20, "xatol": 1e-4},
         )
         if not res.success:
             self.log.debug("Fit did not formally converge (common here; continuing).")
-        return genmask(res.x)
+        return factorised(res.x)
 
 
 class BlendStack(ContainerTask):
@@ -1036,23 +1047,21 @@ class BlendStack(ContainerTask):
 
 def mad(x, mask, base_size=(11, 3), mad_size=(21, 21), debug=False, sigma=True):
     """MAD deviation of freq-time data (reference flagging.py:3231)."""
-    xs = filters.medfilt(x, mask, size=base_size)
-    dev = np.abs(x - xs)
-    m = filters.medfilt(dev, mask, size=mad_size)
+    smooth = filters.medfilt(x, mask, size=base_size)
+    dev = np.abs(x - smooth)
+    spread = filters.medfilt(dev, mask, size=mad_size)
     if sigma:
-        m = m * 1.4826
+        spread = spread * 1.4826  # MAD -> rms for a Gaussian
     with np.errstate(divide="ignore", invalid="ignore"):
-        r = dev / m
-    if debug:
-        return r, dev, m
-    return r
+        significance = dev / spread
+    return (significance, dev, spread) if debug else significance
 
 
 def inverse_binom_cdf_prob(k, N, F):
     """Trial probability with binomial CDF F at (k, N) (reference flagging.py:3274)."""
-    import scipy.special as sp
+    from scipy.special import betaincinv
 
-    return sp.betaincinv(k + 1, N - k, 1 - F)
+    return betaincinv(k + 1, N - k, 1 - F)
 
 
 def sigma_to_p(sigma):
@@ -1108,18 +1117,15 @@ def tv_channels_flag(x, freq, sigma=5, f=0.5, debug=False):
 
 def complex_med(x, *args, **kwargs):
     """Complex median via the real/imag parts (reference flagging.py:3384)."""
-    return np.nanmedian(x.real, *args, **kwargs) + 1j * np.nanmedian(
-        x.imag, *args, **kwargs
-    )
+    re = np.nanmedian(x.real, *args, **kwargs)
+    im = np.nanmedian(x.imag, *args, **kwargs)
+    return re + 1j * im
 
 
 def destripe(x, w, axis=1):
     """Subtract the unmasked median along an axis (reference flagging.py:3404)."""
-    stripe = complex_med(np.where(w, x, np.nan), axis=axis)
-    stripe = np.nan_to_num(stripe)
-    bsel = [slice(None)] * x.ndim
-    bsel[axis] = None
-    return x - stripe[tuple(bsel)]
+    stripe = np.nan_to_num(complex_med(np.where(w, x, np.nan), axis=axis))
+    return x - np.expand_dims(stripe, axis)
 
 
 # ---------------------------------------------------------------------------
@@ -1760,16 +1766,15 @@ class RFIMaskSiderealRegridderNearest(ContainerTask):
         from_ax = self.observer.unix_to_lsa(np.asarray(rfimask.time))
 
         if self.single_CSD:
-            diff = np.diff(from_ax)
-            indices = np.where(diff < 0)[0]
-            if len(indices) < 2:
+            # LSA wraps at day boundaries: two wraps bracket one full day
+            wraps = np.flatnonzero(np.diff(from_ax) < 0)
+            if len(wraps) < 2:
                 raise ValueError("The input does not span one whole sidereal day.")
-            if len(indices) > 2:
+            if len(wraps) > 2:
                 raise ValueError("The input spans multiple sidereal days; expected one.")
-            start, end = indices[0], indices[1] + 1
             from_ax = from_ax.copy()
-            from_ax[:start] = -1
-            from_ax[end:] = -1
+            from_ax[: wraps[0]] = -1
+            from_ax[wraps[1] + 1 :] = -1
 
         return _convert_axis_nearest_interpolation(
             stream=rfimask,
@@ -1921,13 +1926,15 @@ def _convert_axis_nearest_interpolation(
     """
     from .sidereal import _search_nearest
 
-    new_resolution = np.median(np.abs(np.diff(to_ax)))
-    from_resolution = np.median(np.abs(np.diff(from_ax)))
+    res_to = np.median(np.abs(np.diff(to_ax)))
+    res_from = np.median(np.abs(np.diff(from_ax)))
 
-    if new_resolution < from_resolution:
-        nearest_indices = _search_nearest(from_ax, to_ax)
-    else:
-        nearest_indices = np.arange(len(from_ax))
+    upsampling = res_to < res_from
+    nearest_indices = (
+        _search_nearest(from_ax, to_ax)
+        if upsampling
+        else np.arange(len(from_ax))
+    )
 
     dist = np.abs(to_ax[:, np.newaxis] - from_ax[nearest_indices][np.newaxis, :])
 
