@@ -310,3 +310,40 @@ def test_ang2pix_exact_containment():
     lo, hi = edge - 1e-9, edge + 1e-9
     p = np.asarray(healpix.ang2pix(nside, np.array([th, th]), np.array([lo, hi])))
     assert p[1] == p[0] + 1
+
+
+def test_rebin_matrix_matches_scalar_loop():
+    """The vectorised overlap rebinner equals a literal per-sample loop."""
+    from draco_tpu.ops.regrid import rebin_matrix
+
+    def scalar_rebin(tra, ra, width_t):
+        width_t = width_t or 1e-10
+        out = np.zeros((ra.shape[0], tra.shape[0]))
+        inds = np.searchsorted(ra, tra)
+        width_ra = np.median(np.abs(np.diff(ra)))
+        lo_edge = ra[0] - width_ra / 2
+        hi_edge = ra[-1] + width_ra / 2
+        for ii, (jj, t) in enumerate(zip(inds, tra)):
+            lower = t - width_t / 2.0
+            upper = t + width_t / 2.0
+            if upper > lo_edge and jj < len(ra):
+                edge = ra[jj] - width_ra / 2
+                out[jj, ii] = np.clip((upper - edge) / width_t, 0.0, 1.0)
+            if lower < hi_edge and jj > 0:
+                edge = ra[jj - 1] + width_ra / 2
+                out[jj - 1, ii] = np.clip((edge - lower) / width_t, 0.0, 1.0)
+        return out
+
+    gen = np.random.Generator(np.random.SFC64(7))
+    ra = np.linspace(0.0, 360.0, 32, endpoint=False)
+    for width_t in (0.0, 3.0, 11.25, 30.0):
+        # irregular samples spilling past both RA edges
+        tra = np.sort(gen.uniform(-20.0, 380.0, size=200))
+        got = rebin_matrix(tra, ra, width_t=width_t)
+        want = scalar_rebin(tra, ra, width_t)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        # samples inside the grid conserve weight
+        interior = (tra > ra[0]) & (tra < ra[-1])
+        np.testing.assert_allclose(
+            got[:, interior].sum(axis=0), 1.0, atol=1e-9
+        )
