@@ -98,13 +98,14 @@ class ApplyGain(ContainerTask):
             "Applying inverse gain." if self.inverse else "Applying gain."
         )
 
-        def rescale(values, factor, power):
-            if common:
-                return values * np.abs(factor[:, np.newaxis, :]) ** power
-            out = tools.apply_gain(values, factor, prod_map=tstream.prod)
-            return np.asarray(out)
-
-        vis = rescale(np.asarray(tstream.vis[:]), g_inv if self.inverse else g, 2)
+        g_vis = g_inv if self.inverse else g
+        vis = np.asarray(tstream.vis[:])
+        if common:
+            vis = vis * np.abs(g_vis[:, np.newaxis, :]) ** 2
+        else:
+            vis = np.asarray(
+                tools.apply_gain(vis, g_vis, prod_map=tstream.prod)
+            )
         tstream.vis[:] = vis.astype(tstream.vis.dtype)
 
         if self.update_weight:

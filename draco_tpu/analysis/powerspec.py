@@ -525,6 +525,14 @@ class AutoPowerSpectrum3D(CrossPowerSpectrum3D):
         return super().process(data, data)
 
 
+def _noise_inverse_variance(noise_ps, shape):
+    """Inverse-variance weights from an optional 1-sigma noise PS."""
+    if noise_ps is None:
+        return np.ones(shape, dtype=float)
+    noise = np.abs(np.asarray(noise_ps.spectrum[:]))
+    return np.asarray(invert_no_zero(noise**2))
+
+
 class CylindricalPowerSpectrum2D(ContainerTask):
     """Cylindrically averaged 2D power spectrum (reference powerspec.py:837).
 
@@ -581,7 +589,7 @@ class CylindricalPowerSpectrum2D(ContainerTask):
         centres = 0.5 * (edges[1:] + edges[:-1])
 
         ps_3D = np.asarray(ps.spectrum[:])
-        weight = self._inverse_variance(ps_3D.shape)
+        weight = _noise_inverse_variance(self.noise_ps, ps_3D.shape)
 
         pspec_2D = containers.PowerSpectrum2D(
             pol=pol,
@@ -640,13 +648,6 @@ class CylindricalPowerSpectrum2D(ContainerTask):
         pspec_2D.mask[:] = mask
 
         return pspec_2D
-
-    def _inverse_variance(self, shape):
-        """Inverse-variance weights from the optional noise PS."""
-        if self.noise_ps is None:
-            return np.ones(shape, dtype=float)
-        noise = np.abs(np.asarray(self.noise_ps.spectrum[:]))
-        return np.asarray(invert_no_zero(noise**2))
 
 
 class SphericalPowerSpectrum2Dto1D(ContainerTask):
@@ -757,9 +758,7 @@ class SphericalPowerSpectrum3Dto1D(ContainerTask):
         u_hi = self.bl_max / wl
 
         ps_3D = np.asarray(ps.spectrum[:])
-        weight = CylindricalPowerSpectrum2D._inverse_variance(
-            self, ps_3D.shape
-        )
+        weight = _noise_inverse_variance(self.noise_ps, ps_3D.shape)
 
         pspec_1D = containers.PowerSpectrum1D(
             k=self.Nbins_3D - 1, axes_from=ps, attrs_from=ps, cosmology=cosmo

@@ -1008,9 +1008,8 @@ class TransformJanskyToKelvin(ContainerTask):
         rep = dict(zip(bc.ravel(), flat_feeds))
         for klass, feed in rep.items():
             for f, fi in channel.items():
-                self._omega_cache.setdefault(
-                    (klass, f), self._beam_area(feed, fi)
-                )
+                if (klass, f) not in self._omega_cache:
+                    self._omega_cache[(klass, f)] = self._beam_area(feed, fi)
 
         lookup = np.vectorize(
             lambda klass, f: self._omega_cache[(klass, f)]
@@ -1126,11 +1125,12 @@ class MixData(ContainerTask):
 
         self._accumulate(acc.data, self.data_coeff[step], data.data[:])
         wco = self.weight_coeff[step]
-        self._accumulate(
-            acc.weight, wco, self._wfunc(np.asarray(data.weight[:]))
-        )
-        if wco != 0.0 and self.require_nonzero_weight:
-            self._flag &= np.asarray(data.weight[:]) > 0.0
+        if wco != 0.0:
+            self._accumulate(
+                acc.weight, wco, self._wfunc(np.asarray(data.weight[:]))
+            )
+            if self.require_nonzero_weight:
+                self._flag &= np.asarray(data.weight[:]) > 0.0
         for key, coeffs in self.aux_coeff.items():
             self._accumulate(acc.datasets[key], coeffs[step], data.datasets[key][:])
 
