@@ -22,13 +22,13 @@ from ..ops import kernels, tools
 class OptFunc:
     """Protocol for a function with value/gradient/hessian."""
 
-    def value(self, x: np.ndarray) -> float:
+    def value(self, logs):
         raise NotImplementedError()
 
-    def gradient(self, x: np.ndarray) -> np.ndarray:
+    def gradient(self, logs):
         raise NotImplementedError()
 
-    def hessian(self, x: np.ndarray) -> np.ndarray:
+    def hessian(self, logs):
         raise NotImplementedError()
 
 
@@ -49,15 +49,14 @@ class LogLikePS(OptFunc):
         exact_hessian: bool = True,
         bounds: tuple = (1e-10, 1e10),
     ):
-        if fsel is None:
-            fsel = (MF != 0).any(axis=1)
-        self.X = X[fsel][:, fsel]
-        self.N = np.asarray(N)[fsel]
-        self.MF = MF[fsel]
+        live = (MF != 0).any(axis=1) if fsel is None else fsel
+        self.X = X[live][:, live]
+        self.N = np.asarray(N)[live]
+        self.MF = MF[live]
         self.MFT = self.MF.T.conj()
         self.nsamp = nsamp
         self.exact_hessian = exact_hessian
-        self._logbounds = tuple(sorted(np.log(x) for x in bounds))
+        self._logbounds = tuple(sorted(np.log(b) for b in bounds))
         self._s_a = None
 
     def _precompute(self, x: np.ndarray) -> None:
@@ -77,26 +76,25 @@ class LogLikePS(OptFunc):
         self._trCiX = np.trace(CiX).real
         self._s_a = x.copy()
 
-    def value(self, x: np.ndarray) -> float:
-        self._precompute(x)
+    def value(self, logs):
+        self._precompute(logs)
         return self.nsamp * (self._logdet + self._trCiX)
 
-    def gradient(self, x: np.ndarray) -> np.ndarray:
-        self._precompute(x)
-        Adiag = np.diag(self._A).real
-        Gdiag = np.diag(self._G).real
-        return self.nsamp * self._s * (Adiag - Gdiag)
+    def gradient(self, logs):
+        self._precompute(logs)
+        diag_gap = np.diag(self._A).real - np.diag(self._G).real
+        return self.nsamp * self._s * diag_gap
 
-    def hessian(self, x: np.ndarray) -> np.ndarray:
-        self._precompute(x)
+    def hessian(self, logs):
+        self._precompute(logs)
         ss = np.outer(self._s, self._s)
         fisher = self.nsamp * ss * np.abs(self._A) ** 2
         if not self.exact_hessian:
             return fisher
         extra = self.nsamp * ss * (
-            -np.abs(self._A) ** 2 + 2 * (self._A * self._G.T).real
+            2 * (self._A * self._G.T).real - np.abs(self._A) ** 2
         )
-        return np.diag(self.gradient(x)) + extra
+        return np.diag(self.gradient(logs)) + extra
 
 
 class GaussianProcessPrior(OptFunc):
@@ -121,16 +119,15 @@ class GaussianProcessPrior(OptFunc):
         # Periodic wrap of the delay axis: include the circulant images
         self.Ki = la.inv(K)
 
-    def value(self, x: np.ndarray) -> float:
-        xm = x - x.mean()
-        return 0.5 * float(xm @ self.Ki @ xm)
+    def value(self, logs):
+        centred = logs - logs.mean()
+        return 0.5 * float(centred @ self.Ki @ centred)
 
-    def gradient(self, x: np.ndarray) -> np.ndarray:
-        xm = x - x.mean()
-        g = self.Ki @ xm
+    def gradient(self, logs):
+        g = self.Ki @ (logs - logs.mean())
         return g - g.mean()
 
-    def hessian(self, x: np.ndarray) -> np.ndarray:
+    def hessian(self, logs):
         return self.Ki
 
 
@@ -140,14 +137,14 @@ class AddFunctions(OptFunc):
     def __init__(self, funcs):
         self.funcs = list(funcs)
 
-    def value(self, x):
-        return sum(f.value(x) for f in self.funcs)
+    def value(self, logs):
+        return sum(f.value(logs) for f in self.funcs)
 
-    def gradient(self, x):
-        return sum(f.gradient(x) for f in self.funcs)
+    def gradient(self, logs):
+        return sum(f.gradient(logs) for f in self.funcs)
 
-    def hessian(self, x):
-        return sum(f.hessian(x) for f in self.funcs)
+    def hessian(self, logs):
+        return sum(f.hessian(logs) for f in self.funcs)
 
 
 def _windowed_projection(ndelay, chans, window, data, noise_inv):
@@ -215,6 +212,10 @@ def delay_power_spectrum_maxpost(
     )
 
     samples = [guess]
+
+    def record(xk):
+        samples.append(np.exp(xk))
+
     try:
         fit = minimize(
             posterior.value,
@@ -222,8 +223,8 @@ def delay_power_spectrum_maxpost(
             jac=posterior.gradient,
             hess=posterior.hessian,
             method="Newton-CG",
-            options={"maxiter": maxiter, "xtol": tol},
-            callback=lambda xk: samples.append(np.exp(xk)),
+            options=dict(maxiter=maxiter, xtol=tol),
+            callback=record,
         )
         success = fit.success
     except (la.LinAlgError, ValueError):

@@ -45,8 +45,8 @@ class BaseGains(ContainerTask, RandomTask):
         Toggle amplitude / phase fluctuations independently.
     """
 
-    amp = config.Property(default=True, proptype=bool)
-    phase = config.Property(default=True, proptype=bool)
+    amp = config.bool_prop(True)
+    phase = config.bool_prop(True)
 
     _prev_time = None
 
@@ -140,10 +140,10 @@ class RandomGains(BaseGains):
         Fractional amplitude / radian phase fluctuation scales.
     """
 
-    corr_length_amp = config.Property(default=3600.0, proptype=float)
-    corr_length_phase = config.Property(default=3600.0, proptype=float)
-    sigma_amp = config.Property(default=0.02, proptype=float)
-    sigma_phase = config.Property(default=0.1, proptype=float)
+    corr_length_amp = config.float_prop(3600.0)
+    corr_length_phase = config.float_prop(3600.0)
+    sigma_amp = config.float_prop(0.02)
+    sigma_phase = config.float_prop(0.1)
 
     _prev_amp = None
     _prev_phase = None
@@ -193,7 +193,7 @@ class GainStacker(ContainerTask):
         template visibilities scaled by them.
     """
 
-    only_gains = config.Property(default=False, proptype=bool)
+    only_gains = config.bool_prop(False)
 
     gain_stack = None
     lsd_list = None
@@ -293,19 +293,23 @@ def gaussian_realisation(x, corrfunc, n, rcond: float = 1e-12, rng=None):
     return _realisation(corrfunc(np.asarray(x)), n, rcond, rng=rng)
 
 
+def _nonnull_eigenbasis(C, rcond):
+    """(kept eigenvalues, kept eigenvectors) above the rcond floor."""
+    evals, evecs = np.linalg.eigh(C)
+    keep = int(np.sum(evals > rcond * evals.max()))
+    return evals[len(evals) - keep:], evecs[:, len(evals) - keep:]
+
+
 def _realisation(C, n, rcond, rng=None):
     """Sample rows from N(0, C), dropping near-null eigenmodes."""
     if rng is None:
         rng = np.random.default_rng()
-    evals, evecs = np.linalg.eigh(C)
-    num = int(np.sum(evals > rcond * evals[-1]))
-    if num == 0:
-        # a zero covariance draws zeros (evecs[:, -0:] would select ALL
-        # columns and break the matmul)
+    kept, basis = _nonnull_eigenbasis(C, rcond)
+    if kept.size == 0:
+        # a zero covariance draws zeros
         return np.zeros((n, C.shape[0]))
-    R = evecs[:, -num:] * evals[np.newaxis, -num:] ** 0.5
-    w = rng.standard_normal((n, num))
-    return w @ R.T
+    root = basis * kept[np.newaxis] ** 0.5
+    return rng.standard_normal((n, kept.size)) @ root.T
 
 
 def constrained_gaussian_realisation(
@@ -331,16 +335,12 @@ def constrained_gaussian_realisation(
     B = M[:nl, nl:]  # new-old
     C = M[nl:, nl:]  # old-old
 
-    evals_A, evecs_A = np.linalg.eigh(A)
-    evals_C, evecs_C = np.linalg.eigh(C)
-    num_A = int(np.sum(evals_A > rcond * evals_A.max()))
-    num_C = int(np.sum(evals_C > rcond * evals_C.max()))
-    R_A = evecs_A[:, -num_A:]
-    R_C = evecs_C[:, -num_C:]
+    kept_A, R_A = _nonnull_eigenbasis(A, rcond)
+    kept_C, R_C = _nonnull_eigenbasis(C, rcond)
 
-    A_r = np.diag(evals_A[-num_A:])
+    A_r = np.diag(kept_A)
     B_r = R_A.T @ B @ R_C
-    Ci_r = np.diag(1.0 / evals_C[-num_C:])
+    Ci_r = np.diag(1.0 / kept_C)
 
     # conditional mean and covariance in the reduced basis
     z_r = (y2 @ R_C) @ (Ci_r @ B_r.T)
