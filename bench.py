@@ -575,20 +575,7 @@ print('per_freq_s', t/{nfreq})
 
 
 def run_spine(emit_json: bool = True):
-    import jax
-
-    # The interpreter's sitecustomize pins the platform to the TPU tunnel;
-    # honour an explicit override for local smoke tests.
-    if os.environ.get("BENCH_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
-
-    # Compiles over the remote-TPU tunnel are slow; cache them persistently.
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    jax = _configure_jax()
     import jax.numpy as jnp
 
     from draco_tpu.ops import healpix, mmode, sht
@@ -694,19 +681,28 @@ def run_spine(emit_json: bool = True):
             wmax = max(wmax, width)
         band = np.array(band)
         Rb = len(band)
-        W = min(wmax + 2, int(info.nphi[band].min()))
+        # Rings narrower than the common width W get their surplus slots
+        # masked out of the beam weight (the % n index would otherwise
+        # repeat pixels and double-count them); every window-pixel term
+        # in both loop directions carries beamw exactly once, so zeroing
+        # it there removes the duplicates entirely.
+        W = wmax + 2
         log(f"beam band: {Rb}/{info.nring} rings, window {W} px "
             f"({Rb * W}/{npix} pixels)")
 
         widx = np.zeros((Rb, W), np.int64)
         phi_w = np.zeros((Rb, W))
+        maskw = np.zeros((Rb, W), np.float32)
         for k, r in enumerate(band):
             o, n = int(info.offset[r]), int(info.nphi[r])
             p = (starts[k] + np.arange(W)) % n
             widx[k] = o + p
             phi_w[k] = info.phi0[r] + 2 * np.pi * p / n
+            maskw[k, : min(W, n)] = 1.0
         vecw_d = jnp.asarray(vec[widx])                     # [Rb, W, 3]
-        beamw_d = jnp.asarray((beam_pow * omega)[widx].astype(np.float32))
+        beamw_d = jnp.asarray(
+            ((beam_pow * omega)[widx] * maskw).astype(np.float32)
+        )
         m_arr = np.arange(lmax + 1)
         Ec_d = jnp.asarray(np.cos(phi_w[..., None] * m_arr).astype(np.float32))
         Es_d = jnp.asarray(np.sin(phi_w[..., None] * m_arr).astype(np.float32))

@@ -19,6 +19,7 @@ and ``reverse_map/`` groups, and pipeline provenance in ``history``.
 from __future__ import annotations
 
 import json
+import logging
 from typing import Any, ClassVar
 
 import numpy as np
@@ -27,6 +28,8 @@ from ..parallel import mesh as pmesh
 
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
 
 # Storage compression defaults, mirroring the reference container chunk
 # specs (reference draco/core/containers.py:500-513).
@@ -38,6 +41,20 @@ _UNSET = object()
 
 def _is_jax(arr) -> bool:
     return isinstance(arr, jax.Array)
+
+
+def _to_numpy(arr) -> np.ndarray:
+    """Host copy of ``arr``.
+
+    jax arrays go through :func:`~draco_tpu.ops.tools.device_to_numpy`:
+    a direct ``np.asarray`` on a complex device array is an unsupported
+    transfer on remote-TPU tunnels and poisons the runtime.
+    """
+    if _is_jax(arr):
+        from ..ops.tools import device_to_numpy
+
+        return device_to_numpy(arr)
+    return np.asarray(arr)
 
 
 class Dataset:
@@ -125,7 +142,7 @@ class Dataset:
             else:
                 self._data = self._data.at[sel].set(value)
         else:
-            self._data[sel] = np.asarray(value) if _is_jax(value) else value
+            self._data[sel] = _to_numpy(value) if _is_jax(value) else value
 
     def __array__(self, dtype=None):
         from ..ops.tools import device_to_numpy
@@ -303,6 +320,23 @@ class ContainerBase:
                 if spec.get("initialise", False):
                     self.add_dataset(name)
 
+        # Anything left in _extra_kwargs that no stage (or subclass
+        # _finalise_axes hook) consumed is a typo'd axis/argument —
+        # swallowing it silently would let e.g. empty_like(c, stakc=...)
+        # inherit the old axis without any error.  Explicit-None axis
+        # suppressions from stage 1 are expected leftovers.
+        axes_known = set(self.axes_spec())
+        unknown = [
+            k
+            for k, v in self._extra_kwargs.items()
+            if not (k in axes_known and v is None)
+        ]
+        if unknown:
+            raise TypeError(
+                f"{type(self).__name__}: unknown constructor argument(s) "
+                f"{sorted(unknown)}; valid axes: {sorted(axes_known)}"
+            )
+
     # -- subclass hooks -----------------------------------------------------
     def _finalise_axes(self, axes_from: "ContainerBase | None") -> None:
         """Derive axes that depend on other axes; override in subclasses."""
@@ -450,10 +484,14 @@ class ContainerBase:
         with h5py.File(path, mode) as f:
             f.attrs["__draco_tpu_container__"] = type(self).__name__
             for k, v in self.attrs.items():
+                # attrs h5py can't store natively (dicts, ...) are JSON
+                # encoded under a tagged name so from_file can decode
+                # them back symmetrically (reference/caput files never
+                # contain the tag, so interop reads are unaffected)
                 try:
                     f.attrs[k] = v
                 except TypeError:
-                    f.attrs[k] = json.dumps(v)
+                    f.attrs[k + "!json"] = json.dumps(v)
             im = f.create_group("index_map")
             for name, arr in self.index_map.items():
                 im.create_dataset(name, data=_h5_safe(arr))
@@ -462,7 +500,7 @@ class ContainerBase:
                 for name, arr in self.reverse_map.items():
                     rm.create_dataset(name, data=_h5_safe(arr))
             for name, ds in self.datasets.items():
-                arr = _h5_safe(np.asarray(ds._data))
+                arr = _h5_safe(_to_numpy(ds._data))
                 tspec = ds.spec.get("truncate") if truncate else None
                 if tspec:
                     wname = (
@@ -471,7 +509,7 @@ class ContainerBase:
                         else None
                     )
                     wds = self.datasets.get(wname) if wname else None
-                    weight = np.asarray(wds._data) if wds is not None else None
+                    weight = _to_numpy(wds._data) if wds is not None else None
                     arr = _trunc.truncate_dataset(arr, tspec, weight)
                 kwargs = {}
                 chunks = ds.spec.get("chunks")
@@ -488,9 +526,19 @@ class ContainerBase:
                     }
                 d = f.create_dataset(name, data=arr, **kwargs)
                 d.attrs["axis"] = np.array([a.encode() for a in ds.axes])
+                for ak, av in ds.attrs.items():
+                    if ak == "axis":
+                        continue
+                    try:
+                        d.attrs[ak] = av
+                    except TypeError:
+                        d.attrs[ak + "!json"] = json.dumps(av)
             hist = f.create_group("history")
             for k, v in self.history.items():
-                hist.attrs[k] = v if isinstance(v, str) else json.dumps(v)
+                if isinstance(v, str):
+                    hist.attrs[k] = v
+                else:
+                    hist.attrs[k + "!json"] = json.dumps(v)
 
     @classmethod
     def from_file(
@@ -525,9 +573,17 @@ class ContainerBase:
             self.distributed = distributed
             self.comm = comm
             self._extra_kwargs = {}
-            for k, v in f.attrs.items():
-                if not str(k).startswith("__"):
-                    self.attrs[k] = v
+            def _decode_attrs(h5attrs, target):
+                for k, v in h5attrs.items():
+                    k = str(k)
+                    if k.startswith("__"):
+                        continue
+                    if k.endswith("!json"):
+                        target[k[: -len("!json")]] = json.loads(v)
+                    else:
+                        target[k] = v
+
+            _decode_attrs(f.attrs, self.attrs)
             for name, d in f["index_map"].items():
                 arr = d[:]
                 if name in sel:
@@ -535,6 +591,17 @@ class ContainerBase:
                 self.index_map[name] = arr
             if "reverse_map" in f:
                 for name, d in f["reverse_map"].items():
+                    if name in sel:
+                        # a reverse map indexes into its target axis;
+                        # after a selection those indices are stale, so
+                        # the map is dropped rather than silently kept
+                        logger.warning(
+                            "%s: dropping reverse_map[%r] invalidated "
+                            "by the axis selection",
+                            path,
+                            name,
+                        )
+                        continue
                     self.reverse_map[name] = d[:]
             spec = klass.dataset_spec()
             for name, d in f.items():
@@ -551,17 +618,20 @@ class ContainerBase:
                     if ax in sel:
                         arr = np.take(arr, _sel_to_indices(sel[ax], arr.shape[i]), axis=i)
                 dspec = spec.get(name, {})
+                ds_attrs: dict[str, Any] = {}
+                _decode_attrs(d.attrs, ds_attrs)
+                ds_attrs["axis"] = axes
                 self.datasets[name] = Dataset(
                     name,
                     arr,
                     axes,
+                    attrs=ds_attrs,
                     distributed=dspec.get("distributed", False) and distributed,
                     distributed_axis=dspec.get("distributed_axis"),
                     spec=dspec,
                 )
             if "history" in f:
-                for k, v in f["history"].attrs.items():
-                    self.history[k] = v
+                _decode_attrs(f["history"].attrs, self.history)
         return self
 
     def __repr__(self):
@@ -634,14 +704,18 @@ def concatenate_tod(containers_list):
         if taxis in ds.axes:
             ax = list(ds.axes).index(taxis)
             arr = np.concatenate(
-                [np.asarray(c.datasets[name][:]) for c in containers_list],
+                [_to_numpy(c.datasets[name][:]) for c in containers_list],
                 axis=ax,
             )
         else:
-            arr = np.asarray(ds[:])
+            arr = _to_numpy(ds[:])
         if name not in new.datasets:
             new.add_dataset(name)
         new.datasets[name][:] = arr
+        # carry per-dataset metadata (units, calibration tags, ...)
+        new.datasets[name].attrs.update(
+            {k: v for k, v in ds.attrs.items() if k != "axis"}
+        )
     return new
 
 
@@ -682,7 +756,7 @@ def copy_datasets_filter(
             continue
         if any(ax in ds.axes for ax in exclude_axes):
             continue
-        arr = np.asarray(ds._data)
+        arr = _to_numpy(ds._data)
         for i, ax in enumerate(ds.axes):
             if ax in selection:
                 arr = np.take(arr, _sel_to_indices(selection[ax], arr.shape[i]), axis=i)

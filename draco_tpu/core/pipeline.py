@@ -65,7 +65,9 @@ def _resolve_task_class(path: str):
         try:
             mod = importlib.import_module(mod_name)
             return getattr(mod, cls_name)
-        except (ImportError, AttributeError) as e:
+        except (ImportError, AttributeError, ValueError) as e:
+            # ValueError: a bare class name with no module part makes
+            # import_module('') blow up — diagnose it like any bad path
             err = e
     raise PipelineRuntimeError(f"Cannot import task {path!r}: {err}")
 
@@ -407,7 +409,13 @@ class Manager(config_mod.Reader):
     def _run(self) -> dict[str, list]:
         import time as _time
 
-        runners = [_TaskRunner(spec, i) for i, spec in enumerate(self.task_specs)]
+        # compare_keys: a typo'd param silently falling back to the
+        # class default would produce scientifically wrong output, so
+        # run() validates keys exactly like `lint` does
+        runners = [
+            _TaskRunner(spec, i, compare_keys=True)
+            for i, spec in enumerate(self.task_specs)
+        ]
 
         def timed(runner, fn, *args):
             t0 = _time.perf_counter()
@@ -493,6 +501,14 @@ class Manager(config_mod.Reader):
         def retire(runner: _TaskRunner):
             if runner.finished:
                 return
+            leftover = sum(len(q) for q in runner.queues)
+            if leftover:
+                logger.warning(
+                    "%s retiring with %d unconsumed queued input item(s): "
+                    "its in-label producers emitted unequal item counts",
+                    runner.name,
+                    leftover,
+                )
             runner.done = True
             try:
                 out = timed(runner, runner.task.finish)

@@ -934,6 +934,13 @@ _sht_cache: dict = {}
 
 
 def get_sht(nside: int, lmax: int | None = None, mmax: int | None = None) -> SHT:
+    # normalise the defaults into the key so get_sht(256) and the
+    # equivalent get_sht(256, 767, 767) share one instance (each SHT
+    # holds multi-hundred-MB precomputes at large nside)
+    if lmax is None:
+        lmax = 3 * nside - 1
+    if mmax is None:
+        mmax = lmax
     key = (nside, lmax, mmax)
     if key not in _sht_cache:
         _sht_cache[key] = SHT(nside, lmax, mmax)

@@ -249,9 +249,10 @@ class WindowedSHT:
         lam = self._ensure_lam()
         x = jnp.asarray(maps_win)
         if jnp.iscomplexobj(x):
-            ar = self._analysis_real(x.real, lam)
-            ai = self._analysis_real(x.imag, lam)
-            return ar + 1j * ai
+            # analysis is linear: one stacked pass over [re, im] (twice
+            # the GEMM batch width of two separate dispatches)
+            ri = self._analysis_real(jnp.stack([x.real, x.imag]), lam)
+            return ri[0] + 1j * ri[1]
         return self._analysis_real(x, lam)
 
     def analysis_pair(self, re_win, im_win):

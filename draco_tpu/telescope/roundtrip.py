@@ -50,23 +50,13 @@ _F32 = jnp.float32
 # baseline GEMMs (the contractions whose flops scale with npairs);
 # the Legendre/DFT contractions — where the large-cancellation sums
 # live — keep the main precision.  Defaults to the main precision.
-def _prec_env(name: str, default: str) -> jax.lax.Precision:
-    val = os.environ.get(name, default).lower()
-    table = {
-        "high": jax.lax.Precision.HIGH,
-        "highest": jax.lax.Precision.HIGHEST,
-    }
-    if val not in table:
-        raise ValueError(
-            f"{name} must be one of {sorted(table)}, got {val!r}"
-        )
-    return table[val]
+from ..ops.sht import _prec_env
 
-
-_PREC_RT = _prec_env("DRACO_TPU_ROUNDTRIP_PRECISION", "highest")
+_PREC_RT = _prec_env(
+    "DRACO_TPU_ROUNDTRIP_PRECISION", "DRACO_TPU_ROUNDTRIP_PRECISION"
+)
 _PREC_LOOP = _prec_env(
-    "DRACO_TPU_ROUNDTRIP_LOOP_PRECISION",
-    os.environ.get("DRACO_TPU_ROUNDTRIP_PRECISION", "highest"),
+    "DRACO_TPU_ROUNDTRIP_LOOP_PRECISION", "DRACO_TPU_ROUNDTRIP_PRECISION"
 )
 
 
@@ -205,7 +195,12 @@ def _make_run(program, consts, dims, s, mmax, nfreq, npad, nbase,
         else:
             w_dev = jnp.zeros((), _F32)
         if not isinstance(sky, jax.Array):
-            sky = jnp.asarray(np.asarray(sky, dtype=np.float32))
+            # keep a float64 sky intact under x64 (accuracy probes);
+            # everything else runs the f32 production dtype
+            sky_h = np.asarray(sky)
+            if not (jax.config.jax_enable_x64 and sky_h.dtype == np.float64):
+                sky_h = sky_h.astype(np.float32)
+            sky = jnp.asarray(sky_h)
         return program(
             sky,
             *consts,
@@ -281,8 +276,12 @@ def _fused_roundtrip(
     K = npol * Kf
     scale = 1.0 / (4 * np.pi / s.npix)
     prec = _PREC_RT
-    # accumulator dtype follows the input so the same program serves
-    # both the f32 production path and x64 truth runs
+    # Accumulator dtype follows the input so the program RUNS under
+    # jax_enable_x64 (f64 carries through the fori_loop).  Note the
+    # prepared constants (Legendre band, DFT factors, beam products,
+    # three-part fringe splits) are f32, so an x64 run is f32-accurate
+    # with f64 accumulation — NOT a full f64 truth engine; genuine f64
+    # truth comes from the bench's full-precision CPU spine.
     rdt = jnp.zeros(0, sky.dtype).real.dtype
 
     # -- forward: sky -> alm -> windowed phase tensors -------------------
@@ -461,7 +460,8 @@ def _fused_roundtrip_fullsphere(
     nfreq, npol, chunk, nchunk, npairs, mmax = dims
     scale = 1.0 / (4 * np.pi / s.npix)
     prec = _PREC_RT
-    # accumulator dtypes follow the input (f32 production / x64 truth)
+    # accumulator dtypes follow the input so the program runs under
+    # x64 (f64 carries; constants stay f32 — see _fused_roundtrip)
     rdt = jnp.zeros(0, sky.dtype).real.dtype
     cdt = jnp.complex128 if rdt == jnp.float64 else jnp.complex64
 
