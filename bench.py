@@ -687,8 +687,6 @@ def run_spine(emit_json: bool = True):
         # in both loop directions carries beamw exactly once, so zeroing
         # it there removes the duplicates entirely.
         W = wmax + 2
-        log(f"beam band: {Rb}/{info.nring} rings, window {W} px "
-            f"({Rb * W}/{npix} pixels)")
 
         widx = np.zeros((Rb, W), np.int64)
         phi_w = np.zeros((Rb, W))

@@ -8,15 +8,61 @@ power spectrum likelihood (NRML), with a Gaussian-process smoothness prior.
 The negative log-likelihood for the data covariance X with model
 C = F S F^H + N is nsamp * (ln det C + tr(C^-1 X)); gradients and
 (Fisher or exact) Hessians are computed analytically in the delay basis.
+
+The per-iteration linear algebra (covariance build, Cholesky, solves,
+A/G Gram matrices) runs as one jitted device program
+(DRACO_TPU_DELAYOPT_DEVICE=0 restores the pure scipy host path);
+scipy.minimize drives the small log-S parameter vector, matching the
+reference (delayopt.py:424 is also scipy.minimize).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import scipy.linalg as la
 from scipy.optimize import minimize
 
 from ..ops import kernels, tools
+
+
+def _device_core():
+    """The jitted likelihood factorisation (built lazily).
+
+    Round-3 devicification (VERDICT r2 item 7): the per-iteration work —
+    the covariance build, Cholesky, two triangular solves and the A/G
+    GEMMs on [nchan, nchan]/[nchan, ndelay] complex matrices — runs as
+    ONE jitted program; scipy's Newton-CG stays the driver on the small
+    log-S parameter vector (matching reference delayopt.py:424, which
+    also drives with scipy.minimize).  Disable with
+    ``DRACO_TPU_DELAYOPT_DEVICE=0`` (pure host scipy, the round-2 path).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    prec = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def core(MF, N, X, s):
+        C = jnp.matmul(
+            MF * s[None, :], MF.conj().T, precision=prec
+        ) + jnp.diag(N.astype(MF.dtype))
+        L = jax.scipy.linalg.cholesky(C, lower=True)
+        CiF = jax.scipy.linalg.cho_solve((L, True), MF)
+        CiX = jax.scipy.linalg.cho_solve((L, True), X)
+        A = jnp.matmul(MF.conj().T, CiF, precision=prec)
+        G = jnp.matmul(
+            MF.conj().T, jnp.matmul(CiX, CiF, precision=prec), precision=prec
+        )
+        logdet = 2 * jnp.sum(jnp.log(jnp.diag(L).real))
+        trCiX = jnp.trace(CiX).real
+        return logdet, trCiX, A, G
+
+    return core
+
+
+_DEVICE_CORE = None
 
 
 class OptFunc:
@@ -64,6 +110,9 @@ class LogLikePS(OptFunc):
             return
         x = np.clip(x, *self._logbounds)
         s = np.exp(x)
+        if os.environ.get("DRACO_TPU_DELAYOPT_DEVICE", "1") not in ("0", ""):
+            self._precompute_device(x, s)
+            return
         # C = F S F^H + N
         C = (self.MF * s[np.newaxis, :]) @ self.MFT + np.diag(self.N)
         Cf = la.cho_factor(C, check_finite=True)
@@ -74,6 +123,44 @@ class LogLikePS(OptFunc):
         self._G = self.MFT @ (CiX @ CiF)  # F^H C^-1 X C^-1 F
         self._logdet = 2 * np.sum(np.log(np.diag(Cf[0]).real))
         self._trCiX = np.trace(CiX).real
+        self._s_a = x.copy()
+
+    def _precompute_device(self, x: np.ndarray, s: np.ndarray) -> None:
+        """One jitted device program per iteration (see _device_core)."""
+        import jax
+
+        from ..ops.tools import as_device, device_to_numpy
+
+        global _DEVICE_CORE
+        if _DEVICE_CORE is None:
+            _DEVICE_CORE = _device_core()
+        if getattr(self, "_dev_in", None) is None:
+            # complex128 only under x64 (CPU truth/tests); f32 otherwise
+            cdt = (
+                np.complex128
+                if jax.config.jax_enable_x64
+                else np.complex64
+            )
+            rdt = np.float64 if jax.config.jax_enable_x64 else np.float32
+            self._dev_in = (
+                as_device(self.MF.astype(cdt)),
+                as_device(self.N.astype(rdt)),
+                as_device(self.X.astype(cdt)),
+            )
+            self._dev_rdt = rdt
+        MF_d, N_d, X_d = self._dev_in
+        logdet, trCiX, A, G = _DEVICE_CORE(
+            MF_d, N_d, X_d, as_device(s.astype(self._dev_rdt))
+        )
+        self._s = s
+        self._A = device_to_numpy(A)
+        self._G = device_to_numpy(G)
+        self._logdet = float(device_to_numpy(logdet))
+        self._trCiX = float(device_to_numpy(trCiX))
+        if not np.isfinite(self._logdet):
+            raise la.LinAlgError(
+                "delayopt device Cholesky failed (non-finite log det)"
+            )
         self._s_a = x.copy()
 
     def value(self, logs):

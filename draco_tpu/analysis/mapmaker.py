@@ -22,7 +22,7 @@ import numpy as np
 
 from ..core import config, containers, io
 from ..core.task import ContainerTask
-from ..ops import sht
+from ..ops import sht, tools
 from ..ops.tools import find_keys
 
 
@@ -76,8 +76,10 @@ class BaseMapMaker(ContainerTask):
         mm_freq = mmodes.index_map["freq"]["centre"]
         freq_ind = find_keys(bt_freq, mm_freq, require_match=True)
 
-        vis = np.asarray(mmodes.vis[:])[: mmax + 1]
-        weight = np.asarray(mmodes.weight[:])[: mmax + 1]
+        # collective-safe host pulls: process-spanning global arrays
+        # gather through a compiled all-gather every process runs
+        vis = tools.device_to_numpy(mmodes.vis[:])[: mmax + 1]
+        weight = tools.device_to_numpy(mmodes.weight[:])[: mmax + 1]
         # [m, msign, freq, stack] -> [m, msign, freq, nbase]
         nbase = tel.npairs
         vis = vis.reshape(mmax + 1, 2, nfreq, nbase)
@@ -96,7 +98,7 @@ class BaseMapMaker(ContainerTask):
             axes_from=mmodes,
             attrs_from=mmodes,
         )
-        m.map[:] = np.asarray(maps)
+        m.map[:] = tools.device_to_numpy(maps)
         return m
 
     # -- solver helpers ----------------------------------------------------

@@ -78,17 +78,19 @@ class FrequencyRebin(ContainerTask):
                 sb.datasets[name][:] = ds[:]
                 continue
             fax = list(ds.axes).index("freq")
-            arr = jnp.asarray(np.asarray(ds[:]))
-            arr = jnp.moveaxis(arr, fax, 0)
+            # device pass-through (no host round trip): the math then
+            # runs SPMD on sharded/global arrays unchanged — including
+            # process-spanning arrays on a multi-host mesh, where a
+            # host pull of the full array is not even possible
+            arr = jnp.moveaxis(ds._as_device(), fax, 0)
             shape = (len(centre), cb) + arr.shape[1:]
             if name.endswith("weight") or name == "weight":
                 # inverse-variance weights combine as a sum
                 new = arr.reshape(shape).sum(axis=1)
             else:
                 # weighted average using the weight dataset when present
-                w = ss.weight[:] if "vis" in ss.datasets else None
-                if name == "vis" and w is not None:
-                    w = jnp.moveaxis(jnp.asarray(np.asarray(w)), fax, 0)
+                if name == "vis" and "vis" in ss.datasets:
+                    w = jnp.moveaxis(ss.weight._as_device(), fax, 0)
                     num = (arr * w).reshape(shape).sum(axis=1)
                     den = w.reshape(shape).sum(axis=1)
                     new = num * invert_no_zero(den)
@@ -96,9 +98,7 @@ class FrequencyRebin(ContainerTask):
                     new = arr.reshape(shape).mean(axis=1)
             if name not in sb.datasets:
                 sb.add_dataset(name)
-            sb.datasets[name][:] = np.asarray(jnp.moveaxis(new, 0, fax)).astype(
-                ds.dtype
-            )
+            sb.datasets[name][:] = jnp.moveaxis(new, 0, fax).astype(ds.dtype)
         return sb
 
 
@@ -189,7 +189,7 @@ class MModeTransform(ContainerTask):
 
         sstream.redistribute("freq")
         svis = tools.as_device(sstream.vis[:])
-        sweight = jnp.asarray(np.asarray(sstream.weight[:]))
+        sweight = sstream.weight._as_device()
 
         # Noise variance of the m-modes: sum of per-sample variances
         # (reference transform.py:599-602)
@@ -214,7 +214,7 @@ class MModeTransform(ContainerTask):
         mvis = _mmode_pack(svis, mmax, self.remove_integration_window, nra)
         # weight shape: vis weight axes minus ra, broadcast over (m, msign)
         mw = np.broadcast_to(
-            np.asarray(weight_sum)[None, None],
+            tools.device_to_numpy(weight_sum)[None, None],
             (mmax + 1, 2) + weight_sum.shape,
         ).copy()
         if self.remove_integration_window:
@@ -249,7 +249,7 @@ class MModeInverseTransform(ContainerTask):
             nra = 2 * mmodes.mmax + int(bool(mmodes.oddra))
 
         mvis = tools.as_device(mmodes.vis[:])
-        mweight = jnp.asarray(np.asarray(mmodes.weight[:]))
+        mweight = mmodes.weight._as_device()
 
         if self.apply_integration_window:
             m = jnp.arange(mmodes.mmax + 1)
@@ -265,10 +265,12 @@ class MModeInverseTransform(ContainerTask):
         sstream = containers.SiderealStream(
             ra=nra, axes_from=mmodes, attrs_from=mmodes, distributed=True
         )
-        sstream.vis[:] = np.asarray(ssarray).astype(sstream.vis.dtype)
+        sstream.vis[:] = tools.device_to_numpy(ssarray).astype(
+            sstream.vis.dtype
+        )
         # No time information recoverable: spread the m=0 weight over RA
         # (reference transform.py:788-790)
-        w0 = np.asarray(mweight[0, 0]) / nra
+        w0 = tools.device_to_numpy(mweight[0, 0]) / nra
         sstream.weight[:] = w0[..., np.newaxis] * np.ones(
             (1,) * w0.ndim + (nra,), dtype=sstream.weight.dtype
         )

@@ -467,6 +467,20 @@ class ContainerBase:
             )
         return new
 
+    def ensure_host(self) -> "ContainerBase":
+        """Replace every device-resident dataset with its host copy.
+
+        On a multi-process mesh, gathering a process-spanning global
+        ``jax.Array`` is a compiled collective — EVERY process must call
+        this (in the same dataset order, which dict order guarantees)
+        before any process does host-side work like a leader-only file
+        write.  Single-process: a plain device->host fetch.
+        """
+        for ds in self.datasets.values():
+            if _is_jax(ds._data):
+                ds._data = _to_numpy(ds._data)
+        return self
+
     # -- IO ------------------------------------------------------------------
     def save(self, path: str, mode: str = "w", truncate: bool = False) -> None:
         """Write to HDF5 (layout mirrors the reference on-disk format).
@@ -483,15 +497,7 @@ class ContainerBase:
 
         with h5py.File(path, mode) as f:
             f.attrs["__draco_tpu_container__"] = type(self).__name__
-            for k, v in self.attrs.items():
-                # attrs h5py can't store natively (dicts, ...) are JSON
-                # encoded under a tagged name so from_file can decode
-                # them back symmetrically (reference/caput files never
-                # contain the tag, so interop reads are unaffected)
-                try:
-                    f.attrs[k] = v
-                except TypeError:
-                    f.attrs[k + "!json"] = json.dumps(v)
+            _write_attrs(f.attrs, self.attrs)
             im = f.create_group("index_map")
             for name, arr in self.index_map.items():
                 im.create_dataset(name, data=_h5_safe(arr))
@@ -526,19 +532,18 @@ class ContainerBase:
                     }
                 d = f.create_dataset(name, data=arr, **kwargs)
                 d.attrs["axis"] = np.array([a.encode() for a in ds.axes])
-                for ak, av in ds.attrs.items():
-                    if ak == "axis":
-                        continue
-                    try:
-                        d.attrs[ak] = av
-                    except TypeError:
-                        d.attrs[ak + "!json"] = json.dumps(av)
+                _write_attrs(
+                    d.attrs,
+                    {k: v for k, v in ds.attrs.items() if k != "axis"},
+                )
             hist = f.create_group("history")
-            for k, v in self.history.items():
-                if isinstance(v, str):
-                    hist.attrs[k] = v
-                else:
-                    hist.attrs[k + "!json"] = json.dumps(v)
+            _write_attrs(
+                hist.attrs,
+                {
+                    k: (v if isinstance(v, str) else _ForceJSON(v))
+                    for k, v in self.history.items()
+                },
+            )
 
     @classmethod
     def from_file(
@@ -558,6 +563,13 @@ class ContainerBase:
         """
         import h5py
 
+        if kwargs:
+            # silent-typo guard matching constructor strictness: a
+            # misspelled sel=/distributed= must not be dropped
+            raise TypeError(
+                f"{cls.__name__}.from_file() got unexpected keyword "
+                f"argument(s): {sorted(kwargs)}"
+            )
         sel = dict(sel or {})
         with h5py.File(path, "r") as f:
             clsname = f.attrs.get("__draco_tpu_container__")
@@ -579,22 +591,55 @@ class ContainerBase:
                     if k.startswith("__"):
                         continue
                     if k.endswith("!json"):
-                        target[k[: -len("!json")]] = json.loads(v)
+                        # our writer's tag for non-native attrs; a
+                        # foreign file may coincidentally name an attr
+                        # '*!json' with a non-JSON payload — keep it
+                        # verbatim rather than raising mid-load
+                        try:
+                            target[k[: -len("!json")]] = json.loads(v)
+                        except (TypeError, ValueError):
+                            target[k] = v
                     else:
                         target[k] = v
 
             _decode_attrs(f.attrs, self.attrs)
+            orig_len = {}
             for name, d in f["index_map"].items():
                 arr = d[:]
+                orig_len[name] = arr.shape[0] if arr.ndim else 0
                 if name in sel:
                     arr = arr[sel[name]]
+                # forward maps may index INTO another axis via a
+                # structured field of that axis's name (e.g. the stack
+                # index_map's 'prod' indices); a selection on the
+                # referenced axis leaves those indices stale.  The map
+                # defines its own axis so it cannot be dropped — warn.
+                if arr.dtype.names:
+                    stale = [fn for fn in arr.dtype.names if fn in sel]
+                    if stale:
+                        logger.warning(
+                            "%s: index_map[%r] field(s) %s index into "
+                            "selected axes; those indices refer to the "
+                            "UNSELECTED axis ordering",
+                            path,
+                            name,
+                            stale,
+                        )
                 self.index_map[name] = arr
+            selected_lens = {orig_len.get(ax) for ax in sel}
             if "reverse_map" in f:
                 for name, d in f["reverse_map"].items():
-                    if name in sel:
-                        # a reverse map indexes into its target axis;
-                        # after a selection those indices are stale, so
-                        # the map is dropped rather than silently kept
+                    arr = d[:]
+                    # a reverse map indexes INTO its target axis (so a
+                    # selection on `name` makes its values stale) and is
+                    # indexed BY a source axis (so a selection on any
+                    # axis of matching length may make its row order
+                    # stale).  Either way the indices cannot be trusted
+                    # after the selection: drop rather than silently keep.
+                    stale = name in sel or (
+                        sel and arr.shape[0] in selected_lens
+                    )
+                    if stale:
                         logger.warning(
                             "%s: dropping reverse_map[%r] invalidated "
                             "by the axis selection",
@@ -602,7 +647,7 @@ class ContainerBase:
                             name,
                         )
                         continue
-                    self.reverse_map[name] = d[:]
+                    self.reverse_map[name] = arr
             spec = klass.dataset_spec()
             for name, d in f.items():
                 if name in ("index_map", "reverse_map", "history"):
@@ -637,6 +682,40 @@ class ContainerBase:
     def __repr__(self):
         dss = ", ".join(f"{n}{list(d.shape)}" for n, d in self.datasets.items())
         return f"<{type(self).__name__} {dss}>"
+
+
+class _ForceJSON:
+    """Marker: always JSON-encode this attr value (used for history)."""
+
+    def __init__(self, value):
+        self.value = value
+
+
+def _write_attrs(h5attrs, attrs: dict) -> None:
+    """Write attrs to an HDF5 attribute set, JSON-tagging as needed.
+
+    Attrs h5py cannot store natively (dicts, lists of mixed type, ...)
+    are JSON encoded under ``<name>!json`` so :meth:`from_file` can
+    decode them back symmetrically.  Collisions between a tagged key
+    and a literal attr named ``<name>!json`` would silently shadow one
+    another on read, so they are rejected here; so is a plain attr
+    whose own name carries the tag suffix while a sibling would encode
+    to the same key.
+    """
+    for k in attrs:
+        if k.endswith("!json") and k[: -len("!json")] in attrs:
+            raise ValueError(
+                f"attribute name collision: {k!r} shadows the JSON-"
+                f"tagged encoding of {k[:-len('!json')]!r}"
+            )
+    for k, v in attrs.items():
+        if isinstance(v, _ForceJSON):
+            h5attrs[k + "!json"] = json.dumps(v.value)
+            continue
+        try:
+            h5attrs[k] = v
+        except TypeError:
+            h5attrs[k + "!json"] = json.dumps(v)
 
 
 def _h5_safe(arr: np.ndarray) -> np.ndarray:

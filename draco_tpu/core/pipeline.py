@@ -32,6 +32,8 @@ from typing import Any
 import yaml
 
 from . import config as config_mod
+from ..parallel import mesh as pmesh
+from .containers import ContainerBase
 from .task import (
     ContainerTask,
     MPILoggedTask,
@@ -200,6 +202,17 @@ class Manager(config_mod.Reader):
         #
         # Shorthand `mesh: {freq: 2, m: 4}` (no `axes` key) also works.
         self.mesh_cfg = self._parse_mesh_cfg(pipeline_cfg.get("mesh"))
+        # `distribute: true` moves every routed container onto the
+        # installed mesh (named-axis sharding) as it is produced, so a
+        # YAML pipeline runs its containers as GLOBAL jax.Arrays — on a
+        # multi-process mesh each process then holds only its shard of
+        # every distributed axis (the reference's per-rank MPIArray
+        # slabs, reference caput.mpiarray usage in
+        # draco/synthesis/stream.py:91-140).  Defaults to on when a
+        # mesh is configured.
+        self.distribute_products = bool(
+            pipeline_cfg.get("distribute", self.mesh_cfg is not None)
+        )
         self.task_timing: dict[str, dict] = {}
 
     @staticmethod
@@ -477,6 +490,15 @@ class Manager(config_mod.Reader):
                     f"{len(runner.out_labels)} labels"
                 )
             for label, out in zip(runner.out_labels, outs):
+                if (
+                    self.distribute_products
+                    and pmesh.get_mesh() is not None
+                    and isinstance(out, ContainerBase)
+                ):
+                    # products become global jax.Arrays sharded over the
+                    # installed mesh (multi-process: each process holds
+                    # its shard)
+                    out.to_device()
                 if self.validate_finite:
                     _assert_finite_product(runner.name, label, out)
                 if self.retain_products == "all" or (

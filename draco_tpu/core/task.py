@@ -96,6 +96,10 @@ class ContainerTask(MPILoggedTask):
     """
 
     save = config.bool_prop(False)
+    # multi-process runs: write per-process shard part files instead of a
+    # leader-only whole file (see parallel.multihost.save_sharded); also
+    # switchable globally via DRACO_TPU_SHARDED_SAVE=1
+    save_sharded = config.bool_prop(False)
     # lossy mantissa truncation of spec-marked datasets on save
     # (reference-parity storage feature; see draco_tpu.core.truncate)
     truncate = config.bool_prop(False)
@@ -186,15 +190,37 @@ class ContainerTask(MPILoggedTask):
         return name
 
     def _save_output(self, output: ContainerBase):
-        from ..parallel.multihost import is_leader
+        from ..parallel.multihost import is_leader, process_count
 
+        fname = self._outfile_name(output)
+        self._save_count += 1
+        multi = process_count() > 1
+        if multi and (
+            self.save_sharded
+            or os.environ.get("DRACO_TPU_SHARDED_SAVE", "0") not in ("0", "")
+        ):
+            # data-sharded write: every process writes ONLY its slab of
+            # each distributed dataset as a part file (the reference's
+            # parallel-HDF5 role); load_sharded reassembles.
+            from ..parallel.multihost import save_sharded
+
+            d = os.path.dirname(fname)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            ppath = save_sharded(output, fname)
+            self.log.info("Saved shard part %s", ppath)
+            return
+        if multi:
+            # leader-only whole-file write.  Gathering process-spanning
+            # global arrays to host is a COLLECTIVE (compiled
+            # all-gather), so every process must walk the datasets —
+            # leader-gating the whole save would deadlock the leader in
+            # the collective.
+            output.ensure_host()
         if not is_leader():
-            # multi-process runs execute every task on every process;
             # only the leader writes (N ranks writing one HDF5 path
             # concurrently corrupts it)
             return
-        fname = self._outfile_name(output)
-        self._save_count += 1
         d = os.path.dirname(fname)
         if d:
             os.makedirs(d, exist_ok=True)

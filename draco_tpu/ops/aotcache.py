@@ -1,0 +1,113 @@
+"""On-disk AOT cache of compiled XLA executables.
+
+JAX's persistent compilation cache keys on (computation, jaxlib,
+backend fingerprint, XLA flags, compile options, device topology).
+Over the remote-TPU tunnel the backend-derived components have been
+observed to drift between sessions, silently turning every warm start
+into a multi-minute cold compile (BENCH_r02: 522.8 s warmup with a
+populated cache).  This module bypasses the key problem entirely:
+
+* the cache key is OURS — a hash of the lowered StableHLO text (fully
+  deterministic given code + shapes) plus jaxlib version and device
+  kind;
+* the value is the serialized compiled executable
+  (``jax.experimental.serialize_executable``, PJRT executable
+  serialization — measured sub-millisecond round trip on the tunnel);
+* any deserialization failure (backend rebuilt, incompatible payload)
+  falls back to a normal compile and overwrites the entry.
+
+Used by the fused round-trip programs (telescope/roundtrip.py) whose
+cold compiles dominate bench warmup.  Disable with
+``DRACO_TPU_AOT_CACHE=0``; directory override via
+``DRACO_TPU_AOT_CACHE_DIR`` (default ``<repo>/.jax_cache/aot``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import pickle
+import tempfile
+
+logger = logging.getLogger(__name__)
+
+_DEF_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_cache",
+    "aot",
+)
+
+
+def cache_dir() -> str | None:
+    if os.environ.get("DRACO_TPU_AOT_CACHE", "1") in ("0", ""):
+        return None
+    return os.environ.get("DRACO_TPU_AOT_CACHE_DIR", _DEF_DIR)
+
+
+def _stable_key(lowered, extra: str = "") -> str:
+    """Deterministic key: StableHLO text + jaxlib + device kind.
+
+    Deliberately EXCLUDES the tunnel-session-variant backend components
+    (platform_version build strings, device topology coords) that are
+    suspected of breaking jax's own persistent-cache key; if the
+    backend genuinely changed incompatibly, deserialization fails and
+    we fall back to a fresh compile anyway.
+    """
+    import jax
+
+    h = hashlib.sha256()
+    h.update(lowered.as_text().encode())
+    h.update(jax.lib.__version__.encode())
+    dev = jax.devices()[0]
+    h.update(dev.device_kind.encode())
+    h.update(str(jax.device_count()).encode())
+    h.update(extra.encode())
+    return h.hexdigest()[:32]
+
+
+def compile_cached(lowered, name: str, extra_key: str = ""):
+    """Compile ``lowered`` (a ``jax.stages.Lowered``), AOT-cached.
+
+    Returns a callable executable (``jax.stages.Compiled`` or the
+    deserialized equivalent).  On a cache hit the multi-minute XLA
+    compile is replaced by a sub-second executable load.
+    """
+    cdir = cache_dir()
+    if cdir is None:
+        return lowered.compile()
+    try:
+        key = _stable_key(lowered, extra_key)
+    except Exception as e:  # pragma: no cover - defensive
+        logger.warning("aot cache key failed (%s); compiling", e)
+        return lowered.compile()
+    path = os.path.join(cdir, f"{name}-{key}.aot")
+    if os.path.exists(path):
+        try:
+            from jax.experimental.serialize_executable import (
+                deserialize_and_load,
+            )
+
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree = pickle.load(f)
+            compiled = deserialize_and_load(payload, in_tree, out_tree)
+            logger.info("aot cache hit: %s", path)
+            return compiled
+        except Exception as e:
+            logger.warning("aot cache load failed (%s); recompiling", e)
+    compiled = lowered.compile()
+    try:
+        from jax.experimental.serialize_executable import serialize
+
+        payload, in_tree, out_tree = serialize(compiled)
+        os.makedirs(cdir, exist_ok=True)
+        # atomic write: the driver may run several processes against one
+        # cache directory
+        fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree), f)
+        os.replace(tmp, path)
+        logger.info("aot cache store: %s", path)
+    except Exception as e:  # pragma: no cover - defensive
+        logger.warning("aot cache store failed (%s)", e)
+    return compiled

@@ -182,14 +182,24 @@ class SHT:
             idx = np.zeros((self._ncap, width), dtype=np.int64)
             mask = np.zeros((self._ncap, width), dtype=np.float64)
             phi = np.zeros((self._ncap, width), dtype=np.float64)
+            # integer phase tables: phi_rj = pi (2j + s) / n with
+            # s in {0, 1} (HEALPix RING phi0 = s pi / n) — the exact
+            # turn-fraction reduction in _cap_dft_matrix builds on these
+            two_ps = np.zeros((self._ncap, width), dtype=np.int32)
+            n_row = np.zeros(self._ncap, dtype=np.int32)
             for k, r in enumerate(self._cap_rings):
                 n = int(info.nphi[r])
                 idx[k, :n] = info.offset[r] + np.arange(n)
                 mask[k, :n] = 1.0
                 phi[k, :n] = info.phi0[r] + 2 * np.pi * np.arange(n) / n
+                s = int(round(info.phi0[r] * n / np.pi))
+                two_ps[k, :n] = 2 * np.arange(n) + s
+                n_row[k] = n
             self._cap_idx = idx
             self._cap_mask = mask
             self._cap_phi = phi
+            self._cap_2ps = two_ps
+            self._cap_n = n_row
             # Width-split row groups: cap ring k has nphi = 4k, so ~half
             # of the padded [ncap, width] tensor is zeros.  Splitting rows
             # into a half-width and a full-width group removes ~25% of the
@@ -222,14 +232,43 @@ class SHT:
             self._cap_width = 0
             self._cap_wgroups = []
 
+    # All three DFT-factor builders reduce their phases EXACTLY before any
+    # floating-point trig: every HEALPix azimuth is phi_rj = pi(2j+s)/n
+    # (s in {0, 1} — verified for the RING scheme), so the phase in turns
+    # is t = m(2j+s)/(2n) mod 1, computed with INTEGER arithmetic.  The
+    # naive f32 arg = phi * m reaches ~5e3 rad at mmax ~ 768, where f32
+    # rounding (and the TPU's single-precision range reduction) costs
+    # ~3e-4 rad — measured as the DOMINANT term of the round-trip error
+    # (scripts/ablate_const_precision.py: promoting the ring plan to f64
+    # moves the nside=64 end-to-end error 1.7e-5 -> 5.3e-6).  With the
+    # exact reduction the residual is the bounded-arg trig error (~3e-7).
+    def _phase_turns(self, num, den, dtype):
+        """(cos, sin) of 2 pi (num / den) with num/den int32 arrays.
+
+        ``num`` is reduced mod ``den`` exactly in integers before the
+        float division, so the trig argument is a turn fraction in
+        [0, 1) regardless of how large the unreduced phase was.
+        """
+        rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+        t = (num % den).astype(rdt) / den.astype(rdt)
+        if rdt == jnp.float64:
+            ph = 2 * np.pi * t
+            return jnp.cos(ph), jnp.sin(ph)
+        from .tools import sincos_turns
+
+        return sincos_turns(t)
+
     def _ring_phase(self, ring_sel, dtype, conj: bool = False) -> jnp.ndarray:
         """exp(-+i m phi0_r) for the selected rings, built on device."""
-        rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
-        phi0 = jnp.asarray(self.info.phi0[ring_sel], dtype=rdt)
-        mv = jnp.asarray(self._m, dtype=rdt)
-        arg = phi0[:, None] * mv[None, :]
+        info = self.info
+        n = info.nphi[ring_sel].astype(np.int64)
+        s = np.rint(info.phi0[ring_sel] * n / np.pi).astype(np.int64)
+        mv = jnp.asarray(self._m, dtype=jnp.int32)
+        num = jnp.asarray(s, jnp.int32)[:, None] * mv[None, :]
+        den = jnp.asarray(2 * n, jnp.int32)[:, None]
+        c, sn = self._phase_turns(num, den, dtype)
         sign = 1.0 if conj else -1.0
-        return jax.lax.complex(jnp.cos(arg), sign * jnp.sin(arg)).astype(dtype)
+        return jax.lax.complex(c, sign * sn).astype(dtype)
 
     def _belt_dft_matrix(self, dtype, conj: bool = False) -> jnp.ndarray:
         """W[j, m] = exp(-+2 pi i j m / nphi) for the equal-nphi belt rings.
@@ -239,35 +278,38 @@ class SHT:
         ~60x FLOP overhead — the MXU's matmul throughput dwarfs the FFT's
         effective rate.  Built on device (small: nphi x (mmax+1)).
         """
-        rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
-        j = jnp.arange(self._belt_nphi, dtype=rdt)[:, None]
-        mv = jnp.asarray(self._m, dtype=rdt)[None, :]
-        arg = (2 * np.pi / self._belt_nphi) * j * mv
+        j = jnp.arange(self._belt_nphi, dtype=jnp.int32)[:, None]
+        mv = jnp.asarray(self._m, dtype=jnp.int32)[None, :]
+        num = j * mv
+        den = jnp.full((1, 1), self._belt_nphi, jnp.int32)
+        c, sn = self._phase_turns(num, den, dtype)
         sign = 1.0 if conj else -1.0
-        return jax.lax.complex(jnp.cos(arg), sign * jnp.sin(arg)).astype(dtype)
+        return jax.lax.complex(c, sign * sn).astype(dtype)
 
     def _cap_dft_matrix(self, m_vals: np.ndarray, dtype, group=None) -> jnp.ndarray:
         """P[r, j, m] = mask * exp(-i m phi_rj) for a chunk of m values.
 
         ``group``: optional (rows, width) pair restricting to a width-split
         row group (see _build_groups).  Built on device from the small
-        [nrows, width] phase table — a large host-side constant here would
+        integer index tables — a large host-side constant here would
         be serialised into the HLO and make compiles over the remote-TPU
         tunnel pathologically slow.
         """
         rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
         if group is not None:
             rows_arr, w = group
-            phi = jnp.asarray(self._cap_phi[rows_arr][:, :w], dtype=rdt)
+            two_ps = self._cap_2ps[rows_arr][:, :w]
+            n_rows = self._cap_n[rows_arr]
             mask = jnp.asarray(self._cap_mask[rows_arr][:, :w], dtype=rdt)
         else:
-            phi = jnp.asarray(self._cap_phi, dtype=rdt)
+            two_ps = self._cap_2ps
+            n_rows = self._cap_n
             mask = jnp.asarray(self._cap_mask, dtype=rdt)
-        mv = jnp.asarray(m_vals, dtype=rdt)
-        arg = phi[:, :, None] * mv[None, None, :]
-        return (
-            jax.lax.complex(jnp.cos(arg), -jnp.sin(arg)) * mask[:, :, None]
-        ).astype(dtype)
+        mv = jnp.asarray(m_vals, dtype=jnp.int32)
+        num = jnp.asarray(two_ps, jnp.int32)[:, :, None] * mv[None, None, :]
+        den = jnp.asarray(2 * n_rows, jnp.int32)[:, None, None]
+        c, sn = self._phase_turns(num, den, dtype)
+        return (jax.lax.complex(c, -sn) * mask[:, :, None]).astype(dtype)
 
     # ------------------------------------------------------------------
     # Ring Fourier steps
@@ -558,6 +600,16 @@ class SHT:
         ]  # each [L+1, C, R]
         return jnp.concatenate(blocks, axis=1)  # [L+1, M+1, R]
 
+    def _split_sections(self, lam):
+        """Slice a full [L+1, M+1, R] tensor into the belt/caps dict."""
+        belt = lam[:, :, self._belt_rings[0] : self._belt_rings[-1] + 1]
+        ring_ids = np.asarray(self._cap_rings)
+        caps = [
+            lam[:, :, jnp.asarray(ring_ids[rows_arr])]
+            for rows_arr, _ in self._cap_wgroups
+        ]
+        return {"belt": belt, "caps": caps}
+
     def precompute_legendre_split(self, dtype=jnp.float32):
         """Per-section Legendre tensors for the concat-free analysis path.
 
@@ -568,14 +620,36 @@ class SHT:
         concatenation, row reorder or separate quadrature-weight multiply
         (the weight is folded into the constant DFT matrices instead).
         """
-        lam = self.precompute_legendre(dtype)
-        belt = lam[:, :, self._belt_rings[0] : self._belt_rings[-1] + 1]
-        ring_ids = np.asarray(self._cap_rings)
-        caps = [
-            lam[:, :, jnp.asarray(ring_ids[rows_arr])]
-            for rows_arr, _ in self._cap_wgroups
-        ]
-        return {"belt": belt, "caps": caps}
+        return self._split_sections(self.precompute_legendre(dtype))
+
+    def precompute_legendre_split_2f(self):
+        """Two-float (hi f32, lo bf16) split Legendre tensors.
+
+        The f32 quantization of the stored Legendre tensor is one of the
+        two dominant terms of the round-trip map error (the other was the
+        ring-plan trig; scripts/ablate_const_precision.py).  The
+        recurrence runs in f64 on device (one-time cost) and each value
+        is stored as ``hi + lo`` with hi = f32(lam) and lo the bf16
+        residual: hi*2^-24 scale means a bf16 lo retains the value to
+        ~2^-32 relative — far below the 1e-5 budget — at half the memory
+        of an f32 lo.  Consumers contract ``F @ hi`` at full precision
+        plus ``F @ lo`` at DEFAULT (single-pass bf16: the lo term is
+        ~6e-8 of the result, so 3e-3 relative error on it is 2e-10).
+
+        Returns ``(hi_dict, lo_dict)`` in the
+        :meth:`precompute_legendre_split` layout.
+        """
+        his, los = [], []
+        with jax.enable_x64(True):
+            for m_vals in self._m_chunks():
+                blk = self._legendre_block(m_vals, jnp.float64)
+                hi = blk.astype(jnp.float32)
+                lo = (blk - hi.astype(jnp.float64)).astype(jnp.bfloat16)
+                his.append(hi)
+                los.append(lo)
+        hi = jnp.concatenate(his, axis=1)
+        lo = jnp.concatenate(los, axis=1)
+        return self._split_sections(hi), self._split_sections(lo)
 
     def padded_layout(self) -> np.ndarray:
         """HEALPix pixel index for each slot of the GEMM-ready padded
@@ -761,43 +835,56 @@ class SHT:
             group_F.append(jnp.concatenate(parts, axis=-1))
         return F_belt, group_F
 
-    def _contract_alm(self, F_belt, group_F, lam):
-        """Sum of per-section Legendre contractions (lam = split dict)."""
+    def _contract_alm(self, F_belt, group_F, lam, lam_lo=None):
+        """Sum of per-section Legendre contractions (lam = split dict).
+
+        ``lam_lo``: optional low parts from
+        :meth:`precompute_legendre_split_2f`; contracted at DEFAULT
+        precision (their contribution is ~eps of the total, so a cheap
+        single-pass GEMM holds the error far below budget).
+        """
         rdtype = F_belt.real.dtype
 
-        def contract(F, lam_s):
+        def contract(F, lam_s, prec):
             lam_r = lam_s.astype(rdtype)
             if jnp.iscomplexobj(F):
                 return jax.lax.complex(
                     jnp.einsum(
-                        "...rm,lmr->...lm", F.real, lam_r, precision=_PREC_LEG
+                        "...rm,lmr->...lm", F.real, lam_r, precision=prec
                     ),
                     jnp.einsum(
-                        "...rm,lmr->...lm", F.imag, lam_r, precision=_PREC_LEG
+                        "...rm,lmr->...lm", F.imag, lam_r, precision=prec
                     ),
                 )
-            return jnp.einsum("...rm,lmr->...lm", F, lam_r, precision=_PREC_LEG)
+            return jnp.einsum("...rm,lmr->...lm", F, lam_r, precision=prec)
 
-        alm = contract(F_belt, lam["belt"])
+        alm = contract(F_belt, lam["belt"], _PREC_LEG)
         for F_g, lam_g in zip(group_F, lam["caps"]):
-            alm = alm + contract(F_g, lam_g)
+            alm = alm + contract(F_g, lam_g, _PREC_LEG)
+        if lam_lo is not None:
+            alm = alm + contract(
+                F_belt, lam_lo["belt"], jax.lax.Precision.DEFAULT
+            )
+            for F_g, lam_g in zip(group_F, lam_lo["caps"]):
+                alm = alm + contract(F_g, lam_g, jax.lax.Precision.DEFAULT)
         return alm
 
     # ------------------------------------------------------------------
     # Public transforms
     # ------------------------------------------------------------------
-    def _analysis_impl(self, maps, lam=None, plan=None):
+    def _analysis_impl(self, maps, lam=None, plan=None, lam_lo=None):
         """alm[..., lmax+1, mmax+1] of (real or complex) maps [..., npix].
 
         ``lam``: optional precomputed Legendre tensor [L+1, M+1, R] from
         :meth:`precompute_legendre`; the transform becomes one batched
-        (over m) ring-contraction GEMM.
+        (over m) ring-contraction GEMM.  ``lam_lo``: optional two-float
+        low parts (split-dict form only).
         """
         if isinstance(lam, dict):
             # concat-free split path: contract each ring section against
             # its own Legendre slice and sum the partial alm
             F_belt, group_F = self._ring_analysis_parts(maps, plan=plan)
-            return self._contract_alm(F_belt, group_F, lam)
+            return self._contract_alm(F_belt, group_F, lam, lam_lo=lam_lo)
 
         F = self._ring_analysis(maps)  # [..., R, M+1]
         rdtype = F.real.dtype
@@ -825,34 +912,40 @@ class SHT:
             out.append(jnp.moveaxis(alm_c, -2, -1))  # [..., L+1, C]
         return jnp.concatenate(out, axis=-1)  # [..., L+1, M+1]
 
-    def _synthesis_impl(self, alm, lam=None, plan=None):
+    def _synthesis_impl(self, alm, lam=None, plan=None, lam_lo=None):
         """Real maps [..., npix] from alm[..., lmax+1, mmax+1].
 
         ``lam``: optional precomputed Legendre tensor (see
-        :meth:`precompute_legendre`).
+        :meth:`precompute_legendre`).  ``lam_lo``: optional two-float
+        low parts (split-dict form only).
         """
         rdtype = alm.real.dtype
         if isinstance(lam, dict):
 
-            def contract(lam_s):
+            def contract(lam_s, prec=_PREC_LEG):
                 lam_r = lam_s.astype(rdtype)
                 if jnp.iscomplexobj(alm):
                     return jax.lax.complex(
                         jnp.einsum(
-                            "...lm,lmr->...rm", alm.real, lam_r, precision=_PREC_LEG
+                            "...lm,lmr->...rm", alm.real, lam_r, precision=prec
                         ),
                         jnp.einsum(
-                            "...lm,lmr->...rm", alm.imag, lam_r, precision=_PREC_LEG
+                            "...lm,lmr->...rm", alm.imag, lam_r, precision=prec
                         ),
                     )
-                g = jnp.einsum("...lm,lmr->...rm", alm, lam_r, precision=_PREC_LEG)
+                g = jnp.einsum("...lm,lmr->...rm", alm, lam_r, precision=prec)
                 return jax.lax.complex(g, jnp.zeros_like(g))
 
-            return self._ring_synthesis_parts(
-                contract(lam["belt"]),
-                [contract(c) for c in lam["caps"]],
-                plan=plan,
-            )
+            G_belt = contract(lam["belt"])
+            G_caps = [contract(c) for c in lam["caps"]]
+            if lam_lo is not None:
+                DEF = jax.lax.Precision.DEFAULT
+                G_belt = G_belt + contract(lam_lo["belt"], DEF)
+                G_caps = [
+                    g + contract(c, DEF)
+                    for g, c in zip(G_caps, lam_lo["caps"])
+                ]
+            return self._ring_synthesis_parts(G_belt, G_caps, plan=plan)
         if lam is not None:
             lam_r = lam.astype(rdtype)
             if jnp.iscomplexobj(alm):

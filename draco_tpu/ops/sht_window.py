@@ -122,6 +122,7 @@ class WindowedSHT:
         self._w_rw = info.weight[self.band][:, None] * valid
         self._rect_cache = None
         self._lam_band = None
+        self._lam_band2 = None
 
         # -- flat (ragged) layout ------------------------------------------
         # The rectangular [Rb, W] box pays for every ring at the WIDEST
@@ -234,6 +235,35 @@ class WindowedSHT:
 
             self._lam_band = build(jnp.asarray(self.band))
         return self._lam_band
+
+    def _ensure_lam_2f(self):
+        """Two-float (hi f32, lo bf16) band Legendre tensors.
+
+        Same layout as :meth:`_ensure_lam`; see
+        :meth:`draco_tpu.ops.sht.SHT.precompute_legendre_split_2f` for
+        the storage-error rationale (the band tensor's f32 quantization
+        alone is a ~3e-6 end-to-end term).
+        """
+        if self._lam_band2 is None:
+            s = self.sht
+
+            @jax.jit
+            def build(band):
+                his, los = [], []
+                with jax.enable_x64(True):
+                    for m_vals in s._m_chunks():
+                        blk = s._legendre_block(m_vals, jnp.float64)
+                        blk = jnp.take(blk, band, axis=2)
+                        hi = blk.astype(jnp.float32)
+                        lo = (blk - hi.astype(jnp.float64)).astype(
+                            jnp.bfloat16
+                        )
+                        his.append(hi)
+                        los.append(lo)
+                return jnp.concatenate(his, 1), jnp.concatenate(los, 1)
+
+            self._lam_band2 = build(jnp.asarray(self.band))
+        return self._lam_band2
 
     def gather(self, maps):
         """Window view [..., Rb, W] of full maps [..., npix]."""

@@ -607,17 +607,32 @@ def device_to_numpy(x) -> np.ndarray:
     Complex readbacks are unsupported over tunnelled TPU backends — and a
     failed attempt poisons the runtime — so complex arrays ALWAYS come
     back as a jitted [real, imag] stack recombined on the host.
+
+    Arrays spanning multiple processes (global ``jax.Array``s on a
+    multi-host mesh) are first replicated — a compiled all-gather every
+    process participates in — then read from the local replica.
     """
     import jax
     import jax.numpy as jnp
 
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(x.sharding.mesh, PartitionSpec())
+        x = jax.jit(lambda a: a, out_shardings=rep)(x)
+
+    def _host(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            a = a.addressable_data(0)  # fully replicated by now
+        return np.asarray(a)
+
     if jnp.iscomplexobj(x) and isinstance(x, jax.Array):
-        ri = np.asarray(jax.jit(lambda a: jnp.stack([a.real, a.imag]))(x))
+        ri = _host(jax.jit(lambda a: jnp.stack([a.real, a.imag]))(x))
         out = ri[0] + 1j * ri[1]
         return out.astype(
             np.complex64 if ri.dtype == np.float32 else np.complex128
         )
-    return np.asarray(x)
+    return _host(x)
 
 
 def numpy_to_device(x):

@@ -179,6 +179,21 @@ def sharding_for_axis(
     return NamedSharding(mesh, PartitionSpec(*spec))
 
 
+def _put(arr, sharding):
+    """Place/reshard ``arr`` under ``sharding``, multi-process safe.
+
+    ``jax.device_put`` handles host->global uploads (every process
+    passes the identical host value) and all single-process reshards,
+    but rejects resharding an existing global array whose devices span
+    processes — that parallel transpose must run as a compiled
+    collective, so it routes through a jitted identity with
+    ``out_shardings`` (XLA emits the all-to-all/all-gather).
+    """
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        return jax.jit(lambda x: x, out_shardings=sharding)(arr)
+    return jax.device_put(arr, sharding)
+
+
 def shard_array(arr, axis: int | None):
     """Reshard ``arr`` so dim ``axis`` is split across the mesh.
 
@@ -196,7 +211,7 @@ def shard_array(arr, axis: int | None):
         if arr.shape[axis] % nshard != 0:
             axis = None  # replicate: not evenly divisible
     sharding = sharding_for_axis(arr.ndim, axis, mesh)
-    return jax.device_put(arr, sharding)
+    return _put(arr, sharding)
 
 
 def _is_named_mesh(mesh: Mesh) -> bool:
@@ -250,7 +265,7 @@ def shard_array_named(arr, axis_names, primary: str | None):
     sharding = sharding_for_named_axes(
         tuple(axis_names), tuple(arr.shape), primary, mesh
     )
-    return jax.device_put(arr, sharding)
+    return _put(arr, sharding)
 
 
 def unshard(arr):
@@ -258,4 +273,4 @@ def unshard(arr):
     mesh = get_mesh()
     if mesh is None:
         return arr
-    return jax.device_put(arr, sharding_for_axis(np.ndim(arr), None, mesh))
+    return _put(arr, sharding_for_axis(np.ndim(arr), None, mesh))

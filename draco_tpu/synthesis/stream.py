@@ -74,8 +74,10 @@ class SimulateSidereal(ContainerTask):
         if not np.array_equal(tel.frequencies, freqmap["centre"]):
             raise ValueError("The sky map and beam-transfer frequency axes disagree.")
 
-        # Sky harmonics for every (freq, pol) map; trim to mmax
-        row_map = jnp.asarray(np.asarray(map_.map[:]))
+        # Sky harmonics for every (freq, pol) map; trim to mmax.  Device
+        # pass-through: a map already on the mesh (possibly spanning
+        # processes) must not round-trip through the host.
+        row_map = tools.as_device(map_.map[:])
         alm = sht.sphtrans_sky(row_map, lmax=lmax)[..., : mmax + 1]
 
         # Batched beam-transfer projection over every m (MXU path); under a

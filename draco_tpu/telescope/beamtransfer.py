@@ -490,20 +490,37 @@ class BeamTransfer:
     # repo-root bench uses the same structure.
 
     def _streaming_ops(self):
-        if getattr(self, "_stream_ops", None) is None:
+        s, lam, _lam_lo, plan = self._streaming_ops2()
+        return s, lam, plan
+
+    def _streaming_ops2(self):
+        """(sht, lam_hi, lam_lo, plan) — two-float Legendre variant.
+
+        ``lam_lo`` is None when DRACO_TPU_COMP_LEGENDRE=0 (single-f32
+        storage, the pre-round-3 behaviour); otherwise the (hi, lo)
+        pair from :meth:`SHT.precompute_legendre_split_2f`, whose lo
+        terms remove the Legendre storage-quantization error from the
+        round trip (scripts/ablate_const_precision.py).
+        """
+        if getattr(self, "_stream_ops2", None) is None:
             s = sht.get_sht(self.beam_nside, self.telescope.lmax,
                             self.telescope.mmax)
+            comp = os.environ.get("DRACO_TPU_COMP_LEGENDRE", "1") not in (
+                "0",
+                "",
+            )
 
             @jax.jit
             def build():
-                return (
-                    s.precompute_legendre_split(jnp.float32),
-                    s.precompute_ring_plan(),
-                )
+                if comp:
+                    lam, lam_lo = s.precompute_legendre_split_2f()
+                else:
+                    lam, lam_lo = s.precompute_legendre_split(jnp.float32), None
+                return lam, lam_lo, s.precompute_ring_plan()
 
-            lam, plan = build()
-            self._stream_ops = (s, lam, plan)
-        return self._stream_ops
+            lam, lam_lo, plan = build()
+            self._stream_ops2 = (s, lam, lam_lo, plan)
+        return self._stream_ops2
 
     def _stream_chunks(self, chunk):
         nbase = len(self.telescope.uniquepairs)

@@ -26,6 +26,7 @@ import numpy as np
 from ..core import config
 from ..ops import cosmology as cosmo
 from ..ops import tools
+from ..parallel import mesh as pmesh
 
 
 class PSEstimation(config.Reader):
@@ -175,9 +176,21 @@ class PSEstimation(config.Reader):
         m_avail = min(x.shape[0], vis.shape[0])
         w = min(n, vis.shape[1])
         x[:m_avail, :w] = vis[:m_avail, :w]
-        xw = tools.numpy_to_device(x) * ci
+        # Under an installed mesh the m axis of the band covariances and
+        # KL vectors is sharded (named axis "m", or the 1-D shard mesh's
+        # primary) and the contraction's m-sum becomes an XLA psum over
+        # the mesh — the reference's MPI-summed per-m q loop (reference
+        # draco/analysis/powerspectrum.py:62-77) as SPMD.
+        C_kl = pmesh.shard_array_named(C_kl, ("m", "band", "i", "j"), "m")
+        ci = pmesh.shard_array_named(ci, ("m", "i"), "m")
+        xw = (
+            pmesh.shard_array_named(
+                tools.numpy_to_device(x), ("m", "i"), "m"
+            )
+            * ci
+        )
         q = jnp.einsum("mi,mxij,mj->x", xw.conj(), C_kl, xw, optimize=True)
-        return np.asarray(q.real)
+        return tools.device_to_numpy(q.real)
 
     def fisher_bias(self):
         """Fisher matrix and noise bias accumulated over all m.
@@ -188,13 +201,17 @@ class PSEstimation(config.Reader):
         """
         if self._fisher is None:
             C_kl, ci, _ = self._ensure_batch()
+            # m-sharded under a mesh (see q_estimator_all): the m-sum
+            # traces accumulate with an XLA psum across devices
+            C_kl = pmesh.shard_array_named(C_kl, ("m", "band", "i", "j"), "m")
+            ci = pmesh.shard_array_named(ci, ("m", "i"), "m")
             bias = jnp.einsum("mi,mxii->x", ci, C_kl).real
             fisher = 0.5 * jnp.einsum(
                 "mi,mxij,mj,myji->xy", ci, C_kl, ci, C_kl, optimize=True
             ).real
             fisher = 0.5 * (fisher + fisher.T)
-            self._fisher = np.asarray(fisher)
-            self._bias = np.asarray(bias)
+            self._fisher = tools.device_to_numpy(fisher)
+            self._bias = tools.device_to_numpy(bias)
         return self._fisher, self._bias
 
     def generate(self, regen: bool = False):

@@ -181,7 +181,18 @@ def _make_run(program, consts, dims, s, mmax, nfreq, npad, nbase,
     ``order`` carries the m-support baseline sort; user weights are
     indexed by the ORIGINAL baseline order and permuted here (the map
     output is a baseline sum, so nothing un-permutes).
+
+    Compilation goes through the on-disk AOT executable cache
+    (:mod:`draco_tpu.ops.aotcache`): cold starts of the fused program
+    over the remote-TPU tunnel cost minutes of XLA compile, and jax's
+    own persistent cache key has drifted across tunnel sessions — the
+    AOT cache keys on the lowered StableHLO instead and loads the
+    serialized executable in milliseconds.
     """
+    import logging
+
+    logger = logging.getLogger(__name__)
+    compiled_cache: dict = {}
 
     def run(sky, weight=None):
         use_weight = weight is not None
@@ -201,16 +212,52 @@ def _make_run(program, consts, dims, s, mmax, nfreq, npad, nbase,
             if not (jax.config.jax_enable_x64 and sky_h.dtype == np.float64):
                 sky_h = sky_h.astype(np.float32)
             sky = jnp.asarray(sky_h)
-        return program(
-            sky,
-            *consts,
-            w_dev,
+        kwargs = dict(
             sht_obj=s,
             dims=dims,
             use_weight=use_weight,
             uniform_real_beam=bool(uniform_real),
             uniform_freq=bool(uniform_freq),
         )
+        from ..parallel import mesh as pmesh
+
+        # AOT only applies off-mesh with unsharded inputs: a Compiled
+        # does not auto-reshard mismatched inputs the way jit dispatch
+        # does, so meshed/sharded invocations (the SPMD dryrun, sharded
+        # pipelines) take the plain jit path — checked per CALL, since
+        # one prepared closure may serve both placements.
+        aot_ok = pmesh.get_mesh() is None and not (
+            isinstance(sky, jax.Array) and len(sky.sharding.device_set) > 1
+        )
+        if not aot_ok:
+            return program(sky, *consts, w_dev, **kwargs)
+        key = (use_weight, tuple(sky.shape), str(sky.dtype))
+        comp = compiled_cache.get(key)
+        if comp is None:
+            from ..ops import aotcache
+
+            comp = False
+            if aotcache.cache_dir() is not None:
+                try:
+                    lowered = program.lower(sky, *consts, w_dev, **kwargs)
+                    comp = aotcache.compile_cached(
+                        lowered, getattr(program, "__name__", "fused_rt")
+                    )
+                except Exception as e:  # pragma: no cover - defensive
+                    logger.warning(
+                        "AOT path failed (%s); falling back to jit", e
+                    )
+                    comp = False
+            compiled_cache[key] = comp
+        if comp:
+            try:
+                return comp(sky, *consts, w_dev)
+            except Exception as e:  # pragma: no cover - defensive
+                logger.warning(
+                    "AOT executable call failed (%s); jit fallback", e
+                )
+                compiled_cache[key] = False
+        return program(sky, *consts, w_dev, **kwargs)
 
     return run
 
@@ -224,8 +271,10 @@ def _make_run(program, consts, dims, s, mmax, nfreq, npad, nbase,
 def _fused_roundtrip(
     sky,
     lam,
+    lam_lo,
     plan,
     lam_band,
+    band_lo,
     Ecf,
     Esf,
     flat_ring,
@@ -288,11 +337,22 @@ def _fused_roundtrip(
     # unit (freq, pol) batch dims are squeezed around the SHT: batch-1
     # batched GEMM lowerings tile worse than the plain forms on the MXU
     if nfreq * npol == 1:
-        alm = s._analysis_impl(sky[0, 0], lam=lam, plan=plan)[None, None]
+        alm = s._analysis_impl(
+            sky[0, 0], lam=lam, plan=plan, lam_lo=lam_lo
+        )[None, None]
     else:
-        alm = s._analysis_impl(sky, lam=lam, plan=plan)  # [f, p, L+1, M+1]
+        alm = s._analysis_impl(
+            sky, lam=lam, plan=plan, lam_lo=lam_lo
+        )  # [f, p, L+1, M+1]
     Sr = jnp.einsum("fplm,lmr->fprm", alm.real, lam_band, precision=prec)
     Si = jnp.einsum("fplm,lmr->fprm", alm.imag, lam_band, precision=prec)
+    if band_lo is not None:
+        # two-float band tensor: the lo term restores the f32-storage
+        # bits at DEFAULT precision (it contributes ~eps of the result)
+        DEF = jax.lax.Precision.DEFAULT
+        blo = band_lo.astype(jnp.float32)
+        Sr = Sr + jnp.einsum("fplm,lmr->fprm", alm.real, blo, precision=DEF)
+        Si = Si + jnp.einsum("fplm,lmr->fprm", alm.imag, blo, precision=DEF)
     # ring -> pixel gather, then the per-pixel DFT factors
     Srk = jnp.take(Sr, flat_ring, axis=2)  # [f, p, Kf, M+1]
     Sik = jnp.take(Si, flat_ring, axis=2)
@@ -399,16 +459,19 @@ def _fused_roundtrip(
     Ti = Ecf * Yi - Esf * Yr
     Tr = jnp.einsum("rk,fpkm->fprm", ring_onehot, Tr, precision=prec)
     Ti = jnp.einsum("rk,fpkm->fprm", ring_onehot, Ti, precision=prec)
-    a_dirty = (
-        jax.lax.complex(
-            jnp.einsum("lmr,fprm->fplm", lam_band, Tr, precision=prec),
-            jnp.einsum("lmr,fprm->fplm", lam_band, Ti, precision=prec),
-        )
-        * scale
-    )
+    ar = jnp.einsum("lmr,fprm->fplm", lam_band, Tr, precision=prec)
+    ai = jnp.einsum("lmr,fprm->fplm", lam_band, Ti, precision=prec)
+    if band_lo is not None:
+        DEF = jax.lax.Precision.DEFAULT
+        blo = band_lo.astype(jnp.float32)
+        ar = ar + jnp.einsum("lmr,fprm->fplm", blo, Tr, precision=DEF)
+        ai = ai + jnp.einsum("lmr,fprm->fplm", blo, Ti, precision=DEF)
+    a_dirty = jax.lax.complex(ar, ai) * scale
     if nfreq * npol == 1:
-        return s._synthesis_impl(a_dirty[0, 0], lam=lam, plan=plan)[None, None]
-    return s._synthesis_impl(a_dirty, lam=lam, plan=plan)
+        return s._synthesis_impl(
+            a_dirty[0, 0], lam=lam, plan=plan, lam_lo=lam_lo
+        )[None, None]
+    return s._synthesis_impl(a_dirty, lam=lam, plan=plan, lam_lo=lam_lo)
 
 
 @functools.partial(
@@ -420,6 +483,7 @@ def _fused_roundtrip(
 def _fused_roundtrip_fullsphere(
     sky,
     lam,
+    lam_lo,
     plan,
     pw,
     va,
@@ -466,17 +530,31 @@ def _fused_roundtrip_fullsphere(
     cdt = jnp.complex128 if rdt == jnp.float64 else jnp.complex64
 
     if nfreq * npol == 1:
-        alm = s._analysis_impl(sky[0, 0], lam=lam, plan=plan)[None, None]
+        alm = s._analysis_impl(
+            sky[0, 0], lam=lam, plan=plan, lam_lo=lam_lo
+        )[None, None]
     else:
-        alm = s._analysis_impl(sky, lam=lam, plan=plan)  # [f, p, L+1, M+1]
+        alm = s._analysis_impl(
+            sky, lam=lam, plan=plan, lam_lo=lam_lo
+        )  # [f, p, L+1, M+1]
 
-    def sky_section(lam_s):
+    def sky_section(lam_s, lam_s_lo=None):
         r = jnp.einsum("fplm,lmr->fpmr", alm.real, lam_s, precision=prec)
         i = jnp.einsum("fplm,lmr->fpmr", alm.imag, lam_s, precision=prec)
+        if lam_s_lo is not None:
+            DEF = jax.lax.Precision.DEFAULT
+            lo = lam_s_lo.astype(jnp.float32)
+            r = r + jnp.einsum("fplm,lmr->fpmr", alm.real, lo, precision=DEF)
+            i = i + jnp.einsum("fplm,lmr->fpmr", alm.imag, lo, precision=DEF)
         return jax.lax.complex(r, i)
 
-    S_secs = [sky_section(lam["belt"]) * jnp.conj(pw).T] + [
-        sky_section(c) for c in lam["caps"]
+    lo_secs = (
+        [lam_lo["belt"], *lam_lo["caps"]]
+        if lam_lo is not None
+        else [None] * (1 + len(lam["caps"]))
+    )
+    S_secs = [sky_section(lam["belt"], lo_secs[0]) * jnp.conj(pw).T] + [
+        sky_section(c, lo) for c, lo in zip(lam["caps"], lo_secs[1:])
     ]
 
     def fringe_sections(c):
@@ -558,15 +636,21 @@ def _fused_roundtrip_fullsphere(
     T_accs[0] = T_accs[0] * pw
 
     a_dirty = jnp.zeros((nfreq, npol, s.lmax + 1, mmax + 1), cdt)
-    for T, lam_s in zip(T_accs, [lam["belt"], *lam["caps"]]):
-        a_dirty = a_dirty + jax.lax.complex(
-            jnp.einsum("lmr,fprm->fplm", lam_s, T.real, precision=prec),
-            jnp.einsum("lmr,fprm->fplm", lam_s, T.imag, precision=prec),
-        )
+    for T, lam_s, lo_s in zip(T_accs, [lam["belt"], *lam["caps"]], lo_secs):
+        ar = jnp.einsum("lmr,fprm->fplm", lam_s, T.real, precision=prec)
+        ai = jnp.einsum("lmr,fprm->fplm", lam_s, T.imag, precision=prec)
+        if lo_s is not None:
+            DEF = jax.lax.Precision.DEFAULT
+            lo = lo_s.astype(jnp.float32)
+            ar = ar + jnp.einsum("lmr,fprm->fplm", lo, T.real, precision=DEF)
+            ai = ai + jnp.einsum("lmr,fprm->fplm", lo, T.imag, precision=DEF)
+        a_dirty = a_dirty + jax.lax.complex(ar, ai)
     a_dirty = a_dirty * scale
     if nfreq * npol == 1:
-        return s._synthesis_impl(a_dirty[0, 0], lam=lam, plan=plan)[None, None]
-    return s._synthesis_impl(a_dirty, lam=lam, plan=plan)
+        return s._synthesis_impl(
+            a_dirty[0, 0], lam=lam, plan=plan, lam_lo=lam_lo
+        )[None, None]
+    return s._synthesis_impl(a_dirty, lam=lam, plan=plan, lam_lo=lam_lo)
 
 
 def _auto_chunk(nbase: int, nfreq: int, npol: int, per_pixel: int) -> int:
@@ -679,8 +763,11 @@ def fused_roundtrip_fn(bt, chunk: int | None = None):
         m_cut = np.full(nbase, mmax + 1)
         order = None
 
-    _, lam, plan = bt._streaming_ops()
-    lam_band = win._ensure_lam()
+    _, lam, lam_lo, plan = bt._streaming_ops2()
+    if lam_lo is not None:
+        lam_band, band_lo = win._ensure_lam_2f()
+    else:
+        lam_band, band_lo = win._ensure_lam(), None
     vec = healpix.pix2vec(bt.beam_nside)
     va, vb, vc = _threefloat_split(
         np.asarray(vec, dtype=np.float64)[win.flat_index]
@@ -712,8 +799,10 @@ def fused_roundtrip_fn(bt, chunk: int | None = None):
 
     consts = (
         lam,
+        lam_lo,
         plan,
         lam_band,
+        band_lo,
         win._Ecf,
         win._Esf,
         win.flat_ring,
@@ -738,7 +827,7 @@ def fused_roundtrip_fn(bt, chunk: int | None = None):
 def _fullsphere_roundtrip_fn(bt, chunk: int | None):
     """Prepared-run closure for the full-sphere fused program."""
     tel = bt.telescope
-    s, lam, plan = bt._streaming_ops()
+    s, lam, lam_lo, plan = bt._streaming_ops2()
     mmax = s.mmax
     npol = tel.num_pol_sky
     nfreq = tel.nfreq
@@ -766,6 +855,7 @@ def _fullsphere_roundtrip_fn(bt, chunk: int | None):
 
     consts = (
         lam,
+        lam_lo,
         plan,
         pw,
         jnp.asarray(va),
@@ -818,6 +908,7 @@ def fused_simulate_to_map(bt, sky, chunk: int | None = None, weight=None):
         os.environ.get("DRACO_TPU_CHUNK_BUDGET_GB"),
         os.environ.get("DRACO_TPU_BT_WINDOW"),
         os.environ.get("DRACO_TPU_BT_WINDOW_TAU"),
+        os.environ.get("DRACO_TPU_COMP_LEGENDRE"),
     )
     cache = bt.__dict__.setdefault("_fused_fns", {})
     if key not in cache:

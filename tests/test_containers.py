@@ -250,3 +250,55 @@ def test_empty_like_overridden_axis_drops_stale_reverse_map():
     got = new.reverse_map.get("stack")
     if got is not None:  # a rebuilt identity map is fine; the stale copy
         assert got["stack"].max() < len(new.index_map["stack"])
+
+
+def test_from_file_rejects_unknown_kwargs(tmp_path):
+    ss = make_stream()
+    path = str(tmp_path / "s.h5")
+    ss.save(path)
+    with pytest.raises(TypeError, match="unexpected keyword"):
+        containers.SiderealStream.from_file(path, dsitributed=False)
+
+
+def test_json_attr_collision_rejected(tmp_path):
+    """A dict attr 'k' and a literal attr 'k!json' would shadow each
+    other on read; save must refuse the pair."""
+    ss = make_stream()
+    ss.attrs["meta"] = {"a": 1}
+    ss.attrs["meta!json"] = "i am not the encoding"
+    with pytest.raises(ValueError, match="collision"):
+        ss.save(str(tmp_path / "c.h5"))
+
+
+def test_foreign_nonjson_tagged_attr_survives(tmp_path):
+    """A caput/foreign file may name an attr '*!json' with a non-JSON
+    payload; loading keeps it verbatim instead of raising."""
+    import h5py
+
+    ss = make_stream()
+    path = str(tmp_path / "f.h5")
+    ss.save(path)
+    with h5py.File(path, "a") as f:
+        f.attrs["odd!json"] = "{not json"
+    loaded = containers.SiderealStream.from_file(path, distributed=False)
+    assert loaded.attrs["odd!json"] == "{not json"
+
+
+def test_selection_on_source_axis_drops_reverse_map(tmp_path):
+    """sel={'prod': ...} leaves reverse_map['stack'] (one row per prod)
+    stale; the load must drop it, not keep out-of-range indices."""
+    ss = make_stream()
+    nprod = len(ss.index_map["prod"])
+    rmap = np.zeros(nprod, dtype=[("stack", "<u4"), ("conjugate", "u1")])
+    rmap["stack"] = np.arange(nprod)
+    ss.reverse_map["stack"] = rmap
+    path = str(tmp_path / "r.h5")
+    ss.save(path)
+
+    full = containers.SiderealStream.from_file(path, distributed=False)
+    assert "stack" in full.reverse_map
+
+    part = containers.SiderealStream.from_file(
+        path, distributed=False, sel={"prod": slice(0, nprod // 2)}
+    )
+    assert "stack" not in part.reverse_map

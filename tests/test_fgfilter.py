@@ -315,3 +315,55 @@ def test_batched_kl_projections_match_per_m(setup):
     for mi in (0, M // 2, M - 1):
         ref = kl.project_vector_kl_to_svd(mi, out[mi, : nmode[mi]])
         np.testing.assert_allclose(back[mi], ref, rtol=1e-10)
+
+
+def test_quadratic_ps_m_sharded_invariance(setup, mesh8):
+    """q/Fisher with the m axis sharded over the mesh == unsharded.
+
+    The m-sum of the quadratic estimator becomes an XLA psum across
+    devices under the mesh (the reference's MPI-summed Fisher
+    accumulation, reference draco/analysis/powerspectrum.py:62-77);
+    the band powers and Fisher matrix must be placement-invariant.
+    (VERDICT r2 item 8.)
+    """
+    import jax
+
+    from draco_tpu.parallel import make_mesh, use_mesh
+
+    tel, bt, mm = setup
+    kl = KLTransform.from_config({"threshold": 0.0, "subset": False}, bt)
+    man = ProductManager(tel, bt)
+    man.kltransforms["dk"] = kl
+    fwd = fgfilter.SVDModeProject()
+    fwd.read_config({"mode": "forward"})
+    fwd.setup(bt)
+    klt = fgfilter.KLModeProject()
+    klt.read_config({"mode": "forward", "klname": "dk"})
+    klt.setup(man)
+    klm = klt.process(fwd.process(mm))
+
+    def run_ps():
+        pse = PSEstimation.from_config(
+            {"bands_kpar": [0.0, 0.5, 1.0], "bands_kperp": [0.0, 0.5]}, bt, kl
+        )
+        man.psestimators["ps"] = pse
+        task = powerspectrum.QuadraticPSEstimation()
+        task.read_config({"psname": "ps"})
+        task.setup(man)
+        ps = task.process(klm)
+        return (
+            np.asarray(ps.powerspectrum[:]).copy(),
+            np.asarray(ps.C_inv[:]).copy(),
+        )
+
+    ref_ps, ref_ci = run_ps()
+
+    # 16 m values sharded over an 8-device mesh whose axis names "m"
+    with use_mesh(make_mesh(axis_name="m")):
+        sh_ps, sh_ci = run_ps()
+
+    scale = max(1.0, np.abs(ref_ps).max())
+    np.testing.assert_allclose(sh_ps, ref_ps, rtol=1e-5, atol=1e-6 * scale)
+    np.testing.assert_allclose(
+        sh_ci, ref_ci, rtol=1e-5, atol=1e-6 * max(1.0, np.abs(ref_ci).max())
+    )

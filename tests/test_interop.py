@@ -138,3 +138,132 @@ def test_our_output_carries_reference_structures(tmp_path, reference_file):
         assert "stack" in f["reverse_map"]
         assert "history" in f
         assert f["index_map"]["freq"].dtype.names == ("centre", "width")
+
+
+# ---------------------------------------------------------------------------
+# GainData + fsel/isel/tsel selections (reference test/test_selections.py)
+# ---------------------------------------------------------------------------
+#
+# Installing the reference stack itself for adversarial fixtures was
+# attempted and is blocked in this environment: caput/draco are not on
+# any local wheel index and the sandbox has zero network egress
+# (`pip download caput` -> "no matching distribution").  These fixtures
+# therefore mirror the caput-memh5 on-disk layout with raw h5py, byte
+# for byte as the reference tests exercise it.
+
+_LEN = 8
+_DSET1 = np.arange(_LEN**3, dtype=np.complex128).reshape(_LEN, _LEN, _LEN)
+_DSET2 = np.arange(_LEN**3, dtype=np.float64).reshape(_LEN, _LEN, _LEN)
+_FSEL = slice(5)
+_ISEL = slice(1, 4)
+_TSEL = slice(1, 4)
+
+
+@pytest.fixture
+def gain_reference_file(tmp_path):
+    """A GainData file in the reference/caput layout (raw h5py).
+
+    Mirrors the container built at reference test/test_selections.py:33-41
+    (gain + weight datasets over [freq, input, time]).
+    """
+    path = str(tmp_path / "tmp_test_memh5_select.h5")
+    freqs = np.arange(_LEN, dtype=np.float64)
+    inputs = np.arange(_LEN)
+    times = np.arange(_LEN, dtype=np.float64)
+    with h5py.File(path, "w") as f:
+        im = f.create_group("index_map")
+        im.create_dataset("freq", data=freqs)
+        im.create_dataset("input", data=inputs)
+        im.create_dataset("time", data=times)
+        for name, data in (("gain", _DSET1), ("weight", _DSET2)):
+            d = f.create_dataset(name, data=data)
+            # caput writes vlen unicode axis labels (not our byte strings)
+            d.attrs["axis"] = np.array(
+                ["freq", "input", "time"], dtype=h5py.special_dtype(vlen=str)
+            )
+    return path
+
+
+def test_gain_reference_layout_selections(gain_reference_file):
+    """fsel/isel/tsel partial reads of a reference-layout GainData file.
+
+    The reference's H5FileSelect semantics
+    (test/test_selections.py:91-101): every dataset is sliced by the
+    per-axis selections and the index maps follow.
+    """
+    m = containers.GainData.from_file(
+        gain_reference_file,
+        distributed=False,
+        sel={"freq": _FSEL, "input": _ISEL, "time": _TSEL},
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m.datasets["gain"][:]), _DSET1[(_FSEL, _ISEL, _TSEL)]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m.datasets["weight"][:]), _DSET2[(_FSEL, _ISEL, _TSEL)]
+    )
+    np.testing.assert_array_equal(
+        m.index_map["freq"], np.arange(_LEN, dtype=np.float64)[_FSEL]
+    )
+    np.testing.assert_array_equal(m.index_map["input"], np.arange(_LEN)[_ISEL])
+    np.testing.assert_array_equal(
+        m.index_map["time"], np.arange(_LEN, dtype=np.float64)[_TSEL]
+    )
+
+
+def test_gain_reference_layout_index_selections(gain_reference_file):
+    """Index-array (fancy) selections, the reference's list-sel flavour."""
+    fsel = [0, 2, 5]
+    m = containers.GainData.from_file(
+        gain_reference_file, distributed=False, sel={"freq": fsel}
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m.datasets["gain"][:]), _DSET1[fsel]
+    )
+    np.testing.assert_array_equal(m.index_map["freq"], np.asarray(fsel, float))
+
+
+def test_written_files_carry_reference_storage_specs(tmp_path):
+    """Our HDF5 output carries the reference's chunking + compression.
+
+    The reference declares per-dataset chunk shapes and gzip compression
+    in _dataset_spec (reference draco/core/containers.py:500-513: vis
+    chunks (32, 512, 2048), gzip level 4); a written SiderealStream must
+    expose those through plain h5py (clamped to the actual shape).
+    """
+    freq = np.linspace(800.0, 750.0, 4)
+    ss = containers.SiderealStream(freq=freq, input=3, ra=16)
+    ss.vis[:] = 1.0 + 2.0j
+    ss.weight[:] = 1.0
+    path = str(tmp_path / "specs.h5")
+    ss.save(path)
+
+    with h5py.File(path, "r") as f:
+        vis = f["vis"]
+        assert vis.compression == "gzip"
+        assert vis.compression_opts == 4
+        # reference chunk spec (32, 512, 2048) clamped to the shape
+        assert vis.chunks == (4, 6, 16)
+        w = f["vis_weight"]
+        assert w.compression == "gzip"
+        assert w.chunks == (4, 6, 16)
+
+
+def test_truncation_spec_applies_on_save(tmp_path):
+    """`truncate=True` saves apply the spec's weight-aware bit truncation
+    (reference containers.py:510-523) — the lossy values must round-trip
+    close to, but not bit-identical with, the originals."""
+    rng = np.random.Generator(np.random.SFC64(5))
+    freq = np.linspace(800.0, 750.0, 4)
+    ss = containers.SiderealStream(freq=freq, input=3, ra=16)
+    vis = (
+        rng.standard_normal(ss.vis.shape) + 1j * rng.standard_normal(ss.vis.shape)
+    ).astype(np.complex64)
+    ss.vis[:] = vis
+    ss.weight[:] = 1e6  # tight noise -> little truncation
+    lossy = str(tmp_path / "lossy.h5")
+    ss.save(lossy, truncate=True)
+    back = containers.SiderealStream.from_file(lossy, distributed=False)
+    v = np.asarray(back.vis[:])
+    assert not np.array_equal(v, vis)  # truncation engaged
+    np.testing.assert_allclose(v, vis, atol=5e-3)
