@@ -115,6 +115,28 @@ def _configure_jax():
             log("TPU backend unavailable; retrying in 30 s "
                 f"(deadline in {deadline - time.time():.0f}s)")
             time.sleep(30)
+
+    # Log the backend fingerprint components that feed jax's persistent
+    # cache key: the key has drifted across tunnel sessions (BENCH_r02:
+    # 522 s "warm" start), and this record lets the next session diff
+    # WHICH component moved.  (The AOT executable cache in
+    # draco_tpu.ops.aotcache no longer depends on them.)
+    try:
+        dev = jax.devices()[0]
+        rec = {
+            "t": time.time(),
+            "platform_version": dev.client.platform_version,
+            "jaxlib": jax.lib.__version__,
+            "device_kind": dev.device_kind,
+            "n_devices": jax.device_count(),
+            "xla_flags": os.environ.get("XLA_FLAGS", ""),
+            "libtpu_init_args": os.environ.get("LIBTPU_INIT_ARGS", ""),
+        }
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(os.path.join(cache_dir, "keylog.jsonl"), "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+    except Exception:
+        pass
     return jax
 
 
@@ -359,6 +381,42 @@ def main():
         f"{(mmax_hl + 1) * 2 * npairs / value:.3g}"
     )
 
+    # TPU accuracy canary (VERDICT r2 item 9): the production fused path
+    # vs f64 truth at nside=64 — a TPU-only numerics regression (e.g. a
+    # precision-flag default) fails HERE even when the CPU suite is
+    # green.  Runs in a subprocess (its truth leg pins a CPU backend).
+    if os.environ.get("BENCH_CANARY", "1") != "0":
+        import subprocess as _sp
+
+        try:
+            proc = _sp.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "scripts",
+                        "check_accuracy_production.py",
+                    ),
+                    "64",
+                    "--json",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+            canary = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    canary = json.loads(line)
+            if canary is None:
+                canary = {
+                    "ok": False,
+                    "error": (proc.stderr or proc.stdout)[-200:],
+                }
+            extras["tpu_canary"] = canary
+        except Exception as e:
+            extras["tpu_canary"] = {"ok": False, "error": str(e)[:200]}
+
     # Wall-clock budget for the extra measurements: a fully cold compile
     # cache over the remote-TPU tunnel costs minutes per program, and the
     # headline metric must never be lost to an extra timing out.
@@ -411,17 +469,81 @@ def main():
             "per_freq_s": round(t_big / big_nfreq, 4),
         }
 
+        # freq-batch scaling curve (VERDICT r2 item 5): measure a second
+        # batch depth so the per-frequency extrapolation is bracketed by
+        # data, not assumed
+        half_nfreq = max(2, big_nfreq // 2)
+        try:
+            t_half, _, _ = run_library(
+                nfreq=half_nfreq,
+                nfeed_side=big_side,
+                autos=False,
+                chunk=big_chunk,
+                nrun=max(2, NRUN - 1),
+                tag=f"feeds{big_side ** 2}x{half_nfreq}f",
+            )
+            extras["freq_scaling"] = {
+                f"per_freq_s_nfreq{half_nfreq}": round(t_half / half_nfreq, 4),
+                f"per_freq_s_nfreq{big_nfreq}": round(t_big / big_nfreq, 4),
+                "batch_efficiency": round(
+                    (t_half / half_nfreq) / (t_big / big_nfreq), 3
+                ),
+            }
+        except Exception as e:  # never fail the whole bench on an extra
+            extras["freq_scaling"] = {"error": str(e)[:200]}
+
         # North-star: 256 feeds x 1024 freqs on a v5e-8.  Frequencies are
-        # embarrassingly parallel across the pod (verified by the
-        # freq-sharded SPMD test), so the projection is the directly
-        # measured per-frequency cost at the north-star feed count x 1024
-        # frequencies / 8 chips.
+        # embarrassingly parallel across the pod: the compiled HLO of the
+        # freq-sharded fused program contains ZERO collectives
+        # (scripts/audit_freq_parallel.py, recorded below), so dividing
+        # the measured per-frequency cost by 8 chips adds no
+        # communication term; the batch-depth curve above bounds the
+        # remaining extrapolation.
         proj = (t_big / big_nfreq) * 1024.0 / 8.0
         extras["north_star_projection_v5e8_s"] = round(proj, 1)
         extras["north_star_model"] = (
             f"measured {t_big / big_nfreq:.3f} s/freq at {npairs_big} "
-            "pairs x 1024 freqs / 8 chips"
+            "pairs x 1024 freqs / 8 chips; freq-sharded HLO has zero "
+            "collectives (perfect-scaling structurally)"
         )
+
+    if os.environ.get("BENCH_AUDIT", "1") != "0" and within_budget(
+        "freq_parallel_audit"
+    ):
+        # collective audit of the freq-sharded program (CPU mesh, cheap):
+        # validates the divide-by-8 structurally on every driver run
+        import subprocess as _sp
+
+        try:
+            env = {
+                k: v
+                for k, v in os.environ.items()
+                if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+            }
+            proc = _sp.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "scripts",
+                        "audit_freq_parallel.py",
+                    ),
+                    "--json",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=600,
+                env=env,
+            )
+            audit = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    audit = json.loads(line)
+            extras["freq_parallel_audit"] = audit or {
+                "error": (proc.stderr or proc.stdout)[-200:]
+            }
+        except Exception as e:
+            extras["freq_parallel_audit"] = {"error": str(e)[:200]}
 
     if os.environ.get("BENCH_CYLINDER", "1") != "0" and within_budget(
         "cylinder"
@@ -467,7 +589,9 @@ def main():
             t_cp, warm_cp, npairs_cp = run_cylinder(
                 ncyl=ncyl_p,
                 nfeed=nfeed_p,
-                chunk=int(os.environ.get("BENCH_CHIME_POL_CHUNK", 128)),
+                # 96: chunk 128 exceeds HBM with the two-float Legendre
+                # lo tensors resident (round 3)
+                chunk=int(os.environ.get("BENCH_CHIME_POL_CHUNK", 96)),
                 tag="cylinder_chime2048",
                 pol=True,
             )
@@ -510,7 +634,6 @@ def main():
         # complex rotation), measured 0.194 s/freq at 8 vs 0.222 at 4;
         # 16 exceeds single-chip HBM (16.6 G > 15.75 G at chunk 2040).
         import subprocess
-        import sys
 
         env = dict(os.environ)
         env["DRACO_TPU_ROUNDTRIP_LOOP_PRECISION"] = "high"

@@ -676,8 +676,16 @@ class SHT:
         F_belt, group_F = self._ring_analysis_parts_padded(maps_pad, plan=plan)
         return self._contract_alm(F_belt, group_F, lam)
 
-    def _ring_analysis_parts_padded(self, maps_pad, raw_belt=False, plan=None):
-        """Per-section ring coefficients from :meth:`padded_layout` maps."""
+    def _ring_analysis_parts_padded(
+        self, maps_pad, raw_belt=False, plan=None, mcut=None
+    ):
+        """Per-section ring coefficients from :meth:`padded_layout` maps.
+
+        ``mcut``: static m-column truncation — coefficients are produced
+        only for m < mcut (the caller guarantees its data carries no
+        higher azimuthal content; see the fused full-sphere round
+        trip's m-support chunk groups).  Requires ``plan``.
+        """
         cdtype = jnp.result_type(maps_pad.dtype, jnp.complex64)
         is_real = not jnp.iscomplexobj(maps_pad)
         lead = maps_pad.shape[:-1]
@@ -695,7 +703,8 @@ class SHT:
             )
             off += size
         return self._analysis_sections(
-            belt, caps, is_real, cdtype, raw_belt=raw_belt, plan=plan
+            belt, caps, is_real, cdtype, raw_belt=raw_belt, plan=plan,
+            mcut=mcut,
         )
 
     def precompute_ring_plan(self, dtype=jnp.complex64):
@@ -755,7 +764,8 @@ class SHT:
         return self._ring_phase(self._belt_rings, dtype) * w_belt[:, None]
 
     def _analysis_sections(
-        self, belt, caps, is_real, cdtype, raw_belt=False, plan=None
+        self, belt, caps, is_real, cdtype, raw_belt=False, plan=None,
+        mcut=None,
     ):
         """Shared per-section DFT math for the gathered/padded layouts.
 
@@ -765,8 +775,12 @@ class SHT:
         rebuilt per loop iteration).
         """
         self._require_analysis_band_limit()
+        if mcut is not None and plan is None:
+            raise ValueError("mcut requires a precomputed ring plan")
         rdt = jnp.float32 if cdtype == jnp.complex64 else jnp.float64
         W = plan["W"] if plan is not None else self._belt_dft_matrix(cdtype)
+        if mcut is not None:
+            W = W[:, :mcut]
         if is_real and cdtype == jnp.complex64:
             F_raw = jax.lax.complex(
                 jnp.matmul(belt, W.real, precision=_PREC_RING),
@@ -788,6 +802,8 @@ class SHT:
                 cap = cap.astype(cdtype)
             if plan is not None:
                 P_full = plan["P"][gi]  # [rows, w, M+1], weight folded
+                if mcut is not None:
+                    P_full = P_full[..., :mcut]
                 if is_real and cdtype == jnp.complex64:
                     group_F.append(
                         jax.lax.complex(

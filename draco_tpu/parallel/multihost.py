@@ -203,23 +203,84 @@ def save_sharded(
         for name, ds in container.datasets.items():
             from ..ops.tools import device_to_numpy
 
-            # tunnel-safe: complex device arrays cannot go through a
-            # bare np.asarray on remote-TPU backends
-            arr = device_to_numpy(ds[:])
             axis = ds.distributed_axis if ds.distributed else None
-            if axis is not None and axis in ds.axes:
-                ai = ds.axes.index(axis)
-                count, offset = split_local(arr.shape[ai], rank, size)
-                sl = [slice(None)] * arr.ndim
-                sl[ai] = slice(offset, offset + count)
-                arr = arr[tuple(sl)]
+            ai = ds.axes.index(axis) if axis in ds.axes else None
+            slab = _local_slab(ds._data, ai) if ai is not None else None
+            if slab is not None:
+                # process-spanning global array: write the ADDRESSABLE
+                # slab directly — no full-array gather, so host memory
+                # stays O(local) like the reference's per-rank MPIArray
+                # writes
+                arr, offset = slab
                 dset = f.create_dataset(name, data=_h5_safe(arr))
                 dset.attrs["__shard_axis__"] = axis
                 dset.attrs["__shard_offset__"] = offset
             else:
-                dset = f.create_dataset(name, data=_h5_safe(arr))
+                # tunnel-safe: complex device arrays cannot go through a
+                # bare np.asarray on remote-TPU backends.  (A
+                # non-addressable array that was not sliceable above
+                # gathers collectively here — all processes run this.)
+                arr = device_to_numpy(ds[:])
+                if ai is not None:
+                    count, offset = split_local(arr.shape[ai], rank, size)
+                    sl = [slice(None)] * arr.ndim
+                    sl[ai] = slice(offset, offset + count)
+                    arr = arr[tuple(sl)]
+                    dset = f.create_dataset(name, data=_h5_safe(arr))
+                    dset.attrs["__shard_axis__"] = axis
+                    dset.attrs["__shard_offset__"] = offset
+                else:
+                    dset = f.create_dataset(name, data=_h5_safe(arr))
             dset.attrs["axis"] = np.array([a.encode() for a in ds.axes])
     return ppath
+
+
+def _local_slab(data, ai: int):
+    """(host slab, offset) of this process's shards along axis ``ai``.
+
+    Returns None unless ``data`` is a process-spanning global jax.Array
+    whose addressable shards form one contiguous block along ``ai`` and
+    cover the full extent of every other axis — the layout every 1-axis
+    container sharding produces.
+    """
+    import jax
+
+    from ..ops.tools import device_to_numpy
+
+    if not isinstance(data, jax.Array) or data.is_fully_addressable:
+        return None
+    try:
+        shards = data.addressable_shards
+        pieces = []
+        for sh in shards:
+            idx = sh.index
+            for d, sl in enumerate(idx):
+                if d == ai:
+                    continue
+                if not (sl.start is None and sl.stop is None):
+                    return None  # sharded on another axis too
+            sl = idx[ai]
+            start = 0 if sl.start is None else int(sl.start)
+            pieces.append((start, sh.data))
+        pieces.sort(key=lambda t: t[0])
+        offset = pieces[0][0]
+        pos = offset
+        arrs = []
+        for start, d in pieces:
+            if start != pos:
+                return None  # discontiguous local block
+            a = device_to_numpy(d)
+            arrs.append(a)
+            pos += a.shape[ai]
+        slab = np.concatenate(arrs, axis=ai)
+        # the process slabs must partition the axis exactly (a dataset
+        # replicated across some processes would otherwise write
+        # duplicate blocks that the loader concatenates twice)
+        if slab.shape[ai] * process_count() != data.shape[ai]:
+            return None
+        return slab, offset
+    except Exception:
+        return None
 
 
 def load_sharded(path: str):

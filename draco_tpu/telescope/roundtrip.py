@@ -668,7 +668,7 @@ def _auto_chunk(nbase: int, nfreq: int, npol: int, per_pixel: int) -> int:
     return (c + 7) // 8 * 8
 
 
-def _beam_m_support(bt, win, tau: float) -> int:
+def _beam_m_support(bt, info, tau: float) -> int:
     """Measured azimuthal band width of the deduped beam products.
 
     Largest ``|m|`` at which any beam product's per-ring azimuthal
@@ -680,7 +680,6 @@ def _beam_m_support(bt, win, tau: float) -> int:
     constant, which under-covers azimuthally narrow beams.
     """
     tel = bt.telescope
-    info = win.sht.info
     nfreq = tel.nfreq
     fis = sorted(set(np.linspace(0, nfreq - 1, min(nfreq, 8)).astype(int)))
     ring_specs = None
@@ -752,7 +751,7 @@ def fused_roundtrip_fn(bt, chunk: int | None = None):
         x = 2 * np.pi * u_perp * s_max
         if m_margin_env is None:
             tau = float(os.environ.get("DRACO_TPU_BT_WINDOW_TAU", "1e-6"))
-            m_margin = _beam_m_support(bt, win, tau) + np.ceil(
+            m_margin = _beam_m_support(bt, win.sht.info, tau) + np.ceil(
                 4.0 * np.cbrt(np.maximum(x, 1.0))
             ).astype(int)
         else:

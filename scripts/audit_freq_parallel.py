@@ -1,0 +1,174 @@
+"""Audit the collectives of the freq-sharded fused round trip.
+
+The north-star projection divides the measured per-frequency cost by 8
+chips, which is only valid if the freq-parallel program inserts no
+meaningful cross-device traffic.  This script compiles the production
+fused program on an 8-virtual-device CPU mesh with the sky sharded over
+frequency and counts the collective ops XLA inserted (all-to-all,
+all-gather, all-reduce, reduce-scatter, collective-permute) and their
+operand bytes, then measures the sharded-vs-single-placement wall-clock
+on the same (CPU) mesh.
+
+The expectation (docs/design.md): frequencies are embarrassingly
+parallel through the whole spine — the only collectives should be the
+final output gather (and any constant broadcast), nothing per-chunk.
+
+Usage: python scripts/audit_freq_parallel.py [--json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from draco_tpu.ops import healpix  # noqa: E402
+from draco_tpu.parallel import make_mesh, use_mesh  # noqa: E402
+from draco_tpu.telescope import (  # noqa: E402
+    BeamTransfer,
+    UnpolarisedDishArray,
+)
+from draco_tpu.telescope import roundtrip as rt  # noqa: E402
+
+NSIDE = 32
+NFREQ = 8
+
+_COLLECTIVES = (
+    "all-to-all",
+    "all-gather",
+    "all-reduce",
+    "reduce-scatter",
+    "collective-permute",
+)
+
+
+def build():
+    f0 = 299.792458 / 0.6
+    half_bw = 0.05 * f0 * (NFREQ - 1) / NFREQ
+    tel = UnpolarisedDishArray(
+        grid_ew=3,
+        grid_ns=3,
+        spacing_ew=7.0,
+        spacing_ns=7.0,
+        jitter=1.0,
+        jitter_seed=1,
+        latitude=45.0,
+        dish_width=5.0,
+        fwhm_factor=1.0,
+        freq_lower=f0 - half_bw,
+        freq_upper=f0 + half_bw,
+        num_freq=NFREQ,
+        auto_correlations=True,
+        force_lmax=3 * NSIDE - 1,
+        force_mmax=3 * NSIDE - 1,
+    )
+    bt = BeamTransfer(telescope=tel, nside=NSIDE)
+    rng = np.random.Generator(np.random.SFC64(1))
+    sky = rng.standard_normal(
+        (NFREQ, 1, healpix.npix_of(NSIDE))
+    ).astype(np.float32)
+    return tel, bt, sky
+
+
+def main():
+    emit_json = "--json" in sys.argv
+    tel, bt, sky = build()
+    run = rt.fused_roundtrip_fn(bt, chunk=16)
+
+    # single placement
+    out_ref = np.asarray(run(sky))
+    t0 = time.time()
+    for _ in range(3):
+        np.asarray(run(sky))
+    t_single = (time.time() - t0) / 3
+
+    mesh = make_mesh(axis_name="freq")
+    sh = NamedSharding(mesh, P("freq", None, None))
+    with use_mesh(mesh):
+        sky_sh = jax.device_put(jax.numpy.asarray(sky), sh)
+        out_sh = np.asarray(run(sky_sh))
+        t0 = time.time()
+        for _ in range(3):
+            np.asarray(run(sky_sh))
+        t_shard = (time.time() - t0) / 3
+
+    err = np.abs(out_sh - out_ref).max() / max(np.abs(out_ref).max(), 1e-30)
+
+    # compiled-HLO collective audit of the sharded placement.  The run
+    # closure's jit path is rt._fused_roundtrip; lower it with the same
+    # arguments the closure passes (reconstructed via a tracer hook).
+    hlo_text = None
+    orig = rt._fused_roundtrip
+
+    captured = {}
+
+    def capture(*args, **kwargs):
+        captured["args"] = args
+        captured["kwargs"] = kwargs
+        return orig(*args, **kwargs)
+
+    rt._fused_roundtrip = capture
+    try:
+        bt.__dict__.pop("_fused_fns", None)
+        run2 = rt.fused_roundtrip_fn(bt, chunk=16)
+        with use_mesh(mesh):
+            run2(sky_sh)
+    finally:
+        rt._fused_roundtrip = orig
+    with use_mesh(mesh):
+        lowered = orig.lower(*captured["args"], **captured["kwargs"])
+        hlo_text = lowered.compile().as_text()
+
+    counts = {}
+    bytes_total = 0
+    for name in _COLLECTIVES:
+        ops = re.findall(rf"\b{name}[.\d]*\(", hlo_text)
+        # 'all-reduce(' also matches 'all-reduce-start(' etc.; count all
+        counts[name] = len(
+            re.findall(rf"= \S+ {name}", hlo_text)
+        ) + len(re.findall(rf"= \S+ {name}-start", hlo_text))
+    # operand bytes of each collective instruction line
+    for line in hlo_text.splitlines():
+        if any(f" {n}" in line for n in _COLLECTIVES):
+            m = re.findall(r"([a-z]+\d+)\[([\d,]*)\]", line.split("=")[0])
+            for dt, shape in m:
+                try:
+                    n = int(np.prod([int(x) for x in shape.split(",") if x]))
+                except ValueError:
+                    continue
+                width = int(re.sub(r"\D", "", dt) or 32) // 8
+                bytes_total += n * width
+
+    eff = t_single / (t_shard * 1.0)  # CPU-mesh proxy (informational)
+    result = {
+        "collective_counts": counts,
+        "collective_bytes_out": int(bytes_total),
+        "sharded_vs_single_max_rel_err": float(f"{err:.3e}"),
+        "cpu_mesh_t_single_s": round(t_single, 3),
+        "cpu_mesh_t_sharded_s": round(t_shard, 3),
+        "total_collectives": int(sum(counts.values())),
+    }
+    print(json.dumps(result) if emit_json else result)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
