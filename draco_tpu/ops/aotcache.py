@@ -62,6 +62,14 @@ def _stable_key(lowered, extra: str = "") -> str:
     dev = jax.devices()[0]
     h.update(dev.device_kind.encode())
     h.update(str(jax.device_count()).encode())
+    if dev.platform == "cpu":
+        # XLA:CPU AOT results are machine-feature specific (a cache dir
+        # shared across hosts could otherwise SIGILL); TPU keys stay
+        # host-independent on purpose.
+        import platform as _platform
+
+        h.update(_platform.machine().encode())
+        h.update(_platform.processor().encode())
     h.update(extra.encode())
     return h.hexdigest()[:32]
 

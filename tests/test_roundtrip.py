@@ -464,3 +464,43 @@ def test_fused_polarised_cylinder_matches_composed_stages():
     got = np.asarray(fused_simulate_to_map(bt, sky, chunk=7))
     assert got.shape == want.shape
     assert np.allclose(got, want, atol=3e-5 * np.abs(want).max())
+
+
+def test_freq_tiled_matches_full():
+    """fused_simulate_to_map_tiled == the full-batch program.
+
+    The HBM-bound tiling path (round 3): every tile shares one compiled
+    program; per-tile constants (beam products, baseline phase
+    coefficients) are rebuilt per frequency window.
+    """
+    import numpy as np
+
+    from draco_tpu.ops import healpix
+    from draco_tpu.telescope import BeamTransfer, UnpolarisedDishArray
+    from draco_tpu.telescope.roundtrip import (
+        fused_simulate_to_map,
+        fused_simulate_to_map_tiled,
+    )
+
+    f0 = 299.792458 / 0.6
+    tel = UnpolarisedDishArray(
+        grid_ew=2, grid_ns=2, spacing_ew=7.0, spacing_ns=7.0,
+        jitter=1.0, jitter_seed=1, latitude=45.0, dish_width=5.0,
+        fwhm_factor=1.0, freq_lower=f0 * 0.95, freq_upper=f0 * 1.05,
+        num_freq=4, auto_correlations=True, force_lmax=47, force_mmax=47,
+    )
+    bt = BeamTransfer(telescope=tel, nside=16)
+    rng = np.random.default_rng(0)
+    sky = rng.standard_normal((4, 1, healpix.npix_of(16))).astype(np.float32)
+
+    full = np.asarray(fused_simulate_to_map(bt, sky, chunk=8))
+    tiled = np.asarray(
+        fused_simulate_to_map_tiled(bt, sky, freq_tile=2, chunk=8)
+    )
+    err = np.abs(tiled - full).max() / np.abs(full).max()
+    assert err < 2e-5
+
+    import pytest
+
+    with pytest.raises(ValueError, match="does not divide"):
+        fused_simulate_to_map_tiled(bt, sky, freq_tile=3, chunk=8)
