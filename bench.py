@@ -644,8 +644,9 @@ print('seconds', t)
                 if proc.returncode == 0 and secs is not None:
                     extras["cylinder_chime2048_ringhigh"] = {
                         "seconds": round(secs, 3),
-                        "mode": "ring-DFT GEMMs three-pass bf16; map err "
-                        "measured 2e-5-class vs 5e-7 compliant",
+                        "mode": "ring-DFT GEMMs three-pass bf16 "
+                        "(DRACO_TPU_SHT_RING_PRECISION=high); full-sphere "
+                        "map err ~4e-5-class, vs ~5e-7 compliant",
                     }
                 else:
                     extras["cylinder_chime2048_ringhigh"] = {
