@@ -100,6 +100,10 @@ def compile_cached(lowered, name: str, extra_key: str = ""):
                 payload, in_tree, out_tree = pickle.load(f)
             compiled = deserialize_and_load(payload, in_tree, out_tree)
             logger.info("aot cache hit: %s", path)
+            try:
+                os.utime(path)  # LRU recency for _prune
+            except OSError:
+                pass
             return compiled
         except Exception as e:
             logger.warning("aot cache load failed (%s); recompiling", e)
@@ -116,6 +120,38 @@ def compile_cached(lowered, name: str, extra_key: str = ""):
             pickle.dump((payload, in_tree, out_tree), f)
         os.replace(tmp, path)
         logger.info("aot cache store: %s", path)
+        _prune(cdir)
     except Exception as e:  # pragma: no cover - defensive
         logger.warning("aot cache store failed (%s)", e)
     return compiled
+
+
+def _prune(cdir: str) -> None:
+    """Drop the oldest entries once the cache exceeds its size cap.
+
+    Every source edit changes the StableHLO hash, so entries accumulate
+    across build rounds; cap the directory (default 6 GB,
+    DRACO_TPU_AOT_CACHE_MAX_GB) by least-recently-touched eviction.
+    """
+    try:
+        cap = float(os.environ.get("DRACO_TPU_AOT_CACHE_MAX_GB", "6"))
+        entries = []
+        total = 0
+        for name in os.listdir(cdir):
+            if not name.endswith(".aot"):
+                continue
+            p = os.path.join(cdir, name)
+            st = os.stat(p)
+            entries.append((st.st_mtime, st.st_size, p))
+            total += st.st_size
+        if total <= cap * 2**30:
+            return
+        entries.sort()
+        for _, size, p in entries:
+            os.remove(p)
+            logger.info("aot cache evict: %s", p)
+            total -= size
+            if total <= cap * 2**30:
+                break
+    except Exception:  # pragma: no cover - defensive
+        pass
