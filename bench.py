@@ -715,7 +715,8 @@ print('per_freq_s', t/{nfreq})
             if proc.returncode == 0 and per_freq is not None:
                 extras["feeds256_throughput"] = {
                     "per_freq_s": round(per_freq, 4),
-                    "mode": "loop GEMMs three-pass bf16, err 3.0e-5@ns64",
+                    "mode": "loop GEMMs three-pass bf16; production-path map "
+                    "err 1.8e-5@ns64 (compliant mode: 3.4e-7)",
                 }
                 extras["north_star_projection_v5e8_throughput_s"] = round(
                     per_freq * 1024.0 / 8.0, 1
