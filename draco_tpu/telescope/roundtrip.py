@@ -174,6 +174,28 @@ def _beam_prep(bt, nfreq: int, npad: int, nbase: int, gather, order=None):
     return u_re_h, u_im_h, uidx_pad, uniform_real
 
 
+def _beam_index_dev(uidx_pad, uniform_real):
+    """Device beam-product selector: one-hot [npad, U] or index [npad].
+
+    With a handful of unique products (every real instrument: one per
+    beamclass pair) the per-baseline gather in the chunk loop is
+    replaced by a tiny-K one-hot GEMM — TPU gathers at chunk x sphere
+    width were measured as the largest stage of the 2048-feed loop.
+    DRACO_TPU_ONEHOT_BEAM=0 restores the gather.
+    """
+    U = int(uidx_pad.max()) + 1 if len(uidx_pad) else 1
+    use_oh = (
+        not uniform_real
+        and U <= 32
+        and os.environ.get("DRACO_TPU_ONEHOT_BEAM", "1") not in ("0", "")
+    )
+    if not use_oh:
+        return jnp.asarray(uidx_pad)
+    oh = np.zeros((len(uidx_pad), U), np.float32)
+    oh[np.arange(len(uidx_pad)), uidx_pad] = 1.0
+    return jnp.asarray(oh)
+
+
 def _make_run(program, consts, dims, s, mmax, nfreq, npad, nbase,
               uniform_real, order=None, uniform_freq=True):
     """The shared run(sky, weight) closure over a prepared fused program.
@@ -370,11 +392,27 @@ def _fused_roundtrip(
             re = (b * cph[:, :, None]).reshape(nfreq, chunk, K)
             im = (b * sph[:, :, None]).reshape(nfreq, chunk, K)
             return re, im
-        idxc = jax.lax.dynamic_slice_in_dim(uidx_pad, c * chunk, chunk)
         cp = cph[:, :, None]
         sp = sph[:, :, None]
-        br = u_re[:, idxc]  # [f, C, p, Kf]
-        bi = u_im[:, idxc]
+        if uidx_pad.ndim == 2:
+            # one-hot beam selection as a tiny-K GEMM: the per-baseline
+            # gather is HBM-inefficient on TPU (measured 48 ms/chunk at
+            # the 2048-feed shape, the largest single stage), and real
+            # arrays have only a handful of unique beamclass products.
+            # HIGHEST keeps the selection f32-exact (1.0 x value).
+            oh = jax.lax.dynamic_slice_in_dim(uidx_pad, c * chunk, chunk)
+            br = jnp.einsum(
+                "cu,fupk->fcpk", oh, u_re,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            bi = jnp.einsum(
+                "cu,fupk->fcpk", oh, u_im,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            idxc = jax.lax.dynamic_slice_in_dim(uidx_pad, c * chunk, chunk)
+            br = u_re[:, idxc]  # [f, C, p, Kf]
+            bi = u_im[:, idxc]
         re = (br * cp - bi * sp).reshape(nfreq, chunk, K)
         im = (br * sp + bi * cp).reshape(nfreq, chunk, K)
         return re, im
@@ -567,11 +605,27 @@ def _fused_roundtrip_fullsphere(
             re = b * cph[:, :, None]
             im = b * sph[:, :, None]
         else:
-            idxc = jax.lax.dynamic_slice_in_dim(uidx_pad, c * chunk, chunk)
             cp = cph[:, :, None]
             sp = sph[:, :, None]
-            br = u_re[:, idxc]
-            bi = u_im[:, idxc]
+            if uidx_pad.ndim == 2:
+                # one-hot selection GEMM; see the windowed fringe above
+                oh = jax.lax.dynamic_slice_in_dim(
+                    uidx_pad, c * chunk, chunk
+                )
+                br = jnp.einsum(
+                    "cu,fupk->fcpk", oh, u_re,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                bi = jnp.einsum(
+                    "cu,fupk->fcpk", oh, u_im,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            else:
+                idxc = jax.lax.dynamic_slice_in_dim(
+                    uidx_pad, c * chunk, chunk
+                )
+                br = u_re[:, idxc]
+                bi = u_im[:, idxc]
             re = br * cp - bi * sp
             im = br * sp + bi * cp
         X = jnp.stack([re, im])  # [2, f, C, p, npad_pix]
@@ -811,7 +865,7 @@ def fused_roundtrip_fn(bt, chunk: int | None = None):
         jnp.asarray(vc),
         jnp.asarray(u_re_h),
         jnp.asarray(u_im_h),
-        jnp.asarray(uidx_pad),
+        _beam_index_dev(uidx_pad, uniform_real),
         jnp.asarray(bla),
         jnp.asarray(blb),
         jnp.asarray(blc),
@@ -862,7 +916,7 @@ def _fullsphere_roundtrip_fn(bt, chunk: int | None):
         jnp.asarray(vc),
         jnp.asarray(u_re_h),
         jnp.asarray(u_im_h),
-        jnp.asarray(uidx_pad),
+        _beam_index_dev(uidx_pad, uniform_real),
         jnp.asarray(bla),
         jnp.asarray(blb),
         jnp.asarray(blc),

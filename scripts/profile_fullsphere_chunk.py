@@ -74,18 +74,27 @@ def main():
     print(f"npairs={nbase} chunk={CHUNK} nchunk={nchunk} padded_pix={K}",
           file=sys.stderr, flush=True)
 
-    def fringe_X(c):
+    def fringe_X(env, c):
         cph, sph = rt._fringe_trig(
-            bla, blb, blc, va, vb, vc, c * CHUNK, CHUNK, 1, uniform_freq
+            env["bla"], env["blb"], env["blc"], env["va"], env["vb"],
+            env["vc"], c * CHUNK, CHUNK, 1, uniform_freq
         )
-        idxc = jax.lax.dynamic_slice_in_dim(uidx, c * CHUNK, CHUNK)
+        idxc = jax.lax.dynamic_slice_in_dim(env["uidx"], c * CHUNK, CHUNK)
         cp = cph[:, :, None]
         sp = sph[:, :, None]
-        br = u_re[:, idxc]
-        bi = u_im[:, idxc]
+        br = env["u_re"][:, idxc]
+        bi = env["u_im"][:, idxc]
         re = br * cp - bi * sp
         im = br * sp + bi * cp
         return jnp.stack([re, im])  # [2, 1, C, p, K]
+
+    # all device tensors travel as ARGUMENTS: closure-captured device
+    # arrays are baked into the HLO via a host readback, which the
+    # remote-TPU tunnel rejects (UNIMPLEMENTED)
+    env = dict(
+        bla=bla, blb=blb, blc=blc, va=va, vb=vb, vc=vc,
+        u_re=u_re, u_im=u_im, uidx=uidx, plan=plan, lam=lam,
+    )
 
     def timed(name, fn, *args):
         g = jax.jit(fn)
@@ -101,18 +110,18 @@ def main():
         return dt
 
     # stage 1: trig + combine, looped (carry a reduction to defeat DCE)
-    def stage1(_):
+    def stage1(env):
         def body(c, acc):
-            X = fringe_X(c)
+            X = fringe_X(env, c)
             return acc + X[0, 0, :, 0, ::4096].sum()
         return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
 
     # stage 2: trig + combine + ring analysis
-    def stage2(_):
+    def stage2(env):
         def body(c, acc):
-            X = fringe_X(c)
+            X = fringe_X(env, c)
             F_belt, group_F = s._ring_analysis_parts_padded(
-                X, raw_belt=True, plan=plan
+                X, raw_belt=True, plan=env["plan"]
             )
             return acc + F_belt[0, 0, 0, 0, ::64].real.sum() + sum(
                 g[0, 0, 0, 0, ::64].real.sum() for g in group_F
@@ -120,25 +129,23 @@ def main():
         return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
 
     # stage 3: the full chunk body (analysis + U/V + T accumulate)
-    pw = s.belt_phase_weight(jnp.complex64)
-    alm0 = jnp.zeros((1, npol, s.lmax + 1, mmax + 1), jnp.complex64)
-
-    def sky_secs():
-        out = []
-        for lam_s in [lam["belt"], *lam["caps"]]:
+    def stage3(env):
+        lam_e = env["lam"]
+        pw = s.belt_phase_weight(jnp.complex64)
+        alm0 = jnp.zeros((1, npol, s.lmax + 1, mmax + 1), jnp.complex64)
+        S_secs = []
+        for lam_s in [lam_e["belt"], *lam_e["caps"]]:
             r = jnp.einsum("fplm,lmr->fpmr", alm0.real, lam_s)
-            out.append(jax.lax.complex(r, r))
-        out[0] = out[0] * jnp.conj(pw).T
-        return out
-
-    def stage3(_):
-        S_secs = sky_secs()
-        sec_rings = [lam["belt"].shape[2]] + [c.shape[2] for c in lam["caps"]]
+            S_secs.append(jax.lax.complex(r, r))
+        S_secs[0] = S_secs[0] * jnp.conj(pw).T
+        sec_rings = [lam_e["belt"].shape[2]] + [
+            c.shape[2] for c in lam_e["caps"]
+        ]
         T0 = [jnp.zeros((1, npol, r, mmax + 1), jnp.complex64) for r in sec_rings]
 
         def body(c, T_accs):
             F_belt, group_F = s._ring_analysis_parts_padded(
-                fringe_X(c), raw_belt=True, plan=plan
+                fringe_X(env, c), raw_belt=True, plan=env["plan"]
             )
             vp = jnp.zeros((1, mmax + 1, CHUNK), jnp.complex64)
             vm = jnp.zeros((1, mmax + 1, CHUNK), jnp.complex64)
@@ -159,10 +166,9 @@ def main():
         T = jax.lax.fori_loop(0, ITERS, body, T0)
         return T[0][0, 0, 0, ::64].real.sum()
 
-    z = jnp.zeros(())
-    t1 = timed("stage1 trig+combine      ", stage1, z)
-    t2 = timed("stage2 + ring analysis   ", stage2, z)
-    t3 = timed("stage3 full chunk body   ", stage3, z)
+    t1 = timed("stage1 trig+combine      ", stage1, env)
+    t2 = timed("stage2 + ring analysis   ", stage2, env)
+    t3 = timed("stage3 full chunk body   ", stage3, env)
     print(
         f"breakdown: trig+combine {t1*1e3:.1f} | ring GEMMs "
         f"{(t2-t1)*1e3:.1f} | U/V/T einsums {(t3-t2)*1e3:.1f} ms/chunk"
