@@ -54,10 +54,20 @@ def _stable_key(lowered, extra: str = "") -> str:
     backend genuinely changed incompatibly, deserialization fails and
     we fall back to a fresh compile anyway.
     """
+    import re
+
     import jax
 
+    # Strip source-location metadata before hashing: StableHLO embeds
+    # file:line locs, so ANY line shift in an involved module would
+    # otherwise invalidate every entry even when the computation is
+    # unchanged.  The stripping need not be a perfect parse — only
+    # deterministic.
+    text = lowered.as_text()
+    text = re.sub(r"loc\([^\n]*?\)", "", text)
+    text = re.sub(r"#loc\d*( = .*)?", "", text)
     h = hashlib.sha256()
-    h.update(lowered.as_text().encode())
+    h.update(text.encode())
     h.update(jax.lib.__version__.encode())
     dev = jax.devices()[0]
     h.update(dev.device_kind.encode())
