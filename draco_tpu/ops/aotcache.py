@@ -42,6 +42,16 @@ _DEF_DIR = os.path.join(
 def cache_dir() -> str | None:
     if os.environ.get("DRACO_TPU_AOT_CACHE", "1") in ("0", ""):
         return None
+    # Deserialized executables rebind to ALL local devices: on a
+    # multi-local-device backend (the 8-virtual-CPU test mesh) a
+    # single-device program loads back expecting 8 input shards.  The
+    # cache's target — the single-chip TPU bench over the tunnel — has
+    # one local device; multi-device/meshed invocations take the plain
+    # jit path anyway.
+    import jax
+
+    if jax.local_device_count() > 1:
+        return None
     return os.environ.get("DRACO_TPU_AOT_CACHE_DIR", _DEF_DIR)
 
 
