@@ -111,8 +111,11 @@ class LogLikePS(OptFunc):
         x = np.clip(x, *self._logbounds)
         s = np.exp(x)
         if os.environ.get("DRACO_TPU_DELAYOPT_DEVICE", "1") not in ("0", ""):
-            self._precompute_device(x, s)
-            return
+            if self._precompute_device(x, s):
+                return
+            # f32 device factorisation went non-finite (ill-conditioned
+            # C that f64 would handle — the reference is always float64
+            # scipy): fall through to the host f64 path for this x.
         # C = F S F^H + N
         C = (self.MF * s[np.newaxis, :]) @ self.MFT + np.diag(self.N)
         Cf = la.cho_factor(C, check_finite=True)
@@ -125,8 +128,14 @@ class LogLikePS(OptFunc):
         self._trCiX = np.trace(CiX).real
         self._s_a = x.copy()
 
-    def _precompute_device(self, x: np.ndarray, s: np.ndarray) -> None:
-        """One jitted device program per iteration (see _device_core)."""
+    def _precompute_device(self, x: np.ndarray, s: np.ndarray) -> bool:
+        """One jitted device program per iteration (see _device_core).
+
+        Returns False (without caching) when the factorisation is
+        non-finite in the working precision, so the caller can retry on
+        the host f64 path — matching the reference's always-float64
+        scipy behaviour for ill-conditioned covariances.
+        """
         import jax
 
         from ..ops.tools import as_device, device_to_numpy
@@ -152,16 +161,22 @@ class LogLikePS(OptFunc):
         logdet, trCiX, A, G = _DEVICE_CORE(
             MF_d, N_d, X_d, as_device(s.astype(self._dev_rdt))
         )
+        logdet = float(device_to_numpy(logdet))
+        if not np.isfinite(logdet):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "delayopt device Cholesky non-finite in working "
+                "precision; retrying on the host float64 path"
+            )
+            return False
         self._s = s
         self._A = device_to_numpy(A)
         self._G = device_to_numpy(G)
-        self._logdet = float(device_to_numpy(logdet))
+        self._logdet = logdet
         self._trCiX = float(device_to_numpy(trCiX))
-        if not np.isfinite(self._logdet):
-            raise la.LinAlgError(
-                "delayopt device Cholesky failed (non-finite log det)"
-            )
         self._s_a = x.copy()
+        return True
 
     def value(self, logs):
         self._precompute(logs)

@@ -504,7 +504,22 @@ class ContainerBase:
             if self.reverse_map:
                 rm = f.create_group("reverse_map")
                 for name, arr in self.reverse_map.items():
-                    rm.create_dataset(name, data=_h5_safe(arr))
+                    d = rm.create_dataset(name, data=_h5_safe(arr))
+                    # Record which axis indexes the rows, so a later
+                    # partial read can check staleness EXACTLY instead
+                    # of by the row-count-coincidence heuristic (absent
+                    # in foreign files, where the heuristic remains).
+                    arr_np = np.asarray(arr)
+                    nrow = arr_np.shape[0] if arr_np.ndim else 0
+                    src = [
+                        ax
+                        for ax, im in self.index_map.items()
+                        if np.asarray(im).ndim
+                        and np.asarray(im).shape[0] == nrow
+                        and ax != name
+                    ]
+                    if len(src) == 1:
+                        d.attrs["__source_axis__"] = src[0]
             for name, ds in self.datasets.items():
                 arr = _h5_safe(_to_numpy(ds._data))
                 tspec = ds.spec.get("truncate") if truncate else None
@@ -632,13 +647,21 @@ class ContainerBase:
                     arr = d[:]
                     # a reverse map indexes INTO its target axis (so a
                     # selection on `name` makes its values stale) and is
-                    # indexed BY a source axis (so a selection on any
-                    # axis of matching length may make its row order
-                    # stale).  Either way the indices cannot be trusted
-                    # after the selection: drop rather than silently keep.
-                    stale = name in sel or (
-                        sel and arr.shape[0] in selected_lens
-                    )
+                    # indexed BY a source axis (so a selection on that
+                    # axis makes its row order stale).  Files we wrote
+                    # record the source axis exactly; foreign files fall
+                    # back to the row-count-coincidence heuristic (which
+                    # can also drop a still-valid map when an unrelated
+                    # selected axis merely matches in length).
+                    src_axis = d.attrs.get("__source_axis__")
+                    if isinstance(src_axis, bytes):
+                        src_axis = src_axis.decode()
+                    if src_axis is not None:
+                        stale = name in sel or src_axis in sel
+                    else:
+                        stale = name in sel or (
+                            sel and arr.shape[0] in selected_lens
+                        )
                     if stale:
                         logger.warning(
                             "%s: dropping reverse_map[%r] invalidated "

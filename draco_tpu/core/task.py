@@ -210,22 +210,33 @@ class ContainerTask(MPILoggedTask):
             ppath = save_sharded(output, fname)
             self.log.info("Saved shard part %s", ppath)
             return
+        was_device = []
         if multi:
             # leader-only whole-file write.  Gathering process-spanning
             # global arrays to host is a COLLECTIVE (compiled
             # all-gather), so every process must walk the datasets —
             # leader-gating the whole save would deadlock the leader in
             # the collective.
+            was_device = [
+                name
+                for name, ds in output.datasets.items()
+                if not isinstance(ds._data, np.ndarray)
+            ]
             output.ensure_host()
-        if not is_leader():
-            # only the leader writes (N ranks writing one HDF5 path
-            # concurrently corrupts it)
-            return
-        d = os.path.dirname(fname)
-        if d:
-            os.makedirs(d, exist_ok=True)
-        self.log.info("Saving output %s", fname)
-        output.save(fname, truncate=self.truncate)
+        if is_leader():
+            d = os.path.dirname(fname)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            self.log.info("Saving output %s", fname)
+            output.save(fname, truncate=self.truncate)
+        if was_device:
+            # ensure_host rebinds every device dataset to a fully
+            # gathered host copy IN PLACE; downstream consumers of the
+            # same product would otherwise lose their sharded placement
+            # (and every process would keep an O(global) host array).
+            # Re-shard the datasets that were device-resident.
+            for name in was_device:
+                output.datasets[name].to_device()
 
 
 # Reference-compat alias: the pre-migration name for the container task base.
