@@ -181,14 +181,60 @@ class GaussianNoise(ContainerTask, RandomTask):
         return data
 
 
+def _wishart_chunk_kernel(nfeed: int):
+    """Jitted Wishart chunk sampler (cached per feed count).
+
+    One compiled program handles every chunk of the flattened
+    (freq, time) batch: unpack the triangle to Hermitian matrices,
+    regularise, Cholesky, draw a Bartlett standard-Wishart, colour it,
+    and repack the upper triangle.  The input buffer is DONATED so the
+    [B, nfeed, nfeed] working set recycles in place across chunks —
+    the whole [nfreq, ntime, nfeed, nfeed] stack (33 MB per (f, t)
+    sample at 2048 feeds) is never materialised.
+    """
+    kern = _WISHART_KERNELS.get(nfeed)
+    if kern is not None:
+        return kern
+
+    iu = np.triu_indices(nfeed)
+
+    def kernel(vis_ut, n_dof, key):
+        # vis_ut [B, nprod] complex; n_dof [B] float
+        vm = tools.unpack_product_array(vis_ut, axis=1, nside=nfeed)
+        # Regularise: the Cholesky needs strictly positive-definite
+        # inputs, and a noiseless/rank-deficient expectation matrix is
+        # only PSD — add a small diagonal scaled to the mean auto power
+        diag_mean = jnp.einsum("...ii->...", vm.real) / nfeed
+        eps = 1e-6 * jnp.maximum(diag_mean, 1e-30)[..., None, None]
+        vm = vm + eps * jnp.eye(nfeed, dtype=vm.dtype)
+        L = jnp.linalg.cholesky(vm)
+        A = drandom.standard_complex_wishart(
+            key, nfeed, n_dof, batch_shape=vm.shape[:-2], dtype=vm.dtype
+        )
+        samp = L @ A @ jnp.conj(jnp.swapaxes(L, -1, -2))
+        samp = samp / n_dof[..., None, None].astype(samp.real.dtype)
+        return samp[..., iu[0], iu[1]]  # [B, nprod]
+
+    kernel = jax.jit(kernel, donate_argnums=(0,))
+    _WISHART_KERNELS[nfeed] = kernel
+    return kernel
+
+
+_WISHART_KERNELS: dict = {}
+
+
 class SampleNoise(ContainerTask, RandomTask):
     """Draw complex-Wishart distributed visibility samples.
 
     (reference noise.py:287-374): the expectation visibilities (full
     triangle) are unpacked into Hermitian matrices, a Wishart sample with
     nsamp degrees of freedom is drawn around each, and the triangle is
-    repacked.  All (freq, time) draws happen in one batched Bartlett kernel
-    on device.
+    repacked.  The (freq, time) draws STREAM through a fixed-size batched
+    Bartlett kernel on device: the chunk size is picked so the Hermitian
+    working set fits an HBM budget (``DRACO_TPU_SAMPLENOISE_CHUNK_GB``,
+    default 2), which is what lets a 2048-feed CHIME-scale config run at
+    all — the full unpacked stack would be ~33 MB per (freq, time)
+    sample.
 
     Attributes
     ----------
@@ -202,10 +248,12 @@ class SampleNoise(ContainerTask, RandomTask):
     set_weights = config.bool_prop(True)
 
     def process(self, data_exp):
+        import os
+
         data_exp.redistribute("freq")
         nfeed = len(data_exp.index_map["input"])
-        vis = jnp.asarray(np.asarray(data_exp.vis[:]))  # [nfreq, nprod, ntime]
-        nfreq, nprod, ntime = vis.shape
+        vis_host = np.asarray(data_exp.vis[:])  # [nfreq, nprod, ntime]
+        nfreq, nprod, ntime = vis_host.shape
         if nprod != nfeed * (nfeed + 1) // 2:
             raise ValueError("SampleNoise requires full-triangle visibilities.")
 
@@ -213,30 +261,49 @@ class SampleNoise(ContainerTask, RandomTask):
         df = data_exp.index_map["freq"]["width"] * 1e6  # [nfreq]
         nsamp = (self.sample_frac * dt * df).astype(int)  # [nfreq]
 
-        # Unpack UT -> Hermitian [nfreq, ntime, nfeed, nfeed]
-        vis_mat = tools.unpack_product_array(vis, axis=1, nside=nfeed)
-        vis_mat = jnp.moveaxis(vis_mat, 3, 1)  # [f, t, nfeed, nfeed]
+        # Flatten (freq, time) into one batch axis and stream it in
+        # fixed-size chunks: ~7 [B, nfeed, nfeed] complex buffers live
+        # at once (unpacked, regularised, L, Bartlett T, A, two matmul
+        # temps), so budget_bytes / (7 * 8 * nfeed^2) rows per chunk.
+        budget = float(
+            os.environ.get("DRACO_TPU_SAMPLENOISE_CHUNK_GB", "2")
+        ) * 2**30
+        n_total = nfreq * ntime
+        chunk = max(1, min(n_total, int(budget // (7 * 8 * nfeed * nfeed))))
 
-        # Regularise: the Cholesky needs strictly positive-definite
-        # inputs, and a noiseless/rank-deficient expectation matrix is
-        # only PSD — add a small diagonal scaled to the mean auto power
-        key = self.next_key()
-        n_dof = jnp.asarray(nsamp)[:, None]  # broadcast over time
-        diag_mean = jnp.einsum("...ii->...", vis_mat.real) / nfeed
-        eps = 1e-6 * jnp.maximum(diag_mean, 1e-30)[..., None, None]
-        vis_mat = vis_mat + eps * jnp.eye(nfeed, dtype=vis_mat.dtype)
-        L = jnp.linalg.cholesky(vis_mat)
-        A = drandom.standard_complex_wishart(
-            key, nfeed, n_dof, batch_shape=(nfreq, ntime), dtype=vis.dtype
+        flat = np.ascontiguousarray(
+            np.moveaxis(vis_host, 2, 1).reshape(n_total, nprod)
         )
-        samp = L @ A @ jnp.conj(jnp.swapaxes(L, -1, -2))
-        samp = samp / n_dof[..., None, None].astype(vis.real.dtype)
+        ndof_flat = np.repeat(
+            np.asarray(nsamp, dtype=np.float32), ntime
+        )  # row i = (freq i//ntime, time i%ntime)
 
-        # Repack the upper triangle
-        iu = np.triu_indices(nfeed)
-        samp_ut = samp[..., iu[0], iu[1]]  # [f, t, nprod]
-        vis_new = np.asarray(jnp.moveaxis(samp_ut, 1, 2))
-        if not np.isfinite(vis_new).all():
+        kernel = _wishart_chunk_kernel(nfeed)
+        key = self.next_key()
+        out = np.empty_like(flat)
+        for ci, start in enumerate(range(0, n_total, chunk)):
+            stop = min(start + chunk, n_total)
+            buf = flat[start:stop]
+            ndof = ndof_flat[start:stop]
+            if stop - start < chunk:
+                # pad to the compiled batch size; padded rows get a
+                # safely-PD zero matrix and dof > nfeed (gamma shape
+                # must stay positive), and are discarded below
+                pad = chunk - (stop - start)
+                buf = np.concatenate(
+                    [buf, np.zeros((pad, nprod), buf.dtype)]
+                )
+                ndof = np.concatenate(
+                    [ndof, np.full(pad, nfeed + 1, ndof.dtype)]
+                )
+            res = kernel(
+                tools.as_device(buf),
+                jnp.asarray(ndof),
+                jax.random.fold_in(key, ci),
+            )
+            out[start:stop] = tools.device_to_numpy(res)[: stop - start]
+
+        if not np.isfinite(out).all():
             # jnp.linalg.cholesky returns NaN instead of raising on a
             # non-PD matrix (the scipy path the reference uses raises
             # LinAlgError) — fail loudly rather than writing NaN
@@ -246,6 +313,9 @@ class SampleNoise(ContainerTask, RandomTask):
                 "regularisation); check for flagged feeds or a "
                 "rank-deficient sky model."
             )
+        vis_new = np.ascontiguousarray(
+            np.moveaxis(out.reshape(nfreq, ntime, nprod), 1, 2)
+        )
         data_exp.vis[:] = vis_new.astype(data_exp.vis.dtype)
 
         if self.set_weights:

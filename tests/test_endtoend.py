@@ -218,6 +218,131 @@ def test_expand_products(small_setup):
         assert np.allclose(vis_f[:, pi], expect, atol=1e-6)
 
 
+def test_composite_pipeline_yaml(small_setup, tmp_path):
+    """The CHIME-scale COMPOSITE chain at reduced scale: sim + gain
+    fluctuations + Wishart noise through the m-mode spine, as one YAML
+    pipeline (the BASELINE.json scale-up config; reference
+    test/pipe_config.yaml:29-83 chain, sidereal-native)."""
+    tel, bt, m, alm = small_setup
+    bt_dir = str(tmp_path / "bt")
+    bt.save(bt_dir)
+    map_file = str(tmp_path / "sky.h5")
+    m.attrs["tag"] = "sky"
+    m.save(map_file)
+
+    # Direct noiseless chain (sim -> expand -> recv_temp -> m-modes ->
+    # map) for the comparison target and the receiver temperature: the
+    # autos must dominate the sky cross terms for the Wishart
+    # expectation matrix to be positive definite (the reference chain
+    # likewise puts ReceiverTemperature before SampleNoise,
+    # reference test/pipe_config.yaml:55).
+    ss = _simulate(tel, bt, m)
+    ep = ExpandProducts()
+    ep.read_config({})
+    ep.setup(tel)
+    ss_full = ep.process(ss)
+    recv_temp = 10.0 * float(np.abs(np.asarray(ss_full.vis[:])).max())
+
+    cfg = f"""
+pipeline:
+  tasks:
+    - type: draco.core.io.LoadBeamTransfer
+      out: [tel, btm]
+      params:
+        product_directory: "{bt_dir}"
+    - type: draco.core.io.LoadMaps
+      out: imap
+      params:
+        maps:
+          files: ["{map_file}"]
+          tag: testmap
+    - type: draco.synthesis.stream.SimulateSidereal
+      requires: btm
+      in: imap
+      out: sstream
+    - type: draco.synthesis.stream.ExpandProducts
+      requires: tel
+      in: sstream
+      out: sstream_full
+    - type: draco.synthesis.noise.ReceiverTemperature
+      in: sstream_full
+      out: sstream_rt
+      params:
+        recv_temp: {recv_temp}
+    - type: draco.synthesis.gain.RandomSiderealGains
+      requires: [tel, sstream_rt]
+      out: gain_fluc
+      params:
+        seed: 7
+        start_time: 2015-10-05 12:15:00
+        end_time: 2015-10-06 12:15:00
+        sigma_amp: 0.001
+        sigma_phase: 0.001
+    - type: draco.analysis.calibration.ApplyGain
+      in: [sstream_rt, gain_fluc]
+      out: sstream_gain
+      params:
+        inverse: false
+    - type: draco.synthesis.noise.SampleNoise
+      in: sstream_gain
+      out: sstream_noise
+      params:
+        seed: 8
+        sample_frac: 1.0e-6
+        # keep unit weights: the dirty map scales with the absolute
+        # weight normalisation, so radiometer weights here would defeat
+        # the noiseless-map comparison below (weight setting itself is
+        # unit-tested in test_synthesis.py)
+        set_weights: false
+    - type: draco.analysis.transform.CollateProducts
+      requires: btm
+      in: sstream_noise
+      out: sstream_coll
+    - type: draco.analysis.transform.MModeTransform
+      requires: tel
+      in: sstream_coll
+      out: mmodes
+    - type: draco.analysis.mapmaker.DirtyMapMaker
+      requires: btm
+      in: mmodes
+      out: dmap
+      params:
+        nside: {bt.beam_nside}
+"""
+    from draco_tpu.core.pipeline import Manager
+
+    products = Manager.from_yaml_str(cfg).run()
+    assert len(products["dmap"]) == 1
+
+    # Noiseless target: the same chain without gains/noise.
+    from draco_tpu.synthesis.noise import ReceiverTemperature
+
+    rt = ReceiverTemperature()
+    rt.read_config({"recv_temp": recv_temp})
+    ss_rt = rt.process(ss_full)
+    from draco_tpu.analysis.transform import CollateProducts
+
+    cp = CollateProducts()
+    cp.read_config({})
+    cp.setup(bt)
+    ss_rt = cp.process(ss_rt)
+    mt = MModeTransform()
+    mt.read_config({})
+    mt.setup()
+    dm = DirtyMapMaker()
+    dm.read_config({"nside": bt.beam_nside})
+    dm.setup(bt)
+    clean = np.asarray(dm.process(mt.process(ss_rt)).map[:])
+    noisy = np.asarray(products["dmap"][0].map[:])
+    assert np.isfinite(noisy).all()
+    # sample_frac=1e-6 -> nsamp ~ 2e4 -> per-element Wishart scatter
+    # well under a percent of the recv_temp-scale autos; the 0.1% gain
+    # wander is smaller still.
+    scale = np.abs(clean).max()
+    assert np.abs(noisy - clean).max() < 0.2 * scale
+    assert not np.allclose(noisy, clean, atol=1e-9 * scale)  # noise injected
+
+
 def test_full_pipeline_yaml(small_setup, tmp_path):
     """The whole slice through the YAML pipeline Manager."""
     tel, bt, m, alm = small_setup

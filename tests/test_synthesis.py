@@ -102,6 +102,29 @@ def test_sample_noise_wishart():
     )
 
 
+def test_sample_noise_streaming_chunks(monkeypatch):
+    """The chunked streaming path (incl. a padded tail) matches the
+    one-shot statistics: same expectation, Hermitian-valid output."""
+    # A tiny HBM budget forces many chunks; 128 time samples over a
+    # chunk of ~6 rows exercises padding on the final chunk.
+    monkeypatch.setenv("DRACO_TPU_SAMPLENOISE_CHUNK_GB", "1e-6")
+    ss = make_full_stream(nfreq=2, nfeed=3, nra=128, seed=3)
+    expect = np.asarray(ss.vis[:]).copy()
+    t = noise_mod.SampleNoise()
+    t.read_config({"sample_frac": 1.0, "seed": 4})
+    out = t.process(ss)
+    vis = np.asarray(out.vis[:])
+    assert np.isfinite(vis).all()
+    from draco_tpu.ops import tools
+
+    autos = np.asarray(tools.extract_diagonal(vis, axis=1))
+    assert np.allclose(autos.imag, 0.0, atol=1e-3)
+    assert (autos.real > 0).all()
+    assert np.allclose(
+        vis.mean(axis=-1), expect.mean(axis=-1), rtol=0.1, atol=0.5
+    )
+
+
 def test_random_gains_statistics():
     ss = make_full_stream(nfreq=2, nfeed=4, nra=64)
     # give the stream a time axis via attrs? BaseGains needs .time: use
