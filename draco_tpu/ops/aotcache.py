@@ -42,20 +42,42 @@ _DEF_DIR = os.path.join(
 def cache_dir() -> str | None:
     if os.environ.get("DRACO_TPU_AOT_CACHE", "1") in ("0", ""):
         return None
-    # Deserialized executables rebind to ALL local devices: on a
-    # multi-local-device backend (the 8-virtual-CPU test mesh) a
-    # single-device program loads back expecting 8 input shards.  The
-    # cache's target — the single-chip TPU bench over the tunnel — has
-    # one local device; multi-device/meshed invocations take the plain
-    # jit path anyway.
-    import jax
-
-    if jax.local_device_count() > 1:
-        return None
     return os.environ.get("DRACO_TPU_AOT_CACHE_DIR", _DEF_DIR)
 
 
-def _stable_key(lowered, extra: str = "") -> str:
+def _rebind_safe(text: str) -> bool:
+    """Whether a deserialized executable would rebind correctly here.
+
+    ``deserialize_and_load`` rebinds the executable to ALL local
+    devices in default order, so caching is safe exactly when the
+    program's device footprint (num_partitions x num_replicas from the
+    lowered module) covers every local device — the single-device case
+    AND single-process meshed programs spanning the full backend
+    (verified by round-trip tests in tests/test_aotcache.py).  A
+    single-device program on a multi-device backend would load back
+    expecting N input shards; a multi-process program's global devices
+    cannot be re-addressed from one process.  Both fall back to a
+    plain compile.
+    """
+    import re
+
+    import jax
+
+    nums = [
+        int(n)
+        for n in re.findall(
+            r"mhlo\.num_(?:partitions|replicas) = (\d+)", text[:4000]
+        )
+    ]
+    footprint = 1
+    for n in nums[:2]:
+        footprint *= n
+    if jax.process_count() > 1:
+        return False
+    return footprint == jax.local_device_count()
+
+
+def _stable_key(text: str, extra: str = "") -> str:
     """Deterministic key: StableHLO text + jaxlib + device kind.
 
     Deliberately EXCLUDES the tunnel-session-variant backend components
@@ -73,7 +95,6 @@ def _stable_key(lowered, extra: str = "") -> str:
     # otherwise invalidate every entry even when the computation is
     # unchanged.  The stripping need not be a perfect parse — only
     # deterministic.
-    text = lowered.as_text()
     text = re.sub(r"loc\([^\n]*?\)", "", text)
     text = re.sub(r"#loc\d*( = .*)?", "", text)
     h = hashlib.sha256()
@@ -82,6 +103,12 @@ def _stable_key(lowered, extra: str = "") -> str:
     dev = jax.devices()[0]
     h.update(dev.device_kind.encode())
     h.update(str(jax.device_count()).encode())
+    # Numerics/perf-affecting environment: unlike backend drift, a flags
+    # change does NOT make deserialization fail (the payload is
+    # self-contained), so an executable compiled under different XLA
+    # flags would be silently reused unless keyed here.
+    h.update(os.environ.get("XLA_FLAGS", "").encode())
+    h.update(os.environ.get("LIBTPU_INIT_ARGS", "").encode())
     if dev.platform == "cpu":
         # XLA:CPU AOT results are machine-feature specific (a cache dir
         # shared across hosts could otherwise SIGILL); TPU keys stay
@@ -105,7 +132,10 @@ def compile_cached(lowered, name: str, extra_key: str = ""):
     if cdir is None:
         return lowered.compile()
     try:
-        key = _stable_key(lowered, extra_key)
+        text = lowered.as_text()
+        if not _rebind_safe(text):
+            return lowered.compile()
+        key = _stable_key(text, extra_key)
     except Exception as e:  # pragma: no cover - defensive
         logger.warning("aot cache key failed (%s); compiling", e)
         return lowered.compile()

@@ -241,19 +241,18 @@ def _make_run(program, consts, dims, s, mmax, nfreq, npad, nbase,
             uniform_real_beam=bool(uniform_real),
             uniform_freq=bool(uniform_freq),
         )
-        from ..parallel import mesh as pmesh
-
-        # AOT only applies off-mesh with unsharded inputs: a Compiled
-        # does not auto-reshard mismatched inputs the way jit dispatch
-        # does, so meshed/sharded invocations (the SPMD dryrun, sharded
-        # pipelines) take the plain jit path — checked per CALL, since
-        # one prepared closure may serve both placements.
-        aot_ok = pmesh.get_mesh() is None and not (
-            isinstance(sky, jax.Array) and len(sky.sharding.device_set) > 1
+        # A Compiled does not auto-reshard mismatched inputs the way
+        # jit dispatch does, so the cache key carries the input
+        # placement: each (shape, dtype, sharding) combination lowers
+        # and caches separately, and meshed invocations (the SPMD
+        # dryrun, sharded pipelines) are now cacheable too —
+        # aotcache._rebind_safe admits exactly the programs whose
+        # device footprint covers the whole local backend (round 4;
+        # previously every meshed call paid a full compile).
+        shard_desc = (
+            str(sky.sharding) if isinstance(sky, jax.Array) else "host"
         )
-        if not aot_ok:
-            return program(sky, *consts, w_dev, **kwargs)
-        key = (use_weight, tuple(sky.shape), str(sky.dtype))
+        key = (use_weight, tuple(sky.shape), str(sky.dtype), shard_desc)
         comp = compiled_cache.get(key)
         if comp is None:
             from ..ops import aotcache
