@@ -97,6 +97,72 @@ def _recurrence_tables(lmax: int, mmax: int):
     return a, b
 
 
+def _legendre_block_core(x, lnsin, cm_c, a_tab, b_tab, mv, two_float=False):
+    """Lambda[l, c, r] recurrence with the tables as ARGUMENTS.
+
+    Keeping the tables as runtime inputs (rather than closed-over
+    constants) matters when this is the whole jitted program: a
+    no-input jit makes XLA constant-fold the entire build at compile
+    time — measured 80 s of compile (and a multi-GB executable) for
+    ~0 s of execution at nside=256 (see
+    :meth:`SHT.precompute_legendre_split_2f_streamed`).
+
+    Working dtype follows ``a_tab``; ``lnsin``/``cm_c`` may be higher
+    precision for the seed exponentials.
+    """
+    dtype = a_tab.dtype
+    lmax1 = a_tab.shape[0]
+    # Seed: ln |Lambda_mm| = C_m + m ln sin(theta)
+    ln_seed = (
+        cm_c[:, None] + mv[:, None].astype(lnsin.dtype) * lnsin[None, :]
+    )  # [C, R]
+    sign = jnp.where(mv % 2 == 0, 1.0, -1.0).astype(dtype)[:, None]
+    e0 = jnp.floor(ln_seed / (_SCALE_BITS * _LN2)).astype(jnp.int32)
+    p_seed = (
+        jnp.exp(ln_seed - e0.astype(ln_seed.dtype) * (_SCALE_BITS * _LN2))
+    ).astype(dtype) * sign
+
+    two_B = jnp.asarray(2.0 ** _SCALE_BITS, dtype=dtype)
+    inv_two_B = jnp.asarray(2.0 ** -_SCALE_BITS, dtype=dtype)
+
+    def step(carry, l):
+        p_prev, p_curr, e = carry
+        is_seed = (l == mv)[:, None]  # [C, 1]
+        a_l = a_tab[l][:, None]
+        b_l = b_tab[l][:, None]
+        p_new = jnp.where(
+            is_seed, p_seed, a_l * x[None, :] * p_curr + b_l * p_prev
+        )
+        e_new = jnp.where(is_seed, e0, e)
+        p_base = jnp.where(is_seed, jnp.zeros_like(p_curr), p_curr)
+        # Rescale when the mantissa grows past 2^B.
+        big = jnp.abs(p_new) > two_B
+        scale = jnp.where(big, inv_two_B, jnp.ones_like(p_new))
+        p_new = p_new * scale
+        p_base = p_base * scale
+        e_new = e_new + big.astype(jnp.int32)
+        # Emit the true value: mantissa * 2^(e*B).  exp2 underflows to
+        # zero in the deep-polar regime where Lambda is genuinely below
+        # the floating-point floor.
+        lam = p_new * jnp.exp2(e_new.astype(dtype) * _SCALE_BITS)
+        lam = jnp.where(l >= mv[:, None], lam, jnp.zeros_like(lam))
+        if two_float:
+            # emit (hi f32, lo bf16) directly so the f64 tensor is
+            # never materialised (scan state stays [C, R])
+            hi = lam.astype(jnp.float32)
+            lo = (lam - hi.astype(lam.dtype)).astype(jnp.bfloat16)
+            return (p_base, p_new, e_new), (hi, lo)
+        return (p_base, p_new, e_new), lam
+
+    zeros = jnp.zeros((mv.shape[0], x.shape[0]), dtype=dtype)
+    (_, _, _), lam = jax.lax.scan(
+        step,
+        (zeros, zeros, jnp.zeros_like(zeros, dtype=jnp.int32)),
+        jnp.arange(lmax1),
+    )
+    return lam  # [L+1, C, R] (or the (hi, lo) pair with two_float)
+
+
 class SHT:
     """Spherical harmonic transform operator for one (nside, lmax) pair.
 
@@ -242,6 +308,29 @@ class SHT:
     # (scripts/ablate_const_precision.py: promoting the ring plan to f64
     # moves the nside=64 end-to-end error 1.7e-5 -> 5.3e-6).  With the
     # exact reduction the residual is the bounded-arg trig error (~3e-7).
+    @staticmethod
+    def _int_phase_product(a, b, den):
+        """Phase numerator ``a * b`` as a device int32 array, overflow-safe.
+
+        The on-device product is formed in int32 (x64 is usually
+        disabled under jit), which wraps SILENTLY once
+        ``max|a*b| >= 2**31`` — for the belt that is nside >= ~16384
+        (j reaches 4*nside-1, m reaches mmax), corrupting the DFT
+        phases with no error.  In that regime reduce exactly on host in
+        int64 and ship the already-small-valued table; below it, form
+        the product on device so the HLO stays free of large host
+        constants (tunnel compiles are pathologically slow otherwise).
+        """
+        a = np.asarray(a, np.int64)
+        b = np.asarray(b, np.int64)
+        if (
+            a.size == 0
+            or b.size == 0
+            or np.abs(a).max() * np.abs(b).max() < 2**31
+        ):
+            return jnp.asarray(a, jnp.int32) * jnp.asarray(b, jnp.int32)
+        return jnp.asarray((a * b) % np.asarray(den, np.int64), jnp.int32)
+
     def _phase_turns(self, num, den, dtype):
         """(cos, sin) of 2 pi (num / den) with num/den int32 arrays.
 
@@ -263,8 +352,9 @@ class SHT:
         info = self.info
         n = info.nphi[ring_sel].astype(np.int64)
         s = np.rint(info.phi0[ring_sel] * n / np.pi).astype(np.int64)
-        mv = jnp.asarray(self._m, dtype=jnp.int32)
-        num = jnp.asarray(s, jnp.int32)[:, None] * mv[None, :]
+        num = self._int_phase_product(
+            s[:, None], np.asarray(self._m)[None, :], (2 * n)[:, None]
+        )
         den = jnp.asarray(2 * n, jnp.int32)[:, None]
         c, sn = self._phase_turns(num, den, dtype)
         sign = 1.0 if conj else -1.0
@@ -278,9 +368,11 @@ class SHT:
         ~60x FLOP overhead — the MXU's matmul throughput dwarfs the FFT's
         effective rate.  Built on device (small: nphi x (mmax+1)).
         """
-        j = jnp.arange(self._belt_nphi, dtype=jnp.int32)[:, None]
-        mv = jnp.asarray(self._m, dtype=jnp.int32)[None, :]
-        num = j * mv
+        num = self._int_phase_product(
+            np.arange(self._belt_nphi)[:, None],
+            np.asarray(self._m)[None, :],
+            self._belt_nphi,
+        )
         den = jnp.full((1, 1), self._belt_nphi, jnp.int32)
         c, sn = self._phase_turns(num, den, dtype)
         sign = 1.0 if conj else -1.0
@@ -305,8 +397,11 @@ class SHT:
             two_ps = self._cap_2ps
             n_rows = self._cap_n
             mask = jnp.asarray(self._cap_mask, dtype=rdt)
-        mv = jnp.asarray(m_vals, dtype=jnp.int32)
-        num = jnp.asarray(two_ps, jnp.int32)[:, :, None] * mv[None, None, :]
+        num = self._int_phase_product(
+            np.asarray(two_ps)[:, :, None],
+            np.asarray(m_vals)[None, None, :],
+            (2 * np.asarray(n_rows))[:, None, None],
+        )
         den = jnp.asarray(2 * n_rows, jnp.int32)[:, None, None]
         c, sn = self._phase_turns(num, den, dtype)
         return (jax.lax.complex(c, -sn) * mask[:, :, None]).astype(dtype)
@@ -529,56 +624,16 @@ class SHT:
         the upward l-recurrence (rescaled whenever the mantissa exceeds
         2**_SCALE_BITS, libsharp-style).
         """
-        C = len(m_vals)
         x = jnp.asarray(self._x, dtype=dtype)  # [R]
         lnsin = jnp.asarray(self._lnsin, dtype=jnp.float64 if dtype == jnp.float64 else jnp.float32)
-        mv = jnp.asarray(m_vals)  # [C]
-        # Seed: ln |Lambda_mm| = C_m + m ln sin(theta)
-        ln_seed = (
-            jnp.asarray(self._cm[m_vals], dtype=lnsin.dtype)[:, None]
-            + mv[:, None].astype(lnsin.dtype) * lnsin[None, :]
-        )  # [C, R]
-        sign = jnp.where(mv % 2 == 0, 1.0, -1.0).astype(dtype)[:, None]
-        e0 = jnp.floor(ln_seed / (_SCALE_BITS * _LN2)).astype(jnp.int32)
-        p_seed = (
-            jnp.exp(ln_seed - e0.astype(ln_seed.dtype) * (_SCALE_BITS * _LN2))
-        ).astype(dtype) * sign
-
-        a_tab = jnp.asarray(self._a_tab[:, m_vals], dtype=dtype)  # [L+1, C]
-        b_tab = jnp.asarray(self._b_tab[:, m_vals], dtype=dtype)
-        two_B = jnp.asarray(2.0 ** _SCALE_BITS, dtype=dtype)
-        inv_two_B = jnp.asarray(2.0 ** -_SCALE_BITS, dtype=dtype)
-
-        def step(carry, l):
-            p_prev, p_curr, e = carry
-            is_seed = (l == mv)[:, None]  # [C, 1]
-            a_l = a_tab[l][:, None]
-            b_l = b_tab[l][:, None]
-            p_new = jnp.where(
-                is_seed, p_seed, a_l * x[None, :] * p_curr + b_l * p_prev
-            )
-            e_new = jnp.where(is_seed, e0, e)
-            p_base = jnp.where(is_seed, jnp.zeros_like(p_curr), p_curr)
-            # Rescale when the mantissa grows past 2^B.
-            big = jnp.abs(p_new) > two_B
-            scale = jnp.where(big, inv_two_B, jnp.ones_like(p_new))
-            p_new = p_new * scale
-            p_base = p_base * scale
-            e_new = e_new + big.astype(jnp.int32)
-            # Emit the true value: mantissa * 2^(e*B).  exp2 underflows to
-            # zero in the deep-polar regime where Lambda is genuinely below
-            # the floating-point floor.
-            lam = p_new * jnp.exp2(e_new.astype(dtype) * _SCALE_BITS)
-            lam = jnp.where(l >= mv[:, None], lam, jnp.zeros_like(lam))
-            return (p_base, p_new, e_new), lam
-
-        zeros = jnp.zeros((C, len(self._x)), dtype=dtype)
-        (_, _, _), lam = jax.lax.scan(
-            step,
-            (zeros, zeros, jnp.zeros_like(zeros, dtype=jnp.int32)),
-            jnp.arange(self.lmax + 1),
+        return _legendre_block_core(
+            x,
+            lnsin,
+            jnp.asarray(self._cm[m_vals], dtype=lnsin.dtype),
+            jnp.asarray(self._a_tab[:, m_vals], dtype=dtype),
+            jnp.asarray(self._b_tab[:, m_vals], dtype=dtype),
+            jnp.asarray(m_vals),
         )
-        return lam  # [L+1, C, R]
 
     def _m_chunks(self):
         for m0 in range(0, self.mmax + 1, self.chunk_m):
@@ -650,6 +705,145 @@ class SHT:
         hi = jnp.concatenate(his, axis=1)
         lo = jnp.concatenate(los, axis=1)
         return self._split_sections(hi), self._split_sections(lo)
+
+    def precompute_legendre_split_2f_streamed(self):
+        """Two-float split Legendre via argument-streamed chunk programs.
+
+        Numerically identical to :meth:`precompute_legendre_split_2f`,
+        but the recurrence tables enter each chunk program as RUNTIME
+        arguments instead of closed-over constants.  The one-jit
+        variant has no inputs, so XLA constant-folds the whole build at
+        COMPILE time: measured 80 s of compile (and a multi-GB
+        executable) for ~0 s of execution at nside=256 — paid again
+        whenever the compile cache misses.  Here the per-chunk program
+        is tiny (compiles in seconds, AOT-cacheable) and the actual
+        f64 recurrence work is what runs.
+        """
+        # ONE dispatch with ~5 MB of table arguments: per-m-chunk calls
+        # cost a tunnel round trip each, and the scan emits (hi, lo)
+        # directly so the f64 tensor is never materialised.
+        @jax.jit
+        def build(x, lnsin, cm, a_tab, b_tab, mv):
+            hi, lo = _legendre_block_core(
+                x, lnsin, cm, a_tab, b_tab, mv, two_float=True
+            )
+            return self._split_sections(hi), self._split_sections(lo)
+
+        m_all = np.arange(self.mmax + 1)
+        with jax.enable_x64(True):
+            return build(
+                jnp.asarray(self._x, jnp.float64),
+                jnp.asarray(self._lnsin, jnp.float64),
+                jnp.asarray(self._cm[m_all], jnp.float64),
+                jnp.asarray(self._a_tab, jnp.float64),
+                jnp.asarray(self._b_tab, jnp.float64),
+                jnp.asarray(m_all),
+            )
+
+    def precompute_ring_plan_streamed(self, dtype=jnp.complex64):
+        """Ring-DFT plan with the integer phase tables as runtime args.
+
+        Same output as :meth:`precompute_ring_plan` (cap matrices carry
+        the quadrature weight), built through small jitted chunk
+        programs instead of one constant-folded giant — see
+        :meth:`precompute_legendre_split_2f_streamed` for the compile
+        economics.
+        """
+        ring_ids = np.asarray(self._cap_rings)
+        rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+
+        # The [r, j, C] integer phase-numerator tables are as large as
+        # the plan itself (~1.2 GB int32 at nside=256) — forming them on
+        # host would put them on the wire (measured 24 s of tunnel
+        # transfer).  Ship only the SMALL factor tables and form the
+        # products on device; pre-reduce per-factor mod den so the
+        # int32 device product cannot wrap (a*b mod d == ((a mod d) *
+        # (b mod d)) mod d, and _phase_turns reduces mod den again).
+        @jax.jit
+        def cap_chunk(two_ps, mv_row, den, mask, w_rows):
+            # mv_row: [r, C] = m reduced mod each row's den, so the
+            # per-row modular product identity applies
+            num = two_ps[:, :, None] * mv_row[:, None, :]
+            c, sn = self._phase_turns(num, den, dtype)
+            P = (jax.lax.complex(c, -sn) * mask[:, :, None]).astype(dtype)
+            return P * w_rows[:, None, None].astype(dtype)
+
+        @jax.jit
+        def cap_chunk_hostnum(num, den, mask, w_rows):
+            # fallback: host-reduced full num table (large transfer —
+            # only for nside large enough that the device product wraps)
+            c, sn = self._phase_turns(num, den, dtype)
+            P = (jax.lax.complex(c, -sn) * mask[:, :, None]).astype(dtype)
+            return P * w_rows[:, None, None].astype(dtype)
+
+        @jax.jit
+        def belt_chunk(j_mod, mv, den):
+            num = j_mod[:, None] * mv[None, :]
+            c, sn = self._phase_turns(num, den, dtype)
+            return jax.lax.complex(c, -sn).astype(dtype)
+
+        P_groups = []
+        for grp in self._cap_wgroups:
+            rows_arr, w = grp
+            two_ps = np.asarray(self._cap_2ps[rows_arr][:, :w], np.int64)
+            n_rows = np.asarray(self._cap_n[rows_arr], np.int64)
+            den_h = (2 * n_rows)[:, None, None]
+            two_ps_m = two_ps % den_h[:, :, 0]  # [r, w], < 2*nphi_r
+            mask_h = np.asarray(self._cap_mask[rows_arr][:, :w], dtype=rdt)
+            w_rows_h = np.asarray(self._w[ring_ids[rows_arr]], dtype=rdt)
+            den_d = jnp.asarray(den_h, jnp.int32)
+            mask_d = jnp.asarray(mask_h)
+            w_rows_d = jnp.asarray(w_rows_h)
+            # device int32 product is safe iff max (2ps mod d)(m mod d)
+            # < 2^31; dens differ per row inside a width group, so m is
+            # reduced per ROW ([r, M+1] — still a tiny transfer).  One
+            # call per group covering ALL m: per-chunk calls cost a
+            # tunnel round trip each.
+            max_prod = int(two_ps_m.max(initial=0)) * int(
+                (den_h.max() - 1) if den_h.size else 0
+            )
+            mv_row = np.asarray(self._m, np.int64)[None, :] % den_h[:, 0, :]
+            if max_prod < 2**31:
+                P_groups.append(
+                    cap_chunk(
+                        jnp.asarray(two_ps_m, jnp.int32),
+                        jnp.asarray(mv_row, jnp.int32),
+                        den_d,
+                        mask_d,
+                        w_rows_d,
+                    )
+                )
+            else:
+                num_h = (two_ps_m[:, :, None] * mv_row[:, None, :]) % den_h
+                P_groups.append(
+                    cap_chunk_hostnum(
+                        jnp.asarray(num_h, jnp.int32),
+                        den_d,
+                        mask_d,
+                        w_rows_d,
+                    )
+                )
+
+        den_b = int(self._belt_nphi)
+        j_mod = np.arange(self._belt_nphi, dtype=np.int64) % den_b
+        mv_red = np.asarray(self._m, np.int64) % den_b
+        den_d = jnp.full((1, 1), den_b, jnp.int32)
+        if int(j_mod.max(initial=0)) * int(mv_red.max(initial=0)) < 2**31:
+            W = belt_chunk(
+                jnp.asarray(j_mod, jnp.int32),
+                jnp.asarray(mv_red, jnp.int32),
+                den_d,
+            )
+        else:  # huge-nside fallback: ship the host-reduced num table
+            num_h = (j_mod[:, None] * mv_red[None, :]) % den_b
+
+            @jax.jit
+            def belt_hostnum(num, den):
+                c, sn = self._phase_turns(num, den, dtype)
+                return jax.lax.complex(c, -sn).astype(dtype)
+
+            W = belt_hostnum(jnp.asarray(num_h, jnp.int32), den_d)
+        return {"W": W, "P": P_groups}
 
     def padded_layout(self) -> np.ndarray:
         """HEALPix pixel index for each slot of the GEMM-ready padded

@@ -510,15 +510,23 @@ class BeamTransfer:
                 "",
             )
 
-            @jax.jit
-            def build():
-                if comp:
-                    lam, lam_lo = s.precompute_legendre_split_2f()
-                else:
-                    lam, lam_lo = s.precompute_legendre_split(jnp.float32), None
-                return lam, lam_lo, s.precompute_ring_plan()
-
-            lam, lam_lo, plan = build()
+            # Argument-streamed builders: a single no-input jit here
+            # made XLA constant-fold the ENTIRE constants build at
+            # compile time (80 s compile / multi-GB executable for ~0 s
+            # of execution at nside=256) — the dominant fresh-process
+            # warmup cost whenever the compile cache missed.  The
+            # streamed variants compile a handful of small chunk
+            # programs and actually RUN the build (round 4).
+            if comp:
+                lam, lam_lo = s.precompute_legendre_split_2f_streamed()
+            else:
+                # legacy single-f32 path (DRACO_TPU_COMP_LEGENDRE=0):
+                # kept as the one-jit build
+                lam = jax.jit(
+                    lambda: s.precompute_legendre_split(jnp.float32)
+                )()
+                lam_lo = None
+            plan = s.precompute_ring_plan_streamed()
             self._stream_ops2 = (s, lam, lam_lo, plan)
         return self._stream_ops2
 
