@@ -231,6 +231,66 @@ def test_hybrid_mesh_layout():
         make_hybrid_mesh(ici_shape=(2, 2), dcn_shape=(4, 1))
 
 
+class _FakeSliceDevice:
+    """A real CPU device masquerading as a member of a TPU slice.
+
+    Forwards every attribute to the wrapped device but reports a
+    configurable ``slice_index`` — enough for
+    ``mesh_utils.create_hybrid_device_mesh`` to treat the virtual CPU
+    devices as a genuine multi-slice topology.
+    """
+
+    def __init__(self, dev, slice_index):
+        object.__setattr__(self, "_dev", dev)
+        object.__setattr__(self, "_slice_index", slice_index)
+
+    def __getattr__(self, name):
+        if name == "slice_index":
+            return self._slice_index
+        return getattr(self._dev, name)
+
+    def __repr__(self):
+        return f"FakeSlice(id={self._dev.id}, slice={self._slice_index})"
+
+
+def test_hybrid_mesh_real_multislice_branch():
+    """The REAL multi-slice branch of make_hybrid_mesh
+    (``create_hybrid_device_mesh``, parallel/mesh.py) with faked
+    slice_index devices: the DCN axis must span slices (each freq row =
+    one slice), and the unwrapped grid must form an executable Mesh.
+    """
+    import jax
+
+    from draco_tpu.parallel import make_hybrid_mesh
+
+    devs = jax.devices()[:8]
+    # two fake slices of four devices each
+    fakes = [_FakeSliceDevice(d, i // 4) for i, d in enumerate(devs)]
+
+    mesh = make_hybrid_mesh(
+        ici_shape=(1, 4), dcn_shape=(2, 1), axis_names=("freq", "m"),
+        devices=fakes,
+    )
+    assert mesh.shape == {"freq": 2, "m": 4}
+    slices = np.vectorize(lambda d: d.slice_index)(mesh.devices)
+    # DCN-outermost: each freq row lives entirely inside one slice
+    assert (slices[0] == 0).all()
+    assert (slices[1] == 1).all()
+
+    # The same grid with the wrappers removed is a REAL executable mesh:
+    # run a psum over it to prove the layout is more than cosmetic.
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    real_grid = np.vectorize(lambda f: f._dev)(mesh.devices)
+    real_mesh = Mesh(real_grid, ("freq", "m"))
+    x = jnp.arange(16.0).reshape(2, 8)
+    xs = jax.device_put(x, NamedSharding(real_mesh, P("freq", "m")))
+    total = jax.jit(
+        lambda a: jnp.sum(a), out_shardings=NamedSharding(real_mesh, P())
+    )(xs)
+    assert float(np.asarray(total)) == float(x.sum())
+
+
 def test_task_path_on_hybrid_mesh(setup):
     """The task spine on a hybrid (2 slices x 4-device ICI) mesh equals
     the unsharded run — the same invariant as the flat 2-D mesh test,
