@@ -58,6 +58,23 @@ else:
         _prec_name
     ]
 NRUN = int(os.environ.get("BENCH_NRUN", 2))
+
+# Per-tag steady-state run times, kept so the emitted JSON can carry
+# min/median/max spreads (single numbers hid 15-25% tunnel variance —
+# round-3 VERDICT weak #4).
+_RUN_TIMES: dict = {}
+
+
+def _spread(tag):
+    ts = _RUN_TIMES.get(tag)
+    if not ts:
+        return None
+    return {
+        "min": round(min(ts), 3),
+        "median": round(float(np.median(ts)), 3),
+        "max": round(max(ts), 3),
+        "n": len(ts),
+    }
 # Baseline-data-parallel sharding over N devices (pod scaling): each
 # baseline chunk's beam-transfer generation + projection shards over the
 # mesh; the small [m, 2, nbl] visibility array stays replicated.
@@ -215,6 +232,7 @@ def run_library(nfreq: int, nfeed_side: int, autos: bool, chunk: int,
     if os.environ.get("BENCH_DUMP"):
         np.save(os.environ["BENCH_DUMP"], np.asarray(out))
     assert np.isfinite(np.asarray(out[:, :, :1024])).all()
+    _RUN_TIMES[tag] = times
     return min(times), warm, npairs
 
 
@@ -288,6 +306,7 @@ def run_cylinder(ncyl=None, nfeed=None, chunk=None, tag="cylinder", pol=False):
         times.append(time.time() - t0)
         log(f"[{tag}] run {i}: {times[-1]:.3f}s")
     assert np.isfinite(np.asarray(out[:, :, :1024])).all()
+    _RUN_TIMES[tag] = times
     return min(times), warm, npairs
 
 
@@ -336,13 +355,83 @@ def run_delay_gibbs():
         log(f"[delay_gibbs] run {i}: {times[-1]:.3f}s")
     dt = min(times)
     assert np.isfinite(out).all()
+    _RUN_TIMES["delay_gibbs"] = times
     return {
         "nbase": nbase,
         "ndelay": ndelay,
         "niter": niter,
         "seconds": round(dt, 3),
+        "spread_s": _spread("delay_gibbs"),
         "warmup_s": round(warm, 1),
     }
+
+
+def run_chime_composite():
+    """The BASELINE scale-up COMPOSITE stages at 2048 feeds.
+
+    Receiver temperature + GP gain fluctuations + ApplyGain +
+    complex-Wishart SampleNoise on the FULL 2048-input correlation
+    triangle (2,098,176 products), streamed through the HBM-budgeted
+    Wishart chunk kernel (draco_tpu/synthesis/noise.py).  The full
+    triangle at production RA resolution is ~26 TB — no machine
+    materialises it (the reference's per-(freq, time) loop,
+    /root/reference/draco/synthesis/noise.py:344-372, faces the same
+    wall) — so the composite stages run on a time chunk and report the
+    cost per (freq, time) sample; the simulate->map spine at this
+    geometry is the separate cylinder_chime2048 extra, and the whole
+    chain executes end-to-end at reduced scale in
+    tests/test_endtoend.py::test_composite_pipeline_yaml.
+    """
+    from draco_tpu.analysis.calibration import ApplyGain
+    from draco_tpu.core import containers
+    from draco_tpu.synthesis import gain as gain_mod
+    from draco_tpu.synthesis import noise as noise_mod
+
+    nfeed = int(os.environ.get("BENCH_COMPOSITE_FEEDS", 2048))
+    ntime = int(os.environ.get("BENCH_COMPOSITE_NTIME", 4))
+    ts = containers.TimeStream(
+        freq=np.array([800.0]), input=nfeed,
+        time=1.4e9 + np.arange(ntime) * 10.0,
+    )
+    nprod = ts.vis.shape[1]
+    rng = np.random.Generator(np.random.SFC64(7))
+    # small random crosses + dominant autos -> safely positive definite
+    vis = (
+        0.1 * rng.standard_normal((1, nprod, ntime))
+        + 0.1j * rng.standard_normal((1, nprod, ntime))
+    ).astype(np.complex64)
+    ts.vis[:] = vis
+    ts.weight[:] = 1.0
+
+    stages = {}
+    t0 = time.time()
+    rt = noise_mod.ReceiverTemperature()
+    rt.read_config({"recv_temp": 50.0})
+    ts = rt.process(ts)
+    stages["recv_temp_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    g = gain_mod.RandomGains()
+    g.read_config({"seed": 5, "sigma_amp": 0.001, "sigma_phase": 0.001})
+    gains = g.process(ts)
+    ap = ApplyGain()
+    ap.read_config({"inverse": False})
+    ts = ap.process(ts, gains)
+    stages["gains_s"] = round(time.time() - t0, 2)
+
+    sn = noise_mod.SampleNoise()
+    sn.read_config({"seed": 6, "sample_frac": 1.0})
+    t0 = time.time()
+    ts = sn.process(ts)
+    warm = time.time() - t0
+    t0 = time.time()
+    ts = sn.process(ts)  # warm timing: kernel compiled, PD preserved
+    stages["wishart_s"] = round(time.time() - t0, 2)
+    stages["wishart_warmup_s"] = round(warm, 1)
+    stages["wishart_per_sample_s"] = round(stages["wishart_s"] / ntime, 3)
+    stages.update({"nfeed": nfeed, "nprod": int(nprod), "ntime": ntime})
+    assert np.isfinite(np.asarray(ts.vis[:])).all()
+    return stages
 
 
 def main():
@@ -374,6 +463,7 @@ def main():
         tag="headline",
     )
     extras["warmup_s"] = round(warm, 1)
+    extras["spread_s"] = _spread("headline")
     # the BASELINE.json companion metric: m-modes processed per second
     # ((mmax+1) x 2 signs x npairs per frequency per round trip)
     mmax_hl = 3 * NSIDE - 1
@@ -417,6 +507,42 @@ def main():
         except Exception as e:
             extras["tpu_canary"] = {"ok": False, "error": str(e)[:200]}
 
+    # Engine-INDEPENDENT physics canary (round-4 VERDICT item 4): the
+    # production-shape simulate spine + m-mode packing vs scipy-harmonic
+    # pixel-sum truth at nside=256 — no framework SHT in the truth leg,
+    # so a framework-wide algorithmic error cannot cancel.  Subprocess
+    # (the truth leg is host scipy/numpy; ~2 min).
+    if os.environ.get("BENCH_PHYSICS", "1") != "0":
+        import subprocess as _sp
+
+        try:
+            proc = _sp.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "scripts",
+                        "check_physics.py",
+                    ),
+                    "--json",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=1500,
+            )
+            canary = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    canary = json.loads(line)
+            if canary is None:
+                canary = {
+                    "ok": False,
+                    "error": (proc.stderr or proc.stdout)[-200:],
+                }
+            extras["physics_canary"] = canary
+        except Exception as e:
+            extras["physics_canary"] = {"ok": False, "error": str(e)[:200]}
+
     # Wall-clock budget for the extra measurements: a fully cold compile
     # cache over the remote-TPU tunnel costs minutes per program, and the
     # headline metric must never be lost to an extra timing out.
@@ -445,6 +571,7 @@ def main():
             "nfreq": nfreq,
             "seconds": round(t_mf, 3),
             "per_freq_s": round(t_mf / nfreq, 4),
+            "spread_s": _spread(f"multifreq{nfreq}"),
         }
 
         # north-star feed count: 256 feeds, C(256,2) = 32640 cross pairs,
@@ -467,6 +594,7 @@ def main():
             "nfreq": big_nfreq,
             "seconds": round(t_big, 3),
             "per_freq_s": round(t_big / big_nfreq, 4),
+            "spread_s": _spread(f"feeds{big_side ** 2}x{big_nfreq}f"),
         }
 
         # freq-batch scaling curve (VERDICT r2 item 5): measure a second
@@ -553,6 +681,7 @@ def main():
         extras["cylinder"] = {
             "npairs": npairs_cyl,
             "seconds": round(t_cyl, 3),
+            "spread_s": _spread("cylinder"),
             "warmup_s": round(warm_cyl, 1),
         }
 
@@ -572,6 +701,7 @@ def main():
             extras["cylinder_chime"] = {
                 "npairs": npairs_ch,
                 "seconds": round(t_ch, 3),
+                "spread_s": _spread("cylinder_chime"),
                 "warmup_s": round(warm_ch, 1),
             }
         except Exception as e:  # never fail the whole bench on an extra
@@ -600,6 +730,7 @@ def main():
                 "npairs": npairs_cp,
                 "npol_sky": 4,
                 "seconds": round(t_cp, 3),
+                "spread_s": _spread("cylinder_chime2048"),
                 "warmup_s": round(warm_cp, 1),
             }
         except Exception as e:  # never fail the whole bench on an extra
@@ -733,19 +864,67 @@ print('per_freq_s', t/{nfreq})
         extras["spine_crosscheck_s"] = round(spine, 3)
         extras["library_vs_spine"] = round(value / spine, 3)
 
+    if os.environ.get("BENCH_COMPOSITE", "1") != "0" and within_budget(
+        "chime_composite2048"
+    ):
+        # the last BASELINE config: gain fluctuations + Wishart noise at
+        # 2048 feeds (see run_chime_composite docstring)
+        try:
+            extras["chime_composite2048"] = run_chime_composite()
+        except Exception as e:  # never fail the whole bench on an extra
+            extras["chime_composite2048"] = {"error": str(e)[:200]}
+
     extras["total_bench_s"] = round(time.time() - t_start, 1)
 
-    print(
-        json.dumps(
-            {
-                "metric": "simulate_to_map_roundtrip_nside256_2080baselines",
-                "value": round(value, 3),
-                "unit": "s",
-                "vs_baseline": round(60.0 / value, 2),
-                **extras,
-            }
-        )
-    )
+    record = {
+        "metric": "simulate_to_map_roundtrip_nside256_2080baselines",
+        "value": round(value, 3),
+        "unit": "s",
+        "vs_baseline": round(60.0 / value, 2),
+        **extras,
+    }
+    record["vs_prev_round"] = _vs_prev_round(record)
+    print(json.dumps(record))
+
+
+def _vs_prev_round(record):
+    """Per-metric % deltas vs the newest BENCH_r*.json on disk.
+
+    Flags drifts (like delay_gibbs 0.78 s -> 1.05 s between rounds 2
+    and 3) automatically instead of relying on a human diff; positive
+    means slower/larger than the previous round.
+    """
+    import glob
+
+    def flatten(d, prefix=""):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(flatten(v, f"{prefix}{k}."))
+            elif isinstance(v, (int, float)) and not isinstance(v, bool):
+                out[f"{prefix}{k}"] = float(v)
+        return out
+
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        if not files:
+            return None
+        with open(files[-1]) as fh:
+            prev = json.load(fh)
+        a, b = flatten(prev), flatten(record)
+        watch = {
+            "value", "seconds", "per_freq_s", "mmodes_per_sec",
+            "warmup_s", "total_bench_s", "rel_err", "rel_err_vis",
+            "rel_err_mmode",
+        }
+        deltas = {}
+        for k in sorted(set(a) & set(b)):
+            if k.rsplit(".", 1)[-1] in watch and a[k]:
+                deltas[k] = round((b[k] - a[k]) / abs(a[k]) * 100.0, 1)
+        return {"file": os.path.basename(files[-1]), "pct": deltas}
+    except Exception as e:  # pragma: no cover - informational only
+        return {"error": str(e)[:200]}
 
 
 def run_spine(emit_json: bool = True):

@@ -97,6 +97,30 @@ def _recurrence_tables(lmax: int, mmax: int):
     return a, b
 
 
+def _compile_cached(fn, name, *args):
+    """Run jitted ``fn(*args)`` through the AOT executable cache.
+
+    Lowers for the concrete ``args`` and loads/stores the serialized
+    executable (ops.aotcache) — jax's own persistent-cache key drifts
+    across remote-TPU tunnel sessions, so constant-builder programs
+    would otherwise recompile every fresh process.  Any failure falls
+    back to the plain jit call.
+    """
+    try:
+        from . import aotcache
+
+        if aotcache.cache_dir() is not None:
+            lowered = fn.lower(*args)
+            return aotcache.compile_cached(lowered, name)(*args)
+    except Exception as e:  # pragma: no cover - defensive
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "aot-cached build %s failed (%s); plain jit", name, e
+        )
+    return fn(*args)
+
+
 def _legendre_block_core(x, lnsin, cm_c, a_tab, b_tab, mv, two_float=False):
     """Lambda[l, c, r] recurrence with the tables as ARGUMENTS.
 
@@ -721,7 +745,10 @@ class SHT:
         """
         # ONE dispatch with ~5 MB of table arguments: per-m-chunk calls
         # cost a tunnel round trip each, and the scan emits (hi, lo)
-        # directly so the f64 tensor is never materialised.
+        # directly so the f64 tensor is never materialised.  Compiled
+        # through the AOT executable cache — jax's own persistent-cache
+        # key drifts across tunnel sessions, which would re-pay the
+        # compile every fresh process.
         @jax.jit
         def build(x, lnsin, cm, a_tab, b_tab, mv):
             hi, lo = _legendre_block_core(
@@ -731,7 +758,7 @@ class SHT:
 
         m_all = np.arange(self.mmax + 1)
         with jax.enable_x64(True):
-            return build(
+            args = (
                 jnp.asarray(self._x, jnp.float64),
                 jnp.asarray(self._lnsin, jnp.float64),
                 jnp.asarray(self._cm[m_all], jnp.float64),
@@ -739,6 +766,7 @@ class SHT:
                 jnp.asarray(self._b_tab, jnp.float64),
                 jnp.asarray(m_all),
             )
+            return _compile_cached(build, "legendre2f", *args)
 
     def precompute_ring_plan_streamed(self, dtype=jnp.complex64):
         """Ring-DFT plan with the integer phase tables as runtime args.
@@ -805,7 +833,9 @@ class SHT:
             mv_row = np.asarray(self._m, np.int64)[None, :] % den_h[:, 0, :]
             if max_prod < 2**31:
                 P_groups.append(
-                    cap_chunk(
+                    _compile_cached(
+                        cap_chunk,
+                        "ringplan_cap",
                         jnp.asarray(two_ps_m, jnp.int32),
                         jnp.asarray(mv_row, jnp.int32),
                         den_d,
@@ -816,7 +846,9 @@ class SHT:
             else:
                 num_h = (two_ps_m[:, :, None] * mv_row[:, None, :]) % den_h
                 P_groups.append(
-                    cap_chunk_hostnum(
+                    _compile_cached(
+                        cap_chunk_hostnum,
+                        "ringplan_capnum",
                         jnp.asarray(num_h, jnp.int32),
                         den_d,
                         mask_d,
@@ -829,7 +861,9 @@ class SHT:
         mv_red = np.asarray(self._m, np.int64) % den_b
         den_d = jnp.full((1, 1), den_b, jnp.int32)
         if int(j_mod.max(initial=0)) * int(mv_red.max(initial=0)) < 2**31:
-            W = belt_chunk(
+            W = _compile_cached(
+                belt_chunk,
+                "ringplan_belt",
                 jnp.asarray(j_mod, jnp.int32),
                 jnp.asarray(mv_red, jnp.int32),
                 den_d,
@@ -842,7 +876,9 @@ class SHT:
                 c, sn = self._phase_turns(num, den, dtype)
                 return jax.lax.complex(c, -sn).astype(dtype)
 
-            W = belt_hostnum(jnp.asarray(num_h, jnp.int32), den_d)
+            W = _compile_cached(
+                belt_hostnum, "ringplan_beltnum", jnp.asarray(num_h, jnp.int32), den_d
+            )
         return {"W": W, "P": P_groups}
 
     def padded_layout(self) -> np.ndarray:

@@ -157,13 +157,18 @@ def main():
                 width = int(re.sub(r"\D", "", dt) or 32) // 8
                 bytes_total += n * width
 
-    eff = t_single / (t_shard * 1.0)  # CPU-mesh proxy (informational)
     result = {
         "collective_counts": counts,
         "collective_bytes_out": int(bytes_total),
         "sharded_vs_single_max_rel_err": float(f"{err:.3e}"),
-        "cpu_mesh_t_single_s": round(t_single, 3),
-        "cpu_mesh_t_sharded_s": round(t_shard, 3),
+        # Wall clocks on the 8-VIRTUAL-device CPU mesh (8 shards
+        # timesharing one host): the sharded program is naturally
+        # SLOWER here.  Evidence of scaling is the zero collective
+        # count + numerical agreement, NOT these timings.
+        "cpu_mesh_wallclocks_not_scaling_evidence": {
+            "t_single_s": round(t_single, 3),
+            "t_sharded_8shards_1host_s": round(t_shard, 3),
+        },
         "total_collectives": int(sum(counts.values())),
     }
     print(json.dumps(result) if emit_json else result)

@@ -166,12 +166,52 @@ def main():
         T = jax.lax.fori_loop(0, ITERS, body, T0)
         return T[0][0, 0, 0, ::64].real.sum()
 
+    # stage 3b: ONE-pass stacked einsums — the U/V pair and the T pair
+    # each stream the full F2 tensor once instead of component-wise
+    def stage3b(env):
+        lam_e = env["lam"]
+        pw = s.belt_phase_weight(jnp.complex64)
+        alm0 = jnp.zeros((1, npol, s.lmax + 1, mmax + 1), jnp.complex64)
+        S_secs = []
+        for lam_s in [lam_e["belt"], *lam_e["caps"]]:
+            r = jnp.einsum("fplm,lmr->fpmr", alm0.real, lam_s)
+            S_secs.append(jax.lax.complex(r, r))
+        S_secs[0] = S_secs[0] * jnp.conj(pw).T
+        sec_rings = [lam_e["belt"].shape[2]] + [
+            c.shape[2] for c in lam_e["caps"]
+        ]
+        T0 = [jnp.zeros((1, npol, r, mmax + 1), jnp.complex64) for r in sec_rings]
+
+        def body(c, T_accs):
+            F_belt, group_F = s._ring_analysis_parts_padded(
+                fringe_X(env, c), raw_belt=True, plan=env["plan"]
+            )
+            vp = jnp.zeros((1, mmax + 1, CHUNK), jnp.complex64)
+            vm = jnp.zeros((1, mmax + 1, CHUNK), jnp.complex64)
+            for F2, S in zip([F_belt, *group_F], S_secs):
+                UV = jnp.einsum("xfcprm,fpmr->xfmc", jnp.conj(F2), S)
+                vp = vp + (UV[0] + 1j * UV[1])
+                vm = vm + (UV[0] - 1j * UV[1])
+            v_sum = (vp + vm).transpose(1, 0, 2)
+            v_dif = (vm - vp).transpose(1, 0, 2)
+            vst = jnp.stack([v_sum, 1j * v_dif])
+            out = []
+            for F2, T in zip([F_belt, *group_F], T_accs):
+                T = T + jnp.einsum("xfcprm,xmfc->fprm", F2, vst)
+                out.append(T)
+            return out
+
+        T = jax.lax.fori_loop(0, ITERS, body, T0)
+        return T[0][0, 0, 0, ::64].real.sum()
+
     t1 = timed("stage1 trig+combine      ", stage1, env)
     t2 = timed("stage2 + ring analysis   ", stage2, env)
     t3 = timed("stage3 full chunk body   ", stage3, env)
+    t3b = timed("stage3b stacked einsums  ", stage3b, env)
     print(
         f"breakdown: trig+combine {t1*1e3:.1f} | ring GEMMs "
-        f"{(t2-t1)*1e3:.1f} | U/V/T einsums {(t3-t2)*1e3:.1f} ms/chunk"
+        f"{(t2-t1)*1e3:.1f} | U/V/T einsums {(t3-t2)*1e3:.1f} "
+        f"(stacked: {(t3b-t2)*1e3:.1f}) ms/chunk"
     )
 
 
