@@ -912,6 +912,8 @@ def _vs_prev_round(record):
             return None
         with open(files[-1]) as fh:
             prev = json.load(fh)
+        if "parsed" in prev and isinstance(prev["parsed"], dict):
+            prev = prev["parsed"]  # driver wrapper {n, cmd, rc, tail, parsed}
         a, b = flatten(prev), flatten(record)
         watch = {
             "value", "seconds", "per_freq_s", "mmodes_per_sec",

@@ -411,3 +411,91 @@ def test_delayopt_device_matches_host(rng, monkeypatch):
     # the prior is host-side either way; sanity that the sum path works
     p = GaussianProcessPrior(ndelay)
     assert np.isfinite(p.value(logs))
+
+
+def test_delayopt_f32_device_mode_parity():
+    """Production runs with x64 OFF, so the device core factorises in
+    complex64 — its value/gradient must track the host float64 path to
+    f32-appropriate tolerance (round-3 advisor finding: this mode was
+    untested).  Subprocess: the test session pins x64 on."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import os
+        import numpy as np
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        assert not jax.config.jax_enable_x64
+        from draco_tpu.analysis.delayopt import LogLikePS
+
+        rng = np.random.Generator(np.random.SFC64(11))
+        nchan, ndelay, nsamp = 24, 32, 6
+        rows = rng.standard_normal((nsamp, nchan)) + 1j * rng.standard_normal(
+            (nsamp, nchan))
+        MF = rng.standard_normal((nchan, ndelay)) + 1j * rng.standard_normal(
+            (nchan, ndelay))
+        N = rng.uniform(0.5, 2.0, nchan)
+        X = (rows.T @ rows.conj()) / nsamp
+        logs = np.log(rng.uniform(0.5, 2.0, ndelay))
+
+        outs = {}
+        for mode in ("0", "1"):
+            os.environ["DRACO_TPU_DELAYOPT_DEVICE"] = mode
+            f = LogLikePS(X, MF, N, nsamp)
+            outs[mode] = (f.value(logs), f.gradient(logs))
+        v0, g0 = outs["0"]  # host float64 scipy
+        v1, g1 = outs["1"]  # device complex64
+        assert np.isclose(v0, v1, rtol=2e-5), (v0, v1)
+        np.testing.assert_allclose(
+            g0, g1, rtol=5e-3, atol=1e-4 * np.abs(g0).max()
+        )
+        print("F32PARITY-OK")
+        """
+    )
+    import os
+
+    env = {
+        k: v for k, v in os.environ.items() if k != "JAX_ENABLE_X64"
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "F32PARITY-OK" in r.stdout
+
+
+def test_delayopt_f32_nonfinite_falls_back_to_host(monkeypatch):
+    """A non-finite f32 device factorisation must fall through to the
+    host float64 path (matching the reference's always-float64 scipy)
+    instead of raising."""
+    from draco_tpu.analysis import delayopt as dmod
+
+    rng = np.random.Generator(np.random.SFC64(12))
+    nchan, ndelay, nsamp = 12, 16, 4
+    rows = rng.standard_normal((nsamp, nchan)) + 1j * rng.standard_normal(
+        (nsamp, nchan)
+    )
+    MF = rng.standard_normal((nchan, ndelay)) + 1j * rng.standard_normal(
+        (nchan, ndelay)
+    )
+    N = rng.uniform(0.5, 2.0, nchan)
+    X = (rows.T @ rows.conj()) / nsamp
+    logs = np.log(rng.uniform(0.5, 2.0, ndelay))
+
+    monkeypatch.setenv("DRACO_TPU_DELAYOPT_DEVICE", "1")
+    f = dmod.LogLikePS(X, MF, N, nsamp)
+    calls = {"n": 0}
+
+    def fake_device(x, s):
+        calls["n"] += 1
+        return False  # simulate non-finite f32 Cholesky
+
+    monkeypatch.setattr(f, "_precompute_device", fake_device)
+    v = f.value(logs)
+    assert calls["n"] == 1
+    assert np.isfinite(v)  # host f64 path produced the answer
