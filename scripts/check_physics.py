@@ -197,11 +197,13 @@ def main():
         if m > 0:
             err_mm = max(err_mm, np.abs(h_eng - H[m]).max() / mscale)
 
-    # Measured at nside=256: ~5e-6 for both checks (the pixel-sum
-    # quadrature of band-limited products is near-exact); 5e-4 leaves
-    # two orders of headroom while still catching any real convention
-    # or normalisation error at O(1).
-    tol = 5e-4
+    # Measured: ~5e-6 for both checks at nside=256 (the pixel-sum
+    # quadrature of band-limited products is near-exact at production
+    # resolution); 5e-4 leaves two orders of headroom there while
+    # catching any real convention or normalisation error at O(1).
+    # Small test nsides are quadrature-limited (1.5e-3 at nside=32,
+    # ~8e-3 at nside=16 — beam x fringe x sky exceeds the band limit).
+    tol = 5e-4 if NSIDE >= 128 else (5e-3 if NSIDE >= 32 else 2e-2)
     ok = bool(err_vis < tol and err_mm < tol and err_flip > 0.05)
     result = {
         "nside": NSIDE,
