@@ -103,7 +103,7 @@ class ApplyGain(ContainerTask):
         if common:
             vis = vis * np.abs(g_vis[:, np.newaxis, :]) ** 2
         else:
-            vis = np.asarray(
+            vis = tools.device_to_numpy(
                 tools.apply_gain(vis, g_vis, prod_map=tstream.prod)
             )
         tstream.vis[:] = vis.astype(tstream.vis.dtype)
@@ -119,7 +119,7 @@ class ApplyGain(ContainerTask):
         if common:
             w = np.asarray(tstream.weight[:]) * wfac[:, np.newaxis, :] ** 2
         else:
-            w = np.asarray(
+            w = tools.device_to_numpy(
                 tools.apply_gain(
                     np.asarray(tstream.weight[:]), wfac, prod_map=tstream.prod
                 )

@@ -216,8 +216,11 @@ def apply_gain(vis, gain, axis: int = 1, out=None, prod_map=None):
     (tools.py:210-272).  ``prod_map`` gives (input_a, input_b) per product;
     if omitted the upper-triangle ordering is assumed.
     """
-    vis = jnp.asarray(vis)
-    gain = jnp.asarray(gain)
+    # as_device, not jnp.asarray: vis/gain are usually complex, and a
+    # plain complex host->device transfer is unsupported over
+    # remote-TPU tunnels
+    vis = as_device(vis)
+    gain = as_device(gain)
     nprod = vis.shape[axis]
     ninput = gain.shape[axis]
 
@@ -251,7 +254,7 @@ def extract_diagonal(utmat, axis: int = 1):
 
     (tools.py:275)
     """
-    utmat = jnp.asarray(utmat)
+    utmat = as_device(utmat)  # complex-safe over remote-TPU tunnels
     nside = int((2 * utmat.shape[axis]) ** 0.5)
     if utmat.shape[axis] != nside * (nside + 1) // 2:
         raise RuntimeError(
@@ -269,7 +272,7 @@ def unpack_product_array(utmat, axis: int = 1, nside: int | None = None):
     (reference draco/util/_fast_tools.pyx:91): a gather + conjugate mask
     instead of a scatter loop.
     """
-    utmat = jnp.asarray(utmat)
+    utmat = as_device(utmat)  # complex-safe over remote-TPU tunnels
     nprod = utmat.shape[axis]
     n_full = int((2 * nprod) ** 0.5)
     if n_full * (n_full + 1) // 2 != nprod:

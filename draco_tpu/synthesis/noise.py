@@ -45,9 +45,11 @@ class ReceiverTemperature(ContainerTask):
 
     def process(self, data):
         autos = _auto_mask(data.prodstack)
-        vis = jnp.asarray(np.asarray(data.vis[:]))
+        # tools transfer helpers: plain complex host<->device transfers
+        # are unsupported over remote-TPU tunnels
+        vis = tools.as_device(np.asarray(data.vis[:]))
         vis = vis + self.recv_temp * jnp.asarray(autos)[None, :, None]
-        data.vis[:] = np.asarray(vis).astype(data.vis.dtype)
+        data.vis[:] = tools.device_to_numpy(vis).astype(data.vis.dtype)
         return data
 
 
@@ -89,7 +91,7 @@ class GaussianNoiseDataset(ContainerTask, RandomTask):
         else:
             noise = jax.random.normal(key, dset.shape, dtype=jnp.float32) * std
 
-        noise = np.asarray(noise).astype(dset.dtype)
+        noise = tools.device_to_numpy(noise).astype(dset.dtype)
         # Autos are real with doubled variance (reference noise.py:117-122)
         if dataset_name == "vis":
             autos = _auto_mask(data.prodstack)
@@ -166,12 +168,12 @@ class GaussianNoise(ContainerTask, RandomTask):
                 key, size=(nfreq, nprod, ntime), dtype=jnp.complex64
             ) * jnp.asarray(std[np.newaxis, :, np.newaxis], dtype=jnp.float32)
             autos = jnp.asarray(_auto_mask(prodstack))[None, :, None]
-            vis = jnp.asarray(np.asarray(data.vis[:]))
+            vis = tools.as_device(np.asarray(data.vis[:]))
             # autos: add sqrt(2) * real part only (reference noise.py:271-277)
             vis = jnp.where(
                 autos, vis + np.sqrt(2) * noise.real, vis + noise
             )
-            data.vis[:] = np.asarray(vis).astype(data.vis.dtype)
+            data.vis[:] = tools.device_to_numpy(vis).astype(data.vis.dtype)
 
         if self.set_weights:
             w = (1.0 / std**2)[np.newaxis, :, np.newaxis]
@@ -361,7 +363,7 @@ class FreqCorrelatedNoise(ContainerTask, RandomTask):
                 redundancy[..., np.newaxis], out.datasets["redundancy"].shape
             ).astype(np.int32)
 
-        L = jnp.asarray(np.asarray(noise_model.freq_cov[:]))  # [p,e,ra,f,f]
+        L = tools.as_device(np.asarray(noise_model.freq_cov[:]))  # [p,e,ra,f,f]
         weight = np.asarray(noise_model.weight[:])  # [p, f, e, ra]
 
         npol, nfreq, new, nns, nra = out.vis.shape
@@ -385,7 +387,7 @@ class FreqCorrelatedNoise(ContainerTask, RandomTask):
         pconjmap = np.unique(
             [p[1] + p[0] for p in pol_names], return_inverse=True
         )[1]
-        ovis_np = np.asarray(ovis)
+        ovis_np = tools.device_to_numpy(ovis)
         for pi, po in enumerate(pconjmap):
             ovis_np[po, :, 0, -1 : -nyp : -1, :] = ovis_np[
                 pi, :, 0, 1:nyp, :
