@@ -204,28 +204,41 @@ class MaximumLikelihoodMapMaker(BaseMapMaker):
     rcond = config.float_prop(1e-3)
 
     def _solve_all_m(self, vis, weight, freq_ind, mmax):
+        import functools
+
         bp, bm = self._bt_tensors(freq_ind)
         nfreq, nbase, npol, L1 = bp.shape[:4]
         nsky = npol * L1
+        acond, rcond = self.acond, self.rcond
 
-        out = []
-        for m0, m1 in self._m_chunks(mmax):
-            # B matrix per (m, f): [ntel, nsky]
-            B = jnp.concatenate(
-                [bp[..., m0:m1], bm[..., m0:m1]], axis=1
-            )  # [f, ntel, p, L1, mc]
-            B = jnp.moveaxis(B, -1, 0)  # [mc, f, ntel, p, L1]
-            B = B.reshape(m1 - m0, nfreq, 2 * nbase, nsky)
-            v = jnp.moveaxis(vis[m0:m1], 1, 2).reshape(m1 - m0, nfreq, 2 * nbase)
-            Ni = jnp.moveaxis(weight[m0:m1], 1, 2).reshape(
-                m1 - m0, nfreq, 2 * nbase
-            )
+        # One jitted program per chunk length: eager complex slicing /
+        # einsums are unsupported over remote-TPU tunnels (and slow).
+        @functools.partial(jax.jit, static_argnames=("mc",))
+        def chunk(bp, bm, vis, weight, m0, *, mc):
+            bpc = jax.lax.dynamic_slice_in_dim(bp, m0, mc, axis=-1)
+            bmc = jax.lax.dynamic_slice_in_dim(bm, m0, mc, axis=-1)
+            B = jnp.concatenate([bpc, bmc], axis=1)  # [f, ntel, p, L1, mc]
+            B = jnp.moveaxis(B, -1, 0).reshape(mc, nfreq, 2 * nbase, nsky)
+            vc = jax.lax.dynamic_slice_in_dim(vis, m0, mc, axis=0)
+            wc = jax.lax.dynamic_slice_in_dim(weight, m0, mc, axis=0)
+            v = jnp.moveaxis(vc, 1, 2).reshape(mc, nfreq, 2 * nbase)
+            Ni = jnp.moveaxis(wc, 1, 2).reshape(mc, nfreq, 2 * nbase)
             Nh = jnp.sqrt(Ni).astype(B.dtype)
-            ib = pinv_svd(B * Nh[..., None], acond=self.acond, rcond=self.rcond)
+            ib = pinv_svd(B * Nh[..., None], acond=acond, rcond=rcond)
             a = jnp.einsum("mfst,mft->mfs", ib, (Nh * v).astype(ib.dtype))
-            out.append(a.reshape(m1 - m0, nfreq, npol, L1))
-        a_all = jnp.concatenate(out, axis=0)  # [M+1, f, p, L1]
-        return jnp.moveaxis(a_all, 0, -1)  # [f, p, L1, M+1]
+            return a.reshape(mc, nfreq, npol, L1)
+
+        from ..ops import tools as _tools
+
+        vis_d = _tools.as_device(vis)
+        weight_d = _tools.as_device(weight)
+        out = [
+            chunk(bp, bm, vis_d, weight_d, m0, mc=m1 - m0)
+            for m0, m1 in self._m_chunks(mmax)
+        ]
+        return jax.jit(
+            lambda parts: jnp.moveaxis(jnp.concatenate(parts, axis=0), 0, -1)
+        )(out)  # [f, p, L1, M+1]
 
 
 class WienerMapMaker(BaseMapMaker):
@@ -260,13 +273,20 @@ class WienerMapMaker(BaseMapMaker):
         S_diag = jnp.asarray(np.tile(cl_TT, npol))  # [nsky]
         Si_diag = 1.0 / S_diag
 
-        out = []
-        for m0, m1 in self._m_chunks(mmax):
-            mc = m1 - m0
-            B = jnp.concatenate([bp[..., m0:m1], bm[..., m0:m1]], axis=1)
+        import functools
+
+        # One jitted program per chunk length (see the ML solver above
+        # for why: eager complex ops fail over remote-TPU tunnels).
+        @functools.partial(jax.jit, static_argnames=("mc",))
+        def chunk(bp, bm, vis, weight, S_diag, Si_diag, m0, *, mc):
+            bpc = jax.lax.dynamic_slice_in_dim(bp, m0, mc, axis=-1)
+            bmc = jax.lax.dynamic_slice_in_dim(bm, m0, mc, axis=-1)
+            B = jnp.concatenate([bpc, bmc], axis=1)
             B = jnp.moveaxis(B, -1, 0).reshape(mc, nfreq, ntel, nsky)
-            v = jnp.moveaxis(vis[m0:m1], 1, 2).reshape(mc, nfreq, ntel)
-            Ni = jnp.moveaxis(weight[m0:m1], 1, 2).reshape(mc, nfreq, ntel)
+            vc = jax.lax.dynamic_slice_in_dim(vis, m0, mc, axis=0)
+            wc = jax.lax.dynamic_slice_in_dim(weight, m0, mc, axis=0)
+            v = jnp.moveaxis(vc, 1, 2).reshape(mc, nfreq, ntel)
+            Ni = jnp.moveaxis(wc, 1, 2).reshape(mc, nfreq, ntel)
             Nh = jnp.sqrt(Ni).astype(B.dtype)
 
             Bt = B * Nh[..., None]  # pre-whitened beam
@@ -287,13 +307,26 @@ class WienerMapMaker(BaseMapMaker):
                 a = S_diag[None, None].astype(B.dtype) * jnp.einsum(
                     "mfts,mft->mfs", jnp.conj(Bt), v_int
                 )
-            out.append(a.reshape(mc, nfreq, npol, L1))
-        a_all = jnp.concatenate(out, axis=0)
-        # zero the l < m block explicitly (it is prior-suppressed but tiny
-        # numerical leakage is removed for exact parity)
-        M1 = a_all.shape[0]
-        lgrid = jnp.arange(L1)[None, :]
-        mgrid = jnp.arange(M1)[:, None]
-        mask = (lgrid >= mgrid)[:, None, None, :]
-        a_all = a_all * mask
-        return jnp.moveaxis(a_all, 0, -1)
+            return a.reshape(mc, nfreq, npol, L1)
+
+        from ..ops import tools as _tools
+
+        vis_d = _tools.as_device(vis)
+        weight_d = _tools.as_device(weight)
+        out = [
+            chunk(bp, bm, vis_d, weight_d, S_diag, Si_diag, m0, mc=m1 - m0)
+            for m0, m1 in self._m_chunks(mmax)
+        ]
+        # jitted combine: eager complex concat fails over TPU tunnels
+        @jax.jit
+        def combine(parts):
+            a_all = jnp.concatenate(parts, axis=0)
+            # zero the l < m block explicitly (it is prior-suppressed but
+            # tiny numerical leakage is removed for exact parity)
+            M1 = a_all.shape[0]
+            lgrid = jnp.arange(L1)[None, :]
+            mgrid = jnp.arange(M1)[:, None]
+            mask = (lgrid >= mgrid)[:, None, None, :]
+            return jnp.moveaxis(a_all * mask, 0, -1)
+
+        return combine(out)

@@ -155,9 +155,14 @@ class BeamTransfer:
                 bprod = np.stack([B_T, B_Q, B_U, B_V], axis=1)
 
         # normalise by pixel solid angle so V = sum_lm B_lm a_lm is the
-        # quadrature of the continuous integral
+        # quadrature of the continuous integral.  as_device: a plain
+        # complex host->device transfer is unsupported over remote-TPU
+        # tunnels (found by the first real-chip run of the dense
+        # cylinder path).
         omega_pix = 4 * np.pi / healpix.npix_of(nside)
-        return jnp.asarray(bprod * fringe[:, None, :] * omega_pix)
+        return tools.as_device(
+            (bprod * fringe[:, None, :] * omega_pix).astype(np.complex64)
+        )
 
     # Per-frequency beam products are reused within a build (support
     # mask, window, streaming setup), but one entry is [nuniq, npol,
@@ -384,23 +389,38 @@ class BeamTransfer:
         # transforms become pure batched GEMMs with no sequential
         # l-recurrence, contracted per ring section (no big concats).
         lam = jax.jit(lambda: s.precompute_legendre_split(jnp.float32))()
-        for fi in range(tel.nfreq):
-            bmaps = self._beam_fringe_maps(fi)  # [nbase, npol, npix]
-            # Analysis is linear: alm(B) = alm(Re) + i alm(Im) and
-            # alm(conj B) = alm(Re) - i alm(Im) — one real-input batched
-            # transform yields both conjugate projections at half the
-            # ring-GEMM FLOPs.  Bp = conj(SHT(conj B)); Bm = conj(SHT(B)).
-            ri = s._analysis_j(jnp.stack([bmaps.real, bmaps.imag]), lam=lam)
+
+        # Analysis is linear: alm(B) = alm(Re) + i alm(Im) and
+        # alm(conj B) = alm(Re) - i alm(Im) — one real-input batched
+        # transform yields both conjugate projections at half the
+        # ring-GEMM FLOPs.  Bp = conj(SHT(conj B)); Bm = conj(SHT(B)).
+        # One jit end-to-end: eager complex arithmetic is unsupported
+        # over remote-TPU tunnels.
+        @jax.jit
+        def dense_freq(bmaps, lam):
+            ri = s._analysis_impl(
+                jnp.stack([bmaps.real, bmaps.imag]), lam=lam
+            )
             alm_f = ri[0] + 1j * ri[1]
             alm_c = ri[0] - 1j * ri[1]
-            bp_f.append(jnp.conj(alm_c) * scale)
-            bm_f.append(jnp.conj(alm_f) * scale)
-        self._bp = jnp.stack(bp_f).astype(jnp.complex64)
-        self._bm = jnp.stack(bm_f).astype(jnp.complex64)
+            return jnp.conj(alm_c) * scale, jnp.conj(alm_f) * scale
+
+        for fi in range(tel.nfreq):
+            bmaps = self._beam_fringe_maps(fi)  # [nbase, npol, npix]
+            bp_c, bm_c = dense_freq(bmaps, lam)
+            bp_f.append(bp_c)
+            bm_f.append(bm_c)
         # The m = 0 negative block duplicates conj(V_0); the m-mode
         # containers leave [m=0, msign=1] empty (reference
-        # transform.py:701-703), so zero it here for a consistent operator.
-        self._bm = self._bm.at[..., 0].set(0.0)
+        # transform.py:701-703), so zero it for a consistent operator.
+        # Jitted: eager complex stacks are unsupported over TPU tunnels.
+        @jax.jit
+        def finalize(bp_f, bm_f):
+            bp = jnp.stack(bp_f).astype(jnp.complex64)
+            bm = jnp.stack(bm_f).astype(jnp.complex64)
+            return bp, bm.at[..., 0].set(0.0)
+
+        self._bp, self._bm = finalize(bp_f, bm_f)
         return self
 
     # -- projection API (reference parity) --------------------------------------
