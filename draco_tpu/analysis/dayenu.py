@@ -316,14 +316,19 @@ class DayenuDelayFilterFixedCutoff(transform.ReduceChisq):
                     fv, fw = dayenu_ops.apply_filter_freq(
                         NF[g], vis[sel], var[sel]
                     )
-                    fv, fw = np.asarray(fv), np.asarray(fw)
+                    # device_to_numpy / reduction_device: complex
+                    # readbacks and eager complex reductions are
+                    # unsupported over remote-TPU tunnels
+                    from ..ops.tools import device_to_numpy
+
+                    fv, fw = device_to_numpy(fv), np.asarray(fw)
                     if self.atten_threshold > 0.0:
                         fl = _atten_flag(NF[g], self.atten_threshold)
                         fw *= fl[:, np.newaxis, np.newaxis]
                     if self.reduce_baseline:
-                        rv, rw = self.reduction(fv, fw, 1)
-                        ovis[:, :, tind] = np.asarray(rv)
-                        oweight[:, :, tind] = np.asarray(rw)
+                        rv, rw = self.reduction_device(fv, fw, 1)
+                        ovis[:, :, tind] = device_to_numpy(rv)
+                        oweight[:, :, tind] = device_to_numpy(rw)
                     else:
                         ovis[sel] = fv
                         oweight[sel] = fw

@@ -1275,16 +1275,18 @@ class ReduceBase(ContainerTask):
 
         apply_over = tuple(ds_axes.index(ax) for ax in self.axes if ax in ds_axes)
 
-        reduced, reduced_weight = self.reduction(
+        reduced, reduced_weight = self.reduction_device(
             np.asarray(ds[:]), weight, apply_over
         )
 
-        out[self.dataset][:] = np.asarray(reduced).astype(
+        from ..ops.tools import device_to_numpy
+
+        out[self.dataset][:] = device_to_numpy(reduced).astype(
             out[self.dataset].dtype
         )
 
         if hasattr(out, "weight"):
-            rw = np.asarray(reduced_weight)
+            rw = device_to_numpy(reduced_weight)
             if wslc is not None:
                 owslc = tuple(0 if ws is None else ws for ws in wslc)
                 rw = rw[owslc]
@@ -1326,6 +1328,20 @@ class ReduceBase(ContainerTask):
         """Override to implement the reduction operation."""
         raise NotImplementedError
 
+    def reduction_device(self, arr, weight, axis):
+        """Run :meth:`reduction` as ONE jitted device program.
+
+        Tunnel-safe driver for every caller (the process() path above
+        and analysis/dayenu.py's per-group loop): complex uploads go
+        through the split-transfer helper and the reduction body never
+        dispatches eager complex ops — both are unsupported over
+        remote-TPU tunnels (found by the chip-smoke sweep).
+        """
+        from ..ops.tools import as_device
+
+        jitted = jax.jit(lambda a, w: self.reduction(a, w, axis))
+        return jitted(as_device(arr), jnp.asarray(np.asarray(weight)))
+
     def _weighted_mean(self, arr, weight, axis):
         """Weighted mean + summed weight, on device."""
         arr = jnp.asarray(arr)
@@ -1346,7 +1362,7 @@ class ReduceVar(ReduceBase):
             return v, jnp.ones_like(v)
 
         if self.weighting == "masked":
-            weight = (np.asarray(weight) > 0).astype(np.float32)
+            weight = (jnp.asarray(weight) > 0).astype(jnp.float32)
 
         arr, weight, ws, mu = self._weighted_mean(arr, weight, axis)
         # (arr - mu)**2, NOT |arr - mu|**2: for complex data the
@@ -1457,11 +1473,15 @@ class HPFTimeStream(ContainerTask):
         dflat = d.reshape(-1, len(times))
         wflat = w.reshape(-1, len(times))
 
-        filtered = np.asarray(
+        # as_device / device_to_numpy: dflat and F are complex, and
+        # plain complex transfers are unsupported over remote-TPU tunnels
+        from ..ops.tools import as_device, device_to_numpy
+
+        filtered = device_to_numpy(
             _hpf_rows(
-                jnp.asarray(dflat),
+                as_device(dflat),
                 jnp.asarray(wflat.astype(np.float64)),
-                jnp.asarray(F),
+                as_device(F),
                 self.prior,
             )
         )

@@ -97,10 +97,14 @@ class WaveletSpectrumEstimator(ContainerTask):
             * freq[:, np.newaxis]
         )
 
-        # Batched Wiener in-fill across all baselines at once
-        d_all = jnp.asarray(dset_view)  # [nbase, ntime, nfreq]
+        # Batched Wiener in-fill across all baselines at once.
+        # tools.as_device: plain complex host->device transfers are
+        # unsupported over remote-TPU tunnels.
+        from ..ops.tools import as_device
+
+        d_all = as_device(dset_view)  # [nbase, ntime, nfreq]
         Ni_all = jnp.asarray(weight_view.mean(axis=1))  # [nbase, nfreq]
-        d_infill = _wiener_infill(d_all, Ni_all, jnp.asarray(ds), jnp.asarray(F))
+        d_infill = _wiener_infill(d_all, Ni_all, jnp.asarray(ds), as_device(F))
 
         # CWT + variance, chunked over the scale bank
         ws = np.zeros(wspec.spectrum.shape, dtype=np.float64)

@@ -58,8 +58,9 @@ def test_inpaint_recovers_gap(rng):
     xi = np.asarray(xi)[0]
     wi = np.asarray(wi)[0]
 
-    # Unflagged samples are untouched; the gap is recovered well
-    assert np.array_equal(xi[W], x[W])
+    # Unflagged samples are untouched (compared at the working dtype:
+    # chip-smoke mode runs without x64, so xi is f32 of the f64 input)
+    assert np.array_equal(xi[W], x[W].astype(xi.dtype))
     err = np.abs(xi[~W] - x[~W])
     assert err.max() < 0.05 * np.abs(x).max()
     # Inpainted weights are finite and positive in the gap
