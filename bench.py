@@ -21,10 +21,101 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Kill-safe record (round-4 post-mortem: the driver's timeout killed the
+# bench before its single end-of-run print, so BENCH_r04 recorded nothing
+# — rc 124, parsed null).  The record is now a module-level dict that is
+# (a) printed as a JSON line and written to BENCH_partial.json after the
+# headline and after EVERY extra/canary, (b) dumped by SIGTERM/SIGINT
+# handlers, (c) flushed to disk every 30 s by a watchdog thread (signal
+# handlers cannot run while the main thread is wedged inside a blocked
+# tunnel dispatch), and (d) force-emitted by the same watchdog when the
+# total wall-clock budget expires — the bench self-terminates BEFORE the
+# driver's external kill can erase the evidence.
+# ---------------------------------------------------------------------------
+
+T_PROC_START = time.time()
+RECORD: dict = {
+    "metric": "simulate_to_map_roundtrip_nside256_2080baselines",
+    "value": None,
+    "unit": "s",
+    "vs_baseline": None,
+}
+_EMIT_LOCK = threading.Lock()
+_PARTIAL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_partial.json"
+)
+
+# Total wall-clock budget, covering EVERYTHING (probe, warmup, canaries,
+# extras) from process start.  The driver's observed kill is external
+# (~1h, rc 124); self-terminating earlier guarantees the final record
+# line is printed.  Override: BENCH_TOTAL_BUDGET_S.
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 3300))
+
+
+def _emit(stage: str, final: bool = False) -> None:
+    """Print the record-so-far as a JSON line and persist it to disk."""
+    with _EMIT_LOCK:
+        RECORD["emitted_at_stage"] = stage
+        RECORD["total_bench_s"] = round(time.time() - T_PROC_START, 1)
+        line = json.dumps(RECORD)
+        print(line, flush=True)
+        try:
+            tmp = _PARTIAL_PATH + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(line + "\n")
+            os.replace(tmp, _PARTIAL_PATH)
+        except OSError:
+            pass
+
+
+def _write_partial_only() -> None:
+    """Disk-only flush (watchdog tick): no stdout spam."""
+    with _EMIT_LOCK:
+        RECORD["total_bench_s"] = round(time.time() - T_PROC_START, 1)
+        try:
+            tmp = _PARTIAL_PATH + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(json.dumps(RECORD) + "\n")
+            os.replace(tmp, _PARTIAL_PATH)
+        except OSError:
+            pass
+
+
+def _sig_handler(signum, frame):  # pragma: no cover - exercised by kill
+    RECORD["killed_by_signal"] = int(signum)
+    _emit("signal")
+    os._exit(128 + int(signum))
+
+
+def _install_kill_safety() -> None:
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _sig_handler)
+        except (ValueError, OSError):  # non-main thread / exotic env
+            pass
+
+    def watchdog():
+        while True:
+            time.sleep(30)
+            _write_partial_only()
+            if time.time() - T_PROC_START > TOTAL_BUDGET_S:
+                RECORD["self_terminated_at_budget_s"] = TOTAL_BUDGET_S
+                _emit("budget_watchdog")
+                os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+
+def _budget_left() -> float:
+    return TOTAL_BUDGET_S - (time.time() - T_PROC_START)
 
 NSIDE = int(os.environ.get("BENCH_NSIDE", 256))
 NFEED_SIDE = int(os.environ.get("BENCH_NFEED_SIDE", 8))  # 64 feeds
@@ -110,16 +201,32 @@ def _configure_jax():
     if not os.environ.get("BENCH_PLATFORM"):
         import subprocess
 
+        # The probe runs a REAL dispatch + device->host readback, not
+        # just backend init: a wedged tunnel can init fine and then hang
+        # the first dispatch, and round 4's unattributed 776 s headline
+        # start is exactly the ambiguity this resolves.  Result is
+        # recorded in the bench record (warmup attribution).
+        probe_code = (
+            "import time,jax,jax.numpy as jnp,numpy as np;"
+            "t=time.time();d=jax.devices();"
+            "x=np.asarray(jnp.arange(8)+1);"
+            "print('PROBE_OK',round(time.time()-t,2))"
+        )
         wait_s = float(os.environ.get("BENCH_BACKEND_WAIT_S", "900"))
+        wait_s = min(wait_s, max(60.0, _budget_left() - 600.0))
         deadline = time.time() + wait_s
+        attempts = 0
+        t_probe = time.time()
         while True:
+            attempts += 1
             try:
                 probe = subprocess.run(
-                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    [sys.executable, "-c", probe_code],
                     capture_output=True,
                     timeout=120,
                 )
-                ok, err = probe.returncode == 0, probe.stderr.decode()
+                ok = probe.returncode == 0 and b"PROBE_OK" in probe.stdout
+                err = probe.stderr.decode()
             except subprocess.TimeoutExpired:
                 # a wedged tunnel HANGS dispatches rather than failing
                 ok, err = False, "probe timed out"
@@ -132,6 +239,12 @@ def _configure_jax():
             log("TPU backend unavailable; retrying in 30 s "
                 f"(deadline in {deadline - time.time():.0f}s)")
             time.sleep(30)
+        RECORD.setdefault("warmup_breakdown", {})["tunnel_probe"] = {
+            "ok": bool(ok),
+            "attempts": attempts,
+            "seconds": round(time.time() - t_probe, 1),
+        }
+        _write_partial_only()
 
     # Log the backend fingerprint components that feed jax's persistent
     # cache key: the key has drifted across tunnel sessions (BENCH_r02:
@@ -200,15 +313,22 @@ def run_library(nfreq: int, nfeed_side: int, autos: bool, chunk: int,
     """
     import jax.numpy as jnp
 
+    from draco_tpu.ops import aotcache
     from draco_tpu.telescope.roundtrip import fused_roundtrip_fn
 
+    breakdown: dict = {}
+    t0 = time.time()
     tel, bt, sky = _build_library_problem(nfreq, nfeed_side, autos)
     npairs = len(tel.uniquepairs)
     log(f"[{tag}] nside={NSIDE} nfreq={nfreq} nfeed={nfeed_side ** 2} "
         f"npairs={npairs} chunk={chunk}")
 
+    # Phase 1: constants build + host->device transfers (the streamed
+    # Legendre/ring-plan builders run here, through their own AOT cache).
+    n_events_0 = {k: len(v) for k, v in aotcache.STATS.items()}
     run = fused_roundtrip_fn(bt, chunk=chunk)
     sky_dev = jnp.asarray(sky)
+    breakdown["constants_s"] = round(time.time() - t0, 1)
 
     def once():
         out = run(sky_dev)
@@ -217,10 +337,29 @@ def run_library(nfreq: int, nfeed_side: int, autos: bool, chunk: int,
         np.asarray(out[0, 0, :8])
         return out
 
+    # Phase 2: first dispatch (AOT load or XLA compile + one run).
+    # Retry once on an exception — a transiently-wedged tunnel raises
+    # UNAVAILABLE on the dispatch and often recovers.
     t0 = time.time()
-    out = once()
+    try:
+        out = once()
+    except Exception as e:  # pragma: no cover - tunnel-dependent
+        log(f"[{tag}] first dispatch failed ({e}); retrying once in 30 s")
+        breakdown["first_dispatch_retry"] = str(e)[:200]
+        time.sleep(30)
+        out = once()
     warm = time.time() - t0
-    log(f"[{tag}] warmup (incl. compile): {warm:.1f}s")
+    breakdown["first_dispatch_s"] = round(warm, 1)
+    breakdown["aot"] = {
+        k: [e for e in v[n_events_0.get(k, 0):]]
+        for k, v in aotcache.STATS.items()
+        if len(v) > n_events_0.get(k, 0)
+    }
+    warm += breakdown["constants_s"]
+    log(f"[{tag}] warmup (incl. compile): {warm:.1f}s "
+        f"(constants {breakdown['constants_s']}s, "
+        f"first dispatch {breakdown['first_dispatch_s']}s, "
+        f"aot {breakdown['aot']})")
 
     times = []
     for i in range(nrun):
@@ -233,7 +372,7 @@ def run_library(nfreq: int, nfeed_side: int, autos: bool, chunk: int,
         np.save(os.environ["BENCH_DUMP"], np.asarray(out))
     assert np.isfinite(np.asarray(out[:, :, :1024])).all()
     _RUN_TIMES[tag] = times
-    return min(times), warm, npairs
+    return min(times), warm, npairs, breakdown
 
 
 def run_cylinder(ncyl=None, nfeed=None, chunk=None, tag="cylinder", pol=False):
@@ -448,13 +587,15 @@ def main():
         run_spine(emit_json=True)
         return
 
+    _install_kill_safety()
     _configure_jax()
-    t_start = time.time()
+    t_start = T_PROC_START
 
-    extras: dict = {"task_path": True}
+    extras = RECORD  # one kill-safe record, incrementally emitted
+    extras["task_path"] = True
 
     # headline: the library fused round trip at the round-1 workload scale
-    value, warm, npairs = run_library(
+    value, warm, npairs, hl_breakdown = run_library(
         nfreq=1,
         nfeed_side=NFEED_SIDE,
         autos=True,
@@ -462,7 +603,10 @@ def main():
         nrun=NRUN,
         tag="headline",
     )
+    extras["value"] = round(value, 3)
+    extras["vs_baseline"] = round(60.0 / value, 2)
     extras["warmup_s"] = round(warm, 1)
+    extras.setdefault("warmup_breakdown", {}).update(hl_breakdown)
     extras["spread_s"] = _spread("headline")
     # the BASELINE.json companion metric: m-modes processed per second
     # ((mmax+1) x 2 signs x npairs per frequency per round trip)
@@ -470,14 +614,19 @@ def main():
     extras["mmodes_per_sec"] = float(
         f"{(mmax_hl + 1) * 2 * npairs / value:.3g}"
     )
+    _emit("headline")  # FIRST record: the driver metric is now safe
 
-    # TPU accuracy canary (VERDICT r2 item 9): the production fused path
-    # vs f64 truth at nside=64 — a TPU-only numerics regression (e.g. a
-    # precision-flag default) fails HERE even when the CPU suite is
-    # green.  Runs in a subprocess (its truth leg pins a CPU backend).
-    if os.environ.get("BENCH_CANARY", "1") != "0":
+    def within_budget(tag):
+        if _budget_left() > 120.0:
+            return True
+        log(f"[{tag}] skipped: past the {TOTAL_BUDGET_S:.0f}s bench budget")
+        extras.setdefault("skipped", []).append(tag)
+        return False
+
+    def _canary_subprocess(script, args, timeout_cap):
         import subprocess as _sp
 
+        timeout = max(60.0, min(timeout_cap, _budget_left() - 120.0))
         try:
             proc = _sp.run(
                 [
@@ -485,14 +634,13 @@ def main():
                     os.path.join(
                         os.path.dirname(os.path.abspath(__file__)),
                         "scripts",
-                        "check_accuracy_production.py",
+                        script,
                     ),
-                    "64",
-                    "--json",
+                    *args,
                 ],
                 capture_output=True,
                 text=True,
-                timeout=900,
+                timeout=timeout,
             )
             canary = None
             for line in proc.stdout.splitlines():
@@ -503,63 +651,45 @@ def main():
                     "ok": False,
                     "error": (proc.stderr or proc.stdout)[-200:],
                 }
-            extras["tpu_canary"] = canary
+            return canary
         except Exception as e:
-            extras["tpu_canary"] = {"ok": False, "error": str(e)[:200]}
+            return {"ok": False, "error": str(e)[:200]}
+
+    # TPU accuracy canary (VERDICT r2 item 9): the production fused path
+    # vs f64 truth at nside=64 — a TPU-only numerics regression (e.g. a
+    # precision-flag default) fails HERE even when the CPU suite is
+    # green.  Runs in a subprocess (its truth leg pins a CPU backend).
+    # Both canaries run AFTER the first record emission (round-4 lesson:
+    # they sat between the headline and its print, so the driver's kill
+    # erased everything).
+    if os.environ.get("BENCH_CANARY", "1") != "0" and within_budget(
+        "tpu_canary"
+    ):
+        extras["tpu_canary"] = _canary_subprocess(
+            "check_accuracy_production.py", ["64", "--json"], 900
+        )
+        _emit("tpu_canary")
 
     # Engine-INDEPENDENT physics canary (round-4 VERDICT item 4): the
     # production-shape simulate spine + m-mode packing vs scipy-harmonic
     # pixel-sum truth at nside=256 — no framework SHT in the truth leg,
     # so a framework-wide algorithmic error cannot cancel.  Subprocess
     # (the truth leg is host scipy/numpy; ~2 min).
-    if os.environ.get("BENCH_PHYSICS", "1") != "0":
-        import subprocess as _sp
+    if os.environ.get("BENCH_PHYSICS", "1") != "0" and within_budget(
+        "physics_canary"
+    ):
+        extras["physics_canary"] = _canary_subprocess(
+            "check_physics.py", ["--json"], 1500
+        )
+        _emit("physics_canary")
 
-        try:
-            proc = _sp.run(
-                [
-                    sys.executable,
-                    os.path.join(
-                        os.path.dirname(os.path.abspath(__file__)),
-                        "scripts",
-                        "check_physics.py",
-                    ),
-                    "--json",
-                ],
-                capture_output=True,
-                text=True,
-                timeout=1500,
-            )
-            canary = None
-            for line in proc.stdout.splitlines():
-                if line.startswith("{"):
-                    canary = json.loads(line)
-            if canary is None:
-                canary = {
-                    "ok": False,
-                    "error": (proc.stderr or proc.stdout)[-200:],
-                }
-            extras["physics_canary"] = canary
-        except Exception as e:
-            extras["physics_canary"] = {"ok": False, "error": str(e)[:200]}
-
-    # Wall-clock budget for the extra measurements: a fully cold compile
-    # cache over the remote-TPU tunnel costs minutes per program, and the
-    # headline metric must never be lost to an extra timing out.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2700))
-
-    def within_budget(tag):
-        if time.time() - t_start < budget_s:
-            return True
-        log(f"[{tag}] skipped: past the {budget_s:.0f}s bench budget")
-        extras.setdefault("skipped", []).append(tag)
-        return False
+    budget_s = TOTAL_BUDGET_S
 
     if os.environ.get("BENCH_EXTRAS", "1") != "0" and within_budget("extras"):
         # multi-frequency scaling (VERDICT r1 item 4): measure the
         # marginal per-frequency cost with freq-batched GEMMs
         nfreq = int(os.environ.get("BENCH_NFREQ", 8))
-        t_mf, warm_mf, _ = run_library(
+        t_mf, warm_mf, _, _ = run_library(
             nfreq=nfreq,
             nfeed_side=NFEED_SIDE,
             autos=True,
@@ -581,7 +711,7 @@ def main():
         big_side = int(os.environ.get("BENCH_BIG_SIDE", 16))
         big_chunk = int(os.environ.get("BENCH_BIG_CHUNK", 2040))
         big_nfreq = int(os.environ.get("BENCH_BIG_NFREQ", 8))
-        t_big, warm_big, npairs_big = run_library(
+        t_big, warm_big, npairs_big, _ = run_library(
             nfreq=big_nfreq,
             nfeed_side=big_side,
             autos=False,
@@ -602,7 +732,7 @@ def main():
         # data, not assumed
         half_nfreq = max(2, big_nfreq // 2)
         try:
-            t_half, _, _ = run_library(
+            t_half, _, _, _ = run_library(
                 nfreq=half_nfreq,
                 nfeed_side=big_side,
                 autos=False,
@@ -634,6 +764,7 @@ def main():
             "pairs x 1024 freqs / 8 chips; freq-sharded HLO has zero "
             "collectives (perfect-scaling structurally)"
         )
+        _emit("extras_library")
 
     if os.environ.get("BENCH_AUDIT", "1") != "0" and within_budget(
         "freq_parallel_audit"
@@ -672,6 +803,7 @@ def main():
             }
         except Exception as e:
             extras["freq_parallel_audit"] = {"error": str(e)[:200]}
+        _emit("freq_parallel_audit")
 
     if os.environ.get("BENCH_CYLINDER", "1") != "0" and within_budget(
         "cylinder"
@@ -684,6 +816,7 @@ def main():
             "spread_s": _spread("cylinder"),
             "warmup_s": round(warm_cyl, 1),
         }
+        _emit("cylinder")
 
     if os.environ.get("BENCH_CHIME", "1") != "0" and within_budget(
         "cylinder_chime"
@@ -706,6 +839,7 @@ def main():
             }
         except Exception as e:  # never fail the whole bench on an extra
             extras["cylinder_chime"] = {"error": str(e)[:200]}
+        _emit("cylinder_chime")
 
     if os.environ.get("BENCH_CHIME_POL", "1") != "0" and within_budget(
         "cylinder_chime2048"
@@ -735,6 +869,7 @@ def main():
             }
         except Exception as e:  # never fail the whole bench on an extra
             extras["cylinder_chime2048"] = {"error": str(e)[:200]}
+        _emit("cylinder_chime2048")
 
         # Throughput mode for the scale-up shape: the ring-DFT GEMMs
         # (the dominant MXU cost of the full-sphere path — round 2
@@ -785,6 +920,7 @@ print('seconds', t)
                     }
             except Exception as e:
                 extras["cylinder_chime2048_ringhigh"] = {"error": str(e)[:200]}
+            _emit("cylinder_chime2048_ringhigh")
 
     if os.environ.get("BENCH_DELAY", "1") != "0" and within_budget(
         "delay_gibbs"
@@ -796,6 +932,7 @@ print('seconds', t)
             extras["delay_gibbs"] = run_delay_gibbs()
         except Exception as e:  # never fail the whole bench on an extra
             extras["delay_gibbs"] = {"error": str(e)[:200]}
+        _emit("delay_gibbs")
 
     if os.environ.get("BENCH_THROUGHPUT", "1") != "0" and within_budget(
         "feeds256_throughput"
@@ -822,7 +959,7 @@ print('seconds', t)
         code = """
 import bench
 bench._configure_jax()
-t, warm, npairs = bench.run_library(nfreq={nfreq}, nfeed_side={side}, autos=False, chunk={chunk}, nrun=2, tag='big_loophigh')
+t, warm, npairs, _bk = bench.run_library(nfreq={nfreq}, nfeed_side={side}, autos=False, chunk={chunk}, nrun=2, tag='big_loophigh')
 print('per_freq_s', t/{nfreq})
 """.format(
             nfreq=tp_nfreq,
@@ -858,6 +995,7 @@ print('per_freq_s', t/{nfreq})
                 }
         except Exception as e:  # never fail the whole bench on an extra
             extras["feeds256_throughput"] = {"error": str(e)[:200]}
+        _emit("feeds256_throughput")
 
     if os.environ.get("BENCH_CROSSCHECK"):
         spine = run_spine(emit_json=False)
@@ -873,18 +1011,10 @@ print('per_freq_s', t/{nfreq})
             extras["chime_composite2048"] = run_chime_composite()
         except Exception as e:  # never fail the whole bench on an extra
             extras["chime_composite2048"] = {"error": str(e)[:200]}
+        _emit("chime_composite2048")
 
-    extras["total_bench_s"] = round(time.time() - t_start, 1)
-
-    record = {
-        "metric": "simulate_to_map_roundtrip_nside256_2080baselines",
-        "value": round(value, 3),
-        "unit": "s",
-        "vs_baseline": round(60.0 / value, 2),
-        **extras,
-    }
-    record["vs_prev_round"] = _vs_prev_round(record)
-    print(json.dumps(record))
+    RECORD["vs_prev_round"] = _vs_prev_round(RECORD)
+    _emit("final", final=True)
 
 
 def _vs_prev_round(record):

@@ -32,6 +32,12 @@ import tempfile
 
 logger = logging.getLogger(__name__)
 
+#: Per-process cache telemetry, read by ``bench.py`` to attribute warmup
+#: time (round-4 post-mortem: a 776 s headline start could not be told
+#: apart from a wedged tunnel because nothing recorded hit vs miss).
+#: Each event is ``(program name, seconds)``.
+STATS: dict = {"hits": [], "misses": [], "load_failures": [], "rejects": []}
+
 _DEF_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     ".jax_cache",
@@ -63,10 +69,14 @@ def _rebind_safe(text: str) -> bool:
 
     import jax
 
+    # Scan the whole module header, not a truncated prefix: long
+    # attribute dictionaries (meshed programs with big frontend
+    # attributes) can push the num_partitions line past any fixed
+    # offset, which would silently mis-classify the program.
     nums = [
         int(n)
         for n in re.findall(
-            r"mhlo\.num_(?:partitions|replicas) = (\d+)", text[:4000]
+            r"mhlo\.num_(?:partitions|replicas) = (\d+)", text
         )
     ]
     footprint = 1
@@ -75,6 +85,41 @@ def _rebind_safe(text: str) -> bool:
     if jax.process_count() > 1:
         return False
     return footprint == jax.local_device_count()
+
+
+def _device_order_tag() -> str:
+    """Local device ids in backend order; part of every cache key so a
+    backend whose device numbering changed across sessions invalidates
+    cleanly instead of failing at load."""
+    import jax
+
+    return ",".join(str(d.id) for d in jax.local_devices())
+
+
+def _assignment_matches_default(lowered) -> bool:
+    """Whether the lowering's device assignment is the default order.
+
+    ``deserialize_and_load`` rebinds a cached executable to the local
+    devices in DEFAULT order, unconditionally.  A mesh built with a
+    permuted device order (e.g. topology-aware ``create_device_mesh``)
+    passes the footprint check but would rebind wrongly on load — so
+    such programs must not enter the cache at all.  The assignment is
+    read from the lowering's private compile args; if unavailable,
+    assume default (single-device programs always are).
+    """
+    try:
+        ca = lowered._lowering.compile_args  # noqa: SLF001
+        da = ca.get("device_assignment") if hasattr(ca, "get") else None
+        if da is None:
+            return True
+        import jax
+
+        ids = [getattr(d, "id", d) for d in da]
+        if len(ids) <= 1:
+            return True
+        return ids == [d.id for d in jax.local_devices()[: len(ids)]]
+    except Exception:  # pragma: no cover - private-API drift
+        return True
 
 
 def _stable_key(text: str, extra: str = "") -> str:
@@ -128,14 +173,20 @@ def compile_cached(lowered, name: str, extra_key: str = ""):
     deserialized equivalent).  On a cache hit the multi-minute XLA
     compile is replaced by a sub-second executable load.
     """
+    import time as _time
+
+    t0 = _time.time()
     cdir = cache_dir()
     if cdir is None:
         return lowered.compile()
     try:
         text = lowered.as_text()
-        if not _rebind_safe(text):
+        if not _rebind_safe(text) or not _assignment_matches_default(
+            lowered
+        ):
+            STATS["rejects"].append((name, round(_time.time() - t0, 2)))
             return lowered.compile()
-        key = _stable_key(text, extra_key)
+        key = _stable_key(text, extra_key + "|dev:" + _device_order_tag())
     except Exception as e:  # pragma: no cover - defensive
         logger.warning("aot cache key failed (%s); compiling", e)
         return lowered.compile()
@@ -150,6 +201,7 @@ def compile_cached(lowered, name: str, extra_key: str = ""):
                 payload, in_tree, out_tree = pickle.load(f)
             compiled = deserialize_and_load(payload, in_tree, out_tree)
             logger.info("aot cache hit: %s", path)
+            STATS["hits"].append((name, round(_time.time() - t0, 2)))
             try:
                 os.utime(path)  # LRU recency for _prune
             except OSError:
@@ -157,7 +209,9 @@ def compile_cached(lowered, name: str, extra_key: str = ""):
             return compiled
         except Exception as e:
             logger.warning("aot cache load failed (%s); recompiling", e)
+            STATS["load_failures"].append((name, str(e)[:120]))
     compiled = lowered.compile()
+    STATS["misses"].append((name, round(_time.time() - t0, 2)))
     try:
         from jax.experimental.serialize_executable import serialize
 
