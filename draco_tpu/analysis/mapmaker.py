@@ -188,6 +188,34 @@ def pinv_svd(M, acond: float = 1e-4, rcond: float = 1e-3):
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mc", "dims", "acond", "rcond")
+)
+def _ml_chunk(bp, bm, vis, weight, m0, *, mc, dims, acond, rcond):
+    """One m-chunk of the ML solve (module-scope jit: an inner-function
+    jit would retrace and recompile on every task invocation —
+    round-4 advisor finding)."""
+    nfreq, nbase, npol, L1 = dims
+    nsky = npol * L1
+    bpc = jax.lax.dynamic_slice_in_dim(bp, m0, mc, axis=-1)
+    bmc = jax.lax.dynamic_slice_in_dim(bm, m0, mc, axis=-1)
+    B = jnp.concatenate([bpc, bmc], axis=1)  # [f, ntel, p, L1, mc]
+    B = jnp.moveaxis(B, -1, 0).reshape(mc, nfreq, 2 * nbase, nsky)
+    vc = jax.lax.dynamic_slice_in_dim(vis, m0, mc, axis=0)
+    wc = jax.lax.dynamic_slice_in_dim(weight, m0, mc, axis=0)
+    v = jnp.moveaxis(vc, 1, 2).reshape(mc, nfreq, 2 * nbase)
+    Ni = jnp.moveaxis(wc, 1, 2).reshape(mc, nfreq, 2 * nbase)
+    Nh = jnp.sqrt(Ni).astype(B.dtype)
+    ib = pinv_svd(B * Nh[..., None], acond=acond, rcond=rcond)
+    a = jnp.einsum("mfst,mft->mfs", ib, (Nh * v).astype(ib.dtype))
+    return a.reshape(mc, nfreq, npol, L1)
+
+
+@jax.jit
+def _concat_moveaxis(parts):
+    return jnp.moveaxis(jnp.concatenate(parts, axis=0), 0, -1)
+
+
 class MaximumLikelihoodMapMaker(BaseMapMaker):
     r"""ML map: :math:`\hat{a} = (N^{-1/2}B)^+ N^{-1/2} v`.
 
@@ -204,41 +232,24 @@ class MaximumLikelihoodMapMaker(BaseMapMaker):
     rcond = config.float_prop(1e-3)
 
     def _solve_all_m(self, vis, weight, freq_ind, mmax):
-        import functools
-
         bp, bm = self._bt_tensors(freq_ind)
         nfreq, nbase, npol, L1 = bp.shape[:4]
-        nsky = npol * L1
-        acond, rcond = self.acond, self.rcond
-
-        # One jitted program per chunk length: eager complex slicing /
-        # einsums are unsupported over remote-TPU tunnels (and slow).
-        @functools.partial(jax.jit, static_argnames=("mc",))
-        def chunk(bp, bm, vis, weight, m0, *, mc):
-            bpc = jax.lax.dynamic_slice_in_dim(bp, m0, mc, axis=-1)
-            bmc = jax.lax.dynamic_slice_in_dim(bm, m0, mc, axis=-1)
-            B = jnp.concatenate([bpc, bmc], axis=1)  # [f, ntel, p, L1, mc]
-            B = jnp.moveaxis(B, -1, 0).reshape(mc, nfreq, 2 * nbase, nsky)
-            vc = jax.lax.dynamic_slice_in_dim(vis, m0, mc, axis=0)
-            wc = jax.lax.dynamic_slice_in_dim(weight, m0, mc, axis=0)
-            v = jnp.moveaxis(vc, 1, 2).reshape(mc, nfreq, 2 * nbase)
-            Ni = jnp.moveaxis(wc, 1, 2).reshape(mc, nfreq, 2 * nbase)
-            Nh = jnp.sqrt(Ni).astype(B.dtype)
-            ib = pinv_svd(B * Nh[..., None], acond=acond, rcond=rcond)
-            a = jnp.einsum("mfst,mft->mfs", ib, (Nh * v).astype(ib.dtype))
-            return a.reshape(mc, nfreq, npol, L1)
 
         from ..ops import tools as _tools
 
         vis_d = _tools.as_device(vis)
         weight_d = _tools.as_device(weight)
         out = [
-            chunk(bp, bm, vis_d, weight_d, m0, mc=m1 - m0)
+            _ml_chunk(
+                bp, bm, vis_d, weight_d, m0,
+                mc=m1 - m0,
+                dims=(nfreq, nbase, npol, L1),
+                acond=self.acond,
+                rcond=self.rcond,
+            )
             for m0, m1 in self._m_chunks(mmax)
         ]
-        return jax.jit(
-            lambda parts: jnp.moveaxis(jnp.concatenate(parts, axis=0), 0, -1)
-        )(out)  # [f, p, L1, M+1]
+        return _concat_moveaxis(out)  # [f, p, L1, M+1]
 
 
 class WienerMapMaker(BaseMapMaker):
@@ -273,60 +284,66 @@ class WienerMapMaker(BaseMapMaker):
         S_diag = jnp.asarray(np.tile(cl_TT, npol))  # [nsky]
         Si_diag = 1.0 / S_diag
 
-        import functools
-
-        # One jitted program per chunk length (see the ML solver above
-        # for why: eager complex ops fail over remote-TPU tunnels).
-        @functools.partial(jax.jit, static_argnames=("mc",))
-        def chunk(bp, bm, vis, weight, S_diag, Si_diag, m0, *, mc):
-            bpc = jax.lax.dynamic_slice_in_dim(bp, m0, mc, axis=-1)
-            bmc = jax.lax.dynamic_slice_in_dim(bm, m0, mc, axis=-1)
-            B = jnp.concatenate([bpc, bmc], axis=1)
-            B = jnp.moveaxis(B, -1, 0).reshape(mc, nfreq, ntel, nsky)
-            vc = jax.lax.dynamic_slice_in_dim(vis, m0, mc, axis=0)
-            wc = jax.lax.dynamic_slice_in_dim(weight, m0, mc, axis=0)
-            v = jnp.moveaxis(vc, 1, 2).reshape(mc, nfreq, ntel)
-            Ni = jnp.moveaxis(wc, 1, 2).reshape(mc, nfreq, ntel)
-            Nh = jnp.sqrt(Ni).astype(B.dtype)
-
-            Bt = B * Nh[..., None]  # pre-whitened beam
-            vt = (Nh * v.astype(B.dtype))
-
-            if ntel > nsky:
-                # primal: (S^-1 + B^H B) a = B^H v
-                BhB = jnp.einsum("mfts,mftr->mfsr", jnp.conj(Bt), Bt)
-                Ci = BhB + jnp.diag(Si_diag.astype(B.dtype))[None, None]
-                rhs = jnp.einsum("mfts,mft->mfs", jnp.conj(Bt), vt)
-                a = jnp.linalg.solve(Ci, rhs[..., None])[..., 0]
-            else:
-                # dual: a = S B^H (I + B S B^H)^-1 v
-                BS = Bt * S_diag[None, None, None, :].astype(B.dtype)
-                pCi = jnp.einsum("mfts,mfrs->mftr", BS, jnp.conj(Bt))
-                pCi = pCi + jnp.eye(ntel, dtype=B.dtype)[None, None]
-                v_int = jnp.linalg.solve(pCi, vt[..., None])[..., 0]
-                a = S_diag[None, None].astype(B.dtype) * jnp.einsum(
-                    "mfts,mft->mfs", jnp.conj(Bt), v_int
-                )
-            return a.reshape(mc, nfreq, npol, L1)
-
         from ..ops import tools as _tools
 
         vis_d = _tools.as_device(vis)
         weight_d = _tools.as_device(weight)
         out = [
-            chunk(bp, bm, vis_d, weight_d, S_diag, Si_diag, m0, mc=m1 - m0)
+            _wiener_chunk(
+                bp, bm, vis_d, weight_d, S_diag, Si_diag, m0,
+                mc=m1 - m0,
+                dims=(nfreq, nbase, npol, L1),
+            )
             for m0, m1 in self._m_chunks(mmax)
         ]
-        # jitted combine: eager complex concat fails over TPU tunnels
-        @jax.jit
-        def combine(parts):
-            a_all = jnp.concatenate(parts, axis=0)
-            # zero the l < m block explicitly (it is prior-suppressed but
-            # tiny numerical leakage is removed for exact parity)
-            M1 = a_all.shape[0]
-            lgrid = jnp.arange(L1)[None, :]
-            mgrid = jnp.arange(M1)[:, None]
-            mask = (lgrid >= mgrid)[:, None, None, :]
-            return jnp.moveaxis(a_all * mask, 0, -1)
+        return _wiener_combine(out, L1=L1)
 
-        return combine(out)
+
+@functools.partial(jax.jit, static_argnames=("mc", "dims"))
+def _wiener_chunk(bp, bm, vis, weight, S_diag, Si_diag, m0, *, mc, dims):
+    """One m-chunk of the Wiener solve (module-scope jit — see
+    :func:`_ml_chunk` for why)."""
+    nfreq, nbase, npol, L1 = dims
+    nsky = npol * L1
+    ntel = 2 * nbase
+    bpc = jax.lax.dynamic_slice_in_dim(bp, m0, mc, axis=-1)
+    bmc = jax.lax.dynamic_slice_in_dim(bm, m0, mc, axis=-1)
+    B = jnp.concatenate([bpc, bmc], axis=1)
+    B = jnp.moveaxis(B, -1, 0).reshape(mc, nfreq, ntel, nsky)
+    vc = jax.lax.dynamic_slice_in_dim(vis, m0, mc, axis=0)
+    wc = jax.lax.dynamic_slice_in_dim(weight, m0, mc, axis=0)
+    v = jnp.moveaxis(vc, 1, 2).reshape(mc, nfreq, ntel)
+    Ni = jnp.moveaxis(wc, 1, 2).reshape(mc, nfreq, ntel)
+    Nh = jnp.sqrt(Ni).astype(B.dtype)
+
+    Bt = B * Nh[..., None]  # pre-whitened beam
+    vt = (Nh * v.astype(B.dtype))
+
+    if ntel > nsky:
+        # primal: (S^-1 + B^H B) a = B^H v
+        BhB = jnp.einsum("mfts,mftr->mfsr", jnp.conj(Bt), Bt)
+        Ci = BhB + jnp.diag(Si_diag.astype(B.dtype))[None, None]
+        rhs = jnp.einsum("mfts,mft->mfs", jnp.conj(Bt), vt)
+        a = jnp.linalg.solve(Ci, rhs[..., None])[..., 0]
+    else:
+        # dual: a = S B^H (I + B S B^H)^-1 v
+        BS = Bt * S_diag[None, None, None, :].astype(B.dtype)
+        pCi = jnp.einsum("mfts,mfrs->mftr", BS, jnp.conj(Bt))
+        pCi = pCi + jnp.eye(ntel, dtype=B.dtype)[None, None]
+        v_int = jnp.linalg.solve(pCi, vt[..., None])[..., 0]
+        a = S_diag[None, None].astype(B.dtype) * jnp.einsum(
+            "mfts,mft->mfs", jnp.conj(Bt), v_int
+        )
+    return a.reshape(mc, nfreq, npol, L1)
+
+
+@functools.partial(jax.jit, static_argnames=("L1",))
+def _wiener_combine(parts, *, L1):
+    a_all = jnp.concatenate(parts, axis=0)
+    # zero the l < m block explicitly (it is prior-suppressed but
+    # tiny numerical leakage is removed for exact parity)
+    M1 = a_all.shape[0]
+    lgrid = jnp.arange(L1)[None, :]
+    mgrid = jnp.arange(M1)[:, None]
+    mask = (lgrid >= mgrid)[:, None, None, :]
+    return jnp.moveaxis(a_all * mask, 0, -1)

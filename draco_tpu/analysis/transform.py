@@ -1339,7 +1339,16 @@ class ReduceBase(ContainerTask):
         """
         from ..ops.tools import as_device
 
-        jitted = jax.jit(lambda a, w: self.reduction(a, w, axis))
+        # One jitted callable per reduction axis, cached on the instance:
+        # a fresh jax.jit(lambda ...) per call would discard the compiled
+        # executable every time, so dayenu's per-group loop (and repeat
+        # process() calls) would retrace — and recompile on a persistent
+        # -cache miss — for identical shapes (round-4 advisor finding).
+        cache = self.__dict__.setdefault("_reduction_jit_cache", {})
+        jitted = cache.get(axis)
+        if jitted is None:
+            jitted = jax.jit(partial(self.reduction, axis=axis))
+            cache[axis] = jitted
         return jitted(as_device(arr), jnp.asarray(np.asarray(weight)))
 
     def _weighted_mean(self, arr, weight, axis):

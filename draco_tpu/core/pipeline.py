@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import importlib
 import logging
+import os
 from collections import deque
 from typing import Any
 
@@ -160,6 +161,13 @@ class Manager(config_mod.Reader):
         if not task_specs:
             raise config_mod.ConfigError("Pipeline has no tasks")
         self.task_specs = task_specs
+        # `cluster:` — the reference YAML's batch-queue block (caput's
+        # job-script generation; reference examples/test.yaml:2-7).
+        # Semantics here: `python -m draco_tpu queue config.yaml` turns
+        # it into a SLURM script that launches ONE process per TPU host
+        # (ranks come from the launcher env, chips from the local
+        # backend); a plain `run` ignores it.  See docs/migration.md.
+        self.cluster = config_dict.get("cluster") or {}
         self.versions = self._collect_versions(
             pipeline_cfg.get("save_versions", [])
         )
@@ -391,7 +399,91 @@ class Manager(config_mod.Reader):
                     problems.append(
                         f"task #{i} consumes label {label!r} which no task produces"
                     )
+        problems.extend(self._lint_cluster())
         return problems
+
+    _CLUSTER_KEYS = {
+        "nodes", "ppn", "time", "directory", "venv", "name", "queue",
+        "account", "queue_sys", "pernode", "ompnum", "mem",
+    }
+
+    def _lint_cluster(self) -> list[str]:
+        """Validate the ``cluster:`` stanza (batch-queue job descriptor)."""
+        problems = []
+        if not isinstance(self.cluster, dict):
+            return [f"cluster: must be a mapping, got {self.cluster!r}"]
+        for key in self.cluster:
+            if key not in self._CLUSTER_KEYS:
+                problems.append(f"cluster: unknown key {key!r}")
+        for key in ("nodes", "ppn", "pernode", "ompnum"):
+            v = self.cluster.get(key)
+            if v is not None and (not isinstance(v, int) or v < 1):
+                problems.append(
+                    f"cluster.{key} must be a positive integer, got {v!r}"
+                )
+        t = self.cluster.get("time")
+        if t is not None and not isinstance(t, (int, float)) and not (
+            isinstance(t, str) and t.replace(":", "").isdigit()
+        ):
+            problems.append(
+                f"cluster.time must be minutes or HH:MM:SS, got {t!r}"
+            )
+        return problems
+
+    def jobscript(self, config_path: str) -> str:
+        """Render the ``cluster:`` stanza as a SLURM pod-launch script.
+
+        The TPU-native mapping of caput's batch-queue generation: one
+        process per host (``nodes``), ranks wired through the
+        ``DRACO_TPU_{COORDINATOR,NUM_PROCESSES,PROCESS_ID}`` launcher
+        contract (see :mod:`draco_tpu.parallel.multihost`).  ``ppn`` is
+        accepted for config compatibility but does not multiply
+        processes — each host process drives ALL its local TPU chips,
+        so the reference's ranks-per-node knob has no analogue.
+        """
+        import shlex
+
+        c = self.cluster
+        nodes = int(c.get("nodes", 1))
+        t = c.get("time", 60)
+        if isinstance(t, (int, float)):  # caput: minutes
+            walltime = f"{int(t) // 60:d}:{int(t) % 60:02d}:00"
+        else:
+            walltime = str(t)
+        name = c.get("name", "draco-tpu")
+        workdir = c.get("directory")
+        lines = [
+            "#!/bin/bash",
+            f"#SBATCH --job-name={name}",
+            f"#SBATCH --nodes={nodes}",
+            "#SBATCH --ntasks-per-node=1",
+            f"#SBATCH --time={walltime}",
+        ]
+        if c.get("queue"):
+            lines.append(f"#SBATCH --partition={c['queue']}")
+        if c.get("account"):
+            lines.append(f"#SBATCH --account={c['account']}")
+        if c.get("mem"):
+            lines.append(f"#SBATCH --mem={c['mem']}")
+        if workdir:
+            lines.append(f"#SBATCH --chdir={shlex.quote(str(workdir))}")
+        lines += [
+            "",
+            "# one process per TPU host; chips come from the local backend",
+        ]
+        if c.get("venv"):
+            lines.append(f"source {shlex.quote(str(c['venv']))}/bin/activate")
+        cfg = shlex.quote(os.path.abspath(config_path))
+        lines += [
+            'head=$(scontrol show hostnames "$SLURM_JOB_NODELIST" | head -n1)',
+            'export DRACO_TPU_COORDINATOR="$head:8476"',
+            'export DRACO_TPU_NUM_PROCESSES="$SLURM_NTASKS"',
+            "srun --export=ALL bash -c "
+            f"'DRACO_TPU_PROCESS_ID=$SLURM_PROCID "
+            f"python -m draco_tpu run {cfg}'",
+            "",
+        ]
+        return "\n".join(lines)
 
     # -- execution ---------------------------------------------------------------
     def run(self) -> dict[str, list]:
@@ -656,6 +748,17 @@ def main(argv=None):
     p_lint = sub.add_parser("lint", help="validate a pipeline config")
     p_lint.add_argument("configfile", nargs="+")
 
+    p_queue = sub.add_parser(
+        "queue",
+        help="render the config's cluster: stanza as a SLURM pod-launch "
+        "script (caput's batch-queue job generation equivalent)",
+    )
+    p_queue.add_argument("configfile")
+    p_queue.add_argument(
+        "--output", default=None,
+        help="write the job script here (default: stdout)",
+    )
+
     p_verify = sub.add_parser(
         "verify",
         help="run a pipeline repeatedly and check every product is "
@@ -733,6 +836,22 @@ def main(argv=None):
 
         multihost.initialize()
         run(args.configfile)
+        return 0
+    if args.command == "queue":
+        man = Manager.from_yaml_file(args.configfile)
+        problems = man._lint_cluster()
+        for p in problems:
+            print(f"LINT: {p}")
+        if problems:
+            return 1
+        script = man.jobscript(args.configfile)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(script)
+            os.chmod(args.output, 0o755)
+            print(f"job script written to {args.output}")
+        else:
+            print(script, end="")
         return 0
     if args.command == "verify":
         from ..parallel.validate import DeterminismError, check_pipeline_determinism

@@ -200,8 +200,14 @@ def _wishart_chunk_kernel(nfeed: int):
 
     iu = np.triu_indices(nfeed)
 
-    def kernel(vis_ut, n_dof, key):
-        # vis_ut [B, nprod] complex; n_dof [B] float
+    def kernel(vis_ut, n_dof, key, idx):
+        # vis_ut [B, nprod] complex; n_dof [B] float; idx [B] int32 —
+        # the GLOBAL flat (freq, time) row index.  Each row's draw is
+        # keyed by fold_in(key, global row), so the realisation for a
+        # given seed is independent of the HBM-budget chunking
+        # (round-4 advisor finding: per-chunk folding made the same
+        # seed produce different noise under different
+        # DRACO_TPU_SAMPLENOISE_CHUNK_GB / hardware).
         vm = tools.unpack_product_array(vis_ut, axis=1, nside=nfeed)
         # Regularise: the Cholesky needs strictly positive-definite
         # inputs, and a noiseless/rank-deficient expectation matrix is
@@ -210,9 +216,12 @@ def _wishart_chunk_kernel(nfeed: int):
         eps = 1e-6 * jnp.maximum(diag_mean, 1e-30)[..., None, None]
         vm = vm + eps * jnp.eye(nfeed, dtype=vm.dtype)
         L = jnp.linalg.cholesky(vm)
-        A = drandom.standard_complex_wishart(
-            key, nfeed, n_dof, batch_shape=vm.shape[:-2], dtype=vm.dtype
-        )
+        row_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+        A = jax.vmap(
+            lambda k, nd: drandom.standard_complex_wishart(
+                k, nfeed, nd, batch_shape=(), dtype=vm.dtype
+            )
+        )(row_keys, n_dof)
         samp = L @ A @ jnp.conj(jnp.swapaxes(L, -1, -2))
         samp = samp / n_dof[..., None, None].astype(samp.real.dtype)
         return samp[..., iu[0], iu[1]]  # [B, nprod]
@@ -283,10 +292,13 @@ class SampleNoise(ContainerTask, RandomTask):
         kernel = _wishart_chunk_kernel(nfeed)
         key = self.next_key()
         out = np.empty_like(flat)
-        for ci, start in enumerate(range(0, n_total, chunk)):
+        for start in range(0, n_total, chunk):
             stop = min(start + chunk, n_total)
             buf = flat[start:stop]
             ndof = ndof_flat[start:stop]
+            # per-row global indices: the draw for row i is
+            # fold_in(key, i) regardless of how the stream is chunked
+            idx = np.arange(start, start + chunk, dtype=np.int32)
             if stop - start < chunk:
                 # pad to the compiled batch size; padded rows get a
                 # safely-PD zero matrix and dof > nfeed (gamma shape
@@ -301,7 +313,8 @@ class SampleNoise(ContainerTask, RandomTask):
             res = kernel(
                 tools.as_device(buf),
                 jnp.asarray(ndof),
-                jax.random.fold_in(key, ci),
+                key,
+                jnp.asarray(idx),
             )
             out[start:stop] = tools.device_to_numpy(res)[: stop - start]
 

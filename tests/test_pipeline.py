@@ -190,6 +190,39 @@ def test_example_configs_lint():
         assert not problems, problems
 
 
+def test_cluster_stanza_jobscript_and_lint():
+    """The reference YAML's cluster: block (examples/test.yaml:2-7 in
+    the reference) maps onto a SLURM pod-launch script via
+    ``draco-tpu queue``; lint validates its keys."""
+    from draco_tpu.core.pipeline import Manager
+
+    cfg = """
+cluster:
+  nodes: 4
+  ppn: 8
+  time: 120
+  directory: /tmp/out
+  venv: /opt/venv
+pipeline:
+  tasks:
+    - type: tests.test_pipeline.EmitNumbers
+      out: nums
+"""
+    mgr = Manager.from_yaml_str(cfg)
+    assert mgr.lint() == []
+    script = mgr.jobscript("config.yaml")
+    assert "#SBATCH --nodes=4" in script
+    assert "#SBATCH --time=2:00:00" in script
+    assert "DRACO_TPU_PROCESS_ID=$SLURM_PROCID" in script
+    assert "DRACO_TPU_NUM_PROCESSES" in script
+    assert "source /opt/venv/bin/activate" in script
+
+    bad = Manager.from_yaml_str(cfg.replace("nodes: 4", "nodes: -1"))
+    assert any("cluster.nodes" in p for p in bad.lint())
+    unk = Manager.from_yaml_str(cfg.replace("ppn: 8", "walrus: 8"))
+    assert any("unknown key" in p for p in unk.lint())
+
+
 def test_unproduced_in_label_fails_fast():
     """A typo'd 'in' label must raise, not silently retire the consumer."""
     import pytest

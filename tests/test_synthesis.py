@@ -125,6 +125,23 @@ def test_sample_noise_streaming_chunks(monkeypatch):
     )
 
 
+def test_sample_noise_chunking_invariant(monkeypatch):
+    """The same seed gives bit-identical realisations regardless of the
+    HBM-budget chunk size: draws are keyed per GLOBAL (freq, time) row,
+    not per chunk (round-4 advisor finding)."""
+
+    def run(budget):
+        monkeypatch.setenv("DRACO_TPU_SAMPLENOISE_CHUNK_GB", budget)
+        ss = make_full_stream(nfreq=2, nfeed=3, nra=16, seed=3)
+        t = noise_mod.SampleNoise()
+        t.read_config({"sample_frac": 1.0, "seed": 4})
+        return np.asarray(t.process(ss).vis[:]).copy()
+
+    one_shot = run("2")      # whole batch in one chunk
+    chunked = run("1e-6")    # ~1 row per chunk + padded tail
+    np.testing.assert_array_equal(one_shot, chunked)
+
+
 def test_random_gains_statistics():
     ss = make_full_stream(nfreq=2, nfeed=4, nra=64)
     # give the stream a time axis via attrs? BaseGains needs .time: use
