@@ -183,6 +183,16 @@ def _configure_jax():
     # honour an explicit override for local smoke tests.
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+        if os.environ["BENCH_PLATFORM"] == "cpu":
+            # drop the already-registered tunnel backend so a wedged
+            # tunnel cannot hang a local CPU smoke run
+            os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+            try:
+                from jax._src import xla_bridge as _xb
+
+                _xb._backend_factories.pop("axon", None)
+            except Exception:
+                pass
 
     # Compiles over the remote-TPU tunnel are slow; cache them persistently.
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
@@ -878,7 +888,13 @@ def main():
             env = {
                 k: v
                 for k, v in os.environ.items()
-                if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+                # PALLAS_AXON_POOL_IPS: the audit runs on a virtual CPU
+                # mesh; with the tunnel plugin registered its backend
+                # discovery dials the tunnel anyway and a wedged tunnel
+                # hangs the subprocess (round-5 root-cause finding)
+                if k not in (
+                    "JAX_PLATFORMS", "XLA_FLAGS", "PALLAS_AXON_POOL_IPS"
+                )
             }
             proc = _sp.run(
                 [

@@ -24,6 +24,15 @@ if _TEST_PLATFORM == "cpu":
     # Force the CPU platform: the session environment pins JAX_PLATFORMS
     # to the real TPU tunnel, which must not be touched by unit tests.
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # The tunnel plugin's registration env var must ALSO go: backend
+    # discovery dials the remote-TPU tunnel even under
+    # JAX_PLATFORMS=cpu, so a wedged tunnel (a real, recurring ~10-min
+    # failure mode) would hang the whole CPU suite — measured: a
+    # trivial CPU jax op hangs with the var set during a wedge and
+    # takes 2 s without it.  Removing it here also keeps every
+    # test-spawned subprocess clean.  (This is what actually timed out
+    # round 4's physics-canary CI run.)
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -38,6 +47,16 @@ import jax  # noqa: E402
 if _TEST_PLATFORM == "cpu":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    # Drop the already-registered tunnel backend factory so backends()
+    # can never initialise it in-process (registration happened in
+    # sitecustomize before this file ran).
+    try:
+        from jax._src import xla_bridge as _xb
+
+        _xb._backend_factories.pop("axon", None)
+        _xb._backend_factories.pop("tpu", None)
+    except Exception:
+        pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

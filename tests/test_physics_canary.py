@@ -20,6 +20,11 @@ def test_physics_canary_small():
         "check_physics.py",
     )
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # Without this the subprocess's backend discovery dials the
+    # remote-TPU tunnel even on the CPU platform, and a wedged tunnel
+    # (a recurring ~10-min outage mode) hangs the run — the actual
+    # cause of this test's round-4 timeout.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
         [sys.executable, script, "--nside", "16", "--json"],
         env=env,
