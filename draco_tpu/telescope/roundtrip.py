@@ -121,6 +121,72 @@ def _baseline_prep(tel, nfreq: int, nbase: int, chunk: int, order=None):
     return npad, nchunk, ba, bb, bc, uniform
 
 
+def _geom_prep(tel, nfreq: int, nbase: int, chunk: int):
+    """Geometric-baseline dedup of the fringe trig (full-sphere path).
+
+    Redundancy-stacked DUAL-POL products share baseline geometry four
+    ways (XX/XY/YX/YY of one feed separation), but the fringe
+    ``cos/sin`` planes — the serial-VPU stage the round-4 profile put
+    at 46 ms/chunk, 3x its floor — were computed per PRODUCT.  This
+    sorts products by geometry and computes trig only for each chunk's
+    distinct-geometry slice ([Gc, K] instead of [chunk, K]); products
+    pick their rows back up with a cheap contiguous-row gather inside
+    the combine.  Phases are bit-identical to the per-product path
+    (same three-float operands).
+
+    Returns ``None`` when dedup would not pay (already-unique
+    geometries), else ``(order, ga, gb, gc, g0s, lidx, Gc, uniform)``.
+    Disable with ``DRACO_TPU_GEOM_DEDUP=0``.
+    """
+    if os.environ.get("DRACO_TPU_GEOM_DEDUP", "1") in ("0", ""):
+        return None
+    bl3 = tel.baseline_vectors_3d().astype(np.float64)
+    # quantised key: identical-position pol pairs are bit-equal; the
+    # nano-unit round only merges separations a fringe cannot resolve
+    _, first_idx, inv = np.unique(
+        np.round(bl3, 9), axis=0, return_index=True, return_inverse=True
+    )
+    ngeom = len(first_idx)
+    if ngeom > 0.75 * nbase:
+        return None
+    order = np.argsort(inv, kind="stable")
+    gsorted = inv[order]
+    npad = _pad_to(nbase, chunk)
+    nchunk = npad // chunk
+    gs_pad = np.concatenate(
+        [gsorted, np.full(npad - nbase, gsorted[-1], gsorted.dtype)]
+    )
+    g0s = np.zeros(nchunk, np.int32)
+    span = 1
+    for ci in range(nchunk):
+        seg = gs_pad[ci * chunk : (ci + 1) * chunk]
+        g0s[ci] = seg.min()
+        span = max(span, int(seg.max() - seg.min()) + 1)
+    Gc = _pad_to(span, 8)
+    lidx = (gs_pad - np.repeat(g0s.astype(gs_pad.dtype), chunk)).astype(
+        np.int32
+    )
+    # geometry vectors: each group's FIRST member's exact f64 vector,
+    # padded so every [g0, g0 + Gc) slice stays in range
+    gvec = np.zeros((ngeom + Gc, 3), np.float64)
+    gvec[:ngeom] = bl3[first_idx]  # first_idx is aligned with inv's ids
+    inv_wl = 1.0 / np.asarray(tel.wavelengths, dtype=np.float64)
+    uniform = nfreq == 1
+    if nfreq > 1:
+        step = (inv_wl[-1] - inv_wl[0]) / (nfreq - 1)
+        fit = inv_wl[0] + step * np.arange(nfreq)
+        uniform = bool(
+            np.abs(inv_wl - fit).max() <= 1e-12 * np.abs(inv_wl).max()
+        )
+    if uniform:
+        step = 0.0 if nfreq == 1 else (inv_wl[-1] - inv_wl[0]) / (nfreq - 1)
+        coeff = np.stack([gvec * inv_wl[0], gvec * step])
+    else:
+        coeff = gvec[None] * inv_wl[:, None, None]
+    ga, gb, gc = _threefloat_split(coeff)
+    return order, ga, gb, gc, g0s, lidx, Gc, uniform
+
+
 def _fringe_trig(ba, bb, bc, va, vb, vc, c0, chunk, nfreq, uniform):
     """(cos, sin) fringe planes [nfreq, chunk, K] for one baseline chunk.
 
@@ -532,6 +598,11 @@ def _fused_roundtrip_fullsphere(
     bla,
     blb,
     blc,
+    ga,
+    gb,
+    gc,
+    g0s,
+    lidx,
     weight,
     *,
     sht_obj,
@@ -558,7 +629,7 @@ def _fused_roundtrip_fullsphere(
     u_re/u_im : [nfreq, nuniq, npol, npad_pix] padded beam products
     """
     s = sht_obj
-    nfreq, npol, chunk, nchunk, npairs, mmax = dims
+    nfreq, npol, chunk, nchunk, npairs, mmax, Gc = dims
     scale = 1.0 / (4 * np.pi / s.npix)
     prec = _PREC_RT
     # accumulator dtypes follow the input so the program runs under
@@ -596,9 +667,23 @@ def _fused_roundtrip_fullsphere(
 
     def fringe_sections(c):
         """Ring-section coefficients of the chunk's fringe x beam pair."""
-        cph, sph = _fringe_trig(
-            bla, blb, blc, va, vb, vc, c * chunk, chunk, nfreq, uniform_freq
-        )  # [f, C, npad_pix]
+        if Gc:
+            # geometry-deduped trig: evaluate only the chunk's distinct
+            # geometric baselines ([Gc, K] instead of [C, K] — 3-4x
+            # less serial VPU work for dual-pol stacks), then fan rows
+            # back out to products with a contiguous-row gather
+            g0 = jax.lax.dynamic_index_in_dim(g0s, c, keepdims=False)
+            cg, sg = _fringe_trig(
+                ga, gb, gc, va, vb, vc, g0, Gc, nfreq, uniform_freq
+            )  # [f, Gc, npad_pix]
+            lc = jax.lax.dynamic_slice_in_dim(lidx, c * chunk, chunk)
+            cph = jnp.take(cg, lc, axis=1)
+            sph = jnp.take(sg, lc, axis=1)
+        else:
+            cph, sph = _fringe_trig(
+                bla, blb, blc, va, vb, vc, c * chunk, chunk, nfreq,
+                uniform_freq,
+            )  # [f, C, npad_pix]
         if uniform_real_beam:
             b = u_re[:, 0][:, None]  # [f, 1, p, npad_pix]
             re = b * cph[:, :, None]
@@ -896,13 +981,31 @@ def _fullsphere_roundtrip_fn(bt, chunk: int | None):
     )
     pw = s.belt_phase_weight(jnp.complex64)
 
+    geom = _geom_prep(tel, nfreq, nbase, chunk)
+    order = geom[0] if geom is not None else None
     npad, nchunk, bla, blb, blc, uniform_freq = _baseline_prep(
-        tel, nfreq, nbase, chunk
+        tel, nfreq, nbase, chunk, order=order
     )
     u_re_h, u_im_h, uidx_pad, uniform_real = _beam_prep(
         bt, nfreq, npad, nbase,
         lambda bprod: np.where(layout >= 0, bprod[..., lclip], 0.0),
+        order=order,
     )
+    if geom is not None:
+        _, ga, gb, gc, g0s, lidx, Gc, g_uniform = geom
+        assert g_uniform == uniform_freq
+        geom_consts = (
+            jnp.asarray(ga),
+            jnp.asarray(gb),
+            jnp.asarray(gc),
+            jnp.asarray(g0s),
+            jnp.asarray(lidx),
+        )
+    else:
+        Gc = 0
+        z3 = jnp.zeros((1, 1, 3), jnp.float32)
+        zi = jnp.zeros(1, jnp.int32)
+        geom_consts = (z3, z3, z3, zi, zi)
 
     consts = (
         lam,
@@ -918,11 +1021,12 @@ def _fullsphere_roundtrip_fn(bt, chunk: int | None):
         jnp.asarray(bla),
         jnp.asarray(blb),
         jnp.asarray(blc),
+        *geom_consts,
     )
-    dims = (nfreq, npol, chunk, nchunk, nbase, mmax)
+    dims = (nfreq, npol, chunk, nchunk, nbase, mmax, Gc)
     return _make_run(
         _fused_roundtrip_fullsphere, consts, dims, s, mmax, nfreq, npad,
-        nbase, uniform_real, uniform_freq=uniform_freq,
+        nbase, uniform_real, order=order, uniform_freq=uniform_freq,
     )
 
 

@@ -53,8 +53,9 @@ if _TEST_PLATFORM == "cpu":
     try:
         from jax._src import xla_bridge as _xb
 
+        # only the tunnel plugin — removing vanilla "tpu" would shrink
+        # jax's known-platform set and break pallas imports
         _xb._backend_factories.pop("axon", None)
-        _xb._backend_factories.pop("tpu", None)
     except Exception:
         pass
 
