@@ -295,7 +295,14 @@ class SHT:
             # into a half-width and a full-width group removes ~25% of the
             # cap GEMM and gather work exactly (no approximation).
             nphi_rows = info.nphi[np.asarray(self._cap_rings)]
-            bounds = [width // 2, width]  # 3-way splits measured slower
+            # Bucket count is configurable for shape-dependent tuning:
+            # 2 (default) measured best at the small headline shapes
+            # (3-way slower there — more, smaller GEMMs); wider chunks
+            # amortise the per-group overhead, so the 2048-feed path can
+            # probe 3/4-way splits (which cut the ~16% cap padding)
+            # via DRACO_TPU_CAP_WSPLIT without a code edit.
+            nsplit = int(os.environ.get("DRACO_TPU_CAP_WSPLIT", "2"))
+            bounds = sorted({width * i // nsplit for i in range(1, nsplit + 1)} - {0})
             groups = []
             lo = 0
             for w in bounds:
