@@ -197,9 +197,14 @@ def _fringe_trig(ba, bb, bc, va, vb, vc, c0, chunk, nfreq, uniform):
     frequencies a single program invocation batches).
     """
     G = ba.shape[0]
-    Ba = jax.lax.dynamic_slice(ba, (0, c0, 0), (G, chunk, 3))
-    Bb = jax.lax.dynamic_slice(bb, (0, c0, 0), (G, chunk, 3))
-    Bc = jax.lax.dynamic_slice(bc, (0, c0, 0), (G, chunk, 3))
+    # all three start indices must share a dtype (an int32 c0 — e.g. a
+    # value read from a device int32 array — meets int64 literals under
+    # x64 otherwise)
+    c0 = jnp.asarray(c0)
+    z = jnp.zeros((), c0.dtype)
+    Ba = jax.lax.dynamic_slice(ba, (z, c0, z), (G, chunk, 3))
+    Bb = jax.lax.dynamic_slice(bb, (z, c0, z), (G, chunk, 3))
+    Bc = jax.lax.dynamic_slice(bc, (z, c0, z), (G, chunk, 3))
     if not uniform:
         t = _phase_frac3(Ba, Bb, Bc, va, vb, vc)  # [nfreq, C, K]
         return _sincos_turns(t)
