@@ -130,9 +130,9 @@ def _geom_prep(tel, nfreq: int, nbase: int, chunk: int):
     at 46 ms/chunk, 3x its floor — were computed per PRODUCT.  This
     sorts products by geometry and computes trig only for each chunk's
     distinct-geometry slice ([Gc, K] instead of [chunk, K]); products
-    pick their rows back up with a cheap contiguous-row gather inside
-    the combine.  Phases are bit-identical to the per-product path
-    (same three-float operands).
+    pick their rows back up with a one-hot selection GEMM inside the
+    combine (value-exact at HIGHEST).  Phases are bit-identical to the
+    per-product path (same three-float operands).
 
     Returns ``None`` when dedup would not pay (already-unique
     geometries), else ``(order, ga, gb, gc, g0s, lidx, Gc, uniform)``.
@@ -166,6 +166,13 @@ def _geom_prep(tel, nfreq: int, nbase: int, chunk: int):
     lidx = (gs_pad - np.repeat(g0s.astype(gs_pad.dtype), chunk)).astype(
         np.int32
     )
+    # one-hot row selector [npad, Gc]: the product -> geometry fan-out
+    # runs as a tiny-K GEMM on the otherwise-idle MXU — a jnp.take row
+    # gather measured SLOWER end-to-end than no dedup at all (TPU
+    # gathers at sphere width are the known trap; same fix as the
+    # one-hot beam selection)
+    lidx_oh = np.zeros((len(lidx), Gc), np.float32)
+    lidx_oh[np.arange(len(lidx)), lidx] = 1.0
     # geometry vectors: each group's FIRST member's exact f64 vector,
     # padded so every [g0, g0 + Gc) slice stays in range
     gvec = np.zeros((ngeom + Gc, 3), np.float64)
@@ -184,7 +191,7 @@ def _geom_prep(tel, nfreq: int, nbase: int, chunk: int):
     else:
         coeff = gvec[None] * inv_wl[:, None, None]
     ga, gb, gc = _threefloat_split(coeff)
-    return order, ga, gb, gc, g0s, lidx, Gc, uniform
+    return order, ga, gb, gc, g0s, lidx_oh, Gc, uniform
 
 
 def _fringe_trig(ba, bb, bc, va, vb, vc, c0, chunk, nfreq, uniform):
@@ -681,9 +688,18 @@ def _fused_roundtrip_fullsphere(
             cg, sg = _fringe_trig(
                 ga, gb, gc, va, vb, vc, g0, Gc, nfreq, uniform_freq
             )  # [f, Gc, npad_pix]
-            lc = jax.lax.dynamic_slice_in_dim(lidx, c * chunk, chunk)
-            cph = jnp.take(cg, lc, axis=1)
-            sph = jnp.take(sg, lc, axis=1)
+            # product -> geometry fan-out as a one-hot GEMM (HIGHEST is
+            # value-exact for 0/1 selectors); a row gather here measured
+            # slower than no dedup at all
+            oh = jax.lax.dynamic_slice_in_dim(lidx, c * chunk, chunk)
+            cph = jnp.einsum(
+                "cg,fgk->fck", oh, cg,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            sph = jnp.einsum(
+                "cg,fgk->fck", oh, sg,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         else:
             cph, sph = _fringe_trig(
                 bla, blb, blc, va, vb, vc, c * chunk, chunk, nfreq,
