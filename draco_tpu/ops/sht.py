@@ -291,17 +291,21 @@ class SHT:
             self._cap_2ps = two_ps
             self._cap_n = n_row
             # Width-split row groups: cap ring k has nphi = 4k, so ~half
-            # of the padded [ncap, width] tensor is zeros.  Splitting rows
-            # into a half-width and a full-width group removes ~25% of the
-            # cap GEMM and gather work exactly (no approximation).
+            # of the padded [ncap, width] tensor is zeros.  Splitting
+            # rows into width buckets removes the zero-padding GEMM and
+            # gather work exactly (no approximation); see the nsplit
+            # sweep note below for the measured bucket-count tradeoff.
             nphi_rows = info.nphi[np.asarray(self._cap_rings)]
-            # Bucket count is configurable for shape-dependent tuning:
-            # 2 (default) measured best at the small headline shapes
-            # (3-way slower there — more, smaller GEMMs); wider chunks
-            # amortise the per-group overhead, so the 2048-feed path can
-            # probe 3/4-way splits (which cut the ~16% cap padding)
-            # via DRACO_TPU_CAP_WSPLIT without a code edit.
-            nsplit = int(os.environ.get("DRACO_TPU_CAP_WSPLIT", "2"))
+            # Bucket count (DRACO_TPU_CAP_WSPLIT).  Default 16 after the
+            # round-5 chip sweep at nside=256: padded-pixel fraction
+            # falls 16.5% -> 2.0% and the 2048-feed full-sphere runtime
+            # tracks it almost 1:1 (10.38 -> 9.40 -> 9.00 -> 8.78 s/freq
+            # at 2/4/8/16 splits; the windowed headline also improved,
+            # 0.108 -> 0.100 s).  32-way gains <= 1% more padding but
+            # its compile blew a 30-min budget — not worth it.  (The
+            # old "3-way is slower" result was measured at small shapes
+            # in round 1; the round-5 sweep supersedes it.)
+            nsplit = int(os.environ.get("DRACO_TPU_CAP_WSPLIT", "16"))
             bounds = sorted({width * i // nsplit for i in range(1, nsplit + 1)} - {0})
             groups = []
             lo = 0
