@@ -338,7 +338,16 @@ def _make_run(program, consts, dims, s, mmax, nfreq, npad, nbase,
             comp = False
             if aotcache.cache_dir() is not None:
                 try:
+                    import time as _time
+
+                    t_lower = _time.time()
                     lowered = program.lower(sky, *consts, w_dev, **kwargs)
+                    aotcache.STATS.setdefault("lowers", []).append(
+                        (
+                            getattr(program, "__name__", "fused_rt"),
+                            round(_time.time() - t_lower, 2),
+                        )
+                    )
                     comp = aotcache.compile_cached(
                         lowered, getattr(program, "__name__", "fused_rt")
                     )
