@@ -6,6 +6,7 @@ plus the projected-distance geometry it pulls from caput.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,23 +56,40 @@ def beamform_kernel(vis, sumweight, dec, lat, cosha, sinha, u, v):
     -------
     formed : [nfreq, nha] real (unnormalised weighted sum)
     """
-    vis = jnp.asarray(vis)
-    sumweight = jnp.asarray(sumweight)
-    cosha = jnp.asarray(cosha)
-    sinha = jnp.asarray(sinha)
-    u = jnp.asarray(u)
-    v = jnp.asarray(v)
+    # One jitted, all-real program: eager complex ops and complex
+    # host->device transfers are unsupported over remote-TPU tunnels
+    # (chip-sweep finding, round 5) — with phase = exp(-2 pi i d),
+    # Re(vis * phase) = Re(vis) cos(2 pi d) + Im(vis) sin(2 pi d).
+    vis = np.asarray(vis)
+    return _beamform_kernel_jit(
+        jnp.asarray(np.ascontiguousarray(vis.real)),
+        jnp.asarray(np.ascontiguousarray(vis.imag)),
+        jnp.asarray(np.asarray(sumweight)),
+        jnp.asarray(np.asarray(cosha)),
+        jnp.asarray(np.asarray(sinha)),
+        jnp.asarray(np.asarray(u)),
+        jnp.asarray(np.asarray(v)),
+        jnp.asarray(np.sin(dec)),
+        jnp.asarray(np.cos(dec)),
+        jnp.asarray(np.sin(lat)),
+        jnp.asarray(np.cos(lat)),
+    )
 
-    sind, cosd = np.sin(dec), np.cos(dec)
-    sinl, cosl = np.sin(lat), np.cos(lat)
+
+@jax.jit
+def _beamform_kernel_jit(
+    vr, vi, sumweight, cosha, sinha, u, v, sind, cosd, sinl, cosl
+):
     # distance[f, h, p] = u c_d sH + v (cL sd - sL cd cH)
     dist = (
         u[:, None, :] * (cosd * sinha)[None, :, None]
         + v[:, None, :]
         * (cosl * sind - sinl * cosd * cosha)[None, :, None]
     )
-    phase = jnp.exp(-2.0j * np.pi * dist)
-    return jnp.sum(sumweight * (vis * phase).real, axis=-1)
+    ang = 2.0 * np.pi * dist
+    return jnp.sum(
+        sumweight * (vr * jnp.cos(ang) + vi * jnp.sin(ang)), axis=-1
+    )
 
 
 def beamform_sources_batched(
