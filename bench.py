@@ -626,6 +626,7 @@ def run_chime_composite_stream():
                 + 0.1j * rng.standard_normal((1, nprod, ntime))
             ).astype(np.complex64)
             ts.weight[:] = 1.0
+            ts.attrs["integration_time"] = 10.0  # single-sample windows
             fname = os.path.join(tmpdir, f"win{w:03d}.h5")
             ts.save(fname)
             files.append(fname)

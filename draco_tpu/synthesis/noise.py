@@ -35,6 +35,17 @@ def _time_interval(data) -> tuple[float, int]:
         ra = data.ra
         return 240 * (ra[1] - ra[0]) * STELLAR_S, len(ra)
     t = data.time
+    if len(t) < 2:
+        # single-sample windows (per-time-window disk streaming) cannot
+        # derive the cadence from the axis; the producer declares it
+        dt = data.attrs.get("integration_time")
+        if dt is None:
+            raise ValueError(
+                "cannot infer the integration time from a length-"
+                f"{len(t)} time axis; set attrs['integration_time'] "
+                "(seconds) on the container"
+            )
+        return float(dt), len(t)
     return t[1] - t[0], len(t)
 
 
