@@ -63,6 +63,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Chip mode: auto-skip tests needing the 8-device virtual mesh.
+
+    A single real chip cannot host them, and under ``-x`` one such
+    expected failure would mask every later test in the file — the
+    sweep's actual quarry is tunnel-unsafe dispatches in single-device
+    task bodies.
+    """
+    if _TEST_PLATFORM != "tpu":
+        return
+    skip = pytest.mark.skip(
+        reason="needs the 8-device virtual mesh; chip mode has one device"
+    )
+    for item in items:
+        if "mesh8" in getattr(item, "fixturenames", ()):
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def mesh8():
     """An installed 8-device mesh for sharding tests."""
