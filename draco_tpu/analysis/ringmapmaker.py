@@ -855,7 +855,9 @@ class DeconvolveAnalyticalBeam(DeconvolveHybridMBase):
             )  # [f, ew, el, ra]
             beam = fringe[None] * envelope  # [pol, f, ew, el, ra]
             bvis[:, :, :, fs] = device_to_numpy(
-                mmode_ops.make_marray(as_device(np.conj(beam)), mmax=mmax)
+                mmode_ops.make_marray_device(
+                    as_device(np.conj(beam)), mmax=mmax
+                )
             )  # -> [m, msign, pol, f, ew, el]
 
         hybrid_beam_m.vis[:] = bvis

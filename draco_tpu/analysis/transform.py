@@ -227,6 +227,21 @@ class MModeTransform(ContainerTask):
         return ma
 
 
+@partial(jax.jit, static_argnames=("nra", "oddra", "apply_win"))
+def _mmode_inverse(mvis, mweight, *, nra, oddra, apply_win):
+    """Window re-application + inverse m-mode FFT as ONE device program
+    (eager complex ops raise UNIMPLEMENTED over remote-TPU tunnels —
+    chip-sweep finding, round 5)."""
+    if apply_win:
+        m = jnp.arange(mvis.shape[0])
+        w = jnp.sinc(m / nra)
+        inv_w = invert_no_zero(w)
+        sl = (slice(None),) + (None,) * (mvis.ndim - 1)
+        mvis = mvis * w[sl]
+        mweight = mweight * (inv_w[sl] ** 2)
+    return mmode.mmodes_to_sidereal(mvis, n=nra, oddra=oddra), mweight
+
+
 class MModeInverseTransform(ContainerTask):
     """Transform m-modes back to a sidereal stream (reference transform.py:708).
 
@@ -251,15 +266,13 @@ class MModeInverseTransform(ContainerTask):
         mvis = tools.as_device(mmodes.vis[:])
         mweight = mmodes.weight._as_device()
 
-        if self.apply_integration_window:
-            m = jnp.arange(mmodes.mmax + 1)
-            w = jnp.sinc(m / nra)
-            inv_w = invert_no_zero(w)
-            sl = (slice(None),) + (None,) * (mvis.ndim - 1)
-            mvis = mvis * w[sl]
-            mweight = mweight * (inv_w[sl] ** 2)
-
-        ssarray = mmode.mmodes_to_sidereal(mvis, n=nra, oddra=mmodes.oddra)
+        ssarray, mweight = _mmode_inverse(
+            mvis,
+            mweight,
+            nra=nra,
+            oddra=bool(mmodes.oddra),
+            apply_win=bool(self.apply_integration_window),
+        )
         nra = ssarray.shape[-1]
 
         sstream = containers.SiderealStream(

@@ -142,6 +142,25 @@ def unpack_marray(mmodes, n: int | None = None, oddra: bool | None = None):
     return marray
 
 
+def make_marray_device(ts, mmax: int | None = None):
+    """Jitted :func:`make_marray` for TASK-BODY use on device arrays.
+
+    The plain function is eager (fine when traced inside a larger jit,
+    its usual habitat); called eagerly on a real device its per-op
+    complex dispatches raise UNIMPLEMENTED over remote-TPU tunnels
+    (chip-sweep finding, round 5).
+    """
+    import functools
+
+    import jax
+
+    @functools.lru_cache(maxsize=None)
+    def jitted(mmax_static):
+        return jax.jit(lambda x: make_marray(x, mmax=mmax_static))
+
+    return jitted(mmax)(ts)
+
+
 def mmodes_to_sidereal(mmodes, n: int | None = None, oddra: bool | None = None):
     """Inverse m-mode transform: [m, msign, ...] -> sidereal [..., ntime].
 
