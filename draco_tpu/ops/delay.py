@@ -152,15 +152,40 @@ def _compute_delay_spectrum_inputs(data, N, Ni, fsel, window, complex_timedomain
 
 
 def delay_spectrum_fft(data, N: int, window="nuttall"):
-    """Delay transform by inverse FFT (reference delay.py:2102)."""
+    """Delay transform by inverse FFT (reference delay.py:2102).
+
+    One jitted program with a split complex upload and array readback:
+    the previous eager complex transfer + per-op dispatches raise
+    UNIMPLEMENTED over remote-TPU tunnels (chip-sweep finding).
+    """
+    import jax
     import jax.numpy as jnp
 
-    data = jnp.asarray(data)
     if window is not None:
         wx = np.arange(N) / N
         w = np.asarray(tools.window_generalised(wx, window=window))
-        data = data * jnp.asarray(w)[np.newaxis]
-    return np.asarray(jnp.fft.ifft(data, axis=-1))
+    else:
+        w = np.ones(N)
+    return tools.device_to_numpy(
+        _delay_fft_jit()(tools.as_device(np.asarray(data)), jnp.asarray(w))
+    )
+
+
+def _delay_fft_jit():
+    # module-level cached jit, built lazily (this module imports jax on
+    # demand)
+    global _DELAY_FFT_JIT
+    try:
+        return _DELAY_FFT_JIT
+    except NameError:
+        pass
+    import jax
+    import jax.numpy as jnp
+
+    _DELAY_FFT_JIT = jax.jit(
+        lambda d, w: jnp.fft.ifft(d * w[jnp.newaxis], axis=-1)
+    )
+    return _DELAY_FFT_JIT
 
 
 def delay_spectrum_wiener_filter(
