@@ -609,6 +609,17 @@ def run_chime_composite_stream():
     nfeed = int(os.environ.get("BENCH_COMPOSITE_FEEDS", 2048))
     nwin = int(os.environ.get("BENCH_STREAM_WINDOWS", 64))
     ntime = int(os.environ.get("BENCH_STREAM_NTIME", 1))
+    # fit the window count to the remaining wall-clock budget (measured
+    # ~10 s/window at 2048 feeds over the tunnel + ~210 s of file
+    # writes + a ~2 min first-window compile); the sustained median is
+    # meaningful from ~16 windows up, and a partial measurement beats a
+    # budget-killed one
+    est_fixed_s = 420.0
+    per_win_s = 12.0 if nfeed >= 1024 else 1.0
+    affordable = int((_budget_left() - est_fixed_s) / per_win_s)
+    if affordable < nwin:
+        nwin = max(8, affordable)
+        log(f"[composite_stream] budget-capped to {nwin} windows")
     tmpdir = tempfile.mkdtemp(prefix="draco_stream_", dir="/tmp")
     try:
         # -- write the window files (timed separately) ------------------
