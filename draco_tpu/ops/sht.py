@@ -1307,7 +1307,12 @@ def map2alm(maps, lmax: int | None = None, iter: int = 3):
 
 def alm2map(alm, nside: int):
     """healpy-compatible scalar alm2map from dense [l, m] coefficients."""
-    alm = jnp.asarray(alm)
+    from .tools import as_device
+
+    # complex host->device transfers are unsupported over remote-TPU
+    # tunnels; as_device splits them into a [re, im] upload
+    alm = as_device(np.asarray(alm)) if not isinstance(alm, jnp.ndarray) \
+        else alm
     sht = get_sht(nside, alm.shape[-2] - 1, alm.shape[-1] - 1)
     return sht.synthesis(alm)
 
