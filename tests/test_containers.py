@@ -200,12 +200,18 @@ def test_container_zoo_instantiable():
 
 
 def test_dataset_setitem_jax():
+    import jax
     import jax.numpy as jnp
 
     ss = make_stream()
     ss.to_device()
-    ss.vis[0, 0] = jnp.ones(16, dtype=jnp.complex64) * 5.0
-    assert np.allclose(np.asarray(ss.vis[0, 0]).real, 5.0)
+    # build the complex value INSIDE a jit: an eager complex multiply
+    # raises UNIMPLEMENTED over remote-TPU tunnels (chip mode)
+    val = jax.jit(lambda: jnp.full(16, 5.0 + 0.0j, dtype=jnp.complex64))()
+    ss.vis[0, 0] = val
+    from draco_tpu.ops.tools import device_to_numpy
+
+    assert np.allclose(device_to_numpy(ss.vis[0, 0]).real, 5.0)
 
 
 def test_freq_container_int_axis():
