@@ -1072,8 +1072,16 @@ class BeamTransfer:
         directory = directory or self.directory
         os.makedirs(directory, exist_ok=True)
         self.generate()
-        np.save(os.path.join(directory, "beam_p.npy"), np.asarray(self._bp))
-        np.save(os.path.join(directory, "beam_m.npy"), np.asarray(self._bm))
+        # split readback: np.asarray of a COMPLEX device array raises
+        # UNIMPLEMENTED over remote-TPU tunnels (chip-sweep finding)
+        from ..ops.tools import device_to_numpy
+
+        np.save(
+            os.path.join(directory, "beam_p.npy"), device_to_numpy(self._bp)
+        )
+        np.save(
+            os.path.join(directory, "beam_m.npy"), device_to_numpy(self._bm)
+        )
         with open(os.path.join(directory, "telescope.pkl"), "wb") as f:
             pickle.dump(self._telescope, f)
 
@@ -1084,6 +1092,11 @@ class BeamTransfer:
             self._telescope = pickle.load(f)
         bp_path = os.path.join(directory, "beam_p.npy")
         if os.path.exists(bp_path):
-            self._bp = jnp.asarray(np.load(bp_path))
-            self._bm = jnp.asarray(np.load(os.path.join(directory, "beam_m.npy")))
+            from ..ops.tools import as_device
+
+            # split upload (complex transfers unsupported over tunnels)
+            self._bp = as_device(np.load(bp_path))
+            self._bm = as_device(
+                np.load(os.path.join(directory, "beam_m.npy"))
+            )
         return self

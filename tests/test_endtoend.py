@@ -22,6 +22,7 @@ from draco_tpu.analysis.mapmaker import (
 )
 from draco_tpu.analysis.transform import MModeInverseTransform, MModeTransform
 from draco_tpu.core import containers
+from draco_tpu.ops.tools import device_to_numpy
 from draco_tpu.ops import healpix, sht
 from draco_tpu.synthesis.stream import ExpandProducts, SimulateSidereal
 from draco_tpu.telescope import BeamTransfer, UnpolarisedDishArray
@@ -122,9 +123,9 @@ def test_mmode_roundtrip_through_tasks(small_setup):
     assert ma.oddra  # ntime = 2 mmax + 1 is odd
 
     # direct projection truth
-    alm_in = np.asarray(sht.sphtrans_sky(np.asarray(m.map[:]), lmax=tel.lmax))
+    alm_in = device_to_numpy(sht.sphtrans_sky(np.asarray(m.map[:]), lmax=tel.lmax))
     alm_in = alm_in[..., : tel.mmax + 1]
-    vis_m = np.asarray(bt.project_sky_to_telescope(alm_in))
+    vis_m = device_to_numpy(bt.project_sky_to_telescope(alm_in))
     got = np.asarray(ma.vis[:])
     assert np.allclose(got, vis_m, atol=2e-5 * np.abs(vis_m).max())
 
@@ -168,7 +169,7 @@ def test_ml_map_reprojects_to_data(small_setup):
     a_ml = mm._solve_all_m(
         jnp.asarray(vis), jnp.asarray(weight), list(range(tel.nfreq)), mmax
     )
-    v2 = np.asarray(bt.project_sky_to_telescope(a_ml))
+    v2 = device_to_numpy(bt.project_sky_to_telescope(a_ml))
     v1 = vis
     # complex64 SVD limits the identity to ~1e-3 relative
     assert np.allclose(v2, v1, atol=1e-3 * np.abs(v1).max())
