@@ -464,10 +464,14 @@ class BeamTransfer:
             [mmax+1, 2, nfreq, nbase] with msign 0 = V_m, 1 = conj(V_{-m}).
         """
         self.generate()
-        alm = jnp.asarray(alm)
-        vp = jnp.einsum("fbplm,fplm->mfb", self._bp, alm.astype(self._bp.dtype), precision=_PREC)
-        vm = jnp.einsum("fbplm,fplm->mfb", self._bm, alm.astype(self._bm.dtype), precision=_PREC)
-        return jnp.stack([vp, vm], axis=1)
+        from ..ops.tools import as_device
+
+        # split complex upload + ONE jitted program: eager complex
+        # transfers/ops raise UNIMPLEMENTED over remote-TPU tunnels
+        alm = as_device(np.asarray(alm)) if not isinstance(
+            alm, jnp.ndarray
+        ) else alm
+        return _project_fwd_jit(self._bp, self._bm, alm)
 
     def project_telescope_to_sky_dirty(self, vis, weight) -> jnp.ndarray:
         """Adjoint (dirty-map) projection over every m.
@@ -489,10 +493,15 @@ class BeamTransfer:
             [nfreq, npol, lmax+1, mmax+1].
         """
         self.generate()
-        wv = jnp.asarray(vis) * jnp.asarray(weight)
-        a_p = jnp.einsum("fbplm,mfb->fplm", jnp.conj(self._bp), wv[:, 0].astype(self._bp.dtype), precision=_PREC)
-        a_m = jnp.einsum("fbplm,mfb->fplm", jnp.conj(self._bm), wv[:, 1].astype(self._bm.dtype), precision=_PREC)
-        return a_p + a_m
+        from ..ops.tools import as_device
+
+        vis_d = as_device(np.asarray(vis)) if not isinstance(
+            vis, jnp.ndarray
+        ) else vis
+        w_d = jnp.asarray(np.asarray(weight)) if not isinstance(
+            weight, jnp.ndarray
+        ) else weight
+        return _project_adj_jit(self._bp, self._bm, vis_d, w_d)
 
     # -- streaming (factorised) projections ------------------------------------
     #
@@ -1100,3 +1109,28 @@ class BeamTransfer:
                 np.load(os.path.join(directory, "beam_m.npy"))
             )
         return self
+
+
+@jax.jit
+def _project_fwd_jit(bp, bm, alm):
+    vp = jnp.einsum(
+        "fbplm,fplm->mfb", bp, alm.astype(bp.dtype), precision=_PREC
+    )
+    vm = jnp.einsum(
+        "fbplm,fplm->mfb", bm, alm.astype(bm.dtype), precision=_PREC
+    )
+    return jnp.stack([vp, vm], axis=1)
+
+
+@jax.jit
+def _project_adj_jit(bp, bm, vis, weight):
+    wv = vis * weight
+    a_p = jnp.einsum(
+        "fbplm,mfb->fplm", jnp.conj(bp), wv[:, 0].astype(bp.dtype),
+        precision=_PREC,
+    )
+    a_m = jnp.einsum(
+        "fbplm,mfb->fplm", jnp.conj(bm), wv[:, 1].astype(bm.dtype),
+        precision=_PREC,
+    )
+    return a_p + a_m

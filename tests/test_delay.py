@@ -385,6 +385,14 @@ def test_cross_batched_chunks_draw_independent_randomness(rng):
 
 
 def test_delayopt_device_matches_host(rng, monkeypatch):
+    import os
+
+    if os.environ.get("DRACO_TPU_TEST_PLATFORM") == "tpu":
+        pytest.skip(
+            "1e-8-rtol host/device identity needs x64 on the device; "
+            "the chip runs f32 (its parity is covered by the f32-mode "
+            "tests below)"
+        )
     """The jitted LogLikePS core equals the scipy host path (VERDICT r3).
 
     value/gradient/hessian from the device program must match the host
