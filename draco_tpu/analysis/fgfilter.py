@@ -11,6 +11,7 @@ import numpy as np
 
 from ..core import config, containers, io
 from ..core.task import ContainerTask
+from ..ops.tools import device_to_numpy
 
 
 class _ProjectFilterBase(ContainerTask):
@@ -63,7 +64,7 @@ class SVDModeProject(_ProjectFilterBase):
         nmode = np.zeros(len(svdmodes.index_map["m"]), dtype=np.int32)
         # all m at once: one batched device einsum instead of the
         # reference's per-m host loop (reference fgfilter.py:85-97)
-        svdm = np.asarray(bt.project_telescope_to_svd(vis))  # [M, f, k]
+        svdm = device_to_numpy(bt.project_telescope_to_svd(vis))  # [M, f, k]
         nfk = svdm.shape[1] * svdm.shape[2]
         svis[:, :nfk] = svdm.reshape(svdm.shape[0], -1)
         nmode[:] = nfk
@@ -94,7 +95,7 @@ class SVDModeProject(_ProjectFilterBase):
         svis = np.asarray(svdmodes.vis[:])
         # batched inverse: [M, f, k] -> [M, f, ntel] in one device einsum
         svdm = svis[:, : tel.nfreq * k].reshape(-1, tel.nfreq, k)
-        tm = np.asarray(bt.project_svd_to_telescope(svdm))
+        tm = device_to_numpy(bt.project_svd_to_telescope(svdm))
         vis = tm.reshape(-1, tel.nfreq, 2, tel.npairs).transpose(0, 2, 1, 3)
         mmodes.vis[:] = vis.astype(np.complex128)
         w = np.asarray(svdmodes.weight[:])

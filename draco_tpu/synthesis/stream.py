@@ -14,6 +14,8 @@ alm tensor is resharded freq <-> m between the SHT and projection stages
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +30,33 @@ from ..ops.tools import invert_no_zero
 _mmodes_to_sidereal_jit = jax.jit(
     mmode.mmodes_to_sidereal, static_argnames=("n", "oddra")
 )
+
+
+@partial(jax.jit, static_argnames=("ax",))
+def _regrid_ra_data(x, R, *, ax):
+    """Lanczos regrid along RA, moveaxis folded into one program."""
+    moved = jnp.moveaxis(x, ax, -1)
+    return jnp.moveaxis(moved @ R.astype(moved.dtype), -1, ax)
+
+
+@partial(jax.jit, static_argnames=("ax",))
+def _regrid_ra_weight(w, R, *, ax):
+    """Inverse-variance weight combination through the regrid matrix."""
+    moved = jnp.moveaxis(w, ax, -1)
+    out = invert_no_zero(invert_no_zero(moved) @ (R.astype(moved.dtype) ** 2))
+    return jnp.moveaxis(out, -1, ax)
+
+
+@jax.jit
+def _expand_products_kernel(vis, idx, conj, valid):
+    """Gather unique products to the full triangle in ONE program.
+
+    Eager complex ops / transfers raise UNIMPLEMENTED over remote-TPU
+    tunnels, so the gather + conjugation mask runs as a single jit.
+    """
+    gathered = jnp.take(vis, idx, axis=1)
+    out = jnp.where(conj[None, :, None], jnp.conj(gathered), gathered)
+    return out * valid[None, :, None]
 
 
 class SimulateSidereal(ContainerTask):
@@ -155,13 +184,18 @@ class ExpandProducts(ContainerTask):
         conj = tel.feedconj[fi, fj]
         valid = unique_ind >= 0
 
-        vis = jnp.asarray(np.asarray(sstream.vis[:]))  # [f, stack, ra]
-        gathered = jnp.take(vis, jnp.asarray(np.where(valid, unique_ind, 0)), axis=1)
-        cmask = jnp.asarray(conj)[None, :, None]
-        vmask = jnp.asarray(valid)[None, :, None]
-        new_vis = jnp.where(cmask, jnp.conj(gathered), gathered) * vmask
+        # tunnel-safe: complex vis goes up as a split real pair, the
+        # gather/conjugate runs as one jitted program, and the complex
+        # result comes back through the split readback helper
+        vis = tools.as_device(np.asarray(sstream.vis[:]))  # [f, stack, ra]
+        new_vis = _expand_products_kernel(
+            vis,
+            jnp.asarray(np.where(valid, unique_ind, 0).astype(np.int32)),
+            jnp.asarray(conj),
+            jnp.asarray(valid),
+        )
 
-        new_stream.vis[:] = np.asarray(new_vis).astype(np.complex64)
+        new_stream.vis[:] = tools.device_to_numpy(new_vis).astype(np.complex64)
         new_stream.weight[:] = (
             np.ones(new_stream.weight.shape, dtype=np.float32)
             * valid[None, :, None]
@@ -212,9 +246,12 @@ class MakeTimeStream(ContainerTask):
                 f"No valid container mapping for {sstream.__class__}."
             )
 
-        out = out_type(
-            axes_from=sstream, attrs_from=sstream, time=time, ra=tra
-        )
+        # TimeStream carries only a time axis; HybridVisStream keeps an
+        # RA axis alongside — pass ra only where the output defines it
+        kw = {"time": time}
+        if "ra" in out_type.axes_spec():
+            kw["ra"] = tra
+        out = out_type(axes_from=sstream, attrs_from=sstream, **kw)
 
         # Periodic Lanczos interpolation matrix over RA, applied on
         # device; weights combine as inverse variances.
@@ -224,22 +261,19 @@ class MakeTimeStream(ContainerTask):
             ).T.copy()
         )
 
-        def along_ra(values, axis_names, f):
+        def along_ra(values, axis_names, kernel):
+            # tunnel-safe: split complex upload, ONE jitted program,
+            # split complex readback (eager complex ops/transfers raise
+            # UNIMPLEMENTED over remote-TPU tunnels)
             ax = list(axis_names).index("ra")
-            moved = jnp.moveaxis(jnp.asarray(np.asarray(values)), ax, -1)
-            return np.asarray(jnp.moveaxis(f(moved), -1, ax))
+            dev = tools.as_device(np.asarray(values))
+            return tools.device_to_numpy(kernel(dev, R, ax=ax))
 
         out.data[:] = along_ra(
-            sstream.data[:],
-            sstream.data.axes,
-            lambda x: x @ R.astype(x.dtype),
+            sstream.data[:], sstream.data.axes, _regrid_ra_data
         ).astype(out.data.dtype)
         out.weight[:] = along_ra(
-            sstream.weight[:],
-            sstream.weight.axes,
-            lambda w: invert_no_zero(
-                invert_no_zero(w) @ (R.astype(w.dtype) ** 2)
-            ),
+            sstream.weight[:], sstream.weight.axes, _regrid_ra_weight
         ).astype(out.weight.dtype)
         return out
 

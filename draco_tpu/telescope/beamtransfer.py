@@ -26,6 +26,7 @@ single batched ``jnp.linalg.svd``.
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import jax
 from ..ops.sht import _PREC
@@ -990,14 +991,11 @@ class BeamTransfer:
         M1 = tel.mmax + 1
         nsky = self.nsky
         # B matrix per (freq, m): [ntel, nsky]
-        B = jnp.concatenate([self._bp, self._bm], axis=1)  # [f, ntel, p, L1, M1]
-        B = jnp.moveaxis(B, -1, 1)  # [f, M1, ntel, p, L1]
-        B = B.reshape(B.shape[0], M1, self.ntel, nsky)
-        # batched SVD (economy)
-        U, s, Vh = jnp.linalg.svd(B, full_matrices=False)
-        smax = jnp.max(s, axis=-1, keepdims=True)
-        keep = s > self.svcut * jnp.maximum(smax, 1e-30)
-        nmode = keep.sum(axis=-1)
+        # ONE jitted program: eager complex concatenate/moveaxis/svd
+        # raise UNIMPLEMENTED over remote-TPU tunnels (chip-sweep finding)
+        U, s, Vh, keep, nmode = _svd_build_jit(
+            self._bp, self._bm, float(self.svcut), ntel=self.ntel, nsky=nsky
+        )
         self._svd = {
             "U": U,  # [f, M1, ntel, k]
             "s": s,  # [f, M1, k]
@@ -1027,6 +1025,19 @@ class BeamTransfer:
         self._ensure_svd()
         return np.asarray(self._svd["nmode"])
 
+    def _svd_host(self) -> dict:
+        """Host copies of U/keep for the per-m vector APIs.
+
+        Fetched ONCE through the split complex readback (eager complex
+        slices/readbacks raise UNIMPLEMENTED over remote-TPU tunnels).
+        """
+        if getattr(self, "_svd_np", None) is None:
+            self._svd_np = {
+                "U": tools.device_to_numpy(self._svd["U"]),
+                "keep": np.asarray(self._svd["keep"]),
+            }
+        return self._svd_np
+
     def project_vector_telescope_to_svd(self, m: int, tm) -> np.ndarray:
         """Telescope vector(s) -> SVD basis for one m.
 
@@ -1034,8 +1045,9 @@ class BeamTransfer:
         """
         self._ensure_svd()
         tm = np.asarray(tm).reshape(-1, self.ntel)
-        U = np.asarray(self._svd["U"][:, m])  # [f, ntel, k]
-        keep = np.asarray(self._svd["keep"][:, m])  # [f, k]
+        host = self._svd_host()
+        U = host["U"][:, m]  # [f, ntel, k]
+        keep = host["keep"][:, m]  # [f, k]
         out = np.einsum("ftk,ft->fk", np.conj(U), tm)
         return out * keep
 
@@ -1043,20 +1055,22 @@ class BeamTransfer:
         """SVD vector(s) -> telescope basis for one m."""
         self._ensure_svd()
         svdm = np.asarray(svdm).reshape(-1, self.svd_len())
-        U = np.asarray(self._svd["U"][:, m])
-        keep = np.asarray(self._svd["keep"][:, m])
+        host = self._svd_host()
+        U = host["U"][:, m]
+        keep = host["keep"][:, m]
         return np.einsum("ftk,fk->ft", U, svdm * keep)
 
     def project_telescope_to_svd(self, vis) -> jnp.ndarray:
-        """Batched telescope->SVD over every m: [M+1, nfreq, k]."""
+        """Batched telescope->SVD over every m: [M+1, nfreq, k].
+
+        Split complex upload + ONE jitted program (eager complex
+        ops/transfers raise UNIMPLEMENTED over remote-TPU tunnels).
+        """
         self._ensure_svd()
-        vis = jnp.asarray(vis)  # [M+1, 2, nfreq, nbase]
-        tm = jnp.moveaxis(vis, 2, 1).reshape(
-            vis.shape[0], vis.shape[2], self.ntel
-        )  # [M+1, f, ntel]
-        U = self._svd["U"]  # [f, M1, ntel, k]
-        out = jnp.einsum("fmtk,mft->mfk", jnp.conj(U), tm.astype(U.dtype), precision=_PREC)
-        return out * jnp.moveaxis(self._svd["keep"], 0, 1)
+        from ..ops.tools import as_device
+
+        vis = as_device(vis)  # [M+1, 2, nfreq, nbase]
+        return _tel2svd_jit(self._svd["U"], self._svd["keep"], vis)
 
     def project_svd_to_telescope(self, svdm) -> jnp.ndarray:
         """Batched SVD->telescope over every m (adjoint of the above).
@@ -1066,11 +1080,10 @@ class BeamTransfer:
         ``project_vector_svd_to_telescope`` host loop.
         """
         self._ensure_svd()
-        U = self._svd["U"]  # [f, M1, ntel, k]
-        keep = jnp.moveaxis(self._svd["keep"], 0, 1)  # [M1, f, k]
-        svdm = jnp.asarray(svdm) * keep
-        return jnp.einsum(
-            "fmtk,mfk->mft", U, svdm.astype(U.dtype), precision=_PREC
+        from ..ops.tools import as_device
+
+        return _svd2tel_jit(
+            self._svd["U"], self._svd["keep"], as_device(svdm)
         )
 
     # -- persistence -----------------------------------------------------------
@@ -1109,6 +1122,37 @@ class BeamTransfer:
                 np.load(os.path.join(directory, "beam_m.npy"))
             )
         return self
+
+
+@partial(jax.jit, static_argnames=("ntel", "nsky"))
+def _svd_build_jit(bp, bm, svcut, *, ntel, nsky):
+    """Batched per-(freq, m) economy SVD of the beam matrix, one program."""
+    B = jnp.concatenate([bp, bm], axis=1)  # [f, ntel, p, L1, M1]
+    B = jnp.moveaxis(B, -1, 1)  # [f, M1, ntel, p, L1]
+    B = B.reshape(B.shape[0], B.shape[1], ntel, nsky)
+    U, s, Vh = jnp.linalg.svd(B, full_matrices=False)
+    smax = jnp.max(s, axis=-1, keepdims=True)
+    keep = s > svcut * jnp.maximum(smax, 1e-30)
+    return U, s, Vh, keep, keep.sum(axis=-1)
+
+
+@jax.jit
+def _tel2svd_jit(U, keep, vis):
+    tm = jnp.moveaxis(vis, 2, 1).reshape(
+        vis.shape[0], vis.shape[2], -1
+    )  # [M+1, f, ntel]
+    out = jnp.einsum(
+        "fmtk,mft->mfk", jnp.conj(U), tm.astype(U.dtype), precision=_PREC
+    )
+    return out * jnp.moveaxis(keep, 0, 1)
+
+
+@jax.jit
+def _svd2tel_jit(U, keep, svdm):
+    svdm = svdm * jnp.moveaxis(keep, 0, 1)
+    return jnp.einsum(
+        "fmtk,mfk->mft", U, svdm.astype(U.dtype), precision=_PREC
+    )
 
 
 @jax.jit

@@ -160,14 +160,18 @@ def test_ml_map_reprojects_to_data(small_setup):
     out_map = mm.process(ma)
     assert isinstance(out_map, containers.Map)
 
-    # Run the solver internals to get the ML alm and reproject
+    # Run the solver internals to get the ML alm and reproject.  The
+    # complex vis upload must go through the split real-pair helper:
+    # an eager jnp.asarray(complex) poisons remote-TPU tunnels.
     import jax.numpy as jnp
+
+    from draco_tpu.ops.tools import as_device
 
     mmax = tel.mmax
     vis = np.asarray(ma.vis[:]).reshape(mmax + 1, 2, tel.nfreq, tel.npairs)
     weight = np.asarray(ma.weight[:]).reshape(mmax + 1, 2, tel.nfreq, tel.npairs)
     a_ml = mm._solve_all_m(
-        jnp.asarray(vis), jnp.asarray(weight), list(range(tel.nfreq)), mmax
+        as_device(vis), jnp.asarray(weight), list(range(tel.nfreq)), mmax
     )
     v2 = device_to_numpy(bt.project_sky_to_telescope(a_ml))
     v1 = vis
@@ -405,3 +409,39 @@ pipeline:
         str(tmp_path / "dirty_testmap.h5")
     )
     assert "config" in loaded.history
+
+
+def test_make_time_stream_interpolates(small_setup):
+    """MakeTimeStream Lanczos-samples a sidereal stream at target times.
+
+    A single smooth RA mode must reproduce its analytic value at the
+    interpolated times (reference stream.py:249-343), and weights must
+    stay positive through the inverse-variance combination.
+    """
+    from draco_tpu.synthesis.stream import MakeTimeStream
+
+    tel, bt, m, alm = small_setup
+    nra = 64
+    ss = containers.SiderealStream(
+        freq=tel.frequencies, input=tel.nfeed, ra=nra
+    )
+    ra = np.asarray(ss.ra[:], dtype=np.float64)
+    sig = np.exp(2j * np.pi * ra / 360.0).astype(np.complex64)
+    ss.vis[:] = sig[None, None, :]
+    ss.weight[:] = 2.0
+    ss.attrs["lsd"] = 1234
+
+    times = tel.lsd_to_unix(1234 + np.linspace(0.1, 0.9, 11))
+    ts = containers.TimeStream(axes_from=ss, time=times)
+
+    task = MakeTimeStream()
+    task.read_config({"lanczos_width": 5})
+    task.setup(tel)
+    out = task.process(ss, ts)
+
+    tra = np.asarray(tel.unix_to_lsa(times))
+    expect = np.exp(2j * np.pi * tra / 360.0)
+    got = np.asarray(out.vis[:])
+    assert got.shape == (tel.nfreq, ss.vis.shape[1], len(times))
+    np.testing.assert_allclose(got[0, 0], expect, rtol=0, atol=5e-3)
+    assert np.all(np.asarray(out.weight[:]) > 0)
