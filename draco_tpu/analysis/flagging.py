@@ -310,7 +310,11 @@ class RadiometerWeight(ContainerTask):
             stream.weight[:] = np.ones(stream.weight.shape, dtype=np.float32)
 
         nsamp = 1e6 * freq_width * int_time
-        autos = np.asarray(extract_diagonal(np.asarray(stream.vis[:]))).real
+        # split complex readback: np.asarray of a complex device array
+        # raises UNIMPLEMENTED over remote-TPU tunnels
+        autos = ops_tools.device_to_numpy(
+            extract_diagonal(np.asarray(stream.vis[:]))
+        ).real
         weight_fac = nsamp**0.5 * invert_no_zero(autos)
         w = ops_tools.apply_gain(
             np.asarray(stream.weight[:]), np.asarray(weight_fac), axis=1

@@ -65,6 +65,13 @@ def _fft_convolve_same(x, taps, axis: int, klen: int):
     return jnp.moveaxis(out, -1, axis)
 
 
+@functools.partial(jax.jit, static_argnames=("axis", "klen"))
+def _weighted_conv_kernel(d, w, k, *, axis: int, klen: int):
+    num = _fft_convolve_same(d * w, k, axis, klen)
+    den = _fft_convolve_same(w, k, axis, klen)
+    return num * invert_no_zero(den)
+
+
 def lowpass_weighted_convolution_filter(data, weight, samples, cutoff, axis=-1):
     """Weight-aware low-pass filter along ``axis`` (on device).
 
@@ -83,14 +90,22 @@ def lowpass_weighted_convolution_filter(data, weight, samples, cutoff, axis=-1):
     fs = 1.0 / np.median(np.abs(np.diff(np.asarray(samples))))
     taps = _flattop_lowpass_fir(float(cutoff), float(fs))
 
-    d = jnp.asarray(np.asarray(data))
-    w = jnp.broadcast_to(jnp.asarray(np.asarray(weight)), d.shape)
-    k = jnp.asarray(taps, dtype=jnp.result_type(d.real.dtype, jnp.float32))
+    # tunnel-safe: split complex upload, ONE jitted program, split
+    # complex readback (eager complex ops/transfers raise UNIMPLEMENTED
+    # over remote-TPU tunnels)
+    from .tools import as_device, device_to_numpy
 
-    ax = axis % d.ndim
-    num = _fft_convolve_same(d * w, k, ax, taps.size)
-    den = _fft_convolve_same(w, k, ax, taps.size)
-    return np.asarray(num * invert_no_zero(den))
+    data = np.asarray(data)
+    d = as_device(data)
+    w = jnp.asarray(
+        np.ascontiguousarray(np.broadcast_to(np.asarray(weight), data.shape))
+    )
+    kdt = np.result_type(data.real.dtype, np.float32)
+    k = jnp.asarray(taps.astype(kdt))
+
+    ax = axis % data.ndim
+    out = _weighted_conv_kernel(d, w, k, axis=ax, klen=taps.size)
+    return device_to_numpy(out)
 
 
 def highpass_weighted_convolution_filter(data, weight, samples, cutoff, axis=-1):

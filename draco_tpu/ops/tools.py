@@ -9,6 +9,8 @@ Cython loops (reference draco/util/_fast_tools.pyx:134, tools.py:210).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -249,6 +251,22 @@ def apply_gain(vis, gain, axis: int = 1, out=None, prod_map=None):
     return result
 
 
+@partial(jax.jit, static_argnames=("axis",))
+def _take_axis_jit(utmat, idx, *, axis: int):
+    return jnp.take(utmat, idx, axis=axis)
+
+
+@partial(jax.jit, static_argnames=("axis", "nside"))
+def _unpack_product_jit(utmat, pidx, conj, *, axis: int, nside: int):
+    gathered = jnp.take(utmat, pidx, axis=axis)
+    new_shape = utmat.shape[:axis] + (nside, nside) + utmat.shape[axis + 1 :]
+    gathered = gathered.reshape(new_shape)
+    cmask = conj.reshape(
+        (1,) * axis + (nside, nside) + (1,) * (utmat.ndim - axis - 1)
+    )
+    return jnp.where(cmask, jnp.conj(gathered), gathered)
+
+
 def extract_diagonal(utmat, axis: int = 1):
     """Extract the autocorrelations from an upper-triangle product axis.
 
@@ -261,8 +279,12 @@ def extract_diagonal(utmat, axis: int = 1):
             f"Array length ({utmat.shape[axis]}) of axis {axis} does not "
             "correspond to upper triangle of a square matrix"
         )
-    diag_ind = jnp.asarray([cmap(ii, ii, nside) for ii in range(nside)])
-    return jnp.take(utmat, diag_ind, axis=axis)
+    diag_ind = jnp.asarray(
+        np.asarray([cmap(ii, ii, nside) for ii in range(nside)], dtype=np.int32)
+    )
+    # jitted gather: an EAGER complex take raises UNIMPLEMENTED over
+    # remote-TPU tunnels
+    return _take_axis_jit(utmat, diag_ind, axis=axis)
 
 
 def unpack_product_array(utmat, axis: int = 1, nside: int | None = None):
@@ -292,16 +314,15 @@ def unpack_product_array(utmat, axis: int = 1, nside: int | None = None):
     ii, jj = np.meshgrid(np.arange(nside), np.arange(nside), indexing="ij")
     pidx = cmap(ii, jj, nside)  # [n, n] product index (upper-tri symmetric)
     conj = (ii > jj)
-    gathered = jnp.take(utmat, jnp.asarray(pidx.ravel()), axis=axis)
-    # reshape the product axis into (n, n)
-    new_shape = (
-        utmat.shape[:axis] + (nside, nside) + utmat.shape[axis + 1 :]
+    # ONE jitted program: eager complex gather/conj raise UNIMPLEMENTED
+    # over remote-TPU tunnels
+    return _unpack_product_jit(
+        utmat,
+        jnp.asarray(pidx.ravel().astype(np.int32)),
+        jnp.asarray(conj),
+        axis=axis,
+        nside=nside,
     )
-    gathered = gathered.reshape(new_shape)
-    cmask = jnp.asarray(conj).reshape(
-        (1,) * axis + (nside, nside) + (1,) * (utmat.ndim - axis - 1)
-    )
-    return jnp.where(cmask, jnp.conj(gathered), gathered)
 
 
 def calculate_redundancy(input_flags, prod_map, stack_index, nstack: int):
