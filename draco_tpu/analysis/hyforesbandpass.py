@@ -26,7 +26,7 @@ import numpy as np
 
 from ..core import config, containers, io
 from ..core.task import ContainerTask
-from ..ops.tools import invert_no_zero
+from ..ops.tools import as_device, device_to_numpy, invert_no_zero
 from .ringmapmaker import find_grid_indices
 
 C_LIGHT = 299792458.0
@@ -387,8 +387,10 @@ class DelayFilterHyFoReSBandpassHybridVisClean(ContainerTask):
             g = y
             self.log.debug("Window compensation disabled")
         else:
-            # Batched SVD pinv on device
-            jW = jnp.asarray(W.reshape(-1, nfreq, nfreq))
+            # Batched SVD pinv on device.  Split complex transfers:
+            # plain complex uploads/readbacks are unsupported over
+            # remote-TPU tunnels.
+            jW = as_device(W.reshape(-1, nfreq, nfreq))
             u, s, vh = jnp.linalg.svd(jW, full_matrices=False)
             s_val = np.asarray(s).reshape(npol, new, nfreq)
             keep = s > self.cutoff
@@ -397,9 +399,9 @@ class DelayFilterHyFoReSBandpassHybridVisClean(ContainerTask):
                 "bij,bj,bjk->bik", vh.conj().swapaxes(1, 2), sinv, u.conj().swapaxes(1, 2)
             )
             rank = np.asarray(jnp.sum(keep, axis=-1)).reshape(npol, new)
-            g = np.asarray(
+            g = device_to_numpy(
                 jnp.einsum(
-                    "bij,bj->bi", W_pinv, jnp.asarray(y.reshape(-1, nfreq))
+                    "bij,bj->bi", W_pinv, as_device(y.reshape(-1, nfreq))
                 )
             ).reshape(npol, new, nfreq)
             self.log.debug("Gain window compensated")
@@ -433,7 +435,7 @@ class DelayFilterHyFoReSBandpassHybridVisClean(ContainerTask):
         fvar = np.asarray(
             jnp.einsum(
                 "pfgxt,pgxt->pfxt",
-                jnp.abs(jnp.asarray(filt)) ** 2,
+                jnp.abs(as_device(filt)) ** 2,
                 jnp.asarray(cvar),
             )
         )

@@ -28,7 +28,12 @@ import numpy as np
 from ..core import config, containers, io
 from ..core.task import ContainerTask
 from ..ops.cosmology import Cosmology
-from ..ops.tools import invert_no_zero, window_generalised
+from ..ops.tools import (
+    as_device,
+    device_to_numpy,
+    invert_no_zero,
+    window_generalised,
+)
 from .ringmapmaker import find_grid_indices
 from .transform import ReduceChisq
 
@@ -505,14 +510,18 @@ class CrossPowerSpectrum3D(ContainerTask):
             [str(vis_1.attrs.get("tag", "p0")), str(vis_2.attrs.get("tag", "p1"))]
         )
 
-        v1 = jnp.asarray(np.asarray(vis_1.vis[:]))
-        v2 = jnp.asarray(np.asarray(vis_2.vis[:]))
+        # split complex uploads: plain complex host->device transfers
+        # are unsupported over remote-TPU tunnels
+        v1 = as_device(np.asarray(vis_1.vis[:]))
+        v2 = as_device(np.asarray(vis_2.vis[:]))
 
         # All pol pairs at once: (p1, p2, delay, u, v)
         cross = ps_norm * v1[:, None] * v2[None, :].conj()
         pspec = cross.reshape(-1, *v1.shape[1:])
 
-        ps_cube.spectrum[:] = np.asarray(pspec).astype(ps_cube.spectrum.dtype)
+        ps_cube.spectrum[:] = device_to_numpy(pspec).astype(
+            ps_cube.spectrum.dtype
+        )
 
         return ps_cube
 

@@ -77,12 +77,17 @@ def svd_em(A, mask, niter: int = 5, rank: int = 5, full_matrices: bool = False):
     form is computed.
     """
     del full_matrices
-    A = jnp.asarray(np.asarray(A))
+    # split complex transfers (unsupported over remote-TPU tunnels)
+    A = tools.as_device(np.asarray(A))
     mask = jnp.asarray(np.asarray(mask, dtype=bool))
     u, sig, vh = _svd_em_batched(
         A[None], mask[None], niter=niter, rank=rank
     )
-    return np.asarray(u[0]), np.asarray(sig[0]), np.asarray(vh[0])
+    return (
+        tools.device_to_numpy(u[0]),
+        np.asarray(sig[0]),
+        tools.device_to_numpy(vh[0]),
+    )
 
 
 def _mmode_matrices(mmodes):
@@ -90,7 +95,8 @@ def _mmode_matrices(mmodes):
 
     vis [m, 2, f, b] -> A [m, f, 2b]; mask True where weight == 0.
     """
-    vis = jnp.asarray(np.asarray(mmodes.vis[:], dtype=np.complex64))
+    # split complex upload (complex transfers unsupported over tunnels)
+    vis = tools.as_device(np.asarray(mmodes.vis[:], dtype=np.complex64))
     weight = jnp.asarray(np.asarray(mmodes.weight[:], dtype=np.float32))
     M, _, F, B = vis.shape
     A = vis.transpose(0, 2, 1, 3).reshape(M, F, 2 * B)

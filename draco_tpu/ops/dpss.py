@@ -193,7 +193,9 @@ def inpaint_batched(x, Ni, A, W, Si: float = 1e-3):
 
     Samples where ``W`` is True keep the input data and weights.
     """
-    x = jnp.asarray(x)
+    from .tools import as_device
+
+    x = as_device(x)  # complex-safe over remote-TPU tunnels
     Ni = jnp.asarray(Ni)
     W = jnp.asarray(W)
     xf, wf = filter_batched(x, Ni, A, W, Si)

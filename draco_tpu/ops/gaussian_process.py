@@ -20,7 +20,7 @@ import logging
 import numpy as np
 
 from . import kernels
-from .tools import invert_no_zero
+from .tools import as_device, device_to_numpy, invert_no_zero
 
 __all__ = ["resample", "interpolate_unweighted"]
 
@@ -122,13 +122,15 @@ def interpolate_unweighted(data, weight, K, Kstar, interp_samples=None):
     data = np.asarray(data)
     weight = np.broadcast_to(np.asarray(weight), data.shape)
 
+    # split complex transfers: plain complex host<->device uploads and
+    # readbacks are unsupported over remote-TPU tunnels
     xout, var = _gp_project_batch(
-        jnp.asarray(data),
+        as_device(data),
         jnp.asarray(weight.astype(np.float64)),
         jnp.asarray(np.asarray(K, dtype=np.float64)),
         jnp.asarray(np.asarray(Kstar, dtype=np.float64)),
     )
-    xout = np.asarray(xout)
+    xout = device_to_numpy(xout)
     wout = np.asarray(invert_no_zero(var))
 
     if interp_samples is not None:

@@ -74,7 +74,9 @@ def make_marray(ts, mmax: int | None = None, dtype=None):
         Array of shape [mmax+1, 2, ...] where ``mmodes[m, 0] = V_m`` and
         ``mmodes[m, 1] = conj(V_{-m})`` with FFT normalisation 1/nra.
     """
-    ts = jnp.asarray(ts)
+    from .tools import as_device
+
+    ts = as_device(ts)  # complex-safe over remote-TPU tunnels
     N = ts.shape[-1]
     if mmax is None:
         mmax = default_mmax(N)
@@ -107,7 +109,9 @@ def unpack_marray(mmodes, n: int | None = None, oddra: bool | None = None):
     of output samples defaults to Nyquist (2*mmax (+1 if odd)); modes beyond
     the Nyquist limit of a requested ``n`` are clipped.
     """
-    mmodes = jnp.asarray(mmodes)
+    from .tools import as_device
+
+    mmodes = as_device(mmodes)  # complex-safe over remote-TPU tunnels
     mmax_plus = mmodes.shape[0] - 1
     if oddra is None:
         # The largest negative m is unfilled for an even RA count.

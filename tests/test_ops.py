@@ -29,9 +29,13 @@ def test_make_marray_even_odd(rng):
     for nra in [16, 17]:
         ts = rng.standard_normal((3, 5, nra)) + 1j * rng.standard_normal((3, 5, nra))
         for mmax in [nra // 2, 4]:
-            ours = np.asarray(mmode.make_marray(ts, mmax))
+            ours = tools.device_to_numpy(mmode.make_marray(ts, mmax))
             ref = _reference_make_marray(ts, mmax)
-            assert np.allclose(ours, ref), (nra, mmax)
+            tol = 1e-8 if jax.config.jax_enable_x64 else 1e-5
+            assert np.allclose(ours, ref, atol=tol * np.abs(ref).max()), (
+                nra,
+                mmax,
+            )
 
 
 def test_mmode_roundtrip_real(rng):
@@ -39,9 +43,10 @@ def test_mmode_roundtrip_real(rng):
     for nra in [16, 17]:
         ts = rng.standard_normal((2, 3, nra))  # real input
         mm = mmode.make_marray(ts, mmax=nra // 2)
-        back = np.asarray(mmode.mmodes_to_sidereal(mm, n=nra))
-        assert np.allclose(back.real, ts, atol=1e-10), nra
-        assert np.allclose(back.imag, 0.0, atol=1e-10), nra
+        back = tools.device_to_numpy(mmode.mmodes_to_sidereal(mm, n=nra))
+        tol = 1e-10 if jax.config.jax_enable_x64 else 2e-6
+        assert np.allclose(back.real, ts, atol=tol), nra
+        assert np.allclose(back.imag, 0.0, atol=tol), nra
 
 
 def test_fast_fft_size():
