@@ -186,9 +186,11 @@ class ConstructWienerDelayTransform(ContainerTask):
         wall = np.asarray(data.weight[:])
         ball = np.asarray(data.dirty_beam_power[:])[0]
 
-        jF = jnp.asarray(F)
-        jFT = jnp.asarray(FT)
-        jFSFT = jnp.asarray(FSFT)
+        # split complex uploads (plain complex transfers are
+        # unsupported over remote-TPU tunnels)
+        jF = as_device(F)
+        jFT = as_device(FT)
+        jFSFT = as_device(FSFT)
         jS = jnp.asarray(Sdiag)
         jwin = jnp.asarray(window)
         jwmask = jnp.asarray(win_mask)
@@ -197,15 +199,23 @@ class ConstructWienerDelayTransform(ContainerTask):
             self.log.info(f"Processing pol {pp}/{npol}")
 
             # (ra, freq, freq)
-            C = jnp.asarray(np.asarray(data.freq_cov[:])[pp].transpose(2, 0, 1))
-            K = jnp.asarray(np.asarray(data.filter[:])[pp].transpose(2, 0, 1))
+            C = as_device(
+                np.ascontiguousarray(
+                    np.asarray(data.freq_cov[:])[pp].transpose(2, 0, 1)
+                )
+            )
+            K = as_device(
+                np.ascontiguousarray(
+                    np.asarray(data.filter[:])[pp].transpose(2, 0, 1)
+                )
+            )
             Cdiag = jnp.diagonal(C, axis1=1, axis2=2)
 
             for ee in range(nel):
                 w = jnp.asarray(wall[pp, :, :, ee].T)  # (ra, freq)
                 b = jnp.sqrt(jnp.asarray(ball[pp, :, ee]))
 
-                D[pp, :, ee] = np.asarray(
+                D[pp, :, ee] = device_to_numpy(
                     _wiener_operator_batch(
                         w, b, C, K, Cdiag, jF, jFT, jFSFT, jS, jwin, jwmask
                     )

@@ -375,6 +375,12 @@ def test_yaml_mesh_config_installs_mesh():
     """`pipeline.mesh` builds and installs the device mesh for the run
     (the YAML route to the production freq x m layout; the equivalence
     of the sharded spine itself is tests/test_spmd.py)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip(
+            "fixed mesh axis sizes need >=2 devices; chip mode has one"
+        )
     from draco_tpu.parallel import get_mesh
 
     cfg = """
