@@ -40,11 +40,14 @@ def compact_setup():
 
 def _composed_roundtrip(bt, tel, sky):
     """The same spine as separate streaming dispatches."""
+    from draco_tpu.ops.tools import as_device, device_to_numpy
+
     alm = sht.sphtrans_sky(jnp.asarray(sky), lmax=tel.lmax)[..., : tel.mmax + 1]
-    vis_m = np.asarray(bt.project_sky_to_telescope_streaming(alm))
+    # split complex transfers (unsupported plainly over remote-TPU tunnels)
+    vis_m = device_to_numpy(bt.project_sky_to_telescope_streaming(alm))
     ntime = 2 * tel.mmax + 1
-    stream = mmode.mmodes_to_sidereal(jnp.asarray(vis_m), n=ntime, oddra=True)
-    vis2 = np.asarray(mmode.make_marray(stream, mmax=tel.mmax))
+    stream = mmode.mmodes_to_sidereal(as_device(vis_m), n=ntime, oddra=True)
+    vis2 = device_to_numpy(mmode.make_marray(stream, mmax=tel.mmax))
     a = bt.project_telescope_to_sky_dirty_streaming(
         vis2, np.ones_like(vis2.real)
     )

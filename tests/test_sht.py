@@ -53,7 +53,11 @@ def test_synthesis_matches_scipy(rng):
     alm = random_alm(lmax, rng)
     truth = direct_ylm_synthesis(alm, nside)
     ours = np.asarray(sht.alm2map(alm, nside))
-    assert np.allclose(ours, truth, rtol=1e-8, atol=1e-8)
+    # f64 identity on CPU; the chip runs f32 (x64 unavailable there)
+    import jax
+
+    tol = 1e-8 if jax.config.jax_enable_x64 else 5e-5
+    assert np.allclose(ours, truth, rtol=tol, atol=tol * np.abs(truth).max())
 
 
 def test_analysis_roundtrip_bandlimited(rng):
